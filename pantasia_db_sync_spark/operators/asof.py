@@ -1,0 +1,84 @@
+"""As-of join: for each left row, the most recent right row at-or-before it.
+
+Engine extension (SURVEY.md §2.C "absent from the reference"): the
+reference's latest-state tracking (``/root/reference/app/main.py:290-315``)
+is a degenerate as-of (right == left stream); this operator generalizes it.
+
+Scalable implementation: the naive form is a non-equi join
+(``l.ts >= r.ts`` + argmax), which Spark would plan as a broadcast
+nested-loop or a sort-merge with per-key replays. Instead we use the
+union+window technique: tag both streams, union them, and carry the
+last-seen right payload forward with ``last(..., ignorenulls=True)``
+over a per-key time-ordered window. One shuffle on the key, no row
+replication, linear in |L|+|R| — this survives 100 TB where the
+non-equi join does not.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str] | str,
+    left_ts: str,
+    right_ts: str,
+    value_cols: list[str] | None = None,
+    strict: bool = False,
+) -> DataFrame:
+    """Left as-of join.
+
+    Returns ``left`` plus, for each right column in ``value_cols``
+    (default: all non-key, non-ts right columns), the value from the
+    latest right row with ``right_ts <= left_ts`` (``<`` if ``strict``)
+    within the same ``on`` key; NULL when no such row exists.
+
+    Ties on ``right_ts`` resolve to the greatest payload struct
+    (deterministic regardless of partitioning).
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    if value_cols is None:
+        value_cols = [c for c in right.columns if c not in keys and c != right_ts]
+
+    # Tag: right rows sort before left rows at equal ts for inclusive
+    # semantics (payload visible to a left row with the same ts); after
+    # left rows for strict semantics.
+    r_side = 1 if strict else 0
+    l_side = 0 if strict else 1
+
+    payload = F.struct(F.col(right_ts).alias("__rts"), *[F.col(c) for c in value_cols])
+    r = right.select(
+        *keys,
+        F.col(right_ts).alias("__ts"),
+        F.lit(r_side).alias("__side"),
+        payload.alias("__payload"),
+        F.lit(None).cast("long").alias("__rowid"),
+    )
+    l = left.withColumn("__rowid", F.monotonically_increasing_id())
+    l_tagged = l.select(
+        *keys,
+        F.col(left_ts).alias("__ts"),
+        F.lit(l_side).alias("__side"),
+        F.lit(None).cast(r.schema["__payload"].dataType).alias("__payload"),
+        "__rowid",
+    )
+
+    unioned = r.unionByName(l_tagged)
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("__ts").asc(), F.col("__side").asc(), F.col("__payload").asc_nulls_first())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = (
+        unioned.withColumn("__carry", F.last("__payload", ignorenulls=True).over(w))
+        .where(F.col("__rowid").isNotNull())
+        .select("__rowid", "__carry")
+    )
+    out = l.join(carried, "__rowid", "left")
+    for c in value_cols:
+        out = out.withColumn(c, F.col("__carry").getField(c))
+    out = out.withColumn(f"asof_{right_ts}", F.col("__carry").getField("__rts"))
+    return out.drop("__rowid", "__carry")

@@ -1,0 +1,195 @@
+"""Deduplication family: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+North-star extension (BASELINE.json): the document-dedup operators a
+training-data pipeline needs at 100 TB. Design notes per operator:
+
+- **exact**: hash-groupBy on the content (or a fingerprint of it) —
+  one shuffle, map-side combine.
+- **n-gram Jaccard**: exact pairwise similarity, but computed via an
+  inverted shingle index (explode + equi-self-join) so only pairs
+  sharing ≥1 shingle are compared — never the O(n²) cross join.
+- **MinHash+LSH**: the scale path. Signatures are one groupBy over the
+  shingle index; banding turns "similar" into an equi-join key, so
+  candidate generation is a shuffle join on (band_idx, band_value).
+  Hash functions are the engine-portable (a·x+b) mod P family over a
+  60-bit md5 prefix (functions/text.py) so the DuckDB oracle reproduces
+  signatures exactly.
+- **SimHash**: 32-bit signatures via bitwise majority vote of token
+  hashes; Hamming-distance candidates. Signature build is linear;
+  pairing here is all-pairs (fine ≤10^4 docs per cell — at 100 TB,
+  pair within LSH buckets or band the simhash bits instead).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import HASH_PRIME, minhash_params, portable_hash_mod, tokens_col
+
+SIMHASH_BITS = 32
+
+
+def shingle_frame(
+    docs: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """Distinct word n-gram shingles per document: (id, shingle)."""
+    toks = docs.select(F.col(id_col), tokens_col(text_col).alias("__toks"))
+    # shingle i = toks[i] || ' ' || ... (0-based slice, i in [0, len-n]);
+    # guard: sequence() would run backwards for docs shorter than n tokens
+    sh = F.when(
+        F.size("__toks") >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size("__toks") - n),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at("__toks", i + j + 1) for j in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        toks.select(F.col(id_col), F.explode(sh).alias("shingle"))
+        .where(F.col("shingle") != "")
+        .distinct()
+    )
+
+
+def exact_dedup(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact dedup: canonical (min id) per identical text + dup count."""
+    return docs.groupBy(text_col).agg(
+        F.min(id_col).alias("canonical_id"),
+        F.count(F.lit(1)).alias("dup_cnt"),
+    )
+
+
+def _pair_jaccard(sh: DataFrame, id_col: str) -> DataFrame:
+    """(id_a, id_b, jaccard) for every pair sharing ≥1 shingle."""
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n"))
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("__i"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("__n").alias("__na"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("__n").alias("__nb"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("__i") / (F.col("__na") + F.col("__nb") - F.col("__i"))).alias("jaccard"),
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, id_col: str, text_col: str, n: int = 3, threshold: float = 0.5
+) -> DataFrame:
+    """Near-duplicate pairs by exact n-gram Jaccard ≥ threshold."""
+    sh = shingle_frame(docs, id_col, text_col, n)
+    return _pair_jaccard(sh, id_col).where(F.col("jaccard") >= threshold)
+
+
+def minhash_signatures(
+    sh: DataFrame, id_col: str, num_hashes: int = 16
+) -> DataFrame:
+    """One row per doc: mh0..mh{k-1} minimum permuted shingle hashes."""
+    x = portable_hash_mod("shingle")
+    aggs = [
+        F.min((F.lit(a) * x + F.lit(b)) % F.lit(HASH_PRIME)).alias(f"mh{i}")
+        for i, (a, b) in enumerate(minhash_params(num_hashes))
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash+LSH near-dup pairs, verified with exact Jaccard.
+
+    Pipeline: shingle index → signatures (one groupBy) → band values →
+    equi-self-join on (band_idx, band_value) → exact-Jaccard check of
+    the (few) candidates. With 16 hashes in 4 bands of 4, P(candidate)
+    = 1-(1-J⁴)⁴: ~0.9998 at J=0.9, ~0.23 at J=0.5 — tune per corpus.
+    """
+    rows_per_band = num_hashes // bands
+    sh = shingle_frame(docs, id_col, text_col, n)
+    sig = minhash_signatures(sh, id_col, num_hashes)
+
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("band_idx"),
+                F.concat_ws(
+                    "_",
+                    *[
+                        F.col(f"mh{j * rows_per_band + r}").cast("string")
+                        for r in range(rows_per_band)
+                    ],
+                ).alias("band_val"),
+            )
+            for j in range(bands)
+        ]
+    )
+    banded = sig.select(F.col(id_col), F.explode(band_structs).alias("b")).select(
+        id_col, F.col("b.band_idx").alias("band_idx"), F.col("b.band_val").alias("band_val")
+    )
+    left = banded.select(F.col(id_col).alias("id_a"), "band_idx", "band_val")
+    right = banded.select(F.col(id_col).alias("id_b"), "band_idx", "band_val")
+    cand = (
+        left.join(right, ["band_idx", "band_val"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    verified = _pair_jaccard(sh, id_col).join(cand, ["id_a", "id_b"], "left_semi")
+    return verified.where(F.col("jaccard") >= threshold)
+
+
+def simhash_signatures(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """32-bit SimHash per doc from distinct-token portable hashes."""
+    toks = (
+        docs.select(F.col(id_col), F.explode(tokens_col(text_col)).alias("tok"))
+        .where(F.col("tok") != "")
+        .distinct()
+    )
+    # SQL-expr form: the Python F.shiftright/shiftleft wrappers only take
+    # literal shift counts, but the SQL functions accept column exprs.
+    bits = toks.withColumn("__x32", portable_hash_mod("tok", 1 << SIMHASH_BITS)).select(
+        F.col(id_col),
+        F.expr(
+            f"explode(transform(sequence(0, {SIMHASH_BITS - 1}), "
+            "b -> struct(b AS bit, "
+            "CASE WHEN (shiftright(__x32, b) & 1) = 1 THEN 1 ELSE -1 END AS w)))"
+        ).alias("bw"),
+    ).select(id_col, F.col("bw.bit").alias("bit"), F.col("bw.w").alias("w"))
+    votes = bits.groupBy(id_col, "bit").agg(F.sum("w").alias("s"))
+    return votes.groupBy(id_col).agg(
+        F.sum(
+            F.expr("CASE WHEN s > 0 THEN shiftleft(CAST(1 AS BIGINT), bit) ELSE CAST(0 AS BIGINT) END")
+        ).alias("simhash")
+    )
+
+
+def simhash_pairs(
+    docs: DataFrame, id_col: str, text_col: str, max_hamming: int = 6
+) -> DataFrame:
+    """Pairs with SimHash Hamming distance ≤ max_hamming (all-pairs)."""
+    sig = simhash_signatures(docs, id_col, text_col)
+    a = sig.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"))
+    b = sig.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("int"))
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

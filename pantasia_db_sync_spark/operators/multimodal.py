@@ -1,0 +1,66 @@
+"""Multimodal (binary) column plumbing: decode / feature-extract stubs.
+
+North-star extension (BASELINE.json): image/audio/video are opaque
+``binary`` columns with typed metadata, processed by Arrow-batched
+``mapInPandas`` — the pattern generalizes the reference's
+``image``/``files`` metadata columns (/root/reference/app/db/
+postgres.py:144-145). The real codecs (PIL/librosa/av) are NOT in this
+container, so the decode step is stubbed with a deterministic fake; the
+Spark-side plumbing — schema, Arrow batch shape, UDF signature,
+partition-parallel execution — is real and tested.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DECODE_SCHEMA = "doc_id bigint, byte_len int, width int, height int, n_frames int"
+
+
+def real_image_decode(content: bytes) -> dict:
+    """Placeholder for the real decoder (PIL.Image.open(io.BytesIO(...))).
+
+    Image libraries are not available in this environment; see
+    `fake_decode_features` for the deterministic stand-in exercised by
+    tests and oracles.
+    """
+    raise NotImplementedError("image codecs not available in this environment")
+
+
+def fake_decode_features(doc_id: int, content: bytes) -> tuple[int, int, int, int]:
+    """Deterministic fake decode: features derived from the byte stream
+    only, so the DuckDB oracle can mirror them from octet_length."""
+    n = len(content)
+    return n, n % 640, (n * 7) % 480, doc_id % 5 + 1
+
+
+def decode_stub_features(
+    df: DataFrame, id_col: str = "doc_id", binary_col: str = "content"
+) -> DataFrame:
+    """mapInPandas feature extraction over a binary column.
+
+    Arrow-batched: each pandas batch holds `binary_col` as bytes
+    objects; the UDF is embarrassingly parallel across partitions, so
+    at 100 TB throughput scales with executors (repartition upstream to
+    balance batch sizes for heavy codecs).
+    """
+    src = df.select(F.col(id_col).alias("doc_id"), F.col(binary_col).alias("content"))
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [
+                fake_decode_features(int(i), bytes(c))
+                for i, c in zip(pdf["doc_id"], pdf["content"])
+            ]
+            out = pd.DataFrame(
+                feats, columns=["byte_len", "width", "height", "n_frames"]
+            )
+            out.insert(0, "doc_id", pdf["doc_id"].values)
+            yield out
+
+    return src.mapInPandas(extract, schema=DECODE_SCHEMA)

@@ -1,0 +1,141 @@
+"""Embedding similarity search: brute-force cosine top-k + IVF cell path.
+
+North-star extension (BASELINE.json). The dot product stays JVM-side
+(`zip_with` + `aggregate` higher-order functions — whole-stage codegen,
+no Python). Two strategies:
+
+- **brute force** (baseline): queries × corpus via broadcast of the
+  (small) query set; exact, O(|Q|·|C|·d) — the right answer when |Q| is
+  small even at 100 TB corpus.
+- **IVF** (scale path): restrict candidates to the query's cell
+  (precomputed cluster assignment — the fixtures' ``label`` column
+  stands in for a k-means assignment). The join key becomes the cell
+  id, so Spark shuffles corpus rows once by cell and each query probes
+  1/k of the data. An LSH variant would band sign-bits instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+from ..functions.rounding import fround
+
+
+def as_double_vec(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def dot_col(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
+
+
+def norm_col(a: Column) -> Column:
+    return F.sqrt(dot_col(a, a))
+
+
+def cosine_col(a: Column, b: Column) -> Column:
+    return dot_col(a, b) / (norm_col(a) * norm_col(b))
+
+
+def brute_force_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Exact cosine top-k of ``queries`` against ``vectors``.
+
+    Output: (q_id, cand_id, cos, rank). Cosines are rounded before
+    ranking and ties broken by cand_id so results are deterministic
+    across partitionings and engines.
+    """
+    q = queries.select(
+        F.col(id_col).alias("q_id"), as_double_vec(vec_col).alias("q_vec")
+    )
+    c = vectors.select(
+        F.col(id_col).alias("cand_id"), as_double_vec(vec_col).alias("c_vec")
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .where(F.col("q_id") != F.col("cand_id"))
+        .select(
+            "q_id",
+            "cand_id",
+            fround(cosine_col(F.col("q_vec"), F.col("c_vec")), round_digits).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("cand_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+        .select("q_id", "cand_id", "cos", "rank")
+    )
+
+
+def ivf_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "label",
+    k: int = 5,
+    round_digits: int = 6,
+) -> DataFrame:
+    """IVF-style top-k: candidates restricted to the query's cell."""
+    q = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.col(cell_col).alias("cell"),
+        as_double_vec(vec_col).alias("q_vec"),
+    )
+    c = vectors.select(
+        F.col(id_col).alias("cand_id"),
+        F.col(cell_col).alias("cell"),
+        as_double_vec(vec_col).alias("c_vec"),
+    )
+    scored = (
+        F.broadcast(q)
+        .join(c, "cell")
+        .where(F.col("q_id") != F.col("cand_id"))
+        .select(
+            "q_id",
+            "cand_id",
+            fround(cosine_col(F.col("q_vec"), F.col("c_vec")), round_digits).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("cand_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+        .select("q_id", "cand_id", "cos", "rank")
+    )
+
+
+def cosine_near_dup_pairs(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4445555,
+    round_digits: int = 6,
+) -> DataFrame:
+    """All pairs with cosine ≥ threshold (embedding near-dup detection).
+
+    All-pairs is the correctness baseline; at scale, generate candidate
+    pairs with `ivf_topk`/LSH banding first and verify with this score.
+    """
+    a = vectors.select(F.col(id_col).alias("id_a"), as_double_vec(vec_col).alias("va"))
+    b = vectors.select(F.col(id_col).alias("id_b"), as_double_vec(vec_col).alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            fround(cosine_col(F.col("va"), F.col("vb")), round_digits).alias("cos"),
+        )
+        .where(F.col("cos") >= threshold)
+    )

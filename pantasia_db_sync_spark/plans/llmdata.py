@@ -1,0 +1,477 @@
+"""LLM-data-pipeline operators over documents/embeddings (north-star).
+
+Required beyond the reference's surface (BASELINE.json): dedup family,
+embedding similarity search, multimodal columns, text analysis. Every
+query here has a DuckDB oracle except where the semantics are
+engine-specific (noted inline); the MinHash/SimHash oracles reproduce
+the exact signatures because both engines share the md5-based portable
+hash (functions/text.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import (
+    HASH_PRIME,
+    LANG_MARKERS,
+    STOPWORDS,
+    minhash_params,
+    portable_hash_mod,
+    tokens_col,
+)
+from ..operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    shingle_frame,
+    simhash_pairs,
+)
+from ..operators.multimodal import decode_stub_features
+from ..operators.similarity import brute_force_topk, cosine_near_dup_pairs, ivf_topk
+from ..sources.catalog import load_table
+from .registry import fround, register, sql_round
+
+# ---------------------------------------------------------------------------
+# shared SQL fragments (DuckDB oracles)
+# ---------------------------------------------------------------------------
+
+_SQL_TOKS = "SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents"
+_SQL_SHINGLES = f"""
+  toks AS ({_SQL_TOKS}),
+  sh AS (
+    SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+    FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)
+  )
+"""
+_SQL_JACCARD_TAIL = """
+  sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+  inter AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+    FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+  ),
+  jac AS (
+    SELECT id_a, id_b, i / CAST(sa.n + sb.n - i AS DOUBLE) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+  )
+"""
+
+_PORTABLE_HASH = "CAST(concat('0x', substr(md5({col}), 1, 15)) AS BIGINT)"
+
+_SQL_VECS = """
+  e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings),
+  n AS (
+    SELECT vec_id, v, label,
+           sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+    FROM e
+  )
+"""
+
+
+def _cos_sql(a: str, b: str) -> str:
+    dot = (
+        f"list_sum(list_transform(range(1, len({a}.v) + 1), "
+        f"i -> {a}.v[i] * {b}.v[i]))"
+    )
+    return sql_round(f"{dot} / ({a}.nrm * {b}.nrm)", 6)
+
+
+def _stop_pred(var: str, words: tuple[str, ...]) -> str:
+    return " OR ".join(f"{var} = '{w}'" for w in words)
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_token_count",
+    oracle=f"""
+    WITH toks AS ({_SQL_TOKS})
+    SELECT d.doc_id,
+           CAST(len(t.t) AS INTEGER) AS n_tokens,
+           CAST(len(list_distinct(t.t)) AS INTEGER) AS n_distinct,
+           d.n_chars
+    FROM documents d JOIN toks t ON d.doc_id = t.doc_id
+    """,
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (whitespace tokenizer), JVM-side only."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens_col("text")
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("int").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("int").alias("n_distinct"),
+        "n_chars",
+    )
+
+
+@register(
+    "text_quality_score",
+    oracle=f"""
+    WITH toks AS ({_SQL_TOKS})
+    SELECT doc_id,
+           CAST(len(t) AS INTEGER) AS n_tokens,
+           {sql_round("CAST(list_sum(list_transform(t, x -> len(x))) AS DOUBLE) / len(t)", 4)}
+             AS avg_tok_len,
+           {sql_round(f"len(list_filter(t, x -> {_stop_pred('x', STOPWORDS)})) / CAST(len(t) AS DOUBLE)", 4)}
+             AS stop_ratio,
+           {sql_round(f"(1.0 - len(list_filter(t, x -> {_stop_pred('x', STOPWORDS)})) / CAST(len(t) AS DOUBLE)) * (least(len(t), 100) / 100.0)", 4)}
+             AS quality
+    FROM toks
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length/stopword-ratio heuristics."""
+    d = load_table(spark, sf_dir, "documents")
+    d = d.withColumn("__t", tokens_col("text"))
+    n = F.size("__t")
+    stop_hits = F.size(F.filter("__t", lambda x: _in_words(x, STOPWORDS)))
+    tok_chars = F.aggregate("__t", F.lit(0), lambda acc, x: acc + F.length(x))
+    return d.select(
+        "doc_id",
+        n.cast("int").alias("n_tokens"),
+        fround(tok_chars.cast("double") / n, 4).alias("avg_tok_len"),
+        fround(stop_hits / n.cast("double"), 4).alias("stop_ratio"),
+        fround(
+            (F.lit(1.0) - stop_hits / n.cast("double"))
+            * (F.least(n, F.lit(100)) / F.lit(100.0)),
+            4,
+        ).alias("quality"),
+    )
+
+
+def _in_words(x, words: tuple[str, ...]):
+    pred = x == words[0]
+    for w in words[1:]:
+        pred = pred | (x == w)
+    return pred
+
+
+def _word_pred(words: tuple[str, ...]):
+    # NB: must return a unary lambda — a default arg (lambda x, ws=ws: ...)
+    # makes pyspark treat it as a (value, index) binary HOF lambda.
+    def pred(x):
+        return _in_words(x, words)
+
+    return pred
+
+
+def _langid_sql() -> str:
+    hits = ",\n           ".join(
+        f"len(list_filter(t, x -> {_stop_pred('x', ws)})) AS {lang}_hits"
+        for lang, ws in LANG_MARKERS.items()
+    )
+    return f"""
+    WITH toks AS ({_SQL_TOKS}),
+    h AS (SELECT doc_id, {hits} FROM toks)
+    SELECT d.doc_id,
+           CASE
+             WHEN en_hits >= de_hits AND en_hits >= es_hits AND en_hits >= fr_hits
+                  AND en_hits > 0 THEN 'en'
+             WHEN de_hits >= es_hits AND de_hits >= fr_hits AND de_hits > 0 THEN 'de'
+             WHEN es_hits >= fr_hits AND es_hits > 0 THEN 'es'
+             WHEN fr_hits > 0 THEN 'fr'
+             ELSE 'und'
+           END AS pred_lang,
+           d.lang,
+           CASE
+             WHEN en_hits >= de_hits AND en_hits >= es_hits AND en_hits >= fr_hits
+                  AND en_hits > 0 THEN 'en'
+             WHEN de_hits >= es_hits AND de_hits >= fr_hits AND de_hits > 0 THEN 'de'
+             WHEN es_hits >= fr_hits AND es_hits > 0 THEN 'es'
+             WHEN fr_hits > 0 THEN 'fr'
+             ELSE 'und'
+           END = d.lang AS is_match
+    FROM h JOIN documents d ON d.doc_id = h.doc_id
+    """
+
+
+@register("text_langid", oracle=_langid_sql())
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic via marker-token hits (n-gram-style LID).
+
+    On this synthetic corpus every language shares one vocabulary, so
+    the prediction quality is meaningless — the operator shape (and its
+    oracle parity) is what's under test."""
+    d = load_table(spark, sf_dir, "documents")
+    d = d.withColumn("__t", tokens_col("text"))
+    for lang, ws in LANG_MARKERS.items():
+        d = d.withColumn(f"{lang}_hits", F.size(F.filter("__t", _word_pred(ws))))
+    en, de, es, fr = (F.col(f"{l}_hits") for l in ("en", "de", "es", "fr"))
+    pred = (
+        F.when((en >= de) & (en >= es) & (en >= fr) & (en > 0), "en")
+        .when((de >= es) & (de >= fr) & (de > 0), "de")
+        .when((es >= fr) & (es > 0), "es")
+        .when(fr > 0, "fr")
+        .otherwise("und")
+    )
+    return d.select("doc_id", pred.alias("pred_lang"), "lang", (pred == F.col("lang")).alias("is_match"))
+
+
+@register(
+    "text_fingerprint",
+    oracle=f"""
+    WITH {_SQL_SHINGLES},
+    toksets AS ({_SQL_TOKS})
+    SELECT d.doc_id,
+           md5(array_to_string(list_sort(list_distinct(k.t)), ' ')) AS fp_md5,
+           m.min_sh_hash
+    FROM documents d
+    JOIN toksets k ON k.doc_id = d.doc_id
+    LEFT JOIN (
+      SELECT doc_id, min({_PORTABLE_HASH.format(col='s')} % {HASH_PRIME}) AS min_sh_hash
+      FROM sh GROUP BY doc_id
+    ) m ON m.doc_id = d.doc_id
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: set-hash (md5 of sorted distinct tokens)
+    + min-shingle rolling-style hash."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens_col("text")
+    fp = F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(toks))))
+    minsh = (
+        shingle_frame(d, "doc_id", "text", 3)
+        .groupBy("doc_id")
+        .agg(F.min(portable_hash_mod("shingle")).alias("min_sh_hash"))
+    )
+    return d.select("doc_id", fp.alias("fp_md5")).join(minsh, "doc_id", "left").select(
+        "doc_id", "fp_md5", "min_sh_hash"
+    )
+
+
+# ---------------------------------------------------------------------------
+# dedup family
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(text) AS text_md5,
+           CAST(min(doc_id) AS BIGINT) AS canonical_id,
+           CAST(count(*) AS BIGINT) AS dup_cnt
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def dedup_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via hash-groupBy (one shuffle, map-side combine)."""
+    d = load_table(spark, sf_dir, "documents")
+    out = exact_dedup(d, "doc_id", "text")
+    return out.select(
+        F.md5("text").alias("text_md5"),
+        F.col("canonical_id").cast("bigint"),
+        F.col("dup_cnt").cast("bigint"),
+    )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH {_SQL_SHINGLES},
+    {_SQL_JACCARD_TAIL}
+    SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= 0.5
+    """,
+)
+def dedup_ngram_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard near-dup pairs via inverted shingle index
+    (no O(n²) cross join)."""
+    d = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.5)
+
+
+def _minhash_sql(num_hashes: int = 16, bands: int = 4, threshold: float = 0.5) -> str:
+    params = minhash_params(num_hashes)
+    rows = num_hashes // bands
+    x = f"({_PORTABLE_HASH.format(col='s')} % {HASH_PRIME})"
+    mins = ",\n           ".join(
+        f"min(({a} * x + {b}) % {HASH_PRIME}) AS mh{i}" for i, (a, b) in enumerate(params)
+    )
+    band_legs = "\n    UNION ALL\n".join(
+        "    SELECT doc_id, {j} AS band_idx, concat_ws('_', {cols}) AS band_val FROM sig".format(
+            j=j, cols=", ".join(f"mh{j * rows + r}" for r in range(rows))
+        )
+        for j in range(bands)
+    )
+    return f"""
+    WITH {_SQL_SHINGLES},
+    h AS (SELECT doc_id, {x} AS x FROM sh),
+    sig AS (SELECT doc_id, {mins} FROM h GROUP BY doc_id),
+    bands AS (
+{band_legs}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+    ),
+    {_SQL_JACCARD_TAIL}
+    SELECT j.id_a, j.id_b, j.jaccard
+    FROM jac j JOIN cand c ON j.id_a = c.id_a AND j.id_b = c.id_b
+    WHERE j.jaccard >= {threshold}
+    """
+
+
+@register("dedup_minhash_lsh", oracle=_minhash_sql())
+def dedup_minhash_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs (16 hashes, 4 bands), exact-verified.
+    The scale path: candidate generation is an equi-join on band values."""
+    d = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(d, "doc_id", "text", n=3, num_hashes=16, bands=4, threshold=0.5)
+
+
+@register(
+    "dedup_simhash",
+    oracle=f"""
+    WITH rawtoks AS (
+      SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok FROM documents
+    ),
+    toks AS (SELECT DISTINCT doc_id, tok FROM rawtoks WHERE tok <> ''),
+    h AS (SELECT doc_id, {_PORTABLE_HASH.format(col='tok')} % 4294967296 AS x FROM toks),
+    bits AS (
+      SELECT doc_id, i AS bit,
+             CASE WHEN (x >> i) & 1 = 1 THEN 1 ELSE -1 END AS w
+      FROM h, UNNEST(range(0, 32)) AS u(i)
+    ),
+    votes AS (SELECT doc_id, bit, sum(w) AS s FROM bits GROUP BY 1, 2),
+    sig AS (
+      SELECT doc_id,
+             CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT)
+               AS simhash
+      FROM votes GROUP BY doc_id
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+    """,
+)
+def dedup_simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (32-bit signatures, Hamming ≤ 6)."""
+    d = load_table(spark, sf_dir, "documents")
+    return simhash_pairs(d, "doc_id", "text", max_hamming=6)
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    WITH {_SQL_VECS}
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_cos_sql('a', 'b')} AS cos
+    FROM n a JOIN n b ON a.vec_id < b.vec_id
+    WHERE {_cos_sql('a', 'b')} >= 0.4445555
+    """,
+)
+def dedup_embedding_cosine_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (threshold in a distribution gap)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return cosine_near_dup_pairs(e, threshold=0.4445555)
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ann_bruteforce_topk",
+    oracle=f"""
+    WITH {_SQL_VECS},
+    s AS (
+      SELECT q.vec_id AS q_id, c.vec_id AS cand_id, {_cos_sql('q', 'c')} AS cos
+      FROM n q JOIN n c ON c.vec_id <> q.vec_id
+      WHERE q.vec_id < 10
+    )
+    SELECT q_id, cand_id, cos, rank FROM (
+      SELECT q_id, cand_id, cos,
+             CAST(row_number() OVER (PARTITION BY q_id
+                                     ORDER BY cos DESC, cand_id ASC) AS INTEGER) AS rank
+      FROM s
+    ) WHERE rank <= 5
+    """,
+)
+def ann_bruteforce_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for 10 query vectors (exact baseline)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return brute_force_topk(e, e.where(F.col("vec_id") < 10), k=5)
+
+
+@register(
+    "ann_ivf_topk",
+    oracle=f"""
+    WITH {_SQL_VECS},
+    s AS (
+      SELECT q.vec_id AS q_id, c.vec_id AS cand_id, {_cos_sql('q', 'c')} AS cos
+      FROM n q JOIN n c ON c.vec_id <> q.vec_id AND c.label = q.label
+      WHERE q.vec_id < 10
+    )
+    SELECT q_id, cand_id, cos, rank FROM (
+      SELECT q_id, cand_id, cos,
+             CAST(row_number() OVER (PARTITION BY q_id
+                                     ORDER BY cos DESC, cand_id ASC) AS INTEGER) AS rank
+      FROM s
+    ) WHERE rank <= 5
+    """,
+)
+def ann_ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style top-5: candidates restricted to the query's cluster cell
+    (`label` = precomputed assignment) — probes 1/k of the corpus."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return ivf_topk(e, e.where(F.col("vec_id") < 10), k=5)
+
+
+# ---------------------------------------------------------------------------
+# multimodal columns
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_meta",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS INTEGER) AS byte_len,
+           lower(hex(substr(text, 1, 8))) AS head_hex,
+           lang, source
+    FROM documents
+    """,
+)
+def multimodal_meta_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary column plumbing: byte length + head bytes as hex,
+    alongside typed metadata columns (the image/files pattern of the
+    reference's asset_mint_tx, app/db/postgres.py:144-145)."""
+    d = load_table(spark, sf_dir, "documents")
+    content = F.encode(F.col("text"), "UTF-8")
+    return d.select(
+        "doc_id",
+        F.octet_length(content).cast("int").alias("byte_len"),
+        F.lower(F.hex(F.substring("text", 1, 8))).alias("head_hex"),
+        "lang",
+        "source",
+    )
+
+
+@register(
+    "multimodal_decode_stub",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS INTEGER) AS byte_len,
+           CAST(octet_length(encode(text)) % 640 AS INTEGER) AS width,
+           CAST((octet_length(encode(text)) * 7) % 480 AS INTEGER) AS height,
+           CAST(doc_id % 5 + 1 AS INTEGER) AS n_frames
+    FROM documents
+    """,
+)
+def multimodal_decode_stub_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched mapInPandas 'decode' over a binary column — the real
+    plumbing with a deterministic fake decoder (codecs unavailable here;
+    operators/multimodal.py documents the real path)."""
+    d = load_table(spark, sf_dir, "documents").withColumn(
+        "content", F.encode(F.col("text"), "UTF-8")
+    )
+    return decode_stub_features(d, "doc_id", "content")

@@ -1,0 +1,229 @@
+"""Pipeline-shaped operators: the sync daemon's building blocks, each as
+an oracle-checked query over the fixture tables.
+
+These are the Spark forms of the reference's procedural dataflow
+(SURVEY.md §2.D/§2.G): dimension upsert with surrogate keys, argmax
+latest-state updates, tip/high-watermark probes, period chunking, and
+replay idempotence. The full wired pipeline (cardano-shaped schema)
+lives in pipeline/sync.py with its own end-to-end golden tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import latest_state, new_dimension_rows, with_dense_ids
+from ..sources.catalog import load_table
+from .registry import fround, register
+
+
+@register(
+    "dim_upsert_new_keys",
+    oracle="""
+    WITH existing AS (SELECT DISTINCT p_type FROM part WHERE p_partkey < 100),
+    newk AS (
+      SELECT DISTINCT p_type FROM part
+      WHERE p_type NOT IN (SELECT p_type FROM existing)
+    )
+    SELECT p_type AS type_name,
+           CAST(row_number() OVER (ORDER BY p_type)
+                + (SELECT count(*) FROM existing) AS BIGINT) AS id
+    FROM newk
+    """,
+)
+def dim_upsert_new_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2+D4 — the IdIndex replacement end-to-end: batch dedup →
+    broadcast left-anti against the existing dimension → dense surrogate
+    ids seeded from the stored max (app/main.py:124-138,33-38). The
+    existing-dim row count is a metadata-scale driver action, exactly
+    like the reference's A5 max-id probe."""
+    part = load_table(spark, sf_dir, "part")
+    existing = part.where(F.col("p_partkey") < 100).select("p_type").distinct()
+    batch = part.select("p_type")
+    new = new_dimension_rows(batch, existing, "p_type")
+    seed = existing.count()
+    out = with_dense_ids(new, ["p_type"], id_col="id", start=seed + 1)
+    return out.select(F.col("p_type").alias("type_name"), "id")
+
+
+@register(
+    "latest_owner_update",
+    oracle="""
+    SELECT l_partkey AS asset_id, o_custkey AS current_wallet_id, l_shipdate AS last_ts
+    FROM (
+      SELECT l.l_partkey, o.o_custkey, l.l_shipdate,
+             row_number() OVER (PARTITION BY l.l_partkey
+                                ORDER BY l.l_shipdate DESC, l.l_orderkey DESC,
+                                         l.l_linenumber DESC) AS rn
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ) WHERE rn = 1
+    """,
+)
+def latest_owner_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D3 — `asset.current_wallet_id` derivation (app/main.py:290-294):
+    argmax by event time per asset instead of ordered-replay overwrite."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    facts = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "l_partkey", "o_custkey", "l_shipdate", "l_orderkey", "l_linenumber"
+    )
+    out = latest_state(
+        facts,
+        keys="l_partkey",
+        order_by=[
+            F.col("l_shipdate").desc(),
+            F.col("l_orderkey").desc(),
+            F.col("l_linenumber").desc(),
+        ],
+    )
+    return out.select(
+        F.col("l_partkey").alias("asset_id"),
+        F.col("o_custkey").alias("current_wallet_id"),
+        F.col("l_shipdate").alias("last_ts"),
+    )
+
+
+@register(
+    "asset_ext_latest",
+    oracle="""
+    WITH tx AS (
+      SELECT l_partkey AS asset_id,
+             CAST(l_orderkey * 100 + l_linenumber AS BIGINT) AS latest_tx_id
+      FROM (
+        SELECT l_partkey, l_orderkey, l_linenumber,
+               row_number() OVER (PARTITION BY l_partkey
+                                  ORDER BY l_shipdate DESC, l_orderkey DESC,
+                                           l_linenumber DESC) AS rn
+        FROM lineitem
+      ) WHERE rn = 1
+    ),
+    mint AS (
+      SELECT asset_id, event_id AS latest_mint_tx_id
+      FROM (
+        SELECT CAST(event_id % 1000 AS BIGINT) AS asset_id, event_id, ts,
+               row_number() OVER (PARTITION BY CAST(event_id % 1000 AS BIGINT)
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE event_type = 'error'
+      ) WHERE rn = 1
+    )
+    SELECT tx.asset_id, tx.latest_tx_id, mint.latest_mint_tx_id
+    FROM tx LEFT JOIN mint ON tx.asset_id = mint.asset_id
+    """,
+)
+def asset_ext_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D3/A7 — the `asset_ext(latest_tx_id, latest_mint_tx_id)` update
+    batch (app/main.py:226-248,296-315): two per-key argmaxes merged."""
+    li = load_table(spark, sf_dir, "lineitem")
+    e = load_table(spark, sf_dir, "events")
+    tx = latest_state(
+        li,
+        keys="l_partkey",
+        order_by=[
+            F.col("l_shipdate").desc(),
+            F.col("l_orderkey").desc(),
+            F.col("l_linenumber").desc(),
+        ],
+    ).select(
+        F.col("l_partkey").alias("asset_id"),
+        (F.col("l_orderkey") * 100 + F.col("l_linenumber")).cast("bigint").alias("latest_tx_id"),
+    )
+    mint_src = e.where(F.col("event_type") == "error").withColumn(
+        "asset_id", (F.col("event_id") % 1000).cast("bigint")
+    )
+    mint = latest_state(
+        mint_src,
+        keys="asset_id",
+        order_by=[F.col("ts").desc(), F.col("event_id").desc()],
+    ).select("asset_id", F.col("event_id").alias("latest_mint_tx_id"))
+    return tx.join(mint, "asset_id", "left").select(
+        "asset_id", "latest_tx_id", "latest_mint_tx_id"
+    )
+
+
+@register(
+    "sink_tip",
+    oracle="""
+    SELECT greatest(
+      (SELECT max(l_shipdate) FROM lineitem),
+      (SELECT max(ts) FROM events)
+    ) AS tip
+    """,
+)
+def sink_tip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G1/E2 — sink tip = max event time over both fact tables, the
+    union-of-two-tips-then-max probe (app/db/postgres.py:280-312)."""
+    li = load_table(spark, sf_dir, "lineitem").agg(F.max("l_shipdate").alias("tip"))
+    e = load_table(spark, sf_dir, "events").agg(F.max("ts").alias("tip"))
+    return li.unionByName(e).agg(F.max("tip").alias("tip"))
+
+
+@register(
+    "period_windows",
+    oracle="""
+    WITH b AS (SELECT min(ts) AS lo, max(ts) AS hi FROM events),
+    g AS (SELECT unnest(generate_series(lo, hi, INTERVAL 120 MINUTE)) AS ps FROM b)
+    SELECT CAST(row_number() OVER (ORDER BY ps) - 1 AS INTEGER) AS period_id,
+           ps AS period_start,
+           ps + INTERVAL 120 MINUTE AS period_end
+    FROM g
+    """,
+)
+def period_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G2 — `create_period_list` (app/db/postgres.py:314-325): chop
+    [sink_tip, source_tip] into 120-minute micro-batch periods, fully
+    declaratively (sequence + posexplode; no driver loop)."""
+    e = load_table(spark, sf_dir, "events")
+    bounds = e.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi"))
+    return bounds.select(
+        F.posexplode(F.expr("sequence(lo, hi, INTERVAL 120 MINUTES)")).alias(
+            "period_id", "period_start"
+        )
+    ).select(
+        F.col("period_id").cast("int"),
+        "period_start",
+        (F.col("period_start") + F.expr("INTERVAL 120 MINUTES")).alias("period_end"),
+    )
+
+
+@register(
+    "tumbling_window_agg",
+    oracle="""
+    SELECT CAST(TIMESTAMP '1970-01-01 00:00:00'
+                + to_seconds(CAST(floor(epoch(ts) / 7200) * 7200 AS BIGINT))
+                AS TIMESTAMP) AS period_start,
+           CAST(count(*) AS BIGINT) AS n_events,
+           floor((SUM(value)) * 100 + 0.5) / 100 AS total_value
+    FROM events GROUP BY 1
+    """,
+)
+def tumbling_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G2 — tumbling 120-minute event-time windows (`F.window`; epoch-
+    aligned, identical to the oracle's floor(epoch/7200) bucketing)."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "120 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            fround(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(F.col("w.start").alias("period_start"), "n_events", "total_value")
+    )
+
+
+@register(
+    "replay_idempotent",
+    oracle="""
+    SELECT DISTINCT event_id, ts, value FROM (
+      SELECT event_id, ts, value FROM events
+      UNION ALL
+      SELECT event_id, ts, value FROM events
+    )
+    """,
+)
+def replay_idempotent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G5 — replay idempotence: re-delivering a whole batch then
+    deduplicating by key yields the original rows (the property the
+    reference's IdIndex protects, app/db/id_index.py:22-25)."""
+    e = load_table(spark, sf_dir, "events").select("event_id", "ts", "value")
+    return e.unionByName(e).dropDuplicates(["event_id"])

@@ -1,0 +1,76 @@
+"""Table catalog over the parquet fixture tables.
+
+The reference's source access is two psycopg2 connections with embedded
+SQL (``/root/reference/app/db/postgres.py:16-60``); our equivalent is a
+declarative catalog: each table is a parquet directory (columnar, an
+upgrade over the row store) read through the DataFrame API so Catalyst
+gets pushdown/pruning for free. Production would swap `read.parquet`
+for `read.format("jdbc")` (see sources/jdbc.py) or a lakehouse table —
+the query plans above this layer do not change.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def default_sf_dir() -> str:
+    return os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def _nanos_timestamp_cols(path: str) -> list[str]:
+    """Columns stored as parquet TIMESTAMP(NANOS) — Spark reads them as
+    int64 nanos (``spark.sql.legacy.parquet.nanosAsLong``); we restore
+    TimestampType at micros precision, matching DuckDB's ns→µs read."""
+    import pyarrow.parquet as pq
+
+    schema = pq.read_schema(path)
+    cols = []
+    for field in schema:
+        t = field.type
+        if str(t).startswith("timestamp[ns"):
+            cols.append(field.name)
+    return cols
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    ns_cols = _nanos_timestamp_cols(path)
+    if ns_cols:
+        # Must work on ANY caller-provided session (the driver builds its
+        # own): nanosAsLong is a runtime-settable SQL conf, and UTC keeps
+        # collected wall times identical to the DuckDB oracle's.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    df = spark.read.parquet(path)
+    for c in ns_cols:
+        df = df.withColumn(c, F.expr(f"timestamp_micros(CAST({c} DIV 1000 AS BIGINT))"))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Register every fixture table as a temp view (for spark.sql paths)."""
+    dfs = load_tables(spark, sf_dir)
+    for name, df in dfs.items():
+        df.createOrReplaceTempView(name)
+    return dfs
