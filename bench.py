@@ -1,0 +1,75 @@
+"""Benchmark harness — headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total_sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>}
+
+Each query is materialized through the noop sink (full plan execution,
+all columns, no disk) after a session warm-up, so timings measure the
+engine, not JVM startup. Headliners cover the flagship extraction,
+heavy joins/aggs/windows, and the LLM-data operators.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+HEADLINE = [
+    "flagship_extraction",
+    "agg_pricing_summary",
+    "join_broadcast_dims",
+    "join_inner_facts",
+    "window_latest_state",
+    "window_dense_ids",
+    "join_asof",
+    "latest_owner_update",
+    "tumbling_window_agg",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "ann_bruteforce_topk",
+    "text_quality_score",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+
+    from pantasia_db_sync_spark.session import get_spark
+    from pantasia_db_sync_spark.plans import QUERIES
+
+    spark = get_spark(app_name="pantasia-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def materialize(df) -> None:
+        df.write.format("noop").mode("overwrite").save()
+
+    # Warm-up: JVM/codegen/parquet-footer caches on a small plan.
+    materialize(QUERIES["agg_pricing_summary"](spark, sf_dir).limit(1))
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        materialize(QUERIES[name](spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_wall_time",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
