@@ -31,9 +31,9 @@ def hex_to_string(hex_col: Column | str) -> Column:
     """
     h = F.col(hex_col) if isinstance(hex_col, str) else hex_col
     decoded = F.try_to_binary(h, F.lit("hex"))
-    as_text = F.decode(decoded, "UTF-8")
-    # `decode` yields the replacement char U+FFFD on invalid UTF-8;
-    # mirror the reference's UnicodeDecodeError fallback to the hex form.
+    # ANSI mode makes `decode` raise on malformed UTF-8; gate it behind
+    # is_valid_utf8 (CASE branches evaluate lazily) and mirror the
+    # reference's UnicodeDecodeError fallback to the raw hex form.
     return F.when(
-        decoded.isNull() | as_text.contains("�"), h
-    ).otherwise(F.translate(as_text, "\x00", " "))
+        decoded.isNull() | ~F.is_valid_utf8(decoded), h
+    ).otherwise(F.translate(F.decode(decoded, "UTF-8"), "\x00", " "))

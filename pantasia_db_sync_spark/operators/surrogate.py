@@ -40,7 +40,11 @@ def with_dense_ids(
     ranged = ranged.withColumn("__pid", F.spark_partition_id())
 
     w = Window.partitionBy("__pid").orderBy(*[F.col(c).asc() for c in order_cols])
-    numbered = ranged.withColumn("__rn", F.row_number().over(w))
+    # persist BEFORE branching: the counts aggregate and the final join
+    # are separate jobs, and AQE may coalesce the range-shuffle into a
+    # different partition layout per job — spark_partition_id must be
+    # observed once, not recomputed (otherwise ids duplicate/skip).
+    numbered = ranged.withColumn("__rn", F.row_number().over(w)).persist()
 
     # Tiny aggregate: one row per partition → cumulative offsets.
     counts = numbered.groupBy("__pid").agg(F.count(F.lit(1)).alias("__cnt"))

@@ -1,0 +1,146 @@
+"""Versioned parquet table store with atomic repoint + snapshot/restore.
+
+Replaces the reference's two write-side mechanisms:
+
+- transactional batch commit (``conn.commit()`` per period,
+  /root/reference/app/main.py:379): each table write lands in a new
+  ``v{n}`` directory and becomes visible only when the tiny ``_VERSION``
+  pointer file is atomically replaced — readers never see partial data,
+  and a crashed commit leaves the previous version intact;
+- ``pg_dump``/``pg_restore`` + rename swap
+  (``scripts/backup_restore.py:53-208``): ``snapshot()`` records the
+  current version pointers under a tag, ``restore()`` repoints to them —
+  no data copying, O(#tables) metadata ops even at 100 TB.
+
+Multi-table atomicity (SURVEY.md §4 item 2): ``commit_many`` stages all
+table versions first, then flips all pointers; ``sync_checkpoint`` (the
+tip) is written last, so replay-after-crash re-processes the last
+period idempotently rather than observing a half-commit.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class TableStore:
+    def __init__(self, base_dir: str) -> None:
+        self.base_dir = base_dir
+        os.makedirs(base_dir, exist_ok=True)
+
+    # --- version bookkeeping -------------------------------------------------
+
+    def _tdir(self, table: str) -> str:
+        return os.path.join(self.base_dir, table)
+
+    def _pointer(self, table: str) -> str:
+        return os.path.join(self._tdir(table), "_VERSION")
+
+    def current_version(self, table: str) -> int | None:
+        try:
+            with open(self._pointer(table)) as f:
+                return int(f.read().strip())
+        except (FileNotFoundError, ValueError):
+            return None
+
+    def _data_dir(self, table: str, version: int) -> str:
+        return os.path.join(self._tdir(table), f"v{version}")
+
+    # --- read / write --------------------------------------------------------
+
+    def read(self, spark: SparkSession, table: str) -> DataFrame | None:
+        v = self.current_version(table)
+        if v is None:
+            return None
+        return spark.read.parquet(self._data_dir(table, v))
+
+    def stage(self, table: str, df: DataFrame) -> int:
+        """Write a new version directory without repointing."""
+        v = (self.current_version(table) or 0) + 1
+        path = self._data_dir(table, v)
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        df.write.mode("overwrite").parquet(path)
+        return v
+
+    def repoint(self, table: str, version: int) -> None:
+        os.makedirs(self._tdir(table), exist_ok=True)
+        tmp = self._pointer(table) + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(str(version))
+        os.replace(tmp, self._pointer(table))  # atomic on POSIX
+
+    def commit_many(self, staged: dict[str, tuple[int, DataFrame]]) -> None:
+        """Stage-then-flip: all writes land before any pointer moves."""
+        for table, (version, _) in staged.items():
+            self.repoint(table, version)
+
+    # --- append-only fact tables ---------------------------------------------
+    # Facts never rewrite history: each period commit adds one
+    # commit={id} partition; the pointer names the highest committed id,
+    # so readers filter out partial writes and a failed commit is simply
+    # re-written in place. At 100 TB this is O(new data) per period,
+    # while the versioned dims above stay O(dim size) (they are small).
+
+    def append(self, table: str, df: DataFrame, commit_id: int) -> None:
+        path = os.path.join(self._tdir(table), "data", f"commit={commit_id}")
+        df.write.mode("overwrite").parquet(path)
+
+    def commit_append(self, table: str, commit_id: int) -> None:
+        self.repoint(table, commit_id)
+
+    def read_facts(self, spark: SparkSession, table: str) -> DataFrame | None:
+        ptr = self.current_version(table)
+        if ptr is None:
+            return None
+        from pyspark.sql import functions as F
+
+        data = os.path.join(self._tdir(table), "data")
+        df = spark.read.option("basePath", data).parquet(data)
+        return df.where(F.col("commit") <= ptr).drop("commit")
+
+    # --- checkpoint (sync tip) ----------------------------------------------
+
+    def write_checkpoint(self, payload: dict) -> None:
+        tmp = os.path.join(self.base_dir, "_CHECKPOINT.tmp")
+        with open(tmp, "w") as f:
+            json.dump(payload, f)
+        os.replace(tmp, os.path.join(self.base_dir, "_CHECKPOINT"))
+
+    def read_checkpoint(self) -> dict | None:
+        try:
+            with open(os.path.join(self.base_dir, "_CHECKPOINT")) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return None
+
+    # --- snapshot / restore (A10) --------------------------------------------
+
+    def _snap_path(self, tag: str) -> str:
+        return os.path.join(self.base_dir, f"_SNAPSHOT_{tag}.json")
+
+    def snapshot(self, tag: str) -> dict:
+        tables = [
+            t
+            for t in os.listdir(self.base_dir)
+            if os.path.isdir(self._tdir(t)) and self.current_version(t) is not None
+        ]
+        manifest = {
+            "versions": {t: self.current_version(t) for t in tables},
+            "checkpoint": self.read_checkpoint(),
+        }
+        with open(self._snap_path(tag), "w") as f:
+            json.dump(manifest, f)
+        return manifest
+
+    def restore(self, tag: str) -> None:
+        with open(self._snap_path(tag)) as f:
+            manifest = json.load(f)
+        for table, version in manifest["versions"].items():
+            self.repoint(table, version)
+        if manifest.get("checkpoint") is not None:
+            self.write_checkpoint(manifest["checkpoint"])

@@ -1,0 +1,468 @@
+"""SyncEngine — the incremental NFT-activity sync as Spark plans.
+
+Re-expresses the reference daemon end-to-end (/root/reference/app/
+main.py:26-388 + app/db/postgres.py:251-402), replacing every piece of
+driver-side state with a distributed equivalent:
+
+| reference mechanism                         | here                                   |
+|---------------------------------------------|----------------------------------------|
+| IdIndex dicts (natkey→id)                   | broadcast left-anti joins on the dims  |
+| next-id counters (A5 max-id probe)          | max(id)+1 scalar + dense-rank offsets  |
+| ordered row loop, later-rows-overwrite (D3) | per-key argmax windows over `seq`      |
+| per-period SQL + fetchall                   | pushed-down period predicate, no collect|
+| insert lists + per-table bulk INSERT        | append-only fact partitions, versioned dims |
+| tip/period loop (G1/G2)                     | data-derived tips + period iteration   |
+
+Row order: the reference relies on `ORDER BY b3.time asc` and
+result-set order within equal times (Postgres-plan-dependent). We fix a
+deterministic total order `seq` = (tx_time, tx_id, ma_id, leg, sub_id)
+assigned with the per-partition-offset technique — no single-partition
+global window (SURVEY.md §4 item 1).
+"""
+
+from __future__ import annotations
+
+import os
+from datetime import datetime, timedelta
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import StringType
+
+from ..functions.cardano import staking_address_udf
+from ..functions.hexstr import hex_to_string, lower_hex
+from ..operators.surrogate import with_dense_ids
+from .fixtures import GENESIS
+from .store import TableStore
+
+SEQ_ORDER = ["tx_time", "tx_id", "ma_id", "leg_order", "sub_id"]
+
+FACT_TABLES = ("asset_tx", "asset_mint_tx")
+DIM_TABLES = ("wallet", "collection", "asset", "asset_ext")
+
+
+@pandas_udf(StringType())
+def pg_escape_udf(names):  # binary series → Postgres encode(...,'escape') text
+    import pandas as pd
+
+    from .fixtures import pg_escape
+
+    return pd.Series([pg_escape(bytes(b)) if b is not None else None for b in names])
+
+
+class SyncEngine:
+    def __init__(
+        self,
+        spark: SparkSession,
+        source_dir: str,
+        store: TableStore,
+        time_interval_minutes: int = 120,
+        tip_buffer_blocks: int = 3,
+        genesis: datetime = GENESIS,
+    ) -> None:
+        self.spark = spark
+        self.source_dir = source_dir
+        self.store = store
+        self.interval = timedelta(minutes=time_interval_minutes)
+        self.tip_buffer = tip_buffer_blocks
+        self.genesis = genesis
+
+    # --- sources -------------------------------------------------------------
+
+    def src(self, name: str) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.source_dir, f"{name}.parquet"))
+
+    # --- tips & periods (G1/G2) ----------------------------------------------
+
+    def cardano_tip(self) -> datetime | None:
+        """Source tip with the reference's 3-block safety buffer
+        (`ORDER BY time DESC LIMIT 1 OFFSET 3`, app/db/postgres.py:262-278)."""
+        rows = (
+            self.src("block")
+            .orderBy(F.col("time").desc())
+            .limit(self.tip_buffer + 1)
+            .collect()
+        )
+        if len(rows) <= self.tip_buffer:
+            return None
+        return rows[self.tip_buffer]["time"]
+
+    def pantasia_tip(self) -> datetime:
+        """Sink tip = max fact tx_time, else genesis (app/db/postgres.py:280-312).
+        Derived from committed data, so a crash between fact commits and
+        checkpointing replays the period instead of skipping it."""
+        tips = []
+        for t in FACT_TABLES:
+            df = self.store.read_facts(self.spark, t)
+            if df is not None:
+                row = df.agg(F.max("tx_time").alias("tip")).collect()[0]
+                if row["tip"] is not None:
+                    tips.append(row["tip"])
+        return max(tips) if tips else self.genesis
+
+    def period_list(self) -> list[tuple[datetime, datetime]]:
+        lo = self.pantasia_tip()
+        hi = self.cardano_tip()
+        periods = []
+        if hi is None:
+            return periods
+        cur = lo
+        while cur < hi:
+            nxt = min(cur + self.interval, hi)
+            periods.append((cur, nxt))
+            cur = nxt
+        return periods
+
+    # --- extraction (the flagship query, A2/B/C ops) --------------------------
+
+    def extract(self, lo: datetime, hi: datetime) -> DataFrame:
+        """Spark form of ``pantasia_get_records`` (app/db/postgres.py:327-402):
+        burn leg ∪ output leg, broadcast dimension joins, decorrelated
+        lateral CIP-25 metadata with dynamic JSON path keys."""
+        block = self.src("block").where((F.col("time") > F.lit(lo)) & (F.col("time") <= F.lit(hi)))
+        tx = self.src("tx").select(
+            F.col("id").alias("tx_id"), lower_hex("hash").alias("tx_hash"), "block_id"
+        )
+        tx_in_range = tx.join(
+            block.select(F.col("id").alias("block_id"), F.col("time").alias("tx_time")),
+            "block_id",
+        ).drop("block_id")
+
+        ma = self.src("multi_asset").select(
+            F.col("id").alias("ma_id"),
+            lower_hex("policy").alias("policy_id"),
+            pg_escape_udf("name").alias("asset_name"),
+            lower_hex("name").alias("asset_name_hash"),
+            F.col("fingerprint").alias("asset_fingerprint"),
+        )
+        stake = self.src("stake_address").select(
+            F.col("id").alias("stake_address_id"), F.col("view").alias("stake_address")
+        )
+
+        burn_leg = (
+            self.src("ma_tx_mint")
+            .where(F.col("quantity") < 0)
+            .join(tx_in_range, "tx_id")
+            .join(F.broadcast(ma), F.col("ident") == ma.ma_id)
+            .select(
+                "ma_id",
+                "policy_id",
+                "asset_name",
+                "asset_name_hash",
+                "asset_fingerprint",
+                "quantity",
+                "tx_id",
+                F.lit(None).cast("string").alias("address"),
+                F.lit(None).cast("string").alias("stake_address"),
+                "tx_hash",
+                "tx_time",
+                F.lit(0).alias("leg_order"),
+                F.lit(-1).cast("long").alias("sub_id"),
+            )
+        )
+
+        tx_out = self.src("tx_out").select(
+            F.col("id").alias("tx_out_id"), "tx_id", "address", "stake_address_id"
+        )
+        mto = self.src("ma_tx_out").withColumnRenamed("tx_out_id", "mto_out_id")
+        out_leg = (
+            mto.join(tx_out, mto.mto_out_id == tx_out.tx_out_id)
+            .join(tx_in_range, "tx_id")
+            .join(F.broadcast(ma), F.col("ident") == ma.ma_id)
+            .join(F.broadcast(stake), "stake_address_id", "left")
+            .select(
+                "ma_id",
+                "policy_id",
+                "asset_name",
+                "asset_name_hash",
+                "asset_fingerprint",
+                "quantity",
+                "tx_id",
+                "address",
+                "stake_address",
+                "tx_hash",
+                "tx_time",
+                F.lit(1).alias("leg_order"),
+                F.col("tx_out_id").alias("sub_id"),
+            )
+        )
+
+        all_ma_tx = burn_leg.unionByName(out_leg)
+
+        # Decorrelated lateral (C8): mint-membership flag + label-721 JSON.
+        meta = (
+            self.src("ma_tx_mint")
+            .select(F.col("ident").alias("ma_id"), "tx_id")
+            .distinct()
+            .join(
+                self.src("tx_metadata").where(F.col("key") == 721).select("tx_id", "json"),
+                "tx_id",
+                "left",
+            )
+            .withColumn("is_mint_tx", F.lit(True))
+        )
+        # no broadcast hint: ma_tx_mint grows with history; AQE picks the
+        # strategy from runtime sizes (the period filter usually shrinks it)
+        joined = all_ma_tx.join(meta, ["ma_id", "tx_id"], "left")
+
+        # Dynamic JSON path (B8/§4-item-4): two-level map parse; the inner
+        # object is re-stringified by from_json, then literal-path extraction.
+        parsed = F.from_json(F.col("json"), "map<string,map<string,string>>")
+        inner = parsed.getItem(F.col("policy_id")).getItem(F.col("asset_name"))
+        return joined.select(
+            "ma_id",
+            "tx_id",
+            "policy_id",
+            "asset_name",
+            "asset_name_hash",
+            "asset_fingerprint",
+            "quantity",
+            "address",
+            "stake_address",
+            "tx_hash",
+            "tx_time",
+            "leg_order",
+            "sub_id",
+            F.coalesce(F.col("is_mint_tx"), F.lit(False)).alias("is_mint_tx"),
+            F.get_json_object(inner, "$.image").alias("image"),
+            inner.alias("metadata"),
+            F.get_json_object(inner, "$.files").alias("files"),
+        )
+
+    # --- per-period transform + commit ----------------------------------------
+
+    def _seed(self, table: str) -> int:
+        """Next surrogate id (A5, app/db/postgres.py:251-260)."""
+        df = (
+            self.store.read_facts(self.spark, table)
+            if table in FACT_TABLES
+            else self.store.read(self.spark, table)
+        )
+        if df is None:
+            return 1
+        row = df.agg(F.max("id").alias("m")).collect()[0]
+        return (row["m"] or 0) + 1
+
+    def process_period(self, lo: datetime, hi: datetime, commit_id: int) -> dict[str, int]:
+        spark = self.spark
+        records = self.extract(lo, hi)
+        records = with_dense_ids(records, SEQ_ORDER, id_col="seq", start=1).cache()
+
+        wallet_dim = self.store.read(spark, "wallet")
+        collection_dim = self.store.read(spark, "collection")
+        asset_dim = self.store.read(spark, "asset")
+        ext_dim = self.store.read(spark, "asset_ext")
+
+        empty_wallet = wallet_dim is None
+        seeds = {t: self._seed(t) for t in (*DIM_TABLES[:3], *FACT_TABLES)}
+
+        # ---- wallets (D2/D4: dedup on natural key, first-seen id order) ----
+        addr_rows = (
+            records.where(F.col("address").isNotNull())
+            .withColumn("stake_derived", staking_address_udf("address"))
+            .withColumn("wallet_key", F.coalesce("stake_derived", "address"))
+            .withColumn(
+                "address_type",
+                F.when(F.col("stake_derived").isNull(), "ENTERPRISE").otherwise("STAKE"),
+            )
+        )
+        wallet_firsts = addr_rows.groupBy("wallet_key", "address_type").agg(
+            F.min("seq").alias("first_seq")
+        )
+        if not empty_wallet:
+            wallet_firsts = wallet_firsts.join(
+                wallet_dim.select(F.col("address").alias("wallet_key")),
+                "wallet_key",
+                "left_anti",
+            )
+        new_wallets = with_dense_ids(
+            wallet_firsts, ["first_seq"], id_col="id", start=seeds["wallet"]
+        ).select("id", F.col("wallet_key").alias("address"), "address_type")
+        wallet_next = (
+            new_wallets if empty_wallet else wallet_dim.unionByName(new_wallets)
+        )
+
+        # ---- collections ----
+        coll_firsts = records.groupBy("policy_id").agg(F.min("seq").alias("first_seq"))
+        if collection_dim is not None:
+            coll_firsts = coll_firsts.join(
+                collection_dim.select("policy_id"), "policy_id", "left_anti"
+            )
+        new_collections = with_dense_ids(
+            coll_firsts, ["first_seq"], id_col="id", start=seeds["collection"]
+        ).select("id", "policy_id")
+        collection_next = (
+            new_collections
+            if collection_dim is None
+            else collection_dim.unionByName(new_collections)
+        )
+
+        # wallet id per row (burns → NULL). The dim side of the key→id
+        # probe is AQE-broadcastable while small; the per-batch addr_map
+        # joins back on seq (equi-shuffle, never a driver loop).
+        addr_map = (
+            addr_rows.select("seq", "wallet_key")
+            .join(
+                wallet_next.select(
+                    F.col("address").alias("wallet_key"), F.col("id").alias("row_wallet_id")
+                ),
+                "wallet_key",
+            )
+            .select("seq", "row_wallet_id")
+        )
+        rows_w = records.join(addr_map, "seq", "left")
+
+        # ---- assets (natural key = fingerprint; insert carries first-row state) ----
+        w_first = Window.partitionBy("asset_fingerprint").orderBy("seq")
+        firsts = (
+            rows_w.withColumn("rn", F.row_number().over(w_first))
+            .where(F.col("rn") == 1)
+            .drop("rn")
+        )
+        if asset_dim is not None:
+            new_asset_firsts = firsts.join(
+                asset_dim.select(F.col("fingerprint").alias("asset_fingerprint")),
+                "asset_fingerprint",
+                "left_anti",
+            )
+        else:
+            new_asset_firsts = firsts
+        new_assets = (
+            with_dense_ids(new_asset_firsts, ["seq"], id_col="id", start=seeds["asset"])
+            .join(
+                collection_next.select(F.col("policy_id"), F.col("id").alias("collection_id")),
+                "policy_id",
+            )
+            .select(
+                "id",
+                "collection_id",
+                F.concat_ws(".", "policy_id", "asset_name_hash").alias("hash"),
+                hex_to_string("asset_name_hash").alias("name"),
+                F.col("asset_fingerprint").alias("fingerprint"),
+                F.col("row_wallet_id").alias("current_wallet_id"),
+            )
+        )
+        asset_all = (
+            new_assets if asset_dim is None else asset_dim.unionByName(new_assets)
+        )
+
+        rows_wa = rows_w.join(
+            asset_all.select(F.col("fingerprint").alias("asset_fingerprint"), F.col("id").alias("asset_id")),
+            "asset_fingerprint",
+        )
+
+        # ---- facts: ids in seq order per type (mint vs transfer counters) ----
+        mint_rows = with_dense_ids(
+            rows_wa.where(F.col("is_mint_tx")), ["seq"], id_col="id", start=seeds["asset_mint_tx"]
+        ).cache()
+        tx_rows = with_dense_ids(
+            rows_wa.where(~F.col("is_mint_tx")), ["seq"], id_col="id", start=seeds["asset_tx"]
+        ).cache()
+
+        asset_mint_tx_new = mint_rows.select(
+            "id",
+            "asset_id",
+            F.col("row_wallet_id").alias("wallet_id"),
+            "quantity",
+            "tx_hash",
+            "tx_time",
+            "image",
+            "metadata",
+            "files",
+        )
+        asset_tx_new = tx_rows.select(
+            "id",
+            "asset_id",
+            F.col("row_wallet_id").alias("wallet_id"),
+            "quantity",
+            "tx_hash",
+            "tx_time",
+        )
+
+        # ---- latest-state (D3): current wallet + asset_ext ----
+        w_last = Window.partitionBy("asset_id").orderBy(F.col("seq").desc())
+        last_tx = (
+            tx_rows.withColumn("rn", F.row_number().over(w_last))
+            .where(F.col("rn") == 1)
+            .select("asset_id", F.col("row_wallet_id").alias("last_tx_wallet"), F.col("id").alias("last_tx_id"))
+        )
+        last_pos_mint = (
+            mint_rows.where(F.col("quantity") > 0)
+            .withColumn("rn", F.row_number().over(w_last))
+            .where(F.col("rn") == 1)
+            .select("asset_id", F.col("id").alias("last_mint_id"))
+        )
+
+        asset_next = (
+            asset_all.join(
+                last_tx.select(F.col("asset_id").alias("id"), "last_tx_wallet"),
+                "id",
+                "left",
+            )
+            .withColumn(
+                "current_wallet_id", F.coalesce("last_tx_wallet", "current_wallet_id")
+            )
+            .drop("last_tx_wallet")
+        )
+
+        ext_updates = (
+            last_tx.select("asset_id", F.col("last_tx_id"))
+            .join(last_pos_mint, "asset_id", "full")
+        )
+        if ext_dim is not None:
+            ext_next = (
+                ext_dim.join(ext_updates, "asset_id", "full")
+                .select(
+                    F.coalesce("id", "asset_id").alias("id"),
+                    "asset_id",
+                    F.coalesce("last_mint_id", "latest_mint_tx_id").alias("latest_mint_tx_id"),
+                    F.coalesce("last_tx_id", "latest_tx_id").alias("latest_tx_id"),
+                )
+            )
+        else:
+            ext_next = ext_updates.select(
+                F.col("asset_id").alias("id"),
+                "asset_id",
+                F.col("last_mint_id").alias("latest_mint_tx_id"),
+                F.col("last_tx_id").alias("latest_tx_id"),
+            )
+
+        # ---- commit: stage dims, append facts, flip dims before facts ----
+        staged = {
+            "wallet": self.store.stage("wallet", wallet_next),
+            "collection": self.store.stage("collection", collection_next),
+            "asset": self.store.stage("asset", asset_next),
+            "asset_ext": self.store.stage("asset_ext", ext_next),
+        }
+        self.store.append("asset_tx", asset_tx_new, commit_id)
+        self.store.append("asset_mint_tx", asset_mint_tx_new, commit_id)
+        for table, version in staged.items():
+            self.store.repoint(table, version)
+        self.store.commit_append("asset_tx", commit_id)
+        self.store.commit_append("asset_mint_tx", commit_id)
+
+        stats = {
+            "records": records.count(),
+            "new_wallets": new_wallets.count(),
+            "new_collections": new_collections.count(),
+            "new_assets": new_assets.count(),
+            "asset_tx": asset_tx_new.count(),
+            "asset_mint_tx": asset_mint_tx_new.count(),
+        }
+        records.unpersist()
+        mint_rows.unpersist()
+        tx_rows.unpersist()
+        return stats
+
+    # --- driver loop (one pass; poll/backoff belongs to the caller) -----------
+
+    def run_sync(self, max_periods: int | None = None) -> list[dict[str, int]]:
+        out = []
+        periods = self.period_list()
+        if max_periods is not None:
+            periods = periods[:max_periods]
+        base_commit = self.store.current_version("asset_tx") or 0
+        for i, (lo, hi) in enumerate(periods, start=1):
+            out.append(self.process_period(lo, hi, commit_id=base_commit + i))
+        return out
