@@ -1,0 +1,223 @@
+"""Streaming operators over the `events` table schema.
+
+Each transform takes an unbounded DataFrame (from ``events_stream`` or
+any ``readStream``) and returns an unbounded DataFrame; sinks are the
+caller's choice (tests use the memory sink with ``availableNow``; the
+production shape is ``foreach_batch_sync`` → TableStore, mirroring the
+reference's per-period transactional commit /root/reference/app/
+main.py:342-379).
+
+Scale notes: every stateful op here is keyed, so state shards across
+executors; watermarks bound state size (G5 — the reference's only
+late-data tolerance is a 3-block ≈ 2-minute tip buffer,
+/root/reference/app/db/postgres.py:264-272, which we generalize).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Iterable
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+# The fixture parquet stores ts as TIMESTAMP(NANOS); with the engine's
+# `nanosAsLong` conf it arrives as int64 nanos and we restore micros,
+# exactly like sources/catalog.load_table does for batch reads.
+EVENTS_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+DEFAULT_WATERMARK = "2 minutes"  # the reference's 3-block tip buffer
+
+
+def events_stream(
+    spark: SparkSession, directory: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-source stream over a directory of events-shaped parquet.
+
+    New files appearing in `directory` are the stream (the reference's
+    "new rows past the tip"). ``maxFilesPerTrigger`` bounds micro-batch
+    size like PANTASIA_TIME_INTERVAL bounds period size (G2)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    reader = spark.readStream.schema(EVENTS_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    df = reader.parquet(directory)
+    # integer DIV matches the batch catalog exactly (no float rounding)
+    return df.withColumn(
+        "ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))")
+    )
+
+
+def tumbling_window_counts(
+    events: DataFrame,
+    window: str = "120 minutes",
+    watermark: str = DEFAULT_WATERMARK,
+) -> DataFrame:
+    """G2 — the 120-minute period aggregation as a native tumbling
+    event-time window; watermark lets Spark emit+drop finished windows."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total_value"))
+        .select(
+            F.col("w.start").alias("period_start"),
+            F.col("w.end").alias("period_end"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def sliding_window_counts(
+    events: DataFrame,
+    window: str = "120 minutes",
+    slide: str = "60 minutes",
+    watermark: str = DEFAULT_WATERMARK,
+) -> DataFrame:
+    """Sliding-window extension (each event lands in window/slide buckets)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("period_start"),
+            F.col("w.end").alias("period_end"),
+            "n_events",
+        )
+    )
+
+
+def session_window_counts(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = DEFAULT_WATERMARK,
+) -> DataFrame:
+    """Session-window extension: per-user activity bursts separated by
+    `gap` of silence (no fixed-width analogue in the reference)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+def dedup_stream(
+    events: DataFrame, keys: Iterable[str] = ("event_id",), watermark: str = DEFAULT_WATERMARK
+) -> DataFrame:
+    """G5 — replay idempotence with bounded state: duplicates arriving
+    within the watermark horizon are dropped, state older than the
+    watermark is evicted (the 100 TB-safe version of IdIndex dedup,
+    /root/reference/app/db/id_index.py:22-25)."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(list(keys))
+
+
+_LATEST_STATE_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("last_ts", TimestampType()),
+        StructField("last_event_type", StringType()),
+        StructField("last_value", DoubleType()),
+        StructField("n_events", LongType()),
+    ]
+)
+
+
+def _latest_state_fn(
+    key: tuple, pdf_iter: Iterable[pd.DataFrame], state: GroupState
+):
+    """Keep the argmax-by-ts row per key across micro-batches."""
+    if state.exists:
+        ts, etype, val, n = state.get
+    else:
+        ts, etype, val, n = None, None, None, 0
+    for pdf in pdf_iter:
+        if len(pdf) == 0:
+            continue
+        n += len(pdf)
+        top = pdf.loc[pdf["ts"].idxmax()]
+        if ts is None or top["ts"] > ts:
+            ts, etype, val = top["ts"], top["event_type"], float(top["value"])
+    state.update((ts, etype, val, n))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "last_ts": [ts],
+            "last_event_type": [etype],
+            "last_value": [val],
+            "n_events": [n],
+        }
+    )
+
+
+def latest_state_stream(events: DataFrame, watermark: str = DEFAULT_WATERMARK) -> DataFrame:
+    """D3 as a custom stateful streaming operator: current-state-per-key
+    (the reference's `current_wallet_id` / `asset_ext` tracking,
+    /root/reference/app/main.py:226-248,290-315) via
+    ``applyInPandasWithState`` — keyed state shards across executors;
+    no driver dict."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _latest_state_fn,
+            outputStructType=_LATEST_STATE_SCHEMA,
+            stateStructType="last_ts timestamp, last_event_type string, "
+            "last_value double, n_events bigint",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def foreach_batch_sync(
+    events: DataFrame,
+    checkpoint_dir: str,
+    batch_writer: Callable[[DataFrame, int], None],
+    processing_time: str | None = None,
+    available_now: bool = False,
+):
+    """A8/G3/G6 — the per-period transactional commit as ``foreachBatch``.
+
+    `batch_writer(df, batch_id)` runs once per micro-batch with
+    exactly-once replay semantics from the checkpoint (a re-delivered
+    batch keeps its batch_id, so idempotent writers — e.g.
+    TableStore.append(commit_id=batch_id) — dedupe naturally; the
+    reference gets the same property from `pantasia_tip` resume,
+    /root/reference/app/db/postgres.py:280-312). Returns the running
+    StreamingQuery; caller stops it (G6)."""
+    writer = (
+        events.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(lambda df, bid: batch_writer(df, bid))
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif processing_time is not None:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()

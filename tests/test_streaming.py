@@ -1,0 +1,150 @@
+"""Streaming-variant tests: each unbounded transform, run to completion
+with availableNow over a file source, must equal its batch twin."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from pantasia_db_sync_spark.streaming import (
+    dedup_stream,
+    events_stream,
+    foreach_batch_sync,
+    latest_state_stream,
+    session_window_counts,
+    sliding_window_counts,
+    tumbling_window_counts,
+)
+
+pytestmark = pytest.mark.filterwarnings("ignore::FutureWarning")
+
+
+@pytest.fixture(scope="module")
+def stream_dir(tmp_path_factory, sf_dir):
+    """Two 'arriving files' so the run spans >1 micro-batch with
+    maxFilesPerTrigger=1."""
+    d = tmp_path_factory.mktemp("events_stream")
+    src = os.path.join(sf_dir, "events.parquet")
+    shutil.copy(src, d / "part-0.parquet")
+    shutil.copy(src, d / "part-1.parquet")  # full replay → dedup fodder
+    return str(d)
+
+
+def run_stream(spark, df, mode="append", name="probe"):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    out = spark.table(name)
+    spark.catalog.dropTempView(name)
+    return out
+
+
+def batch_events(spark, sf_dir):
+    from pantasia_db_sync_spark.sources.catalog import load_table
+
+    return load_table(spark, sf_dir, "events")
+
+
+def test_tumbling_matches_batch(spark, sf_dir, stream_dir):
+    import datetime
+
+    s = run_stream(
+        spark,
+        tumbling_window_counts(events_stream(spark, stream_dir, max_files_per_trigger=1)),
+        mode="append",
+        name="tumble",
+    )
+    # Append mode emits a window only once the watermark (max ts − 2 min)
+    # passes its end — the final open window must NOT appear. The stream
+    # saw the file twice → counts are exactly 2× the batch answer.
+    max_ts = batch_events(spark, sf_dir).agg(F.max("ts")).collect()[0][0]
+    wm = max_ts - datetime.timedelta(minutes=2)
+    b = (
+        batch_events(spark, sf_dir)
+        .groupBy(F.window("ts", "120 minutes").alias("w"), "event_type")
+        .agg((F.count(F.lit(1)) * 2).alias("n_events"))
+        .select(
+            F.col("w.start").alias("period_start"),
+            F.col("w.end").alias("period_end"),
+            "event_type",
+            "n_events",
+        )
+        .where(F.col("period_end") <= F.lit(wm))
+        .drop("period_end")
+    )
+    s = s.select("period_start", "event_type", "n_events")
+    diff = s.exceptAll(b).unionAll(b.exceptAll(s))
+    assert diff.count() == 0
+
+
+def test_sliding_and_session_run(spark, stream_dir):
+    slid = run_stream(
+        spark, sliding_window_counts(events_stream(spark, stream_dir)), name="slide"
+    )
+    assert slid.count() > 0
+    sess = run_stream(
+        spark, session_window_counts(events_stream(spark, stream_dir)), name="sess"
+    )
+    assert sess.count() > 0
+    assert sess.where(F.col("session_end") < F.col("session_start")).count() == 0
+
+
+def test_dedup_within_watermark(spark, sf_dir, stream_dir):
+    # one micro-batch containing the file twice → exact duplicates inside
+    # the watermark horizon must collapse to the batch-distinct answer
+    s = run_stream(spark, dedup_stream(events_stream(spark, stream_dir)), name="dedup")
+    n_batch = batch_events(spark, sf_dir).count()
+    assert s.count() == n_batch
+
+
+def test_latest_state_stream(spark, sf_dir, stream_dir):
+    s = run_stream(
+        spark,
+        latest_state_stream(events_stream(spark, stream_dir, max_files_per_trigger=1)),
+        mode="update",
+        name="latest",
+    )
+    # memory sink in update mode appends each update; keep the final row per key
+    from pantasia_db_sync_spark.operators import latest_state
+
+    final = latest_state(s, keys="user_id", order_by=[F.col("n_events").desc()]).select(
+        "user_id", "last_ts", "n_events"
+    )
+    b = (
+        batch_events(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(F.max("ts").alias("b_last_ts"), (F.count(F.lit(1)) * 2).alias("b_n_events"))
+    )
+    mism = final.join(b, "user_id", "full").where(
+        F.col("last_ts").isNull()
+        | F.col("b_last_ts").isNull()
+        | (F.col("last_ts") != F.col("b_last_ts"))
+        | (F.col("n_events") != F.col("b_n_events"))
+    )
+    assert mism.count() == 0
+
+
+def test_foreach_batch_sync_commits(spark, stream_dir, tmp_path):
+    commits: dict[int, int] = {}
+
+    def writer(df, batch_id):
+        commits[batch_id] = df.count()
+
+    q = foreach_batch_sync(
+        events_stream(spark, stream_dir, max_files_per_trigger=1),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        batch_writer=writer,
+        available_now=True,
+    )
+    q.awaitTermination(300)
+    q.stop()  # G6 graceful stop is a no-op on a finished query
+    assert len(commits) >= 2  # one per file
+    assert all(n > 0 for n in commits.values())
