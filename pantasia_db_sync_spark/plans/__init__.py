@@ -11,3 +11,4 @@ from . import relational  # noqa: E402,F401
 from . import flagship  # noqa: E402,F401
 from . import llmdata  # noqa: E402,F401
 from . import pipeline_ops  # noqa: E402,F401
+from . import udf_surface  # noqa: E402,F401

@@ -1,0 +1,164 @@
+"""UDF/UDAF/UDTF surface + the streaming path as registered queries.
+
+The reference's only UDFs are two scalar Python functions
+(/root/reference/app/cardano.py:12-27, app/misc.py:15-23 — SURVEY.md
+§2.H); the engine provides the full Spark user-function surface, each
+form oracle-checked:
+
+- scalar pandas_udf        → functions/cardano.py (used by the pipeline)
+- grouped-agg pandas_udf   → udaf_weighted_avg (Arrow-batched UDAF)
+- grouped-map applyInPandas→ grouped_map_zscore (per-group pandas)
+- Python UDTF (lateral)    → udtf_tokenize (row → token rows)
+- Structured Streaming     → stream_tumbling_window (the G2 window agg
+  run as a real stream, complete-mode memory sink, same oracle as its
+  batch twin)
+
+Scale notes: grouped-agg/grouped-map shuffle once on the group key and
+run Arrow-vectorized per group — the 100 TB-safe shape for Python logic;
+the UDTF is the slow row-path and is registered as a surface demo, with
+the built-in `explode(split(...))` as the production alternative
+(llmdata text ops stay JVM-side).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf, udtf
+
+from pyspark.sql.types import DoubleType, StringType, StructField, StructType
+
+from ..sources.catalog import load_table
+from .registry import fround, register
+
+# Type OBJECTS, not DDL strings: workers import this module too (pickled
+# grouped-map funcs reference it), and parsing a DDL string needs an
+# active SparkContext that workers don't have.
+
+
+@pandas_udf(DoubleType())
+def _weighted_avg(price: pd.Series, qty: pd.Series) -> float:
+    return float((price * qty).sum() / qty.sum())
+
+
+@register(
+    "udaf_weighted_avg",
+    oracle="""
+    SELECT l_returnflag,
+           floor((sum(l_extendedprice * l_quantity) / sum(l_quantity)) * 100 + 0.5)
+             / 100 AS w_avg_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def udaf_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H — UDAF surface: quantity-weighted mean price per return flag as
+    a GROUPED_AGG pandas_udf (Arrow batch per group; one shuffle)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    out = li.groupBy("l_returnflag").agg(
+        _weighted_avg("l_extendedprice", "l_quantity").alias("w_avg_price")
+    )
+    return out.select("l_returnflag", fround(F.col("w_avg_price"), 2).alias("w_avg_price"))
+
+
+def _zscore_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    m = pdf["l_quantity"].mean()
+    s = pdf["l_quantity"].std(ddof=1)
+    out = pdf[["l_orderkey", "l_linenumber", "l_returnflag"]].copy()
+    out["qty_z"] = (pdf["l_quantity"] - m) / s
+    return out
+
+
+@register(
+    "grouped_map_zscore",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_returnflag,
+           floor(((l_quantity - avg(l_quantity) OVER w)
+                  / stddev_samp(l_quantity) OVER w) * 1000 + 0.5) / 1000 AS qty_z
+    FROM lineitem
+    WINDOW w AS (PARTITION BY l_returnflag)
+    """,
+)
+def grouped_map_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H — grouped-map surface: per-group normalization via
+    ``applyInPandas`` (pandas sample-stddev == stddev_samp)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    out = li.groupBy("l_returnflag").applyInPandas(
+        _zscore_group,
+        schema="l_orderkey bigint, l_linenumber int, l_returnflag string, qty_z double",
+    )
+    return out.withColumn("qty_z", fround(F.col("qty_z"), 3))
+
+
+@udtf(returnType=StructType([StructField("token", StringType())]))
+class _Tokenize:
+    def eval(self, text: str):
+        for t in (text or "").split(" "):
+            if t:
+                yield (t,)
+
+
+@register(
+    "udtf_tokenize",
+    oracle="""
+    SELECT p_partkey, token FROM (
+      SELECT p_partkey, unnest(string_split(p_name, ' ')) AS token FROM part
+    ) WHERE token <> ''
+    """,
+)
+def udtf_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H — UDTF surface: one row per whitespace token via a Python UDTF
+    in a LATERAL join. Surface demo only — production tokenization is
+    the JVM-side `explode(split(...))` (see llmdata text ops)."""
+    spark.udtf.register("tokenize_udtf", _Tokenize)
+    load_table(spark, sf_dir, "part").createOrReplaceTempView("udtf_part_v")
+    return spark.sql(
+        "SELECT p.p_partkey, t.token "
+        "FROM udtf_part_v p, LATERAL tokenize_udtf(p.p_name) t"
+    )
+
+
+@register(
+    "stream_tumbling_window",
+    oracle="""
+    SELECT CAST(TIMESTAMP '1970-01-01 00:00:00'
+                + to_seconds(CAST(floor(epoch(ts) / 7200) * 7200 AS BIGINT))
+                AS TIMESTAMP) AS period_start,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           floor((SUM(value)) * 100 + 0.5) / 100 AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G2 as an actual Structured Streaming run: file-source stream →
+    watermarked tumbling window → complete-mode memory sink, then the
+    sink table is the result. Complete mode retains every window, so the
+    answer equals the batch twin exactly (same oracle)."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from ..streaming import events_stream, tumbling_window_counts
+
+    d = tempfile.mkdtemp(prefix="stream_tw_")
+    shutil.copy(
+        os.path.join(sf_dir, "events.parquet"), os.path.join(d, "events-0.parquet")
+    )
+    name = "stw_" + uuid.uuid4().hex[:8]
+    q = (
+        tumbling_window_counts(events_stream(spark, d))
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name).select(
+        "period_start",
+        "event_type",
+        "n_events",
+        fround(F.col("total_value"), 2).alias("total_value"),
+    )
