@@ -151,7 +151,27 @@ def minhash_lsh_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
-    verified = _pair_jaccard(sh, id_col).join(cand, ["id_a", "id_b"], "left_semi")
+    # Exact-Jaccard verify CANDIDATES ONLY — this is what makes LSH the
+    # scale path: work is O(|candidates|), never the inverted-index
+    # blowup of all pairs sharing a hot shingle. Shingle sets ride along
+    # as arrays (docs are bounded; sets are small), so the verify is two
+    # joins on the tiny candidate set + a JVM array_intersect.
+    sets = sh.groupBy(id_col).agg(F.collect_set("shingle").alias("__set"))
+    sa = sets.select(F.col(id_col).alias("id_a"), F.col("__set").alias("__sa"))
+    sb = sets.select(F.col(id_col).alias("id_b"), F.col("__set").alias("__sb"))
+    verified = (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("__i", F.size(F.array_intersect("__sa", "__sb")))
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("__i")
+                / (F.size("__sa") + F.size("__sb") - F.col("__i"))
+            ).alias("jaccard"),
+        )
+    )
     return verified.where(F.col("jaccard") >= threshold)
 
 
@@ -183,12 +203,45 @@ def simhash_signatures(docs: DataFrame, id_col: str, text_col: str) -> DataFrame
 def simhash_pairs(
     docs: DataFrame, id_col: str, text_col: str, max_hamming: int = 6
 ) -> DataFrame:
-    """Pairs with SimHash Hamming distance ≤ max_hamming (all-pairs)."""
+    """Pairs with SimHash Hamming distance ≤ max_hamming.
+
+    Candidate generation is EXACT banding, not all-pairs: slicing the
+    signature into ``max_hamming + 1`` bit-bands guarantees (pigeonhole)
+    that any pair within the Hamming radius agrees on ≥1 whole band, so
+    candidates come from an equi-self-join on (band_idx, band_val) and
+    the result is identical to the O(n²) cross join it replaces."""
     sig = simhash_signatures(docs, id_col, text_col)
-    a = sig.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"))
-    b = sig.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"))
+    n_bands = max_hamming + 1
+    base, extra = divmod(SIMHASH_BITS, n_bands)
+    bands, offset = [], 0
+    for j in range(n_bands):
+        width = base + (1 if j < extra else 0)
+        bands.append(
+            F.struct(
+                F.lit(j).alias("band_idx"),
+                F.expr(
+                    f"shiftright(simhash, {offset}) & {(1 << width) - 1}"
+                ).alias("band_val"),
+            )
+        )
+        offset += width
+    banded = sig.select(F.col(id_col), F.explode(F.array(*bands)).alias("b")).select(
+        id_col, F.col("b.band_idx").alias("band_idx"), F.col("b.band_val").alias("band_val")
+    )
+    cand = (
+        banded.alias("a")
+        .join(banded.alias("b"), ["band_idx", "band_val"])
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+    sa = sig.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"))
+    sb = sig.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"))
     return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
         .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("int"))
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")

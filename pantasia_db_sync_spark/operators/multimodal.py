@@ -64,3 +64,35 @@ def decode_stub_features(
             yield out
 
     return src.mapInPandas(extract, schema=DECODE_SCHEMA)
+
+
+FRAME_SCHEMA = "doc_id bigint, frame_idx int, frame_offset int, frame_len int"
+
+
+def frame_sample_stub(
+    df: DataFrame, id_col: str = "doc_id", binary_col: str = "content"
+) -> DataFrame:
+    """Frame sampling over a binary (video-like) column: one output row
+    per sampled frame — the variable-rows-per-input ``mapInPandas``
+    shape a real codec UDF needs (a batch of N inputs yields ΣnFrames
+    rows). Frame count/offsets are the deterministic fake (real path:
+    av/ffmpeg seek table); the batch plumbing is real."""
+    src = df.select(F.col(id_col).alias("doc_id"), F.col(binary_col).alias("content"))
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, offs, lens = [], [], [], []
+            for i, c in zip(pdf["doc_id"], pdf["content"]):
+                n = len(bytes(c))
+                n_frames = int(i) % 5 + 1
+                flen = n // n_frames
+                for k in range(n_frames):
+                    ids.append(int(i))
+                    idxs.append(k)
+                    offs.append(k * flen)
+                    lens.append(flen)
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": idxs, "frame_offset": offs, "frame_len": lens}
+            )
+
+    return src.mapInPandas(sample, schema=FRAME_SCHEMA)

@@ -54,12 +54,16 @@ def brute_force_topk(
     ranking and ties broken by cand_id so results are deterministic
     across partitionings and engines.
     """
+    # Norms are precomputed per ROW, not per pair: the pairwise hot loop
+    # then runs one array-aggregate (the dot) instead of three. The
+    # arithmetic per pair is bit-identical (same sums, same order), so
+    # oracle parity is unaffected.
     q = queries.select(
         F.col(id_col).alias("q_id"), as_double_vec(vec_col).alias("q_vec")
-    )
+    ).withColumn("q_norm", norm_col(F.col("q_vec")))
     c = vectors.select(
         F.col(id_col).alias("cand_id"), as_double_vec(vec_col).alias("c_vec")
-    )
+    ).withColumn("c_norm", norm_col(F.col("c_vec")))
     scored = (
         F.broadcast(q)
         .crossJoin(c)
@@ -67,7 +71,11 @@ def brute_force_topk(
         .select(
             "q_id",
             "cand_id",
-            fround(cosine_col(F.col("q_vec"), F.col("c_vec")), round_digits).alias("cos"),
+            fround(
+                dot_col(F.col("q_vec"), F.col("c_vec"))
+                / (F.col("q_norm") * F.col("c_norm")),
+                round_digits,
+            ).alias("cos"),
         )
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("cand_id").asc())
@@ -92,12 +100,12 @@ def ivf_topk(
         F.col(id_col).alias("q_id"),
         F.col(cell_col).alias("cell"),
         as_double_vec(vec_col).alias("q_vec"),
-    )
+    ).withColumn("q_norm", norm_col(F.col("q_vec")))
     c = vectors.select(
         F.col(id_col).alias("cand_id"),
         F.col(cell_col).alias("cell"),
         as_double_vec(vec_col).alias("c_vec"),
-    )
+    ).withColumn("c_norm", norm_col(F.col("c_vec")))
     scored = (
         F.broadcast(q)
         .join(c, "cell")
@@ -105,7 +113,11 @@ def ivf_topk(
         .select(
             "q_id",
             "cand_id",
-            fround(cosine_col(F.col("q_vec"), F.col("c_vec")), round_digits).alias("cos"),
+            fround(
+                dot_col(F.col("q_vec"), F.col("c_vec"))
+                / (F.col("q_norm") * F.col("c_norm")),
+                round_digits,
+            ).alias("cos"),
         )
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("cand_id").asc())
@@ -128,14 +140,21 @@ def cosine_near_dup_pairs(
     All-pairs is the correctness baseline; at scale, generate candidate
     pairs with `ivf_topk`/LSH banding first and verify with this score.
     """
-    a = vectors.select(F.col(id_col).alias("id_a"), as_double_vec(vec_col).alias("va"))
-    b = vectors.select(F.col(id_col).alias("id_b"), as_double_vec(vec_col).alias("vb"))
+    a = vectors.select(
+        F.col(id_col).alias("id_a"), as_double_vec(vec_col).alias("va")
+    ).withColumn("na", norm_col(F.col("va")))
+    b = vectors.select(
+        F.col(id_col).alias("id_b"), as_double_vec(vec_col).alias("vb")
+    ).withColumn("nb", norm_col(F.col("vb")))
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
         .select(
             "id_a",
             "id_b",
-            fround(cosine_col(F.col("va"), F.col("vb")), round_digits).alias("cos"),
+            fround(
+                dot_col(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")),
+                round_digits,
+            ).alias("cos"),
         )
         .where(F.col("cos") >= threshold)
     )

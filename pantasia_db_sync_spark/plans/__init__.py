@@ -12,3 +12,4 @@ from . import flagship  # noqa: E402,F401
 from . import llmdata  # noqa: E402,F401
 from . import pipeline_ops  # noqa: E402,F401
 from . import udf_surface  # noqa: E402,F401
+from . import extras  # noqa: E402,F401

@@ -1,0 +1,146 @@
+"""Engine-surface extras: pivot, ranking suite, datetime scalar
+functions, exact percentiles, array aggregation.
+
+None of these occur in the reference (its only SQL surface is the five
+embedded queries — SURVEY.md §2); they complete the analytics surface a
+user of a general engine expects, each with a DuckDB oracle. All are
+Catalyst built-ins: single-shuffle aggregations/windows, no UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.catalog import load_table
+from .registry import fround, register
+
+
+@register(
+    "agg_pivot",
+    oracle="""
+    SELECT l_returnflag,
+           floor(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END) * 100 + 0.5)
+             / 100 AS qty_f,
+           floor(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END) * 100 + 0.5)
+             / 100 AS qty_o
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: one column per l_linestatus value. Values are pinned so
+    the plan is a single-pass conditional aggregation (no extra job to
+    discover the domain) — the 100 TB-safe pivot shape."""
+    li = load_table(spark, sf_dir, "lineitem")
+    out = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.sum("l_quantity"))
+    )
+    return out.select(
+        "l_returnflag",
+        fround(F.col("F"), 2).alias("qty_f"),
+        fround(F.col("O"), 2).alias("qty_o"),
+    )
+
+
+@register(
+    "window_ranking_suite",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority,
+           CAST(rank()         OVER w AS BIGINT) AS rnk,
+           CAST(dense_rank()   OVER w AS BIGINT) AS drnk,
+           floor(percent_rank() OVER w * 10000 + 0.5) / 10000 AS prnk,
+           CAST(ntile(4)       OVER w AS INTEGER) AS quartile,
+           floor(cume_dist()   OVER w * 10000 + 0.5) / 10000 AS cdist
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice DESC, o_orderkey ASC)
+    """,
+)
+def window_ranking_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-function suite in one window pass (one shuffle on the
+    partition key; deterministic total order for cross-engine parity)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.rank().over(w).cast("bigint").alias("rnk"),
+        F.dense_rank().over(w).cast("bigint").alias("drnk"),
+        fround(F.percent_rank().over(w), 4).alias("prnk"),
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+        fround(F.cume_dist().over(w), 4).alias("cdist"),
+    )
+
+
+@register(
+    "func_datetime",
+    oracle="""
+    SELECT event_id,
+           CAST(date_trunc('month', ts) AS TIMESTAMP) AS month_start,
+           CAST(extract(year FROM ts) AS INTEGER) AS yr,
+           CAST(extract(dow FROM ts) AS INTEGER) AS dow,
+           CAST(extract(hour FROM ts) AS INTEGER) AS hr,
+           ts + INTERVAL 90 MINUTE AS ts_plus,
+           CAST(date_diff('day', TIMESTAMP '2024-01-01 00:00:00', ts) AS INTEGER)
+             AS days_since
+    FROM events WHERE event_id < 1000
+    """,
+)
+def func_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datetime scalar surface: trunc/extract/interval/diff (all
+    codegen'd built-ins; DuckDB dow == Spark dayofweek - 1)."""
+    e = load_table(spark, sf_dir, "events").where(F.col("event_id") < 1000)
+    return e.select(
+        "event_id",
+        F.date_trunc("month", "ts").alias("month_start"),
+        F.year("ts").alias("yr"),
+        (F.dayofweek("ts") - 1).alias("dow"),
+        F.hour("ts").alias("hr"),
+        (F.col("ts") + F.expr("INTERVAL 90 MINUTES")).alias("ts_plus"),
+        F.datediff(
+            F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+        ).alias("days_since"),
+    )
+
+
+@register(
+    "agg_percentile_exact",
+    oracle="""
+    SELECT l_returnflag,
+           floor(quantile_cont(l_extendedprice, 0.5) * 100 + 0.5) / 100 AS p50,
+           floor(quantile_cont(l_extendedprice, 0.95) * 100 + 0.5) / 100 AS p95
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (Spark `percentile` == DuckDB
+    `quantile_cont`). The scale path is `approx_percentile` (t-digest,
+    mergeable, one pass) — kept exact here for the oracle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        fround(F.percentile("l_extendedprice", F.lit(0.5)), 2).alias("p50"),
+        fround(F.percentile("l_extendedprice", F.lit(0.95)), 2).alias("p95"),
+    )
+
+
+@register(
+    "agg_array_collect",
+    oracle="""
+    SELECT c_mktsegment,
+           list_sort(list(DISTINCT c_nationkey)) AS nations,
+           CAST(count(*) AS BIGINT) AS n
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def agg_array_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array aggregation: collect_set sorted for deterministic
+    cross-engine comparison (arrays as first-class column values)."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").agg(
+        F.sort_array(F.collect_set("c_nationkey")).alias("nations"),
+        F.count(F.lit(1)).alias("n"),
+    )

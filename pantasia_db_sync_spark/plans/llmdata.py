@@ -28,7 +28,7 @@ from ..operators.dedup import (
     shingle_frame,
     simhash_pairs,
 )
-from ..operators.multimodal import decode_stub_features
+from ..operators.multimodal import decode_stub_features, frame_sample_stub
 from ..operators.similarity import brute_force_topk, cosine_near_dup_pairs, ivf_topk
 from ..sources.catalog import load_table
 from .registry import fround, register, sql_round
@@ -475,3 +475,28 @@ def multimodal_decode_stub_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "content", F.encode(F.col("text"), "UTF-8")
     )
     return decode_stub_features(d, "doc_id", "content")
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle="""
+    WITH c AS (
+      SELECT doc_id, octet_length(encode(text)) AS n,
+             CAST(doc_id % 5 + 1 AS INTEGER) AS nf
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(u.i AS INTEGER) AS frame_idx,
+           CAST(u.i * (n // nf) AS INTEGER) AS frame_offset,
+           CAST(n // nf AS INTEGER) AS frame_len
+    FROM c, UNNEST(range(0, nf)) AS u(i)
+    """,
+)
+def multimodal_frame_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variable-rows-per-input mapInPandas: one row per sampled 'frame'
+    of a video-like binary column (operators/multimodal.py
+    frame_sample_stub — real batch plumbing, deterministic fake codec)."""
+    d = load_table(spark, sf_dir, "documents").withColumn(
+        "content", F.encode(F.col("text"), "UTF-8")
+    )
+    return frame_sample_stub(d, "doc_id", "content")
