@@ -144,3 +144,35 @@ def agg_array_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sort_array(F.collect_set("c_nationkey")).alias("nations"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@register(
+    "join_salted_skew",
+    oracle="""
+    WITH d AS (
+      SELECT l_returnflag, avg(l_extendedprice) AS flag_avg
+      FROM lineitem GROUP BY 1
+    )
+    SELECT l.l_returnflag, CAST(count(*) AS BIGINT) AS n_above
+    FROM lineitem l JOIN d USING (l_returnflag)
+    WHERE l.l_extendedprice > d.flag_avg
+    GROUP BY 1
+    """,
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted join (operators/skew.py): the join key has only 3 values —
+    the worst-case hot-key shape — so the probe side is scattered across
+    8 salt buckets and the 3-row build side replicated 8×. Result is
+    row-identical to the plain join the oracle runs."""
+    from ..operators.skew import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem")
+    dim = li.groupBy("l_returnflag").agg(F.avg("l_extendedprice").alias("flag_avg"))
+    joined = salted_join(
+        li, dim, on=["l_returnflag"], scatter_col="l_orderkey", salt_parts=8
+    )
+    return (
+        joined.where(F.col("l_extendedprice") > F.col("flag_avg"))
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n_above"))
+    )
