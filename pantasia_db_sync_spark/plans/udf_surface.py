@@ -162,3 +162,51 @@ def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         fround(F.col("total_value"), 2).alias("total_value"),
     )
+
+
+@register(
+    "stream_latest_state",
+    oracle="""
+    SELECT user_id, ts AS last_ts, event_type AS last_event_type,
+           value AS last_value, n_events
+    FROM (
+      SELECT user_id, ts, event_type, value,
+             CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n_events,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def stream_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D3 as a custom stateful streaming operator, oracle-checked: the
+    applyInPandasWithState latest-state-per-key transform run over a
+    real stream (update-mode memory sink keeps every state emission;
+    the final emission per key — argmax by n_events — is the answer).
+    (user_id, ts) is unique in the fixtures, so argmax-by-ts needs no
+    tie-break."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from ..operators import latest_state
+    from ..streaming import events_stream, latest_state_stream
+
+    d = tempfile.mkdtemp(prefix="stream_ls_")
+    shutil.copy(
+        os.path.join(sf_dir, "events.parquet"), os.path.join(d, "events-0.parquet")
+    )
+    name = "sls_" + uuid.uuid4().hex[:8]
+    q = (
+        latest_state_stream(events_stream(spark, d))
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    sink = spark.table(name)
+    return latest_state(
+        sink, keys="user_id", order_by=[F.col("n_events").desc()]
+    ).select("user_id", "last_ts", "last_event_type", "last_value", "n_events")
