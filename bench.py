@@ -47,8 +47,11 @@ def main() -> None:
     def materialize(df) -> None:
         df.write.format("noop").mode("overwrite").save()
 
-    # Warm-up: JVM/codegen/parquet-footer caches on a small plan.
-    materialize(QUERIES["agg_pricing_summary"](spark, sf_dir).limit(1))
+    # Warm-up: one full unrecorded pass so JVM JIT, codegen caches,
+    # parquet footers, and broadcast machinery are hot — the recorded
+    # pass then measures steady-state engine throughput, not startup.
+    for name in HEADLINE:
+        materialize(QUERIES[name](spark, sf_dir))
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -500,3 +500,44 @@ def multimodal_frame_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "content", F.encode(F.col("text"), "UTF-8")
     )
     return frame_sample_stub(d, "doc_id", "content")
+
+
+@register(
+    "text_tfidf",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+      FROM toks WHERE tok <> '' GROUP BY 1, 2
+    ),
+    df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+    n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents)
+    SELECT tf.doc_id, tf.tok,
+           floor(tf * ln(CAST(n_docs AS DOUBLE) / df) * 100000 + 0.5) / 100000
+             AS tfidf
+    FROM tf, n JOIN df ON tf.tok = df.tok
+    WHERE tf * ln(CAST(n_docs AS DOUBLE) / df) > 0
+    """,
+)
+def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF per (doc, token) via two groupBys + a join — the SURVEY
+    §2.I text-analysis pattern. The doc count is a scalar broadcast; the
+    df-side join shuffles on token (salting applies if a token is hot).
+    Zero-idf tokens (present in every doc) are dropped on both sides."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(tokens_col("text")).alias("tok")).where(
+        F.col("tok") != ""
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = d.select("doc_id").distinct().count()
+    out = tf.join(df_, "tok").select(
+        "doc_id",
+        "tok",
+        (F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))).alias("__raw"),
+    )
+    return out.where(F.col("__raw") > 0).select(
+        "doc_id", "tok", fround(F.col("__raw"), 5).alias("tfidf")
+    )

@@ -1,0 +1,53 @@
+"""Bucketed co-located join: pre-bucketing both fact tables on the join
+key removes the per-query shuffle entirely — the Spark equivalent of
+the co-located join strategy for repeated fact-fact joins at 100 TB
+(bucket once at write time, join shuffle-free forever after)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pantasia_db_sync_spark.sources.catalog import load_table
+
+
+@pytest.fixture()
+def no_broadcast(spark):
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    yield
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path, no_broadcast):
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS bucketdb LOCATION '{tmp_path}/bucketdb'")
+    try:
+        li = load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_quantity"
+        )
+        o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+        (
+            li.write.bucketBy(8, "l_orderkey")
+            .sortBy("l_orderkey")
+            .mode("overwrite")
+            .saveAsTable("bucketdb.li_b")
+        )
+        (
+            o.withColumnRenamed("o_orderkey", "l_orderkey")
+            .write.bucketBy(8, "l_orderkey")
+            .sortBy("l_orderkey")
+            .mode("overwrite")
+            .saveAsTable("bucketdb.o_b")
+        )
+        joined = spark.table("bucketdb.li_b").join(
+            spark.table("bucketdb.o_b"), "l_orderkey"
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        # same answer as the shuffled join
+        expect = li.join(
+            o, li.l_orderkey == o.o_orderkey
+        ).count()
+        assert joined.count() == expect
+    finally:
+        spark.sql("DROP DATABASE IF EXISTS bucketdb CASCADE")
