@@ -202,3 +202,73 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
         """
     )
+
+
+@register(
+    "window_sessionize",
+    oracle="""
+    WITH x AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    g AS (
+      SELECT user_id, ts,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY ts) AS sid
+      FROM x
+    )
+    SELECT user_id, min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM g GROUP BY user_id, sid
+    """,
+)
+def window_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows in batch mode (`F.session_window`, 30-min gap):
+    Spark's session end = last event + gap, mirrored by the oracle's
+    gaps-and-islands form. One shuffle on the session key."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+@register(
+    "window_sliding_agg",
+    oracle="""
+    WITH b AS (SELECT ts, value, u.i AS k FROM events, UNNEST([0, 1]) AS u(i)),
+    w AS (
+      SELECT value,
+             CAST(TIMESTAMP '1970-01-01 00:00:00'
+                  + to_seconds(CAST((floor(epoch(ts) / 3600) - k) * 3600 AS BIGINT))
+                  AS TIMESTAMP) AS period_start
+      FROM b
+    )
+    SELECT period_start, CAST(count(*) AS BIGINT) AS n_events,
+           floor(sum(value) * 100 + 0.5) / 100 AS total_value
+    FROM w GROUP BY 1
+    """,
+)
+def window_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows in batch mode (120-min window, 60-min slide —
+    every event lands in exactly 2 epoch-aligned buckets, which is what
+    the oracle's UNNEST([0,1]) replication builds by hand)."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "120 minutes", "60 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            fround(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(F.col("w.start").alias("period_start"), "n_events", "total_value")
+    )
