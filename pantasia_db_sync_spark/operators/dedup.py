@@ -64,6 +64,10 @@ def exact_dedup(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
 def _pair_jaccard(sh: DataFrame, id_col: str) -> DataFrame:
     """(id_a, id_b, jaccard) for every pair sharing ≥1 shingle."""
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n"))
+    # (A df>=2 shingle pre-filter was tried and reverted: in this corpus
+    # 99% of shingles are shared, so the extra aggregation costs more
+    # than the join rows it removes. For mostly-unique corpora the LSH
+    # path — which verifies candidates only — is the scale answer.)
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), "shingle")
     inter = (
