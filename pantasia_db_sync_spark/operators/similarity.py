@@ -128,6 +128,106 @@ def ivf_topk(
     )
 
 
+def lsh_weights(bits: int = 8, dim: int = 64) -> list[list[float]]:
+    """Deterministic ±1 (Rademacher) hyperplanes from md5 — engine-
+    portable: both Spark and the DuckDB oracle embed the same literal
+    arrays, so signatures match bit-for-bit."""
+    import hashlib
+
+    return [
+        [
+            1.0
+            if int(hashlib.md5(f"{b}:{j}".encode()).hexdigest()[:8], 16) % 2 == 0
+            else -1.0
+            for j in range(dim)
+        ]
+        for b in range(bits)
+    ]
+
+
+def lsh_signature(vec: Column, weights: list[list[float]]) -> Column:
+    """Sign-LSH signature: bit b = (v · w_b >= 0), packed into an int."""
+    sig = F.lit(0)
+    for b, w in enumerate(weights):
+        proj = dot_col(vec, F.array(*[F.lit(x) for x in w]))
+        sig = sig + F.when(proj >= 0, F.lit(1 << b)).otherwise(F.lit(0))
+    return sig
+
+
+def lsh_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    bits: int = 8,
+    n_bands: int = 2,
+    k: int = 5,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Sign-LSH top-k: candidates = vectors sharing ≥1 signature band
+    with the query (equi-join on (band_idx, band_val) — the same
+    shuffle-join shape as MinHash banding), scored with exact cosine.
+    Approximate: recall depends on bits/bands; the equi-join candidate
+    generation is what scales to 100 TB corpora."""
+    weights = lsh_weights(bits, dim)
+    bits_per_band = bits // n_bands
+    mask = (1 << bits_per_band) - 1
+
+    def banded(df: DataFrame, role: str) -> DataFrame:
+        sig = df.withColumn("__sig", lsh_signature(F.col("__vec"), weights))
+        bands = F.array(
+            *[
+                F.struct(
+                    F.lit(j).alias("band_idx"),
+                    F.shiftright("__sig", j * bits_per_band)
+                    .bitwiseAND(mask)
+                    .alias("band_val"),
+                )
+                for j in range(n_bands)
+            ]
+        )
+        return sig.select(
+            F.col(id_col).alias(role), "__vec", F.col("__nrm").alias(f"__nrm_{role}"),
+            F.explode(bands).alias("b")
+        ).select(
+            role,
+            F.col("__vec").alias(f"__vec_{role}"),
+            f"__nrm_{role}",
+            F.col("b.band_idx").alias("band_idx"),
+            F.col("b.band_val").alias("band_val"),
+        )
+
+    prep = lambda df: df.select(  # noqa: E731
+        id_col, as_double_vec(vec_col).alias("__vec")
+    ).withColumn("__nrm", norm_col(F.col("__vec")))
+
+    q = banded(prep(queries), "q_id")
+    c = banded(prep(vectors), "cand_id")
+    cand = (
+        F.broadcast(q)
+        .join(c, ["band_idx", "band_val"])
+        .where(F.col("q_id") != F.col("cand_id"))
+        .select("q_id", "cand_id", "__vec_q_id", "__vec_cand_id", "__nrm_q_id", "__nrm_cand_id")
+        .dropDuplicates(["q_id", "cand_id"])
+    )
+    scored = cand.select(
+        "q_id",
+        "cand_id",
+        fround(
+            dot_col(F.col("__vec_q_id"), F.col("__vec_cand_id"))
+            / (F.col("__nrm_q_id") * F.col("__nrm_cand_id")),
+            round_digits,
+        ).alias("cos"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("cand_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+        .select("q_id", "cand_id", "cos", "rank")
+    )
+
+
 def cosine_near_dup_pairs(
     vectors: DataFrame,
     id_col: str = "vec_id",

@@ -541,3 +541,63 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.where(F.col("__raw") > 0).select(
         "doc_id", "tok", fround(F.col("__raw"), 5).alias("tfidf")
     )
+
+
+def _lsh_sql(bits: int = 8, dim: int = 64, n_bands: int = 2, k: int = 5) -> str:
+    from ..operators.similarity import lsh_weights
+
+    ws = lsh_weights(bits, dim)
+    bpb = bits // n_bands
+    mask = (1 << bpb) - 1
+    wlists = ",\n           ".join(
+        "[" + ", ".join(f"{x:.1f}" for x in row) + f"] AS w{b}"
+        for b, row in enumerate(ws)
+    )
+    bit_terms = "\n           + ".join(
+        f"(CASE WHEN list_sum(list_transform(range(1, {dim + 1}), "
+        f"i -> v[i] * w{b}[i])) >= 0 THEN {1 << b} ELSE 0 END)"
+        for b in range(bits)
+    )
+    return f"""
+    WITH {_SQL_VECS},
+    w AS (SELECT {wlists}),
+    sig AS (
+      SELECT vec_id, {bit_terms} AS sig
+      FROM n, w
+    ),
+    bands AS (
+      SELECT vec_id, sig, u.j AS band_idx, (sig >> (u.j * {bpb})) & {mask} AS band_val
+      FROM sig, UNNEST(range(0, {n_bands})) AS u(j)
+    ),
+    cand AS (
+      SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS cand_id
+      FROM bands q JOIN bands c
+        ON q.band_idx = c.band_idx AND q.band_val = c.band_val
+      WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id
+    ),
+    s AS (
+      SELECT cand.q_id, cand.cand_id, {_cos_sql('a', 'b')} AS cos
+      FROM cand
+      JOIN n a ON a.vec_id = cand.q_id
+      JOIN n b ON b.vec_id = cand.cand_id
+    )
+    SELECT q_id, cand_id, cos, rank FROM (
+      SELECT q_id, cand_id, cos,
+             CAST(row_number() OVER (PARTITION BY q_id
+                                     ORDER BY cos DESC, cand_id ASC) AS INTEGER) AS rank
+      FROM s
+    ) WHERE rank <= {k}
+    """
+
+
+@register("ann_lsh_topk", oracle=_lsh_sql())
+def ann_lsh_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH top-5: candidates share ≥1 signature band with the query
+    (equi-join on band values, like MinHash banding), exact-cosine
+    scored. The deterministic md5 hyperplanes are embedded as literal
+    arrays on BOTH engines, so even this approximate path is
+    oracle-exact (operators/similarity.py::lsh_topk)."""
+    from ..operators.similarity import lsh_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return lsh_topk(e, e.where(F.col("vec_id") < 10), k=5)
