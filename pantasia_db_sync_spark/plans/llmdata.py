@@ -601,3 +601,45 @@ def ann_lsh_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "embeddings")
     return lsh_topk(e, e.where(F.col("vec_id") < 10), k=5)
+
+
+_BPE_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+@register(
+    "text_bpe_tokens",
+    oracle=f"""
+    WITH p AS (
+      SELECT doc_id, regexp_extract_all(text, '{_BPE_RE}') AS pieces FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(pieces) AS INTEGER) AS n_pieces,
+           CAST(len(list_filter(pieces, x -> regexp_matches(x, '^[A-Za-z]+$')))
+                AS INTEGER) AS n_word,
+           CAST(len(list_filter(pieces, x -> regexp_matches(x, '^[0-9]+$')))
+                AS INTEGER) AS n_num,
+           CAST(len(list_filter(pieces,
+                x -> NOT regexp_matches(x, '^[A-Za-z0-9]')))
+                AS INTEGER) AS n_punct
+    FROM p
+    """,
+)
+def text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish regex tokenization (word / number / punctuation pieces —
+    the GPT-2 pre-tokenizer shape, restricted to a regex subset both
+    engines parse identically). All JVM-side: regexp_extract_all +
+    higher-order filters, no Python."""
+    d = load_table(spark, sf_dir, "documents")
+    pieces = F.expr(f"regexp_extract_all(text, '{_BPE_RE}', 0)")
+    n_of = lambda pat: F.size(  # noqa: E731
+        F.filter(pieces, lambda x: x.rlike(pat))
+    ).cast("int")
+    return d.select(
+        "doc_id",
+        F.size(pieces).cast("int").alias("n_pieces"),
+        n_of("^[A-Za-z]+$").alias("n_word"),
+        n_of("^[0-9]+$").alias("n_num"),
+        F.size(F.filter(pieces, lambda x: ~x.rlike("^[A-Za-z0-9]")))
+        .cast("int")
+        .alias("n_punct"),
+    )

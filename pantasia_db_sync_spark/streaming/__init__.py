@@ -14,6 +14,7 @@ are native Structured Streaming:
 
 from .sync_stream import (
     dedup_stream,
+    running_totals_stream,
     events_stream,
     foreach_batch_sync,
     latest_state_stream,
@@ -28,6 +29,7 @@ __all__ = [
     "sliding_window_counts",
     "session_window_counts",
     "dedup_stream",
+    "running_totals_stream",
     "latest_state_stream",
     "foreach_batch_sync",
 ]

@@ -195,6 +195,73 @@ def latest_state_stream(events: DataFrame, watermark: str = DEFAULT_WATERMARK) -
     )
 
 
+try:  # Spark >= 4.0
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    _RUNNING_STATE_SCHEMA = StructType(
+        [StructField("n", LongType()), StructField("total", DoubleType())]
+    )
+
+    class _RunningTotalsProcessor(StatefulProcessor):
+        """Per-key running count + sum via the transformWithState API —
+        the arbitrary-state successor to applyInPandasWithState (typed
+        value/list/map state cells, timers, TTL). State is a typed
+        ValueState cell, sharded by key across executors."""
+
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("totals", _RUNNING_STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, total = 0, 0.0
+            if self._state.exists():
+                n, total = self._state.get()
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._state.update((n, total))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+            )
+
+        def close(self) -> None:
+            pass
+
+except ImportError:  # pragma: no cover - older Spark
+    _RunningTotalsProcessor = None
+
+
+_RUNNING_OUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("total_value", DoubleType()),
+    ]
+)
+
+
+def running_totals_stream(events: DataFrame) -> DataFrame:
+    """Per-user running totals via ``transformWithStateInPandas``
+    (Spark 4 arbitrary-state API). Update mode: each micro-batch emits
+    the new running value per touched key.
+
+    GATED, not exercised by tests/queries in this environment: the API's
+    driver-side runner needs a working ``google.protobuf``, absent from
+    this container (crashes with STREAMING_PYTHON_RUNNER_INITIALIZATION_
+    FAILURE). ``latest_state_stream`` (applyInPandasWithState) is the
+    tested custom-stateful path; this is the forward-looking variant."""
+    if _RunningTotalsProcessor is None:
+        raise NotImplementedError("transformWithStateInPandas needs Spark >= 4.0")
+    return events.groupBy("user_id").transformWithStateInPandas(
+        _RunningTotalsProcessor(),
+        outputStructType=_RUNNING_OUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
 def foreach_batch_sync(
     events: DataFrame,
     checkpoint_dir: str,
