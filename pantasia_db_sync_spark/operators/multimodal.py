@@ -66,6 +66,41 @@ def decode_stub_features(
     return src.mapInPandas(extract, schema=DECODE_SCHEMA)
 
 
+RESIZE_SCHEMA = "doc_id bigint, orig_len int, thumb_len int, thumb_head_hex string"
+
+
+def resize_stub(
+    df: DataFrame, id_col: str = "doc_id", binary_col: str = "content", stride: int = 4
+) -> DataFrame:
+    """'Resize' a binary column: deterministic fake downsample (every
+    ``stride``-th byte — real path: PIL thumbnail). The UDF both
+    produces the new binary AND reports its metadata; only metadata +
+    a head-bytes hex leave the operator so the oracle can mirror it
+    byte-for-byte from the source blob."""
+    src = df.select(F.col(id_col).alias("doc_id"), F.col(binary_col).alias("content"))
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, olens, tlens, heads = [], [], [], []
+            for i, c in zip(pdf["doc_id"], pdf["content"]):
+                b = bytes(c)
+                thumb = b[::stride]
+                ids.append(int(i))
+                olens.append(len(b))
+                tlens.append(len(thumb))
+                heads.append(thumb[:4].hex())
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "orig_len": olens,
+                    "thumb_len": tlens,
+                    "thumb_head_hex": heads,
+                }
+            )
+
+    return src.mapInPandas(resize, schema=RESIZE_SCHEMA)
+
+
 FRAME_SCHEMA = "doc_id bigint, frame_idx int, frame_offset int, frame_len int"
 
 

@@ -28,7 +28,7 @@ from ..operators.dedup import (
     shingle_frame,
     simhash_pairs,
 )
-from ..operators.multimodal import decode_stub_features, frame_sample_stub
+from ..operators.multimodal import decode_stub_features, frame_sample_stub, resize_stub
 from ..operators.similarity import brute_force_topk, cosine_near_dup_pairs, ivf_topk
 from ..sources.catalog import load_table
 from .registry import fround, register, sql_round
@@ -643,3 +643,26 @@ def text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("n_punct"),
     )
+
+
+@register(
+    "multimodal_resize_stub",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS INTEGER) AS orig_len,
+           CAST((octet_length(encode(text)) + 3) // 4 AS INTEGER) AS thumb_len,
+           -- fixture text is pure ASCII (verified octet_length == length),
+           -- so char positions equal byte positions
+           lower(hex(substr(text, 1, 1) || substr(text, 5, 1)
+                     || substr(text, 9, 1) || substr(text, 13, 1))) AS thumb_head_hex
+    FROM documents
+    """,
+)
+def multimodal_resize_stub_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas 'resize' of a binary column (every-4th-byte fake
+    downsample; real path is a codec thumbnail) — metadata + head bytes
+    mirrored byte-for-byte by the oracle."""
+    d = load_table(spark, sf_dir, "documents").withColumn(
+        "content", F.encode(F.col("text"), "UTF-8")
+    )
+    return resize_stub(d, "doc_id", "content", stride=4)
