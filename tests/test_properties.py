@@ -95,3 +95,63 @@ def test_hex_to_string_matches_reference(spark, blobs):
     }
     for (h,) in hexes:
         assert out[h] == _reference_hex_to_string(h), h
+
+
+@settings(**SETTINGS)
+@given(
+    left=st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 100)),
+        min_size=1, max_size=60, unique=True,
+    ),
+    right=st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 100), st.integers(-9, 9)),
+        min_size=0, max_size=60, unique_by=lambda t: (t[0], t[1]),
+    ),
+)
+def test_asof_join_matches_naive(spark, left, right):
+    """For each left row: the right row with max ts <= left ts (per key),
+    vs a pure-Python nested-loop oracle."""
+    from pantasia_db_sync_spark.operators.asof import asof_join
+
+    ldf = spark.createDataFrame(left, "k int, ts int")
+    rdf = (
+        spark.createDataFrame(right, "k int, ts int, val int")
+        if right
+        else spark.createDataFrame([], "k int, ts int, val int")
+    )
+    out = asof_join(ldf, rdf, on="k", left_ts="ts", right_ts="ts").collect()
+    got = {(r["k"], r["ts"]): (r["asof_ts"], r["val"]) for r in out}
+    assert len(got) == len(left)
+    for k, ts in left:
+        cands = [(rts, v) for rk, rts, v in right if rk == k and rts <= ts]
+        want = max(cands) if cands else (None, None)
+        assert got[(k, ts)] == want, ((k, ts), got[(k, ts)], want)
+
+
+@settings(**SETTINGS)
+@given(
+    left=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 60)),
+        min_size=1, max_size=40, unique=True,
+    ),
+    right=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 60)),
+        min_size=1, max_size=40, unique=True,
+    ),
+    band=st.integers(1, 15),  # band must be positive (operator contract)
+)
+def test_band_join_matches_naive(spark, left, right, band):
+    """Bucketed band join ≡ the nested-loop |a-b| <= band predicate."""
+    from pantasia_db_sync_spark.operators.rangejoin import band_join
+
+    ldf = spark.createDataFrame([(k, float(a)) for k, a in left], "k int, a double")
+    rdf = spark.createDataFrame([(k, float(b)) for k, b in right], "k int, b double")
+    out = band_join(ldf, rdf, "a", "b", float(band), extra_keys=["k"])
+    got = sorted((r["k"], r["a"], r["b"]) for r in out.collect())
+    want = sorted(
+        (lk, float(a), float(b))
+        for lk, a in left
+        for rk, b in right
+        if lk == rk and abs(a - b) <= band
+    )
+    assert got == want
