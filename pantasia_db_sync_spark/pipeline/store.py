@@ -86,9 +86,11 @@ class TableStore:
     # re-written in place. At 100 TB this is O(new data) per period,
     # while the versioned dims above stay O(dim size) (they are small).
 
+    def append_dir(self, table: str, commit_id: int) -> str:
+        return os.path.join(self._tdir(table), "data", f"commit={commit_id}")
+
     def append(self, table: str, df: DataFrame, commit_id: int) -> None:
-        path = os.path.join(self._tdir(table), "data", f"commit={commit_id}")
-        df.write.mode("overwrite").parquet(path)
+        df.write.mode("overwrite").parquet(self.append_dir(table, commit_id))
 
     def commit_append(self, table: str, commit_id: int) -> None:
         self.repoint(table, commit_id)

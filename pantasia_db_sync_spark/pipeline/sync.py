@@ -247,6 +247,12 @@ class SyncEngine:
     def process_period(self, lo: datetime, hi: datetime, commit_id: int) -> dict[str, int]:
         spark = self.spark
         records = self.extract(lo, hi)
+        # Stake derivation (the one irreducible Python UDF, H1) is folded
+        # in BEFORE the cache so bech32 runs exactly once per row — the
+        # wallet aggregation and the per-row key probe both reuse it.
+        records = records.withColumn(
+            "stake_derived", staking_address_udf("address")
+        ).withColumn("wallet_key", F.coalesce("stake_derived", "address"))
         records = with_dense_ids(records, SEQ_ORDER, id_col="seq", start=1).cache()
 
         wallet_dim = self.store.read(spark, "wallet")
@@ -258,14 +264,9 @@ class SyncEngine:
         seeds = {t: self._seed(t) for t in (*DIM_TABLES[:3], *FACT_TABLES)}
 
         # ---- wallets (D2/D4: dedup on natural key, first-seen id order) ----
-        addr_rows = (
-            records.where(F.col("address").isNotNull())
-            .withColumn("stake_derived", staking_address_udf("address"))
-            .withColumn("wallet_key", F.coalesce("stake_derived", "address"))
-            .withColumn(
-                "address_type",
-                F.when(F.col("stake_derived").isNull(), "ENTERPRISE").otherwise("STAKE"),
-            )
+        addr_rows = records.where(F.col("address").isNotNull()).withColumn(
+            "address_type",
+            F.when(F.col("stake_derived").isNull(), "ENTERPRISE").otherwise("STAKE"),
         )
         wallet_firsts = addr_rows.groupBy("wallet_key", "address_type").agg(
             F.min("seq").alias("first_seq")
@@ -347,6 +348,11 @@ class SyncEngine:
             new_assets if asset_dim is None else asset_dim.unionByName(new_assets)
         )
 
+        # NOT cached (measured): persisting this wide frame costs more
+        # than the downstream recomputation it saves — caching it
+        # regressed the 10×-scale sync 188s → 293s (the cache fill
+        # materializes JSON-heavy columns and blocks AQE broadcast
+        # reuse). Only the narrow `records` frame is worth caching.
         rows_wa = rows_w.join(
             asset_all.select(F.col("fingerprint").alias("asset_fingerprint"), F.col("id").alias("asset_id")),
             "asset_fingerprint",
@@ -429,6 +435,14 @@ class SyncEngine:
             )
 
         # ---- commit: stage dims, append facts, flip dims before facts ----
+        # Dim row counts BEFORE staging (parquet metadata reads — cheap),
+        # so the new-row stats below come from the written files instead
+        # of re-executing the whole join/dense-id lineage per table.
+        prev_counts = {
+            "wallet": 0 if wallet_dim is None else wallet_dim.count(),
+            "collection": 0 if collection_dim is None else collection_dim.count(),
+            "asset": 0 if asset_dim is None else asset_dim.count(),
+        }
         staged = {
             "wallet": self.store.stage("wallet", wallet_next),
             "collection": self.store.stage("collection", collection_next),
@@ -442,13 +456,17 @@ class SyncEngine:
         self.store.commit_append("asset_tx", commit_id)
         self.store.commit_append("asset_mint_tx", commit_id)
 
+        def _written(table: str) -> int:
+            return spark.read.parquet(self.store.append_dir(table, commit_id)).count()
+
         stats = {
             "records": records.count(),
-            "new_wallets": new_wallets.count(),
-            "new_collections": new_collections.count(),
-            "new_assets": new_assets.count(),
-            "asset_tx": asset_tx_new.count(),
-            "asset_mint_tx": asset_mint_tx_new.count(),
+            "new_wallets": self.store.read(spark, "wallet").count() - prev_counts["wallet"],
+            "new_collections": self.store.read(spark, "collection").count()
+            - prev_counts["collection"],
+            "new_assets": self.store.read(spark, "asset").count() - prev_counts["asset"],
+            "asset_tx": _written("asset_tx"),
+            "asset_mint_tx": _written("asset_mint_tx"),
         }
         records.unpersist()
         mint_rows.unpersist()
