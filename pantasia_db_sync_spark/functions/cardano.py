@@ -9,9 +9,11 @@ pure-Python implementation of the public formats it relies on:
   90-char length cap (Cardano payment addresses exceed it);
 - CIP-19 Shelley address headers: type nibble in bits 7-4 of byte 0.
   Types 0-3 carry a delegation (staking) part in bytes 29-56; the
-  reference only re-encodes it when it is a *key* hash (types 0/2 —
-  pycardano's ``VerificationKeyHash`` check), yielding the mainnet
-  reward address header 0xe1 with hrp ``stake``.
+  reference only re-encodes it when it is a *key* hash (types 0/1 —
+  pycardano's ``VerificationKeyHash`` check; types 2/3 carry a script
+  hash there), yielding the mainnet reward address header 0xe1 with
+  hrp ``stake``. Verified against CIP-19's published test vectors in
+  tests/test_cardano_vectors.py.
 
 Spark surface: a vectorized pandas UDF (Arrow-batched) — the one place
 Python touches the hot path, exactly as the survey prescribes.
@@ -89,8 +91,12 @@ def bech32_decode(addr: str) -> tuple[str, bytes] | None:
     return hrp, bytes(payload)
 
 
-# CIP-19 header types whose delegation part is a stake *key* hash
-_KEYHASH_DELEGATION_TYPES = {0, 2}
+# CIP-19 header types whose delegation part is a stake *key* hash.
+# Per CIP-19's header table, types 0 (payment keyhash) and 1 (payment
+# scripthash) both carry a StakeKeyHash delegation part; types 2/3 carry
+# a script hash there, for which the reference (pycardano
+# ``type(staking_part) is VerificationKeyHash``) returns None.
+_KEYHASH_DELEGATION_TYPES = {0, 1}
 MAINNET_STAKE_HEADER = 0xE1  # reward account, key hash, mainnet
 
 

@@ -143,13 +143,31 @@ def generate(out_dir: str, scale: float = 1.0, seed: int = 42) -> dict[str, int]
     pool_stake_id: list[int | None] = []
     for a in range(n_addr_pool):
         kind = rng.random()
-        if kind < 0.60:
+        if kind < 0.50:
             # base address (type 0, mainnet): payment part unique, stake
             # part shared — multiple payment addresses → one wallet
             sid = int(rng.integers(1, n_stake + 1))
             payload = bytes([0x01]) + _h(f"pay{a}", 28) + stake_hashes[sid - 1]
             pool_addr.append(bech32_encode("addr", payload))
             pool_stake_id.append(sid)
+        elif kind < 0.58:
+            # type 1 (script payment part, stake KEY delegation): still
+            # derives a stake address per CIP-19 / pycardano
+            sid = int(rng.integers(1, n_stake + 1))
+            payload = bytes([0x11]) + _h(f"scr{a}", 28) + stake_hashes[sid - 1]
+            pool_addr.append(bech32_encode("addr", payload))
+            pool_stake_id.append(sid)
+        elif kind < 0.64:
+            # type 2 (key payment part, SCRIPT delegation): the reference
+            # returns None for script staking parts -> enterprise-like
+            payload = bytes([0x21]) + _h(f"pay{a}", 28) + _h(f"dscr{a}", 28)
+            pool_addr.append(bech32_encode("addr", payload))
+            pool_stake_id.append(None)
+        elif kind < 0.68:
+            # type 3 (script payment, script delegation): also None
+            payload = bytes([0x31]) + _h(f"scr{a}", 28) + _h(f"dscr{a}", 28)
+            pool_addr.append(bech32_encode("addr", payload))
+            pool_stake_id.append(None)
         elif kind < 0.85:
             # enterprise address (type 6): no stake part
             payload = bytes([0x61]) + _h(f"ent{a}", 28)
