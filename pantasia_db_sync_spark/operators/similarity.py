@@ -233,12 +233,90 @@ def cosine_near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.4445555,
+    dim: int = 64,
+    bits: int = 32,
+    n_bands: int = 8,
     round_digits: int = 6,
 ) -> DataFrame:
-    """All pairs with cosine ≥ threshold (embedding near-dup detection).
+    """Sign-LSH-banded near-dup pairs: candidates = id pairs sharing ≥1
+    signature band (equi-join on (band_idx, band_val), like MinHash
+    banding), verified with the exact rounded cosine ≥ threshold.
 
-    All-pairs is the correctness baseline; at scale, generate candidate
-    pairs with `ivf_topk`/LSH banding first and verify with this score.
+    This is the 100 TB shape: the only join is an equi-join on band
+    values, never a non-equi all-pairs predicate (which Spark plans as
+    BroadcastNestedLoopJoin). Candidate generation runs on a slim
+    (id, band) frame; vectors are re-attached only to surviving pairs.
+    Approximate — recall depends on bits/n_bands vs the threshold's
+    angle; `cosine_near_dup_pairs_allpairs` is the exact baseline used
+    by the recall property test. Bucket granularity is 2^(bits/n_bands)
+    per band — raise bits_per_band as the corpus grows so per-bucket
+    candidate counts stay bounded.
+    """
+    weights = lsh_weights(bits, dim)
+    bits_per_band = bits // n_bands
+    mask = (1 << bits_per_band) - 1
+    base = vectors.select(
+        F.col(id_col).alias("id"), as_double_vec(vec_col).alias("v")
+    ).withColumn("nrm", norm_col(F.col("v")))
+    sig = base.withColumn("sig", lsh_signature(F.col("v"), weights))
+    bands_arr = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("band_idx"),
+                F.shiftright("sig", j * bits_per_band)
+                .bitwiseAND(mask)
+                .alias("band_val"),
+            )
+            for j in range(n_bands)
+        ]
+    )
+    bands = sig.select("id", F.explode(bands_arr).alias("b")).select(
+        "id", "b.band_idx", "b.band_val"
+    )
+    la = bands.select(F.col("id").alias("id_a"), "band_idx", "band_val")
+    lb = bands.select(F.col("id").alias("id_b"), "band_idx", "band_val")
+    cand = (
+        la.join(lb, ["band_idx", "band_val"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    scored = cand.join(
+        base.select(
+            F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na")
+        ),
+        "id_a",
+    ).join(
+        base.select(
+            F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
+        ),
+        "id_b",
+    )
+    return (
+        scored.select(
+            "id_a",
+            "id_b",
+            fround(
+                dot_col(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")),
+                round_digits,
+            ).alias("cos"),
+        )
+        .where(F.col("cos") >= threshold)
+    )
+
+
+def cosine_near_dup_pairs_allpairs(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4445555,
+    round_digits: int = 6,
+) -> DataFrame:
+    """All pairs with cosine ≥ threshold — the exact O(n²) baseline.
+
+    NOT the production path (the non-equi join becomes a
+    BroadcastNestedLoopJoin); kept as the recall oracle for the banded
+    `cosine_near_dup_pairs` in tests.
     """
     a = vectors.select(
         F.col(id_col).alias("id_a"), as_double_vec(vec_col).alias("va")

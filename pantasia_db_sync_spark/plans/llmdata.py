@@ -359,17 +359,57 @@ def dedup_simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_pairs(d, "doc_id", "text", max_hamming=6)
 
 
-@register(
-    "dedup_embedding_cosine",
-    oracle=f"""
-    WITH {_SQL_VECS}
-    SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_cos_sql('a', 'b')} AS cos
-    FROM n a JOIN n b ON a.vec_id < b.vec_id
-    WHERE {_cos_sql('a', 'b')} >= 0.4445555
-    """,
-)
+def _cosine_near_dup_sql(
+    bits: int = 32, dim: int = 64, n_bands: int = 8, threshold: float = 0.4445555
+) -> str:
+    """DuckDB twin of the banded `cosine_near_dup_pairs`: the SAME
+    deterministic md5 hyperplanes, banding, and exact-cosine verify —
+    so the approximate path is still cross-engine hash-exact (the
+    `dedup_minhash_lsh` pattern)."""
+    from ..operators.similarity import lsh_weights
+
+    ws = lsh_weights(bits, dim)
+    bpb = bits // n_bands
+    mask = (1 << bpb) - 1
+    wlists = ",\n           ".join(
+        "[" + ", ".join(f"{x:.1f}" for x in row) + f"] AS w{b}"
+        for b, row in enumerate(ws)
+    )
+    bit_terms = "\n           + ".join(
+        f"(CASE WHEN list_sum(list_transform(range(1, {dim + 1}), "
+        f"i -> v[i] * w{b}[i])) >= 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END)"
+        for b in range(bits)
+    )
+    return f"""
+    WITH {_SQL_VECS},
+    w AS (SELECT {wlists}),
+    sig AS (SELECT vec_id, {bit_terms} AS sig FROM n, w),
+    bands AS (
+      SELECT vec_id, u.j AS band_idx, (sig >> (u.j * {bpb})) & {mask} AS band_val
+      FROM sig, UNNEST(range(0, {n_bands})) AS u(j)
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+       AND a.vec_id < b.vec_id
+    )
+    SELECT c.id_a, c.id_b, {_cos_sql('a', 'b')} AS cos
+    FROM cand c
+    JOIN n a ON a.vec_id = c.id_a
+    JOIN n b ON b.vec_id = c.id_b
+    WHERE {_cos_sql('a', 'b')} >= {threshold}
+    """
+
+
+@register("dedup_embedding_cosine", oracle=_cosine_near_dup_sql())
 def dedup_embedding_cosine_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (threshold in a distribution gap)."""
+    """Embedding-cosine near-dup pairs, sign-LSH banded: candidates from
+    an equi-join on signature bands (never an all-pairs non-equi join),
+    verified with the exact rounded cosine. The oracle replicates the
+    identical banded algorithm, so the result is cross-engine exact;
+    recall vs the all-pairs baseline is pinned by
+    tests/test_properties.py (banded ⊆ all-pairs)."""
     e = load_table(spark, sf_dir, "embeddings")
     return cosine_near_dup_pairs(e, threshold=0.4445555)
 

@@ -62,6 +62,28 @@ def test_scan_prunes_columns(spark, sf_dir):
         assert unused not in plan, unused
 
 
+@pytest.mark.parametrize(
+    "name",
+    [
+        "dedup_exact",
+        "dedup_ngram_jaccard",
+        "dedup_minhash_lsh",
+        "dedup_simhash",
+        "dedup_embedding_cosine",
+        "ann_ivf_topk",
+        "ann_lsh_topk",
+    ],
+)
+def test_dedup_family_no_quadratic_join(spark, sf_dir, name):
+    """Every dedup/ANN path generates candidates with equi-joins —
+    never a BroadcastNestedLoopJoin or CartesianProduct, which are the
+    O(n²) plans that die at 100 TB. (ann_bruteforce_topk is the one
+    deliberate exception: an exact small-query-set baseline.)"""
+    plan = plan_of(spark, sf_dir, name)
+    assert "BroadcastNestedLoopJoin" not in plan, name
+    assert "CartesianProduct" not in plan, name
+
+
 def test_no_python_udf_in_builtin_paths(spark, sf_dir):
     """Hot-path queries stay JVM-side (no Python eval nodes)."""
     for name in ["agg_pricing_summary", "text_quality_score", "func_hex_roundtrip"]:

@@ -155,3 +155,44 @@ def test_band_join_matches_naive(spark, left, right, band):
         if lk == rk and abs(a - b) <= band
     )
     assert got == want
+
+
+@settings(**SETTINGS)
+@given(
+    vecs=st.lists(
+        st.lists(
+            st.integers(-5, 5).map(float), min_size=8, max_size=8
+        ),
+        min_size=2,
+        max_size=30,
+    ),
+    threshold=st.floats(0.1, 0.9),
+)
+def test_banded_cosine_pairs_subset_of_allpairs(spark, vecs, threshold):
+    """Banded near-dup output is always a subset of the exact all-pairs
+    output, with identical cosine values on every emitted pair — i.e.
+    banding only affects recall, never correctness of what it emits."""
+    from pantasia_db_sync_spark.operators.similarity import (
+        cosine_near_dup_pairs,
+        cosine_near_dup_pairs_allpairs,
+    )
+
+    rows = [
+        (i, v) for i, v in enumerate(vecs) if any(x != 0.0 for x in v)
+    ]
+    if len(rows) < 2:
+        return
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    banded = {
+        (r["id_a"], r["id_b"]): r["cos"]
+        for r in cosine_near_dup_pairs(
+            df, threshold=threshold, dim=8, bits=8, n_bands=4
+        ).collect()
+    }
+    exact = {
+        (r["id_a"], r["id_b"]): r["cos"]
+        for r in cosine_near_dup_pairs_allpairs(df, threshold=threshold).collect()
+    }
+    assert set(banded) <= set(exact)
+    for pair, cos in banded.items():
+        assert cos == exact[pair], pair
