@@ -55,5 +55,14 @@ def with_dense_ids(
 
     out = numbered.join(F.broadcast(offsets), "__pid").withColumn(
         id_col, (F.col("__rn") + F.col("__off") + F.lit(start - 1)).cast("long")
-    )
-    return out.drop("__pid", "__rn", "__off")
+    ).drop("__pid", "__rn", "__off")
+    # Eagerly materialize the result, then RELEASE the persist: a SQL
+    # persist() lives in Spark's global CacheManager until explicitly
+    # unpersisted, so a long-running incremental sync (≥6 calls per
+    # period) would otherwise accumulate pinned frames without bound.
+    # localCheckpoint blocks are block-manager storage cleaned by the
+    # ContextCleaner once the frame is unreferenced, and the cut
+    # lineage keeps the assigned ids stable for every later consumer.
+    out = out.localCheckpoint(eager=True)
+    numbered.unpersist()
+    return out

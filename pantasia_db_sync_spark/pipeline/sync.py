@@ -253,7 +253,11 @@ class SyncEngine:
         records = records.withColumn(
             "stake_derived", staking_address_udf("address")
         ).withColumn("wallet_key", F.coalesce("stake_derived", "address"))
-        records = with_dense_ids(records, SEQ_ORDER, id_col="seq", start=1).cache()
+        # with_dense_ids returns an eagerly-materialized (localCheckpoint)
+        # frame, so no extra .cache() is needed: every downstream job
+        # reads the checkpoint blocks, and nothing stays pinned in the
+        # global CacheManager between periods.
+        records = with_dense_ids(records, SEQ_ORDER, id_col="seq", start=1)
 
         wallet_dim = self.store.read(spark, "wallet")
         collection_dim = self.store.read(spark, "collection")
@@ -361,10 +365,10 @@ class SyncEngine:
         # ---- facts: ids in seq order per type (mint vs transfer counters) ----
         mint_rows = with_dense_ids(
             rows_wa.where(F.col("is_mint_tx")), ["seq"], id_col="id", start=seeds["asset_mint_tx"]
-        ).cache()
+        )
         tx_rows = with_dense_ids(
             rows_wa.where(~F.col("is_mint_tx")), ["seq"], id_col="id", start=seeds["asset_tx"]
-        ).cache()
+        )
 
         asset_mint_tx_new = mint_rows.select(
             "id",
@@ -468,9 +472,6 @@ class SyncEngine:
             "asset_tx": _written("asset_tx"),
             "asset_mint_tx": _written("asset_mint_tx"),
         }
-        records.unpersist()
-        mint_rows.unpersist()
-        tx_rows.unpersist()
         return stats
 
     # --- driver loop (one pass; poll/backoff belongs to the caller) -----------

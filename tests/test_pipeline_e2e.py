@@ -121,6 +121,47 @@ def test_incremental_equals_batch(spark, source_dir, batch_store, tmp_path_facto
     assert _store_tables(spark, store_inc) == _store_tables(spark, batch_store)
 
 
+def test_multi_period_sync_leaks_no_cached_frames(
+    spark, source_dir, tmp_path_factory
+):
+    """A long-running incremental sync must not accumulate pinned
+    frames: after ≥3 periods, Spark's global SQL CacheManager is empty
+    (the with_dense_ids persist used to leak one entry per call, ~6 per
+    period), and the block-manager footprint of localCheckpoints is
+    reclaimable — after dropping references + GC the persistent-RDD
+    count falls back to (or below) its single-period level."""
+    import gc
+    import time
+
+    jvm = spark.sparkContext._jvm
+    baseline = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+
+    store = TableStore(str(tmp_path_factory.mktemp("sink_leak")))
+    engine = SyncEngine(spark, source_dir, store, time_interval_minutes=30)
+    stats = engine.run_sync(max_periods=3)
+    assert len(stats) == 3
+
+    cache_mgr = spark._jsparkSession.sharedState().cacheManager()
+    assert cache_mgr.isEmpty(), "SQL CacheManager entries leaked by sync"
+
+    # localCheckpoint blocks are ContextCleaner-managed: once the
+    # per-period frames are unreferenced, a GC cycle must reclaim them
+    # rather than grow without bound. Poll generously (cleaner is async,
+    # and the py4j proxies must be collected Python-side first).
+    deadline = time.time() + 60
+    n = None
+    while time.time() < deadline:
+        gc.collect()
+        jvm.System.gc()
+        n = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+        if n <= baseline + 6:  # ≤ ~one period's worth, not 3 periods'
+            break
+        time.sleep(2)
+    assert n is not None and n <= baseline + 6, (
+        f"{n} persistent RDDs pinned after GC (baseline {baseline})"
+    )
+
+
 def test_snapshot_restore(spark, source_dir, batch_store):
     before = _store_tables(spark, batch_store)
     manifest = batch_store.snapshot("pre")
