@@ -49,22 +49,28 @@ def asof_join(
     r_side = 1 if strict else 0
     l_side = 0 if strict else 1
 
+    # The left row rides the union as a struct, so no row id and no
+    # join-back are needed: a monotonically_increasing_id-based rowid
+    # consumed from two DAG branches could be re-evaluated differently
+    # per branch (the function is non-deterministic), silently
+    # misaligning carried payloads. This shape is also one operator
+    # cheaper — a single shuffle, no broadcast join back.
     payload = F.struct(F.col(right_ts).alias("__rts"), *[F.col(c) for c in value_cols])
     r = right.select(
         *keys,
         F.col(right_ts).alias("__ts"),
         F.lit(r_side).alias("__side"),
         payload.alias("__payload"),
-        F.lit(None).cast("long").alias("__rowid"),
     )
-    l = left.withColumn("__rowid", F.monotonically_increasing_id())
-    l_tagged = l.select(
+    lrow = F.struct(*[F.col(c) for c in left.columns])
+    l_tagged = left.select(
         *keys,
         F.col(left_ts).alias("__ts"),
         F.lit(l_side).alias("__side"),
         F.lit(None).cast(r.schema["__payload"].dataType).alias("__payload"),
-        "__rowid",
+        lrow.alias("__lrow"),
     )
+    r = r.withColumn("__lrow", F.lit(None).cast(l_tagged.schema["__lrow"].dataType))
 
     unioned = r.unionByName(l_tagged)
     w = (
@@ -72,13 +78,18 @@ def asof_join(
         .orderBy(F.col("__ts").asc(), F.col("__side").asc(), F.col("__payload").asc_nulls_first())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    carried = (
-        unioned.withColumn("__carry", F.last("__payload", ignorenulls=True).over(w))
-        .where(F.col("__rowid").isNotNull())
-        .select("__rowid", "__carry")
-    )
-    out = l.join(carried, "__rowid", "left")
+    carried = unioned.withColumn(
+        "__carry", F.last("__payload", ignorenulls=True).over(w)
+    ).where(F.col("__lrow").isNotNull())
+
+    out_cols = []
+    for c in left.columns:
+        if c in value_cols:
+            out_cols.append(F.col("__carry").getField(c).alias(c))
+        else:
+            out_cols.append(F.col("__lrow").getField(c).alias(c))
     for c in value_cols:
-        out = out.withColumn(c, F.col("__carry").getField(c))
-    out = out.withColumn(f"asof_{right_ts}", F.col("__carry").getField("__rts"))
-    return out.drop("__rowid", "__carry")
+        if c not in left.columns:
+            out_cols.append(F.col("__carry").getField(c).alias(c))
+    out_cols.append(F.col("__carry").getField("__rts").alias(f"asof_{right_ts}"))
+    return carried.select(*out_cols)
