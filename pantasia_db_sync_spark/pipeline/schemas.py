@@ -78,12 +78,28 @@ SOURCE_SCHEMAS: dict[str, StructType] = {
 
 # --- target (pantasia) -------------------------------------------------------
 
+# ``user`` is app-owned: the reference bootstraps it (DDL at
+# app/db/postgres.py:96-103) but the sync loop never writes a row.
+# Declared (and bootstrapped empty) here for DDL-surface parity.
+USER = _s(
+    ("id", IntegerType(), False),
+    ("pfp_asset_id", LongType(), True),
+    ("alias", StringType(), False),
+    ("created_on", TimestampType(), False),
+    ("modified", TimestampType(), False),
+    ("last_login", TimestampType(), True),
+)
 WALLET = _s(
     ("id", LongType(), False),
     ("address", StringType(), False),
     ("address_type", StringType(), False),  # 'ENTERPRISE' | 'STAKE'
+    ("user_id", IntegerType(), True),  # app-owned; sync writes NULL
 )
-COLLECTION = _s(("id", LongType(), False), ("policy_id", StringType(), False))
+COLLECTION = _s(
+    ("id", LongType(), False),
+    ("policy_id", StringType(), False),
+    ("name", StringType(), True),  # app-owned; sync writes NULL
+)
 ASSET = _s(
     ("id", LongType(), False),
     ("collection_id", LongType(), False),
@@ -119,6 +135,7 @@ ASSET_EXT = _s(
 )
 
 TARGET_SCHEMAS: dict[str, StructType] = {
+    "user": USER,
     "wallet": WALLET,
     "collection": COLLECTION,
     "asset": ASSET,
@@ -126,3 +143,19 @@ TARGET_SCHEMAS: dict[str, StructType] = {
     "asset_mint_tx": ASSET_MINT_TX,
     "asset_ext": ASSET_EXT,
 }
+
+# Foreign-key graph, transposed 1:1 from the reference's
+# ``pantasia_create_fk`` (app/db/postgres.py:214-244):
+# (child table, child column, parent table, parent column).
+FOREIGN_KEYS: list[tuple[str, str, str, str]] = [
+    ("asset", "collection_id", "collection", "id"),
+    ("asset", "current_wallet_id", "wallet", "id"),
+    ("asset_mint_tx", "asset_id", "asset", "id"),
+    ("asset_mint_tx", "wallet_id", "wallet", "id"),
+    ("asset_tx", "asset_id", "asset", "id"),
+    ("asset_tx", "wallet_id", "wallet", "id"),
+    ("asset_ext", "asset_id", "asset", "id"),
+    ("asset_ext", "latest_mint_tx_id", "asset_mint_tx", "id"),
+    ("asset_ext", "latest_tx_id", "asset_tx", "id"),
+    ("wallet", "user_id", "user", "id"),
+]

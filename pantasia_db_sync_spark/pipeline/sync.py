@@ -283,7 +283,14 @@ class SyncEngine:
             )
         new_wallets = with_dense_ids(
             wallet_firsts, ["first_seq"], id_col="id", start=seeds["wallet"]
-        ).select("id", F.col("wallet_key").alias("address"), "address_type")
+        ).select(
+            "id",
+            F.col("wallet_key").alias("address"),
+            "address_type",
+            # app-owned column (reference DDL wallet.user_id): the sync
+            # loop never assigns users, it only declares the slot
+            F.lit(None).cast("int").alias("user_id"),
+        )
         wallet_next = (
             new_wallets if empty_wallet else wallet_dim.unionByName(new_wallets)
         )
@@ -296,7 +303,12 @@ class SyncEngine:
             )
         new_collections = with_dense_ids(
             coll_firsts, ["first_seq"], id_col="id", start=seeds["collection"]
-        ).select("id", "policy_id")
+        ).select(
+            "id",
+            "policy_id",
+            # app-owned column (reference DDL collection.name)
+            F.lit(None).cast("string").alias("name"),
+        )
         collection_next = (
             new_collections
             if collection_dim is None
@@ -476,7 +488,20 @@ class SyncEngine:
 
     # --- driver loop (one pass; poll/backoff belongs to the caller) -----------
 
+    def ensure_bootstrap(self) -> None:
+        """DDL-bootstrap parity (A9): the reference creates all seven
+        target tables up front (app/db/postgres.py:94-156), including
+        the app-owned ``user`` table the sync loop never writes. Create
+        it empty with the declared schema so the store's table surface
+        matches the reference's DDL."""
+        from .schemas import TARGET_SCHEMAS
+
+        if self.store.current_version("user") is None:
+            empty = self.spark.createDataFrame([], TARGET_SCHEMAS["user"])
+            self.store.repoint("user", self.store.stage("user", empty))
+
     def run_sync(self, max_periods: int | None = None) -> list[dict[str, int]]:
+        self.ensure_bootstrap()
         out = []
         periods = self.period_list()
         if max_periods is not None:
