@@ -500,7 +500,15 @@ class SyncEngine:
             empty = self.spark.createDataFrame([], TARGET_SCHEMAS["user"])
             self.store.repoint("user", self.store.stage("user", empty))
 
-    def run_sync(self, max_periods: int | None = None) -> list[dict[str, int]]:
+    def run_sync(
+        self,
+        max_periods: int | None = None,
+        shutdown: "GracefulShutdown | None" = None,
+    ) -> list[dict[str, int]]:
+        """One sync pass. With a ``shutdown`` handle (G6), a SIGINT/
+        SIGTERM between periods stops the loop after the in-flight
+        period's transactional commit — the store stays consistent and
+        the next run_sync resumes from the data-derived tip."""
         self.ensure_bootstrap()
         out = []
         periods = self.period_list()
@@ -508,5 +516,7 @@ class SyncEngine:
             periods = periods[:max_periods]
         base_commit = self.store.current_version("asset_tx") or 0
         for i, (lo, hi) in enumerate(periods, start=1):
+            if shutdown is not None and shutdown.stop_requested:
+                break
             out.append(self.process_period(lo, hi, commit_id=base_commit + i))
         return out

@@ -221,6 +221,64 @@ def test_multi_period_sync_leaks_no_cached_frames(
     )
 
 
+def test_graceful_shutdown_between_periods(
+    spark, source_dir, batch_store, tmp_path_factory
+):
+    """G6: a SIGINT arriving mid-period lets that period's transactional
+    commit finish, stops before the next one, leaves the store
+    consistent, and a later run resumes to the exact batch state."""
+    import os
+    import signal
+
+    from pantasia_db_sync_spark.pipeline.integrity import validate_foreign_keys
+    from pantasia_db_sync_spark.pipeline.shutdown import GracefulShutdown
+
+    store = TableStore(str(tmp_path_factory.mktemp("sink_g6")))
+    engine = SyncEngine(spark, source_dir, store, time_interval_minutes=30)
+
+    orig = engine.process_period
+
+    def interrupted(lo, hi, commit_id):
+        os.kill(os.getpid(), signal.SIGINT)  # arrives mid-period
+        return orig(lo, hi, commit_id)
+
+    engine.process_period = interrupted
+    with GracefulShutdown() as stop:
+        stats = engine.run_sync(shutdown=stop)
+        assert stop.stop_requested
+    assert len(stats) == 1, "should stop after the in-flight period"
+
+    # the partially-synced store is internally consistent
+    bad = {k: v for k, v in validate_foreign_keys(spark, store).items() if v}
+    assert not bad, bad
+
+    # un-patched resume completes the remaining periods to batch parity
+    engine.process_period = orig
+    resumed = SyncEngine(spark, source_dir, store, time_interval_minutes=30)
+    assert len(resumed.run_sync()) >= 1
+    assert _store_tables(spark, store) == _store_tables(spark, batch_store)
+
+
+def test_graceful_shutdown_runs_callbacks_and_restores_handlers():
+    import os
+    import signal
+
+    calls = []
+    prev = signal.getsignal(signal.SIGINT)
+    with GracefulShutdown_cb(calls) as stop:
+        os.kill(os.getpid(), signal.SIGINT)
+        os.kill(os.getpid(), signal.SIGINT)  # idempotent: callback once
+        assert stop.stop_requested
+    assert calls == ["stopped"]
+    assert signal.getsignal(signal.SIGINT) is prev
+
+
+def GracefulShutdown_cb(calls):
+    from pantasia_db_sync_spark.pipeline.shutdown import GracefulShutdown
+
+    return GracefulShutdown(lambda: calls.append("stopped"))
+
+
 def test_snapshot_restore(spark, source_dir, batch_store):
     before = _store_tables(spark, batch_store)
     manifest = batch_store.snapshot("pre")
