@@ -1,0 +1,107 @@
+"""Unit tests for the JDBC option/predicate construction (pure logic —
+no database needed; only .load()/.save() require a server)."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from pantasia_db_sync_spark.sources.jdbc import (
+    jdbc_options,
+    period_predicate,
+    stride_predicates,
+)
+
+
+def test_period_predicate_half_open():
+    p = period_predicate(
+        "b3.time", datetime(2022, 1, 1, 0, 0, 0), datetime(2022, 1, 1, 2, 0, 0)
+    )
+    assert p == (
+        "b3.time > TIMESTAMP '2022-01-01 00:00:00' "
+        "AND b3.time <= TIMESTAMP '2022-01-01 02:00:00'"
+    )
+
+
+def test_options_plain_table():
+    opts = jdbc_options("jdbc:postgresql://h/db", "tx_out")
+    assert opts == {
+        "url": "jdbc:postgresql://h/db",
+        "dbtable": "tx_out",
+        "fetchsize": "10000",
+    }
+
+
+def test_options_predicate_becomes_subquery():
+    opts = jdbc_options("u", "tx_out", predicate="id > 5")
+    assert opts["dbtable"] == "(SELECT * FROM tx_out WHERE id > 5) src"
+
+
+def test_options_partitioned():
+    opts = jdbc_options(
+        "u", "tx_out", partition_column="id", lower_bound=1,
+        upper_bound=1_000_001, num_partitions=32,
+    )
+    assert opts["partitionColumn"] == "id"
+    assert opts["lowerBound"] == "1"
+    assert opts["upperBound"] == "1000001"
+    assert opts["numPartitions"] == "32"
+
+
+def test_options_partitioned_requires_bounds():
+    with pytest.raises(ValueError):
+        jdbc_options("u", "t", partition_column="id")
+    with pytest.raises(ValueError):
+        jdbc_options("u", "t", partition_column="id", lower_bound=9, upper_bound=9)
+
+
+def _covering_partition(preds: list[str], value: int | None) -> list[int]:
+    """Indexes of predicates a row with this column value satisfies
+    (evaluated with plain python semantics matching the SQL)."""
+    hit = []
+    for i, p in enumerate(preds):
+        if p == "1=1":
+            ok = True
+        elif value is None:
+            ok = "IS NULL" in p
+        else:
+            clauses = p.replace(" OR ", " AND ").split(" AND ")
+            ok = True
+            for c in clauses:
+                c = c.strip()
+                if c.endswith("IS NULL"):
+                    continue
+                col, op, bound = c.split()
+                if op == "<":
+                    ok = ok and value < int(bound)
+                elif op == ">=":
+                    ok = ok and value >= int(bound)
+        if ok:
+            hit.append(i)
+    return hit
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    lower=st.integers(-1000, 1000),
+    width=st.integers(1, 10_000),
+    n=st.integers(1, 64),
+    probe=st.lists(st.one_of(st.none(), st.integers(-5000, 15_000)), max_size=20),
+)
+def test_stride_predicates_exclusive_and_exhaustive(lower, width, n, probe):
+    """Every value — including NULL, below-lower, and at-or-above-upper
+    — matches EXACTLY one stride predicate (Spark JDBCRelation
+    semantics: no row is dropped or duplicated by partitioning)."""
+    upper = lower + width
+    preds = stride_predicates("id", lower, upper, n)
+    assert len(preds) == n
+    for v in list(probe) + [None, lower - 1, lower, upper - 1, upper, upper + 10]:
+        hits = _covering_partition(preds, v)
+        assert len(hits) == 1, (v, preds, hits)
+
+
+def test_stride_predicates_single_partition_matches_all():
+    assert stride_predicates("id", 0, 100, 1) == ["1=1"]
