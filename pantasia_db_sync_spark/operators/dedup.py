@@ -61,13 +61,31 @@ def exact_dedup(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def _pair_jaccard(sh: DataFrame, id_col: str) -> DataFrame:
-    """(id_a, id_b, jaccard) for every pair sharing ≥1 shingle."""
+def _pair_jaccard(sh: DataFrame, id_col: str, max_df: int | None = None) -> DataFrame:
+    """(id_a, id_b, jaccard) for every pair sharing ≥1 shingle.
+
+    ``max_df`` (off by default) drops shingles whose document frequency
+    exceeds the cap from the inverted-index JOIN only — a shingle with
+    df=d contributes O(d²) pair rows, so one degenerate shingle in a
+    100× corpus would otherwise make the self-join quadratic. Doc sizes
+    stay uncapped, so the capped jaccard is a strict underestimate and
+    the capped output is always a subset of the uncapped one (pinned by
+    a property test). The hot-shingle set is tiny by construction →
+    broadcast anti-join, no extra shuffle of the index.
+    """
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n"))
     # (A df>=2 shingle pre-filter was tried and reverted: in this corpus
     # 99% of shingles are shared, so the extra aggregation costs more
     # than the join rows it removes. For mostly-unique corpora the LSH
     # path — which verifies candidates only — is the scale answer.)
+    if max_df is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .where(F.col("__df") > max_df)
+            .select("shingle")
+        )
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), "shingle")
     inter = (
@@ -90,11 +108,21 @@ def _pair_jaccard(sh: DataFrame, id_col: str) -> DataFrame:
 
 
 def ngram_jaccard_pairs(
-    docs: DataFrame, id_col: str, text_col: str, n: int = 3, threshold: float = 0.5
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_df: int | None = None,
 ) -> DataFrame:
-    """Near-duplicate pairs by exact n-gram Jaccard ≥ threshold."""
+    """Near-duplicate pairs by exact n-gram Jaccard ≥ threshold.
+
+    ``max_df`` caps shingle document frequency in the pair join (see
+    ``_pair_jaccard``) — the hot-key guard for degenerate corpora."""
     sh = shingle_frame(docs, id_col, text_col, n)
-    return _pair_jaccard(sh, id_col).where(F.col("jaccard") >= threshold)
+    return _pair_jaccard(sh, id_col, max_df=max_df).where(
+        F.col("jaccard") >= threshold
+    )
 
 
 def minhash_signatures(

@@ -196,3 +196,38 @@ def test_banded_cosine_pairs_subset_of_allpairs(spark, vecs, threshold):
     assert set(banded) <= set(exact)
     for pair, cos in banded.items():
         assert cos == exact[pair], pair
+
+
+@settings(**SETTINGS)
+@given(
+    docs=st.lists(
+        st.text(alphabet="abc ", min_size=3, max_size=20),
+        min_size=2,
+        max_size=12,
+    ),
+    max_df=st.integers(1, 6),
+    threshold=st.floats(0.05, 0.9),
+)
+def test_df_capped_jaccard_subset_of_uncapped(spark, docs, max_df, threshold):
+    """The hot-shingle df cap only removes pairs / lowers jaccard —
+    capped output ⊆ uncapped, and per-pair jaccard never increases."""
+    from pantasia_db_sync_spark.operators.dedup import ngram_jaccard_pairs
+
+    df = spark.createDataFrame(
+        list(enumerate(docs)), "doc_id long, text string"
+    )
+    capped = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(
+            df, "doc_id", "text", n=3, threshold=threshold, max_df=max_df
+        ).collect()
+    }
+    uncapped = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(
+            df, "doc_id", "text", n=3, threshold=threshold
+        ).collect()
+    }
+    assert set(capped) <= set(uncapped)
+    for pair, j in capped.items():
+        assert j <= uncapped[pair] + 1e-12, pair
