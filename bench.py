@@ -29,8 +29,12 @@ HEADLINE = [
     "tumbling_window_agg",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_embedding_cosine",
     "ann_bruteforce_topk",
+    "ann_lsh_topk",
     "text_quality_score",
+    "text_tfidf",
 ]
 
 
@@ -59,6 +63,33 @@ def main() -> None:
         materialize(QUERIES[name](spark, sf_dir))
         timings[name] = round(time.perf_counter() - t0, 3)
         print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
+
+    # Sync-pipeline throughput: one batch sync over fresh fixtures
+    # (generation excluded from the timing). Records/s goes to stderr;
+    # the wall time rides the JSON so round-over-round regressions in
+    # the pipeline itself — not just the queries — are visible.
+    import tempfile
+
+    from pantasia_db_sync_spark.pipeline import fixtures
+    from pantasia_db_sync_spark.pipeline.store import TableStore
+    from pantasia_db_sync_spark.pipeline.sync import SyncEngine
+
+    sync_scale = float(os.environ.get("SPARK_GRAFT_SYNC_SCALE", "0.1"))
+    with tempfile.TemporaryDirectory() as src, tempfile.TemporaryDirectory() as sink:
+        fixtures.generate(src, scale=sync_scale, seed=42)
+        engine = SyncEngine(
+            spark, src, TableStore(sink), time_interval_minutes=10**6
+        )
+        t0 = time.perf_counter()
+        stats = engine.run_sync()
+        dt = time.perf_counter() - t0
+        n_records = sum(s["records"] for s in stats)
+        timings["sync_pipeline"] = round(dt, 3)
+        print(
+            f"# sync_pipeline: {dt:.3f}s, {n_records} records, "
+            f"{n_records / dt:.0f} rec/s (scale={sync_scale})",
+            file=sys.stderr,
+        )
 
     total = round(sum(timings.values()), 3)
     print(

@@ -14,10 +14,12 @@ training-data pipeline needs at 100 TB. Design notes per operator:
   Hash functions are the engine-portable (a·x+b) mod P family over a
   60-bit md5 prefix (functions/text.py) so the DuckDB oracle reproduces
   signatures exactly.
-- **SimHash**: 32-bit signatures via bitwise majority vote of token
-  hashes; Hamming-distance candidates. Signature build is linear;
-  pairing here is all-pairs (fine ≤10^4 docs per cell — at 100 TB,
-  pair within LSH buckets or band the simhash bits instead).
+- **SimHash**: parametric-width signatures (≤60 bits — the portable
+  md5 hash keeps 15 hex digits) via bitwise majority vote of token
+  hashes, one map-side-combinable aggregation. Pairing is EXACT
+  pigeonhole banding: ``max_hamming + 1`` bit-bands guarantee any
+  pair within the radius shares ≥1 whole band, so candidates come
+  from an equi-self-join and the result equals the O(n²) cross join.
 """
 
 from __future__ import annotations
@@ -207,33 +209,44 @@ def minhash_lsh_pairs(
     return verified.where(F.col("jaccard") >= threshold)
 
 
-def simhash_signatures(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """32-bit SimHash per doc from distinct-token portable hashes."""
+def simhash_signatures(
+    docs: DataFrame, id_col: str, text_col: str, bits: int = SIMHASH_BITS
+) -> DataFrame:
+    """``bits``-wide SimHash per doc from distinct-token portable hashes
+    (≤60 bits usable: the portable md5 hash keeps 15 hex digits)."""
     toks = (
         docs.select(F.col(id_col), F.explode(tokens_col(text_col)).alias("tok"))
         .where(F.col("tok") != "")
         .distinct()
     )
-    # SQL-expr form: the Python F.shiftright/shiftleft wrappers only take
-    # literal shift counts, but the SQL functions accept column exprs.
-    bits = toks.withColumn("__x32", portable_hash_mod("tok", 1 << SIMHASH_BITS)).select(
-        F.col(id_col),
-        F.expr(
-            f"explode(transform(sequence(0, {SIMHASH_BITS - 1}), "
-            "b -> struct(b AS bit, "
-            "CASE WHEN (shiftright(__x32, b) & 1) = 1 THEN 1 ELSE -1 END AS w)))"
-        ).alias("bw"),
-    ).select(id_col, F.col("bw.bit").alias("bit"), F.col("bw.w").alias("w"))
-    votes = bits.groupBy(id_col, "bit").agg(F.sum("w").alias("s"))
-    return votes.groupBy(id_col).agg(
+    # One aggregation with `bits` columns of ±1 partial sums — NOT an
+    # explode to bits× rows: per-bit sums are map-side combinable, so
+    # the only shuffle carries |docs| rows of `bits` ints instead of
+    # bits·|tokens| exploded rows. Vote semantics are bit-identical to
+    # the per-row form the oracle uses.
+    h = toks.withColumn("__x32", portable_hash_mod("tok", 1 << bits))
+    vote_aggs = [
         F.sum(
-            F.expr("CASE WHEN s > 0 THEN shiftleft(CAST(1 AS BIGINT), bit) ELSE CAST(0 AS BIGINT) END")
-        ).alias("simhash")
-    )
+            F.when(F.expr(f"(shiftright(__x32, {b}) & 1) = 1"), 1).otherwise(-1)
+        ).alias(f"__s{b}")
+        for b in range(bits)
+    ]
+    votes = h.groupBy(id_col).agg(*vote_aggs)
+    sig_expr = None
+    for b in range(bits):
+        term = F.when(
+            F.col(f"__s{b}") > 0, F.lit(1 << b).cast("bigint")
+        ).otherwise(F.lit(0).cast("bigint"))
+        sig_expr = term if sig_expr is None else sig_expr + term
+    return votes.select(F.col(id_col), sig_expr.alias("simhash"))
 
 
 def simhash_pairs(
-    docs: DataFrame, id_col: str, text_col: str, max_hamming: int = 6
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 6,
+    bits: int = SIMHASH_BITS,
 ) -> DataFrame:
     """Pairs with SimHash Hamming distance ≤ max_hamming.
 
@@ -242,9 +255,9 @@ def simhash_pairs(
     that any pair within the Hamming radius agrees on ≥1 whole band, so
     candidates come from an equi-self-join on (band_idx, band_val) and
     the result is identical to the O(n²) cross join it replaces."""
-    sig = simhash_signatures(docs, id_col, text_col)
+    sig = simhash_signatures(docs, id_col, text_col, bits=bits)
     n_bands = max_hamming + 1
-    base, extra = divmod(SIMHASH_BITS, n_bands)
+    base, extra = divmod(bits, n_bands)
     bands, offset = [], 0
     for j in range(n_bands):
         width = base + (1 if j < extra else 0)

@@ -327,18 +327,24 @@ def dedup_minhash_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(d, "doc_id", "text", n=3, num_hashes=16, bands=4, threshold=0.5)
 
 
-@register(
-    "dedup_simhash",
-    oracle=f"""
+_SIMHASH_BITS_Q = 48
+_SIMHASH_HAMMING_Q = 3
+
+
+def _simhash_sql(bits: int = _SIMHASH_BITS_Q, max_hamming: int = _SIMHASH_HAMMING_Q) -> str:
+    """DuckDB twin of ``simhash_pairs`` — same signature width and
+    radius as the registered Spark query (parameterized so the two
+    can never drift)."""
+    return f"""
     WITH rawtoks AS (
       SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok FROM documents
     ),
     toks AS (SELECT DISTINCT doc_id, tok FROM rawtoks WHERE tok <> ''),
-    h AS (SELECT doc_id, {_PORTABLE_HASH.format(col='tok')} % 4294967296 AS x FROM toks),
+    h AS (SELECT doc_id, {_PORTABLE_HASH.format(col='tok')} % {1 << bits} AS x FROM toks),
     bits AS (
       SELECT doc_id, i AS bit,
              CASE WHEN (x >> i) & 1 = 1 THEN 1 ELSE -1 END AS w
-      FROM h, UNNEST(range(0, 32)) AS u(i)
+      FROM h, UNNEST(range(0, {bits})) AS u(i)
     ),
     votes AS (SELECT doc_id, bit, sum(w) AS s FROM bits GROUP BY 1, 2),
     sig AS (
@@ -350,13 +356,21 @@ def dedup_minhash_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
     FROM sig a JOIN sig b ON a.doc_id < b.doc_id
-    WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
-    """,
-)
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+    """
+
+
+@register("dedup_simhash", oracle=_simhash_sql())
 def dedup_simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (32-bit signatures, Hamming ≤ 6)."""
+    """SimHash near-dup pairs (48-bit signatures, Hamming ≤ 3, exact
+    pigeonhole banding). 32 bits saturate on this shared-vocabulary
+    corpus (48% of all pairs within Hamming 6); the wider signature +
+    tighter radius keeps the output an actual near-dup set and the
+    verify stage O(|candidates|)."""
     d = load_table(spark, sf_dir, "documents")
-    return simhash_pairs(d, "doc_id", "text", max_hamming=6)
+    return simhash_pairs(
+        d, "doc_id", "text", max_hamming=_SIMHASH_HAMMING_Q, bits=_SIMHASH_BITS_Q
+    )
 
 
 def _cosine_near_dup_sql(
