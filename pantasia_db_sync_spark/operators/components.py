@@ -1,0 +1,82 @@
+"""Connected components — near-dup cluster canonicalization.
+
+A dedup pipeline's final step: near-dup PAIRS (from MinHash/SimHash/
+cosine banding) must become per-document canonical ids, i.e. connected
+components of the similarity graph with ``component_id = min(doc_id)``
+per component (the transitive closure of "is a near-dup of").
+
+Implementation: iterative min-label propagation — each round every
+node takes the min of its own label and its neighbors' labels; the
+loop converges in graph-diameter rounds. Near-dup components are tiny
+(pairs → clusters of a handful of docs), so diameter is small; per
+round the work is one equi-join + one groupBy, both shuffle-partitioned
+on the node id — no driver-side graph state, nothing collected. Labels
+are localCheckpoint'ed per round to cut the growing lineage.
+
+At extreme scale (billions of edges, adversarial diameter) the
+alternating large-star/small-star algorithm (Kiveris et al., "Connected
+Components in MapReduce and Beyond") converges in O(log n) rounds with
+the same join-shape per round; the propagation loop below keeps the
+simpler shape since near-dup graphs are shallow by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    nodes: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    node_col: str = "node",
+    comp_col: str = "component_id",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(node, component_id) with component_id = min node id reachable.
+
+    ``edges`` are undirected pairs; ``nodes`` lists every node so
+    singletons (no edges) appear with their own id as component.
+    Deterministic: the result depends only on the graph, not on
+    partitioning or iteration order.
+    """
+    sym = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).union(
+        edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst"))
+    )
+    labels = (
+        nodes.select(F.col(node_col).alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(labels.withColumnRenamed("node", "src"), "src")
+            .groupBy("dst")
+            .agg(F.min("label").alias("nbr_label"))
+            .withColumnRenamed("dst", "node")
+        )
+        new_labels = (
+            labels.join(nbr_min, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    "label", F.coalesce("nbr_label", "label")
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node"), F.col("label").alias(comp_col))

@@ -1,0 +1,212 @@
+"""Training-data pipeline operators beyond the dedup/ANN families.
+
+The ops a 100 TB pretraining-data pipeline runs after near-dup
+detection: cluster canonicalization (connected components), dataset
+splitting, sequence packing, corpus statistics, and per-class
+embedding centroids. Each is a registered query with a DuckDB oracle
+(the components oracle is a recursive CTE — the SQL-native transitive
+closure).
+
+No reference-repo counterpart (the reference is an NFT-activity sync
+daemon); these extend SURVEY.md §2's "LLM-data" surface, same design
+rules: JVM-only expressions, equi-join/window shapes, engine-portable
+hashes, rounded floats.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import portable_hash60, tokens_col
+from ..operators.components import connected_components
+from ..operators.dedup import minhash_lsh_pairs
+from ..operators.similarity import as_double_vec
+from ..sources.catalog import load_table
+from .llmdata import _minhash_sql, _PORTABLE_HASH
+from .registry import fround, register, sql_round
+
+
+@register(
+    "dedup_components",
+    oracle=f"""
+    WITH RECURSIVE pairs AS (
+      SELECT id_a, id_b FROM ({_minhash_sql()})
+    ),
+    sym AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    reach(a, b) AS (
+      SELECT src, dst FROM sym
+      UNION
+      SELECT r.a, s.dst FROM reach r JOIN sym s ON r.b = s.src
+    ),
+    comp AS (SELECT a, min(b) AS m FROM reach GROUP BY a)
+    SELECT d.doc_id,
+           CAST(least(d.doc_id, coalesce(c.m, d.doc_id)) AS BIGINT)
+             AS component_id
+    FROM documents d LEFT JOIN comp c ON c.a = d.doc_id
+    """,
+)
+def dedup_components_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster canonicalization: connected components over the
+    MinHash-LSH pair graph, component_id = min doc_id per cluster
+    (singletons keep their own id). Spark runs iterative min-label
+    propagation (operators/components.py); the oracle is the recursive
+    transitive closure — an iterative distributed algorithm checked
+    against SQL-native recursion."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        d, "doc_id", "text", n=3, num_hashes=16, bands=4, threshold=0.5
+    )
+    comp = connected_components(
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
+        d.select(F.col("doc_id").alias("node")),
+    )
+    return comp.select(
+        F.col("node").alias("doc_id"), F.col("component_id").cast("bigint")
+    )
+
+
+_SPLIT_SQL_HASH = _PORTABLE_HASH.format(
+    col="concat('split:', CAST(doc_id AS VARCHAR))"
+)
+
+
+@register(
+    "split_train_valid_test",
+    oracle=f"""
+    SELECT doc_id,
+           CAST({_SPLIT_SQL_HASH} % 100 AS INTEGER) AS bucket,
+           CASE WHEN {_SPLIT_SQL_HASH} % 100 < 80 THEN 'train'
+                WHEN {_SPLIT_SQL_HASH} % 100 < 90 THEN 'valid'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+)
+def split_train_valid_test_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 split by salted content-independent hash
+    of the document id — the training-data splitter that is stable
+    across runs, engines, and partitionings (never rand()-based, which
+    would unrepeatably leak documents across splits between runs)."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = (
+        portable_hash60(F.concat(F.lit("split:"), F.col("doc_id").cast("string")))
+        % 100
+    )
+    return d.select(
+        "doc_id",
+        bucket.cast("int").alias("bucket"),
+        F.when(bucket < 80, "train")
+        .when(bucket < 90, "valid")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+@register(
+    "pack_token_budget",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, source,
+             CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    )
+    SELECT doc_id, source, n_tokens,
+           CAST(coalesce(
+             sum(n_tokens) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) // 512 AS BIGINT) AS pack_id
+    FROM t
+    """,
+)
+def pack_token_budget_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: assign docs (in deterministic id order, per
+    source shard) to fixed 512-token training buckets by exclusive
+    running token count. Partitioned by source so the window shuffles
+    per shard — never a global single-partition sort."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id", "source", F.size(tokens_col("text")).cast("bigint").alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return t.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.floor(F.coalesce(F.sum("n_tokens").over(w), F.lit(0)) / 512)
+        .cast("bigint")
+        .alias("pack_id"),
+    )
+
+
+@register(
+    "text_topk_ngrams",
+    oracle="""
+    WITH toks AS (SELECT string_split(trim(text), ' ') AS t FROM documents),
+    bi AS (
+      SELECT t[i] || ' ' || t[i+1] AS ngram
+      FROM toks, UNNEST(range(1, len(t))) AS u(i)
+    )
+    SELECT ngram, CAST(count(*) AS BIGINT) AS cnt
+    FROM bi GROUP BY ngram
+    ORDER BY cnt DESC, ngram ASC LIMIT 20
+    """,
+)
+def text_topk_ngrams_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus statistics: global top-20 bigrams by occurrence count
+    (not per-doc-distinct), deterministic tie-break on the ngram.
+    One explode + one map-side-combinable count; the top-k is a
+    TakeOrdered, never a global sort."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(tokens_col("text").alias("__t"))
+    bi = F.when(
+        F.size("__t") >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size("__t") - 2),
+            lambda i: F.concat_ws(
+                " ", F.element_at("__t", i + 1), F.element_at("__t", i + 2)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        t.select(F.explode(bi).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("ngram").asc())
+        .limit(20)
+    )
+
+
+@register(
+    "embedding_centroids",
+    oracle=f"""
+    WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+    SELECT label,
+           CAST(i - 1 AS INTEGER) AS pos,
+           {sql_round('avg(v[i])', 6)} AS centroid,
+           CAST(count(*) AS BIGINT) AS n
+    FROM e, UNNEST(range(1, len(v) + 1)) AS u(i)
+    GROUP BY label, pos
+    """,
+)
+def embedding_centroids_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids, one (label, dimension) row each —
+    the class prototypes an IVF index or a diversity sampler needs.
+    posexplode keeps the computation a plain combinable aggregate (no
+    UDF, no collect); rounded like every cross-engine float."""
+    e = load_table(spark, sf_dir, "embeddings")
+    ex = e.select(
+        "label", F.posexplode(as_double_vec("embedding")).alias("pos", "x")
+    )
+    return ex.groupBy("label", F.col("pos").cast("int").alias("pos")).agg(
+        fround(F.avg("x"), 6).alias("centroid"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )

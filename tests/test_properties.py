@@ -231,3 +231,48 @@ def test_df_capped_jaccard_subset_of_uncapped(spark, docs, max_df, threshold):
     assert set(capped) <= set(uncapped)
     for pair, j in capped.items():
         assert j <= uncapped[pair] + 1e-12, pair
+
+
+@settings(**SETTINGS)
+@given(
+    n_nodes=st.integers(1, 25),
+    edges=st.lists(
+        st.tuples(st.integers(0, 24), st.integers(0, 24)), max_size=40
+    ),
+)
+def test_connected_components_matches_union_find(spark, n_nodes, edges):
+    """Iterative min-label propagation ≡ a driver-side union-find, for
+    ANY graph (self-loops, duplicate edges, out-of-node-set edges
+    filtered)."""
+    from pantasia_db_sync_spark.operators.components import connected_components
+
+    edges = [(a, b) for a, b in edges if a < n_nodes and b < n_nodes]
+    nodes_df = spark.createDataFrame(
+        [(i,) for i in range(n_nodes)], "node long"
+    )
+    edges_df = (
+        spark.createDataFrame(edges, "src long, dst long")
+        if edges
+        else spark.createDataFrame([], "src long, dst long")
+    )
+    got = {
+        r["node"]: r["component_id"]
+        for r in connected_components(edges_df, nodes_df).collect()
+    }
+
+    parent = list(range(n_nodes))
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {}
+    for i in range(n_nodes):
+        root = find(i)
+        comp_min = min(j for j in range(n_nodes) if find(j) == root)
+        want[i] = comp_min
+    assert got == want
