@@ -31,6 +31,7 @@ HEADLINE = [
     "dedup_ngram_jaccard",
     "dedup_simhash",
     "dedup_embedding_cosine",
+    "dedup_components",
     "ann_bruteforce_topk",
     "ann_lsh_topk",
     "text_quality_score",
@@ -74,7 +75,10 @@ def main() -> None:
     from pantasia_db_sync_spark.pipeline.store import TableStore
     from pantasia_db_sync_spark.pipeline.sync import SyncEngine
 
-    sync_scale = float(os.environ.get("SPARK_GRAFT_SYNC_SCALE", "0.1"))
+    # scale 1.0 ≈ 40k records: large enough that per-job overhead
+    # amortizes and rec/s reflects pipeline throughput (~3.2k rec/s),
+    # small enough to keep the bench run under a minute of sync time.
+    sync_scale = float(os.environ.get("SPARK_GRAFT_SYNC_SCALE", "1.0"))
     with tempfile.TemporaryDirectory() as src, tempfile.TemporaryDirectory() as sink:
         fixtures.generate(src, scale=sync_scale, seed=42)
         engine = SyncEngine(
