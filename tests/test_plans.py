@@ -84,6 +84,22 @@ def test_dedup_family_no_quadratic_join(spark, sf_dir, name):
     assert "CartesianProduct" not in plan, name
 
 
+def test_traindata_plan_shapes(spark, sf_dir):
+    """The training-data ops keep their scale shapes: the split is a
+    pure map (0 shuffles), packing shuffles once on the source shard
+    (never a global single-partition window), top-k n-grams is one
+    combinable count + TakeOrdered (no global sort), centroids one
+    partial→final aggregate."""
+    p = plan_of(spark, sf_dir, "split_train_valid_test")
+    assert n_shuffles(p) == 0 and "SinglePartition" not in p, p
+    p = plan_of(spark, sf_dir, "pack_token_budget")
+    assert n_shuffles(p) == 1 and "SinglePartition" not in p, p
+    p = plan_of(spark, sf_dir, "text_topk_ngrams")
+    assert n_shuffles(p) == 1 and "TakeOrdered" in p, p
+    p = plan_of(spark, sf_dir, "embedding_centroids")
+    assert n_shuffles(p) == 1 and "SinglePartition" not in p, p
+
+
 def test_no_python_udf_in_builtin_paths(spark, sf_dir):
     """Hot-path queries stay JVM-side (no Python eval nodes)."""
     for name in ["agg_pricing_summary", "text_quality_score", "func_hex_roundtrip"]:
