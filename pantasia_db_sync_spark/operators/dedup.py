@@ -254,7 +254,14 @@ def simhash_pairs(
     signature into ``max_hamming + 1`` bit-bands guarantees (pigeonhole)
     that any pair within the Hamming radius agrees on ≥1 whole band, so
     candidates come from an equi-self-join on (band_idx, band_val) and
-    the result is identical to the O(n²) cross join it replaces."""
+    the result is identical to the O(n²) cross join it replaces.
+
+    Scaling rule: exactness fixes the band COUNT at max_hamming + 1, so
+    per-band bucket granularity (2^(bits/(H+1))) scales only through
+    ``bits`` — grow the signature width with log2(n) (≤60) to keep
+    buckets, and thus candidates, bounded (measured in
+    scripts/scale_experiment.py: 48-bit is linear to 50k docs, widens
+    needed by 250k)."""
     sig = simhash_signatures(docs, id_col, text_col, bits=bits)
     n_bands = max_hamming + 1
     base, extra = divmod(bits, n_bands)

@@ -128,6 +128,30 @@ def ivf_topk(
     )
 
 
+def recommended_lsh_params(
+    n_vectors: int, target_bucket: int = 32, max_bits: int = 60
+) -> tuple[int, int]:
+    """(bits, n_bands) sized so per-band buckets hold ~``target_bucket``
+    vectors — the knob that keeps banded candidate generation linear.
+
+    Per band there are 2^(bits/n_bands) buckets and candidate pairs per
+    bucket grow quadratically in bucket size, so bits_per_band must
+    grow with log2(n). Capped at ``max_bits`` total (the portable md5
+    hash keeps 15 hex digits = 60 bits; packed signatures must also
+    stay under the 63-bit signed-long limit). Measured on the 50x
+    corpus (25k vectors): fixture-sized 32/8 banding verifies ~6M
+    candidate pairs, scaled banding ~60k (scripts/scale_experiment.py).
+    """
+    import math
+
+    if n_vectors < 2:
+        return 8, 2
+    bpb = max(4, math.ceil(math.log2(max(2, n_vectors / target_bucket))))
+    bpb = min(bpb, max_bits // 2)
+    n_bands = max(2, min(8, max_bits // bpb))
+    return bpb * n_bands, n_bands
+
+
 def lsh_weights(bits: int = 8, dim: int = 64) -> list[list[float]]:
     """Deterministic ±1 (Rademacher) hyperplanes from md5 — engine-
     portable: both Spark and the DuckDB oracle embed the same literal

@@ -40,6 +40,16 @@ def _nanos_timestamp_cols(path: str) -> list[str]:
     TimestampType at micros precision, matching DuckDB's ns→µs read."""
     import pyarrow.parquet as pq
 
+    if os.path.isdir(path):
+        # Spark-written tables are directories of part files with one
+        # schema; probing any part file is enough.
+        parts = sorted(
+            f for f in os.listdir(path)
+            if f.endswith(".parquet") and not f.startswith(("_", "."))
+        )
+        if not parts:
+            return []
+        path = os.path.join(path, parts[0])
     schema = pq.read_schema(path)
     cols = []
     for field in schema:

@@ -276,3 +276,19 @@ def test_connected_components_matches_union_find(spark, n_nodes, edges):
         comp_min = min(j for j in range(n_nodes) if find(j) == root)
         want[i] = comp_min
     assert got == want
+
+
+@settings(**SETTINGS)
+@given(n=st.integers(2, 10**12), target=st.integers(8, 256))
+def test_recommended_lsh_params_invariants(n, target):
+    """Band sizing always yields a valid, long-packable signature whose
+    per-band bucket count keeps expected bucket size ≤ ~target."""
+    from pantasia_db_sync_spark.operators.similarity import recommended_lsh_params
+
+    bits, n_bands = recommended_lsh_params(n, target_bucket=target)
+    assert 2 <= n_bands <= 8
+    assert bits % n_bands == 0
+    assert bits <= 60  # portable-hash width and < 63-bit signed long
+    bpb = bits // n_bands
+    # bucket count per band covers n/target (up to the bit cap)
+    assert (1 << bpb) >= min(n / target, 1 << (60 // 2)) / 2
