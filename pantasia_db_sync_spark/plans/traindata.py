@@ -18,12 +18,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.text import portable_hash60, tokens_col
+from ..functions.text import STOPWORDS, portable_hash60, tokens_col
 from ..operators.components import connected_components
 from ..operators.dedup import minhash_lsh_pairs
 from ..operators.similarity import as_double_vec
 from ..sources.catalog import load_table
-from .llmdata import _minhash_sql, _PORTABLE_HASH
+from .llmdata import _in_words, _minhash_sql, _PORTABLE_HASH, _stop_pred
 from .registry import fround, register, sql_round
 
 
@@ -182,6 +182,62 @@ def text_topk_ngrams_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("cnt"))
         .orderBy(F.col("cnt").desc(), F.col("ngram").asc())
         .limit(20)
+    )
+
+
+@register(
+    "corpus_clean",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang, md5(text) AS text_md5,
+             string_split(trim(text), ' ') AS t
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id, lang, text_md5,
+             CAST(len(t) AS INTEGER) AS n_tokens,
+             {sql_round(f"(1.0 - len(list_filter(t, x -> {_stop_pred('x', STOPWORDS)})) / CAST(len(t) AS DOUBLE)) * (least(len(t), 100) / 100.0)", 4)}
+               AS quality
+      FROM toks
+    ),
+    kept AS (
+      SELECT * FROM scored WHERE quality >= 0.4 AND lang = 'en'
+    ),
+    canon AS (
+      SELECT *, min(doc_id) OVER (PARTITION BY text_md5) AS canonical_id
+      FROM kept
+    )
+    SELECT doc_id, lang, n_tokens, quality
+    FROM canon WHERE doc_id = canonical_id
+    """,
+)
+def corpus_clean_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composite corpus-cleaning materialization a pretraining
+    pipeline actually ships: quality-score filter + language filter +
+    exact-dedup canonicalization in ONE declarative plan, so Catalyst
+    pushes the cheap filters below the dedup window's single shuffle
+    and prunes unused columns at the scan."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.withColumn("__t", tokens_col("text"))
+    n = F.size("__t")
+    stop_hits = F.size(F.filter("__t", lambda x: _in_words(x, STOPWORDS)))
+    scored = t.select(
+        "doc_id",
+        "lang",
+        F.md5("text").alias("__md5"),
+        n.cast("int").alias("n_tokens"),
+        fround(
+            (F.lit(1.0) - stop_hits / n.cast("double"))
+            * (F.least(n, F.lit(100)) / F.lit(100.0)),
+            4,
+        ).alias("quality"),
+    )
+    w = Window.partitionBy("__md5")
+    return (
+        scored.where((F.col("quality") >= 0.4) & (F.col("lang") == "en"))
+        .withColumn("__canon", F.min("doc_id").over(w))
+        .where(F.col("doc_id") == F.col("__canon"))
+        .select("doc_id", "lang", "n_tokens", "quality")
     )
 
 

@@ -98,6 +98,12 @@ def test_traindata_plan_shapes(spark, sf_dir):
     assert n_shuffles(p) == 1 and "TakeOrdered" in p, p
     p = plan_of(spark, sf_dir, "embedding_centroids")
     assert n_shuffles(p) == 1 and "SinglePartition" not in p, p
+    # composite cleaner: lang filter reaches the parquet scan, unused
+    # columns pruned, one shuffle (the dedup window)
+    p = plan_of(spark, sf_dir, "corpus_clean")
+    assert n_shuffles(p) == 1, p
+    assert "EqualTo(lang,en)" in p, p
+    assert "source" not in p.split("ReadSchema")[1][:200], p
 
 
 def test_no_python_udf_in_builtin_paths(spark, sf_dir):
