@@ -146,3 +146,81 @@ class TableStore:
             self.repoint(table, version)
         if manifest.get("checkpoint") is not None:
             self.write_checkpoint(manifest["checkpoint"])
+
+    def read_at(self, spark: SparkSession, table: str, tag: str) -> DataFrame | None:
+        """Time-travel read: the table as of snapshot ``tag``, without
+        repointing anything (the snapshot is just version pointers, so
+        this is O(1) metadata — no data was copied at snapshot time).
+        Fact tables replay to the snapshot's commit watermark."""
+        with open(self._snap_path(tag)) as f:
+            manifest = json.load(f)
+        version = manifest["versions"].get(table)
+        if version is None:
+            return None
+        if os.path.isdir(os.path.join(self._tdir(table), "data")):
+            from pyspark.sql import functions as F
+
+            data = os.path.join(self._tdir(table), "data")
+            df = spark.read.option("basePath", data).parquet(data)
+            return df.where(F.col("commit") <= version).drop("commit")
+        return spark.read.parquet(self._data_dir(table, version))
+
+    # --- retention ----------------------------------------------------------
+
+    def _snapshot_tags(self) -> list[str]:
+        return [
+            f[len("_SNAPSHOT_"):-len(".json")]
+            for f in os.listdir(self.base_dir)
+            if f.startswith("_SNAPSHOT_") and f.endswith(".json")
+        ]
+
+    def vacuum(self, keep_last: int = 1) -> dict[str, list[str]]:
+        """Reclaim unreferenced storage from a long-running sync.
+
+        A version directory is PROTECTED if it is (a) the current
+        pointer, (b) recorded by any snapshot, or (c) among the
+        ``keep_last`` most recent versions; everything else is deleted.
+        Fact append-partitions above the commit watermark are orphans
+        from aborted commits (the stage-then-flip protocol never
+        exposed them to readers) and are removed too. Pure metadata +
+        directory deletes — never touches live data, so it is safe to
+        run concurrently with readers of the current version.
+        """
+        protected: dict[str, set[int]] = {}
+        for tag in self._snapshot_tags():
+            with open(self._snap_path(tag)) as f:
+                for t, v in json.load(f)["versions"].items():
+                    protected.setdefault(t, set()).add(v)
+
+        removed: dict[str, list[str]] = {}
+        for table in os.listdir(self.base_dir):
+            tdir = self._tdir(table)
+            if not os.path.isdir(tdir):
+                continue
+            current = self.current_version(table)
+            if current is None:
+                continue
+            keep = protected.get(table, set()) | {current}
+            versions = sorted(
+                int(d[1:])
+                for d in os.listdir(tdir)
+                if d.startswith("v") and d[1:].isdigit()
+            )
+            keep.update(versions[-keep_last:])
+            for v in versions:
+                if v not in keep:
+                    shutil.rmtree(self._data_dir(table, v))
+                    removed.setdefault(table, []).append(f"v{v}")
+            data = os.path.join(tdir, "data")
+            if os.path.isdir(data):
+                # orphans = commits above EVERY watermark anyone could
+                # read: the live pointer and any snapshot's pointer (a
+                # restore may move the watermark forward again)
+                watermark = max(keep)
+                for d in os.listdir(data):
+                    if d.startswith("commit="):
+                        cid = int(d.split("=", 1)[1])
+                        if cid > watermark:
+                            shutil.rmtree(os.path.join(data, d))
+                            removed.setdefault(table, []).append(d)
+        return removed

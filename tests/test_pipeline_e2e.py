@@ -290,3 +290,44 @@ def test_snapshot_restore(spark, source_dir, batch_store):
     assert batch_store.read(spark, "wallet").count() == 1
     batch_store.restore("pre")
     assert _store_tables(spark, batch_store) == before
+
+
+def test_time_travel_read_at(spark, source_dir, batch_store):
+    """read_at serves the snapshot state without repointing — O(1)
+    metadata, concurrent with live readers."""
+    n_before = batch_store.read(spark, "wallet").count()
+    batch_store.snapshot("tt")
+    v = batch_store.stage("wallet", batch_store.read(spark, "wallet").limit(2))
+    batch_store.repoint("wallet", v)
+    assert batch_store.read(spark, "wallet").count() == 2
+    assert batch_store.read_at(spark, "wallet", "tt").count() == n_before
+    batch_store.restore("tt")
+    assert batch_store.read(spark, "wallet").count() == n_before
+
+
+def test_vacuum_retention(spark, tmp_path_factory):
+    """vacuum removes only unprotected version dirs and orphaned
+    above-watermark fact commits; current, snapshotted, and keep_last
+    versions survive and stay readable."""
+    import os
+
+    store = TableStore(str(tmp_path_factory.mktemp("sink_vac")))
+    df1 = spark.createDataFrame([(1, "a")], "id long, x string")
+    df2 = spark.createDataFrame([(2, "b")], "id long, x string")
+    df3 = spark.createDataFrame([(3, "c")], "id long, x string")
+    store.repoint("dim", store.stage("dim", df1))     # v1
+    store.snapshot("old")                              # protects v1
+    store.repoint("dim", store.stage("dim", df2))     # v2 (unprotected)
+    store.repoint("dim", store.stage("dim", df3))     # v3 (current)
+    # facts: commits 1,2 committed; 3 aborted (never repointed)
+    store.append("fact", df1, 1); store.commit_append("fact", 1)
+    store.append("fact", df2, 2); store.commit_append("fact", 2)
+    store.append("fact", df3, 3)  # orphan
+
+    removed = store.vacuum(keep_last=1)
+    assert removed == {"dim": ["v2"], "fact": ["commit=3"]}, removed
+    tdir = os.path.join(store.base_dir, "dim")
+    assert sorted(d for d in os.listdir(tdir) if d.startswith("v")) == ["v1", "v3"]
+    assert store.read(spark, "dim").collect()[0]["id"] == 3
+    assert store.read_at(spark, "dim", "old").collect()[0]["id"] == 1
+    assert store.read_facts(spark, "fact").count() == 2
