@@ -60,6 +60,7 @@ class SyncEngine:
         time_interval_minutes: int = 120,
         tip_buffer_blocks: int = 3,
         genesis: datetime = GENESIS,
+        retention_keep_last: int | None = None,
     ) -> None:
         self.spark = spark
         self.source_dir = source_dir
@@ -67,6 +68,10 @@ class SyncEngine:
         self.interval = timedelta(minutes=time_interval_minutes)
         self.tip_buffer = tip_buffer_blocks
         self.genesis = genesis
+        # opt-in storage retention: vacuum superseded dim versions after
+        # each period (a long-running sync otherwise keeps one version
+        # per table per period forever); snapshots stay protected
+        self.retention_keep_last = retention_keep_last
 
     # --- sources -------------------------------------------------------------
 
@@ -519,4 +524,6 @@ class SyncEngine:
             if shutdown is not None and shutdown.stop_requested:
                 break
             out.append(self.process_period(lo, hi, commit_id=base_commit + i))
+            if self.retention_keep_last is not None:
+                self.store.vacuum(keep_last=self.retention_keep_last)
         return out

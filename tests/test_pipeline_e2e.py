@@ -305,6 +305,29 @@ def test_time_travel_read_at(spark, source_dir, batch_store):
     assert batch_store.read(spark, "wallet").count() == n_before
 
 
+def test_sync_with_retention_bounds_versions(
+    spark, source_dir, batch_store, tmp_path_factory
+):
+    """retention_keep_last bounds dim version dirs across a multi-period
+    sync without changing the synced result."""
+    import os
+
+    store = TableStore(str(tmp_path_factory.mktemp("sink_ret")))
+    engine = SyncEngine(
+        spark, source_dir, store, time_interval_minutes=30, retention_keep_last=1
+    )
+    stats = engine.run_sync()
+    assert len(stats) >= 3
+    for dim in ("wallet", "collection", "asset", "asset_ext"):
+        vdirs = [
+            d
+            for d in os.listdir(os.path.join(store.base_dir, dim))
+            if d.startswith("v")
+        ]
+        assert len(vdirs) <= 2, (dim, vdirs)  # current + keep_last
+    assert _store_tables(spark, store) == _store_tables(spark, batch_store)
+
+
 def test_vacuum_retention(spark, tmp_path_factory):
     """vacuum removes only unprotected version dirs and orphaned
     above-watermark fact commits; current, snapshotted, and keep_last
