@@ -80,3 +80,47 @@ def test_redelivered_batch_is_idempotent(spark, dirs):
     store.commit_append("events_sink", store.current_version("events_sink"))
     assert store.read_facts(spark, "events_sink").count() == before
     assert before == N_FILES * n_file
+
+
+def test_poll_backoff_processing_time_trigger(spark, dirs):
+    """G3: the reference's poll/backoff loop (app/main.py:48-53) maps to
+    the processingTime trigger — batches fire on the cadence, late-added
+    files are picked up by a later tick, and stop() is graceful."""
+    import time
+
+    stream_dir, ckpt, store_dir, src = dirs
+    store = TableStore(store_dir)
+    n_file = spark.read.parquet(src).count()
+
+    def writer(df, batch_id):
+        store.append("events_sink", df, commit_id=batch_id)
+        store.commit_append("events_sink", batch_id)
+
+    q = foreach_batch_sync(
+        events_stream(spark, stream_dir, max_files_per_trigger=10),
+        checkpoint_dir=ckpt,
+        batch_writer=writer,
+        processing_time="1 seconds",
+    )
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            df = store.read_facts(spark, "events_sink")
+            if df is not None and df.count() >= N_FILES * n_file:
+                break
+            time.sleep(1)
+        assert store.read_facts(spark, "events_sink").count() == N_FILES * n_file
+
+        # a file arriving AFTER the stream started is polled in on a
+        # later trigger tick — the backoff-poll semantics
+        shutil.copy(src, os.path.join(stream_dir, "part-late.parquet"))
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            if store.read_facts(spark, "events_sink").count() >= (N_FILES + 1) * n_file:
+                break
+            time.sleep(1)
+        assert (
+            store.read_facts(spark, "events_sink").count() == (N_FILES + 1) * n_file
+        )
+    finally:
+        q.stop()
