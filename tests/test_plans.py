@@ -106,6 +106,43 @@ def test_traindata_plan_shapes(spark, sf_dir):
     assert "source" not in p.split("ReadSchema")[1][:200], p
 
 
+# Deliberate exceptions to the no-quadratic-plan rule, each justified:
+_ALLOWED_NESTED_LOOP = {
+    "ann_bruteforce_topk",  # exact baseline: broadcast small-query-set cross join
+    "join_cross",           # the cross-join operator itself (tiny dims)
+}
+# Single-partition exchanges allowed only where the exchanged data is
+# metadata-scale (a handful of rows), never a full table:
+_ALLOWED_SINGLE_PARTITION = {
+    "agg_approx_distinct",  # final merge of HLL sketches → 1 row
+    "period_windows",       # period boundary list (one row per period)
+    "sink_tip",             # max(tx_time) watermark → 1 row
+}
+
+
+def test_every_query_plan_free_of_scale_smells(spark, sf_dir):
+    """Blanket gate over the ENTIRE registry: no query may plan a
+    BroadcastNestedLoopJoin, CartesianProduct, or single-partition
+    exchange unless it is on the justified whitelist above. Catches any
+    future query that quietly introduces an O(n²) join or a global
+    funnel."""
+    from pantasia_db_sync_spark.plans import QUERIES
+
+    offenders = {}
+    for name, fn in sorted(QUERIES.items()):
+        plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        smells = []
+        if "BroadcastNestedLoopJoin" in plan or "CartesianProduct" in plan:
+            if name not in _ALLOWED_NESTED_LOOP:
+                smells.append("nested-loop/cartesian join")
+        if "Exchange SinglePartition" in plan:
+            if name not in _ALLOWED_SINGLE_PARTITION:
+                smells.append("single-partition exchange")
+        if smells:
+            offenders[name] = smells
+    assert not offenders, offenders
+
+
 def test_no_python_udf_in_builtin_paths(spark, sf_dir):
     """Hot-path queries stay JVM-side (no Python eval nodes)."""
     for name in ["agg_pricing_summary", "text_quality_score", "func_hex_roundtrip"]:
