@@ -33,14 +33,16 @@ def connected_components(
     dst_col: str = "dst",
     node_col: str = "node",
     comp_col: str = "component_id",
-    max_iter: int = 25,
+    max_iter: int = 50,
 ) -> DataFrame:
     """(node, component_id) with component_id = min node id reachable.
 
     ``edges`` are undirected pairs; ``nodes`` lists every node so
     singletons (no edges) appear with their own id as component.
     Deterministic: the result depends only on the graph, not on
-    partitioning or iteration order.
+    partitioning or iteration order. Raises RuntimeError if the graph
+    diameter exceeds ``max_iter`` (labels still changing) — a silently
+    partial canonicalization would keep duplicate documents.
     """
     sym = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
@@ -53,6 +55,7 @@ def connected_components(
         .withColumn("label", F.col("node"))
         .localCheckpoint(eager=True)
     )
+    converged = False
     for _ in range(max_iter):
         nbr_min = (
             sym.join(labels.withColumnRenamed("node", "src"), "src")
@@ -78,5 +81,12 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            "(graph diameter too large) — raise max_iter, or switch to "
+            "the large-star/small-star O(log n) variant"
+        )
     return labels.select(F.col("node"), F.col("label").alias(comp_col))

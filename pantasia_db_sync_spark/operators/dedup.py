@@ -72,8 +72,10 @@ def _pair_jaccard(sh: DataFrame, id_col: str, max_df: int | None = None) -> Data
     100× corpus would otherwise make the self-join quadratic. Doc sizes
     stay uncapped, so the capped jaccard is a strict underestimate and
     the capped output is always a subset of the uncapped one (pinned by
-    a property test). The hot-shingle set is tiny by construction →
-    broadcast anti-join, no extra shuffle of the index.
+    a property test). The anti-join side is left to the planner: with a
+    loose cap the hot set is tiny and AQE broadcasts it; with a tight
+    cap on a shared-vocabulary corpus it can be a large fraction of the
+    vocabulary, where a forced broadcast would OOM the driver.
     """
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n"))
     # (A df>=2 shingle pre-filter was tried and reverted: in this corpus
@@ -87,7 +89,7 @@ def _pair_jaccard(sh: DataFrame, id_col: str, max_df: int | None = None) -> Data
             .where(F.col("__df") > max_df)
             .select("shingle")
         )
-        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+        sh = sh.join(hot, "shingle", "left_anti")
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), "shingle")
     inter = (

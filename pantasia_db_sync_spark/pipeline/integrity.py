@@ -17,10 +17,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .schemas import FOREIGN_KEYS
+from .schemas import FACT_TABLES, FOREIGN_KEYS
 from .store import TableStore
-
-FACT_TABLES = ("asset_tx", "asset_mint_tx")
 
 
 def fk_violations(

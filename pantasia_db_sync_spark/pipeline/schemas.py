@@ -134,6 +134,11 @@ ASSET_EXT = _s(
     ("latest_tx_id", LongType(), True),
 )
 
+# Append-only tables (per-period commit partitions, read via
+# store.read_facts); everything else is a versioned dim. Single source
+# of truth for sync.py and integrity.py dispatch.
+FACT_TABLES = ("asset_tx", "asset_mint_tx")
+
 TARGET_SCHEMAS: dict[str, StructType] = {
     "user": USER,
     "wallet": WALLET,

@@ -206,7 +206,8 @@ class TableStore:
                 for d in os.listdir(tdir)
                 if d.startswith("v") and d[1:].isdigit()
             )
-            keep.update(versions[-keep_last:])
+            if keep_last > 0:  # versions[-0:] would be the WHOLE list
+                keep.update(versions[-keep_last:])
             for v in versions:
                 if v not in keep:
                     shutil.rmtree(self._data_dir(table, v))

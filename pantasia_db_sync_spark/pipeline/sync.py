@@ -38,7 +38,8 @@ from .store import TableStore
 
 SEQ_ORDER = ["tx_time", "tx_id", "ma_id", "leg_order", "sub_id"]
 
-FACT_TABLES = ("asset_tx", "asset_mint_tx")
+from .schemas import FACT_TABLES  # noqa: E402  (single source of truth)
+
 DIM_TABLES = ("wallet", "collection", "asset", "asset_ext")
 
 

@@ -23,10 +23,12 @@ from pyspark.sql import DataFrame, SparkSession
 def period_predicate(ts_col: str, lo: datetime, hi: datetime) -> str:
     """The reference's per-period half-open time filter
     (``app/db/postgres.py:347-349``: ``b3.time > %s AND b3.time <= %s``)
-    as a pushdown-able SQL predicate."""
+    as a pushdown-able SQL predicate. Full microsecond precision: the
+    sink tip is max(tx_time), and truncating fractional seconds would
+    re-read (and duplicate) rows in the truncated interval."""
     return (
-        f"{ts_col} > TIMESTAMP '{lo:%Y-%m-%d %H:%M:%S}' "
-        f"AND {ts_col} <= TIMESTAMP '{hi:%Y-%m-%d %H:%M:%S}'"
+        f"{ts_col} > TIMESTAMP '{lo:%Y-%m-%d %H:%M:%S.%f}' "
+        f"AND {ts_col} <= TIMESTAMP '{hi:%Y-%m-%d %H:%M:%S.%f}'"
     )
 
 

@@ -21,9 +21,21 @@ def test_period_predicate_half_open():
         "b3.time", datetime(2022, 1, 1, 0, 0, 0), datetime(2022, 1, 1, 2, 0, 0)
     )
     assert p == (
-        "b3.time > TIMESTAMP '2022-01-01 00:00:00' "
-        "AND b3.time <= TIMESTAMP '2022-01-01 02:00:00'"
+        "b3.time > TIMESTAMP '2022-01-01 00:00:00.000000' "
+        "AND b3.time <= TIMESTAMP '2022-01-01 02:00:00.000000'"
     )
+
+
+def test_period_predicate_keeps_sub_second_precision():
+    """The sink tip is max(tx_time) at full precision — truncating
+    fractional seconds would re-read (duplicate) the truncated
+    interval on the next period."""
+    p = period_predicate(
+        "t",
+        datetime(2022, 1, 1, 0, 0, 0, 500000),
+        datetime(2022, 1, 1, 2, 0, 0, 123456),
+    )
+    assert "00:00:00.500000" in p and "02:00:00.123456" in p
 
 
 def test_options_plain_table():

@@ -354,3 +354,10 @@ def test_vacuum_retention(spark, tmp_path_factory):
     assert store.read(spark, "dim").collect()[0]["id"] == 3
     assert store.read_at(spark, "dim", "old").collect()[0]["id"] == 1
     assert store.read_facts(spark, "fact").count() == 2
+
+    # keep_last=0 = most aggressive: only current + snapshotted survive
+    # (regression: versions[-0:] is the whole list in Python)
+    store.repoint("dim", store.stage("dim", df2))  # v4
+    store.repoint("dim", store.stage("dim", df3))  # v5 current
+    store.vacuum(keep_last=0)
+    assert sorted(d for d in os.listdir(tdir) if d.startswith("v")) == ["v1", "v5"]

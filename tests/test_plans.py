@@ -125,7 +125,13 @@ def test_every_query_plan_free_of_scale_smells(spark, sf_dir):
     BroadcastNestedLoopJoin, CartesianProduct, or single-partition
     exchange unless it is on the justified whitelist above. Catches any
     future query that quietly introduces an O(n²) join or a global
-    funnel."""
+    funnel.
+
+    Known blind spot: operators that eagerly localCheckpoint
+    (with_dense_ids, connected_components) truncate the inspected plan
+    to a checkpoint scan, so THEIR upstream lineage is not visible here
+    — their internal shapes are covered instead by dedicated property
+    tests and the pipeline e2e suite."""
     from pantasia_db_sync_spark.plans import QUERIES
 
     offenders = {}

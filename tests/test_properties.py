@@ -260,6 +260,10 @@ def test_connected_components_matches_union_find(spark, n_nodes, edges):
         for r in connected_components(edges_df, nodes_df).collect()
     }
 
+    _check_union_find(spark, n_nodes, edges, got)
+
+
+def _check_union_find(spark, n_nodes, edges, got):
     parent = list(range(n_nodes))
     def find(x):
         while parent[x] != x:
@@ -292,3 +296,21 @@ def test_recommended_lsh_params_invariants(n, target):
     bpb = bits // n_bands
     # bucket count per band covers n/target (up to the bit cap)
     assert (1 << bpb) >= min(n / target, 1 << (60 // 2)) / 2
+
+
+def test_connected_components_raises_when_diameter_exceeds_max_iter(spark):
+    """A long chain must either converge or raise — never return a
+    silently split component (which would keep duplicate docs)."""
+    import pytest as _pytest
+
+    from pantasia_db_sync_spark.operators.components import connected_components
+
+    n = 8
+    chain = [(i, i + 1) for i in range(n - 1)]
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "node long")
+    edges = spark.createDataFrame(chain, "src long, dst long")
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, nodes, max_iter=2)
+    # and with enough rounds the same chain collapses to component 0
+    out = connected_components(edges, nodes, max_iter=n + 1)
+    assert {r["component_id"] for r in out.collect()} == {0}
