@@ -210,3 +210,80 @@ def stream_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     return latest_state(
         sink, keys="user_id", order_by=[F.col("n_events").desc()]
     ).select("user_id", "last_ts", "last_event_type", "last_value", "n_events")
+
+
+def _ivf_scores_oracle() -> str:
+    from .llmdata import _SQL_VECS, _cos_sql
+
+    return f"""
+    WITH {_SQL_VECS}
+    SELECT q.vec_id AS q_id, c.vec_id AS cand_id, {_cos_sql('q', 'c')} AS cos
+    FROM n q JOIN n c ON c.label = q.label AND c.vec_id <> q.vec_id
+    WHERE q.vec_id < 10
+    """
+
+
+@register("stream_static_ann", oracle=_ivf_scores_oracle())
+def stream_static_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join, oracle-checked: a STREAM of query vectors
+    joined against the static corpus on the IVF cell (equi-join — the
+    only join shape that scales for stream-static), scored with exact
+    cosine. The streaming side carries only the query rows; the static
+    corpus is planned once per micro-batch and broadcast/shuffled by
+    Catalyst like any batch join. Append-mode memory sink: every scored
+    candidate is emitted exactly once, so the sink table equals the
+    batch IVF scoring (same oracle, minus ranking — streams cannot run
+    a rank window in append mode)."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from ..operators.similarity import as_double_vec, dot_col, norm_col
+
+    e = load_table(spark, sf_dir, "embeddings")
+    corpus = e.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("label").alias("cell"),
+        as_double_vec("embedding").alias("c_vec"),
+    ).withColumn("c_norm", norm_col(F.col("c_vec")))
+
+    d = tempfile.mkdtemp(prefix="stream_ann_")
+    shutil.copy(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        os.path.join(d, "embeddings-0.parquet"),
+    )
+    stream_q = (
+        spark.readStream.schema(e.schema)
+        .parquet(d)
+        .where(F.col("vec_id") < 10)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("label").alias("cell"),
+            as_double_vec("embedding").alias("q_vec"),
+        )
+        .withColumn("q_norm", norm_col(F.col("q_vec")))
+    )
+    scored = (
+        stream_q.join(corpus, "cell")
+        .where(F.col("q_id") != F.col("cand_id"))
+        .select(
+            "q_id",
+            "cand_id",
+            fround(
+                dot_col(F.col("q_vec"), F.col("c_vec"))
+                / (F.col("q_norm") * F.col("c_norm")),
+                6,
+            ).alias("cos"),
+        )
+    )
+    name = "ssa_" + uuid.uuid4().hex[:8]
+    q = (
+        scored.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
