@@ -90,3 +90,104 @@ def connected_components(
             "the large-star/small-star O(log n) variant"
         )
     return labels.select(F.col("node"), F.col("label").alias(comp_col))
+
+
+def _canonical_edges(edges: DataFrame) -> DataFrame:
+    """Undirected edge set, canonically directed high→low, self-loops
+    dropped, deduped."""
+    u, v = F.col("src"), F.col("dst")
+    return (
+        edges.select(
+            F.greatest(u, v).alias("src"), F.least(u, v).alias("dst")
+        )
+        .where(F.col("src") != F.col("dst"))
+        .dropDuplicates(["src", "dst"])
+    )
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """large-star: every node links its strictly-larger neighbors to
+    the minimum of its neighborhood (incl. itself)."""
+    sym = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    mins = sym.groupBy("src").agg(
+        F.least(F.min("dst"), F.first("src")).alias("m")
+    )
+    return (
+        sym.join(mins, "src")
+        .where(F.col("dst") > F.col("src"))
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """small-star: every node links its smaller-or-equal neighbors
+    (and itself) to the minimum of that set."""
+    canon = edges.select(
+        F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
+    )
+    mins = canon.groupBy("src").agg(F.min("dst").alias("m"))
+    nbrs = canon.select("src", "dst").union(
+        mins.select("src", F.col("src").alias("dst"))
+    )
+    return (
+        nbrs.join(mins, "src")
+        .where(F.col("dst") != F.col("m"))
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+    )
+
+
+def connected_components_logn(
+    edges: DataFrame,
+    nodes: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    node_col: str = "node",
+    comp_col: str = "component_id",
+    max_iter: int = 40,
+) -> DataFrame:
+    """Connected components via alternating large-star/small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond"):
+    converges in O(log n) rounds regardless of graph DIAMETER, unlike
+    min-label propagation's O(diameter). Each round is two
+    groupBy+join passes over the edge list — the same shuffle shape,
+    just exponentially fewer rounds on chain-like graphs. Use this
+    variant when clusters can be deep (e.g. transitive similarity
+    chains); `connected_components` is simpler and equally fast on the
+    shallow graphs near-dup detection usually produces.
+    """
+    cur = _canonical_edges(
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    ).localCheckpoint(eager=True)
+    converged = cur.isEmpty()
+    for _ in range(max_iter):
+        if converged:
+            break
+        stepped = _canonical_edges(_small_star(_large_star(cur))).localCheckpoint(
+            eager=True
+        )
+        # converged when the canonical edge set is stable
+        delta = (
+            stepped.exceptAll(cur).count() + cur.exceptAll(stepped).count()
+        )
+        cur = stepped
+        if delta == 0:
+            converged = True
+    if not converged:
+        raise RuntimeError(
+            f"connected_components_logn did not converge in {max_iter} rounds"
+        )
+    # at convergence every edge points node→component-min (a star)
+    centers = cur.groupBy("src").agg(F.min("dst").alias("label"))
+    return (
+        nodes.select(F.col(node_col).alias("node"))
+        .distinct()
+        .join(centers.withColumnRenamed("src", "node"), "node", "left")
+        .select(
+            "node",
+            F.least(F.col("node"), F.coalesce("label", F.col("node"))).alias(
+                comp_col
+            ),
+        )
+    )

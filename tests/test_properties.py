@@ -314,3 +314,46 @@ def test_connected_components_raises_when_diameter_exceeds_max_iter(spark):
     # and with enough rounds the same chain collapses to component 0
     out = connected_components(edges, nodes, max_iter=n + 1)
     assert {r["component_id"] for r in out.collect()} == {0}
+
+
+@settings(**SETTINGS)
+@given(
+    n_nodes=st.integers(1, 25),
+    edges=st.lists(
+        st.tuples(st.integers(0, 24), st.integers(0, 24)), max_size=40
+    ),
+)
+def test_logn_components_matches_union_find(spark, n_nodes, edges):
+    """Large-star/small-star ≡ union-find, for ANY graph."""
+    from pantasia_db_sync_spark.operators.components import (
+        connected_components_logn,
+    )
+
+    edges = [(a, b) for a, b in edges if a < n_nodes and b < n_nodes]
+    nodes_df = spark.createDataFrame([(i,) for i in range(n_nodes)], "node long")
+    edges_df = (
+        spark.createDataFrame(edges, "src long, dst long")
+        if edges
+        else spark.createDataFrame([], "src long, dst long")
+    )
+    got = {
+        r["node"]: r["component_id"]
+        for r in connected_components_logn(edges_df, nodes_df).collect()
+    }
+    _check_union_find(spark, n_nodes, edges, got)
+
+
+def test_logn_components_handles_deep_chains(spark):
+    """A 64-node chain needs 63 propagation rounds but only O(log n)
+    star rounds — the variant exists exactly for this shape."""
+    from pantasia_db_sync_spark.operators.components import (
+        connected_components_logn,
+    )
+
+    n = 64
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "node long")
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "src long, dst long"
+    )
+    out = connected_components_logn(edges, nodes, max_iter=12)
+    assert {r["component_id"] for r in out.collect()} == {0}
