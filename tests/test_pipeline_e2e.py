@@ -203,7 +203,7 @@ def test_multi_period_sync_leaks_no_cached_frames(
     # per-period frames are unreferenced, a GC cycle must reclaim them
     # rather than grow without bound. Poll generously (cleaner is async,
     # and the py4j proxies must be collected Python-side first).
-    deadline = time.time() + 60
+    deadline = time.time() + 120
     n = None
     while time.time() < deadline:
         gc.collect()
@@ -211,11 +211,13 @@ def test_multi_period_sync_leaks_no_cached_frames(
         n = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
         # A true leak pins ~6 checkpoints/period = 18+; reclamation
         # means we settle near one period's worth (the most recent
-        # frames can outlive a GC cycle before the async cleaner runs).
-        if n <= baseline + 8:
+        # frames can outlive a few GC cycles before the async cleaner
+        # runs — generous threshold/window so full-suite GC pressure
+        # doesn't flake the test, while still discriminating a leak).
+        if n <= baseline + 12:
             break
         time.sleep(2)
-    assert n is not None and n <= baseline + 8, (
+    assert n is not None and n <= baseline + 12, (
         f"{n} persistent RDDs pinned after GC (baseline {baseline}; "
         f"a per-period leak would pin ≥18)"
     )
