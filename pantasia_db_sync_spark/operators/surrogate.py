@@ -6,18 +6,40 @@ from ``SELECT id ... ORDER BY id DESC LIMIT 1``
 The naive Spark translation — ``row_number() OVER (ORDER BY ...)`` —
 funnels every row through ONE partition: a non-starter at 100 TB.
 
-Technique (SURVEY.md §4 custom-work item 1): range-partition by the
-order columns so partitions are globally ordered, number rows *within*
-each partition in parallel, then add per-partition offsets computed
-from a tiny (num_partitions-row) count aggregate broadcast back. Two
-narrow passes, no global sort bottleneck, ids are dense and start at
-``start``.
+Technique (SURVEY.md §4 custom-work item 1): split the data into
+order-aligned buckets, number rows *within* each bucket in parallel,
+then add per-bucket offsets computed from a tiny (num_buckets-row)
+count aggregate broadcast back. Two narrow passes, no global sort
+bottleneck, ids are dense and start at ``start``.
+
+The correctness hazard all strategies guard: the per-bucket counts and
+the final numbering are separate Spark jobs, and every row must land in
+the same bucket with the same within-bucket rank in both — either by
+freezing the bucketed data once (``checkpoint`` / ``persist``) or by
+deriving the bucket from the row's own values (``sample``).
 """
 
 from __future__ import annotations
 
+import functools
+import operator
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+#: first-order-column dtypes with an order-preserving numeric projection,
+#: enabling single-job approx_percentile boundaries in strategy="sample".
+_NUMERIC_BOUNDARY_TYPES = {
+    "tinyint",
+    "smallint",
+    "int",
+    "bigint",
+    "float",
+    "double",
+    "date",
+    "timestamp",
+    "timestamp_ntz",
+}
 
 
 def with_dense_ids(
@@ -26,6 +48,8 @@ def with_dense_ids(
     id_col: str = "id",
     start: int = 1,
     num_partitions: int | None = None,
+    strategy: str = "checkpoint",
+    release: list | None = None,
 ) -> DataFrame:
     """Assign dense ids ``start, start+1, ...`` in ``order_cols`` order.
 
@@ -33,36 +57,155 @@ def with_dense_ids(
     unique tie-break column) so ids are reproducible run-to-run — the
     idempotence property the reference's IdIndex protects
     (``app/db/id_index.py:22-25``).
+
+    Strategies (pick by what the *input* costs to recompute):
+
+    - ``"checkpoint"`` (default, safe everywhere): range-shuffle, stamp
+      ``spark_partition_id``, eagerly ``localCheckpoint`` ONCE. The
+      blocks are ContextCleaner-managed (no global-CacheManager entry
+      to leak) and double as a cache for downstream consumers. Cost:
+      one full write of the frame to block storage.
+    - ``"persist"``: same shape, but the frozen intermediate is
+      ``persist()``-ed (deserialized memory — cheapest to fill and
+      re-read) and appended to the required ``release`` list; the
+      CALLER must ``unpersist()`` those handles after its final action
+      on the result (SQL persists pin global CacheManager entries until
+      explicitly released). Fastest for a multi-consumer pipeline
+      period; unusable when nobody can release (e.g. a query handed to
+      an external runner).
+    - ``"sample"``: never materializes anything. Order-aligned buckets
+      are derived from the row's own ``order_cols`` values against
+      boundary keys collected once (one tiny column-pruned job), so
+      every stage is freely recomputable and the full plan stays
+      visible to Catalyst and the plan-shape gates. At 100 TB this is
+      the shape you want — the frame is scanned twice (columnar, the
+      counts pass prunes to ``order_cols``) and shuffled once, but
+      never written to block storage. Requires ``order_cols`` to be a
+      null-free unique key (recomputation must not reorder ties).
     """
     if num_partitions is None:
         num_partitions = df.sparkSession.sparkContext.defaultParallelism
+    if strategy == "sample":
+        return _dense_ids_by_sampled_bounds(df, order_cols, id_col, start, num_partitions)
+    if strategy == "persist" and release is None:
+        raise ValueError("strategy='persist' needs a release list the caller will unpersist")
+    if strategy not in ("checkpoint", "persist"):
+        raise ValueError(f"unknown strategy {strategy!r}")
+
     ranged = df.repartitionByRange(num_partitions, *[F.col(c) for c in order_cols])
     ranged = ranged.withColumn("__pid", F.spark_partition_id())
-
     w = Window.partitionBy("__pid").orderBy(*[F.col(c).asc() for c in order_cols])
-    # persist BEFORE branching: the counts aggregate and the final join
-    # are separate jobs, and AQE may coalesce the range-shuffle into a
-    # different partition layout per job — spark_partition_id must be
-    # observed once, not recomputed (otherwise ids duplicate/skip).
-    numbered = ranged.withColumn("__rn", F.row_number().over(w)).persist()
+    # Freeze ONCE, before branching: AQE may coalesce the range-shuffle
+    # into a different partition layout per job, and upstream shuffles
+    # make input row order (hence the range sampler's boundaries)
+    # nondeterministic — spark_partition_id must be observed once, not
+    # recomputed (otherwise ids duplicate/skip).
+    numbered = ranged.withColumn("__rn", F.row_number().over(w))
+    if strategy == "persist":
+        numbered = numbered.persist()
+        release.append(numbered)
+    else:
+        numbered = numbered.localCheckpoint(eager=True)
 
-    # Tiny aggregate: one row per partition → cumulative offsets.
-    counts = numbered.groupBy("__pid").agg(F.count(F.lit(1)).alias("__cnt"))
-    w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = counts.withColumn("__off", F.coalesce(F.sum("__cnt").over(w_off), F.lit(0))).select(
-        "__pid", "__off"
+    return _number_buckets(numbered, "__pid", order_cols, id_col, start)
+
+
+def _number_buckets(
+    df: DataFrame, bucket_col: str, order_cols: list[str], id_col: str, start: int
+) -> DataFrame:
+    """row_number within bucket + broadcast cumulative bucket offsets.
+
+    The output stays LAZY: downstream actions re-run only a broadcast
+    join against the ≤num_buckets-row offsets frame.
+    """
+    if "__rn" in df.columns:
+        numbered = df
+    else:
+        w = Window.partitionBy(bucket_col).orderBy(*[F.col(c).asc() for c in order_cols])
+        numbered = df.withColumn("__rn", F.row_number().over(w))
+    counts = numbered.groupBy(bucket_col).agg(F.count(F.lit(1)).alias("__cnt"))
+    w_off = Window.orderBy(bucket_col).rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.withColumn(
+        "__off", F.coalesce(F.sum("__cnt").over(w_off), F.lit(0))
+    ).select(bucket_col, "__off")
+    return (
+        numbered.join(F.broadcast(offsets), bucket_col)
+        .withColumn(id_col, (F.col("__rn") + F.col("__off") + F.lit(start - 1)).cast("long"))
+        .drop(bucket_col, "__rn", "__off")
     )
 
-    out = numbered.join(F.broadcast(offsets), "__pid").withColumn(
-        id_col, (F.col("__rn") + F.col("__off") + F.lit(start - 1)).cast("long")
-    ).drop("__pid", "__rn", "__off")
-    # Eagerly materialize the result, then RELEASE the persist: a SQL
-    # persist() lives in Spark's global CacheManager until explicitly
-    # unpersisted, so a long-running incremental sync (≥6 calls per
-    # period) would otherwise accumulate pinned frames without bound.
-    # localCheckpoint blocks are block-manager storage cleaned by the
-    # ContextCleaner once the frame is unreferenced, and the cut
-    # lineage keeps the assigned ids stable for every later consumer.
-    out = out.localCheckpoint(eager=True)
-    numbered.unpersist()
-    return out
+
+def _dense_ids_by_sampled_bounds(
+    df: DataFrame,
+    order_cols: list[str],
+    id_col: str,
+    start: int,
+    num_partitions: int,
+) -> DataFrame:
+    """Fully-lazy dense ids: value-derived order-aligned buckets.
+
+    Bucketing by the FIRST order column is order-aligned for the
+    composite order too (rows sharing a first-column value always share
+    a bucket — coarser, still monotone), which unlocks a single-job
+    ``approx_percentile`` boundary computation whenever that column has
+    an order-preserving numeric projection. Otherwise fall back to a
+    count + collect-sample of the composite key. Either way the bucket
+    is a pure expression over the row's own values — deterministic
+    under recomputation with no persist, no checkpoint, and no reliance
+    on ``spark_partition_id``. The boundary comparisons are emitted as
+    a plain ``+``-chain of WHENs (whole-stage-codegen'd), NOT a
+    higher-order ``F.aggregate`` lambda (interpreted per row — measured
+    ~7× slower on 150k rows).
+    """
+    first = order_cols[0]
+    dtype = dict(df.dtypes)[first]
+    fractions = [i / num_partitions for i in range(1, num_partitions)]
+
+    bucket = None
+    if dtype in _NUMERIC_BOUNDARY_TYPES and fractions:
+        if dtype == "date":
+            proxy = F.unix_date(F.col(first))
+        elif dtype.startswith("timestamp"):
+            proxy = F.unix_micros(F.col(first).cast("timestamp"))
+        else:
+            proxy = F.col(first)
+        row = df.select(
+            F.percentile_approx(proxy, fractions, 10_000).alias("b")
+        ).first()
+        bounds = sorted(set(row["b"] or []))
+        if bounds:
+            bucket = functools.reduce(
+                operator.add,
+                [F.when(proxy >= F.lit(b), 1).otherwise(0) for b in bounds],
+            )
+    elif fractions:
+        key = F.struct(*[F.col(c).alias(c) for c in order_cols])
+        n = df.count()
+        if n > 0:
+            frac = min(1.0, (100 * num_partitions) / n)
+            sample = [
+                tuple(r[c] for c in order_cols)
+                for r in df.select(*order_cols).sample(False, frac, seed=42).collect()
+            ]
+            sample.sort()
+            step = max(1, len(sample) // num_partitions)
+            bounds = sample[step::step][: num_partitions - 1]
+            if bounds:
+                bucket = functools.reduce(
+                    operator.add,
+                    [
+                        F.when(
+                            key
+                            >= F.struct(
+                                *[F.lit(v).alias(c) for v, c in zip(b, order_cols)]
+                            ),
+                            1,
+                        ).otherwise(0)
+                        for b in bounds
+                    ],
+                )
+    if bucket is None:
+        bucket = F.lit(0)
+    return _number_buckets(
+        df.withColumn("__b", bucket), "__b", order_cols, id_col, start
+    )

@@ -259,10 +259,14 @@ class SyncEngine:
         records = records.withColumn(
             "stake_derived", staking_address_udf("address")
         ).withColumn("wallet_key", F.coalesce("stake_derived", "address"))
-        # with_dense_ids returns an eagerly-materialized (localCheckpoint)
-        # frame, so no extra .cache() is needed: every downstream job
-        # reads the checkpoint blocks, and nothing stays pinned in the
-        # global CacheManager between periods.
+        # with_dense_ids (default "checkpoint" strategy) freezes its
+        # numbered intermediate once, so no extra .cache() is needed:
+        # every downstream job reads those checkpoint blocks plus a
+        # cheap broadcast join for the offsets. Measured (round 3): the
+        # "persist" strategy is 2.1x SLOWER here (31s vs 14.7s at bench
+        # scale 1.0) — deserialized caching of these wide JSON-heavy
+        # frames costs more than block-serialized checkpoints, the same
+        # effect as the rows_wa note below.
         records = with_dense_ids(records, SEQ_ORDER, id_col="seq", start=1)
 
         wallet_dim = self.store.read(spark, "wallet")

@@ -567,7 +567,12 @@ def window_dense_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     (app/main.py:33-38): per-partition-offset technique, NOT a
     single-partition global window (operators/surrogate.py)."""
     o = _t(spark, sf_dir, "orders")
-    out = with_dense_ids(o, ["o_orderdate", "o_orderkey"], id_col="id", start=1000)
+    # "sample" strategy: the input is a cheap recomputable parquet scan,
+    # so value-derived buckets beat freezing the whole frame in the
+    # block manager (see operators/surrogate.py strategy docs).
+    out = with_dense_ids(
+        o, ["o_orderdate", "o_orderkey"], id_col="id", start=1000, strategy="sample"
+    )
     return out.select("o_orderkey", "id")
 
 

@@ -40,6 +40,57 @@ def test_dense_ids_are_dense_and_ordered(spark, rows, start):
 
 @settings(**SETTINGS)
 @given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 50), st.integers(-1000, 1000)),
+        min_size=1,
+        max_size=200,
+        unique=True,
+    ),
+    start=st.integers(1, 10_000),
+)
+def test_dense_ids_strategies_agree(spark, rows, start):
+    """All three freezing strategies produce the identical id
+    assignment: 'sample' (value-derived buckets — both the numeric
+    percentile fast path on a single int column and the composite
+    collect-sample fallback) and 'persist' (caller-released) must match
+    the default 'checkpoint' bit-for-bit."""
+    df = spark.createDataFrame(rows, "k int, v int")
+    expected = sorted(
+        (r["id"], r["k"], r["v"])
+        for r in with_dense_ids(df, ["k", "v"], id_col="id", start=start).collect()
+    )
+    sampled = sorted(
+        (r["id"], r["k"], r["v"])
+        for r in with_dense_ids(
+            df, ["k", "v"], id_col="id", start=start, strategy="sample"
+        ).collect()
+    )
+    assert sampled == expected
+    # composite fallback: make the first order column a string so the
+    # percentile fast path is skipped
+    df_s = df.withColumn("ks", F.format_string("%03d", F.col("k")))
+    sampled_str = sorted(
+        (r["id"], int(r["ks"]), r["v"])
+        for r in with_dense_ids(
+            df_s, ["ks", "v"], id_col="id", start=start, strategy="sample"
+        ).collect()
+    )
+    assert sampled_str == expected
+    pins: list = []
+    persisted = sorted(
+        (r["id"], r["k"], r["v"])
+        for r in with_dense_ids(
+            df, ["k", "v"], id_col="id", start=start, strategy="persist", release=pins
+        ).collect()
+    )
+    assert persisted == expected
+    assert len(pins) == 1
+    for f in pins:
+        f.unpersist()
+
+
+@settings(**SETTINGS)
+@given(
     probe=st.lists(
         st.tuples(st.integers(0, 3), st.integers(0, 10_000)),
         min_size=0,
