@@ -78,23 +78,30 @@ def main() -> None:
     # scale 1.0 ≈ 40k records: large enough that per-job overhead
     # amortizes and rec/s reflects pipeline throughput (~3.2k rec/s),
     # small enough to keep the bench run under a minute of sync time.
+    def run_sync_at(scale: float) -> tuple[float, float]:
+        with tempfile.TemporaryDirectory() as src, tempfile.TemporaryDirectory() as sink:
+            fixtures.generate(src, scale=scale, seed=42)
+            engine = SyncEngine(
+                spark, src, TableStore(sink), time_interval_minutes=10**6
+            )
+            t0 = time.perf_counter()
+            stats = engine.run_sync()
+            dt = time.perf_counter() - t0
+            n_records = sum(s["records"] for s in stats)
+            print(
+                f"# sync_pipeline: {dt:.3f}s, {n_records} records, "
+                f"{n_records / dt:.0f} rec/s (scale={scale})",
+                file=sys.stderr,
+            )
+            return round(dt, 3), round(n_records / dt, 1)
+
     sync_scale = float(os.environ.get("SPARK_GRAFT_SYNC_SCALE", "1.0"))
-    with tempfile.TemporaryDirectory() as src, tempfile.TemporaryDirectory() as sink:
-        fixtures.generate(src, scale=sync_scale, seed=42)
-        engine = SyncEngine(
-            spark, src, TableStore(sink), time_interval_minutes=10**6
-        )
-        t0 = time.perf_counter()
-        stats = engine.run_sync()
-        dt = time.perf_counter() - t0
-        n_records = sum(s["records"] for s in stats)
-        sync_wall = round(dt, 3)
-        sync_rps = round(n_records / dt, 1)
-        print(
-            f"# sync_pipeline: {dt:.3f}s, {n_records} records, "
-            f"{n_records / dt:.0f} rec/s (scale={sync_scale})",
-            file=sys.stderr,
-        )
+    sync_wall, sync_rps = run_sync_at(sync_scale)
+    # 10x run: shows throughput where per-job overhead amortizes (the
+    # scale trend a 100 TB deployment cares about); skippable via env.
+    sync10_wall, sync10_rps = (None, None)
+    if os.environ.get("SPARK_GRAFT_SYNC_10X", "1") == "1":
+        sync10_wall, sync10_rps = run_sync_at(10 * sync_scale)
 
     # The headline total sums ONLY the query suite (comparable to round
     # 1's definition); the pipeline rides as separate metrics AND as a
@@ -112,6 +119,8 @@ def main() -> None:
                 "sync_pipeline_sec": sync_wall,
                 "sync_pipeline_records_per_sec": sync_rps,
                 "sync_pipeline_scale": sync_scale,
+                "sync_pipeline_10x_sec": sync10_wall,
+                "sync_pipeline_10x_records_per_sec": sync10_rps,
             }
         )
     )

@@ -73,6 +73,8 @@ class SyncEngine:
         # each period (a long-running sync otherwise keeps one version
         # per table per period forever); snapshots stay protected
         self.retention_keep_last = retention_keep_last
+        # per-run seed carry-forward (see _next_seeds): None = must probe
+        self._seeds: dict[str, int] | None = None
 
     # --- sources -------------------------------------------------------------
 
@@ -275,7 +277,15 @@ class SyncEngine:
         ext_dim = self.store.read(spark, "asset_ext")
 
         empty_wallet = wallet_dim is None
-        seeds = {t: self._seed(t) for t in (*DIM_TABLES[:3], *FACT_TABLES)}
+        # Seed probes (A5): one max-id scan per table on the FIRST
+        # period of a run only. Ids are dense, so subsequent periods
+        # carry seeds forward arithmetically from the previous period's
+        # write stats (_next_seeds) — the 5 per-period scan jobs the
+        # steady-state loop used to pay become zero, and a restart
+        # re-probes from committed data (crash-safe, G7).
+        if self._seeds is None:
+            self._seeds = {t: self._seed(t) for t in (*DIM_TABLES[:3], *FACT_TABLES)}
+        seeds = dict(self._seeds)
 
         # ---- wallets (D2/D4: dedup on natural key, first-seen id order) ----
         addr_rows = records.where(F.col("address").isNotNull()).withColumn(
@@ -494,6 +504,16 @@ class SyncEngine:
             "asset_tx": _written("asset_tx"),
             "asset_mint_tx": _written("asset_mint_tx"),
         }
+        # dense ids ⇒ next seed = this seed + rows written; keeps the
+        # next period's probe-free (validated against a fresh probe by
+        # tests/test_pipeline_e2e.py seed-carry test)
+        self._seeds = {
+            "wallet": seeds["wallet"] + stats["new_wallets"],
+            "collection": seeds["collection"] + stats["new_collections"],
+            "asset": seeds["asset"] + stats["new_assets"],
+            "asset_tx": seeds["asset_tx"] + stats["asset_tx"],
+            "asset_mint_tx": seeds["asset_mint_tx"] + stats["asset_mint_tx"],
+        }
         return stats
 
     # --- driver loop (one pass; poll/backoff belongs to the caller) -----------
@@ -520,6 +540,9 @@ class SyncEngine:
         period's transactional commit — the store stays consistent and
         the next run_sync resumes from the data-derived tip."""
         self.ensure_bootstrap()
+        # fresh probe per run: carried seeds are an in-run optimization
+        # only, never trusted across restarts (G7 crash recovery)
+        self._seeds = None
         out = []
         periods = self.period_list()
         if max_periods is not None:

@@ -448,15 +448,31 @@ def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("agg_approx_distinct")  # no oracle: sketch values are engine-specific
+@register(
+    "agg_approx_distinct",
+    oracle="""
+    SELECT true AS within_tol,
+           CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts
+    FROM lineitem
+    """,
+)
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.D extension — HyperLogLog++ distinct sketch: the 100 TB substitute
-    for exact distinct when a ±2% answer is enough. Rows-only check (DuckDB's
-    approx_count_distinct uses a different sketch)."""
+    for exact distinct when a ±2% answer is enough. Sketch values are
+    engine-specific (DuckDB's approx_count_distinct uses a different
+    sketch), so the hash-checkable contract is the accuracy GUARANTEE:
+    the sketch estimate must land within 3·rsd of the exact count, plus
+    the exact count itself."""
     li = _t(spark, sf_dir, "lineitem")
     return li.agg(
         F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
         F.countDistinct("l_partkey").alias("exact_parts"),
+    ).select(
+        (
+            F.abs(F.col("approx_parts") - F.col("exact_parts"))
+            <= 3 * 0.02 * F.col("exact_parts")
+        ).alias("within_tol"),
+        F.col("exact_parts").cast("long").alias("exact_parts"),
     )
 
 

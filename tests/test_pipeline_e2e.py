@@ -122,6 +122,23 @@ def test_incremental_equals_batch(spark, source_dir, batch_store, tmp_path_facto
     assert _store_tables(spark, store_inc) == _store_tables(spark, batch_store)
 
 
+def test_seed_carry_forward_matches_fresh_probe(
+    spark, source_dir, tmp_path_factory
+):
+    """A5 optimization: after a multi-period run, the arithmetically
+    carried seeds (seed += rows written, probe-free steady state) must
+    equal what a fresh max-id probe of the committed store reports."""
+    from pantasia_db_sync_spark.pipeline.sync import DIM_TABLES, FACT_TABLES
+
+    store = TableStore(str(tmp_path_factory.mktemp("sink_seeds")))
+    engine = SyncEngine(spark, source_dir, store, time_interval_minutes=30)
+    stats = engine.run_sync(max_periods=3)
+    assert len(stats) == 3
+    carried = engine._seeds
+    probed = {t: engine._seed(t) for t in (*DIM_TABLES[:3], *FACT_TABLES)}
+    assert carried == probed
+
+
 def test_fk_integrity_green_on_synced_store(spark, batch_store):
     """Every FK edge of the reference's constraint graph holds on the
     synced store — the anti-join analogue of Postgres FK enforcement."""
