@@ -371,3 +371,111 @@ def cosine_near_dup_pairs_allpairs(
         )
         .where(F.col("cos") >= threshold)
     )
+
+
+# ---------------------------------------------------------------------------
+# k-means (Lloyd's) in DataFrame ops — trains the IVF cells for real
+# ---------------------------------------------------------------------------
+
+
+def _py_fround(x: float, n: int) -> float:
+    import math
+
+    p = 10**n
+    return math.floor(x * p + 0.5) / p
+
+
+def _py_norm(coords: list[float]) -> float:
+    """Left-fold sum-of-squares then sqrt: the same IEEE op order as
+    Spark's F.aggregate fold and DuckDB's list_sum, so all three
+    engines agree bit-for-bit on the centroid norm."""
+    import math
+
+    acc = 0.0
+    for x in coords:
+        acc = acc + x * x
+    return math.sqrt(acc)
+
+
+def kmeans_cell_expr(
+    vec: Column,
+    nrm: Column,
+    centroids: list[tuple[int, list[float]]],
+    round_digits: int = 6,
+) -> Column:
+    """Cell assignment = argmax rounded cosine to the centroids,
+    embedded as literal arrays — a pure per-row projection, no join, no
+    shuffle. Ties break to the lowest cell id (the CASE chain tests
+    cells in ascending id order)."""
+    cos_cols = []
+    for _, coords in centroids:
+        carr = F.array(*[F.lit(float(x)) for x in coords])
+        cnrm = F.lit(_py_norm(coords))
+        cos_cols.append(fround(dot_col(vec, carr) / (nrm * cnrm), round_digits))
+    best = F.greatest(*cos_cols) if len(cos_cols) > 1 else cos_cols[0]
+    cell = F.when(cos_cols[0] == best, F.lit(centroids[0][0]))
+    for (cid, _), cc in zip(centroids[1:], cos_cols[1:]):
+        cell = cell.when(cc == best, F.lit(cid))
+    return cell
+
+
+def kmeans_fit(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iters: int = 3,
+    round_digits: int = 6,
+) -> list[tuple[int, list[float]]]:
+    """Lloyd's k-means as DataFrame ops; returns [(cell_id, centroid)].
+
+    Engine-portable by construction (a SQL replica reproduces it
+    bit-for-bit, see plans/llmdata.py ann_ivf_kmeans_topk oracle):
+
+    - init: the ``k`` vectors with the smallest ids (cell id = seed's
+      vector id) — deterministic, no RNG;
+    - assign: :func:`kmeans_cell_expr` (literal centroids, per-row
+      projection — at scale this is one map-only pass, no shuffle);
+    - update: per-cell per-coordinate AVG — one map-side-combinable
+      aggregate per iteration (the only shuffle, and its input is k×dim
+      partial sums per partition, not the data) — with every coordinate
+      re-rounded so cross-engine float drift cannot accumulate across
+      iterations. Cells that lose all members drop out (both engines
+      agree on that too).
+
+    The per-iteration driver collect is k×dim floats — a scalar probe,
+    not a data collect.
+    """
+    v = vectors.select(
+        F.col(id_col).alias("vid"), as_double_vec(vec_col).alias("v")
+    ).withColumn("nrm", norm_col(F.col("v")))
+    seeds = v.orderBy("vid").limit(k).collect()
+    dim = len(seeds[0]["v"])
+    cents = sorted((int(r["vid"]), [float(x) for x in r["v"]]) for r in seeds)
+    for _ in range(iters):
+        assigned = v.withColumn(
+            "cell", kmeans_cell_expr(F.col("v"), F.col("nrm"), cents, round_digits)
+        )
+        rows = assigned.groupBy("cell").agg(
+            *[F.avg(F.col("v")[i]).alias(f"c{i}") for i in range(dim)]
+        ).collect()
+        cents = sorted(
+            (int(r["cell"]), [_py_fround(r[f"c{i}"], round_digits) for i in range(dim)])
+            for r in rows
+        )
+    return cents
+
+
+def kmeans_assign(
+    vectors: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "cell",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Attach the trained cell id to each vector (pure projection)."""
+    v = as_double_vec(vec_col)
+    return vectors.withColumn(
+        cell_col, kmeans_cell_expr(v, norm_col(v), centroids, round_digits)
+    )

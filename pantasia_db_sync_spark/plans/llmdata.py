@@ -480,6 +480,81 @@ def ann_ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(e, e.where(F.col("vec_id") < 10), k=5)
 
 
+def _kmeans_ivf_sql(k: int, iters: int, dim: int = 64) -> str:
+    """DuckDB replica of kmeans_fit + kmeans_assign + IVF top-5: the
+    identical deterministic Lloyd's procedure (smallest-id seeds,
+    rounded cosines, per-coordinate rounded AVG updates, lowest-cell
+    tie-break), unrolled ``iters`` times as CTE pairs — so the trained
+    IVF path stays cross-engine hash-exact like every other query."""
+
+    def cos(av, anrm, bv, bnrm):
+        dot = f"list_sum(list_transform(range(1, {dim + 1}), i -> {av}[i] * {bv}[i]))"
+        return sql_round(f"{dot} / ({anrm} * {bnrm})", 6)
+
+    avg_terms = ", ".join(sql_round(f"avg(v[{i + 1}])", 6) for i in range(dim))
+    parts = [
+        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),",
+        "n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),",
+        f"c0 AS (SELECT vec_id AS cell, v AS c, nrm AS cnrm FROM n WHERE vec_id < {k}),",
+    ]
+    for it in range(iters):
+        prev, cur = f"c{it}", f"c{it + 1}"
+        parts.append(
+            f"""a{it} AS (
+      SELECT vec_id, v, cell FROM (
+        SELECT n.vec_id, n.v, {prev}.cell,
+               row_number() OVER (PARTITION BY n.vec_id
+                 ORDER BY {cos('n.v', 'n.nrm', f'{prev}.c', f'{prev}.cnrm')} DESC,
+                          {prev}.cell ASC) AS rn
+        FROM n, {prev}) WHERE rn = 1),"""
+        )
+        parts.append(
+            f"""{cur} AS (
+      SELECT cell, c, sqrt(list_sum(list_transform(c, x -> x * x))) AS cnrm FROM (
+        SELECT cell, [{avg_terms}] AS c FROM a{it} GROUP BY cell)),"""
+        )
+    last = f"c{iters}"
+    parts.append(
+        f"""af AS (
+      SELECT vec_id, cell FROM (
+        SELECT n.vec_id, {last}.cell,
+               row_number() OVER (PARTITION BY n.vec_id
+                 ORDER BY {cos('n.v', 'n.nrm', f'{last}.c', f'{last}.cnrm')} DESC,
+                          {last}.cell ASC) AS rn
+        FROM n, {last}) WHERE rn = 1),
+    s AS (
+      SELECT q.vec_id AS q_id, c.vec_id AS cand_id, {cos('q.v', 'q.nrm', 'c.v', 'c.nrm')} AS cos
+      FROM (SELECT n.*, af.cell FROM n JOIN af USING (vec_id)) q
+      JOIN (SELECT n.*, af.cell FROM n JOIN af USING (vec_id)) c
+        ON c.vec_id <> q.vec_id AND c.cell = q.cell
+      WHERE q.vec_id < 10
+    )
+    SELECT q_id, cand_id, cos, rank FROM (
+      SELECT q_id, cand_id, cos,
+             CAST(row_number() OVER (PARTITION BY q_id
+                                     ORDER BY cos DESC, cand_id ASC) AS INTEGER) AS rank
+      FROM s
+    ) WHERE rank <= 5"""
+    )
+    return "\n    ".join(parts)
+
+
+@register("ann_ivf_kmeans_topk", oracle=_kmeans_ivf_sql(k=8, iters=3))
+def ann_ivf_kmeans_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-5 over cells trained by real k-means (operators/
+    similarity.py kmeans_fit): 3 Lloyd's iterations in DataFrame ops —
+    assignment is a literal-centroid projection (map-only), the update
+    one combinable aggregate — then the same cell-restricted equi-join
+    probe as ann_ivf_topk. Recall vs brute force is pinned by
+    tests/test_properties.py."""
+    from ..operators.similarity import kmeans_assign, kmeans_fit
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = kmeans_fit(e, k=8, iters=3)
+    assigned = kmeans_assign(e, cents)
+    return ivf_topk(assigned, assigned.where(F.col("vec_id") < 10), cell_col="cell", k=5)
+
+
 # ---------------------------------------------------------------------------
 # multimodal columns
 # ---------------------------------------------------------------------------

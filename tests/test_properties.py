@@ -408,3 +408,37 @@ def test_logn_components_handles_deep_chains(spark):
     )
     out = connected_components_logn(edges, nodes, max_iter=12)
     assert {r["component_id"] for r in out.collect()} == {0}
+
+
+def test_kmeans_ivf_recall_floor(spark):
+    """Trained-k-means IVF (one-cell probe of k=8) must keep ≥50% of
+    the exact brute-force top-5 pairs on the fixture embeddings —
+    measured 0.70 at sf0.01 / 0.76 at sf0.1; the floor guards against a
+    degenerate clustering (e.g. all vectors collapsing into one cell
+    would pass recall but fail the cell-count assertion, and a broken
+    assignment would crater recall)."""
+    import os
+
+    from pantasia_db_sync_spark.operators.similarity import kmeans_assign, kmeans_fit
+    from pantasia_db_sync_spark.plans import QUERIES
+    from pantasia_db_sync_spark.sources.catalog import load_table
+
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    if not os.path.exists(os.path.join(sf, "embeddings.parquet")):
+        sf = "/root/testdata/sf0.01"
+    bf = {
+        (r["q_id"], r["cand_id"])
+        for r in QUERIES["ann_bruteforce_topk"](spark, sf).collect()
+    }
+    ivf = {
+        (r["q_id"], r["cand_id"])
+        for r in QUERIES["ann_ivf_kmeans_topk"](spark, sf).collect()
+    }
+    assert len(bf & ivf) / len(bf) >= 0.5
+
+    e = load_table(spark, sf, "embeddings")
+    cells = {
+        r["cell"]
+        for r in kmeans_assign(e, kmeans_fit(e, k=8, iters=3)).select("cell").distinct().collect()
+    }
+    assert len(cells) >= 4, f"degenerate clustering: only {len(cells)} live cells"
