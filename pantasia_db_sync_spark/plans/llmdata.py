@@ -632,6 +632,37 @@ def multimodal_frame_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_decode_bmp",
+    oracle="""
+    SELECT doc_id,
+           CAST(54 + (doc_id % 13 + 1) * (((doc_id % 21 + 1) * 3 + 3) // 4 * 4)
+                AS INTEGER) AS byte_len,
+           CAST(doc_id % 21 + 1 AS INTEGER) AS width,
+           CAST(doc_id % 13 + 1 AS INTEGER) AS height,
+           CAST(24 AS INTEGER) AS bpp,
+           CAST(3 AS INTEGER) AS channels,
+           CAST((doc_id * 3) % 256 AS DOUBLE) AS mean_r,
+           CAST((doc_id * 5) % 256 AS DOUBLE) AS mean_g,
+           CAST((doc_id * 7) % 256 AS DOUBLE) AS mean_b
+    FROM documents WHERE doc_id < 300
+    """,
+)
+def multimodal_decode_bmp_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode for one format: spec-compliant 24-bit BMP
+    streams are rendered in-flight (operators/multimodal.py encode_bmp
+    — widths 1..21 exercise every 4-byte row-padding case) and parsed
+    back by decode_bmp, which walks both headers and the bottom-up
+    padded raster to per-channel means. The oracle predicts every
+    header/raster value from the id arithmetic, and an independent
+    hand-written spec-bytes test (tests/test_properties.py) keeps the
+    encoder and decoder from sharing a hidden layout bug."""
+    from ..operators.multimodal import decode_bmp_features, synthetic_bmp_frame
+
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    return decode_bmp_features(synthetic_bmp_frame(d), "doc_id", "content")
+
+
+@register(
     "text_tfidf",
     oracle="""
     WITH toks AS (

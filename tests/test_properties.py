@@ -442,3 +442,77 @@ def test_kmeans_ivf_recall_floor(spark):
         for r in kmeans_assign(e, kmeans_fit(e, k=8, iters=3)).select("cell").distinct().collect()
     }
     assert len(cells) >= 4, f"degenerate clustering: only {len(cells)} live cells"
+
+
+# spec example: 2x2 24-bit BMP written out BYTE BY BYTE from the public
+# format description (independent of encode_bmp) — pixels bottom-up:
+# row0 = blue, green; row1 = red, white; rows padded to 4 bytes.
+_SPEC_BMP_2X2 = bytes(
+    [
+        0x42, 0x4D,              # 'BM'
+        0x46, 0x00, 0x00, 0x00,  # file size 70
+        0x00, 0x00, 0x00, 0x00,  # reserved
+        0x36, 0x00, 0x00, 0x00,  # raster offset 54
+        0x28, 0x00, 0x00, 0x00,  # info header size 40
+        0x02, 0x00, 0x00, 0x00,  # width 2
+        0x02, 0x00, 0x00, 0x00,  # height 2
+        0x01, 0x00,              # planes
+        0x18, 0x00,              # 24 bpp
+        0x00, 0x00, 0x00, 0x00,  # no compression
+        0x10, 0x00, 0x00, 0x00,  # raster size 16
+        0x13, 0x0B, 0x00, 0x00,  # 2835 ppm
+        0x13, 0x0B, 0x00, 0x00,
+        0x00, 0x00, 0x00, 0x00,  # palette counts
+        0x00, 0x00, 0x00, 0x00,
+        # raster (B,G,R per pixel):
+        0xFF, 0x00, 0x00,  0x00, 0xFF, 0x00,  0x00, 0x00,  # blue, green, pad
+        0x00, 0x00, 0xFF,  0xFF, 0xFF, 0xFF,  0x00, 0x00,  # red, white, pad
+    ]
+)
+
+
+def test_bmp_decoder_parses_spec_bytes():
+    """decode_bmp against hand-written spec bytes — proves the decoder
+    reads the REAL layout, independent of our own encoder."""
+    from pantasia_db_sync_spark.operators.multimodal import decode_bmp
+
+    d = decode_bmp(_SPEC_BMP_2X2)
+    assert (d["width"], d["height"], d["bpp"], d["channels"]) == (2, 2, 24, 3)
+    assert (d["mean_r"], d["mean_g"], d["mean_b"]) == (127.5, 127.5, 127.5)
+    assert d["byte_len"] == 70
+
+
+def test_bmp_encoder_emits_spec_bytes():
+    """encode_bmp's header layout matches the hand-written spec bytes
+    (raster differs only by fill color)."""
+    from pantasia_db_sync_spark.operators.multimodal import encode_bmp
+
+    b = encode_bmp(2, 2, (1, 2, 3))
+    assert b[:2] == _SPEC_BMP_2X2[:2]
+    assert b[10:34] == _SPEC_BMP_2X2[10:34]  # offset + dims/planes/bpp
+    assert len(b) == len(_SPEC_BMP_2X2)
+
+
+@settings(**SETTINGS)
+@given(
+    w=st.integers(1, 40),
+    h=st.integers(1, 20),
+    rgb=st.tuples(st.integers(0, 255), st.integers(0, 255), st.integers(0, 255)),
+)
+def test_bmp_roundtrip(w, h, rgb):
+    from pantasia_db_sync_spark.operators.multimodal import decode_bmp, encode_bmp
+
+    d = decode_bmp(encode_bmp(w, h, rgb))
+    assert (d["width"], d["height"]) == (w, h)
+    assert (d["mean_r"], d["mean_g"], d["mean_b"]) == tuple(float(x) for x in rgb)
+
+
+def test_bmp_decoder_rejects_garbage():
+    import pytest as _pytest
+
+    from pantasia_db_sync_spark.operators.multimodal import decode_bmp
+
+    with _pytest.raises(ValueError):
+        decode_bmp(b"not a bitmap at all........................................")
+    with _pytest.raises(ValueError):
+        decode_bmp(_SPEC_BMP_2X2[:40])
