@@ -183,8 +183,13 @@ class TableStore:
         Fact append-partitions above the commit watermark are orphans
         from aborted commits (the stage-then-flip protocol never
         exposed them to readers) and are removed too. Pure metadata +
-        directory deletes — never touches live data, so it is safe to
-        run concurrently with readers of the current version.
+        directory deletes that never touch the current version's data.
+        Retention caveat (inherent to version-pointer stores, same as
+        Delta/Iceberg VACUUM): an external reader that resolved an OLD
+        version pointer just before a repoint can lose its directory
+        mid-scan if that version falls outside ``keep_last`` — size
+        ``keep_last`` to cover the longest expected reader, or pause
+        vacuuming around long ad-hoc scans.
         """
         protected: dict[str, set[int]] = {}
         for tag in self._snapshot_tags():

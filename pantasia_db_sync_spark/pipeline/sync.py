@@ -217,7 +217,7 @@ class SyncEngine:
         # Dynamic JSON path (B8/§4-item-4): two-level map parse; the inner
         # object is re-stringified by from_json, then literal-path extraction.
         parsed = F.from_json(F.col("json"), "map<string,map<string,string>>")
-        inner = parsed.getItem(F.col("policy_id")).getItem(F.col("asset_name"))
+        inner = parsed[F.col("policy_id")][F.col("asset_name")]
         return joined.select(
             "ma_id",
             "tx_id",

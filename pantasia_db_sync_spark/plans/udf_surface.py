@@ -37,6 +37,25 @@ from .registry import fround, register
 # active SparkContext that workers don't have.
 
 
+def _run_stream_to_frame(spark: SparkSession, writer, name: str, tmp_dir: str) -> DataFrame:
+    """Start a memory-sink streaming query, wait for availableNow
+    completion (asserted — a timeout must fail loudly, never return a
+    silently partial table), then DETACH the result: the sink rows are
+    re-wrapped as a local DataFrame so the uniquely-named sink view and
+    the temp source dir can be dropped immediately instead of leaking
+    one per invocation."""
+    import shutil
+
+    q = writer.queryName(name).start()
+    finished = q.awaitTermination(300)
+    assert finished, f"streaming query {name} did not finish within 300s"
+    sink = spark.table(name)
+    out = spark.createDataFrame(sink.collect(), sink.schema)
+    spark.catalog.dropTempView(name)
+    shutil.rmtree(tmp_dir, ignore_errors=True)
+    return out
+
+
 @pandas_udf(DoubleType())
 def _weighted_avg(price: pd.Series, qty: pd.Series) -> float:
     return float((price * qty).sum() / qty.sum())
@@ -147,16 +166,13 @@ def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.path.join(sf_dir, "events.parquet"), os.path.join(d, "events-0.parquet")
     )
     name = "stw_" + uuid.uuid4().hex[:8]
-    q = (
+    writer = (
         tumbling_window_counts(events_stream(spark, d))
         .writeStream.format("memory")
-        .queryName(name)
         .outputMode("complete")
         .trigger(availableNow=True)
-        .start()
     )
-    q.awaitTermination(300)
-    return spark.table(name).select(
+    return _run_stream_to_frame(spark, writer, name, d).select(
         "period_start",
         "event_type",
         "n_events",
@@ -197,16 +213,13 @@ def stream_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.path.join(sf_dir, "events.parquet"), os.path.join(d, "events-0.parquet")
     )
     name = "sls_" + uuid.uuid4().hex[:8]
-    q = (
+    writer = (
         latest_state_stream(events_stream(spark, d))
         .writeStream.format("memory")
-        .queryName(name)
         .outputMode("update")
         .trigger(availableNow=True)
-        .start()
     )
-    q.awaitTermination(300)
-    sink = spark.table(name)
+    sink = _run_stream_to_frame(spark, writer, name, d)
     return latest_state(
         sink, keys="user_id", order_by=[F.col("n_events").desc()]
     ).select("user_id", "last_ts", "last_event_type", "last_value", "n_events")
@@ -278,12 +291,9 @@ def stream_static_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     name = "ssa_" + uuid.uuid4().hex[:8]
-    q = (
+    writer = (
         scored.writeStream.format("memory")
-        .queryName(name)
         .outputMode("append")
         .trigger(availableNow=True)
-        .start()
     )
-    q.awaitTermination(300)
-    return spark.table(name)
+    return _run_stream_to_frame(spark, writer, name, d)

@@ -117,3 +117,85 @@ def test_stride_predicates_exclusive_and_exhaustive(lower, width, n, probe):
 
 def test_stride_predicates_single_partition_matches_all():
     assert stride_predicates("id", 0, 100, 1) == ["1=1"]
+
+
+# ---------------------------------------------------------------------------
+# LIVE round trip: embedded Derby (ships in Spark's jars — no server,
+# no network) exercises the actual .save()/.load() path the pure
+# builders above only construct.
+# ---------------------------------------------------------------------------
+
+
+def _derby_url(tmp_path) -> str:
+    return f"jdbc:derby:{tmp_path}/livedb;create=true"
+
+
+def test_jdbc_live_roundtrip_partitioned(spark, tmp_path):
+    """write_jdbc → Derby → read_jdbc with a 4-way partitioned scan:
+    every row survives, and the scan really runs as 4 JDBC partitions."""
+    from datetime import datetime, timedelta
+
+    from pantasia_db_sync_spark.sources.jdbc import (
+        period_predicate,
+        read_jdbc,
+        stride_predicates,
+        write_jdbc,
+    )
+
+    url = _derby_url(tmp_path)
+    base = datetime(2024, 1, 1)
+    rows = [
+        (i, f"addr_{i:04d}", float(i) * 1.5, base + timedelta(minutes=i))
+        for i in range(500)
+    ]
+    df = spark.createDataFrame(rows, "id int, address string, amount double, ts timestamp")
+    write_jdbc(df, url, "events_live", mode="overwrite")
+
+    back = read_jdbc(
+        spark,
+        url,
+        "events_live",
+        partition_column="id",
+        num_partitions=4,
+        lower_bound=0,
+        upper_bound=500,
+    )
+    assert back.rdd.getNumPartitions() == 4
+    assert sorted(tuple(r) for r in back.collect()) == sorted(rows)
+
+    # pushdown predicate: the reference's per-period half-open filter.
+    # period_predicate emits the ANSI/Postgres TIMESTAMP literal; Derby
+    # only accepts the TIMESTAMP() function form, so the live test sends
+    # the same half-open shape in Derby's dialect (the literal form is
+    # covered by the unit tests above).
+    lo, hi = base + timedelta(minutes=99), base + timedelta(minutes=199)
+    ansi = period_predicate("ts", lo, hi)
+    assert "ts > TIMESTAMP '2024-01-01 01:39:00.000000'" in ansi
+    # (Spark's JDBC writer creates quoted lowercase columns; unquoted
+    # identifiers fold to uppercase in Derby, hence the quotes.)
+    derby_pred = (
+        f"\"ts\" > TIMESTAMP('{lo:%Y-%m-%d %H:%M:%S}') "
+        f"AND \"ts\" <= TIMESTAMP('{hi:%Y-%m-%d %H:%M:%S}')"
+    )
+    windowed = read_jdbc(spark, url, "events_live", predicate=derby_pred)
+    assert sorted(r["id"] for r in windowed.collect()) == list(range(100, 200))
+
+    # custom stride predicates (the predicates= API): exhaustive + exclusive
+    preds = stride_predicates('"id"', 0, 500, 5)
+    strided = spark.read.jdbc(url, "events_live", predicates=preds)
+    assert strided.rdd.getNumPartitions() == 5
+    assert strided.count() == 500
+
+
+def test_jdbc_live_append_and_batch(spark, tmp_path):
+    """A7-style batched appends accumulate without clobbering."""
+    from pantasia_db_sync_spark.sources.jdbc import read_jdbc, write_jdbc
+
+    url = _derby_url(tmp_path)
+    df1 = spark.createDataFrame([(i, f"w{i}") for i in range(100)], "id int, tag string")
+    df2 = spark.createDataFrame([(i, f"w{i}") for i in range(100, 150)], "id int, tag string")
+    write_jdbc(df1, url, "dim_live", mode="overwrite", batch_size=16)
+    write_jdbc(df2, url, "dim_live", mode="append", batch_size=16)
+    got = read_jdbc(spark, url, "dim_live")
+    assert got.count() == 150
+    assert {r["id"] for r in got.collect()} == set(range(150))
