@@ -279,24 +279,34 @@ def simhash_pairs(
             )
         )
         offset += width
-    banded = sig.select(F.col(id_col), F.explode(F.array(*bands)).alias("b")).select(
-        id_col, F.col("b.band_idx").alias("band_idx"), F.col("b.band_val").alias("band_val")
+    # The signature RIDES THROUGH the banding (like lsh_topk carries its
+    # vectors), so the verify step needs no extra joins back to `sig` —
+    # that shape recomputed the signature aggregation two more times.
+    # The remaining self-join has identical subplans on both sides, so
+    # Spark reuses the exchange (one signature computation total).
+    banded = sig.select(
+        F.col(id_col), "simhash", F.explode(F.array(*bands)).alias("b")
+    ).select(
+        id_col,
+        "simhash",
+        F.col("b.band_idx").alias("band_idx"),
+        F.col("b.band_val").alias("band_val"),
     )
-    cand = (
-        banded.alias("a")
-        .join(banded.alias("b"), ["band_idx", "band_val"])
-        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
-        )
-        .distinct()
+    a = banded.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "band_idx", "band_val"
     )
-    sa = sig.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"))
-    sb = sig.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"))
+    b = banded.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), "band_idx", "band_val"
+    )
+    # Verify BEFORE deduplicating: bit_count on a candidate row is
+    # nearly free, so filtering first means the dropDuplicates shuffle
+    # carries only surviving (id_a, id_b, hamming) triples instead of
+    # every band collision with both signatures attached.
     return (
-        cand.join(sa, "id_a")
-        .join(sb, "id_b")
+        a.join(b, ["band_idx", "band_val"])
+        .where(F.col("id_a") < F.col("id_b"))
         .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("int"))
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
+        .dropDuplicates(["id_a", "id_b"])
     )
