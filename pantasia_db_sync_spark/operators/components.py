@@ -44,14 +44,29 @@ def connected_components(
     diameter exceeds ``max_iter`` (labels still changing) — a silently
     partial canonicalization would keep duplicate documents.
     """
-    sym = edges.select(
-        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-    ).union(
-        edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst"))
+    # Freeze the symmetric edge list ONCE: every round joins it, and
+    # without the checkpoint each round's job re-derives the upstream
+    # edge producer from scratch (for the dedup query that is the whole
+    # MinHash banding pipeline — measured ~1.5s per round of pure
+    # recompute at sf0.1).
+    sym = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .union(edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst")))
+        .localCheckpoint(eager=True)
+    )
+    all_nodes = nodes.select(F.col(node_col).alias("node")).distinct()
+    # Only nodes with at least one edge can ever change label, so the
+    # iteration runs over the edge-touched subgraph and singletons are
+    # unioned back at the end as their own components. In a real dedup
+    # graph the vast majority of documents are singletons — they skip
+    # every per-round join/checkpoint instead of being dragged through
+    # the loop.
+    edge_nodes = sym.select("src").distinct().withColumnRenamed("src", "node")
+    singletons = all_nodes.join(edge_nodes, "node", "left_anti").select(
+        "node", F.col("node").alias("label")
     )
     labels = (
-        nodes.select(F.col(node_col).alias("node"))
-        .distinct()
+        all_nodes.join(edge_nodes, "node", "left_semi")
         .withColumn("label", F.col("node"))
         .localCheckpoint(eager=True)
     )
@@ -89,7 +104,9 @@ def connected_components(
             "(graph diameter too large) — raise max_iter, or switch to "
             "the large-star/small-star O(log n) variant"
         )
-    return labels.select(F.col("node"), F.col("label").alias(comp_col))
+    return labels.unionByName(singletons).select(
+        F.col("node"), F.col("label").alias(comp_col)
+    )
 
 
 def _canonical_edges(edges: DataFrame) -> DataFrame:
