@@ -266,3 +266,87 @@ def embedding_centroids_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         fround(F.avg("x"), 6).alias("centroid"),
         F.count(F.lit(1)).cast("bigint").alias("n"),
     )
+
+
+_STRAT_SQL_HASH = _PORTABLE_HASH.format(
+    col="concat('strat:', CAST(doc_id AS VARCHAR))"
+)
+
+
+@register(
+    "corpus_sample_stratified",
+    oracle=f"""
+    SELECT doc_id, lang,
+           CAST({_STRAT_SQL_HASH} % 100 AS INTEGER) AS bucket
+    FROM documents
+    WHERE {_STRAT_SQL_HASH} % 100
+          < (CASE WHEN lang = 'en' THEN 30 ELSE 100 END)
+    """,
+)
+def corpus_sample_stratified_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified downsampling of over-represented strata (here: keep
+    30% of 'en', 100% of everything else) via the salted portable hash
+    — deterministic, reproducible across runs/engines, and a pure
+    filter (0 shuffles: the decision is a per-row expression, so at
+    100 TB it rides the scan). The mechanism generalizes to per-source
+    temperature sampling by swapping the rate CASE."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = (
+        portable_hash60(F.concat(F.lit("strat:"), F.col("doc_id").cast("string")))
+        % 100
+    ).cast("int")
+    rate = F.when(F.col("lang") == "en", 30).otherwise(100)
+    return (
+        d.select("doc_id", "lang", bucket.alias("bucket"))
+        .where(F.col("bucket") < rate)
+    )
+
+
+@register(
+    "corpus_decontaminate",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+      FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)
+    ),
+    bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 50 = 0),
+    contaminated AS (
+      SELECT DISTINCT sh.doc_id
+      FROM sh JOIN bench USING (s)
+      WHERE sh.doc_id % 50 <> 0
+    )
+    SELECT d.doc_id, (c.doc_id IS NOT NULL) AS contaminated
+    FROM documents d LEFT JOIN contaminated c USING (doc_id)
+    WHERE d.doc_id % 50 <> 0
+    """,
+)
+def corpus_decontaminate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (the GPT-3/Gopher n-gram-collision
+    rule): flag every training document sharing at least one word
+     3-shingle with the held-out benchmark set (stand-in: doc_id % 50
+    == 0, fixtures being read-only). Shapes for 100 TB: the benchmark
+    shingle set is small by nature -> broadcast semi-join against the
+    corpus's exploded shingles; the flag join is an equi-join on
+    doc_id. (Production would raise n to ~13; the fixture docs are
+    short, so 3 keeps the test collision rate meaningful.)"""
+    from ..operators.dedup import shingle_frame
+
+    d = load_table(spark, sf_dir, "documents")
+    is_bench = F.col("doc_id") % 50 == 0
+    corpus = d.where(~is_bench)
+    bench_sh = (
+        shingle_frame(d.where(is_bench), "doc_id", "text", 3)
+        .select("shingle")
+        .distinct()
+    )
+    contaminated = (
+        shingle_frame(corpus, "doc_id", "text", 3)
+        .join(F.broadcast(bench_sh), "shingle", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("contaminated", F.lit(True))
+    )
+    return corpus.select("doc_id").join(contaminated, "doc_id", "left").select(
+        "doc_id", F.coalesce("contaminated", F.lit(False)).alias("contaminated")
+    )

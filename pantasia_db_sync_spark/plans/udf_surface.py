@@ -297,3 +297,75 @@ def stream_static_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
     )
     return _run_stream_to_frame(spark, writer, name, d)
+
+
+@register(
+    "stream_stream_join",
+    oracle="""
+    SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id,
+           CAST(date_diff('second', c.ts, p.ts) AS BIGINT) AS delay_sec
+    FROM events c JOIN events p
+      ON p.user_id = c.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    """,
+)
+def stream_stream_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STREAM interval join, oracle-checked: clicks joined to
+    purchases by the same user within the following 30 minutes. Both
+    sides carry watermarks and the join has an event-time range
+    constraint — exactly the state-bounding recipe Structured
+    Streaming requires for stream-stream joins at scale (state for a
+    side is dropped once its watermark passes the constraint window).
+    availableNow over the fixture lands everything in one micro-batch,
+    so append-mode output equals the batch interval join and the same
+    SQL oracle applies."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from ..streaming import events_stream
+
+    d = tempfile.mkdtemp(prefix="stream_ssj_")
+    shutil.copy(
+        os.path.join(sf_dir, "events.parquet"), os.path.join(d, "events-0.parquet")
+    )
+    ev = events_stream(spark, d)
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    purchases = (
+        ev.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            "p_user_id = user_id AND p_ts >= c_ts "
+            "AND p_ts <= c_ts + interval 30 minutes"
+        ),
+    ).select(
+        "click_id",
+        "purchase_id",
+        "user_id",
+        (F.col("p_ts").cast("long") - F.col("c_ts").cast("long")).alias("delay_sec"),
+    )
+    name = "ssj_" + uuid.uuid4().hex[:8]
+    writer = (
+        joined.writeStream.format("memory")
+        .outputMode("append")
+        .trigger(availableNow=True)
+    )
+    return _run_stream_to_frame(spark, writer, name, d)
