@@ -350,3 +350,94 @@ def corpus_decontaminate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.select("doc_id").join(contaminated, "doc_id", "left").select(
         "doc_id", F.coalesce("contaminated", F.lit(False)).alias("contaminated")
     )
+
+
+@register(
+    "text_chunk_overlap",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+    chunks AS (
+      SELECT doc_id,
+             CAST((u.s - 1) // 48 AS INTEGER) AS chunk_idx,
+             array_to_string(t[u.s:least(u.s + 63, len(t))], ' ') AS chunk_text,
+             CAST(least(u.s + 63, len(t)) - u.s + 1 AS INTEGER) AS n_tokens
+      FROM toks, UNNEST(range(1, len(t) + 1, 48)) AS u(s)
+    )
+    SELECT doc_id, chunk_idx, chunk_text, n_tokens FROM chunks
+    """,
+)
+def text_chunk_overlap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size token chunking with overlap (64-token windows, stride
+    48 — the RAG/pretraining chunker): every chunk start is generated
+    with `sequence` and sliced JVM-side, so the whole operator is one
+    explode over a per-row expression — embarrassingly parallel, no
+    shuffle, no UDF."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens_col("text")
+    starts = F.sequence(F.lit(1), F.greatest(F.size(toks), F.lit(1)), F.lit(48))
+    chunks = F.transform(
+        starts,
+        lambda s: F.struct(
+            ((s - 1) / 48).cast("int").alias("chunk_idx"),
+            F.array_join(F.slice(toks, s, 64), " ").alias("chunk_text"),
+            F.least(s + 63, F.size(toks)).alias("__end"),
+            s.alias("__s"),
+        ),
+    )
+    ex = d.select("doc_id", F.explode(chunks).alias("c"))
+    return ex.select(
+        "doc_id",
+        F.col("c.chunk_idx").alias("chunk_idx"),
+        F.col("c.chunk_text").alias("chunk_text"),
+        (F.col("c.__end") - F.col("c.__s") + 1).cast("int").alias("n_tokens"),
+    )
+
+
+@register(
+    "text_pii_scrub",
+    oracle=r"""
+    WITH withpii AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@mail.example.com or call 555-0' || CAST(doc_id % 100 AS VARCHAR)
+                  AS raw
+      FROM documents
+    )
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(raw, '[a-z0-9.]+@[a-z0-9.]+[a-z]', '<EMAIL>', 'g'),
+             '555-[0-9]+', '<PHONE>', 'g') AS scrubbed,
+           CAST(len(regexp_extract_all(raw, '[a-z0-9.]+@[a-z0-9.]+[a-z]')) AS INTEGER)
+             AS n_emails,
+           CAST(len(regexp_extract_all(raw, '555-[0-9]+')) AS INTEGER) AS n_phones
+    FROM withpii
+    """,
+)
+def text_pii_scrub_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (emails + phone patterns → placeholder tokens) with
+    per-doc match counts. Fixture text carries no PII, so deterministic
+    synthetic PII is appended in-flight (both engines append the same
+    string — the same read-only-fixture pattern as multimodal_decode_bmp).
+    Patterns use only character classes, so Java regex and RE2 agree;
+    everything stays JVM-side (regexp_replace / regexp_count)."""
+    d = load_table(spark, sf_dir, "documents")
+    email_pat = "[a-z0-9.]+@[a-z0-9.]+[a-z]"
+    phone_pat = "555-[0-9]+"
+    raw = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com or call 555-0"),
+        (F.col("doc_id") % 100).cast("string"),
+    )
+    base = d.select("doc_id", raw.alias("raw"))
+    return base.select(
+        "doc_id",
+        F.regexp_replace(
+            F.regexp_replace(F.col("raw"), email_pat, "<EMAIL>"),
+            phone_pat,
+            "<PHONE>",
+        ).alias("scrubbed"),
+        F.regexp_count(F.col("raw"), F.lit(email_pat)).cast("int").alias("n_emails"),
+        F.regexp_count(F.col("raw"), F.lit(phone_pat)).cast("int").alias("n_phones"),
+    )
