@@ -84,3 +84,55 @@ def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     for name, df in dfs.items():
         df.createOrReplaceTempView(name)
     return dfs
+
+
+# ---------------------------------------------------------------------------
+# landing-zone formats: CSV / JSONL ingest + export
+# ---------------------------------------------------------------------------
+
+_TS_FMT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+
+
+def write_table_as(
+    df: DataFrame, path: str, fmt: str = "parquet", mode: str = "overwrite"
+) -> None:
+    """Export a table to a landing-zone format.
+
+    CSV/JSONL are how raw data usually ARRIVES at a lakehouse; the
+    engine reads them once, then operates on parquet. Timestamps are
+    written as ISO-8601 with explicit offset so the round trip is
+    timezone-exact; Spark's shortest-round-trippable float printing
+    keeps doubles bit-exact through text."""
+    w = df.write.mode(mode)
+    if fmt == "csv":
+        w.option("header", True).option("timestampFormat", _TS_FMT).csv(path)
+    elif fmt == "json":
+        w.option("timestampFormat", _TS_FMT).json(path)
+    elif fmt == "parquet":
+        w.parquet(path)
+    else:
+        raise ValueError(f"unsupported format {fmt!r}")
+
+
+def load_table_as(
+    spark: SparkSession, path: str, fmt: str, schema=None
+) -> DataFrame:
+    """Read a landing-zone table with an EXPLICIT schema (inference is
+    both slow — an extra full pass at 100 TB — and lossy: CSV infers
+    long-ish strings, JSON infers int64 for everything). Pass the
+    target schema; the reader enforces it at scan time."""
+    if fmt == "csv":
+        r = (
+            spark.read.option("header", True)
+            .option("timestampFormat", _TS_FMT)
+            .option("mode", "FAILFAST")
+        )
+        return r.csv(path, schema=schema) if schema is not None else r.csv(
+            path, inferSchema=True
+        )
+    if fmt == "json":
+        r = spark.read.option("timestampFormat", _TS_FMT).option("mode", "FAILFAST")
+        return r.json(path, schema=schema) if schema is not None else r.json(path)
+    if fmt == "parquet":
+        return spark.read.parquet(path)
+    raise ValueError(f"unsupported format {fmt!r}")

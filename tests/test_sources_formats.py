@@ -1,0 +1,49 @@
+"""Landing-zone format round trips: CSV and JSONL ingest must preserve
+every value bit-for-bit when read back with an explicit schema —
+including timestamps (timezone-exact ISO-8601) and doubles (Spark's
+shortest-round-trippable float printing)."""
+
+from __future__ import annotations
+
+import pytest
+
+from conftest import SF_DIR
+
+from pantasia_db_sync_spark.sources.catalog import (
+    load_table,
+    load_table_as,
+    write_table_as,
+)
+
+
+def _rows(df):
+    return sorted([tuple(r) for r in df.collect()], key=repr)
+
+
+@pytest.mark.parametrize("table", ["orders", "events"])
+def test_csv_roundtrip_bit_exact(spark, tmp_path, table):
+    src = load_table(spark, SF_DIR, table)
+    p = str(tmp_path / f"{table}_csv")
+    write_table_as(src, p, "csv")
+    back = load_table_as(spark, p, "csv", schema=src.schema)
+    assert back.schema == src.schema
+    assert _rows(back) == _rows(src)
+
+
+@pytest.mark.parametrize("table", ["events", "embeddings", "documents"])
+def test_jsonl_roundtrip_bit_exact(spark, tmp_path, table):
+    """JSONL additionally carries nested arrays (embeddings)."""
+    src = load_table(spark, SF_DIR, table)
+    p = str(tmp_path / f"{table}_json")
+    write_table_as(src, p, "json")
+    back = load_table_as(spark, p, "json", schema=src.schema)
+    assert back.schema == src.schema
+    assert _rows(back) == _rows(src)
+
+
+def test_unknown_format_rejected(spark, tmp_path):
+    src = load_table(spark, SF_DIR, "orders")
+    with pytest.raises(ValueError):
+        write_table_as(src, str(tmp_path / "x"), "avro")
+    with pytest.raises(ValueError):
+        load_table_as(spark, str(tmp_path / "x"), "avro")
