@@ -76,8 +76,9 @@ def main() -> None:
     from pantasia_db_sync_spark.pipeline.sync import SyncEngine
 
     # scale 1.0 ≈ 40k records: large enough that per-job overhead
-    # amortizes and rec/s reflects pipeline throughput (~3.2k rec/s),
-    # small enough to keep the bench run under a minute of sync time.
+    # amortizes and rec/s reflects pipeline throughput (~3k rec/s).
+    # Together with the 10x run below the sync segment measures ~40s
+    # (13.7s at 1x + ~23s at 10x, round-3 numbers).
     def run_sync_at(scale: float) -> tuple[float, float]:
         with tempfile.TemporaryDirectory() as src, tempfile.TemporaryDirectory() as sink:
             fixtures.generate(src, scale=scale, seed=42)

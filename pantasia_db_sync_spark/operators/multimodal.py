@@ -176,6 +176,8 @@ def decode_bmp(content: bytes) -> dict:
         raise ValueError(f"unsupported BMP profile (bpp={bpp}, compression={compression})")
     top_down = height < 0
     height = abs(height)
+    if width <= 0 or height == 0:
+        raise ValueError(f"degenerate BMP dimensions ({width}x{height})")
     row_stride = (width * 3 + 3) & ~3
     tot = [0, 0, 0]  # b, g, r accumulation
     for y in range(height):

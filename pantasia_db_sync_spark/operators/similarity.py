@@ -1,8 +1,11 @@
 """Embedding similarity search: brute-force cosine top-k + IVF cell path.
 
-North-star extension (BASELINE.json). The dot product stays JVM-side
-(`zip_with` + `aggregate` higher-order functions — whole-stage codegen,
-no Python). Two strategies:
+North-star extension (BASELINE.json). Pairwise dot products stay
+JVM-side (`zip_with` + `aggregate` higher-order functions); the one
+deliberate Python hop is `lsh_signature` — an Arrow-batched numpy
+kernel, because a bits×dims signature per row is exactly where
+interpreted higher-order expressions lose to vectorized C (see its
+docstring for the bit-exactness argument). Two strategies:
 
 - **brute force** (baseline): queries × corpus via broadcast of the
   (small) query set; exact, O(|Q|·|C|·d) — the right answer when |Q| is
@@ -196,14 +199,23 @@ def lsh_signature(vec: Column, weights: list[list[float]]) -> Column:
         wt = np.asarray(w_rows, dtype=np.float64).T  # dim × bits
         if len(vs) == 0:
             return pd.Series([], dtype="int64")
-        x = np.asarray([np.asarray(v, dtype=np.float64) for v in vs])  # n × dim
-        acc = np.zeros((x.shape[0], wt.shape[1]), dtype=np.float64)
-        for j in range(wt.shape[0]):  # left fold over dims: IEEE order
-            acc += x[:, j : j + 1] * wt[j : j + 1, :]
-        packed = (acc >= 0).astype(np.int64) @ (
-            np.int64(1) << np.arange(wt.shape[1], dtype=np.int64)
-        )
-        return pd.Series(packed)
+        # NULL vectors propagate as NULL signatures (the behavior of the
+        # expression form this replaced), instead of crashing the batch.
+        # Masked int64 (never a float round-trip: signatures can exceed
+        # 2^53 at bits > 53 and would be corrupted by float64).
+        valid = np.array([v is not None for v in vs])
+        res = np.zeros(len(vs), dtype=np.int64)
+        if valid.any():
+            x = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in vs[valid]]
+            )  # n_valid × dim
+            acc = np.zeros((x.shape[0], wt.shape[1]), dtype=np.float64)
+            for j in range(wt.shape[0]):  # left fold over dims: IEEE order
+                acc += x[:, j : j + 1] * wt[j : j + 1, :]
+            res[valid] = (acc >= 0).astype(np.int64) @ (
+                np.int64(1) << np.arange(wt.shape[1], dtype=np.int64)
+            )
+        return pd.Series(pd.arrays.IntegerArray(res, mask=~valid))
 
     return _sig(vec)
 

@@ -107,18 +107,28 @@ def with_dense_ids(
     else:
         numbered = numbered.localCheckpoint(eager=True)
 
-    return _number_buckets(numbered, "__pid", order_cols, id_col, start)
+    return _number_buckets(
+        numbered, "__pid", order_cols, id_col, start, has_rank=True
+    )
 
 
 def _number_buckets(
-    df: DataFrame, bucket_col: str, order_cols: list[str], id_col: str, start: int
+    df: DataFrame,
+    bucket_col: str,
+    order_cols: list[str],
+    id_col: str,
+    start: int,
+    has_rank: bool = False,
 ) -> DataFrame:
     """row_number within bucket + broadcast cumulative bucket offsets.
 
-    The output stays LAZY: downstream actions re-run only a broadcast
-    join against the ≤num_buckets-row offsets frame.
+    ``has_rank`` is an explicit contract (the checkpoint path computes
+    ``__rn`` before freezing) — never inferred from the column list, so
+    a caller frame that happens to carry a ``__rn`` column can't smuggle
+    stale ranks in. The output stays LAZY: downstream actions re-run
+    only a broadcast join against the ≤num_buckets-row offsets frame.
     """
-    if "__rn" in df.columns:
+    if has_rank:
         numbered = df
     else:
         w = Window.partitionBy(bucket_col).orderBy(*[F.col(c).asc() for c in order_cols])

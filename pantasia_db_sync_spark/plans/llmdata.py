@@ -495,7 +495,10 @@ def _kmeans_ivf_sql(k: int, iters: int, dim: int = 64) -> str:
     parts = [
         "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),",
         "n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),",
-        f"c0 AS (SELECT vec_id AS cell, v AS c, nrm AS cnrm FROM n WHERE vec_id < {k}),",
+        # the k SMALLEST ids (not `vec_id < k`): matches kmeans_fit's
+        # orderBy(id).limit(k) seeding on any id space, not just a
+        # 0-based dense one
+        f"c0 AS (SELECT vec_id AS cell, v AS c, nrm AS cnrm FROM n ORDER BY vec_id LIMIT {k}),",
     ]
     for it in range(iters):
         prev, cur = f"c{it}", f"c{it + 1}"

@@ -47,9 +47,13 @@ def _run_stream_to_frame(spark: SparkSession, writer, name: str, tmp_dir: str) -
     import shutil
 
     q = writer.queryName(name).start()
-    finished = q.awaitTermination(300)
-    assert finished, f"streaming query {name} did not finish within 300s"
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError(f"streaming query {name} did not finish within 300s")
     sink = spark.table(name)
+    # The memory sink already stores its rows ON the driver, so this
+    # collect adds no new driver-memory exposure — it just detaches the
+    # rows from the sink so the sink can be dropped.
     out = spark.createDataFrame(sink.collect(), sink.schema)
     spark.catalog.dropTempView(name)
     shutil.rmtree(tmp_dir, ignore_errors=True)

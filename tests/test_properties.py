@@ -516,3 +516,41 @@ def test_bmp_decoder_rejects_garbage():
         decode_bmp(b"not a bitmap at all........................................")
     with _pytest.raises(ValueError):
         decode_bmp(_SPEC_BMP_2X2[:40])
+
+
+def test_bmp_decoder_rejects_degenerate_dims():
+    """Header-valid but dimension-degenerate streams must raise the
+    documented ValueError — never ZeroDivisionError or silent garbage."""
+    import struct
+
+    import pytest as _pytest
+
+    from pantasia_db_sync_spark.operators.multimodal import decode_bmp, encode_bmp
+
+    good = bytearray(encode_bmp(2, 2, (0, 0, 0)))
+    for w, h in [(0, 2), (2, 0), (-2, 2)]:
+        bad = bytearray(good)
+        struct.pack_into("<ii", bad, 18, w, h)
+        with _pytest.raises(ValueError):
+            decode_bmp(bytes(bad))
+
+
+def test_lsh_signature_null_vector_propagates(spark):
+    """A NULL embedding yields a NULL signature (not a crashed batch),
+    and >2^53 signatures survive exactly (no float round-trip)."""
+    from pyspark.sql import functions as F
+
+    from pantasia_db_sync_spark.operators.similarity import lsh_signature, lsh_weights
+
+    df = spark.createDataFrame(
+        [(1, [1.0] * 64), (2, None), (3, [-1.0] * 64)], "id int, v array<double>"
+    )
+    got = {
+        r["id"]: r["s"]
+        for r in df.withColumn(
+            "s", lsh_signature(F.col("v"), lsh_weights(60, 64))
+        ).collect()
+    }
+    assert got[2] is None
+    assert got[1] is not None and got[3] is not None
+    assert max(abs(got[1]), abs(got[3])) > 2**53
