@@ -121,8 +121,15 @@ def main() -> None:
     for r in replicas:
         sf_dir = BASE_SF if r == 1 else build_corpus(spark, r)
         n_docs = load_table(spark, sf_dir, "documents").count()
-        cases = [(n, QUERIES[n]) for n in QUERY_NAMES]
-        cases.append(("dedup_embedding_cosine[60b/6band]", cosine_scaled))
+        # SPARK_GRAFT_SCALE_QUERIES: comma list to subset the run (the
+        # fixture-banded cosine intentionally degrades at 50x — skip it
+        # when only refreshing the linear rows). "cosine_scaled" names
+        # the rebanded 60/6 variant.
+        only = os.environ.get("SPARK_GRAFT_SCALE_QUERIES")
+        names = only.split(",") if only else QUERY_NAMES
+        cases = [(n, QUERIES[n]) for n in names if n in QUERIES]
+        if only is None or "cosine_scaled" in names:
+            cases.append(("dedup_embedding_cosine[60b/6band]", cosine_scaled))
         for name, fn in cases:
             mat(fn(spark, sf_dir))  # warm
             t0 = time.perf_counter()
