@@ -73,8 +73,9 @@ class SyncEngine:
         # each period (a long-running sync otherwise keeps one version
         # per table per period forever); snapshots stay protected
         self.retention_keep_last = retention_keep_last
-        # per-run seed carry-forward (see _next_seeds): None = must probe
+        # per-run carry-forward (see process_period): None = must probe
         self._seeds: dict[str, int] | None = None
+        self._dim_totals: dict[str, int] | None = None
 
     # --- sources -------------------------------------------------------------
 
@@ -253,6 +254,8 @@ class SyncEngine:
         return (row["m"] or 0) + 1
 
     def process_period(self, lo: datetime, hi: datetime, commit_id: int) -> dict[str, int]:
+        from pyspark.sql import Observation
+
         spark = self.spark
         records = self.extract(lo, hi)
         # Stake derivation (the one irreducible Python UDF, H1) is folded
@@ -261,6 +264,12 @@ class SyncEngine:
         records = records.withColumn(
             "stake_derived", staking_address_udf("address")
         ).withColumn("wallet_key", F.coalesce("stake_derived", "address"))
+        # (An Observation for the record count was tried and reverted:
+        # repartitionByRange inside with_dense_ids evaluates its child
+        # twice per job — sampling pass + shuffle pass — so an upstream
+        # observe node double-fires. records.count() on the checkpoint
+        # blocks below is one cheap job; all OTHER stats ride existing
+        # write actions as Observations.)
         # with_dense_ids (default "checkpoint" strategy) freezes its
         # numbered intermediate once, so no extra .cache() is needed:
         # every downstream job reads those checkpoint blocks plus a
@@ -471,39 +480,51 @@ class SyncEngine:
             )
 
         # ---- commit: stage dims, append facts, flip dims before facts ----
-        # Dim row counts BEFORE staging (parquet metadata reads — cheap),
-        # so the new-row stats below come from the written files instead
-        # of re-executing the whole join/dense-id lineage per table.
-        prev_counts = {
-            "wallet": 0 if wallet_dim is None else wallet_dim.count(),
-            "collection": 0 if collection_dim is None else collection_dim.count(),
-            "asset": 0 if asset_dim is None else asset_dim.count(),
-        }
+        # Per-period stats come from Observation nodes collected DURING
+        # the stage/append write actions themselves — zero dedicated
+        # count jobs in steady state. Previous dim totals are carried
+        # like the seeds (probed once per run, parquet metadata reads).
+        if self._dim_totals is None:
+            self._dim_totals = {
+                "wallet": 0 if wallet_dim is None else wallet_dim.count(),
+                "collection": 0 if collection_dim is None else collection_dim.count(),
+                "asset": 0 if asset_dim is None else asset_dim.count(),
+            }
+        prev_counts = dict(self._dim_totals)
+        n_obs = {t: Observation() for t in ("wallet", "collection", "asset")}
+        w_obs = {t: Observation() for t in FACT_TABLES}
+        cnt = F.count(F.lit(1)).alias("n")
         staged = {
-            "wallet": self.store.stage("wallet", wallet_next),
-            "collection": self.store.stage("collection", collection_next),
-            "asset": self.store.stage("asset", asset_next),
+            "wallet": self.store.stage("wallet", wallet_next.observe(n_obs["wallet"], cnt)),
+            "collection": self.store.stage(
+                "collection", collection_next.observe(n_obs["collection"], cnt)
+            ),
+            "asset": self.store.stage("asset", asset_next.observe(n_obs["asset"], cnt)),
             "asset_ext": self.store.stage("asset_ext", ext_next),
         }
-        self.store.append("asset_tx", asset_tx_new, commit_id)
-        self.store.append("asset_mint_tx", asset_mint_tx_new, commit_id)
+        self.store.append(
+            "asset_tx", asset_tx_new.observe(w_obs["asset_tx"], cnt), commit_id
+        )
+        self.store.append(
+            "asset_mint_tx",
+            asset_mint_tx_new.observe(w_obs["asset_mint_tx"], cnt),
+            commit_id,
+        )
         for table, version in staged.items():
             self.store.repoint(table, version)
         self.store.commit_append("asset_tx", commit_id)
         self.store.commit_append("asset_mint_tx", commit_id)
 
-        def _written(table: str) -> int:
-            return spark.read.parquet(self.store.append_dir(table, commit_id)).count()
-
+        totals = {t: int(n_obs[t].get["n"]) for t in n_obs}
         stats = {
             "records": records.count(),
-            "new_wallets": self.store.read(spark, "wallet").count() - prev_counts["wallet"],
-            "new_collections": self.store.read(spark, "collection").count()
-            - prev_counts["collection"],
-            "new_assets": self.store.read(spark, "asset").count() - prev_counts["asset"],
-            "asset_tx": _written("asset_tx"),
-            "asset_mint_tx": _written("asset_mint_tx"),
+            "new_wallets": totals["wallet"] - prev_counts["wallet"],
+            "new_collections": totals["collection"] - prev_counts["collection"],
+            "new_assets": totals["asset"] - prev_counts["asset"],
+            "asset_tx": int(w_obs["asset_tx"].get["n"]),
+            "asset_mint_tx": int(w_obs["asset_mint_tx"].get["n"]),
         }
+        self._dim_totals = totals
         # dense ids ⇒ next seed = this seed + rows written; keeps the
         # next period's probe-free (validated against a fresh probe by
         # tests/test_pipeline_e2e.py seed-carry test)
@@ -540,9 +561,11 @@ class SyncEngine:
         period's transactional commit — the store stays consistent and
         the next run_sync resumes from the data-derived tip."""
         self.ensure_bootstrap()
-        # fresh probe per run: carried seeds are an in-run optimization
-        # only, never trusted across restarts (G7 crash recovery)
+        # fresh probe per run: carried seeds/totals are an in-run
+        # optimization only, never trusted across restarts (G7 crash
+        # recovery)
         self._seeds = None
+        self._dim_totals = None
         out = []
         periods = self.period_list()
         if max_periods is not None:
