@@ -50,6 +50,7 @@ def with_dense_ids(
     num_partitions: int | None = None,
     strategy: str = "checkpoint",
     release: list | None = None,
+    first_col_range: tuple | None = None,
 ) -> DataFrame:
     """Assign dense ids ``start, start+1, ...`` in ``order_cols`` order.
 
@@ -82,11 +83,20 @@ def with_dense_ids(
       counts pass prunes to ``order_cols``) and shuffled once, but
       never written to block storage. Requires ``order_cols`` to be a
       null-free unique key (recomputation must not reorder ties).
+      ``first_col_range=(lo, hi)`` (numeric/date first column only)
+      supplies the value range from table STATISTICS — e.g. parquet
+      footer min/max, catalog stats — so even the boundary job is
+      skipped: uniform boundaries are derived driver-side and the
+      operator runs zero jobs beyond the two data passes. Balance then
+      depends on the first column being roughly uniform over the range;
+      correctness never does.
     """
     if num_partitions is None:
         num_partitions = df.sparkSession.sparkContext.defaultParallelism
     if strategy == "sample":
-        return _dense_ids_by_sampled_bounds(df, order_cols, id_col, start, num_partitions)
+        return _dense_ids_by_sampled_bounds(
+            df, order_cols, id_col, start, num_partitions, first_col_range
+        )
     if strategy == "persist" and release is None:
         raise ValueError("strategy='persist' needs a release list the caller will unpersist")
     if strategy not in ("checkpoint", "persist"):
@@ -151,6 +161,7 @@ def _dense_ids_by_sampled_bounds(
     id_col: str,
     start: int,
     num_partitions: int,
+    first_col_range: tuple | None = None,
 ) -> DataFrame:
     """Fully-lazy dense ids: value-derived order-aligned buckets.
 
@@ -175,14 +186,41 @@ def _dense_ids_by_sampled_bounds(
     if dtype in _NUMERIC_BOUNDARY_TYPES and fractions:
         if dtype == "date":
             proxy = F.unix_date(F.col(first))
+
+            def to_num(v):
+                import datetime
+
+                return (
+                    (v - datetime.date(1970, 1, 1)).days
+                    if isinstance(v, datetime.date)
+                    else v
+                )
         elif dtype.startswith("timestamp"):
             proxy = F.unix_micros(F.col(first).cast("timestamp"))
+
+            def to_num(v):
+                import datetime
+
+                return (
+                    int(v.timestamp() * 1_000_000)
+                    if isinstance(v, datetime.datetime)
+                    else v
+                )
         else:
             proxy = F.col(first)
-        row = df.select(
-            F.percentile_approx(proxy, fractions, 10_000).alias("b")
-        ).first()
-        bounds = sorted(set(row["b"] or []))
+
+            def to_num(v):
+                return v
+        if first_col_range is not None:
+            # table statistics supplied: uniform boundaries, ZERO jobs
+            lo, hi = (to_num(v) for v in first_col_range)
+            width = (hi - lo) / num_partitions
+            bounds = sorted({int(lo + i * width) for i in range(1, num_partitions)})
+        else:
+            row = df.select(
+                F.percentile_approx(proxy, fractions, 10_000).alias("b")
+            ).first()
+            bounds = sorted(set(row["b"] or []))
         if bounds:
             bucket = functools.reduce(
                 operator.add,

@@ -585,11 +585,54 @@ def window_dense_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
     # "sample" strategy: the input is a cheap recomputable parquet scan,
     # so value-derived buckets beat freezing the whole frame in the
-    # block manager (see operators/surrogate.py strategy docs).
+    # block manager (see operators/surrogate.py strategy docs). The
+    # bucket boundaries come from parquet FOOTER statistics (a
+    # driver-side metadata read, no Spark job) — the table-stats fast
+    # path a real deployment gets from its catalog.
     out = with_dense_ids(
-        o, ["o_orderdate", "o_orderkey"], id_col="id", start=1000, strategy="sample"
+        o,
+        ["o_orderdate", "o_orderkey"],
+        id_col="id",
+        start=1000,
+        strategy="sample",
+        first_col_range=_parquet_column_range(sf_dir, "orders", "o_orderdate"),
     )
     return out.select("o_orderkey", "id")
+
+
+def _parquet_column_range(sf_dir: str, table: str, col: str):
+    """(min, max) of a column from parquet row-group statistics, or
+    None when unavailable (missing stats, directory without parts)."""
+    import os
+
+    try:
+        import pyarrow.parquet as pq
+
+        path = os.path.join(sf_dir, f"{table}.parquet")
+        if os.path.isdir(path):
+            parts = sorted(
+                f
+                for f in os.listdir(path)
+                if f.endswith(".parquet") and not f.startswith(("_", "."))
+            )
+            paths = [os.path.join(path, p) for p in parts]
+        else:
+            paths = [path]
+        lo = hi = None
+        for p in paths:
+            md = pq.ParquetFile(p).metadata
+            idx = md.schema.to_arrow_schema().get_field_index(col)
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                if st is None or not st.has_min_max:
+                    return None
+                lo = st.min if lo is None else min(lo, st.min)
+                hi = st.max if hi is None else max(hi, st.max)
+        if lo is None or lo == hi:
+            return None
+        return (lo, hi)
+    except Exception:
+        return None
 
 
 @register(
