@@ -28,17 +28,29 @@ def asof_join(
     right_ts: str,
     value_cols: list[str] | None = None,
     strict: bool = False,
+    direction: str = "backward",
 ) -> DataFrame:
     """Left as-of join.
 
     Returns ``left`` plus, for each right column in ``value_cols``
-    (default: all non-key, non-ts right columns), the value from the
-    latest right row with ``right_ts <= left_ts`` (``<`` if ``strict``)
-    within the same ``on`` key; NULL when no such row exists.
+    (default: all non-key, non-ts right columns), the matched right
+    row's values within the same ``on`` key; NULL when no match exists.
+    ``direction`` picks the match (pandas ``merge_asof`` semantics):
+
+    - ``"backward"`` (default): latest right row with
+      ``right_ts <= left_ts`` (``<`` if ``strict``);
+    - ``"forward"``: earliest right row with ``right_ts >= left_ts``
+      (``>`` if ``strict``) — the same one-shuffle union+window pass,
+      traversed in descending time;
+    - ``"nearest"``: whichever of the two is closer in time, ties to
+      the backward match — two window phases over the SAME shuffle
+      (Spark re-sorts within partitions, no second exchange).
 
     Ties on ``right_ts`` resolve to the greatest payload struct
     (deterministic regardless of partitioning).
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"unknown direction {direction!r}")
     keys = [on] if isinstance(on, str) else list(on)
     if value_cols is None:
         value_cols = [c for c in right.columns if c not in keys and c != right_ts]
@@ -73,14 +85,41 @@ def asof_join(
     r = r.withColumn("__lrow", F.lit(None).cast(l_tagged.schema["__lrow"].dataType))
 
     unioned = r.unionByName(l_tagged)
-    w = (
+    w_back = (
         Window.partitionBy(*keys)
         .orderBy(F.col("__ts").asc(), F.col("__side").asc(), F.col("__payload").asc_nulls_first())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    carried = unioned.withColumn(
-        "__carry", F.last("__payload", ignorenulls=True).over(w)
-    ).where(F.col("__lrow").isNotNull())
+    # forward = the same carry in DESCENDING time: the last right row
+    # seen before reaching a left row is then the MINIMUM right_ts that
+    # is >= the left ts (side ordering keeps equal-ts visibility rules)
+    w_fwd = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("__ts").desc(), F.col("__side").asc(), F.col("__payload").asc_nulls_first())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    if direction == "backward":
+        carried = unioned.withColumn(
+            "__carry", F.last("__payload", ignorenulls=True).over(w_back)
+        )
+    elif direction == "forward":
+        carried = unioned.withColumn(
+            "__carry", F.last("__payload", ignorenulls=True).over(w_fwd)
+        )
+    else:  # nearest
+        b = F.last("__payload", ignorenulls=True).over(w_back)
+        f = F.last("__payload", ignorenulls=True).over(w_fwd)
+        carried = unioned.withColumn("__b", b).withColumn("__f", f)
+        d_b = F.col("__ts").cast("long") - F.col("__b.__rts").cast("long")
+        d_f = F.col("__f.__rts").cast("long") - F.col("__ts").cast("long")
+        carried = carried.withColumn(
+            "__carry",
+            F.when(F.col("__b").isNull(), F.col("__f"))
+            .when(F.col("__f").isNull(), F.col("__b"))
+            .when(d_b <= d_f, F.col("__b"))
+            .otherwise(F.col("__f")),
+        )
+    carried = carried.where(F.col("__lrow").isNotNull())
 
     out_cols = []
     for c in left.columns:

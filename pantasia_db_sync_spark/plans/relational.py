@@ -355,6 +355,64 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "join_asof_forward",
+    oracle="""
+    SELECT p.event_id, p.user_id, p.ts,
+           (SELECT min(c.ts) FROM events c
+             WHERE c.event_type = 'click' AND c.user_id = p.user_id AND c.ts >= p.ts
+           ) AS next_click_ts
+    FROM events p WHERE p.event_type = 'purchase'
+    """,
+)
+def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.C extension — forward as-of (pandas merge_asof
+    direction='forward'): for each purchase, the earliest click
+    at-or-after. Same one-shuffle union+window pass, descending time."""
+    e = _t(spark, sf_dir, "events")
+    purchases = e.where(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    clicks = e.where(F.col("event_type") == "click").select("user_id", "ts")
+    out = asof_join(
+        purchases, clicks, on="user_id", left_ts="ts", right_ts="ts",
+        value_cols=[], direction="forward",
+    )
+    return out.select("event_id", "user_id", "ts", F.col("asof_ts").alias("next_click_ts"))
+
+
+@register(
+    "join_asof_nearest",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           CASE WHEN b IS NULL THEN f
+                WHEN f IS NULL THEN b
+                WHEN ts - b <= f - ts THEN b
+                ELSE f END AS nearest_click_ts
+    FROM (
+      SELECT p.event_id, p.user_id, p.ts,
+             (SELECT max(c.ts) FROM events c
+               WHERE c.event_type = 'click' AND c.user_id = p.user_id AND c.ts <= p.ts) AS b,
+             (SELECT min(c.ts) FROM events c
+               WHERE c.event_type = 'click' AND c.user_id = p.user_id AND c.ts >= p.ts) AS f
+      FROM events p WHERE p.event_type = 'purchase'
+    )
+    """,
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.C extension — nearest as-of (ties to the backward match): two
+    window phases over ONE shuffle (re-sort within partitions, no
+    second exchange)."""
+    e = _t(spark, sf_dir, "events")
+    purchases = e.where(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    clicks = e.where(F.col("event_type") == "click").select("user_id", "ts")
+    out = asof_join(
+        purchases, clicks, on="user_id", left_ts="ts", right_ts="ts",
+        value_cols=[], direction="nearest",
+    )
+    return out.select(
+        "event_id", "user_id", "ts", F.col("asof_ts").alias("nearest_click_ts")
+    )
+
+
+@register(
     "join_lateral_meta",
     oracle="""
     SELECT o.o_orderkey, o.o_custkey,

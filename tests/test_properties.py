@@ -182,6 +182,55 @@ def test_asof_join_matches_naive(spark, left, right):
 @settings(**SETTINGS)
 @given(
     left=st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 100)),
+        min_size=1, max_size=60, unique=True,
+    ),
+    right=st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 100), st.integers(-9, 9)),
+        min_size=0, max_size=60, unique_by=lambda t: (t[0], t[1]),
+    ),
+)
+def test_asof_forward_and_nearest_match_naive(spark, left, right):
+    """forward = min ts >= left ts; nearest = closer of backward/forward
+    with ties to backward — vs a pure-Python nested-loop oracle."""
+    from pantasia_db_sync_spark.operators.asof import asof_join
+
+    ldf = spark.createDataFrame(left, "k int, ts int")
+    rdf = (
+        spark.createDataFrame(right, "k int, ts int, val int")
+        if right
+        else spark.createDataFrame([], "k int, ts int, val int")
+    )
+    fwd = {
+        (r["k"], r["ts"]): (r["asof_ts"], r["val"])
+        for r in asof_join(
+            ldf, rdf, on="k", left_ts="ts", right_ts="ts", direction="forward"
+        ).collect()
+    }
+    near = {
+        (r["k"], r["ts"]): (r["asof_ts"], r["val"])
+        for r in asof_join(
+            ldf, rdf, on="k", left_ts="ts", right_ts="ts", direction="nearest"
+        ).collect()
+    }
+    for k, ts in left:
+        later = [(rts, v) for rk, rts, v in right if rk == k and rts >= ts]
+        want_f = min(later) if later else (None, None)
+        assert fwd[(k, ts)] == want_f, ("fwd", (k, ts), fwd[(k, ts)], want_f)
+        earlier = [(rts, v) for rk, rts, v in right if rk == k and rts <= ts]
+        want_b = max(earlier) if earlier else (None, None)
+        if want_b[0] is None:
+            want_n = want_f
+        elif want_f[0] is None:
+            want_n = want_b
+        else:
+            want_n = want_b if (ts - want_b[0]) <= (want_f[0] - ts) else want_f
+        assert near[(k, ts)] == want_n, ("near", (k, ts), near[(k, ts)], want_n)
+
+
+@settings(**SETTINGS)
+@given(
+    left=st.lists(
         st.tuples(st.integers(0, 3), st.integers(0, 60)),
         min_size=1, max_size=40, unique=True,
     ),
