@@ -272,3 +272,40 @@ def window_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("w.start").alias("period_start"), "n_events", "total_value")
     )
+
+
+@register(
+    "agg_approx_quantile",
+    oracle="""
+    SELECT l_returnflag, true AS p50_within_tol, true AS p95_within_tol,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (mergeable one-pass sketch — the 100 TB
+    quantile path) hash-checked via its ACCURACY GUARANTEE, the
+    agg_approx_distinct pattern: with accuracy=10000 the rank error is
+    <= n/10000, so the sketch value must land between the exact
+    quantiles at p +/- 1%. Sketch values themselves are engine-specific
+    and never compared."""
+    li = load_table(spark, sf_dir, "lineitem")
+    g = li.groupBy("l_returnflag").agg(
+        F.expr("approx_percentile(l_extendedprice, 0.5, 10000)").alias("a50"),
+        F.expr("approx_percentile(l_extendedprice, 0.95, 10000)").alias("a95"),
+        F.percentile("l_extendedprice", F.lit(0.49)).alias("lo50"),
+        F.percentile("l_extendedprice", F.lit(0.51)).alias("hi50"),
+        F.percentile("l_extendedprice", F.lit(0.94)).alias("lo95"),
+        F.percentile("l_extendedprice", F.lit(0.96)).alias("hi95"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    return g.select(
+        "l_returnflag",
+        ((F.col("a50") >= F.col("lo50")) & (F.col("a50") <= F.col("hi50"))).alias(
+            "p50_within_tol"
+        ),
+        ((F.col("a95") >= F.col("lo95")) & (F.col("a95") <= F.col("hi95"))).alias(
+            "p95_within_tol"
+        ),
+        "n",
+    )
