@@ -110,8 +110,12 @@ def asof_join(
         b = F.last("__payload", ignorenulls=True).over(w_back)
         f = F.last("__payload", ignorenulls=True).over(w_fwd)
         carried = unioned.withColumn("__b", b).withColumn("__f", f)
-        d_b = F.col("__ts").cast("long") - F.col("__b.__rts").cast("long")
-        d_f = F.col("__f.__rts").cast("long") - F.col("__ts").cast("long")
+        # Type-agnostic time distance: subtraction yields a day-time
+        # interval for TIMESTAMP *and* TIMESTAMP_NTZ (where a cast to
+        # BIGINT is an AnalysisException) and a plain number for numeric
+        # ts columns; both compare correctly with <=.
+        d_b = F.col("__ts") - F.col("__b.__rts")
+        d_f = F.col("__f.__rts") - F.col("__ts")
         carried = carried.withColumn(
             "__carry",
             F.when(F.col("__b").isNull(), F.col("__f"))

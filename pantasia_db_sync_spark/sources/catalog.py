@@ -91,6 +91,10 @@ def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
 # ---------------------------------------------------------------------------
 
 _TS_FMT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+# TIMESTAMP_NTZ columns are governed by a SEPARATE option
+# (timestampNTZFormat, default millis) — without it µs fractions are
+# silently truncated on write. No offset: NTZ has no zone to print.
+_TS_NTZ_FMT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
 
 
 def write_table_as(
@@ -105,9 +109,13 @@ def write_table_as(
     keeps doubles bit-exact through text."""
     w = df.write.mode(mode)
     if fmt == "csv":
-        w.option("header", True).option("timestampFormat", _TS_FMT).csv(path)
+        w.option("header", True).option("timestampFormat", _TS_FMT).option(
+            "timestampNTZFormat", _TS_NTZ_FMT
+        ).csv(path)
     elif fmt == "json":
-        w.option("timestampFormat", _TS_FMT).json(path)
+        w.option("timestampFormat", _TS_FMT).option(
+            "timestampNTZFormat", _TS_NTZ_FMT
+        ).json(path)
     elif fmt == "parquet":
         w.parquet(path)
     else:
@@ -125,13 +133,18 @@ def load_table_as(
         r = (
             spark.read.option("header", True)
             .option("timestampFormat", _TS_FMT)
+            .option("timestampNTZFormat", _TS_NTZ_FMT)
             .option("mode", "FAILFAST")
         )
         return r.csv(path, schema=schema) if schema is not None else r.csv(
             path, inferSchema=True
         )
     if fmt == "json":
-        r = spark.read.option("timestampFormat", _TS_FMT).option("mode", "FAILFAST")
+        r = (
+            spark.read.option("timestampFormat", _TS_FMT)
+            .option("timestampNTZFormat", _TS_NTZ_FMT)
+            .option("mode", "FAILFAST")
+        )
         return r.json(path, schema=schema) if schema is not None else r.json(path)
     if fmt == "parquet":
         return spark.read.parquet(path)

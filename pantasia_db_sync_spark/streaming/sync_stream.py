@@ -22,49 +22,118 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    DataType,
     DoubleType,
     LongType,
     StringType,
     StructField,
     StructType,
+    TimestampNTZType,
     TimestampType,
 )
 
-# The fixture parquet stores ts as TIMESTAMP(NANOS); with the engine's
-# `nanosAsLong` conf it arrives as int64 nanos and we restore micros,
-# exactly like sources/catalog.load_table does for batch reads.
-EVENTS_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("ts", LongType()),
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ]
-)
+
+def _parquet_ts_unit(directory: str, col: str = "ts") -> str | None:
+    """Probe the first part file's footer for `col`'s physical layout,
+    mirroring the batch catalog (sources/catalog.py:_nanos_timestamp_cols):
+
+    - ``"ns"``     — TIMESTAMP(NANOS): Spark only reads it as int64 via
+      the ``nanosAsLong`` conf; we restore micros ourselves;
+    - ``"us_ltz"`` — µs/ms, isAdjustedToUTC → Spark TimestampType;
+    - ``"us_ntz"`` — µs/ms, no timezone → Spark TimestampNTZType
+      (the layout Spark itself writes by default for NTZ data);
+    - ``None``     — no files yet (a legal file-source starting state;
+      caller falls back to ``ts_unit`` or the Spark-native default).
+    """
+    import os
+
+    import pyarrow.parquet as pq
+
+    if not os.path.isdir(directory):
+        return None
+    parts = sorted(
+        f
+        for f in os.listdir(directory)
+        if f.endswith(".parquet") and not f.startswith(("_", "."))
+    )
+    if not parts:
+        return None
+    schema = pq.read_schema(os.path.join(directory, parts[0]))
+    if col not in schema.names:
+        return None
+    t = schema.field(col).type
+    s = str(t)
+    if s.startswith("timestamp[ns"):
+        return "ns"
+    if getattr(t, "tz", None) is not None:
+        return "us_ltz"
+    return "us_ntz"
+
+
+def _events_schema(ts_type: DataType) -> StructType:
+    return StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", ts_type),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+            StructField("props", StringType()),
+        ]
+    )
+
 
 DEFAULT_WATERMARK = "2 minutes"  # the reference's 3-block tip buffer
 
 
 def events_stream(
-    spark: SparkSession, directory: str, max_files_per_trigger: int | None = None
+    spark: SparkSession,
+    directory: str,
+    max_files_per_trigger: int | None = None,
+    ts_unit: str | None = None,
 ) -> DataFrame:
     """File-source stream over a directory of events-shaped parquet.
 
     New files appearing in `directory` are the stream (the reference's
     "new rows past the tip"). ``maxFilesPerTrigger`` bounds micro-batch
-    size like PANTASIA_TIME_INTERVAL bounds period size (G2)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    size like PANTASIA_TIME_INTERVAL bounds period size (G2).
+
+    The timestamp physical unit is probed from the first part file's
+    footer (ns vs µs, NTZ vs UTC-adjusted) so the stream reads the same
+    wall times as the batch catalog regardless of which writer produced
+    the directory. When the directory is empty at ``readStream`` time,
+    pass ``ts_unit`` explicitly ("ns" | "us_ntz" | "us_ltz"); default is
+    "us_ntz", the layout Spark itself writes.
+
+    The emitted ``ts`` is always TimestampType: Spark's event-time
+    watermark rejects TIMESTAMP_NTZ (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE),
+    so NTZ input is cast under the pinned UTC session — wall times are
+    bit-identical, and every downstream watermark/window works."""
+    if ts_unit is None:
+        ts_unit = _parquet_ts_unit(directory) or "us_ntz"
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    reader = spark.readStream.schema(EVENTS_SCHEMA)
+    if ts_unit == "ns":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        schema = _events_schema(LongType())
+    elif ts_unit == "us_ltz":
+        schema = _events_schema(TimestampType())
+    elif ts_unit == "us_ntz":
+        schema = _events_schema(TimestampNTZType())
+    else:
+        raise ValueError(f"unknown ts_unit {ts_unit!r}")
+    reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     df = reader.parquet(directory)
-    # integer DIV matches the batch catalog exactly (no float rounding)
-    return df.withColumn(
-        "ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))")
-    )
+    if ts_unit == "ns":
+        # integer DIV matches the batch catalog exactly (no float rounding)
+        df = df.withColumn(
+            "ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))")
+        )
+    elif ts_unit == "us_ntz":
+        # NTZ → LTZ under UTC: same wall time, watermark-legal type
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
 
 
 def tumbling_window_counts(
@@ -137,15 +206,18 @@ def dedup_stream(
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(list(keys))
 
 
-_LATEST_STATE_SCHEMA = StructType(
-    [
-        StructField("user_id", LongType()),
-        StructField("last_ts", TimestampType()),
-        StructField("last_event_type", StringType()),
-        StructField("last_value", DoubleType()),
-        StructField("n_events", LongType()),
-    ]
-)
+def _latest_state_schema(ts_type: DataType) -> StructType:
+    """Output schema follows the input's ts type (LTZ vs NTZ) so the
+    streaming result compares type-exactly against its batch twin."""
+    return StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("last_ts", ts_type),
+            StructField("last_event_type", StringType()),
+            StructField("last_value", DoubleType()),
+            StructField("n_events", LongType()),
+        ]
+    )
 
 
 def _latest_state_fn(
@@ -181,13 +253,15 @@ def latest_state_stream(events: DataFrame, watermark: str = DEFAULT_WATERMARK) -
     /root/reference/app/main.py:226-248,290-315) via
     ``applyInPandasWithState`` — keyed state shards across executors;
     no driver dict."""
+    ts_type = events.schema["ts"].dataType
+    ts_ddl = "timestamp_ntz" if isinstance(ts_type, TimestampNTZType) else "timestamp"
     return (
         events.withWatermark("ts", watermark)
         .groupBy("user_id")
         .applyInPandasWithState(
             _latest_state_fn,
-            outputStructType=_LATEST_STATE_SCHEMA,
-            stateStructType="last_ts timestamp, last_event_type string, "
+            outputStructType=_latest_state_schema(ts_type),
+            stateStructType=f"last_ts {ts_ddl}, last_event_type string, "
             "last_value double, n_events bigint",
             outputMode="update",
             timeoutConf=GroupStateTimeout.NoTimeout,

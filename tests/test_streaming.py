@@ -33,6 +33,43 @@ def stream_dir(tmp_path_factory, sf_dir):
     return str(d)
 
 
+def test_events_stream_unit_robust(spark, sf_dir, tmp_path):
+    """The stream must read identical wall times from a TIMESTAMP(NANOS)
+    directory, a µs-NTZ directory (Spark's own default layout), and a
+    µs-UTC-adjusted directory — the footer probe picks the conversion."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = pa.parquet.read_table(os.path.join(sf_dir, "events.parquet"))
+    variants = {
+        "ns": pa.timestamp("ns"),
+        "us_ntz": pa.timestamp("us"),
+        "us_ltz": pa.timestamp("us", tz="UTC"),
+    }
+    results = {}
+    for name, ts_type in variants.items():
+        d = tmp_path / name
+        d.mkdir()
+        i = src.schema.get_field_index("ts")
+        tbl = src.set_column(i, "ts", src.column("ts").cast(ts_type))
+        pq.write_table(tbl, d / "part-0.parquet")
+        out = run_stream(
+            spark, events_stream(spark, str(d)), name=f"unit_{name}"
+        )
+        assert dict(out.dtypes)["ts"] == "timestamp"
+        results[name] = sorted(
+            (r["event_id"], r["ts"]) for r in out.select("event_id", "ts").collect()
+        )
+    assert results["ns"] == results["us_ntz"] == results["us_ltz"]
+    assert len(results["ns"]) == src.num_rows
+
+    # empty-at-start directory: probe finds nothing, explicit/default unit rules
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    df = events_stream(spark, str(empty), ts_unit="us_ntz")
+    assert dict(df.dtypes)["ts"] == "timestamp"
+
+
 def run_stream(spark, df, mode="append", name="probe"):
     q = (
         df.writeStream.format("memory")
