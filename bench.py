@@ -4,16 +4,25 @@ Prints ONE JSON line:
   {"metric": "...", "value": <total_sec>, "unit": "sec",
    "queries": {name: sec, ...}, "sf": <sf>}
 
-Each query is materialized through the noop sink (full plan execution,
-all columns, no disk) after a session warm-up, so timings measure the
-engine, not JVM startup. Headliners cover the flagship extraction,
-heavy joins/aggs/windows, and the LLM-data operators.
+Timing discipline (round-5 change): each suite query gets one unrecorded
+warm-up pass, then REPS (default 3) recorded passes; the reported number
+is the MEDIAN and the per-query min/max spread rides in
+``queries_spread`` so a sandbox-wide environmental shift (seen in round
+4: 18/18 queries "slower" with zero code changes) is distinguishable
+from a real regression. Each pass materializes through the noop sink
+(full plan execution, all columns, no disk).
+
+The sync pipeline runs REPS full batch syncs at scale 1 (median) and one
+at 10x; the dedup family gets a 10x-corpus datapoint (built by
+scripts/scale_experiment.build_corpus) so the banded joins' near-linear
+scaling is measured, not asserted.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -38,6 +47,8 @@ HEADLINE = [
     "text_tfidf",
 ]
 
+REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -52,63 +63,106 @@ def main() -> None:
     def materialize(df) -> None:
         df.write.format("noop").mode("overwrite").save()
 
-    # Warm-up: one full unrecorded pass so JVM JIT, codegen caches,
-    # parquet footers, and broadcast machinery are hot — the recorded
-    # pass then measures steady-state engine throughput, not startup.
+    def timed(fn) -> float:
+        t0 = time.perf_counter()
+        fn()
+        return time.perf_counter() - t0
+
+    # Warm-up: one full unrecorded pass over the whole suite so JVM JIT,
+    # codegen caches, parquet footers, and broadcast machinery are hot.
     for name in HEADLINE:
         materialize(QUERIES[name](spark, sf_dir))
 
     timings: dict[str, float] = {}
+    spread: dict[str, list[float]] = {}
     for name in HEADLINE:
-        t0 = time.perf_counter()
-        materialize(QUERIES[name](spark, sf_dir))
-        timings[name] = round(time.perf_counter() - t0, 3)
-        print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
+        runs = sorted(
+            timed(lambda: materialize(QUERIES[name](spark, sf_dir)))
+            for _ in range(REPS)
+        )
+        timings[name] = round(statistics.median(runs), 3)
+        spread[name] = [round(runs[0], 3), round(runs[-1], 3)]
+        print(
+            f"# {name}: median {timings[name]:.3f}s "
+            f"(min {runs[0]:.3f} / max {runs[-1]:.3f}, n={REPS})",
+            file=sys.stderr,
+        )
 
-    # Sync-pipeline throughput: one batch sync over fresh fixtures
-    # (generation excluded from the timing). Records/s goes to stderr;
-    # the wall time rides the JSON so round-over-round regressions in
-    # the pipeline itself — not just the queries — are visible.
+    # Sync-pipeline throughput: full batch syncs over fresh fixtures
+    # (generation excluded from the timing). scale 1.0 ≈ 40k records —
+    # run REPS times and take the median (the 1x number was the noisiest
+    # metric in rounds 2-4); the 10x run shows throughput where per-job
+    # overhead amortizes (the scale trend a 100 TB deployment cares
+    # about) and runs once — it is long enough to be self-averaging.
     import tempfile
 
     from pantasia_db_sync_spark.pipeline import fixtures
     from pantasia_db_sync_spark.pipeline.store import TableStore
     from pantasia_db_sync_spark.pipeline.sync import SyncEngine
 
-    # scale 1.0 ≈ 40k records: large enough that per-job overhead
-    # amortizes and rec/s reflects pipeline throughput (~3k rec/s).
-    # Together with the 10x run below the sync segment measures ~40s
-    # (13.7s at 1x + ~23s at 10x, round-3 numbers).
-    def run_sync_at(scale: float) -> tuple[float, float]:
-        with tempfile.TemporaryDirectory() as src, tempfile.TemporaryDirectory() as sink:
+    def run_sync_at(scale: float, reps: int) -> tuple[float, float, list[float]]:
+        walls: list[float] = []
+        n_records = 0
+        with tempfile.TemporaryDirectory() as src:
             fixtures.generate(src, scale=scale, seed=42)
-            engine = SyncEngine(
-                spark, src, TableStore(sink), time_interval_minutes=10**6
-            )
-            t0 = time.perf_counter()
-            stats = engine.run_sync()
-            dt = time.perf_counter() - t0
-            n_records = sum(s["records"] for s in stats)
-            print(
-                f"# sync_pipeline: {dt:.3f}s, {n_records} records, "
-                f"{n_records / dt:.0f} rec/s (scale={scale})",
-                file=sys.stderr,
-            )
-            return round(dt, 3), round(n_records / dt, 1)
+            for _ in range(reps):
+                with tempfile.TemporaryDirectory() as sink:
+                    engine = SyncEngine(
+                        spark, src, TableStore(sink), time_interval_minutes=10**6
+                    )
+                    t0 = time.perf_counter()
+                    stats = engine.run_sync()
+                    walls.append(time.perf_counter() - t0)
+                    n_records = sum(s["records"] for s in stats)
+        walls.sort()
+        med = statistics.median(walls)
+        print(
+            f"# sync_pipeline: median {med:.3f}s of {reps} "
+            f"(min {walls[0]:.3f} / max {walls[-1]:.3f}), {n_records} records, "
+            f"{n_records / med:.0f} rec/s (scale={scale})",
+            file=sys.stderr,
+        )
+        return (
+            round(med, 3),
+            round(n_records / med, 1),
+            [round(walls[0], 3), round(walls[-1], 3)],
+        )
 
     sync_scale = float(os.environ.get("SPARK_GRAFT_SYNC_SCALE", "1.0"))
-    sync_wall, sync_rps = run_sync_at(sync_scale)
-    # 10x run: shows throughput where per-job overhead amortizes (the
-    # scale trend a 100 TB deployment cares about); skippable via env.
+    sync_wall, sync_rps, sync_spread = run_sync_at(sync_scale, REPS)
     sync10_wall, sync10_rps = (None, None)
     if os.environ.get("SPARK_GRAFT_SYNC_10X", "1") == "1":
-        sync10_wall, sync10_rps = run_sync_at(10 * sync_scale)
+        sync10_wall, sync10_rps, _ = run_sync_at(10 * sync_scale, 1)
+
+    # Dedup 10x-corpus datapoint: replicate the sf0.1 documents 10x with
+    # per-replica token rewrites (so near-dup structure grows linearly,
+    # not quadratically — see scripts/scale_experiment.py) and time the
+    # two banded-join dedups once each after a warm-up. rec/s at 10x vs
+    # 1x is the scale-linearity evidence for the banded candidate
+    # generation; skippable via env.
+    dedup10: dict[str, float] = {}
+    if os.environ.get("SPARK_GRAFT_DEDUP_10X", "1") == "1":
+        sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "scripts"))
+        from scale_experiment import build_corpus
+
+        dir10 = build_corpus(spark, 10)
+        for name in ("dedup_minhash_lsh", "dedup_simhash"):
+            materialize(QUERIES[name](spark, dir10))  # warm
+            dt = timed(lambda: materialize(QUERIES[name](spark, dir10)))
+            dedup10[name] = round(dt, 3)
+            ratio = dt / timings[name]
+            print(
+                f"# {name}@10x: {dt:.3f}s ({ratio:.1f}x the 1x wall → "
+                f"{10 / ratio:.1f}x rec/s)",
+                file=sys.stderr,
+            )
 
     # The headline total sums ONLY the query suite (comparable to round
     # 1's definition); the pipeline rides as separate metrics AND as a
     # `queries` entry so per-name round-over-round diffs still work.
     total = round(sum(timings.values()), 3)
     timings["sync_pipeline"] = sync_wall
+    spread["sync_pipeline"] = sync_spread
     print(
         json.dumps(
             {
@@ -116,12 +170,15 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_spread": spread,
+                "reps": REPS,
                 "sf": sf,
                 "sync_pipeline_sec": sync_wall,
                 "sync_pipeline_records_per_sec": sync_rps,
                 "sync_pipeline_scale": sync_scale,
                 "sync_pipeline_10x_sec": sync10_wall,
                 "sync_pipeline_10x_records_per_sec": sync10_rps,
+                "dedup_10x_sec": dedup10 or None,
             }
         )
     )

@@ -32,10 +32,8 @@ from ..functions.text import HASH_PRIME, minhash_params, portable_hash_mod, toke
 SIMHASH_BITS = 32
 
 
-def shingle_frame(
-    docs: DataFrame, id_col: str, text_col: str, n: int = 3
-) -> DataFrame:
-    """Distinct word n-gram shingles per document: (id, shingle)."""
+def _shingle_parts(docs: DataFrame, id_col: str, text_col: str, n: int):
+    """(tokenized frame, raw shingle-array Column) shared by both views."""
     toks = docs.select(F.col(id_col), tokens_col(text_col).alias("__toks"))
     # shingle i = toks[i] || ' ' || ... (0-based slice, i in [0, len-n]);
     # guard: sequence() would run backwards for docs shorter than n tokens
@@ -48,11 +46,46 @@ def shingle_frame(
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    return (
-        toks.select(F.col(id_col), F.explode(sh).alias("shingle"))
-        .where(F.col("shingle") != "")
-        .distinct()
+    return toks, sh
+
+
+def shingle_arrays(
+    docs: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """(id, __sh): distinct word n-gram shingles per doc as an array.
+
+    Distinctness is PER DOCUMENT, and each input row already holds all
+    of its document's shingles — ``array_distinct`` on the row is
+    therefore exact, and every per-doc set quantity downstream (set
+    size, the set itself for exact-Jaccard verification) becomes a
+    row-local expression instead of a ``groupBy``/``collect_set`` over
+    |shingles| exploded rows. At 100 TB each such avoided aggregation
+    is a full shuffle of the corpus' shingle index.
+    """
+    toks, sh = _shingle_parts(docs, id_col, text_col, n)
+    return toks.select(
+        F.col(id_col), F.array_remove(F.array_distinct(sh), "").alias("__sh")
     )
+
+
+def shingle_frame(
+    docs: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """Distinct word n-gram shingles per document: (id, shingle) — the
+    exploded inverted-index view.
+
+    The generator expression stays INLINE in the explode (never
+    ``explode`` over an aliased array column): for a column reference
+    Spark's InferFiltersFromGenerate infers a ``size(col) > 0``
+    pre-filter and predicate pushdown then substitutes the whole
+    shingle expression into it, evaluating the interpreted
+    transform/array_distinct chain twice per row (measured 5-8x wall
+    on the fingerprint aggregate).
+    """
+    toks, sh = _shingle_parts(docs, id_col, text_col, n)
+    return toks.select(
+        F.col(id_col), F.explode(F.array_distinct(sh)).alias("shingle")
+    ).where(F.col("shingle") != "")
 
 
 def exact_dedup(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -63,8 +96,30 @@ def exact_dedup(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def _pair_jaccard(sh: DataFrame, id_col: str, max_df: int | None = None) -> DataFrame:
+def _pair_jaccard(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    max_df: int | None = None,
+) -> DataFrame:
     """(id_a, id_b, jaccard) for every pair sharing ≥1 shingle.
+
+    The per-doc set size RIDES THROUGH the explode as a sibling column
+    of the generator — every row of the inverted index carries its
+    document's ``__n``, so Jaccard needs NO sizes frame and no joins
+    after the pair aggregation (the two per-pair sizes come out of the
+    groupBy as ``min`` of a per-group constant). Earlier shapes paid
+    either a counts aggregation over the exploded index (a shuffle) or
+    a row-local sizes frame whose expensive shingle expression the
+    optimizer then duplicated into pushed-down IsNotNull filters.
+
+    The self-join is pinned to a shuffle hash join: the two sides are
+    identical subplans, so they share ONE reused exchange (the shingle
+    chain is computed once), and the build side is one partition's
+    slice — never a driver-side broadcast of the whole exploded index,
+    which the static size estimate otherwise picks at small SF (the
+    estimator does not see through a Generate).
 
     ``max_df`` (off by default) drops shingles whose document frequency
     exceeds the cap from the inverted-index JOIN only — a shingle with
@@ -77,37 +132,60 @@ def _pair_jaccard(sh: DataFrame, id_col: str, max_df: int | None = None) -> Data
     cap on a shared-vocabulary corpus it can be a large fraction of the
     vocabulary, where a forced broadcast would OOM the driver.
     """
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n"))
+    toks, sh_raw = _shingle_parts(docs, id_col, text_col, n)
+    packed = F.array_remove(F.array_distinct(sh_raw), "")
+    # Two-layer shape, deliberately: the array materializes in its own
+    # projection, and the generator emits (shingle, __n) structs over
+    # the already-materialized array. Because `__sh` is referenced
+    # twice in the generator expression, CollapseProject will NOT
+    # substitute the expensive shingle chain into it — the hazard being
+    # that the optimizer otherwise floats the `__n` projection ABOVE
+    # the Generate, re-evaluating the whole interpreted chain once per
+    # exploded OUTPUT row (measured 18x wall on the shingle stage).
+    arred = toks.select(F.col(id_col), packed.alias("__sh"))
+    base = arred.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                "__sh",
+                lambda s: F.struct(
+                    s.alias("shingle"), F.size("__sh").alias("__n")
+                ),
+            )
+        ).alias("e"),
+    ).select(
+        F.col(id_col),
+        F.col("e.shingle").alias("shingle"),
+        F.col("e.__n").alias("__n"),
+    )
     # (A df>=2 shingle pre-filter was tried and reverted: in this corpus
     # 99% of shingles are shared, so the extra aggregation costs more
     # than the join rows it removes. For mostly-unique corpora the LSH
     # path — which verifies candidates only — is the scale answer.)
     if max_df is not None:
         hot = (
-            sh.groupBy("shingle")
+            base.groupBy("shingle")
             .agg(F.count(F.lit(1)).alias("__df"))
             .where(F.col("__df") > max_df)
             .select("shingle")
         )
-        sh = sh.join(hot, "shingle", "left_anti")
-    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
-    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+        base = base.join(hot, "shingle", "left_anti")
+    a = base.select(F.col(id_col).alias("id_a"), "shingle", F.col("__n").alias("__na"))
+    b = base.select(F.col(id_col).alias("id_b"), "shingle", F.col("__n").alias("__nb"))
     inter = (
-        a.join(b, "shingle")
+        a.join(b.hint("shuffle_hash"), "shingle")
         .where(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("__i"))
-    )
-    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("__n").alias("__na"))
-    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("__n").alias("__nb"))
-    return (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            (F.col("__i") / (F.col("__na") + F.col("__nb") - F.col("__i"))).alias("jaccard"),
+        .agg(
+            F.count(F.lit(1)).alias("__i"),
+            F.min("__na").alias("__na"),
+            F.min("__nb").alias("__nb"),
         )
+    )
+    return inter.select(
+        "id_a",
+        "id_b",
+        (F.col("__i") / (F.col("__na") + F.col("__nb") - F.col("__i"))).alias("jaccard"),
     )
 
 
@@ -123,8 +201,7 @@ def ngram_jaccard_pairs(
 
     ``max_df`` caps shingle document frequency in the pair join (see
     ``_pair_jaccard``) — the hot-key guard for degenerate corpora."""
-    sh = shingle_frame(docs, id_col, text_col, n)
-    return _pair_jaccard(sh, id_col, max_df=max_df).where(
+    return _pair_jaccard(docs, id_col, text_col, n, max_df=max_df).where(
         F.col("jaccard") >= threshold
     )
 
@@ -159,6 +236,7 @@ def minhash_lsh_pairs(
     """
     rows_per_band = num_hashes // bands
     sh = shingle_frame(docs, id_col, text_col, n)
+    arr = shingle_arrays(docs, id_col, text_col, n)
     sig = minhash_signatures(sh, id_col, num_hashes)
 
     band_structs = F.array(
@@ -181,23 +259,29 @@ def minhash_lsh_pairs(
     )
     left = banded.select(F.col(id_col).alias("id_a"), "band_idx", "band_val")
     right = banded.select(F.col(id_col).alias("id_b"), "band_idx", "band_val")
+    # shuffle_hash pin (see _pair_jaccard): identical subplans share one
+    # reused exchange — without it the static estimator broadcasts the
+    # banded side and the signature aggregation runs twice.
     cand = (
-        left.join(right, ["band_idx", "band_val"])
+        left.join(right.hint("shuffle_hash"), ["band_idx", "band_val"])
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
     )
     # Exact-Jaccard verify CANDIDATES ONLY — this is what makes LSH the
     # scale path: work is O(|candidates|), never the inverted-index
-    # blowup of all pairs sharing a hot shingle. Shingle sets ride along
-    # as arrays (docs are bounded; sets are small), so the verify is two
-    # joins on the tiny candidate set + a JVM array_intersect.
-    sets = sh.groupBy(id_col).agg(F.collect_set("shingle").alias("__set"))
+    # blowup of all pairs sharing a hot shingle. The per-doc shingle
+    # sets are the row-local arrays themselves (no collect_set — that
+    # was a second full shuffle of the shingle index), so the verify is
+    # two joins on the tiny candidate set + a JVM array_intersect. The
+    # sets side is shuffle_hash-pinned too: |docs| rows of full shingle
+    # arrays must never be a driver-side broadcast build.
+    sets = arr.select(F.col(id_col), F.col("__sh").alias("__set"))
     sa = sets.select(F.col(id_col).alias("id_a"), F.col("__set").alias("__sa"))
     sb = sets.select(F.col(id_col).alias("id_b"), F.col("__set").alias("__sb"))
     verified = (
-        cand.join(sa, "id_a")
-        .join(sb, "id_b")
+        cand.join(sa.hint("shuffle_hash"), "id_a")
+        .join(sb.hint("shuffle_hash"), "id_b")
         .withColumn("__i", F.size(F.array_intersect("__sa", "__sb")))
         .select(
             "id_a",
@@ -216,11 +300,13 @@ def simhash_signatures(
 ) -> DataFrame:
     """``bits``-wide SimHash per doc from distinct-token portable hashes
     (≤60 bits usable: the portable md5 hash keeps 15 hex digits)."""
-    toks = (
-        docs.select(F.col(id_col), F.explode(tokens_col(text_col)).alias("tok"))
-        .where(F.col("tok") != "")
-        .distinct()
-    )
+    # Per-doc distinct via array_distinct (no shuffle) — exact, because
+    # every token of a document lives in that document's single row; see
+    # the shingle_frame note. Matches the oracle's
+    # ``SELECT DISTINCT doc_id, tok``.
+    toks = docs.select(
+        F.col(id_col), F.explode(F.array_distinct(tokens_col(text_col))).alias("tok")
+    ).where(F.col("tok") != "")
     # One aggregation with `bits` columns of ±1 partial sums — NOT an
     # explode to bits× rows: per-bit sums are map-side combinable, so
     # the only shuffle carries |docs| rows of `bits` ints instead of
@@ -301,9 +387,12 @@ def simhash_pairs(
     # Verify BEFORE deduplicating: bit_count on a candidate row is
     # nearly free, so filtering first means the dropDuplicates shuffle
     # carries only surviving (id_a, id_b, hamming) triples instead of
-    # every band collision with both signatures attached.
+    # every band collision with both signatures attached. shuffle_hash
+    # pin (see _pair_jaccard): keeps the two identical sides on one
+    # reused exchange instead of a broadcast that would recompute the
+    # signature aggregation and collect it on the driver.
     return (
-        a.join(b, ["band_idx", "band_val"])
+        a.join(b.hint("shuffle_hash"), ["band_idx", "band_val"])
         .where(F.col("id_a") < F.col("id_b"))
         .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("int"))
         .where(F.col("hamming") <= max_hamming)
