@@ -73,9 +73,18 @@ def main() -> None:
     for name in HEADLINE:
         materialize(QUERIES[name](spark, sf_dir))
 
+    def jvm_gc() -> None:
+        # Long local[*] sessions age measurably (accumulated listener /
+        # broadcast / shuffle state pushes GC into later queries —
+        # round 4's "uniform 11% slowdown" was exactly this plus a cold
+        # first run). A full GC between measured segments pins each
+        # query to a comparable heap state.
+        spark.sparkContext._jvm.System.gc()
+
     timings: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
     for name in HEADLINE:
+        jvm_gc()
         runs = sorted(
             timed(lambda: materialize(QUERIES[name](spark, sf_dir)))
             for _ in range(REPS)
@@ -106,6 +115,7 @@ def main() -> None:
         with tempfile.TemporaryDirectory() as src:
             fixtures.generate(src, scale=scale, seed=42)
             for _ in range(reps):
+                jvm_gc()
                 with tempfile.TemporaryDirectory() as sink:
                     engine = SyncEngine(
                         spark, src, TableStore(sink), time_interval_minutes=10**6
@@ -148,6 +158,7 @@ def main() -> None:
         dir10 = build_corpus(spark, 10)
         for name in ("dedup_minhash_lsh", "dedup_simhash"):
             materialize(QUERIES[name](spark, dir10))  # warm
+            jvm_gc()
             dt = timed(lambda: materialize(QUERIES[name](spark, dir10)))
             dedup10[name] = round(dt, 3)
             ratio = dt / timings[name]

@@ -33,8 +33,21 @@ SIMHASH_BITS = 32
 
 
 def _shingle_parts(docs: DataFrame, id_col: str, text_col: str, n: int):
-    """(tokenized frame, raw shingle-array Column) shared by both views."""
-    toks = docs.select(F.col(id_col), tokens_col(text_col).alias("__toks"))
+    """(tokenized frame, raw shingle-array Column) shared by both views.
+
+    The text feeds through ``coalesce(text, '')`` so the whole shingle
+    chain is NON-NULLABLE: otherwise any downstream predicate over a
+    derived column (e.g. ``jaccard >= t``) makes the optimizer infer an
+    ``IsNotNull(<entire interpreted chain>)`` filter and push it into
+    the scan, evaluating the chain twice per row. Semantics are
+    unchanged — NULL text produced an empty shingle array through the
+    ``otherwise`` branch already; '' produces the same empty array
+    (one '' token, shorter than any n-gram).
+    """
+    safe = F.coalesce(
+        F.col(text_col) if isinstance(text_col, str) else text_col, F.lit("")
+    )
+    toks = docs.select(F.col(id_col), tokens_col(safe).alias("__toks"))
     # shingle i = toks[i] || ' ' || ... (0-based slice, i in [0, len-n]);
     # guard: sequence() would run backwards for docs shorter than n tokens
     sh = F.when(

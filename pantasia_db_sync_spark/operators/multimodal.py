@@ -270,3 +270,204 @@ def synthetic_bmp_frame(
             yield pd.DataFrame({"doc_id": pdf["doc_id"].values, "content": content})
 
     return src.mapInPandas(gen, schema="doc_id bigint, content binary")
+
+
+# ---------------------------------------------------------------------------
+# PNG: second REAL codec — a COMPRESSED wire format (stdlib zlib only)
+# ---------------------------------------------------------------------------
+
+import zlib
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+PNG_SCHEMA = (
+    "doc_id bigint, width int, height int, bit_depth int, color_type int, "
+    "channels int, mean_r double, mean_g double, mean_b double"
+)
+
+
+def _png_chunk(typ: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + typ
+        + data
+        + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(width: int, height: int, rgb: tuple[int, int, int]) -> bytes:
+    """Minimal spec-compliant truecolor 8-bit PNG (color type 2, no
+    interlace) filled with a solid color. Public format (RFC 2083),
+    written from the spec with stdlib zlib — no image library.
+
+    Scanline filters deliberately CYCLE None/Sub/Up across rows (all
+    trivially computable for a solid color) so a decoder cannot pass
+    by treating every row as unfiltered."""
+    px = bytes(rgb)
+    rows = []
+    for y in range(height):
+        ft = y % 3 if y > 0 else 0
+        if ft == 0:  # None: raw scanline
+            rows.append(b"\x00" + px * width)
+        elif ft == 1:  # Sub: first pixel raw, deltas-to-left zero
+            rows.append(b"\x01" + px + b"\x00" * ((width - 1) * 3))
+        else:  # Up: identical previous row => all-zero deltas
+            rows.append(b"\x02" + b"\x00" * (width * 3))
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(b"".join(rows)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(content: bytes) -> dict:
+    """Real PNG decode: chunk walk with CRC verification, IDAT inflate
+    (stdlib zlib), and full scanline unfiltering — all five spec filter
+    types (None/Sub/Up/Average/Paeth) — to per-channel means. Supports
+    the truecolor 8-bit non-interlaced profile (color type 2); anything
+    else raises ValueError (honest partial support, not a silent
+    guess)."""
+    if content[:8] != _PNG_SIG:
+        raise ValueError("not a PNG stream")
+    pos, ihdr, idat = 8, None, []
+    while pos + 12 <= len(content):
+        ln, typ = struct.unpack_from(">I4s", content, pos)
+        data = content[pos + 8 : pos + 8 + ln]
+        if len(data) < ln:
+            raise ValueError("truncated chunk")
+        crc = struct.unpack_from(">I", content, pos + 8 + ln)[0]
+        if zlib.crc32(typ + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"bad CRC in {typ.decode('latin1')} chunk")
+        if typ == b"IHDR":
+            ihdr = data
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln
+    if ihdr is None or len(ihdr) != 13:
+        raise ValueError("missing IHDR")
+    w, h, depth, ctype, comp, filt, interlace = struct.unpack(">IIBBBBB", ihdr)
+    if depth != 8 or ctype != 2 or comp != 0 or filt != 0 or interlace != 0:
+        raise ValueError(
+            f"unsupported PNG profile (depth={depth}, color_type={ctype}, "
+            f"interlace={interlace})"
+        )
+    if w == 0 or h == 0:
+        raise ValueError(f"degenerate PNG dimensions ({w}x{h})")
+    raw = zlib.decompress(b"".join(idat))
+    bpp, stride = 3, w * 3
+    if len(raw) != h * (stride + 1):
+        raise ValueError("raster size mismatch")
+    prev = bytearray(stride)
+    tot = [0, 0, 0]
+    for y in range(h):
+        ft = raw[y * (stride + 1)]
+        line = bytearray(raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)])
+        if ft == 0:
+            pass
+        elif ft == 1:  # Sub
+            for i in range(bpp, stride):
+                line[i] = (line[i] + line[i - bpp]) & 0xFF
+        elif ft == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ft == 3:  # Average
+            for i in range(stride):
+                left = line[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[i] = (line[i] + pr) & 0xFF
+        else:
+            raise ValueError(f"bad filter type {ft}")
+        tot[0] += sum(line[0::3])
+        tot[1] += sum(line[1::3])
+        tot[2] += sum(line[2::3])
+        prev = line
+    n_px = w * h
+    return {
+        "byte_len": len(content),
+        "width": w,
+        "height": h,
+        "bit_depth": depth,
+        "color_type": ctype,
+        "channels": 3,
+        "mean_r": tot[0] / n_px,
+        "mean_g": tot[1] / n_px,
+        "mean_b": tot[2] / n_px,
+    }
+
+
+def decode_png_features(
+    df: DataFrame, id_col: str = "doc_id", binary_col: str = "content"
+) -> DataFrame:
+    """mapInPandas over a binary column with the REAL PNG decoder —
+    identical Arrow batch plumbing to decode_bmp_features, but the
+    stream is an actually-compressed wire format (inflate + unfilter)."""
+    src = df.select(F.col(id_col).alias("doc_id"), F.col(binary_col).alias("content"))
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, c in zip(pdf["doc_id"], pdf["content"]):
+                d = decode_png(bytes(c))
+                rows.append(
+                    (
+                        int(i),
+                        d["width"],
+                        d["height"],
+                        d["bit_depth"],
+                        d["color_type"],
+                        d["channels"],
+                        d["mean_r"],
+                        d["mean_g"],
+                        d["mean_b"],
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "width",
+                    "height",
+                    "bit_depth",
+                    "color_type",
+                    "channels",
+                    "mean_r",
+                    "mean_g",
+                    "mean_b",
+                ],
+            )
+
+    return src.mapInPandas(extract, schema=PNG_SCHEMA)
+
+
+def synthetic_png_frame(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Real encoded bytes for the PNG path: one solid-color PNG per
+    input row, dimensions/color from the id (same arithmetic as the BMP
+    twin so the oracle predicts header/raster values; heights ≥3
+    exercise the None/Sub/Up filter cycle)."""
+    src = df.select(F.col(id_col).alias("doc_id"))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            content = [
+                encode_png(
+                    int(i) % 21 + 1,
+                    int(i) % 13 + 1,
+                    ((int(i) * 3) % 256, (int(i) * 5) % 256, (int(i) * 7) % 256),
+                )
+                for i in pdf["doc_id"]
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].values, "content": content})
+
+    return src.mapInPandas(gen, schema="doc_id bigint, content binary")

@@ -510,3 +510,59 @@ def kmeans_assign(
     return vectors.withColumn(
         cell_col, kmeans_cell_expr(v, norm_col(v), centroids, round_digits)
     )
+
+
+def kmeans_assign_broadcast(
+    vectors: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "cell",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Large-k twin of :func:`kmeans_assign`: centroids ride as DATA.
+
+    ``kmeans_cell_expr`` embeds k×dim literals in the plan — fine for
+    IVF-ish k (tens), but for k in the thousands the plan itself
+    becomes megabytes of CASE chain (compile cost, codegen limits).
+    Here the centroid table is a one-row broadcast
+    ``array<struct<cell,c,cnrm>>`` and the assignment is a per-row
+    argmax fold over that array: plan size O(1), still a map-only pass
+    over the vectors (the only 'join' is a broadcast of one row), no
+    shuffle. Cosines are rounded with the same portable fround, ties
+    break to the lowest cell id (the array is sorted by cell and the
+    fold keeps the incumbent on equality) — property-pinned equal to
+    the literal path at k=8.
+    """
+    spark = vectors.sparkSession
+    rows = [
+        (int(cid), [float(x) for x in coords], _py_norm(coords))
+        for cid, coords in sorted(centroids)
+    ]
+    cdf = spark.createDataFrame(rows, "cell int, c array<double>, cnrm double")
+    packed = cdf.agg(
+        F.sort_array(F.collect_list(F.struct("cell", "c", "cnrm"))).alias("__cents")
+    )
+    out = vectors.withColumn("__v", as_double_vec(vec_col)).withColumn(
+        "__nrm", norm_col(F.col("__v"))
+    )
+    out = out.crossJoin(F.broadcast(packed))
+
+    def cos(c):
+        return fround(
+            dot_col(F.col("__v"), c["c"]) / (F.col("__nrm") * c["cnrm"]),
+            round_digits,
+        )
+
+    best = F.aggregate(
+        F.col("__cents"),
+        F.struct(
+            F.lit(-2.0).cast("double").alias("cos"),
+            F.lit(None).cast("int").alias("cell"),
+        ),
+        lambda acc, c: F.when(
+            cos(c) > acc["cos"],
+            F.struct(cos(c).alias("cos"), c["cell"].alias("cell")),
+        ).otherwise(acc),
+    )
+    return out.withColumn(cell_col, best["cell"]).drop("__v", "__nrm", "__cents")

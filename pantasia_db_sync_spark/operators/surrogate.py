@@ -144,8 +144,13 @@ def _number_buckets(
         w = Window.partitionBy(bucket_col).orderBy(*[F.col(c).asc() for c in order_cols])
         numbered = df.withColumn("__rn", F.row_number().over(w))
     counts = numbered.groupBy(bucket_col).agg(F.count(F.lit(1)).alias("__cnt"))
+    # ≤num_buckets rows from here on: coalesce(1) makes the cumsum
+    # window's AllTuples requirement already-satisfied (CoalesceExec
+    # reports SinglePartition), deleting the Exchange(SinglePartition)
+    # stage the planner otherwise inserts — one fewer sequential stage
+    # boundary on an operator whose cost at small SF is pure scheduling.
     w_off = Window.orderBy(bucket_col).rowsBetween(Window.unboundedPreceding, -1)
-    offsets = counts.withColumn(
+    offsets = counts.coalesce(1).withColumn(
         "__off", F.coalesce(F.sum("__cnt").over(w_off), F.lit(0))
     ).select(bucket_col, "__off")
     return (

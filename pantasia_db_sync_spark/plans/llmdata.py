@@ -666,6 +666,38 @@ def multimodal_decode_bmp_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_decode_png",
+    oracle="""
+    SELECT doc_id,
+           CAST(doc_id % 21 + 1 AS INTEGER) AS width,
+           CAST(doc_id % 13 + 1 AS INTEGER) AS height,
+           CAST(8 AS INTEGER) AS bit_depth,
+           CAST(2 AS INTEGER) AS color_type,
+           CAST(3 AS INTEGER) AS channels,
+           CAST((doc_id * 3) % 256 AS DOUBLE) AS mean_r,
+           CAST((doc_id * 5) % 256 AS DOUBLE) AS mean_g,
+           CAST((doc_id * 7) % 256 AS DOUBLE) AS mean_b
+    FROM documents WHERE doc_id < 300
+    """,
+)
+def multimodal_decode_png_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL decode of a COMPRESSED image format: truecolor 8-bit PNG
+    streams rendered in-flight (operators/multimodal.py encode_png —
+    stdlib zlib deflate, scanline filters cycling None/Sub/Up) and
+    parsed back by decode_png: chunk walk with CRC verification, IDAT
+    inflate, full five-filter unfiltering, per-channel means. Unlike
+    the BMP twin the byte length is NOT oracle-predictable (deflate
+    output varies), so the contract covers header + raster values; a
+    hand-written spec-bytes test (tests/test_properties.py) keeps the
+    encoder and decoder from sharing a hidden layout bug. Reference
+    analogue: the image/files columns (app/db/postgres.py:144-145)."""
+    from ..operators.multimodal import decode_png_features, synthetic_png_frame
+
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    return decode_png_features(synthetic_png_frame(d), "doc_id", "content")
+
+
+@register(
     "text_tfidf",
     oracle="""
     WITH toks AS (

@@ -470,6 +470,8 @@ def test_kmeans_ivf_recall_floor(spark):
 
     from pantasia_db_sync_spark.operators.similarity import kmeans_assign, kmeans_fit
     from pantasia_db_sync_spark.plans import QUERIES
+    import os
+
     from pantasia_db_sync_spark.sources.catalog import load_table
 
     sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
@@ -603,3 +605,132 @@ def test_lsh_signature_null_vector_propagates(spark):
     assert got[2] is None
     assert got[1] is not None and got[3] is not None
     assert max(abs(got[1]), abs(got[3])) > 2**53
+
+
+# ---------------------------------------------------------------------------
+# PNG codec (compressed wire format; stdlib zlib only)
+# ---------------------------------------------------------------------------
+
+
+def _spec_png_2x2() -> bytes:
+    """Hand-built 2x2 truecolor PNG, constructed chunk-by-chunk from the
+    spec (RFC 2083) WITHOUT encode_png: row 0 unfiltered (red, green),
+    row 1 Paeth-filtered (blue, white) — the filter our encoder never
+    emits, so decoder coverage cannot come from encoder symmetry."""
+    import struct
+    import zlib
+
+    def chunk(typ, data):
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0)
+    row0 = bytes([0, 255, 0, 0, 0, 255, 0])  # None: red, green
+    # Paeth, row 1 targets blue(0,0,255), white(255,255,255).
+    # px0: a=0,c=0 => pred=up=(255,0,0) => delta=(1,0,255)
+    # px1: a=(0,0,255), b=(0,255,0), c=(255,0,0):
+    #  r: p=0+0-255=-255 -> pc smallest? pa=|p-a|=255,pb=255,pc=510 -> a=0 => delta 255
+    #  g: p=0+255-0=255 -> pa=255,pb=0,pc=255 -> b=255 => delta 0
+    #  b: p=255+0-0=255 -> pa=0 -> a=255 => delta 0
+    row1 = bytes([4, 1, 0, 255, 255, 0, 0])
+    raw = row0 + row1
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_png_decoder_parses_spec_bytes():
+    """decode_png against hand-assembled spec bytes with a Paeth row —
+    proves inflate + unfiltering read the REAL layout, independent of
+    our own encoder (which never emits Paeth)."""
+    from pantasia_db_sync_spark.operators.multimodal import decode_png
+
+    d = decode_png(_spec_png_2x2())
+    assert (d["width"], d["height"], d["bit_depth"], d["color_type"]) == (2, 2, 8, 2)
+    # pixels: red, green / blue, white
+    assert (d["mean_r"], d["mean_g"], d["mean_b"]) == (127.5, 127.5, 127.5)
+
+
+@settings(**SETTINGS)
+@given(
+    w=st.integers(1, 40),
+    h=st.integers(1, 20),
+    rgb=st.tuples(st.integers(0, 255), st.integers(0, 255), st.integers(0, 255)),
+)
+def test_png_roundtrip(w, h, rgb):
+    """encode→decode identity across the None/Sub/Up filter cycle and
+    every width (compression makes byte_len vary; raster must not)."""
+    from pantasia_db_sync_spark.operators.multimodal import decode_png, encode_png
+
+    d = decode_png(encode_png(w, h, rgb))
+    assert (d["width"], d["height"]) == (w, h)
+    assert (d["mean_r"], d["mean_g"], d["mean_b"]) == tuple(float(x) for x in rgb)
+
+
+def test_png_decoder_rejects_corruption():
+    import struct
+
+    import pytest as _pytest
+
+    from pantasia_db_sync_spark.operators.multimodal import decode_png, encode_png
+
+    with _pytest.raises(ValueError):
+        decode_png(b"not a png stream..............................")
+    good = bytearray(encode_png(3, 3, (9, 9, 9)))
+    # flip one IDAT payload byte -> CRC must catch it
+    bad = bytearray(good)
+    bad[8 + 25 + 8 + 2] ^= 0xFF  # inside IDAT data (after sig+IHDR chunk)
+    with _pytest.raises(ValueError):
+        decode_png(bytes(bad))
+    # unsupported profile: grayscale color type
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)
+    import zlib as _z
+
+    def chunk(typ, data):
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", _z.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    gray = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", _z.compress(b"\x00\x01\x02" + b"\x00\x03\x04"))
+        + chunk(b"IEND", b"")
+    )
+    with _pytest.raises(ValueError):
+        decode_png(gray)
+
+
+def test_kmeans_assign_broadcast_equals_literal_path(spark):
+    """The data-driven broadcast assign (large-k shape) must agree with
+    the literal CASE-chain assign cell-for-cell at k=8, and its plan
+    must shuffle nothing (one broadcast of one row, map-only over the
+    vectors)."""
+    from pantasia_db_sync_spark.operators.similarity import (
+        kmeans_assign,
+        kmeans_assign_broadcast,
+        kmeans_fit,
+    )
+    import os
+
+    from pantasia_db_sync_spark.sources.catalog import load_table
+
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    e = load_table(spark, sf, "embeddings").limit(600)
+    cents = kmeans_fit(e, k=8, iters=2)
+    lit = kmeans_assign(e, cents).select("vec_id", "cell")
+    bc = kmeans_assign_broadcast(e, cents).select("vec_id", "cell")
+    assert lit.exceptAll(bc).count() == 0
+    assert bc.exceptAll(lit).count() == 0
+    plan = bc._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan and "Exchange rangepartitioning" not in plan
