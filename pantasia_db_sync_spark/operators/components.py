@@ -70,6 +70,8 @@ def connected_components(
         .withColumn("label", F.col("node"))
         .localCheckpoint(eager=True)
     )
+    from pyspark.sql import Observation
+
     converged = False
     for _ in range(max_iter):
         nbr_min = (
@@ -78,24 +80,25 @@ def connected_components(
             .agg(F.min("label").alias("nbr_label"))
             .withColumnRenamed("dst", "node")
         )
+        # Convergence detection rides the SAME job as the label update:
+        # an Observation on the eager checkpoint counts changed labels
+        # during materialization, replacing the per-round count job and
+        # its join against the previous labels (2 jobs/round -> 1).
+        new_col = F.least("label", F.coalesce("nbr_label", "label"))
+        obs = Observation()
         new_labels = (
             labels.join(nbr_min, "node", "left")
             .select(
                 "node",
-                F.least(
-                    "label", F.coalesce("nbr_label", "label")
-                ).alias("label"),
+                new_col.alias("__new"),
+                (new_col != F.col("label")).cast("int").alias("__chg"),
             )
+            .observe(obs, F.sum("__chg").alias("n"))
+            .select("node", F.col("__new").alias("label"))
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
         labels = new_labels
-        if changed == 0:
+        if int(obs.get["n"] or 0) == 0:
             converged = True
             break
     if not converged:

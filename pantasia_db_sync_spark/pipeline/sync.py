@@ -278,6 +278,16 @@ class SyncEngine:
         # scale 1.0) — deserialized caching of these wide JSON-heavy
         # frames costs more than block-serialized checkpoints, the same
         # effect as the rows_wa note below.
+        #
+        # The records frame is frozen BEFORE the dense-id range shuffle
+        # too (round 5): repartitionByRange evaluates its child twice —
+        # a boundary-sampling pass plus the shuffle pass — and here the
+        # child is the full extraction INCLUDING both pandas UDFs
+        # (bech32 + pg_escape) and the CIP-25 JSON parse. Freezing
+        # first means both passes read checkpoint blocks instead of
+        # re-running the Python stages; measured 34.5s -> 22.5s
+        # (+55% rec/s) on the 10x-scale sync.
+        records = records.localCheckpoint(eager=True)
         records = with_dense_ids(records, SEQ_ORDER, id_col="seq", start=1)
 
         wallet_dim = self.store.read(spark, "wallet")
