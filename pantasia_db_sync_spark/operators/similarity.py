@@ -341,8 +341,13 @@ def cosine_near_dup_pairs(
     )
     la = bands.select(F.col("id").alias("id_a"), "band_idx", "band_val")
     lb = bands.select(F.col("id").alias("id_b"), "band_idx", "band_val")
+    # shuffle_hash pins (see operators/dedup.py _pair_jaccard): the two
+    # band sides are identical subplans sharing one reused exchange —
+    # without the pin the static estimator broadcasts one side and the
+    # Arrow signature UDF runs twice; likewise the verify joins must
+    # never build a driver-side broadcast of the full vector table.
     cand = (
-        la.join(lb, ["band_idx", "band_val"])
+        la.join(lb.hint("shuffle_hash"), ["band_idx", "band_val"])
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
@@ -350,12 +355,12 @@ def cosine_near_dup_pairs(
     scored = cand.join(
         base.select(
             F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na")
-        ),
+        ).hint("shuffle_hash"),
         "id_a",
     ).join(
         base.select(
             F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
-        ),
+        ).hint("shuffle_hash"),
         "id_b",
     )
     return (
@@ -367,7 +372,13 @@ def cosine_near_dup_pairs(
                 round_digits,
             ).alias("cos"),
         )
-        .where(F.col("cos") >= threshold)
+        # coalesce makes the predicate null-tolerant so the optimizer
+        # cannot infer IsNotNull(norm) and push the whole interpreted
+        # SQRT(aggregate(zip_with(...))) chain into the parquet scan
+        # filters (it was evaluated twice per row). NULL cosines (null
+        # embeddings) were already dropped by `cos >= t`; -2 < any
+        # threshold keeps that behavior bit-for-bit.
+        .where(F.coalesce(F.col("cos"), F.lit(-2.0)) >= threshold)
     )
 
 
