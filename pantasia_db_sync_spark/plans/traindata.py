@@ -70,6 +70,50 @@ def dedup_components_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "corpus_near_dedup",
+    oracle=f"""
+    WITH RECURSIVE pairs AS (
+      SELECT id_a, id_b FROM ({_minhash_sql()})
+    ),
+    sym AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    reach(a, b) AS (
+      SELECT src, dst FROM sym
+      UNION
+      SELECT r.a, s.dst FROM reach r JOIN sym s ON r.b = s.src
+    ),
+    comp AS (SELECT a, min(b) AS m FROM reach GROUP BY a)
+    SELECT d.doc_id, d.lang, d.source
+    FROM documents d LEFT JOIN comp c ON c.a = d.doc_id
+    WHERE least(d.doc_id, coalesce(c.m, d.doc_id)) = d.doc_id
+    """,
+)
+def corpus_near_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dedup: the corpus with every near-duplicate
+    CLUSTER collapsed to its canonical (min doc_id) member — the
+    composition a pretraining pipeline actually ships: MinHash-LSH
+    pairs → connected components → semi-join keep. Singletons keep
+    themselves; only non-canonical cluster members are dropped. The
+    oracle is the recursive-CTE transitive closure over the same
+    engine-portable MinHash pair graph."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        d, "doc_id", "text", n=3, num_hashes=16, bands=4, threshold=0.5
+    )
+    comp = connected_components(
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
+        d.select(F.col("doc_id").alias("node")),
+    )
+    keep = comp.where(F.col("node") == F.col("component_id")).select(
+        F.col("node").alias("doc_id")
+    )
+    return d.join(keep, "doc_id", "left_semi").select("doc_id", "lang", "source")
+
+
 _SPLIT_SQL_HASH = _PORTABLE_HASH.format(
     col="concat('split:', CAST(doc_id AS VARCHAR))"
 )
