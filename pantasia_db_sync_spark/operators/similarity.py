@@ -341,13 +341,18 @@ def cosine_near_dup_pairs(
     )
     la = bands.select(F.col("id").alias("id_a"), "band_idx", "band_val")
     lb = bands.select(F.col("id").alias("id_b"), "band_idx", "band_val")
-    # shuffle_hash pins (see operators/dedup.py _pair_jaccard): the two
-    # band sides are identical subplans sharing one reused exchange —
-    # without the pin the static estimator broadcasts one side and the
-    # Arrow signature UDF runs twice; likewise the verify joins must
-    # never build a driver-side broadcast of the full vector table.
+    # Joins here are deliberately UNPINNED (contrast operators/dedup.py
+    # _pair_jaccard, where shuffle_hash pins pay off): band_val has only
+    # 2^bits_per_band distinct values per band, so a forced shuffle join
+    # partitions by a handful of hot keys — measured 2.5-4x slower than
+    # AQE's broadcast at 20k vectors with 16 buckets/band (the
+    # documented degenerate-banding regime). AQE picks broadcast while
+    # a side fits (recomputing the numpy signature UDF for it is cheap)
+    # and shuffle with exchange reuse once it doesn't; same reasoning
+    # for the verify joins, where candidate volume is the runtime
+    # unknown.
     cand = (
-        la.join(lb.hint("shuffle_hash"), ["band_idx", "band_val"])
+        la.join(lb, ["band_idx", "band_val"])
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
@@ -355,12 +360,12 @@ def cosine_near_dup_pairs(
     scored = cand.join(
         base.select(
             F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na")
-        ).hint("shuffle_hash"),
+        ),
         "id_a",
     ).join(
         base.select(
             F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
-        ).hint("shuffle_hash"),
+        ),
         "id_b",
     )
     return (
