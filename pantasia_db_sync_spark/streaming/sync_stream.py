@@ -33,9 +33,11 @@ from pyspark.sql.types import (
 )
 
 
-def _parquet_ts_unit(directory: str, col: str = "ts") -> str | None:
-    """Probe the first part file's footer for `col`'s physical layout,
-    mirroring the batch catalog (sources/catalog.py:_nanos_timestamp_cols):
+def _parquet_ts_unit(
+    directory: str, col: str = "ts", probe_files: int = 3
+) -> str | None:
+    """Probe part-file footers for `col`'s physical layout, mirroring
+    the batch catalog (sources/catalog.py:_nanos_timestamp_cols):
 
     - ``"ns"``     — TIMESTAMP(NANOS): Spark only reads it as int64 via
       the ``nanosAsLong`` conf; we restore micros ourselves;
@@ -44,10 +46,20 @@ def _parquet_ts_unit(directory: str, col: str = "ts") -> str | None:
       (the layout Spark itself writes by default for NTZ data);
     - ``None``     — no files yet (a legal file-source starting state;
       caller falls back to ``ts_unit`` or the Spark-native default).
+
+    Up to ``probe_files`` footers are checked (first and last in name
+    order plus one from the middle — cheap, and name order is how the
+    file source discovers them): a directory whose writers disagree on
+    the unit would otherwise be silently misread through the single
+    forced schema, so disagreement raises instead. A non-timestamp
+    layout (e.g. raw int64 from a non-Spark writer) also raises here,
+    at probe time, rather than as a confusing schema mismatch at read
+    time — pass ``ts_unit`` explicitly to override.
     """
     import os
 
     import pyarrow.parquet as pq
+    import pyarrow.types as pat
 
     if not os.path.isdir(directory):
         return None
@@ -58,16 +70,34 @@ def _parquet_ts_unit(directory: str, col: str = "ts") -> str | None:
     )
     if not parts:
         return None
-    schema = pq.read_schema(os.path.join(directory, parts[0]))
-    if col not in schema.names:
-        return None
-    t = schema.field(col).type
-    s = str(t)
-    if s.startswith("timestamp[ns"):
-        return "ns"
-    if getattr(t, "tz", None) is not None:
-        return "us_ltz"
-    return "us_ntz"
+    if len(parts) <= probe_files:
+        sample = parts
+    else:
+        sample = [parts[0], parts[len(parts) // 2], parts[-1]]
+
+    def unit_of(part: str) -> str | None:
+        schema = pq.read_schema(os.path.join(directory, part))
+        if col not in schema.names:
+            return None
+        t = schema.field(col).type
+        if not pat.is_timestamp(t):
+            raise ValueError(
+                f"{directory}/{part}: column {col!r} has non-timestamp "
+                f"parquet type {t} — pass ts_unit explicitly"
+            )
+        if str(t).startswith("timestamp[ns"):
+            return "ns"
+        return "us_ltz" if t.tz is not None else "us_ntz"
+
+    units = {part: unit_of(part) for part in sample}
+    distinct = {u for u in units.values() if u is not None}
+    if len(distinct) > 1:
+        raise ValueError(
+            f"{directory}: part files disagree on {col!r}'s timestamp "
+            f"layout ({units}) — a single stream schema cannot read "
+            "both; split the directory or rewrite the outliers"
+        )
+    return next(iter(distinct), None)
 
 
 def _events_schema(ts_type: DataType) -> StructType:

@@ -185,3 +185,47 @@ def test_foreach_batch_sync_commits(spark, stream_dir, tmp_path):
     q.stop()  # G6 graceful stop is a no-op on a finished query
     assert len(commits) >= 2  # one per file
     assert all(n > 0 for n in commits.values())
+
+
+def test_ts_unit_probe_rejects_mixed_and_nontimestamp(spark, tmp_path):
+    """ADVICE round-4 items: unit disagreement across part files and
+    non-timestamp ts layouts fail loudly at probe time."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest as _pytest
+
+    from pantasia_db_sync_spark.streaming.sync_stream import _parquet_ts_unit
+
+    d = tmp_path / "mixed"
+    d.mkdir()
+    pq.write_table(
+        pa.table({"ts": pa.array([1_000_000], pa.timestamp("us"))}),
+        d / "part-0001.parquet",
+    )
+    pq.write_table(
+        pa.table({"ts": pa.array([1_000_000_000], pa.timestamp("ns"))}),
+        d / "part-0002.parquet",
+    )
+    with _pytest.raises(ValueError, match="disagree"):
+        _parquet_ts_unit(str(d))
+
+    d2 = tmp_path / "rawint"
+    d2.mkdir()
+    pq.write_table(
+        pa.table({"ts": pa.array([123], pa.int64())}), d2 / "part-0001.parquet"
+    )
+    with _pytest.raises(ValueError, match="non-timestamp"):
+        _parquet_ts_unit(str(d2))
+
+    # single-unit directory still resolves, empty still None
+    d3 = tmp_path / "uniform"
+    d3.mkdir()
+    for i in range(2):
+        pq.write_table(
+            pa.table({"ts": pa.array([i], pa.timestamp("us", tz="UTC"))}),
+            d3 / f"part-000{i}.parquet",
+        )
+    assert _parquet_ts_unit(str(d3)) == "us_ltz"
+    d4 = tmp_path / "empty"
+    d4.mkdir()
+    assert _parquet_ts_unit(str(d4)) is None
