@@ -485,3 +485,174 @@ def text_pii_scrub_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_count(F.col("raw"), F.lit(email_pat)).cast("int").alias("n_emails"),
         F.regexp_count(F.col("raw"), F.lit(phone_pat)).cast("int").alias("n_phones"),
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus accounting & QA (round 5): the reporting queries a pretraining
+# pipeline runs alongside cleaning — token budgets per slice, rejection
+# breakdowns, normalized dedup, embedding-table QA.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "corpus_token_stats",
+    oracle="""
+    WITH toks AS (
+      SELECT source, lang, len(string_split(trim(text), ' ')) AS n
+      FROM documents
+    )
+    SELECT source, lang,
+           CAST(count(*) AS BIGINT) AS docs,
+           CAST(sum(n) AS BIGINT) AS total_tokens,
+           CAST(min(n) AS INTEGER) AS min_tokens,
+           CAST(max(n) AS INTEGER) AS max_tokens
+    FROM toks GROUP BY source, lang
+    """,
+)
+def corpus_token_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token accounting per (source, lang) slice — the budgeting query
+    behind mixture weighting. One map-side-combinable aggregation; the
+    token count is a row-local size(split), never an explode."""
+    d = load_table(spark, sf_dir, "documents")
+    n = F.size(tokens_col("text"))
+    return d.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("docs"),
+        F.sum(n).cast("bigint").alias("total_tokens"),
+        F.min(n).cast("int").alias("min_tokens"),
+        F.max(n).cast("int").alias("max_tokens"),
+    )
+
+
+@register(
+    "corpus_quality_report",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, source, lang, md5(text) AS m,
+             {sql_round(f"(1.0 - len(list_filter(string_split(trim(text), ' '), x -> {{stop}})) / CAST(len(string_split(trim(text), ' ')) AS DOUBLE)) * (least(len(string_split(trim(text), ' ')), 100) / 100.0)".format(stop=_stop_pred('x', STOPWORDS)), 4)} AS q
+      FROM documents
+    ),
+    tagged AS (
+      SELECT source,
+             CASE WHEN q < 0.4 THEN 'low_quality'
+                  WHEN lang <> 'en' THEN 'non_english'
+                  WHEN doc_id <> min(doc_id) OVER (PARTITION BY m) THEN 'exact_dup'
+                  ELSE 'kept' END AS outcome
+      FROM scored
+    )
+    SELECT source, outcome, CAST(count(*) AS BIGINT) AS docs
+    FROM tagged GROUP BY source, outcome
+    """,
+)
+def corpus_quality_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The rejection-reason breakdown behind `corpus_clean`: every doc
+    lands in exactly one outcome bucket (first-reason-wins precedence:
+    low quality, then language, then exact duplicate, else kept), so
+    the per-source counts reconcile to the corpus total. Same portable
+    quality score as corpus_clean; the dup check is min-per-md5 over a
+    window (one shuffle), counts map-side combine."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.withColumn("__t", tokens_col("text"))
+    n = F.size("__t")
+    stop_hits = F.size(F.filter("__t", lambda x: _in_words(x, STOPWORDS)))
+    scored = t.select(
+        "doc_id",
+        "source",
+        "lang",
+        F.md5("text").alias("__m"),
+        fround(
+            (F.lit(1.0) - stop_hits / n.cast("double"))
+            * (F.least(n, F.lit(100)) / F.lit(100.0)),
+            4,
+        ).alias("__q"),
+    )
+    canon = F.min("doc_id").over(Window.partitionBy("__m"))
+    outcome = (
+        F.when(F.col("__q") < 0.4, F.lit("low_quality"))
+        .when(F.col("lang") != "en", F.lit("non_english"))
+        .when(F.col("doc_id") != canon, F.lit("exact_dup"))
+        .otherwise(F.lit("kept"))
+    )
+    return (
+        scored.withColumn("outcome", outcome)
+        .groupBy("source", "outcome")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("docs"))
+    )
+
+
+@register(
+    "dedup_exact_normalized",
+    oracle="""
+    WITH n AS (
+      SELECT doc_id,
+             trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                                 ' +', ' ', 'g')) AS norm
+      FROM documents
+    )
+    SELECT md5(norm) AS norm_md5,
+           CAST(min(doc_id) AS BIGINT) AS canonical_id,
+           CAST(count(*) AS BIGINT) AS dup_cnt
+    FROM n GROUP BY md5(norm)
+    """,
+)
+def dedup_exact_normalized_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization-then-exact dedup (the C4/RefinedWeb 'fuzzy exact'
+    pass): lowercase, strip non-alphanumerics, collapse whitespace,
+    then hash-groupBy — catches near-identical docs that differ only in
+    case/punctuation/spacing at exact-dedup cost (one combinable
+    shuffle). ASCII-safe regex classes keep Java and RE2 semantics
+    identical."""
+    d = load_table(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower("text"), "[^a-z0-9 ]", " "), " +", " "
+        )
+    )
+    return (
+        d.select("doc_id", F.md5(norm).alias("norm_md5"))
+        .groupBy("norm_md5")
+        .agg(
+            F.min("doc_id").cast("bigint").alias("canonical_id"),
+            F.count(F.lit(1)).cast("bigint").alias("dup_cnt"),
+        )
+    )
+
+
+@register(
+    "embedding_norm_stats",
+    oracle=f"""
+    WITH e AS (
+      SELECT label,
+             sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)))
+               AS nrm
+      FROM embeddings
+    )
+    SELECT label,
+           CAST(count(*) AS BIGINT) AS n_vectors,
+           CAST(sum(CASE WHEN nrm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS zero_norm,
+           {sql_round("min(nrm)", 4)} AS min_norm,
+           {sql_round("max(nrm)", 4)} AS max_norm
+    FROM e GROUP BY label
+    """,
+)
+def embedding_norm_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-table QA: per-label vector counts, zero vectors (which
+    poison cosine math downstream), and the norm range — the sanity
+    report run before any ANN/centroid job. Norms use the same
+    left-fold sum-of-squares as the similarity operators, so both
+    engines agree bit-for-bit before the defensive rounding."""
+    from ..operators.similarity import as_double_vec, norm_col
+
+    e = load_table(spark, sf_dir, "embeddings")
+    nrm = norm_col(as_double_vec("embedding"))
+    return (
+        e.select("label", nrm.alias("__nrm"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+            F.sum(F.when(F.col("__nrm") == 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("zero_norm"),
+            fround(F.min("__nrm"), 4).alias("min_norm"),
+            fround(F.max("__nrm"), 4).alias("max_norm"),
+        )
+    )
