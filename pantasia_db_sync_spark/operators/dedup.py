@@ -412,3 +412,40 @@ def simhash_pairs(
         .select("id_a", "id_b", "hamming")
         .dropDuplicates(["id_a", "id_b"])
     )
+
+
+def minhash_candidate_prob(j: float, num_hashes: int, bands: int) -> float:
+    """P(pair with Jaccard ``j`` becomes an LSH candidate) under
+    ``bands`` bands of ``num_hashes // bands`` rows: 1 - (1 - j^r)^b
+    (the banding S-curve)."""
+    r = num_hashes // bands
+    return 1.0 - (1.0 - j**r) ** bands
+
+
+def recommended_minhash_params(
+    threshold: float, max_hashes: int = 64
+) -> tuple[int, int]:
+    """(num_hashes, bands) whose S-curve inflection sits at ``threshold``.
+
+    The banding S-curve 1-(1-J^r)^b crosses steeply near (1/b)^(1/r);
+    picking (b, r) so that point matches the verify threshold minimizes
+    wasted work on BOTH sides — few sub-threshold candidate pairs reach
+    the exact-Jaccard verify (false positives cost verify joins), few
+    above-threshold pairs are missed (false negatives cost recall).
+    Searches b*r ≤ max_hashes exhaustively (≤ a few thousand combos —
+    driver-side, trivial); ties prefer more total hashes (steeper
+    curve). The twin of ``recommended_lsh_params`` for the sign-LSH
+    family: signature width is the knob that must grow as corpora and
+    thresholds change, never the band COUNT alone.
+    """
+    if not 0.0 < threshold < 1.0:
+        raise ValueError(f"threshold must be in (0, 1), got {threshold}")
+    best = None
+    for b in range(1, max_hashes + 1):
+        for r in range(1, max_hashes // b + 1):
+            inflection = (1.0 / b) ** (1.0 / r)
+            key = (abs(inflection - threshold), -b * r)
+            if best is None or key < best[0]:
+                best = (key, b * r, b)
+    _, num_hashes, bands = best
+    return num_hashes, bands

@@ -734,3 +734,32 @@ def test_kmeans_assign_broadcast_equals_literal_path(spark):
     assert bc.exceptAll(lit).count() == 0
     plan = bc._jdf.queryExecution().executedPlan().toString()
     assert "Exchange hashpartitioning" not in plan and "Exchange rangepartitioning" not in plan
+
+
+@settings(**SETTINGS)
+@given(
+    threshold=st.floats(0.1, 0.9),
+    max_hashes=st.integers(8, 128),
+)
+def test_recommended_minhash_params_invariants(threshold, max_hashes):
+    """The tuned banding stays within budget and its S-curve inflection
+    lands near the verify threshold (within 0.12 for any budget ≥ 8
+    hashes — the curve is discrete in (b, r))."""
+    from pantasia_db_sync_spark.operators.dedup import (
+        minhash_candidate_prob,
+        recommended_minhash_params,
+    )
+
+    num_hashes, bands = recommended_minhash_params(threshold, max_hashes)
+    assert 1 <= bands <= num_hashes <= max_hashes
+    assert num_hashes % bands == 0 or num_hashes == bands * (num_hashes // bands)
+    r = num_hashes // bands
+    inflection = (1.0 / bands) ** (1.0 / r)
+    assert abs(inflection - threshold) < 0.12
+    # the curve actually separates: well above threshold → likely
+    # candidate; well below → unlikely
+    hi = min(0.99, threshold + 0.25)
+    lo = max(0.01, threshold - 0.25)
+    assert minhash_candidate_prob(hi, num_hashes, bands) > minhash_candidate_prob(
+        lo, num_hashes, bands
+    )
