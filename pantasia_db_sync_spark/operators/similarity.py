@@ -134,6 +134,101 @@ def ivf_topk(
     )
 
 
+def ivf_probe_cells(
+    queries: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nprobe: int = 2,
+    round_digits: int = 6,
+) -> DataFrame:
+    """(q_id, cell, q_vec, q_norm): each query's ``nprobe`` nearest
+    cells by rounded centroid cosine (ties to the lowest cell id).
+    Queries are few; the centroid table rides as a literal struct
+    array, so this is a map-only explode + per-query rank."""
+    cents = F.array(
+        *[
+            F.struct(
+                F.lit(int(cid)).alias("cell"),
+                F.array(*[F.lit(float(x)) for x in coords]).alias("c"),
+                F.lit(_py_norm(coords)).alias("cnrm"),
+            )
+            for cid, coords in sorted(centroids)
+        ]
+    )
+    q = (
+        queries.select(F.col(id_col).alias("q_id"), as_double_vec(vec_col).alias("q_vec"))
+        .withColumn("q_norm", norm_col(F.col("q_vec")))
+        .withColumn("__cent", F.explode(cents))
+    )
+    q = q.withColumn(
+        "__qcos",
+        fround(
+            dot_col(F.col("q_vec"), F.col("__cent.c"))
+            / (F.col("q_norm") * F.col("__cent.cnrm")),
+            round_digits,
+        ),
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("__qcos").desc(), F.col("__cent.cell").asc()
+    )
+    return (
+        q.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= nprobe)
+        .select("q_id", F.col("__cent.cell").alias("cell"), "q_vec", "q_norm")
+    )
+
+
+def ivf_topk_nprobe(
+    vectors: DataFrame,
+    queries: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "cell",
+    nprobe: int = 2,
+    k: int = 5,
+    round_digits: int = 6,
+) -> DataFrame:
+    """IVF top-k with multi-cell probing — the recall knob real IVF
+    deployments turn: each query searches its ``nprobe`` nearest cells
+    (nprobe/k_cells of the corpus) instead of exactly one. ``vectors``
+    must carry their cell assignment in ``cell_col`` (kmeans_assign).
+    Candidate sets from different probe cells are disjoint (a vector
+    lives in one cell), so no dedup step is needed; at
+    nprobe = len(centroids) the result equals brute force
+    (property-pinned). Probes broadcast (queries are few); the
+    candidate join stays a cell equi-join."""
+    probes = ivf_probe_cells(
+        queries, centroids, id_col, vec_col, nprobe, round_digits
+    )
+    c = vectors.select(
+        F.col(id_col).alias("cand_id"),
+        F.col(cell_col).alias("cell"),
+        as_double_vec(vec_col).alias("c_vec"),
+    ).withColumn("c_norm", norm_col(F.col("c_vec")))
+    scored = (
+        F.broadcast(probes)
+        .join(c, "cell")
+        .where(F.col("q_id") != F.col("cand_id"))
+        .select(
+            "q_id",
+            "cand_id",
+            fround(
+                dot_col(F.col("q_vec"), F.col("c_vec"))
+                / (F.col("q_norm") * F.col("c_norm")),
+                round_digits,
+            ).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("cand_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+        .select("q_id", "cand_id", "cos", "rank")
+    )
+
+
 def recommended_lsh_params(
     n_vectors: int, target_bucket: int = 32, max_bits: int = 60
 ) -> tuple[int, int]:

@@ -480,12 +480,15 @@ def ann_ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(e, e.where(F.col("vec_id") < 10), k=5)
 
 
-def _kmeans_ivf_sql(k: int, iters: int, dim: int = 64) -> str:
+def _kmeans_ivf_sql(k: int, iters: int, dim: int = 64, nprobe: int = 1) -> str:
     """DuckDB replica of kmeans_fit + kmeans_assign + IVF top-5: the
     identical deterministic Lloyd's procedure (smallest-id seeds,
     rounded cosines, per-coordinate rounded AVG updates, lowest-cell
     tie-break), unrolled ``iters`` times as CTE pairs — so the trained
-    IVF path stays cross-engine hash-exact like every other query."""
+    IVF path stays cross-engine hash-exact like every other query.
+    ``nprobe > 1`` replicates multi-cell probing: queries search their
+    nprobe nearest cells (same rounded-cosine rank as assignment);
+    candidates keep their single rn=1 cell."""
 
     def cos(av, anrm, bv, bnrm):
         dot = f"list_sum(list_transform(range(1, {dim + 1}), i -> {av}[i] * {bv}[i]))"
@@ -518,16 +521,17 @@ def _kmeans_ivf_sql(k: int, iters: int, dim: int = 64) -> str:
         )
     last = f"c{iters}"
     parts.append(
-        f"""af AS (
-      SELECT vec_id, cell FROM (
-        SELECT n.vec_id, {last}.cell,
-               row_number() OVER (PARTITION BY n.vec_id
-                 ORDER BY {cos('n.v', 'n.nrm', f'{last}.c', f'{last}.cnrm')} DESC,
-                          {last}.cell ASC) AS rn
-        FROM n, {last}) WHERE rn = 1),
+        f"""ranked AS (
+      SELECT n.vec_id, {last}.cell,
+             row_number() OVER (PARTITION BY n.vec_id
+               ORDER BY {cos('n.v', 'n.nrm', f'{last}.c', f'{last}.cnrm')} DESC,
+                        {last}.cell ASC) AS rn
+      FROM n, {last}),
+    af AS (SELECT vec_id, cell FROM ranked WHERE rn = 1),
+    qp AS (SELECT vec_id, cell FROM ranked WHERE rn <= {nprobe}),
     s AS (
       SELECT q.vec_id AS q_id, c.vec_id AS cand_id, {cos('q.v', 'q.nrm', 'c.v', 'c.nrm')} AS cos
-      FROM (SELECT n.*, af.cell FROM n JOIN af USING (vec_id)) q
+      FROM (SELECT n.*, qp.cell FROM n JOIN qp USING (vec_id)) q
       JOIN (SELECT n.*, af.cell FROM n JOIN af USING (vec_id)) c
         ON c.vec_id <> q.vec_id AND c.cell = q.cell
       WHERE q.vec_id < 10
@@ -556,6 +560,25 @@ def ann_ivf_kmeans_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = kmeans_fit(e, k=8, iters=3)
     assigned = kmeans_assign(e, cents)
     return ivf_topk(assigned, assigned.where(F.col("vec_id") < 10), cell_col="cell", k=5)
+
+
+@register("ann_ivf_nprobe_topk", oracle=_kmeans_ivf_sql(k=8, iters=3, nprobe=2))
+def ann_ivf_nprobe_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-5 with nprobe=2 multi-cell probing — the recall knob real
+    IVF deployments turn: each query searches its 2 nearest trained
+    cells (2/8 of the corpus) instead of one. Same deterministic
+    k-means as ann_ivf_kmeans_topk; probe ranking reuses the
+    assignment's rounded-cosine order, so the oracle shares the CTE
+    chain with rn <= 2. At nprobe = k the operator equals brute force
+    (property-pinned)."""
+    from ..operators.similarity import ivf_topk_nprobe, kmeans_assign, kmeans_fit
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = kmeans_fit(e, k=8, iters=3)
+    assigned = kmeans_assign(e, cents)
+    return ivf_topk_nprobe(
+        assigned, e.where(F.col("vec_id") < 10), cents, nprobe=2, k=5
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -763,3 +763,37 @@ def test_recommended_minhash_params_invariants(threshold, max_hashes):
     assert minhash_candidate_prob(hi, num_hashes, bands) > minhash_candidate_prob(
         lo, num_hashes, bands
     )
+
+
+def test_ivf_nprobe_full_probe_equals_bruteforce(spark):
+    """ivf_topk_nprobe with nprobe = k_cells must equal brute-force
+    top-k exactly (probing every cell = scanning everything), and
+    nprobe=1 must equal the single-cell ivf_topk on the same
+    assignment — the recall knob's two endpoints."""
+    import os
+
+    from pantasia_db_sync_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+        ivf_topk_nprobe,
+        kmeans_assign,
+        kmeans_fit,
+    )
+    from pantasia_db_sync_spark.sources.catalog import load_table
+    from pyspark.sql import functions as F
+
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    e = load_table(spark, sf, "embeddings").limit(400)
+    cents = kmeans_fit(e, k=4, iters=2)
+    assigned = kmeans_assign(e, cents)
+    q = e.where(F.col("vec_id") < 5)
+
+    full = ivf_topk_nprobe(assigned, q, cents, nprobe=len(cents), k=3)
+    brute = brute_force_topk(e, q, k=3)
+    assert full.exceptAll(brute).count() == 0
+    assert brute.exceptAll(full).count() == 0
+
+    one = ivf_topk_nprobe(assigned, q, cents, nprobe=1, k=3)
+    single = ivf_topk(assigned, kmeans_assign(q, cents), cell_col="cell", k=3)
+    assert one.exceptAll(single).count() == 0
+    assert single.exceptAll(one).count() == 0
