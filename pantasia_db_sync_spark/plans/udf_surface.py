@@ -373,3 +373,143 @@ def stream_stream_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
     )
     return _run_stream_to_frame(spark, writer, name, d)
+
+
+def _stream_near_dedup_sql(
+    num_hashes: int = 16, bands: int = 4, threshold: float = 0.5, split: int = 250
+) -> str:
+    """Batch twin of the streaming ingest near-dup filter: incoming =
+    doc_id < split, corpus = the rest; MinHash banding candidates
+    between the two sides, exact-Jaccard verified. Signature SQL is the
+    standard groupBy form — the stream's row-local signatures are
+    bit-identical (pinned by a property test)."""
+    from ..functions.text import HASH_PRIME, minhash_params
+    from .llmdata import _PORTABLE_HASH, _SQL_SHINGLES
+
+    params = minhash_params(num_hashes)
+    rows = num_hashes // bands
+    x = f"({_PORTABLE_HASH.format(col='s')} % {HASH_PRIME})"
+    mins = ",\n           ".join(
+        f"min(({a} * x + {b}) % {HASH_PRIME}) AS mh{i}"
+        for i, (a, b) in enumerate(params)
+    )
+    band_legs = "\n    UNION ALL\n".join(
+        "    SELECT doc_id, {j} AS band_idx, concat_ws('_', {cols}) AS band_val FROM sig".format(
+            j=j, cols=", ".join(f"mh{j * rows + r}" for r in range(rows))
+        )
+        for j in range(bands)
+    )
+    return f"""
+    WITH {_SQL_SHINGLES},
+    h AS (SELECT doc_id, {x} AS x FROM sh),
+    sig AS (SELECT doc_id, {mins} FROM h GROUP BY doc_id),
+    bands AS (
+{band_legs}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS in_id, b.doc_id AS corpus_id
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+      WHERE a.doc_id < {split} AND b.doc_id >= {split}
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS in_id, b.doc_id AS corpus_id, count(*) AS i
+      FROM sh a JOIN sh b ON a.s = b.s
+      WHERE a.doc_id < {split} AND b.doc_id >= {split}
+      GROUP BY 1, 2
+    ),
+    jac AS (
+      SELECT in_id, corpus_id, i / CAST(sa.n + sb.n - i AS DOUBLE) AS jaccard
+      FROM inter JOIN sizes sa ON sa.doc_id = in_id
+                 JOIN sizes sb ON sb.doc_id = corpus_id
+    )
+    SELECT c.in_id, c.corpus_id, j.jaccard
+    FROM cand c JOIN jac j ON j.in_id = c.in_id AND j.corpus_id = c.corpus_id
+    WHERE j.jaccard >= {threshold}
+    """
+
+
+@register("stream_near_dedup", oracle=_stream_near_dedup_sql())
+def stream_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming near-dup INGEST FILTER — the shape a training-data
+    pipeline runs at the door: a stream of incoming documents is
+    checked against the static corpus via MinHash band collisions and
+    exact-Jaccard verify, emitting (in_id, corpus_id, jaccard) for
+    matches ≥ 0.5.
+
+    The streaming side computes its signatures ROW-LOCALLY
+    (operators/dedup.py minhash_signatures_rowlocal — no groupBy, so no
+    unbounded per-doc state and the downstream stream-static band join
+    stays append-mode); the static side uses the batch groupBy form —
+    the two are bit-identical. Candidate dedup (a pair can collide in
+    several bands) runs AFTER the verify so the dropDuplicates state
+    holds only true matches."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from ..operators.dedup import (
+        minhash_band_structs,
+        minhash_signatures,
+        minhash_signatures_rowlocal,
+        shingle_arrays,
+        shingle_frame,
+    )
+
+    split = 250
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") >= split)
+    sig_c = minhash_signatures(
+        shingle_frame(corpus, "doc_id", "text", 3), "doc_id", 16
+    )
+    bandx = minhash_band_structs(16, 4)
+    corpus_bands = sig_c.select(
+        F.col("doc_id").alias("corpus_id"), F.explode(bandx).alias("b")
+    ).select(
+        "corpus_id",
+        F.col("b.band_idx").alias("band_idx"),
+        F.col("b.band_val").alias("band_val"),
+    )
+    corpus_sets = shingle_arrays(corpus, "doc_id", "text", 3).select(
+        F.col("doc_id").alias("corpus_id"), F.col("__sh").alias("__cs")
+    )
+
+    d = tempfile.mkdtemp(prefix="stream_nd_")
+    shutil.copy(
+        os.path.join(sf_dir, "documents.parquet"),
+        os.path.join(d, "documents-0.parquet"),
+    )
+    incoming = (
+        spark.readStream.schema(docs.schema).parquet(d).where(F.col("doc_id") < split)
+    )
+    sig_in = minhash_signatures_rowlocal(
+        shingle_arrays(incoming, "doc_id", "text", 3), "doc_id", 16
+    )
+    in_bands = sig_in.select(
+        F.col("doc_id").alias("in_id"), "__sh", F.explode(bandx).alias("b")
+    ).select(
+        "in_id",
+        "__sh",
+        F.col("b.band_idx").alias("band_idx"),
+        F.col("b.band_val").alias("band_val"),
+    )
+    i_ = F.size(F.array_intersect("__sh", "__cs"))
+    verified = (
+        in_bands.join(corpus_bands, ["band_idx", "band_val"])
+        .join(corpus_sets, "corpus_id")
+        .withColumn(
+            "jaccard", i_ / (F.size("__sh") + F.size("__cs") - i_)
+        )
+        .where(F.coalesce(F.col("jaccard"), F.lit(-1.0)) >= 0.5)
+        .select("in_id", "corpus_id", "jaccard")
+        .dropDuplicates(["in_id", "corpus_id"])
+    )
+    name = "snd_" + uuid.uuid4().hex[:8]
+    writer = (
+        verified.writeStream.format("memory")
+        .outputMode("append")
+        .trigger(availableNow=True)
+    )
+    return _run_stream_to_frame(spark, writer, name, d)

@@ -797,3 +797,27 @@ def test_ivf_nprobe_full_probe_equals_bruteforce(spark):
     single = ivf_topk(assigned, kmeans_assign(q, cents), cell_col="cell", k=3)
     assert one.exceptAll(single).count() == 0
     assert single.exceptAll(one).count() == 0
+
+
+def test_rowlocal_minhash_equals_batch_signatures(spark):
+    """The streaming path's row-local MinHash signatures are
+    bit-identical to the batch explode+groupBy form (including the
+    exclusion of empty-shingle docs)."""
+    import os
+
+    from pantasia_db_sync_spark.operators.dedup import (
+        minhash_signatures,
+        minhash_signatures_rowlocal,
+        shingle_arrays,
+        shingle_frame,
+    )
+    from pantasia_db_sync_spark.sources.catalog import load_table
+
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    d = load_table(spark, sf, "documents")
+    batch = minhash_signatures(shingle_frame(d, "doc_id", "text", 3), "doc_id", 16)
+    rowlocal = minhash_signatures_rowlocal(
+        shingle_arrays(d, "doc_id", "text", 3), "doc_id", 16
+    ).drop("__sh")
+    assert batch.exceptAll(rowlocal).count() == 0
+    assert rowlocal.exceptAll(batch).count() == 0
