@@ -114,6 +114,60 @@ def corpus_near_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.join(keep, "doc_id", "left_semi").select("doc_id", "lang", "source")
 
 
+@register(
+    "dedup_cluster_sizes",
+    oracle=f"""
+    WITH RECURSIVE pairs AS (
+      SELECT id_a, id_b FROM ({_minhash_sql()})
+    ),
+    sym AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    reach(a, b) AS (
+      SELECT src, dst FROM sym
+      UNION
+      SELECT r.a, s.dst FROM reach r JOIN sym s ON r.b = s.src
+    ),
+    comp AS (SELECT a, min(b) AS m FROM reach GROUP BY a),
+    labeled AS (
+      SELECT d.doc_id,
+             least(d.doc_id, coalesce(c.m, d.doc_id)) AS component_id
+      FROM documents d LEFT JOIN comp c ON c.a = d.doc_id
+    ),
+    per_cluster AS (
+      SELECT component_id, count(*) AS sz FROM labeled GROUP BY component_id
+    )
+    SELECT CAST(sz AS BIGINT) AS cluster_size,
+           CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(sz * count(*) AS BIGINT) AS n_docs
+    FROM per_cluster GROUP BY sz
+    """,
+)
+def dedup_cluster_sizes_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup report every pipeline prints: the near-dup cluster
+    SIZE histogram (how many singletons, pairs, triples, ... and the
+    documents they hold — n_docs sums to the corpus). Two combinable
+    aggregations over the components labels; the heavy lifting is the
+    same iterative components operator, oracle'd by the recursive CTE."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        d, "doc_id", "text", n=3, num_hashes=16, bands=4, threshold=0.5
+    )
+    comp = connected_components(
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
+        d.select(F.col("doc_id").alias("node")),
+    )
+    per_cluster = comp.groupBy("component_id").agg(
+        F.count(F.lit(1)).alias("sz")
+    )
+    return per_cluster.groupBy("sz").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
+        (F.col("sz") * F.count(F.lit(1))).cast("bigint").alias("n_docs"),
+    ).select(F.col("sz").cast("bigint").alias("cluster_size"), "n_clusters", "n_docs")
+
+
 _SPLIT_SQL_HASH = _PORTABLE_HASH.format(
     col="concat('split:', CAST(doc_id AS VARCHAR))"
 )
