@@ -151,7 +151,14 @@ def main() -> None:
     # 1x is the scale-linearity evidence for the banded candidate
     # generation; skippable via env.
     dedup10: dict[str, float] = {}
-    if os.environ.get("SPARK_GRAFT_DEDUP_10X", "1") == "1":
+    # Gated on the default SF dir: build_corpus replicates sf0.1, so a
+    # bench run pointed elsewhere would ratio a 10x-of-sf0.1 wall
+    # against a different-scale 1x wall and report a bogus linearity
+    # number.
+    if (
+        os.environ.get("SPARK_GRAFT_DEDUP_10X", "1") == "1"
+        and sf_dir.rstrip("/") == "/root/testdata/sf0.1"
+    ):
         sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "scripts"))
         from scale_experiment import build_corpus
 

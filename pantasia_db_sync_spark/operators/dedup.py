@@ -74,6 +74,14 @@ def shingle_arrays(
     row-local expression instead of a ``groupBy``/``collect_set`` over
     |shingles| exploded rows. At 100 TB each such avoided aggregation
     is a full shuffle of the corpus' shingle index.
+
+    CONTRACT (all shingle/token dedup operators): ``id_col`` must be
+    unique — one row per document. A frame with a repeated id (e.g. a
+    union of overlapping extracts) must be deduplicated FIRST: the old
+    global ``.distinct()`` happened to merge such rows; the row-local
+    form counts each row's shingles separately, which would inflate
+    pair intersections past their set sizes (Jaccard > 1) and
+    double-weight SimHash votes.
     """
     toks, sh = _shingle_parts(docs, id_col, text_col, n)
     return toks.select(
@@ -474,11 +482,9 @@ def minhash_signatures_rowlocal(
     to the batch form (property: empty-shingle docs are excluded, as
     they produce no rows in the exploded form either).
     """
-    hs = F.transform(
-        "__sh",
-        lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint")
-        % F.lit(HASH_PRIME),
-    )
+    # the SAME portable hash the batch signatures and every SQL oracle
+    # embed — one definition, so the two paths cannot desynchronize
+    hs = F.transform("__sh", lambda s: portable_hash_mod(s))
     out = arr.where(F.size("__sh") > 0).withColumn("__hs", hs)
 
     def perm(a: int, b: int):

@@ -357,7 +357,13 @@ def decode_png(content: bytes) -> dict:
         )
     if w == 0 or h == 0:
         raise ValueError(f"degenerate PNG dimensions ({w}x{h})")
-    raw = zlib.decompress(b"".join(idat))
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error as e:
+        # keep the documented contract: malformed streams raise
+        # ValueError, never a bare zlib.error (missing IDAT chunks
+        # decompress b"" and land here too)
+        raise ValueError(f"bad IDAT deflate stream: {e}") from e
     bpp, stride = 3, w * 3
     if len(raw) != h * (stride + 1):
         raise ValueError("raster size mismatch")

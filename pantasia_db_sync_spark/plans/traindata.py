@@ -589,7 +589,9 @@ def corpus_token_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT source,
              CASE WHEN q < 0.4 THEN 'low_quality'
                   WHEN lang <> 'en' THEN 'non_english'
-                  WHEN doc_id <> min(doc_id) OVER (PARTITION BY m) THEN 'exact_dup'
+                  WHEN doc_id <> min(CASE WHEN q >= 0.4 AND lang = 'en'
+                                          THEN doc_id END)
+                                   OVER (PARTITION BY m) THEN 'exact_dup'
                   ELSE 'kept' END AS outcome
       FROM scored
     )
@@ -601,9 +603,12 @@ def corpus_quality_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The rejection-reason breakdown behind `corpus_clean`: every doc
     lands in exactly one outcome bucket (first-reason-wins precedence:
     low quality, then language, then exact duplicate, else kept), so
-    the per-source counts reconcile to the corpus total. Same portable
-    quality score as corpus_clean; the dup check is min-per-md5 over a
-    window (one shuffle), counts map-side combine."""
+    the per-source counts reconcile to the corpus total AND the 'kept'
+    bucket equals corpus_clean's output exactly — the duplicate
+    canonical is the min doc_id among quality+language SURVIVORS (a doc
+    whose only earlier twin was itself rejected is kept, matching the
+    pipeline's dedup-after-filter order). Same portable quality score
+    as corpus_clean; one window shuffle, counts map-side combine."""
     d = load_table(spark, sf_dir, "documents")
     t = d.withColumn("__t", tokens_col("text"))
     n = F.size("__t")
@@ -619,7 +624,8 @@ def corpus_quality_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("__q"),
     )
-    canon = F.min("doc_id").over(Window.partitionBy("__m"))
+    survivor = (F.col("__q") >= 0.4) & (F.col("lang") == "en")
+    canon = F.min(F.when(survivor, F.col("doc_id"))).over(Window.partitionBy("__m"))
     outcome = (
         F.when(F.col("__q") < 0.4, F.lit("low_quality"))
         .when(F.col("lang") != "en", F.lit("non_english"))

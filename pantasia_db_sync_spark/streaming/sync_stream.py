@@ -47,9 +47,9 @@ def _parquet_ts_unit(
     - ``None``     — no files yet (a legal file-source starting state;
       caller falls back to ``ts_unit`` or the Spark-native default).
 
-    Up to ``probe_files`` footers are checked (first and last in name
-    order plus one from the middle — cheap, and name order is how the
-    file source discovers them): a directory whose writers disagree on
+    Up to ``probe_files`` footers are checked (evenly spaced in name
+    order, first and last always included — cheap, and name order is
+    how the file source discovers them): a directory whose writers disagree on
     the unit would otherwise be silently misread through the single
     forced schema, so disagreement raises instead. A non-timestamp
     layout (e.g. raw int64 from a non-Spark writer) also raises here,
@@ -73,7 +73,9 @@ def _parquet_ts_unit(
     if len(parts) <= probe_files:
         sample = parts
     else:
-        sample = [parts[0], parts[len(parts) // 2], parts[-1]]
+        # evenly spaced across name order, first and last always included
+        step = (len(parts) - 1) / max(1, probe_files - 1)
+        sample = [parts[round(i * step)] for i in range(probe_files)]
 
     def unit_of(part: str) -> str | None:
         schema = pq.read_schema(os.path.join(directory, part))
