@@ -20,17 +20,92 @@ period idempotently rather than observing a half-commit.
 
 from __future__ import annotations
 
+import datetime as _dt
 import json
 import os
 import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 
+MANIFEST = "_MANIFEST.json"  # hidden from Spark's file listing (leading _)
+
+
+def _enc(v):
+    """JSON-encode a footer stat value, tagging temporals for round-trip."""
+    if isinstance(v, _dt.datetime):
+        return {"__ts__": v.isoformat()}
+    if isinstance(v, _dt.date):
+        return {"__date__": v.isoformat()}
+    return v
+
+
+def _dec(v):
+    if isinstance(v, dict):
+        if "__ts__" in v:
+            return _dt.datetime.fromisoformat(v["__ts__"])
+        if "__date__" in v:
+            return _dt.date.fromisoformat(v["__date__"])
+    return v
+
+
+def footer_stats(path: str) -> dict:
+    """Row count + per-column min/max for one parquet directory, read from
+    file FOOTERS only — no data pages are touched, so this is O(#files)
+    metadata I/O regardless of data volume.
+
+    Only numeric / temporal / boolean columns are recorded: parquet may
+    TRUNCATE binary (string) min/max statistics, so folding string stats
+    across commits could silently produce a wrong max. The sync probes
+    need ``id`` (int64) and ``tx_time`` (timestamp), both exact.
+    """
+    import pyarrow.parquet as pq
+
+    safe = (int, float, bool, _dt.datetime, _dt.date)
+
+    def norm(v):
+        # parquet stores timestamps UTC-adjusted; Spark surfaces them as
+        # naive session-local datetimes — match that convention so
+        # manifest values compare equal to collect()ed ones
+        if isinstance(v, _dt.datetime) and v.tzinfo is not None:
+            return v.astimezone().replace(tzinfo=None)
+        return v
+
+    rows, nbytes, stats = 0, 0, {}
+    for fn in sorted(os.listdir(path)):
+        fp = os.path.join(path, fn)
+        if not fn.endswith(".parquet") or fn.startswith(("_", ".")):
+            continue
+        nbytes += os.path.getsize(fp)
+        md = pq.ParquetFile(fp).metadata
+        rows += md.num_rows
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            for ci in range(g.num_columns):
+                col = g.column(ci)
+                name = col.path_in_schema
+                st = col.statistics
+                if "." in name or st is None or not st.has_min_max:
+                    continue
+                mn, mx = norm(st.min), norm(st.max)
+                if not (isinstance(mn, safe) and isinstance(mx, safe)):
+                    continue
+                cur = stats.get(name)
+                if cur is None:
+                    stats[name] = {"min": mn, "max": mx}
+                else:
+                    cur["min"] = min(cur["min"], mn)
+                    cur["max"] = max(cur["max"], mx)
+    return {"rows": rows, "bytes": nbytes, "stats": stats}
+
 
 class TableStore:
     def __init__(self, base_dir: str) -> None:
         self.base_dir = base_dir
         os.makedirs(base_dir, exist_ok=True)
+        # finish any compaction interrupted by a crash (idempotent)
+        for t in os.listdir(base_dir):
+            if os.path.isdir(self._tdir(t)):
+                self._recover_compaction(t)
 
     # --- version bookkeeping -------------------------------------------------
 
@@ -65,6 +140,7 @@ class TableStore:
         if os.path.exists(path):
             shutil.rmtree(path)
         df.write.mode("overwrite").parquet(path)
+        self._write_manifest(path)
         return v
 
     def repoint(self, table: str, version: int) -> None:
@@ -90,10 +166,102 @@ class TableStore:
         return os.path.join(self._tdir(table), "data", f"commit={commit_id}")
 
     def append(self, table: str, df: DataFrame, commit_id: int) -> None:
-        df.write.mode("overwrite").parquet(self.append_dir(table, commit_id))
+        path = self.append_dir(table, commit_id)
+        df.write.mode("overwrite").parquet(path)
+        # Manifest lands INSIDE the commit dir before the pointer flip,
+        # so it shares the commit's crash semantics: a commit either
+        # exposes data+manifest together or neither. At 100 TB this is
+        # what turns the sink-tip / seed probes (pantasia_tip, _seed in
+        # pipeline/sync.py) from full fact-history column scans — the
+        # reference's O(1)-because-Postgres-index probes,
+        # /root/reference/app/db/postgres.py:251-312 — into O(#commits)
+        # footer-manifest folds that scan ZERO fact rows.
+        self._write_manifest(path)
 
     def commit_append(self, table: str, commit_id: int) -> None:
         self.repoint(table, commit_id)
+
+    # --- commit manifests ----------------------------------------------------
+
+    def _write_manifest(self, path: str) -> None:
+        m = footer_stats(path)
+        tmp = os.path.join(path, MANIFEST + ".tmp")
+        with open(tmp, "w") as f:
+            json.dump(
+                {
+                    "rows": m["rows"],
+                    "bytes": m["bytes"],
+                    "stats": {
+                        c: {"min": _enc(s["min"]), "max": _enc(s["max"])}
+                        for c, s in m["stats"].items()
+                    },
+                },
+                f,
+            )
+        os.replace(tmp, os.path.join(path, MANIFEST))
+
+    def _read_manifest(self, path: str) -> dict:
+        """Manifest for one data dir; self-heals dirs written before the
+        manifest era by recomputing from footers (still zero data pages)."""
+        fp = os.path.join(path, MANIFEST)
+        if not os.path.exists(fp):
+            self._write_manifest(path)
+        with open(fp) as f:
+            m = json.load(f)
+        m["stats"] = {
+            c: {"min": _dec(s["min"]), "max": _dec(s["max"])}
+            for c, s in m["stats"].items()
+        }
+        return m
+
+    def _committed_append_dirs(self, table: str) -> list[str]:
+        ptr = self.current_version(table)
+        data = os.path.join(self._tdir(table), "data")
+        if ptr is None or not os.path.isdir(data):
+            return []
+        return [
+            os.path.join(data, d)
+            for d in sorted(os.listdir(data))
+            if d.startswith("commit=") and int(d.split("=", 1)[1]) <= ptr
+        ]
+
+    def facts_stats(self, table: str) -> dict | None:
+        """Fold per-commit manifests: total rows + global min/max per
+        column, without reading any fact data. O(#commit dirs)."""
+        dirs = self._committed_append_dirs(table)
+        if not dirs:
+            return None
+        rows, stats = 0, {}
+        for d in dirs:
+            m = self._read_manifest(d)
+            rows += m["rows"]
+            for c, s in m["stats"].items():
+                cur = stats.get(c)
+                if cur is None:
+                    stats[c] = dict(s)
+                else:
+                    cur["min"] = min(cur["min"], s["min"])
+                    cur["max"] = max(cur["max"], s["max"])
+        return {"rows": rows, "stats": stats, "commits": len(dirs)}
+
+    def facts_max(self, table: str, column: str):
+        m = self.facts_stats(table)
+        if m is None or column not in m["stats"]:
+            return None
+        return m["stats"][column]["max"]
+
+    def dim_stats(self, table: str) -> dict | None:
+        """Manifest of the current version of a versioned (dim) table."""
+        v = self.current_version(table)
+        if v is None:
+            return None
+        return self._read_manifest(self._data_dir(table, v))
+
+    def dim_max(self, table: str, column: str):
+        m = self.dim_stats(table)
+        if m is None or column not in m["stats"]:
+            return None
+        return m["stats"][column]["max"]
 
     def read_facts(self, spark: SparkSession, table: str) -> DataFrame | None:
         ptr = self.current_version(table)
@@ -230,3 +398,108 @@ class TableStore:
                             shutil.rmtree(os.path.join(data, d))
                             removed.setdefault(table, []).append(d)
         return removed
+
+    # --- fact compaction -----------------------------------------------------
+    # A long-running sync accumulates one commit dir per period forever
+    # (the small-files problem: at a 2h period that is ~4.4k dirs/year,
+    # each holding `shuffle.partitions` small parquet files). Compaction
+    # merges runs of commit dirs into one dir per SEGMENT, where segment
+    # boundaries are exactly the watermarks any reader can resolve — the
+    # live pointer and every snapshot's pointer — so `read_facts`
+    # (filter commit <= ptr) and `read_at` time travel keep returning
+    # byte-identical row sets: a merged dir is named after its segment's
+    # upper boundary b, and every reader watermark w is a boundary, so
+    # "dir id <= w" still selects precisely the original commits <= w.
+    #
+    # Crash safety is a journal protocol (dir renames aren't atomic as a
+    # group): merged data is staged under a dot-dir Spark ignores, a
+    # journal naming (remove-list, promote-pair) is fsync-replaced into
+    # place, then applied; recovery at TableStore.__init__ re-applies an
+    # interrupted journal idempotently. Mirrors `vacuum`'s reader
+    # caveat: run quiescent or size retention to cover in-flight scans.
+
+    def _journal_path(self, table: str) -> str:
+        return os.path.join(self._tdir(table), "_COMPACT_JOURNAL.json")
+
+    def _apply_journal(self, table: str, journal: dict) -> None:
+        tmp, final = journal["promote"]
+        # tmp already gone ⇒ the promote happened before a crash; the
+        # final dir now holds the MERGED data and must not be removed
+        # even though its name appears in the remove list.
+        promoted = not os.path.isdir(tmp)
+        for d in journal["remove"]:
+            if promoted and os.path.abspath(d) == os.path.abspath(final):
+                continue
+            if os.path.isdir(d):
+                shutil.rmtree(d)
+        if not promoted:
+            os.replace(tmp, final)
+        os.remove(self._journal_path(table))
+
+    def _recover_compaction(self, table: str) -> None:
+        jp = self._journal_path(table)
+        if os.path.exists(jp):
+            with open(jp) as f:
+                self._apply_journal(table, json.load(f))
+
+    def compact_facts(
+        self,
+        spark: SparkSession,
+        table: str,
+        target_bytes_per_file: int = 128 * 1024 * 1024,
+        min_dirs_per_segment: int = 2,
+    ) -> dict:
+        """Merge committed append dirs into one dir per snapshot segment.
+
+        Returns {"segments": [(boundary, n_dirs_merged), ...]}. Leaves
+        orphan dirs above the pointer to ``vacuum``. Output file count
+        is sized from the segment's manifest byte totals so merged files
+        land near ``target_bytes_per_file`` — the small-files fix, not
+        just a dir-count fix.
+        """
+        self._recover_compaction(table)
+        ptr = self.current_version(table)
+        data = os.path.join(self._tdir(table), "data")
+        if ptr is None or not os.path.isdir(data):
+            return {"segments": []}
+
+        watermarks = {ptr}
+        for tag in self._snapshot_tags():
+            with open(self._snap_path(tag)) as f:
+                v = json.load(f)["versions"].get(table)
+            if v is not None:
+                watermarks.add(v)
+
+        cids = sorted(
+            int(d.split("=", 1)[1])
+            for d in os.listdir(data)
+            if d.startswith("commit=") and int(d.split("=", 1)[1]) <= ptr
+        )
+        boundaries = sorted(w for w in watermarks if w <= ptr)
+        done, prev = [], float("-inf")
+        for b in boundaries:
+            seg = [c for c in cids if prev < c <= b]
+            prev = b
+            if len(seg) < min_dirs_per_segment:
+                continue
+            dirs = [os.path.join(data, f"commit={c}") for c in seg]
+            total = sum(self._read_manifest(d)["bytes"] for d in dirs)
+            nfiles = max(1, -(-total // target_bytes_per_file))
+            tmp = os.path.join(data, f".compact-{b}.tmp")
+            if os.path.isdir(tmp):
+                shutil.rmtree(tmp)
+            spark.read.parquet(*dirs).coalesce(nfiles).write.mode(
+                "overwrite"
+            ).parquet(tmp)
+            self._write_manifest(tmp)
+            journal = {
+                "remove": dirs,
+                "promote": [tmp, os.path.join(data, f"commit={b}")],
+            }
+            jtmp = self._journal_path(table) + ".tmp"
+            with open(jtmp, "w") as f:
+                json.dump(journal, f)
+            os.replace(jtmp, self._journal_path(table))
+            self._apply_journal(table, journal)
+            done.append((b, len(seg)))
+        return {"segments": done}

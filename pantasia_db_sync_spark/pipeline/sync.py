@@ -100,14 +100,20 @@ class SyncEngine:
     def pantasia_tip(self) -> datetime:
         """Sink tip = max fact tx_time, else genesis (app/db/postgres.py:280-312).
         Derived from committed data, so a crash between fact commits and
-        checkpointing replays the period instead of skipping it."""
-        tips = []
-        for t in FACT_TABLES:
-            df = self.store.read_facts(self.spark, t)
-            if df is not None:
-                row = df.agg(F.max("tx_time").alias("tip")).collect()[0]
-                if row["tip"] is not None:
-                    tips.append(row["tip"])
+        checkpointing replays the period instead of skipping it.
+
+        Reads per-commit manifests (parquet footer stats folded at
+        commit time, pipeline/store.py), NOT the fact parquet: the
+        reference's tip is an O(1) Postgres index probe; ours is an
+        O(#commits) metadata fold that launches no Spark job and scans
+        zero fact rows — the same property (tip comes only from
+        committed data) because the manifest is written inside the
+        commit dir before the pointer flip."""
+        tips = [
+            tip
+            for t in FACT_TABLES
+            if (tip := self.store.facts_max(t, "tx_time")) is not None
+        ]
         return max(tips) if tips else self.genesis
 
     def period_list(self) -> list[tuple[datetime, datetime]]:
@@ -242,16 +248,15 @@ class SyncEngine:
     # --- per-period transform + commit ----------------------------------------
 
     def _seed(self, table: str) -> int:
-        """Next surrogate id (A5, app/db/postgres.py:251-260)."""
-        df = (
-            self.store.read_facts(self.spark, table)
+        """Next surrogate id (A5, app/db/postgres.py:251-260) from
+        commit/version manifests — no fact-history scan, no Spark job
+        (see pantasia_tip)."""
+        m = (
+            self.store.facts_max(table, "id")
             if table in FACT_TABLES
-            else self.store.read(self.spark, table)
+            else self.store.dim_max(table, "id")
         )
-        if df is None:
-            return 1
-        row = df.agg(F.max("id").alias("m")).collect()[0]
-        return (row["m"] or 0) + 1
+        return (m or 0) + 1
 
     def process_period(self, lo: datetime, hi: datetime, commit_id: int) -> dict[str, int]:
         from pyspark.sql import Observation
@@ -495,10 +500,10 @@ class SyncEngine:
         # count jobs in steady state. Previous dim totals are carried
         # like the seeds (probed once per run, parquet metadata reads).
         if self._dim_totals is None:
+            # manifest rows, not df.count(): first-period probe = zero jobs
             self._dim_totals = {
-                "wallet": 0 if wallet_dim is None else wallet_dim.count(),
-                "collection": 0 if collection_dim is None else collection_dim.count(),
-                "asset": 0 if asset_dim is None else asset_dim.count(),
+                t: (self.store.dim_stats(t) or {"rows": 0})["rows"]
+                for t in ("wallet", "collection", "asset")
             }
         prev_counts = dict(self._dim_totals)
         n_obs = {t: Observation() for t in ("wallet", "collection", "asset")}

@@ -1,0 +1,205 @@
+"""Per-commit manifests + fact compaction (100×-scale store hygiene).
+
+The reference's sink-tip / next-id probes are O(1) Postgres index scans
+(/root/reference/app/db/postgres.py:251-312). Our equivalents must scan
+ZERO fact rows: `pantasia_tip` / `_seed` fold tiny per-commit manifests
+written inside each commit dir before the pointer flip. Compaction
+bounds the one-dir-per-period small-files growth while preserving
+exact read_facts / read_at (time-travel) row sets and crash safety.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from pantasia_db_sync_spark.pipeline import fixtures
+from pantasia_db_sync_spark.pipeline.store import MANIFEST, TableStore, footer_stats
+from pantasia_db_sync_spark.pipeline.sync import FACT_TABLES, SyncEngine
+
+SCALE = 0.06
+
+
+@pytest.fixture(scope="module")
+def source_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("manifest_src")
+    fixtures.generate(str(d), scale=SCALE, seed=7)
+    return str(d)
+
+
+@pytest.fixture()
+def synced(spark, source_dir, tmp_path):
+    store = TableStore(str(tmp_path / "store"))
+    engine = SyncEngine(spark, source_dir, store, time_interval_minutes=30)
+    stats = engine.run_sync()
+    assert len(stats) >= 3, "fixture should produce several periods"
+    return store, engine
+
+
+def test_manifest_written_and_matches_data(spark, synced):
+    store, _ = synced
+    ptr = store.current_version("asset_tx")
+    assert ptr and ptr >= 3
+    for cid in range(1, ptr + 1):
+        d = store.append_dir("asset_tx", cid)
+        assert os.path.exists(os.path.join(d, MANIFEST))
+        m = store._read_manifest(d)
+        df = spark.read.parquet(d)
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max("id").alias("mi"),
+            F.max("tx_time").alias("mt"),
+        ).collect()[0]
+        assert m["rows"] == row["n"]
+        if row["n"]:
+            assert m["stats"]["id"]["max"] == row["mi"]
+            assert m["stats"]["tx_time"]["max"] == row["mt"]
+
+
+def test_tip_and_seed_scan_zero_fact_rows(spark, synced, monkeypatch):
+    store, engine = synced
+    # ground truth from full scans, taken BEFORE the probes are blocked
+    expect_tip = max(
+        store.read_facts(spark, t).agg(F.max("tx_time")).collect()[0][0]
+        for t in FACT_TABLES
+    )
+    expect_seeds = {
+        t: (store.read_facts(spark, t).agg(F.max("id")).collect()[0][0] or 0) + 1
+        for t in FACT_TABLES
+    }
+    expect_seeds["wallet"] = (
+        store.read(spark, "wallet").agg(F.max("id")).collect()[0][0] or 0
+    ) + 1
+
+    def boom(*a, **k):  # any fact/dim data read during the probes = fail
+        raise AssertionError("probe read fact data")
+
+    monkeypatch.setattr(store, "read_facts", boom)
+    monkeypatch.setattr(store, "read", boom)
+    assert engine.pantasia_tip() == expect_tip
+    for t in FACT_TABLES:
+        assert engine._seed(t) == expect_seeds[t]
+    assert engine._seed("wallet") == expect_seeds["wallet"]
+
+
+def test_manifest_self_heals_when_missing(spark, synced):
+    store, engine = synced
+    tip_before = engine.pantasia_tip()
+    d = store.append_dir("asset_tx", 1)
+    os.remove(os.path.join(d, MANIFEST))
+    assert engine.pantasia_tip() == tip_before  # recomputed from footers
+    assert os.path.exists(os.path.join(d, MANIFEST))
+
+
+def _facts_fingerprint(spark, store, table, tag=None):
+    df = (
+        store.read_facts(spark, table)
+        if tag is None
+        else store.read_at(spark, table, tag)
+    )
+    return sorted(map(tuple, df.collect()))
+
+
+def test_compaction_preserves_reads_and_time_travel(spark, synced):
+    store, engine = synced
+    ptr = store.current_version("asset_tx")
+    mid = max(1, ptr // 2)
+    # snapshot at a mid-stream watermark: pretend it was taken back then
+    store.snapshot("mid")
+    snap_path = store._snap_path("mid")
+    with open(snap_path) as f:
+        manifest = json.load(f)
+    for t in ("asset_tx", "asset_mint_tx"):
+        manifest["versions"][t] = mid
+    with open(snap_path, "w") as f:
+        json.dump(manifest, f)
+
+    before_live = _facts_fingerprint(spark, store, "asset_tx")
+    before_mid = _facts_fingerprint(spark, store, "asset_tx", tag="mid")
+    before_stats = store.facts_stats("asset_tx")
+
+    res = store.compact_facts(spark, "asset_tx")
+    assert res["segments"], "expected at least one merged segment"
+    data = os.path.join(store._tdir("asset_tx"), "data")
+    dirs = [d for d in os.listdir(data) if d.startswith("commit=")]
+    assert len(dirs) <= 2  # one dir per segment: (0, mid] and (mid, ptr]
+    assert {int(d.split("=")[1]) for d in dirs} <= {mid, ptr}
+
+    assert _facts_fingerprint(spark, store, "asset_tx") == before_live
+    assert _facts_fingerprint(spark, store, "asset_tx", tag="mid") == before_mid
+    after_stats = store.facts_stats("asset_tx")
+    assert after_stats["rows"] == before_stats["rows"]
+    assert after_stats["stats"]["id"] == before_stats["stats"]["id"]
+    assert engine.pantasia_tip() == before_stats["stats"]["tx_time"]["max"]
+
+    # idempotent: a second pass finds nothing to merge
+    assert store.compact_facts(spark, "asset_tx")["segments"] == []
+
+
+def test_compaction_crash_recovery(spark, synced):
+    store, _ = synced
+    before = _facts_fingerprint(spark, store, "asset_mint_tx")
+    data = os.path.join(store._tdir("asset_mint_tx"), "data")
+    ptr = store.current_version("asset_mint_tx")
+    dirs = [os.path.join(data, f"commit={c}") for c in range(1, ptr + 1)]
+
+    # simulate a crash AFTER staging merged data + journal, BEFORE apply
+    tmp = os.path.join(data, f".compact-{ptr}.tmp")
+    spark.read.parquet(*dirs).coalesce(1).write.mode("overwrite").parquet(tmp)
+    store._write_manifest(tmp)
+    journal = {"remove": dirs, "promote": [tmp, os.path.join(data, f"commit={ptr}")]}
+    with open(store._journal_path("asset_mint_tx"), "w") as f:
+        json.dump(journal, f)
+
+    recovered = TableStore(store.base_dir)  # __init__ replays the journal
+    assert not os.path.exists(store._journal_path("asset_mint_tx"))
+    assert not os.path.isdir(tmp)
+    assert _facts_fingerprint(spark, recovered, "asset_mint_tx") == before
+
+    # simulate a crash AFTER the promote, BEFORE journal deletion: the
+    # promoted dir is named in the remove list but must survive replay
+    with open(store._journal_path("asset_mint_tx"), "w") as f:
+        json.dump(journal, f)  # tmp is gone => replay must be a no-op
+    recovered2 = TableStore(store.base_dir)
+    assert _facts_fingerprint(spark, recovered2, "asset_mint_tx") == before
+
+
+def test_sync_resumes_after_compaction(spark, source_dir, tmp_path):
+    store = TableStore(str(tmp_path / "resume_store"))
+    engine = SyncEngine(spark, source_dir, store, time_interval_minutes=30)
+    first = engine.run_sync(max_periods=3)
+    assert len(first) == 3
+    store.compact_facts(spark, "asset_tx")
+    store.compact_facts(spark, "asset_mint_tx")
+    engine2 = SyncEngine(spark, source_dir, store, time_interval_minutes=30)
+    rest = engine2.run_sync()
+    assert rest, "sync should continue past the compacted history"
+
+    # full-history rebuild equals compacted-incremental (golden invariant)
+    batch_store = TableStore(str(tmp_path / "batch_store"))
+    batch = SyncEngine(spark, source_dir, batch_store, time_interval_minutes=30)
+    batch.run_sync()
+    for t in FACT_TABLES:
+        assert _facts_fingerprint(spark, store, t) == _facts_fingerprint(
+            spark, batch_store, t
+        )
+
+
+def test_footer_stats_empty_and_vacuum_interplay(spark, synced, tmp_path):
+    store, _ = synced
+    empty = spark.createDataFrame([], "id long, tx_time timestamp")
+    p = str(tmp_path / "empty_pq")
+    empty.write.parquet(p)
+    m = footer_stats(p)
+    assert m["rows"] == 0 and m["stats"] == {}
+
+    # vacuum after compaction must keep every merged (committed) dir
+    store.compact_facts(spark, "asset_tx")
+    kept_before = set(os.listdir(os.path.join(store._tdir("asset_tx"), "data")))
+    store.vacuum(keep_last=1)
+    kept_after = set(os.listdir(os.path.join(store._tdir("asset_tx"), "data")))
+    assert {d for d in kept_before if d.startswith("commit=")} <= kept_after
