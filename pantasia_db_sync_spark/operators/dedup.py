@@ -32,7 +32,9 @@ from ..functions.text import HASH_PRIME, minhash_params, portable_hash_mod, toke
 SIMHASH_BITS = 32
 
 
-def _shingle_parts(docs: DataFrame, id_col: str, text_col: str, n: int):
+def _shingle_parts(
+    docs: DataFrame, id_col: str, text_col: str, n: int, keep: tuple = ()
+):
     """(tokenized frame, raw shingle-array Column) shared by both views.
 
     The text feeds through ``coalesce(text, '')`` so the whole shingle
@@ -47,7 +49,9 @@ def _shingle_parts(docs: DataFrame, id_col: str, text_col: str, n: int):
     safe = F.coalesce(
         F.col(text_col) if isinstance(text_col, str) else text_col, F.lit("")
     )
-    toks = docs.select(F.col(id_col), tokens_col(safe).alias("__toks"))
+    toks = docs.select(
+        F.col(id_col), *[F.col(c) for c in keep], tokens_col(safe).alias("__toks")
+    )
     # shingle i = toks[i] || ' ' || ... (0-based slice, i in [0, len-n]);
     # guard: sequence() would run backwards for docs shorter than n tokens
     sh = F.when(
@@ -63,7 +67,7 @@ def _shingle_parts(docs: DataFrame, id_col: str, text_col: str, n: int):
 
 
 def shingle_arrays(
-    docs: DataFrame, id_col: str, text_col: str, n: int = 3
+    docs: DataFrame, id_col: str, text_col: str, n: int = 3, keep: tuple = ()
 ) -> DataFrame:
     """(id, __sh): distinct word n-gram shingles per doc as an array.
 
@@ -83,9 +87,11 @@ def shingle_arrays(
     pair intersections past their set sizes (Jaccard > 1) and
     double-weight SimHash votes.
     """
-    toks, sh = _shingle_parts(docs, id_col, text_col, n)
+    toks, sh = _shingle_parts(docs, id_col, text_col, n, keep)
     return toks.select(
-        F.col(id_col), F.array_remove(F.array_distinct(sh), "").alias("__sh")
+        F.col(id_col),
+        *[F.col(c) for c in keep],
+        F.array_remove(F.array_distinct(sh), "").alias("__sh"),
     )
 
 
@@ -467,7 +473,7 @@ def recommended_minhash_params(
 
 
 def minhash_signatures_rowlocal(
-    arr: DataFrame, id_col: str = "doc_id", num_hashes: int = 16
+    arr: DataFrame, id_col: str = "doc_id", num_hashes: int = 16, keep: tuple = ()
 ) -> DataFrame:
     """Row-local MinHash signatures over a ``shingle_arrays`` frame:
     (id, __sh, mh0..mh{k-1}) with no explode, no groupBy, no shuffle.
@@ -497,4 +503,85 @@ def minhash_signatures_rowlocal(
         F.array_min(F.transform("__hs", perm(a, b))).alias(f"mh{i}")
         for i, (a, b) in enumerate(minhash_params(num_hashes))
     ]
-    return out.select(F.col(id_col), "__sh", *mins)
+    return out.select(F.col(id_col), *[F.col(c) for c in keep], "__sh", *mins)
+
+
+def stream_near_dedup_filter(
+    incoming: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+    ts_col: str | None = None,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming near-dup ingest filter with BOUNDED state: a stream of
+    incoming documents is checked against a static corpus via MinHash
+    band collisions + exact-Jaccard verify, emitting
+    (in_id, corpus_id, jaccard) for matches ≥ ``threshold``.
+
+    State design for a continuous 100 TB ingest:
+
+    - incoming signatures are ROW-LOCAL (``minhash_signatures_rowlocal``
+      — no streaming groupBy, so no per-doc state and the stream-static
+      band join stays append-mode);
+    - a pair can collide in several bands, so emissions are deduplicated
+      — but with ``dropDuplicatesWithinWatermark``, never the unbounded
+      ``dropDuplicates``: pair state older than the ``watermark``
+      horizon is EVICTED, so state size is bounded by the match rate ×
+      horizon instead of growing with everything ever ingested. Band
+      collisions for one document arrive in one micro-batch, far inside
+      any sane horizon, so emitted results are unchanged; the only
+      semantic delta is that a pair re-seen AFTER the horizon is
+      re-emitted — correct for a filter (it still is a duplicate).
+
+    ``ts_col`` names the incoming frame's event-time column; if None, an
+    arrival timestamp is stamped (processing-time watermark — the right
+    default for ingest, where "late" has no meaning)."""
+    sig_c = minhash_signatures(
+        shingle_frame(corpus, id_col, text_col, n), id_col, num_hashes
+    )
+    bandx = minhash_band_structs(num_hashes, bands)
+    corpus_bands = sig_c.select(
+        F.col(id_col).alias("corpus_id"), F.explode(bandx).alias("b")
+    ).select(
+        "corpus_id",
+        F.col("b.band_idx").alias("band_idx"),
+        F.col("b.band_val").alias("band_val"),
+    )
+    corpus_sets = shingle_arrays(corpus, id_col, text_col, n).select(
+        F.col(id_col).alias("corpus_id"), F.col("__sh").alias("__cs")
+    )
+
+    if ts_col is None:
+        ts_col = "__arrival_ts"
+        incoming = incoming.withColumn(ts_col, F.current_timestamp())
+    sig_in = minhash_signatures_rowlocal(
+        shingle_arrays(incoming, id_col, text_col, n, keep=(ts_col,)),
+        id_col,
+        num_hashes,
+        keep=(ts_col,),
+    )
+    in_bands = sig_in.select(
+        F.col(id_col).alias("in_id"), F.col(ts_col), "__sh", F.explode(bandx).alias("b")
+    ).select(
+        "in_id",
+        ts_col,
+        "__sh",
+        F.col("b.band_idx").alias("band_idx"),
+        F.col("b.band_val").alias("band_val"),
+    )
+    i_ = F.size(F.array_intersect("__sh", "__cs"))
+    return (
+        in_bands.join(corpus_bands, ["band_idx", "band_val"])
+        .join(corpus_sets, "corpus_id")
+        .withColumn("jaccard", i_ / (F.size("__sh") + F.size("__cs") - i_))
+        .where(F.coalesce(F.col("jaccard"), F.lit(-1.0)) >= threshold)
+        .select("in_id", "corpus_id", "jaccard", ts_col)
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["in_id", "corpus_id"])
+        .drop(ts_col)
+    )

@@ -443,38 +443,20 @@ def stream_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     unbounded per-doc state and the downstream stream-static band join
     stays append-mode); the static side uses the batch groupBy form —
     the two are bit-identical. Candidate dedup (a pair can collide in
-    several bands) runs AFTER the verify so the dropDuplicates state
-    holds only true matches."""
+    several bands) is `dropDuplicatesWithinWatermark` over an arrival
+    timestamp (operators/dedup.py stream_near_dedup_filter), so match
+    state is bounded by the watermark horizon instead of growing with
+    every pair ever matched."""
     import os
     import shutil
     import tempfile
     import uuid
 
-    from ..operators.dedup import (
-        minhash_band_structs,
-        minhash_signatures,
-        minhash_signatures_rowlocal,
-        shingle_arrays,
-        shingle_frame,
-    )
+    from ..operators.dedup import stream_near_dedup_filter
 
     split = 250
     docs = load_table(spark, sf_dir, "documents")
     corpus = docs.where(F.col("doc_id") >= split)
-    sig_c = minhash_signatures(
-        shingle_frame(corpus, "doc_id", "text", 3), "doc_id", 16
-    )
-    bandx = minhash_band_structs(16, 4)
-    corpus_bands = sig_c.select(
-        F.col("doc_id").alias("corpus_id"), F.explode(bandx).alias("b")
-    ).select(
-        "corpus_id",
-        F.col("b.band_idx").alias("band_idx"),
-        F.col("b.band_val").alias("band_val"),
-    )
-    corpus_sets = shingle_arrays(corpus, "doc_id", "text", 3).select(
-        F.col("doc_id").alias("corpus_id"), F.col("__sh").alias("__cs")
-    )
 
     d = tempfile.mkdtemp(prefix="stream_nd_")
     shutil.copy(
@@ -484,27 +466,8 @@ def stream_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     incoming = (
         spark.readStream.schema(docs.schema).parquet(d).where(F.col("doc_id") < split)
     )
-    sig_in = minhash_signatures_rowlocal(
-        shingle_arrays(incoming, "doc_id", "text", 3), "doc_id", 16
-    )
-    in_bands = sig_in.select(
-        F.col("doc_id").alias("in_id"), "__sh", F.explode(bandx).alias("b")
-    ).select(
-        "in_id",
-        "__sh",
-        F.col("b.band_idx").alias("band_idx"),
-        F.col("b.band_val").alias("band_val"),
-    )
-    i_ = F.size(F.array_intersect("__sh", "__cs"))
-    verified = (
-        in_bands.join(corpus_bands, ["band_idx", "band_val"])
-        .join(corpus_sets, "corpus_id")
-        .withColumn(
-            "jaccard", i_ / (F.size("__sh") + F.size("__cs") - i_)
-        )
-        .where(F.coalesce(F.col("jaccard"), F.lit(-1.0)) >= 0.5)
-        .select("in_id", "corpus_id", "jaccard")
-        .dropDuplicates(["in_id", "corpus_id"])
+    verified = stream_near_dedup_filter(
+        incoming, corpus, "doc_id", "text", n=3, num_hashes=16, bands=4, threshold=0.5
     )
     name = "snd_" + uuid.uuid4().hex[:8]
     writer = (
