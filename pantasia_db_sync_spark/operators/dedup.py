@@ -227,7 +227,11 @@ def ngram_jaccard_pairs(
     """Near-duplicate pairs by exact n-gram Jaccard ≥ threshold.
 
     ``max_df`` caps shingle document frequency in the pair join (see
-    ``_pair_jaccard``) — the hot-key guard for degenerate corpora."""
+    ``_pair_jaccard``) — the hot-key guard for degenerate corpora.
+
+    CONTRACT: ``id_col`` must be unique (one row per document) — see
+    ``shingle_arrays``; repeated ids inflate pair intersections past
+    the set sizes (Jaccard > 1)."""
     return _pair_jaccard(docs, id_col, text_col, n, max_df=max_df).where(
         F.col("jaccard") >= threshold
     )
@@ -272,8 +276,8 @@ def minhash_lsh_pairs(
     id_col: str,
     text_col: str,
     n: int = 3,
-    num_hashes: int = 16,
-    bands: int = 4,
+    num_hashes: int | None = None,
+    bands: int | None = None,
     threshold: float = 0.5,
 ) -> DataFrame:
     """MinHash+LSH near-dup pairs, verified with exact Jaccard.
@@ -281,8 +285,22 @@ def minhash_lsh_pairs(
     Pipeline: shingle index → signatures (one groupBy) → band values →
     equi-self-join on (band_idx, band_value) → exact-Jaccard check of
     the (few) candidates. With 16 hashes in 4 bands of 4, P(candidate)
-    = 1-(1-J⁴)⁴: ~0.9998 at J=0.9, ~0.23 at J=0.5 — tune per corpus.
+    = 1-(1-J⁴)⁴: ~0.9998 at J=0.9, ~0.23 at J=0.5.
+
+    When ``num_hashes``/``bands`` are not given, they come from
+    ``recommended_minhash_params(threshold)`` so the banding S-curve's
+    inflection sits AT the verify threshold — the default is then
+    threshold-correct at any corpus size instead of silently tuned to
+    one fixture. Pass both explicitly to pin results (the registered
+    oracle queries do, for cross-engine hash parity).
+
+    CONTRACT: ``id_col`` must be unique (one row per document) — see
+    ``shingle_arrays``; repeated ids corrupt the exact-Jaccard verify.
     """
+    if (num_hashes is None) != (bands is None):
+        raise ValueError("pass both num_hashes and bands, or neither")
+    if num_hashes is None:
+        num_hashes, bands = recommended_minhash_params(threshold)
     sh = shingle_frame(docs, id_col, text_col, n)
     arr = shingle_arrays(docs, id_col, text_col, n)
     sig = minhash_signatures(sh, id_col, num_hashes)
@@ -333,7 +351,10 @@ def simhash_signatures(
     docs: DataFrame, id_col: str, text_col: str, bits: int = SIMHASH_BITS
 ) -> DataFrame:
     """``bits``-wide SimHash per doc from distinct-token portable hashes
-    (≤60 bits usable: the portable md5 hash keeps 15 hex digits)."""
+    (≤60 bits usable: the portable md5 hash keeps 15 hex digits).
+
+    CONTRACT: ``id_col`` must be unique (one row per document) — see
+    ``shingle_arrays``; a repeated id double-weights its token votes."""
     # Per-doc distinct via array_distinct (no shuffle) — exact, because
     # every token of a document lives in that document's single row; see
     # the shingle_frame note. Matches the oracle's

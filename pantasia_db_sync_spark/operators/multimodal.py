@@ -331,7 +331,7 @@ def decode_png(content: bytes) -> dict:
     guess)."""
     if content[:8] != _PNG_SIG:
         raise ValueError("not a PNG stream")
-    pos, ihdr, idat = 8, None, []
+    pos, ihdr, idat, ended = 8, None, [], False
     while pos + 12 <= len(content):
         ln, typ = struct.unpack_from(">I4s", content, pos)
         data = content[pos + 8 : pos + 8 + ln]
@@ -340,13 +340,24 @@ def decode_png(content: bytes) -> dict:
         crc = struct.unpack_from(">I", content, pos + 8 + ln)[0]
         if zlib.crc32(typ + data) & 0xFFFFFFFF != crc:
             raise ValueError(f"bad CRC in {typ.decode('latin1')} chunk")
+        if ihdr is None and typ != b"IHDR":
+            # spec: IHDR must be the first chunk after the signature
+            raise ValueError(f"first chunk is {typ.decode('latin1')}, not IHDR")
         if typ == b"IHDR":
             ihdr = data
         elif typ == b"IDAT":
             idat.append(data)
         elif typ == b"IEND":
+            ended = True
+            pos += 12 + ln
             break
         pos += 12 + ln
+    if not ended:
+        raise ValueError("missing IEND chunk")
+    if pos != len(content):
+        # spec: IEND terminates the stream — trailing bytes (whether a
+        # partial chunk header or whole extra chunks) are corruption
+        raise ValueError(f"{len(content) - pos} trailing bytes after IEND")
     if ihdr is None or len(ihdr) != 13:
         raise ValueError("missing IHDR")
     w, h, depth, ctype, comp, filt, interlace = struct.unpack(">IIBBBBB", ihdr)

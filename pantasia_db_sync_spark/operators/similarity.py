@@ -395,8 +395,8 @@ def cosine_near_dup_pairs(
     vec_col: str = "embedding",
     threshold: float = 0.4445555,
     dim: int = 64,
-    bits: int = 32,
-    n_bands: int = 8,
+    bits: int | None = None,
+    n_bands: int | None = None,
     round_digits: int = 6,
 ) -> DataFrame:
     """Sign-LSH-banded near-dup pairs: candidates = id pairs sharing ≥1
@@ -412,7 +412,24 @@ def cosine_near_dup_pairs(
     by the recall property test. Bucket granularity is 2^(bits/n_bands)
     per band — raise bits_per_band as the corpus grows so per-bucket
     candidate counts stay bounded.
+
+    When ``bits``/``n_bands`` are not given they come from
+    ``recommended_lsh_params`` over a cheap corpus-size probe
+    (approx_count_distinct on the pruned id column — one narrow scan,
+    ~5%% rsd, which only sizes log2 bucket widths). This is the
+    default 100 TB guard: the fixture-width 32/8 banding measured
+    quadratic → JVM OOM at 100k vectors (README scale table), and
+    bucket width must grow with log2(n) to stay linear. Pass both
+    explicitly to pin results (the registered oracle queries do,
+    for cross-engine hash parity).
     """
+    if (bits is None) != (n_bands is None):
+        raise ValueError("pass both bits and n_bands, or neither")
+    if bits is None:
+        n_vec = vectors.agg(
+            F.approx_count_distinct(id_col).alias("n")
+        ).collect()[0]["n"]
+        bits, n_bands = recommended_lsh_params(n_vec)
     weights = lsh_weights(bits, dim)
     bits_per_band = bits // n_bands
     mask = (1 << bits_per_band) - 1

@@ -42,6 +42,12 @@ _NUMERIC_BOUNDARY_TYPES = {
 }
 
 
+#: "sample"-strategy bucket sizing when footer row counts are known:
+#: aim for this many rows per bucket (a ~250k-row per-task sort is
+#: cheap), capped by num_partitions so big inputs still fan out wide.
+_TARGET_ROWS_PER_BUCKET = 250_000
+
+
 def with_dense_ids(
     df: DataFrame,
     order_cols: list[str],
@@ -51,6 +57,7 @@ def with_dense_ids(
     strategy: str = "checkpoint",
     release: list | None = None,
     first_col_range: tuple | None = None,
+    rowgroup_stats: list | None = None,
 ) -> DataFrame:
     """Assign dense ids ``start, start+1, ...`` in ``order_cols`` order.
 
@@ -90,12 +97,21 @@ def with_dense_ids(
       operator runs zero jobs beyond the two data passes. Balance then
       depends on the first column being roughly uniform over the range;
       correctness never does.
+      ``rowgroup_stats=[(num_rows, min, max, null_count), ...]`` (per
+      parquet row group of the first order column) fuses footer ROW
+      COUNTS in too: bucket count is sized to ``_TARGET_ROWS_PER_BUCKET``
+      from the known total (capped at ``num_partitions``, so 100 TB
+      inputs still fan out to the full width), and when no row group
+      straddles a bucket boundary the per-bucket counts are EXACT from
+      the footers alone — the counts pass disappears and the offsets
+      frame is a driver-side literal: ONE data pass total.
     """
     if num_partitions is None:
         num_partitions = df.sparkSession.sparkContext.defaultParallelism
     if strategy == "sample":
         return _dense_ids_by_sampled_bounds(
-            df, order_cols, id_col, start, num_partitions, first_col_range
+            df, order_cols, id_col, start, num_partitions, first_col_range,
+            rowgroup_stats,
         )
     if strategy == "persist" and release is None:
         raise ValueError("strategy='persist' needs a release list the caller will unpersist")
@@ -129,6 +145,7 @@ def _number_buckets(
     id_col: str,
     start: int,
     has_rank: bool = False,
+    literal_counts: list[int] | None = None,
 ) -> DataFrame:
     """row_number within bucket + broadcast cumulative bucket offsets.
 
@@ -137,12 +154,40 @@ def _number_buckets(
     a caller frame that happens to carry a ``__rn`` column can't smuggle
     stale ranks in. The output stays LAZY: downstream actions re-run
     only a broadcast join against the ≤num_buckets-row offsets frame.
+
+    ``literal_counts[i]`` = exact row count of bucket i (e.g. proven
+    from parquet row-group footers): the counts job is skipped entirely
+    and the offsets frame is a driver-side literal.
     """
     if has_rank:
         numbered = df
     else:
         w = Window.partitionBy(bucket_col).orderBy(*[F.col(c).asc() for c in order_cols])
         numbered = df.withColumn("__rn", F.row_number().over(w))
+    if literal_counts is not None:
+        if len(literal_counts) == 1:
+            # lone bucket: the offset is the constant 0 — no join at all
+            return (
+                numbered.withColumn(
+                    id_col, (F.col("__rn") + F.lit(start - 1)).cast("long")
+                )
+                .drop(bucket_col, "__rn")
+            )
+        acc, rows = 0, []
+        for i, c in enumerate(literal_counts):
+            rows.append((i, acc))
+            acc += c
+        offsets = df.sparkSession.createDataFrame(
+            rows, f"{bucket_col} int, __off long"
+        )
+        return (
+            numbered.join(F.broadcast(offsets), bucket_col)
+            .withColumn(
+                id_col,
+                (F.col("__rn") + F.col("__off") + F.lit(start - 1)).cast("long"),
+            )
+            .drop(bucket_col, "__rn", "__off")
+        )
     counts = numbered.groupBy(bucket_col).agg(F.count(F.lit(1)).alias("__cnt"))
     # ≤num_buckets rows from here on: coalesce(1) makes the cumsum
     # window's AllTuples requirement already-satisfied (CoalesceExec
@@ -167,6 +212,7 @@ def _dense_ids_by_sampled_bounds(
     start: int,
     num_partitions: int,
     first_col_range: tuple | None = None,
+    rowgroup_stats: list | None = None,
 ) -> DataFrame:
     """Fully-lazy dense ids: value-derived order-aligned buckets.
 
@@ -185,10 +231,10 @@ def _dense_ids_by_sampled_bounds(
     """
     first = order_cols[0]
     dtype = dict(df.dtypes)[first]
-    fractions = [i / num_partitions for i in range(1, num_partitions)]
 
     bucket = None
-    if dtype in _NUMERIC_BOUNDARY_TYPES and fractions:
+    literal_counts = None
+    if dtype in _NUMERIC_BOUNDARY_TYPES:
         if dtype == "date":
             proxy = F.unix_date(F.col(first))
 
@@ -216,22 +262,72 @@ def _dense_ids_by_sampled_bounds(
 
             def to_num(v):
                 return v
+        rg = None
+        if rowgroup_stats:
+            rg = [
+                (n, to_num(lo_), to_num(hi_), nulls)
+                for (n, lo_, hi_, nulls) in rowgroup_stats
+            ]
+            # footer row counts size the buckets: small inputs collapse
+            # to few (often one) buckets instead of defaultParallelism
+            # near-empty ones; large inputs stay at full width
+            total = sum(n for n, _, _, _ in rg)
+            num_partitions = max(
+                1, min(num_partitions, -(-total // _TARGET_ROWS_PER_BUCKET))
+            )
+            if first_col_range is None and all(
+                lo_ is not None and hi_ is not None for _, lo_, hi_, _ in rg
+            ):
+                first_col_range = (
+                    min(lo_ for _, lo_, _, _ in rg),
+                    max(hi_ for _, _, hi_, _ in rg),
+                )
         if first_col_range is not None:
             # table statistics supplied: uniform boundaries, ZERO jobs
             lo, hi = (to_num(v) for v in first_col_range)
             width = (hi - lo) / num_partitions
             bounds = sorted({int(lo + i * width) for i in range(1, num_partitions)})
-        else:
+        elif num_partitions > 1:
+            fractions = [i / num_partitions for i in range(1, num_partitions)]
             row = df.select(
                 F.percentile_approx(proxy, fractions, 10_000).alias("b")
             ).first()
             bounds = sorted(set(row["b"] or []))
+        else:
+            bounds = []
         if bounds:
             bucket = functools.reduce(
                 operator.add,
                 [F.when(proxy >= F.lit(b), 1).otherwise(0) for b in bounds],
             )
-    elif fractions:
+        if rg is not None:
+            # EXACT per-bucket counts from footers alone, possible iff no
+            # row group straddles a boundary (trivially true for a single
+            # bucket). bucket(v) = #bounds <= v = bisect_right(bounds, v);
+            # stats cover non-null values only, so any nulls (bucket 0 via
+            # the WHEN's otherwise) must be absent or exactly counted.
+            import bisect
+
+            counts = [0] * (len(bounds) + 1)
+            for n, lo_, hi_, nulls in rg:
+                if nulls is None:
+                    counts = None
+                    break
+                if n == nulls:  # all-null group: every row → bucket 0
+                    counts[0] += n
+                    continue
+                if lo_ is None or hi_ is None:
+                    counts = None
+                    break
+                b1 = bisect.bisect_right(bounds, lo_)
+                b2 = bisect.bisect_right(bounds, hi_)
+                if b1 != b2:
+                    counts = None
+                    break
+                counts[b1] += n - nulls
+                counts[0] += nulls
+            literal_counts = counts
+    elif num_partitions > 1:
         key = F.struct(*[F.col(c).alias(c) for c in order_cols])
         n = df.count()
         if n > 0:
@@ -260,5 +356,10 @@ def _dense_ids_by_sampled_bounds(
     if bucket is None:
         bucket = F.lit(0)
     return _number_buckets(
-        df.withColumn("__b", bucket), "__b", order_cols, id_col, start
+        df.withColumn("__b", bucket),
+        "__b",
+        order_cols,
+        id_col,
+        start,
+        literal_counts=literal_counts,
     )

@@ -425,7 +425,9 @@ def dedup_embedding_cosine_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall vs the all-pairs baseline is pinned by
     tests/test_properties.py (banded ⊆ all-pairs)."""
     e = load_table(spark, sf_dir, "embeddings")
-    return cosine_near_dup_pairs(e, threshold=0.4445555)
+    # pinned banding (NOT the auto corpus-size defaults): the oracle SQL
+    # embeds these exact constants, so the registered query must too
+    return cosine_near_dup_pairs(e, threshold=0.4445555, bits=32, n_bands=8)
 
 
 # ---------------------------------------------------------------------------

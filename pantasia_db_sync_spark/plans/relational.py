@@ -644,9 +644,12 @@ def window_dense_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     # "sample" strategy: the input is a cheap recomputable parquet scan,
     # so value-derived buckets beat freezing the whole frame in the
     # block manager (see operators/surrogate.py strategy docs). The
-    # bucket boundaries come from parquet FOOTER statistics (a
-    # driver-side metadata read, no Spark job) — the table-stats fast
-    # path a real deployment gets from its catalog.
+    # bucket boundaries AND per-bucket row counts come from parquet
+    # FOOTER statistics (a driver-side metadata read, no Spark job) —
+    # the table-stats fast path a real deployment gets from its
+    # catalog. When no row group straddles a bucket boundary the counts
+    # pass disappears entirely (offsets are a driver-side literal) and
+    # the operator is a single data pass.
     out = with_dense_ids(
         o,
         ["o_orderdate", "o_orderkey"],
@@ -654,8 +657,44 @@ def window_dense_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         start=1000,
         strategy="sample",
         first_col_range=_parquet_column_range(sf_dir, "orders", "o_orderdate"),
+        rowgroup_stats=_parquet_rowgroup_stats(sf_dir, "orders", "o_orderdate"),
     )
     return out.select("o_orderkey", "id")
+
+
+def _parquet_paths(sf_dir: str, table: str) -> list[str]:
+    import os
+
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    if os.path.isdir(path):
+        return [
+            os.path.join(path, f)
+            for f in sorted(os.listdir(path))
+            if f.endswith(".parquet") and not f.startswith(("_", "."))
+        ]
+    return [path]
+
+
+def _parquet_rowgroup_stats(sf_dir: str, table: str, col: str):
+    """[(num_rows, min, max, null_count)] per row group for ``col``, or
+    None when any footer lacks them — feeds the with_dense_ids
+    footer-counts fusion (operators/surrogate.py)."""
+    try:
+        import pyarrow.parquet as pq
+
+        out = []
+        for p in _parquet_paths(sf_dir, table):
+            md = pq.ParquetFile(p).metadata
+            idx = md.schema.to_arrow_schema().get_field_index(col)
+            for rg in range(md.num_row_groups):
+                g = md.row_group(rg)
+                st = g.column(idx).statistics
+                if st is None or not st.has_min_max:
+                    return None
+                out.append((g.num_rows, st.min, st.max, st.null_count))
+        return out or None
+    except Exception:
+        return None
 
 
 def _parquet_column_range(sf_dir: str, table: str, col: str):

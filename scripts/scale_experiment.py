@@ -98,6 +98,89 @@ def build_corpus(spark, replicas: int) -> str:
     return out_dir
 
 
+def build_skew_corpus(spark, replicas: int) -> str:
+    """Adversarial-skew twin of ``build_corpus`` (round-6 punch #5):
+    one SHINGLE appears in ~30% of documents (a fixed 3-token phrase
+    appended) and one sign-LSH BAND VALUE owns ~20% of vectors (every
+    5th embedding is a common direction plus a tiny per-row jitter on
+    one dimension, so its signature bits — hence every band — collide).
+    This is the regime where an unguarded inverted-index join goes
+    quadratic in the hot key: hot-shingle pairs alone are
+    (0.3n)²/2 ≈ 4.5% of n² — the cliff `max_df` / banding must absorb.
+    """
+    base = build_corpus(spark, replicas)
+    out_dir = os.path.join(OUT, f"skew_x{replicas}")
+    docs_path = os.path.join(out_dir, "documents.parquet")
+    emb_path = os.path.join(out_dir, "embeddings.parquet")
+    if os.path.exists(docs_path) and os.path.exists(emb_path):
+        return out_dir
+    d = load_table(spark, base, "documents")
+    e = load_table(spark, base, "embeddings")
+    hot_text = F.when(
+        F.col("doc_id") % 10 < 3,
+        F.concat(F.col("text"), F.lit(" zqx wvu jkp")),
+    ).otherwise(F.col("text"))
+    d.select(
+        "doc_id", hot_text.alias("text"), "lang", "source",
+        F.length(hot_text).alias("n_chars"),
+    ).repartition(32).write.mode("overwrite").parquet(docs_path)
+    # hot direction: alternating ±1 pattern; jitter one dimension by a
+    # minuscule per-row epsilon so vectors aren't literal duplicates
+    hot_vec = F.transform(
+        F.sequence(F.lit(0), F.lit(63)),
+        lambda i: F.when(i % 2 == 0, 1.0).otherwise(-1.0)
+        + F.when(i == F.col("vec_id") % 64, (F.col("vec_id") % 97) * 1e-6).otherwise(
+            0.0
+        ),
+    )
+    e.select(
+        "vec_id",
+        F.when(F.col("vec_id") % 5 == 0, hot_vec)
+        .otherwise(F.col("embedding"))
+        .alias("embedding"),
+        "label",
+    ).repartition(8).write.mode("overwrite").parquet(emb_path)
+    return out_dir
+
+
+def skew_main() -> None:
+    """Measure the band joins under adversarial key skew, with and
+    without their guards. Usage:
+    python scripts/scale_experiment.py --skew [replicas]"""
+    import time as _time
+
+    from pantasia_db_sync_spark.operators.dedup import ngram_jaccard_pairs
+    from pantasia_db_sync_spark.operators.similarity import cosine_near_dup_pairs
+
+    replicas = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    spark = get_spark(app_name="skew-experiment")
+    spark.sparkContext.setLogLevel("ERROR")
+    sf_dir = build_skew_corpus(spark, replicas)
+    docs = load_table(spark, sf_dir, "documents")
+    embs = load_table(spark, sf_dir, "embeddings")
+    n_docs, n_vecs = docs.count(), embs.count()
+    print(f"skew corpus x{replicas}: {n_docs} docs, {n_vecs} vectors")
+
+    def run(label, fn):
+        fn().write.format("noop").mode("overwrite").save()  # warm
+        t0 = _time.perf_counter()
+        n = fn().count()
+        dt = _time.perf_counter() - t0
+        print(f"{label:<46} {dt:7.2f}s  rows={n}", flush=True)
+        return dt, n
+
+    run("jaccard max_df=None (UNGUARDED hot shingle)",
+        lambda: ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5))
+    run("jaccard max_df=50 (guarded)",
+        lambda: ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5,
+                                    max_df=50))
+    run("cosine auto params (hot band value)",
+        lambda: cosine_near_dup_pairs(embs, threshold=0.4445555))
+    run("cosine fixture 32/8 (hot band value)",
+        lambda: cosine_near_dup_pairs(embs, threshold=0.4445555, bits=32,
+                                      n_bands=8))
+
+
 def main() -> None:
     replicas = [int(a) for a in sys.argv[1:]] or [1, 10, 50]
     spark = get_spark(app_name="scale-experiment")
@@ -117,6 +200,14 @@ def main() -> None:
         e = load_table(spark_, sf_dir_, "embeddings")
         return cosine_near_dup_pairs(e, threshold=0.4445555, bits=60, n_bands=6)
 
+    def cosine_auto(spark_, sf_dir_):
+        # the DEFAULT path: bits/n_bands derived inside the operator
+        # from an approx_count_distinct probe (recommended_lsh_params).
+        # This is the configuration that must stay linear at 100k
+        # vectors — the fixture-pinned 32/8 OOMs there.
+        e = load_table(spark_, sf_dir_, "embeddings")
+        return cosine_near_dup_pairs(e, threshold=0.4445555)
+
     rows = []
     for r in replicas:
         sf_dir = BASE_SF if r == 1 else build_corpus(spark, r)
@@ -130,6 +221,8 @@ def main() -> None:
         cases = [(n, QUERIES[n]) for n in names if n in QUERIES]
         if only is None or "cosine_scaled" in names:
             cases.append(("dedup_embedding_cosine[60b/6band]", cosine_scaled))
+        if only is None or "cosine_auto" in names:
+            cases.append(("dedup_embedding_cosine[auto]", cosine_auto))
         for name, fn in cases:
             mat(fn(spark, sf_dir))  # warm
             t0 = time.perf_counter()
@@ -147,4 +240,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "--skew":
+        skew_main()
+    else:
+        main()

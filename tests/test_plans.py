@@ -119,8 +119,10 @@ _ALLOWED_SINGLE_PARTITION = {
     "sink_tip",             # max(tx_time) watermark → 1 row
     # dense-id offsets: cumulative-count window over the per-bucket
     # counts frame — ≤num_partitions rows BY CONSTRUCTION (one per
-    # bucket), broadcast back to the data. The data itself never
-    # passes through the single partition (operators/surrogate.py).
+    # bucket), broadcast back to the data. Full data passes through a
+    # single partition ONLY when parquet footer row counts prove the
+    # input is below _TARGET_ROWS_PER_BUCKET (the adaptive small-input
+    # collapse, operators/surrogate.py); bigger inputs fan out.
     "window_dense_ids",
     "dim_upsert_new_keys",
 }

@@ -300,6 +300,54 @@ def test_banded_cosine_pairs_subset_of_allpairs(spark, vecs, threshold):
 
 @settings(**SETTINGS)
 @given(
+    vecs=st.lists(
+        st.lists(st.integers(-5, 5).map(float), min_size=8, max_size=8),
+        min_size=2,
+        max_size=20,
+    ),
+    threshold=st.floats(0.1, 0.9),
+)
+def test_banded_cosine_auto_params_subset_of_allpairs(spark, vecs, threshold):
+    """The AUTO banding path (bits/n_bands derived from the corpus-size
+    probe via recommended_lsh_params — the default when the caller pins
+    nothing) keeps the same contract as explicit banding: output ⊆
+    all-pairs with identical cosines."""
+    from pantasia_db_sync_spark.operators.similarity import (
+        cosine_near_dup_pairs,
+        cosine_near_dup_pairs_allpairs,
+    )
+
+    rows = [(i, v) for i, v in enumerate(vecs) if any(x != 0.0 for x in v)]
+    if len(rows) < 2:
+        return
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    banded = {
+        (r["id_a"], r["id_b"]): r["cos"]
+        for r in cosine_near_dup_pairs(df, threshold=threshold, dim=8).collect()
+    }
+    exact = {
+        (r["id_a"], r["id_b"]): r["cos"]
+        for r in cosine_near_dup_pairs_allpairs(df, threshold=threshold).collect()
+    }
+    assert set(banded) <= set(exact)
+    for pair, cos in banded.items():
+        assert cos == exact[pair], pair
+
+
+def test_lsh_auto_param_errors():
+    import pytest as _pytest
+
+    from pantasia_db_sync_spark.operators.dedup import minhash_lsh_pairs
+    from pantasia_db_sync_spark.operators.similarity import cosine_near_dup_pairs
+
+    with _pytest.raises(ValueError, match="both"):
+        cosine_near_dup_pairs(None, bits=32)
+    with _pytest.raises(ValueError, match="both"):
+        minhash_lsh_pairs(None, "doc_id", "text", num_hashes=16)
+
+
+@settings(**SETTINGS)
+@given(
     docs=st.lists(
         st.text(alphabet="abc ", min_size=3, max_size=20),
         min_size=2,
@@ -709,6 +757,19 @@ def test_png_decoder_rejects_corruption():
     )
     with _pytest.raises(ValueError):
         decode_png(gray)
+    # spec strictness: IHDR must be the FIRST chunk ...
+    sig, rest = bytes(good[:8]), bytes(good[8:])
+    reordered = sig + chunk(b"tEXt", b"k\x00v") + rest
+    with _pytest.raises(ValueError, match="not IHDR"):
+        decode_png(reordered)
+    # ... IEND must be present ...
+    with _pytest.raises(ValueError, match="IEND"):
+        decode_png(bytes(good)[: -len(chunk(b"IEND", b""))])
+    # ... and must terminate the stream (no trailing bytes)
+    with _pytest.raises(ValueError, match="trailing"):
+        decode_png(bytes(good) + b"\x00")
+    with _pytest.raises(ValueError, match="trailing"):
+        decode_png(bytes(good) + chunk(b"tEXt", b"k\x00v"))
 
 
 def test_kmeans_assign_broadcast_equals_literal_path(spark):
@@ -752,7 +813,7 @@ def test_recommended_minhash_params_invariants(threshold, max_hashes):
 
     num_hashes, bands = recommended_minhash_params(threshold, max_hashes)
     assert 1 <= bands <= num_hashes <= max_hashes
-    assert num_hashes % bands == 0 or num_hashes == bands * (num_hashes // bands)
+    assert num_hashes % bands == 0
     r = num_hashes // bands
     inflection = (1.0 / bands) ** (1.0 / r)
     assert abs(inflection - threshold) < 0.12
@@ -821,3 +882,57 @@ def test_rowlocal_minhash_equals_batch_signatures(spark):
     ).drop("__sh")
     assert batch.exceptAll(rowlocal).count() == 0
     assert rowlocal.exceptAll(batch).count() == 0
+
+
+def test_dense_ids_footer_counts_fusion(spark, monkeypatch):
+    """rowgroup_stats fusion: when parquet footers prove per-bucket
+    counts, the counts job disappears (no HashAggregate in the plan);
+    when a row group straddles a boundary the operator silently falls
+    back to the counts pass. Ids identical to 'checkpoint' either way."""
+    from pantasia_db_sync_spark.operators import surrogate
+
+    monkeypatch.setattr(surrogate, "_TARGET_ROWS_PER_BUCKET", 100)
+    rows = [(i, i * 7 % 1000) for i in range(400)]
+    df = spark.createDataFrame(rows, "k int, v int")
+    expected = sorted(
+        (r["id"], r["k"])
+        for r in with_dense_ids(df, ["k", "v"], id_col="id", start=5).collect()
+    )
+
+    def plan(frame):
+        return frame._jdf.queryExecution().executedPlan().toString()
+
+    # exact path: 4 row groups, each entirely inside one uniform bucket
+    # (bounds from range (0,399) at 4 buckets: {99, 199, 299})
+    exact_rg = [(99, 0, 98, 0), (100, 99, 198, 0), (100, 199, 298, 0), (101, 299, 399, 0)]
+    fused = with_dense_ids(
+        df, ["k", "v"], id_col="id", start=5, strategy="sample", rowgroup_stats=exact_rg
+    )
+    assert "HashAggregate" not in plan(fused)
+    assert sorted((r["id"], r["k"]) for r in fused.collect()) == expected
+
+    # straddling row groups: counts can't come from footers -> counts job
+    straddle_rg = [(200, 0, 399, 0), (200, 0, 399, 0)]
+    fb = with_dense_ids(
+        df, ["k", "v"], id_col="id", start=5, strategy="sample",
+        rowgroup_stats=straddle_rg,
+    )
+    assert "HashAggregate" in plan(fb)
+    assert sorted((r["id"], r["k"]) for r in fb.collect()) == expected
+
+    # unknown null counts -> fallback too
+    fb2 = with_dense_ids(
+        df, ["k", "v"], id_col="id", start=5, strategy="sample",
+        rowgroup_stats=[(400, 0, 399, None)],
+    )
+    assert sorted((r["id"], r["k"]) for r in fb2.collect()) == expected
+
+    # single footer-proven bucket: no counts job AND no join at all
+    monkeypatch.setattr(surrogate, "_TARGET_ROWS_PER_BUCKET", 100_000)
+    lone = with_dense_ids(
+        df, ["k", "v"], id_col="id", start=5, strategy="sample",
+        rowgroup_stats=[(400, 0, 399, 0)],
+    )
+    p = plan(lone)
+    assert "HashAggregate" not in p and "Join" not in p
+    assert sorted((r["id"], r["k"]) for r in lone.collect()) == expected
