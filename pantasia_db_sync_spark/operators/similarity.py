@@ -389,6 +389,77 @@ def lsh_topk(
     )
 
 
+def lsh_range_search(
+    vectors: DataFrame,
+    queries: DataFrame,
+    radius: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    bits: int = 8,
+    n_bands: int = 2,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Sign-LSH RANGE search: every corpus vector with exact rounded
+    cosine ≥ ``radius`` of each query, candidates from the banded
+    equi-join (the ``lsh_topk`` shape minus the top-k window — range
+    queries are the retrieval primitive when the neighbor count is
+    data-dependent, e.g. "all near-duplicates of this example").
+    Output: (q_id, cand_id, cos). Same scale story as lsh_topk: the
+    only join is an equi-join on band values; vectors ride through the
+    banding so surviving candidates need no re-join."""
+    weights = lsh_weights(bits, dim)
+    bits_per_band = bits // n_bands
+    mask = (1 << bits_per_band) - 1
+
+    def banded(df: DataFrame, role: str) -> DataFrame:
+        sig = df.withColumn("__sig", lsh_signature(F.col("__vec"), weights))
+        bands = F.array(
+            *[
+                F.struct(
+                    F.lit(j).alias("band_idx"),
+                    F.shiftright("__sig", j * bits_per_band)
+                    .bitwiseAND(mask)
+                    .alias("band_val"),
+                )
+                for j in range(n_bands)
+            ]
+        )
+        return sig.select(
+            F.col(id_col).alias(role),
+            F.col("__vec").alias(f"__vec_{role}"),
+            F.col("__nrm").alias(f"__nrm_{role}"),
+            F.explode(bands).alias("b"),
+        ).select(
+            role, f"__vec_{role}", f"__nrm_{role}",
+            F.col("b.band_idx").alias("band_idx"),
+            F.col("b.band_val").alias("band_val"),
+        )
+
+    prep = lambda df: df.select(  # noqa: E731
+        id_col, as_double_vec(vec_col).alias("__vec")
+    ).withColumn("__nrm", norm_col(F.col("__vec")))
+
+    q = banded(prep(queries), "q_id")
+    c = banded(prep(vectors), "cand_id")
+    return (
+        F.broadcast(q)
+        .join(c, ["band_idx", "band_val"])
+        .where(F.col("q_id") != F.col("cand_id"))
+        .dropDuplicates(["q_id", "cand_id"])
+        .select(
+            "q_id",
+            "cand_id",
+            fround(
+                dot_col(F.col("__vec_q_id"), F.col("__vec_cand_id"))
+                / (F.col("__nrm_q_id") * F.col("__nrm_cand_id")),
+                round_digits,
+            ).alias("cos"),
+        )
+        .where(F.col("cos") >= radius)
+    )
+
+
 def cosine_near_dup_pairs(
     vectors: DataFrame,
     id_col: str = "vec_id",

@@ -273,6 +273,42 @@ class TableStore:
         df = spark.read.option("basePath", data).parquet(data)
         return df.where(F.col("commit") <= ptr).drop("commit")
 
+    def read_facts_pruned(
+        self, spark: SparkSession, table: str, column: str, lo, hi
+    ) -> DataFrame | None:
+        """``read_facts`` restricted to ``column BETWEEN lo AND hi``,
+        with COMMIT-DIR pruning from the per-commit manifests: commit
+        dirs whose manifest [min, max] misses the range are never given
+        to the reader at all. This is manifest-level partition pruning —
+        the same job parquet row-group stats do per file, lifted to the
+        commit level, so an incremental consumer of a 100 TB fact
+        history lists O(#commits) manifests and scans only the commits
+        its time range touches. The residual predicate still applies
+        (manifest ranges overlap the filter, they don't equal it).
+        Returns None when no committed data exists; an empty frame when
+        no commit overlaps."""
+        from pyspark.sql import functions as F
+
+        dirs = self._committed_append_dirs(table)
+        if not dirs:
+            return None
+        keep = []
+        for d in dirs:
+            m = self._read_manifest(d)
+            s = m["stats"].get(column)
+            # no stats for the column (all-null or non-footer type):
+            # cannot prove absence — keep the dir
+            if s is None or (s["max"] >= lo and s["min"] <= hi):
+                keep.append(d)
+        base = self.read_facts(spark, table)  # schema ref; commit already dropped
+        if not keep:
+            return base.where(F.lit(False))
+        return (
+            spark.read.parquet(*keep)
+            .where(F.col(column).between(F.lit(lo), F.lit(hi)))
+            .select(base.columns)
+        )
+
     # --- checkpoint (sync tip) ----------------------------------------------
 
     def write_checkpoint(self, payload: dict) -> None:

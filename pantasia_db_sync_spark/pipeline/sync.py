@@ -62,6 +62,7 @@ class SyncEngine:
         tip_buffer_blocks: int = 3,
         genesis: datetime = GENESIS,
         retention_keep_last: int | None = None,
+        compact_every: int | None = None,
     ) -> None:
         self.spark = spark
         self.source_dir = source_dir
@@ -73,6 +74,10 @@ class SyncEngine:
         # each period (a long-running sync otherwise keeps one version
         # per table per period forever); snapshots stay protected
         self.retention_keep_last = retention_keep_last
+        # opt-in small-files hygiene: merge fact append dirs every N
+        # periods (store.compact_facts — crash-journaled, preserves
+        # read_facts/read_at row sets and snapshot watermarks exactly)
+        self.compact_every = compact_every
         # per-run carry-forward (see process_period): None = must probe
         self._seeds: dict[str, int] | None = None
         self._dim_totals: dict[str, int] | None = None
@@ -592,4 +597,7 @@ class SyncEngine:
             out.append(self.process_period(lo, hi, commit_id=base_commit + i))
             if self.retention_keep_last is not None:
                 self.store.vacuum(keep_last=self.retention_keep_last)
+            if self.compact_every is not None and i % self.compact_every == 0:
+                for t in FACT_TABLES:
+                    self.store.compact_facts(self.spark, t)
         return out

@@ -886,3 +886,102 @@ def multimodal_resize_stub_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "content", F.encode(F.col("text"), "UTF-8")
     )
     return resize_stub(d, "doc_id", "content", stride=4)
+
+
+def _lsh_range_sql(
+    radius: float, bits: int = 8, dim: int = 64, n_bands: int = 2
+) -> str:
+    """DuckDB twin of `lsh_range_search` — literal md5 hyperplanes, the
+    same banding, exact-cosine radius filter (the _lsh_sql pattern
+    without the top-k window)."""
+    from ..operators.similarity import lsh_weights
+
+    ws = lsh_weights(bits, dim)
+    bpb = bits // n_bands
+    mask = (1 << bpb) - 1
+    wlists = ",\n           ".join(
+        "[" + ", ".join(f"{x:.1f}" for x in row) + f"] AS w{b}"
+        for b, row in enumerate(ws)
+    )
+    bit_terms = "\n           + ".join(
+        f"(CASE WHEN list_sum(list_transform(range(1, {dim + 1}), "
+        f"i -> v[i] * w{b}[i])) >= 0 THEN {1 << b} ELSE 0 END)"
+        for b in range(bits)
+    )
+    return f"""
+    WITH {_SQL_VECS},
+    w AS (SELECT {wlists}),
+    sig AS (
+      SELECT vec_id, {bit_terms} AS sig
+      FROM n, w
+    ),
+    bands AS (
+      SELECT vec_id, u.j AS band_idx, (sig >> (u.j * {bpb})) & {mask} AS band_val
+      FROM sig, UNNEST(range(0, {n_bands})) AS u(j)
+    ),
+    cand AS (
+      SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS cand_id
+      FROM bands q JOIN bands c
+        ON q.band_idx = c.band_idx AND q.band_val = c.band_val
+      WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id
+    )
+    SELECT cand.q_id, cand.cand_id, {_cos_sql('a', 'b')} AS cos
+    FROM cand
+    JOIN n a ON a.vec_id = cand.q_id
+    JOIN n b ON b.vec_id = cand.cand_id
+    WHERE {_cos_sql('a', 'b')} >= {radius}
+    """
+
+
+@register("ann_range_search", oracle=_lsh_range_sql(0.35))
+def ann_range_search_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (radius) similarity search: ALL corpus vectors with cosine
+    ≥ 0.35 of each query — the retrieval primitive when the neighbor
+    count is data-dependent (near-dup lookup of one example against the
+    corpus), vs top-k's fixed budget. Candidates from the sign-LSH
+    banded equi-join; exact rounded cosine verify
+    (operators/similarity.py::lsh_range_search)."""
+    from ..operators.similarity import lsh_range_search
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return lsh_range_search(e, e.where(F.col("vec_id") < 10), radius=0.35)
+
+
+@register(
+    "text_unigram_lm_score",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok FROM documents
+    ),
+    t AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
+    freq AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM t GROUP BY 1),
+    total AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM t)
+    SELECT t.doc_id,
+           CAST(count(*) AS BIGINT) AS n_toks,
+           floor(avg(ln(cnt / n)) * 10000 + 0.5) / 10000 AS avg_logp
+    FROM t, total JOIN freq ON freq.tok = t.tok
+    GROUP BY t.doc_id
+    """,
+)
+def text_unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model score per document: mean ln-probability of
+    its tokens under the corpus unigram distribution — the cheap
+    perplexity proxy quality filters rank on (low avg log-prob = rare/
+    garbled text). One token-count aggregation (map-side combinable) +
+    an equi-join back on token + one per-doc aggregation; the corpus
+    token total is a scalar. Same shuffle shape as text_tfidf, so the
+    same 100 TB story (salt the token join if one token goes hot)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(tokens_col("text")).alias("tok")).where(
+        F.col("tok") != ""
+    )
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    total = float(toks.count())
+    return (
+        toks.join(freq, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_toks"),
+            fround(F.avg(F.log(F.col("cnt") / F.lit(total))), 4).alias("avg_logp"),
+        )
+    )

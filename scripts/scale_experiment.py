@@ -155,30 +155,40 @@ def skew_main() -> None:
     replicas = int(sys.argv[2]) if len(sys.argv) > 2 else 10
     spark = get_spark(app_name="skew-experiment")
     spark.sparkContext.setLogLevel("ERROR")
-    sf_dir = build_skew_corpus(spark, replicas)
-    docs = load_table(spark, sf_dir, "documents")
-    embs = load_table(spark, sf_dir, "embeddings")
-    n_docs, n_vecs = docs.count(), embs.count()
-    print(f"skew corpus x{replicas}: {n_docs} docs, {n_vecs} vectors")
 
     def run(label, fn):
         fn().write.format("noop").mode("overwrite").save()  # warm
         t0 = _time.perf_counter()
         n = fn().count()
         dt = _time.perf_counter() - t0
-        print(f"{label:<46} {dt:7.2f}s  rows={n}", flush=True)
+        print(f"{label:<52} {dt:7.2f}s  rows={n}", flush=True)
         return dt, n
 
-    run("jaccard max_df=None (UNGUARDED hot shingle)",
-        lambda: ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5))
-    run("jaccard max_df=50 (guarded)",
-        lambda: ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5,
-                                    max_df=50))
-    run("cosine auto params (hot band value)",
-        lambda: cosine_near_dup_pairs(embs, threshold=0.4445555))
-    run("cosine fixture 32/8 (hot band value)",
-        lambda: cosine_near_dup_pairs(embs, threshold=0.4445555, bits=32,
-                                      n_bands=8))
+    for r in (1, replicas):
+        sf_dir = build_skew_corpus(spark, r)
+        docs = load_table(spark, sf_dir, "documents")
+        embs = load_table(spark, sf_dir, "embeddings")
+        print(
+            f"skew corpus x{r}: {docs.count()} docs, {embs.count()} vectors",
+            flush=True,
+        )
+        # The UNGUARDED hot-shingle join is quadratic in the hot docs
+        # ((0.3n)^2/2 candidate pairs, each paying an array_intersect
+        # verify) — at x10 (50k docs, 112M hot pairs) it did not finish
+        # inside a 580s budget, so it only runs at x1 by default
+        # (SPARK_GRAFT_SKEW_UNGUARDED=1 forces it at full scale).
+        if r == 1 or os.environ.get("SPARK_GRAFT_SKEW_UNGUARDED") == "1":
+            run(f"x{r} jaccard max_df=None (UNGUARDED hot shingle)",
+                lambda: ngram_jaccard_pairs(docs, "doc_id", "text", n=3,
+                                            threshold=0.5))
+        run(f"x{r} jaccard max_df=50 (guarded)",
+            lambda: ngram_jaccard_pairs(docs, "doc_id", "text", n=3,
+                                        threshold=0.5, max_df=50))
+        run(f"x{r} cosine auto params (hot band value)",
+            lambda: cosine_near_dup_pairs(embs, threshold=0.4445555))
+        run(f"x{r} cosine fixture 32/8 (hot band value)",
+            lambda: cosine_near_dup_pairs(embs, threshold=0.4445555, bits=32,
+                                          n_bands=8))
 
 
 def main() -> None:

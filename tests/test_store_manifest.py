@@ -203,3 +203,52 @@ def test_footer_stats_empty_and_vacuum_interplay(spark, synced, tmp_path):
     store.vacuum(keep_last=1)
     kept_after = set(os.listdir(os.path.join(store._tdir("asset_tx"), "data")))
     assert {d for d in kept_before if d.startswith("commit=")} <= kept_after
+
+
+def test_read_facts_pruned_matches_filter_and_skips_dirs(spark, synced, monkeypatch):
+    store, _ = synced
+    full = store.read_facts(spark, "asset_tx")
+    lo_hi = full.agg(F.min("tx_time"), F.max("tx_time")).collect()[0]
+    lo, hi = lo_hi[0], lo_hi[1]
+    mid = lo + (hi - lo) / 2
+
+    expect = sorted(
+        map(tuple, full.where(F.col("tx_time").between(F.lit(lo), F.lit(mid))).collect())
+    )
+    pruned = store.read_facts_pruned(spark, "asset_tx", "tx_time", lo, mid)
+    assert sorted(map(tuple, pruned.collect())) == expect
+    assert pruned.columns == full.columns
+
+    # manifest pruning really skips commit dirs: the scanned file list
+    # must exclude at least one committed dir (periods after `mid`)
+    scanned = pruned.inputFiles()
+    all_dirs = store._committed_append_dirs("asset_tx")
+    touched = {d for d in all_dirs if any(f.startswith("file:" + d) for f in scanned)}
+    assert len(touched) < len(all_dirs)
+
+    # disjoint range → empty frame, zero dirs listed
+    import datetime
+
+    far = hi + datetime.timedelta(days=3650)
+    empty = store.read_facts_pruned(spark, "asset_tx", "tx_time", far, far)
+    assert empty.count() == 0
+
+
+def test_sync_auto_compaction(spark, source_dir, tmp_path):
+    store = TableStore(str(tmp_path / "autocompact"))
+    engine = SyncEngine(
+        spark, source_dir, store, time_interval_minutes=30, compact_every=2
+    )
+    stats = engine.run_sync()
+    assert len(stats) >= 3
+    data = os.path.join(store._tdir("asset_tx"), "data")
+    n_dirs = len([d for d in os.listdir(data) if d.startswith("commit=")])
+    # every 2 periods the committed history merges to one dir per
+    # boundary; at most the post-compaction tail remains unmerged
+    assert n_dirs <= 2
+    # and a fresh batch rebuild agrees with the compacted store
+    batch_store = TableStore(str(tmp_path / "autocompact_batch"))
+    SyncEngine(spark, source_dir, batch_store, time_interval_minutes=30).run_sync()
+    a = sorted(map(tuple, store.read_facts(spark, "asset_tx").collect()))
+    b = sorted(map(tuple, batch_store.read_facts(spark, "asset_tx").collect()))
+    assert a == b
