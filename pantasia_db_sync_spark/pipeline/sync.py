@@ -514,22 +514,46 @@ class SyncEngine:
         n_obs = {t: Observation() for t in ("wallet", "collection", "asset")}
         w_obs = {t: Observation() for t in FACT_TABLES}
         cnt = F.count(F.lit(1)).alias("n")
-        staged = {
-            "wallet": self.store.stage("wallet", wallet_next.observe(n_obs["wallet"], cnt)),
-            "collection": self.store.stage(
+        # The six write actions (4 dim stages + 2 fact appends) are
+        # mutually independent once the shared `records` checkpoint
+        # exists, so they are SUBMITTED CONCURRENTLY: the Spark
+        # scheduler interleaves their stages across free slots instead
+        # of paying six sequential job tails (driver-side scheduling +
+        # output commit latency). Same on a cluster — concurrent
+        # actions from one driver are the standard way to overlap
+        # independent writes. Crash semantics unchanged: every pointer
+        # flip still happens after ALL writes land (stage-then-flip),
+        # and a failure in any future aborts the period before any
+        # repoint.
+        from concurrent.futures import ThreadPoolExecutor
+
+        writes = {
+            "wallet": lambda: self.store.stage(
+                "wallet", wallet_next.observe(n_obs["wallet"], cnt)
+            ),
+            "collection": lambda: self.store.stage(
                 "collection", collection_next.observe(n_obs["collection"], cnt)
             ),
-            "asset": self.store.stage("asset", asset_next.observe(n_obs["asset"], cnt)),
-            "asset_ext": self.store.stage("asset_ext", ext_next),
+            "asset": lambda: self.store.stage(
+                "asset", asset_next.observe(n_obs["asset"], cnt)
+            ),
+            "asset_ext": lambda: self.store.stage("asset_ext", ext_next),
+            "asset_tx": lambda: self.store.append(
+                "asset_tx", asset_tx_new.observe(w_obs["asset_tx"], cnt), commit_id
+            ),
+            "asset_mint_tx": lambda: self.store.append(
+                "asset_mint_tx",
+                asset_mint_tx_new.observe(w_obs["asset_mint_tx"], cnt),
+                commit_id,
+            ),
         }
-        self.store.append(
-            "asset_tx", asset_tx_new.observe(w_obs["asset_tx"], cnt), commit_id
-        )
-        self.store.append(
-            "asset_mint_tx",
-            asset_mint_tx_new.observe(w_obs["asset_mint_tx"], cnt),
-            commit_id,
-        )
+        with ThreadPoolExecutor(max_workers=len(writes)) as pool:
+            futures = {t: pool.submit(fn) for t, fn in writes.items()}
+            staged = {
+                t: futures[t].result() for t in DIM_TABLES
+            }  # .result() re-raises: abort before any pointer moves
+            for t in FACT_TABLES:
+                futures[t].result()
         for table, version in staged.items():
             self.store.repoint(table, version)
         self.store.commit_append("asset_tx", commit_id)
