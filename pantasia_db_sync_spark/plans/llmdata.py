@@ -985,3 +985,32 @@ def text_unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             fround(F.avg(F.log(F.col("cnt") / F.lit(total))), 4).alias("avg_logp"),
         )
     )
+
+
+@register("ann_ivf_index_topk", oracle=_kmeans_ivf_sql(k=8, iters=3, nprobe=2))
+def ann_ivf_index_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-5 served from a PERSISTED index (operators/ivf_index.py):
+    k-means centroids as JSON metadata + the assigned corpus as
+    cell-partitioned parquet, so a probe reads only its nprobe cells'
+    partition dirs (static partition pruning — the deployment shape
+    where one index amortizes across many query batches). Results are
+    identical to the inline ann_ivf_nprobe_topk, so the oracle is
+    shared."""
+    import shutil
+    import tempfile
+
+    from ..operators.ivf_index import build_ivf_index, ivf_index_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    d = tempfile.mkdtemp(prefix="ivf_index_")
+    try:
+        build_ivf_index(e, d, k=8, iters=3)
+        out = ivf_index_topk(
+            spark, e.where(F.col("vec_id") < 10), d, nprobe=2, k=5
+        )
+        # materialize before the index dir disappears (the driver may
+        # collect lazily after this function returns)
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

@@ -936,3 +936,52 @@ def test_dense_ids_footer_counts_fusion(spark, monkeypatch):
     p = plan(lone)
     assert "HashAggregate" not in p and "Join" not in p
     assert sorted((r["id"], r["k"]) for r in lone.collect()) == expected
+
+
+def test_ivf_index_matches_inline_and_prunes_partitions(spark, sf_dir, tmp_path):
+    """The persisted IVF index returns exactly the inline nprobe result,
+    and its scan lists ONLY the probed cells' partition directories
+    (static partition pruning — the point of partitioning by cell)."""
+    from pantasia_db_sync_spark.operators.ivf_index import (
+        build_ivf_index,
+        ivf_index_topk,
+        load_ivf_index,
+    )
+    from pantasia_db_sync_spark.operators.similarity import (
+        ivf_topk_nprobe,
+        kmeans_assign,
+        kmeans_fit,
+    )
+    from pantasia_db_sync_spark.sources.catalog import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.where(F.col("vec_id") < 10)
+    idx = str(tmp_path / "ivf")
+    cents = build_ivf_index(e, idx, k=8, iters=3)
+
+    inline_cents = kmeans_fit(e, k=8, iters=3)
+    assert cents == inline_cents  # build persists the same deterministic fit
+    inline = ivf_topk_nprobe(
+        kmeans_assign(e, inline_cents), queries, inline_cents, nprobe=2, k=5
+    )
+    from_index = ivf_index_topk(spark, queries, idx, nprobe=2, k=5)
+    key = lambda r: (r["q_id"], r["rank"])  # noqa: E731
+    assert sorted(map(tuple, from_index.collect())) == sorted(
+        map(tuple, inline.collect())
+    )
+
+    # partition pruning: with 2 queries (at most 4 probe cells of 8) the
+    # assignments scan must carry a STATIC `cell IN (...)` partition
+    # filter over a strict subset of cells. inputFiles() lists the
+    # pre-pruning FileIndex, so assert on the executed plan instead.
+    import re
+
+    narrow = ivf_index_topk(
+        spark, e.where(F.col("vec_id") < 2), idx, nprobe=2, k=5
+    )
+    plan = narrow._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[cell#\d+ IN \(([\d,]+)\)", plan)
+    assert m, plan
+    read_cells = {int(c) for c in m.group(1).split(",")}
+    all_cells = {cid for cid, _ in cents}
+    assert read_cells < all_cells and len(read_cells) <= 4
