@@ -965,7 +965,6 @@ def test_ivf_index_matches_inline_and_prunes_partitions(spark, sf_dir, tmp_path)
         kmeans_assign(e, inline_cents), queries, inline_cents, nprobe=2, k=5
     )
     from_index = ivf_index_topk(spark, queries, idx, nprobe=2, k=5)
-    key = lambda r: (r["q_id"], r["rank"])  # noqa: E731
     assert sorted(map(tuple, from_index.collect())) == sorted(
         map(tuple, inline.collect())
     )

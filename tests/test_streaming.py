@@ -275,11 +275,27 @@ def test_stream_near_dedup_state_bounded(spark, tmp_path):
             p = q.lastProgress
             if p and p["stateOperators"]:
                 state_rows.append(p["stateOperators"][0]["numRowsTotal"])
+        # a pair RE-SEEN far outside the watermark horizon: its state
+        # was evicted, so it must RE-EMIT (and state must not regrow) —
+        # the direct proof that the dedup state is horizon-bounded, not
+        # an ever-growing set of every pair ever matched
+        respawn_ts = t0 + timedelta(hours=n_batches + 1)
+        spark.createDataFrame(
+            [(0, "w0a w0b w0c w0d w0e", respawn_ts)],
+            "doc_id long, text string, ts timestamp",
+        ).coalesce(1).write.mode("append").parquet(str(src))
+        q.processAllAvailable()
+        p = q.lastProgress
+        if p and p["stateOperators"]:
+            state_rows.append(p["stateOperators"][0]["numRowsTotal"])
     finally:
         q.stop()
     sink = spark.table("snd_state")
     got = sorted(tuple(r) for r in sink.collect())
-    assert got == sorted((i, 100 + i, 1.0) for i in range(n_batches))
+    expect = sorted(
+        [(i, 100 + i, 1.0) for i in range(n_batches)] + [(0, 100, 1.0)]
+    )
+    assert got == expect, "re-seen pair outside the horizon must re-emit"
     # watermark lags one batch => at most the last two pairs un-expired
     assert state_rows, "no state metrics reported"
     assert state_rows[-1] <= 2 < n_batches
