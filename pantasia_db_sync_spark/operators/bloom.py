@@ -1,0 +1,110 @@
+"""Bloom-filter semi-join pruning — the runtime-filter pattern.
+
+At 100 TB the expensive part of `big ⋈ dim(filtered)` is shuffling the
+big side: every fact row pays the exchange even though a selective dim
+predicate will discard most of them at the join. The fix every engine
+ships (Spark's runtime bloom filter, `InjectRuntimeFilter`) is to build
+a small bloom filter over the dim join keys, broadcast it, and drop
+non-matching fact rows *before* the shuffle. Spark injects this
+automatically only for shuffle joins above size thresholds; this
+operator is the explicit, always-available form — and because the
+final exact join still runs on the survivors, bloom false positives
+never reach the output (the result is exactly the plain semi join).
+
+Reference analogue: the reference probes per-key existence against an
+in-memory id index before writing (`/root/reference/app/db/id_index.py`,
+`get()` path); at Spark scale the same membership pre-test becomes a
+broadcast bitmask tested map-side.
+
+Design notes (scale):
+- The filter is `m_bits` wide (default 2^15 = 4 KiB) with `k`
+  engine-portable md5-derived hash positions per key. The build
+  aggregates *bit positions*, not keys: `collect_set` over at most
+  `m_bits` distinct ints, so the driver round-trip is bounded metadata
+  (same class as the k×dim centroid probes in operators/similarity.py),
+  independent of dim cardinality.
+- The mask is packed into 16-bit words (array<int> literal, 2 KiB of
+  plan for the default width) so the probe is pure JVM arithmetic:
+  `floor(word / 2^bit) % 2` — exact for words < 2^16, no Column-typed
+  shift needed, whole-stage-codegen friendly.
+- The probe is a deterministic per-row predicate: it commutes with the
+  parquet scan, so Catalyst evaluates it right after the scan and the
+  shuffle only carries survivors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import portable_hash60
+
+BLOOM_M_BITS = 1 << 15
+BLOOM_K = 4
+_WORD_BITS = 16
+
+
+def bloom_bit_positions(key: Column, m_bits: int = BLOOM_M_BITS, k: int = BLOOM_K) -> list[Column]:
+    """The k salted portable-hash bit positions for a key column."""
+    key_s = key.cast("string")
+    return [
+        portable_hash60(F.concat(F.lit(f"bloom{i}:"), key_s)) % F.lit(m_bits)
+        for i in range(k)
+    ]
+
+
+def build_bloom_words(
+    dim: DataFrame, key_col: str, m_bits: int = BLOOM_M_BITS, k: int = BLOOM_K
+) -> list[int]:
+    """Aggregate the dim side's set bit positions and pack them into
+    16-bit words. One distributed aggregation; the collect moves at
+    most ``m_bits`` ints of metadata to the driver."""
+    positions = (
+        dim.select(
+            F.explode(F.array(*bloom_bit_positions(F.col(key_col), m_bits, k))).alias("p")
+        )
+        .agg(F.collect_set("p").alias("ps"))
+        .collect()[0]["ps"]
+    )
+    words = [0] * (m_bits // _WORD_BITS)
+    for p in positions or []:
+        words[p // _WORD_BITS] |= 1 << (p % _WORD_BITS)
+    return words
+
+
+def bloom_might_contain(
+    key: Column, words: list[int], m_bits: int = BLOOM_M_BITS, k: int = BLOOM_K
+) -> Column:
+    """True iff all k bit positions for ``key`` are set in ``words``.
+    False positives possible (bounded by the standard bloom rate),
+    false negatives impossible."""
+    arr = F.lit(words)
+    cond = F.lit(True)
+    for pos in bloom_bit_positions(key, m_bits, k):
+        word = F.element_at(arr, (pos / F.lit(_WORD_BITS)).cast("int") + F.lit(1))
+        bit = pos % F.lit(_WORD_BITS)
+        cond = cond & (
+            (F.floor(word / F.pow(F.lit(2.0), bit.cast("double"))).cast("bigint") % 2) == 1
+        )
+    return cond
+
+
+def bloom_semi_join(
+    big: DataFrame,
+    dim: DataFrame,
+    big_key: str,
+    dim_key: str,
+    m_bits: int = BLOOM_M_BITS,
+    k: int = BLOOM_K,
+) -> DataFrame:
+    """Exact left-semi join of ``big`` against ``dim``'s keys, with a
+    bloom pre-filter applied to ``big`` before the join's exchange.
+    Output equals ``big.join(dim, big_key == dim_key, "left_semi")``
+    exactly — the trailing semi join removes bloom false positives."""
+    words = build_bloom_words(dim, dim_key, m_bits, k)
+    survivors = big.where(bloom_might_contain(F.col(big_key), words, m_bits, k))
+    return survivors.join(
+        dim.select(F.col(dim_key).alias("__bk")).distinct(),
+        F.col(big_key) == F.col("__bk"),
+        "left_semi",
+    )

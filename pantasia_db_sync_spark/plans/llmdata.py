@@ -1014,3 +1014,67 @@ def ann_ivf_index_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+@register(
+    "text_repetition_score",
+    oracle=f"""
+    WITH toks AS ({_SQL_TOKS}),
+    big AS (
+      SELECT doc_id, t,
+             list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]) AS b
+      FROM toks
+    )
+    SELECT doc_id,
+           CAST(len(b) AS INTEGER) AS n_bigrams,
+           {sql_round("1.0 - len(list_distinct(b)) / CAST(len(b) AS DOUBLE)", 4)}
+             AS dup_bigram_frac,
+           {sql_round("list_max(list_transform(list_distinct(b), g -> len(list_filter(b, x -> x = g)))) / CAST(len(b) AS DOUBLE)", 4)}
+             AS top_bigram_frac,
+           {sql_round("list_max(list_transform(list_distinct(t), g -> len(list_filter(t, x -> x = g)))) / CAST(len(t) AS DOUBLE)", 4)}
+             AS top_word_frac
+    FROM big
+    """,
+)
+def text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style intra-document repetition rules: duplicate-bigram
+    fraction, most-common-bigram fraction, most-common-word fraction —
+    the filters that catch boilerplate/spam docs which pass simple
+    length heuristics (Rae et al. 2021 §A1.1 use the same family).
+
+    Scale note: computed entirely with per-row higher-order functions
+    (zip_with / array_distinct / filter) — a pure map operator with
+    ZERO shuffle, unlike the explode → groupBy(doc, gram) formulation
+    whose shuffle volume is the token count of the corpus. Document
+    length is bounded, so the O(distinct × n) per-row scan is constant
+    work per doc and whole-stage-codegen keeps it JVM-side."""
+    d = load_table(spark, sf_dir, "documents")
+    t = tokens_col("text")
+    d = d.select("doc_id", t.alias("__t"))
+    n = F.size("__t")
+    bigrams = F.zip_with(
+        F.slice("__t", 1, n - 1),
+        F.slice("__t", 2, n - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    d = d.select("doc_id", F.col("__t"), bigrams.alias("__b"))
+    nb = F.size("__b").cast("double")
+
+    def _top_frac(arr, total):
+        counts = F.transform(
+            F.array_distinct(arr),
+            lambda g: F.size(F.filter(arr, lambda x: x == g)),
+        )
+        return F.array_max(counts) / total
+
+    return d.select(
+        "doc_id",
+        F.size("__b").cast("int").alias("n_bigrams"),
+        fround(
+            F.lit(1.0) - F.size(F.array_distinct("__b")) / nb, 4
+        ).alias("dup_bigram_frac"),
+        fround(_top_frac(F.col("__b"), nb), 4).alias("top_bigram_frac"),
+        fround(_top_frac(F.col("__t"), F.size("__t").cast("double")), 4).alias(
+            "top_word_frac"
+        ),
+    )

@@ -903,3 +903,36 @@ def sort_order_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderkey", "o_totalprice")
         .limit(20)
     )
+
+
+@register(
+    "join_bloom_pruned",
+    oracle="""
+    SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
+    FROM orders o
+    WHERE EXISTS (
+      SELECT 1 FROM customer c
+      WHERE c.c_custkey = o.o_custkey
+        AND c.c_mktsegment = 'BUILDING' AND c.c_acctbal > 5000
+    )
+    """,
+)
+def join_bloom_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.C extension — semi join with an explicit bloom runtime filter:
+    the selective dim predicate (segment + balance) is turned into a
+    4 KiB broadcast bitmask tested map-side on the fact scan, so the
+    join's exchange only carries fact rows that can possibly match
+    (operators/bloom.py has the full 100 TB rationale). The trailing
+    exact semi join removes bloom false positives, so the result is
+    identical to the plain semi join — which is exactly what the
+    oracle runs. Reference analogue: the pre-write id-index membership
+    probe (/root/reference/app/db/id_index.py, get())."""
+    from ..operators.bloom import bloom_semi_join
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").where(
+        (F.col("c_mktsegment") == "BUILDING") & (F.col("c_acctbal") > 5000)
+    )
+    return bloom_semi_join(o, c, "o_custkey", "c_custkey").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )

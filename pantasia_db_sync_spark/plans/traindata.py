@@ -716,3 +716,112 @@ def embedding_norm_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             fround(F.max("__nrm"), 4).alias("max_norm"),
         )
     )
+
+
+@register(
+    "dedup_span_exact",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+    spans AS (
+      SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos,
+             array_to_string(t[(i-1)*8+1 : (i-1)*8+8], ' ') AS span
+      FROM toks, unnest(range(1, CAST(ceil(len(t) / 8.0) AS BIGINT) + 1)) AS u(i)
+    ),
+    ranked AS (
+      SELECT doc_id, pos,
+             row_number() OVER (PARTITION BY span ORDER BY doc_id, pos) AS rn
+      FROM spans
+    )
+    SELECT doc_id,
+           CAST(count(*) AS INTEGER) AS n_spans,
+           CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS INTEGER) AS n_kept,
+           ROUND(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE), 4) AS kept_frac
+    FROM ranked GROUP BY doc_id
+    """,
+)
+def dedup_span_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style sub-document dedup (Raffel et al. 2020 §2.2 dedupe
+    three-sentence spans; the fixture text has no sentence marks, so the
+    unit is fixed 8-token spans): every occurrence of a span after its
+    first — ordered by (doc_id, position) — is a duplicate. Output is
+    the per-doc retention report the corpus-cleaning stage acts on.
+
+    Scale shape: one explode (bounded ×n_spans-per-doc fan-out), one
+    shuffle on the span hash for the first-occurrence window, one
+    groupBy back on doc_id. Span strings could be md5'd before the
+    shuffle to cap key width at 100 TB — semantics identical, kept
+    plain here so the oracle shares the exact key."""
+    d = load_table(spark, sf_dir, "documents")
+    t = tokens_col("text")
+    w = 8
+    spans = F.transform(
+        F.sequence(F.lit(0), F.ceil(F.size(t) / F.lit(float(w))).cast("int") - 1),
+        lambda i: F.array_join(F.slice(t, i * w + 1, w), " "),
+    )
+    e = d.select("doc_id", F.posexplode(spans).alias("pos", "span"))
+    win = Window.partitionBy("span").orderBy("doc_id", "pos")
+    ranked = e.withColumn("rn", F.row_number().over(win))
+    kept = F.sum(F.when(F.col("rn") == 1, 1).otherwise(0))
+    return ranked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_spans"),
+        kept.cast("int").alias("n_kept"),
+        fround(kept / F.count(F.lit(1)).cast("double"), 4).alias("kept_frac"),
+    )
+
+
+@register(
+    "corpus_domain_mix",
+    oracle=f"""
+    WITH rated AS (
+      SELECT doc_id, source,
+             (CASE CAST(substr(source, 4) AS INTEGER) // 5
+                WHEN 0 THEN 10000 WHEN 1 THEN 5000
+                WHEN 2 THEN 2500 ELSE 1000 END) AS thr,
+             {_PORTABLE_HASH.format(col="concat('mix:', CAST(doc_id AS VARCHAR))")}
+               % 10000 AS h
+      FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS INTEGER) AS n_docs,
+           CAST(sum(CASE WHEN h < thr THEN 1 ELSE 0 END) AS INTEGER) AS n_kept,
+           ROUND(sum(CASE WHEN h < thr THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE), 4) AS kept_frac
+    FROM rated GROUP BY source
+    """,
+)
+def corpus_domain_mix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture subsampling: each source tier keeps a pinned
+    fraction of its documents (tier rates 1 / 0.5 / 0.25 / 0.1 by
+    source group), selected by a salted content-independent hash of the
+    doc id — the deterministic equivalent of `sampleBy`, stable across
+    runs, engines, and partitionings (rand()-based sampling would make
+    the mixture unreproducible). This is how pretraining mixes
+    up/down-weight web vs curated shards before packing.
+
+    Scale shape: a pure map predicate (hash + threshold) followed by
+    one combinable groupBy(source) — no joins, no windows; the sampled
+    *rows* (not this report) flow on to packing via the same predicate
+    pushed into the scan."""
+    d = load_table(spark, sf_dir, "documents")
+    tier = F.floor(F.substring("source", 4, 10).cast("int") / 5)
+    thr = (
+        F.when(tier == 0, 10000)
+        .when(tier == 1, 5000)
+        .when(tier == 2, 2500)
+        .otherwise(1000)
+    )
+    h = (
+        portable_hash60(F.concat(F.lit("mix:"), F.col("doc_id").cast("string")))
+        % 10000
+    )
+    kept = F.sum(F.when(F.col("__h") < F.col("__thr"), 1).otherwise(0))
+    return (
+        d.select("doc_id", "source", h.alias("__h"), thr.alias("__thr"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_docs"),
+            kept.cast("int").alias("n_kept"),
+            fround(kept / F.count(F.lit(1)).cast("double"), 4).alias("kept_frac"),
+        )
+    )

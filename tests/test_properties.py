@@ -984,3 +984,50 @@ def test_ivf_index_matches_inline_and_prunes_partitions(spark, sf_dir, tmp_path)
     read_cells = {int(c) for c in m.group(1).split(",")}
     all_cells = {cid for cid, _ in cents}
     assert read_cells < all_cells and len(read_cells) <= 4
+
+
+def test_bloom_no_false_negatives_and_exact_join(spark):
+    """bloom_might_contain admits every inserted key (no false
+    negatives — the bloom invariant), and bloom_semi_join equals the
+    plain semi join exactly (false positives are removed by the
+    trailing exact join)."""
+    from pyspark.sql import functions as F
+
+    from pantasia_db_sync_spark.operators.bloom import (
+        bloom_might_contain,
+        bloom_semi_join,
+        build_bloom_words,
+    )
+
+    dim = spark.range(0, 500, 7).select((F.col("id") * 13 % 997).alias("k")).distinct()
+    big = spark.range(0, 3000).select((F.col("id") % 1500).alias("k"), F.col("id").alias("v"))
+
+    words = build_bloom_words(dim, "k")
+    # no false negatives: every dim key passes its own filter
+    misses = dim.where(~bloom_might_contain(F.col("k"), words)).count()
+    assert misses == 0
+
+    got = bloom_semi_join(big, dim, "k", "k")
+    want = big.join(dim, "k", "left_semi")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_bloom_prunes_before_join(spark):
+    """The bloom predicate actually prunes: with a selective dim, the
+    pre-join survivor count is far below the big side's row count and
+    at least the true match count (pruning happens map-side, before
+    the join's exchange)."""
+    from pyspark.sql import functions as F
+
+    from pantasia_db_sync_spark.operators.bloom import (
+        bloom_might_contain,
+        build_bloom_words,
+    )
+
+    dim = spark.range(0, 20).select(F.col("id").alias("k"))
+    big = spark.range(0, 20000).select((F.col("id") % 2000).alias("k"))
+    words = build_bloom_words(dim, "k")
+    survivors = big.where(bloom_might_contain(F.col("k"), words)).count()
+    true_matches = big.join(dim, "k", "left_semi").count()
+    assert true_matches <= survivors  # never drops a real match
+    assert survivors < 20000 * 0.2  # >80% of the big side pruned pre-shuffle
