@@ -936,3 +936,50 @@ def join_bloom_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bloom_semi_join(o, c, "o_custkey", "c_custkey").select(
         "o_orderkey", "o_custkey", "o_totalprice"
     )
+
+
+@register(
+    "join_bucketed_colocated",
+    oracle="""
+    SELECT o.o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_items,
+           floor((SUM(l.l_extendedprice * (1 - l.l_discount))) * 100 + 0.5) / 100
+             AS revenue
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.C extension — fact ⋈ fact with ZERO join-time shuffle via
+    bucketed storage layout: both tables are written `bucketBy` the
+    join key with equal bucket counts, so the join's required hash
+    distribution is satisfied by the files themselves and each task
+    joins bucket i of both sides locally (operators/bucketed.py; the
+    plan property is pinned by tests/test_properties.py). At 100 TB
+    this converts every repeated orderkey join from two full exchanges
+    into a one-time write-side cost. Result is the plain join+agg the
+    oracle runs."""
+    import shutil
+    import tempfile
+
+    from ..operators.bucketed import colocated_join, write_bucketed
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    d = tempfile.mkdtemp(prefix="bucketed_")
+    try:
+        write_bucketed(li, "li_bkt", f"{d}/li", "l_orderkey", 8)
+        write_bucketed(o, "o_bkt", f"{d}/o", "o_orderkey", 8)
+        joined = colocated_join(spark, "li_bkt", "o_bkt", "l_orderkey", "o_orderkey")
+        disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        out = joined.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).alias("n_items"),
+            fround(F.sum(disc_price), 2).alias("revenue"),
+        )
+        # materialize before the external tables' files disappear
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS li_bkt")
+        spark.sql("DROP TABLE IF EXISTS o_bkt")
+        shutil.rmtree(d, ignore_errors=True)
