@@ -165,8 +165,32 @@ class TableStore:
     def append_dir(self, table: str, commit_id: int) -> str:
         return os.path.join(self._tdir(table), "data", f"commit={commit_id}")
 
-    def append(self, table: str, df: DataFrame, commit_id: int) -> None:
+    def append(
+        self,
+        table: str,
+        df: DataFrame,
+        commit_id: int,
+        cluster_by: str | None = None,
+        cluster_partitions: int | None = None,
+    ) -> None:
         path = self.append_dir(table, commit_id)
+        if cluster_by is not None:
+            # Sort-on-write clustering: files within the commit become
+            # disjoint ranges of ``cluster_by`` (repartitionByRange) and
+            # rows inside each file are ordered (sortWithinPartitions),
+            # so parquet footer min/max stats are TIGHT — the scan-side
+            # row-group pruning that makes `read_facts_pruned`'s
+            # commit-level manifest pruning carry through to the page
+            # level. Costs one range shuffle of the new period's rows
+            # (O(new data), never history); appends that arrive already
+            # time-ordered pay almost nothing for it. Without an
+            # explicit ``cluster_partitions`` AQE right-sizes the range
+            # partitions (small periods coalesce to few files).
+            if cluster_partitions is not None:
+                df = df.repartitionByRange(cluster_partitions, cluster_by)
+            else:
+                df = df.repartitionByRange(cluster_by)
+            df = df.sortWithinPartitions(cluster_by)
         df.write.mode("overwrite").parquet(path)
         # Manifest lands INSIDE the commit dir before the pointer flip,
         # so it shares the commit's crash semantics: a commit either
@@ -484,6 +508,7 @@ class TableStore:
         table: str,
         target_bytes_per_file: int = 128 * 1024 * 1024,
         min_dirs_per_segment: int = 2,
+        cluster_by: str | None = None,
     ) -> dict:
         """Merge committed append dirs into one dir per snapshot segment.
 
@@ -492,6 +517,17 @@ class TableStore:
         is sized from the segment's manifest byte totals so merged files
         land near ``target_bytes_per_file`` — the small-files fix, not
         just a dir-count fix.
+
+        ``cluster_by``: re-cluster the merged segment on a column
+        (range-partition into the sized file count + sort within each
+        file) instead of ``coalesce``. This is where sort-on-write
+        belongs at 100 TB: per-period appends arrive roughly
+        time-ordered anyway, but history merged from many periods
+        interleaves ranges — compaction is the one pass that already
+        rewrites it, so clustering there is a free upgrade from
+        "merged" to "merged + globally range-laid-out", and range
+        reads over compacted history prune at file AND row-group
+        granularity (see test_store_compaction_clusters_files).
         """
         self._recover_compaction(table)
         ptr = self.current_version(table)
@@ -524,9 +560,14 @@ class TableStore:
             tmp = os.path.join(data, f".compact-{b}.tmp")
             if os.path.isdir(tmp):
                 shutil.rmtree(tmp)
-            spark.read.parquet(*dirs).coalesce(nfiles).write.mode(
-                "overwrite"
-            ).parquet(tmp)
+            merged = spark.read.parquet(*dirs)
+            if cluster_by is not None:
+                merged = merged.repartitionByRange(
+                    nfiles, cluster_by
+                ).sortWithinPartitions(cluster_by)
+            else:
+                merged = merged.coalesce(nfiles)
+            merged.write.mode("overwrite").parquet(tmp)
             self._write_manifest(tmp)
             journal = {
                 "remove": dirs,

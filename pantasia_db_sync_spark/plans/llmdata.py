@@ -1078,3 +1078,110 @@ def text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             "top_word_frac"
         ),
     )
+
+
+_VERDICT_RULES_SQL = f"""
+    WITH toks AS ({_SQL_TOKS}),
+    r AS (
+      SELECT doc_id,
+             len(t) AS n,
+             CAST(list_sum(list_transform(t, x -> len(x))) AS DOUBLE)
+               / len(t) AS avg_len,
+             len(list_filter(t, x -> {{stop_pred}})) AS stop_hits,
+             list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]) AS b
+      FROM toks
+    ),
+    v AS (
+      SELECT doc_id,
+             n < 8 AS r_too_short,
+             (avg_len < 1.9871 OR avg_len > 13.9871) AS r_word_len,
+             stop_hits = 0 AS r_no_stopwords,
+             (len(b) > 0 AND
+              1.0 - len(list_distinct(b)) / CAST(len(b) AS DOUBLE) > 0.29871)
+               AS r_repetitive
+      FROM r
+    )
+    SELECT doc_id,
+           NOT (r_too_short OR r_word_len OR r_no_stopwords OR r_repetitive)
+             AS passed,
+           CAST(CAST(r_too_short AS INTEGER) + CAST(r_word_len AS INTEGER)
+              + CAST(r_no_stopwords AS INTEGER) + CAST(r_repetitive AS INTEGER)
+              AS INTEGER) AS n_failed,
+           COALESCE(array_to_string(list_sort(list_filter([
+             CASE WHEN r_too_short THEN 'too_short' END,
+             CASE WHEN r_word_len THEN 'word_len' END,
+             CASE WHEN r_no_stopwords THEN 'no_stopwords' END,
+             CASE WHEN r_repetitive THEN 'repetitive' END
+           ], x -> x IS NOT NULL)), ','), '') AS reasons
+    FROM v
+"""
+
+
+@register(
+    "quality_filter_verdict",
+    oracle=_VERDICT_RULES_SQL.format(stop_pred=_stop_pred("x", STOPWORDS)),
+)
+def quality_filter_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FineWeb/Dolma-style filter STACK: every heuristic rule
+    evaluated per document, with the verdict AND the sorted list of
+    failed rules — because a production corpus pipeline never just
+    drops documents, it reports WHY (per-rule rejection rates drive
+    threshold tuning, and audits need the reasons column). Rules:
+    too_short (<8 tokens), word_len (mean token length outside
+    [1.99, 13.99]), no_stopwords (zero stopword hits — the classic
+    gibberish signal), repetitive (duplicate-bigram fraction > ~0.3,
+    the Gopher rule shared with text_repetition_score).
+
+    Scale shape: a single pure map over the scan — every rule is a
+    row-local higher-order expression, zero shuffles, zero joins; the
+    reasons array is built with when/filter/array_sort JVM-side.
+    Thresholds are deliberately non-representable fractions (1.9871,
+    0.29871...) so engine float parity can't wobble at rule
+    boundaries."""
+    d = load_table(spark, sf_dir, "documents")
+    d = d.withColumn("__t", tokens_col("text"))
+    n = F.size("__t")
+    avg_len = (
+        F.aggregate("__t", F.lit(0), lambda acc, x: acc + F.length(x)).cast("double")
+        / n
+    )
+    stop_hits = F.size(F.filter("__t", lambda x: _in_words(x, STOPWORDS)))
+    bigrams = F.zip_with(
+        F.slice("__t", 1, n - 1),
+        F.slice("__t", 2, n - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    d = d.select("doc_id", n.alias("__n"), avg_len.alias("__avg"),
+                 stop_hits.alias("__stop"), bigrams.alias("__b"))
+    nb = F.size("__b")
+    r_too_short = F.col("__n") < 8
+    r_word_len = (F.col("__avg") < 1.9871) | (F.col("__avg") > 13.9871)
+    r_no_stopwords = F.col("__stop") == 0
+    r_repetitive = (nb > 0) & (
+        F.lit(1.0) - F.size(F.array_distinct("__b")) / nb.cast("double") > 0.29871
+    )
+    null_s = F.lit(None).cast("string")
+    reasons = F.array_join(
+        F.array_sort(
+            F.filter(
+                F.array(
+                    F.when(r_too_short, F.lit("too_short")).otherwise(null_s),
+                    F.when(r_word_len, F.lit("word_len")).otherwise(null_s),
+                    F.when(r_no_stopwords, F.lit("no_stopwords")).otherwise(null_s),
+                    F.when(r_repetitive, F.lit("repetitive")).otherwise(null_s),
+                ),
+                lambda x: x.isNotNull(),
+            )
+        ),
+        ",",
+    )
+    n_failed = (
+        r_too_short.cast("int") + r_word_len.cast("int")
+        + r_no_stopwords.cast("int") + r_repetitive.cast("int")
+    )
+    return d.select(
+        "doc_id",
+        (~(r_too_short | r_word_len | r_no_stopwords | r_repetitive)).alias("passed"),
+        n_failed.cast("int").alias("n_failed"),
+        reasons.alias("reasons"),
+    )

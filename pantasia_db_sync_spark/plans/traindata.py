@@ -825,3 +825,160 @@ def corpus_domain_mix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             fround(kept / F.count(F.lit(1)).cast("double"), 4).alias("kept_frac"),
         )
     )
+
+
+@register(
+    "corpus_decontaminate_bloom",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+      FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)
+    ),
+    bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 50 = 0),
+    contaminated AS (
+      SELECT DISTINCT sh.doc_id
+      FROM sh JOIN bench USING (s)
+      WHERE sh.doc_id % 50 <> 0
+    )
+    SELECT d.doc_id, (c.doc_id IS NOT NULL) AS contaminated
+    FROM documents d LEFT JOIN contaminated c USING (doc_id)
+    WHERE d.doc_id % 50 <> 0
+    """,
+)
+def corpus_decontaminate_bloom_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`corpus_decontaminate` with a bloom prefilter — the shape that
+    survives 100 TB. The exact path explodes EVERY corpus document's
+    shingles into the semi-join against the benchmark set; at 100 TB
+    that explode is |corpus shingles| rows entering a join even though
+    almost every document is clean. Here the benchmark shingle set
+    (small by nature — eval suites, not the corpus) is folded into a
+    16 KiB bloom bitmask (operators/bloom.py) and each document is
+    tested MAP-SIDE with a short-circuiting `exists` over its row-local
+    shingle array: clean documents never explode, never shuffle, never
+    join. Only bloom-suspect documents (true hits + the ~1e-3 false
+    positive tail) pay the exact explode + broadcast semi-join, which
+    also removes the false positives — output is identical to
+    `corpus_decontaminate`, and the oracle is the same exact SQL.
+
+    Scale note: the bitmask is a plan literal (8K ints at 2^17 bits),
+    fine up to ~1M benchmark shingles at 1% FP; past that the probe
+    should move to an Arrow-batched pandas UDF over a broadcast
+    bytearray — same algebra, different transport. Reference analogue:
+    the pre-write id-index membership probe
+    (/root/reference/app/db/id_index.py, get())."""
+    from ..operators.bloom import bloom_might_contain, build_bloom_words
+    from ..operators.dedup import shingle_arrays, shingle_frame
+
+    d = load_table(spark, sf_dir, "documents")
+    is_bench = F.col("doc_id") % 50 == 0
+    corpus = d.where(~is_bench)
+    bench_sh = (
+        shingle_frame(d.where(is_bench), "doc_id", "text", 3)
+        .select("shingle")
+        .distinct()
+    )
+    m_bits = 1 << 17
+    words = build_bloom_words(bench_sh, "shingle", m_bits=m_bits)
+
+    sh = shingle_arrays(corpus, "doc_id", "text", 3)
+    suspect = F.exists(
+        "__sh", lambda s: bloom_might_contain(s, words, m_bits)
+    )
+    suspects = sh.where(suspect)
+    contaminated = (
+        suspects.select("doc_id", F.explode("__sh").alias("shingle"))
+        .join(F.broadcast(bench_sh), "shingle", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("contaminated", F.lit(True))
+    )
+    return corpus.select("doc_id").join(contaminated, "doc_id", "left").select(
+        "doc_id", F.coalesce("contaminated", F.lit(False)).alias("contaminated")
+    )
+
+
+def _simhash_sig_sql(bits: int) -> str:
+    """The sig-CTE chain of `_minhash_sql`'s SimHash twin (see
+    llmdata._simhash_sql) — duplicated CTE text kept byte-compatible
+    with the dedup_simhash oracle so the two can be diffed."""
+    return f"""
+    rawtoks AS (
+      SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok FROM documents
+    ),
+    toks AS (SELECT DISTINCT doc_id, tok FROM rawtoks WHERE tok <> ''),
+    h AS (SELECT doc_id, {_PORTABLE_HASH.format(col='tok')} % {1 << bits} AS x FROM toks),
+    bits AS (
+      SELECT doc_id, i AS bit,
+             CASE WHEN (x >> i) & 1 = 1 THEN 1 ELSE -1 END AS w
+      FROM h, UNNEST(range(0, {bits})) AS u(i)
+    ),
+    votes AS (SELECT doc_id, bit, sum(w) AS s FROM bits GROUP BY 1, 2),
+    sig AS (
+      SELECT doc_id,
+             CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT)
+               AS simhash
+      FROM votes GROUP BY doc_id
+    )
+    """
+
+
+_DIVERSITY_BITS = 48
+_DIVERSITY_BUCKET_SHIFT = 40  # keep the top 8 signature bits → 256 buckets
+_DIVERSITY_KEEP = 4
+
+
+@register(
+    "corpus_diversity_sample",
+    oracle=f"""
+    WITH {_simhash_sig_sql(_DIVERSITY_BITS)},
+    sel AS (
+      SELECT doc_id,
+             CAST(simhash >> {_DIVERSITY_BUCKET_SHIFT} AS INTEGER) AS bucket,
+             {_PORTABLE_HASH.format(col="concat('div:', CAST(doc_id AS VARCHAR))")}
+               AS hsel
+      FROM sig
+    )
+    SELECT doc_id, bucket,
+           CAST(row_number() OVER (PARTITION BY bucket ORDER BY hsel, doc_id)
+                AS INTEGER) AS rnk,
+           row_number() OVER (PARTITION BY bucket ORDER BY hsel, doc_id)
+             <= {_DIVERSITY_KEEP} AS kept
+    FROM sel
+    """,
+)
+def corpus_diversity_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity-capped sampling: bucket documents by the top 8 bits of
+    their 48-bit SimHash (near-identical text shares a bucket — the
+    cheap semantic grouping) and keep at most K=4 per bucket, chosen by
+    a salted content-independent hash so the draw is deterministic
+    across runs/engines/partitionings. This caps any one redundant mass
+    of boilerplate at K docs while never touching rare buckets — the
+    "don't let one template dominate the epoch" sampler.
+
+    Scale shape: one combinable signature aggregation (the
+    simhash_signatures shuffle of |docs| rows × 48 ints), then a window
+    over 256 buckets. The per-bucket row_number is the honest cost: a
+    hot bucket serializes through one task; at 100 TB either widen the
+    bucket prefix (more buckets, same algebra) or replace rank with a
+    per-bucket hash THRESHOLD (rank-free, fully parallel — the
+    corpus_domain_mix mechanism) at the cost of an approximate cap."""
+    from ..operators.dedup import simhash_signatures
+
+    d = load_table(spark, sf_dir, "documents")
+    sig = simhash_signatures(d, "doc_id", "text", bits=_DIVERSITY_BITS)
+    sel = sig.select(
+        "doc_id",
+        F.shiftright("simhash", _DIVERSITY_BUCKET_SHIFT).cast("int").alias("bucket"),
+        portable_hash60(
+            F.concat(F.lit("div:"), F.col("doc_id").cast("string"))
+        ).alias("hsel"),
+    )
+    w = Window.partitionBy("bucket").orderBy("hsel", "doc_id")
+    rnk = F.row_number().over(w)
+    return sel.select(
+        "doc_id",
+        "bucket",
+        rnk.cast("int").alias("rnk"),
+        (rnk <= _DIVERSITY_KEEP).alias("kept"),
+    )

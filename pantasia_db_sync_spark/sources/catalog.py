@@ -118,6 +118,21 @@ def write_table_as(
         ).json(path)
     elif fmt == "parquet":
         w.parquet(path)
+    elif fmt == "orc":
+        # ORC ships in Spark's JVM (no extra package) and round-trips
+        # the full type surface like parquet — the interchange format
+        # for Hive-era lakehouses.
+        w.orc(path)
+    elif fmt == "text":
+        # One document per line — the classic raw-corpus landing shape
+        # (e.g. one-sentence-per-line dumps). Single string column only:
+        # the writer refuses anything wider rather than silently
+        # flattening, so the caller decides the serialization.
+        if len(df.columns) != 1:
+            raise ValueError(
+                f"text format needs exactly one string column, got {df.columns}"
+            )
+        w.text(path)
     else:
         raise ValueError(f"unsupported format {fmt!r}")
 
@@ -148,4 +163,10 @@ def load_table_as(
         return r.json(path, schema=schema) if schema is not None else r.json(path)
     if fmt == "parquet":
         return spark.read.parquet(path)
+    if fmt == "orc":
+        return spark.read.orc(path)
+    if fmt == "text":
+        # value: string — one row per line; schema param intentionally
+        # ignored (the format defines it)
+        return spark.read.text(path)
     raise ValueError(f"unsupported format {fmt!r}")

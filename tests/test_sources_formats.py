@@ -47,3 +47,32 @@ def test_unknown_format_rejected(spark, tmp_path):
         write_table_as(src, str(tmp_path / "x"), "avro")
     with pytest.raises(ValueError):
         load_table_as(spark, str(tmp_path / "x"), "avro")
+
+
+@pytest.mark.parametrize("table", ["orders", "events"])
+def test_orc_roundtrip_bit_exact(spark, tmp_path, table):
+    src = load_table(spark, SF_DIR, table)
+    path = str(tmp_path / f"{table}_orc")
+    write_table_as(src, path, "orc")
+    back = load_table_as(spark, path, "orc")
+    assert back.schema == src.schema
+    assert _rows(back) == _rows(src)
+
+
+def test_text_corpus_roundtrip(spark, tmp_path):
+    """One-doc-per-line corpus landing: a single string column survives
+    the trip; a multi-column frame is refused rather than flattened."""
+    src = load_table(spark, SF_DIR, "documents").select("text")
+    path = str(tmp_path / "docs_text")
+    write_table_as(src, path, "text")
+    back = load_table_as(spark, path, "text")
+    assert back.columns == ["value"]
+    assert sorted(r[0] for r in back.collect()) == sorted(
+        r[0] for r in src.collect()
+    )
+    with pytest.raises(ValueError, match="one string column"):
+        write_table_as(
+            load_table(spark, SF_DIR, "documents").select("doc_id", "text"),
+            str(tmp_path / "bad"),
+            "text",
+        )

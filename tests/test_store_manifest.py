@@ -252,3 +252,86 @@ def test_sync_auto_compaction(spark, source_dir, tmp_path):
     a = sorted(map(tuple, store.read_facts(spark, "asset_tx").collect()))
     b = sorted(map(tuple, batch_store.read_facts(spark, "asset_tx").collect()))
     assert a == b
+
+
+def _file_ranges(commit_dir: str, column: str) -> list[tuple]:
+    """Per-FILE (min, max) of `column` from parquet footers."""
+    import pyarrow.parquet as pq
+
+    out = []
+    for fn in sorted(os.listdir(commit_dir)):
+        if not fn.endswith(".parquet"):
+            continue
+        md = pq.ParquetFile(os.path.join(commit_dir, fn)).metadata
+        lo, hi = None, None
+        for rg in range(md.num_row_groups):
+            row_group = md.row_group(rg)
+            for ci in range(row_group.num_columns):
+                col = row_group.column(ci)
+                if col.path_in_schema == column and col.statistics is not None:
+                    s = col.statistics
+                    lo = s.min if lo is None else min(lo, s.min)
+                    hi = s.max if hi is None else max(hi, s.max)
+        if lo is not None:
+            out.append((lo, hi))
+    return out
+
+
+def _assert_disjoint(ranges: list[tuple]) -> None:
+    ranges = sorted(ranges)
+    for (_, hi_prev), (lo_next, _) in zip(ranges, ranges[1:]):
+        assert hi_prev <= lo_next, f"overlapping file ranges: {ranges}"
+
+
+def test_append_cluster_by_lays_out_disjoint_files(spark, tmp_path):
+    """append(cluster_by=...) range-partitions + sorts the commit, so
+    per-file footer [min,max] ranges are pairwise disjoint — the layout
+    row-group pruning needs — while the committed row set is unchanged."""
+    store = TableStore(str(tmp_path / "store"))
+    df = (
+        spark.range(0, 4000)
+        .select(
+            ((F.col("id") * 2654435761) % 4000).alias("ts"),  # interleaved order
+            F.col("id").alias("v"),
+        )
+        .repartition(8)
+    )
+    store.append("facts", df, commit_id=1, cluster_by="ts", cluster_partitions=4)
+    store.commit_append("facts", 1)
+
+    ranges = _file_ranges(store.append_dir("facts", 1), "ts")
+    assert len(ranges) >= 2, "expected several range-partitioned files"
+    _assert_disjoint(ranges)
+
+    got = store.read_facts(spark, "facts")
+    assert got.count() == 4000
+    assert got.agg(F.sum("v")).collect()[0][0] == sum(range(4000))
+    # manifest written and covers the full range
+    m = store.facts_stats("facts")
+    assert m["stats"]["ts"]["min"] == 0 and m["stats"]["ts"]["max"] == 3999
+
+
+def test_compaction_cluster_by_reclusters_history(spark, synced):
+    """compact_facts(cluster_by='tx_time'): merged segment files carry
+    disjoint tx_time ranges, and read_facts row sets are unchanged —
+    compaction upgrades interleaved per-period history to a globally
+    range-laid-out segment (the OPTIMIZE+sort analogue)."""
+    store, _ = synced
+    table = FACT_TABLES[0]
+    before = {
+        r["id"]
+        for r in store.read_facts(spark, table).select("id").collect()
+    }
+    res = store.compact_facts(
+        spark, table, target_bytes_per_file=64 * 1024, cluster_by="tx_time"
+    )
+    assert res["segments"], "compaction should merge at least one segment"
+    boundary = res["segments"][0][0]
+    ranges = _file_ranges(store.append_dir(table, boundary), "tx_time")
+    if len(ranges) >= 2:
+        _assert_disjoint(ranges)
+    after = {
+        r["id"]
+        for r in store.read_facts(spark, table).select("id").collect()
+    }
+    assert after == before
