@@ -309,3 +309,199 @@ def agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "n",
     )
+
+
+@register(
+    "events_funnel",
+    oracle="""
+    WITH t1 AS (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY 1
+    ),
+    t2 AS (
+      SELECT e.user_id, min(e.ts) AS t2
+      FROM events e JOIN t1 ON e.user_id = t1.user_id AND e.ts > t1.t1
+      WHERE e.event_type = 'click' GROUP BY 1
+    ),
+    t3 AS (
+      SELECT e.user_id, min(e.ts) AS t3
+      FROM events e JOIN t2 ON e.user_id = t2.user_id AND e.ts > t2.t2
+      WHERE e.event_type = 'purchase' GROUP BY 1
+    ),
+    u AS (SELECT DISTINCT user_id FROM events)
+    SELECT u.user_id, t1.t1 AS view_ts, t2.t2 AS click_ts, t3.t3 AS purchase_ts,
+           CAST(CASE WHEN t3.t3 IS NOT NULL THEN 3
+                     WHEN t2.t2 IS NOT NULL THEN 2
+                     WHEN t1.t1 IS NOT NULL THEN 1
+                     ELSE 0 END AS INTEGER) AS max_step
+    FROM u
+    LEFT JOIN t1 USING (user_id)
+    LEFT JOIN t2 USING (user_id)
+    LEFT JOIN t3 USING (user_id)
+    """,
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (view → click → purchase, strict first-occurrence
+    order): per user, the first view, the first click AFTER that view,
+    the first purchase AFTER that click, and how deep the user got.
+
+    Shape: ONE shuffle (groupBy user) collecting each user's events
+    into a row-local array; the three "first X after Y" steps are then
+    higher-order filter/array_min expressions over that array — no
+    joins at all, versus the textbook three-self-join form the oracle
+    runs. Per-user arrays are bounded by user activity; for power-user
+    skew the same algebra decomposes into 3 conditional-min passes over
+    the co-partitioned events (each reusing the user_id exchange)."""
+    e = load_table(spark, sf_dir, "events")
+    g = e.groupBy("user_id").agg(
+        F.collect_list(F.struct("ts", "event_type")).alias("ev")
+    )
+
+    def first_after(arr, etype: str, after):
+        hits = F.filter(
+            arr,
+            lambda x: (x["event_type"] == etype)
+            & (F.lit(True) if after is None else (x["ts"] > after)),
+        )
+        return F.array_min(F.transform(hits, lambda x: x["ts"]))
+
+    g = g.withColumn("view_ts", first_after(F.col("ev"), "view", None))
+    g = g.withColumn(
+        "click_ts", first_after(F.col("ev"), "click", F.col("view_ts"))
+    )
+    g = g.withColumn(
+        "purchase_ts", first_after(F.col("ev"), "purchase", F.col("click_ts"))
+    )
+    max_step = (
+        F.when(F.col("purchase_ts").isNotNull(), 3)
+        .when(F.col("click_ts").isNotNull(), 2)
+        .when(F.col("view_ts").isNotNull(), 1)
+        .otherwise(0)
+    )
+    return g.select(
+        "user_id", "view_ts", "click_ts", "purchase_ts",
+        max_step.cast("int").alias("max_step"),
+    )
+
+
+@register(
+    "events_gapfill",
+    oracle="""
+    WITH bounds AS (
+      SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi
+      FROM events
+    ),
+    grid AS (
+      SELECT uu.user_id, b.lo + u.i * INTERVAL 1 HOUR AS bucket
+      FROM bounds b,
+           UNNEST(range(0, CAST(date_diff('hour', b.lo, b.hi) AS BIGINT) + 1))
+             AS u(i),
+           (SELECT unnest(range(0, 5)) AS user_id) uu
+    ),
+    obs AS (
+      SELECT user_id, date_trunc('hour', ts) AS bucket,
+             CAST(count(*) AS BIGINT) AS n,
+             floor(sum(value) * 100 + 0.5) / 100 AS tv
+      FROM events WHERE event_type = 'purchase' AND user_id < 5
+      GROUP BY 1, 2
+    )
+    SELECT g.user_id, g.bucket,
+           COALESCE(o.n, 0) AS n_events,
+           COALESCE(o.tv, 0.0) AS total_value,
+           last_value(o.tv IGNORE NULLS)
+             OVER (PARTITION BY g.user_id ORDER BY g.bucket) AS locf_value
+    FROM grid g LEFT JOIN obs o USING (user_id, bucket)
+    """,
+)
+def events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """time_bucket_gapfill (the TimescaleDB hypertable idiom): a dense
+    hourly grid over the corpus time range × a user set, sparse
+    purchase aggregates left-joined onto it, missing buckets filled
+    with 0 and a last-observation-carried-forward gauge column.
+
+    Shape: the grid is generated IN-PLAN (`sequence` over the one-row
+    min/max aggregate, exploded — no driver collect, no driver loop),
+    the user dimension is a broadcast cross of 5 rows, and LOCF is one
+    window per user ordered by bucket. At 100 TB the grid is tiny
+    (hours × users) next to the events scan that feeds `obs`; the only
+    real shuffle is the obs aggregation."""
+    e = load_table(spark, sf_dir, "events")
+    bounds = e.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    grid_t = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("bucket")
+    )
+    users = spark.range(0, 5).select(F.col("id").alias("user_id"))
+    grid = grid_t.crossJoin(F.broadcast(users))
+    obs = (
+        e.where((F.col("event_type") == "purchase") & (F.col("user_id") < 5))
+        .groupBy("user_id", F.date_trunc("hour", "ts").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            fround(F.sum("value"), 2).alias("tv"),
+        )
+    )
+    out = grid.join(obs, ["user_id", "bucket"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return out.select(
+        "user_id",
+        "bucket",
+        F.coalesce("n", F.lit(0)).alias("n_events"),
+        F.coalesce("tv", F.lit(0.0)).alias("total_value"),
+        F.last("tv", ignorenulls=True).over(w).alias("locf_value"),
+    )
+
+
+@register(
+    "events_retention_cohort",
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id, CAST(min(ts) AS DATE) AS cohort_day
+      FROM events GROUP BY 1
+    ),
+    activity AS (
+      SELECT DISTINCT f.cohort_day,
+             date_diff('day', f.cohort_day, CAST(e.ts AS DATE)) AS day_offset,
+             e.user_id
+      FROM events e JOIN first_seen f ON e.user_id = f.user_id
+    )
+    SELECT cohort_day, CAST(day_offset AS INTEGER) AS day_offset,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM activity GROUP BY 1, 2
+    """,
+)
+def events_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-seen day; n_users active
+    at each day offset from their cohort day — the triangle behind
+    every retention curve.
+
+    Shape: first_seen is a combinable min-agg on user_id; the activity
+    join hashes on user_id too, so the exchange is reused; the distinct
+    + count pair is one aggregation on (cohort, offset, user) then a
+    combinable count. No windows, no skew beyond genuinely hot days."""
+    e = load_table(spark, sf_dir, "events")
+    first_seen = e.groupBy("user_id").agg(
+        F.min("ts").cast("date").alias("cohort_day")
+    )
+    activity = (
+        e.join(first_seen, "user_id")
+        .select(
+            "cohort_day",
+            F.datediff(F.col("ts").cast("date"), F.col("cohort_day")).alias(
+                "day_offset"
+            ),
+            "user_id",
+        )
+        .distinct()
+    )
+    return activity.groupBy("cohort_day", "day_offset").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users")
+    ).select(
+        "cohort_day", F.col("day_offset").cast("int").alias("day_offset"), "n_users"
+    )
