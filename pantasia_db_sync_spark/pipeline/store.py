@@ -186,6 +186,16 @@ class TableStore:
             # time-ordered pay almost nothing for it. Without an
             # explicit ``cluster_partitions`` AQE right-sizes the range
             # partitions (small periods coalesce to few files).
+            #
+            # Freeze BEFORE the range shuffle: repartitionByRange runs a
+            # boundary-sampling job that re-executes the child plan, and
+            # a caller's `.observe()` metrics accumulate across both
+            # executions — sync's rows-written observation doubled,
+            # which corrupted its carried-forward dense-id seeds (ids
+            # went gappy). The checkpoint pins one execution (metrics
+            # fire once); the sampler then reads frozen blocks. Same
+            # rationale as the records freeze in pipeline/sync.py.
+            df = df.localCheckpoint(eager=True)
             if cluster_partitions is not None:
                 df = df.repartitionByRange(cluster_partitions, cluster_by)
             else:

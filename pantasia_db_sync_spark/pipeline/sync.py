@@ -63,6 +63,7 @@ class SyncEngine:
         genesis: datetime = GENESIS,
         retention_keep_last: int | None = None,
         compact_every: int | None = None,
+        cluster_facts_by: str | None = None,
     ) -> None:
         self.spark = spark
         self.source_dir = source_dir
@@ -78,6 +79,14 @@ class SyncEngine:
         # periods (store.compact_facts — crash-journaled, preserves
         # read_facts/read_at row sets and snapshot watermarks exactly)
         self.compact_every = compact_every
+        # opt-in sort-on-write layout for fact appends AND compaction
+        # merges (store.append/compact_facts cluster_by): files become
+        # disjoint ranges of this column, so tx_time range readers
+        # prune at file/row-group level on top of the commit manifests.
+        # Off by default — it adds a range shuffle of each period's new
+        # rows to the sync hot path; turn it on when read patterns are
+        # time-ranged (the analytics default at 100 TB).
+        self.cluster_facts_by = cluster_facts_by
         # per-run carry-forward (see process_period): None = must probe
         self._seeds: dict[str, int] | None = None
         self._dim_totals: dict[str, int] | None = None
@@ -539,12 +548,16 @@ class SyncEngine:
             ),
             "asset_ext": lambda: self.store.stage("asset_ext", ext_next),
             "asset_tx": lambda: self.store.append(
-                "asset_tx", asset_tx_new.observe(w_obs["asset_tx"], cnt), commit_id
+                "asset_tx",
+                asset_tx_new.observe(w_obs["asset_tx"], cnt),
+                commit_id,
+                cluster_by=self.cluster_facts_by,
             ),
             "asset_mint_tx": lambda: self.store.append(
                 "asset_mint_tx",
                 asset_mint_tx_new.observe(w_obs["asset_mint_tx"], cnt),
                 commit_id,
+                cluster_by=self.cluster_facts_by,
             ),
         }
         with ThreadPoolExecutor(max_workers=len(writes)) as pool:
@@ -623,5 +636,7 @@ class SyncEngine:
                 self.store.vacuum(keep_last=self.retention_keep_last)
             if self.compact_every is not None and i % self.compact_every == 0:
                 for t in FACT_TABLES:
-                    self.store.compact_facts(self.spark, t)
+                    self.store.compact_facts(
+                        self.spark, t, cluster_by=self.cluster_facts_by
+                    )
         return out

@@ -335,3 +335,30 @@ def test_compaction_cluster_by_reclusters_history(spark, synced):
         for r in store.read_facts(spark, table).select("id").collect()
     }
     assert after == before
+
+
+def test_sync_with_clustered_facts_matches_plain(spark, source_dir, tmp_path):
+    """SyncEngine(cluster_facts_by='tx_time') produces byte-identical
+    fact row sets to the unclustered sync — layout is a storage
+    property, never a semantic one — and each commit's files are
+    range-disjoint on tx_time."""
+    plain = TableStore(str(tmp_path / "plain"))
+    SyncEngine(spark, source_dir, plain, time_interval_minutes=30).run_sync()
+    clustered = TableStore(str(tmp_path / "clustered"))
+    SyncEngine(
+        spark,
+        source_dir,
+        clustered,
+        time_interval_minutes=30,
+        cluster_facts_by="tx_time",
+    ).run_sync()
+
+    for t in FACT_TABLES:
+        a = sorted(map(tuple, plain.read_facts(spark, t).collect()), key=repr)
+        b = sorted(map(tuple, clustered.read_facts(spark, t).collect()), key=repr)
+        assert a == b, t
+        # layout: within every committed dir, file ranges are disjoint
+        for d in clustered._committed_append_dirs(t):
+            ranges = _file_ranges(d, "tx_time")
+            if len(ranges) >= 2:
+                _assert_disjoint(ranges)
