@@ -505,3 +505,100 @@ def events_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "cohort_day", F.col("day_offset").cast("int").alias("day_offset"), "n_users"
     )
+
+
+_PR_ITERS = 3
+_PR_DAMP = 0.85
+_PR_OFFSET = 1_000_000  # supplier node ids, disjoint from customer keys
+
+
+def _pagerank_sql(iters: int = _PR_ITERS) -> str:
+    """Unrolled power-iteration CTE chain — the SQL-native fixed-point,
+    same role the recursive CTE plays for dedup_components."""
+    head = f"""
+    WITH e AS (
+      SELECT DISTINCT o.o_custkey AS src, l.l_suppkey + {_PR_OFFSET} AS dst
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      WHERE o.o_orderkey % 10 = 0
+    ),
+    nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+    deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY 1),
+    nn AS (SELECT count(*) AS cnt FROM nodes),
+    p0 AS (SELECT node, 1.0 / cnt AS pr FROM nodes, nn)
+    """
+    legs = []
+    for k in range(1, iters + 1):
+        prev = f"p{k - 1}"
+        legs.append(f"""
+    c{k} AS (
+      SELECT e.dst AS node, sum(p.pr / d.outdeg) AS m
+      FROM e JOIN deg d USING (src) JOIN {prev} p ON p.node = e.src
+      GROUP BY 1
+    ),
+    p{k} AS (
+      SELECT nd.node,
+             {1 - _PR_DAMP} / nn.cnt + {_PR_DAMP} * COALESCE(c{k}.m, 0) AS pr
+      FROM nodes nd CROSS JOIN nn LEFT JOIN c{k} ON c{k}.node = nd.node
+    )""")
+    return (
+        head + "," + ",".join(legs)
+        + f"""
+    SELECT node, floor(pr * 1e8 + 0.5) / 1e8 AS pagerank FROM p{iters}
+    """
+    )
+
+
+@register("graph_pagerank", oracle=_pagerank_sql())
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank, {iters} power iterations, over the bipartite
+    customer → supplier purchase graph (damping 0.85; the
+    no-dangling-redistribution variant: pr' = (1-d)/n + d·Σ pr/outdeg,
+    sinks simply hold (1-d)/n — well-defined and engine-portable).
+
+    Shape per iteration: contribs = edges ⋈ degrees ⋈ ranks (all three
+    hash on src, one exchange each reused across iterations), then a
+    groupBy(dst) and a left join back onto the node set. n is a one-row
+    broadcast aggregate — no driver collect. Iterations are UNROLLED
+    lazily here (3 is fine for a plan); a convergence-driven run at
+    100 TB must localCheckpoint each iteration to cut the growing
+    lineage, exactly as operators/components.py does for its
+    large/small-star rounds."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    e = (
+        o.where(F.col("o_orderkey") % 10 == 0)
+        .join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_suppkey") + _PR_OFFSET).alias("dst"),
+        )
+        .distinct()
+    )
+    nodes = e.select(F.col("src").alias("node")).union(
+        e.select(F.col("dst").alias("node"))
+    ).distinct()
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    nrow = nodes.agg(F.count(F.lit(1)).alias("cnt"))
+    ranks = nodes.crossJoin(F.broadcast(nrow)).select(
+        "node", (F.lit(1.0) / F.col("cnt")).alias("pr")
+    )
+    for _ in range(_PR_ITERS):
+        contribs = (
+            e.join(deg, "src")
+            .join(ranks.withColumnRenamed("node", "src"), "src")
+            .groupBy("dst")
+            .agg(F.sum(F.col("pr") / F.col("outdeg")).alias("m"))
+            .withColumnRenamed("dst", "node")
+        )
+        ranks = (
+            nodes.crossJoin(F.broadcast(nrow))
+            .join(contribs, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(1 - _PR_DAMP) / F.col("cnt")
+                    + F.lit(_PR_DAMP) * F.coalesce("m", F.lit(0.0))
+                ).alias("pr"),
+            )
+        )
+    return ranks.select("node", fround(F.col("pr"), 8).alias("pagerank"))
