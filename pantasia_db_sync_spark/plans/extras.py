@@ -602,3 +602,59 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return ranks.select("node", fround(F.col("pr"), 8).alias("pagerank"))
+
+
+@register(
+    "events_anomaly_zscore",
+    oracle="""
+    WITH w AS (
+      SELECT event_id, user_id, ts, value,
+             avg(value)    OVER win AS mu,
+             stddev_samp(value) OVER win AS sigma,
+             count(*)      OVER win AS n_win
+      FROM events
+      WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_id, user_id, ts, value,
+           floor((value - mu) / sigma * 10000 + 0.5) / 10000 AS zscore,
+           abs((value - mu) / sigma) > 3.0 AS is_anomaly
+    FROM w
+    WHERE n_win >= 10 AND sigma > 0
+    """,
+)
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection: each event scored against the
+    mean/stddev of its user's PRECEDING 20 events (strictly preceding —
+    the value must not influence its own baseline), flagged at |z| > 3.
+    Events with fewer than 10 priors are withheld (cold-start guard).
+
+    Shape: one window pass — all three rolling stats share the same
+    frame, so Catalyst computes them in a single WindowExec over one
+    shuffle on user_id. The 20-row bounded frame keeps per-row cost
+    O(1) amortized (running-sum update, not recompute). This is the
+    batch twin of a streaming monitor; the same math runs incrementally
+    under applyInPandasWithState."""
+    e = load_table(spark, sf_dir, "events")
+    win = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-20, -1)
+    )
+    mu = F.avg("value").over(win)
+    sigma = F.stddev_samp("value").over(win)
+    n_win = F.count(F.lit(1)).over(win)
+    z = (F.col("value") - mu) / sigma
+    out = e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        n_win.alias("__n"),
+        sigma.alias("__sigma"),
+        fround(z, 4).alias("zscore"),
+        (F.abs(z) > 3.0).alias("is_anomaly"),
+    )
+    return out.where((F.col("__n") >= 10) & (F.col("__sigma") > 0)).drop(
+        "__n", "__sigma"
+    )

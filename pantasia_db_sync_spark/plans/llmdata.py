@@ -1185,3 +1185,95 @@ def quality_filter_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_failed.cast("int").alias("n_failed"),
         reasons.alias("reasons"),
     )
+
+
+_CMS_W = 512
+_CMS_D = 4
+
+
+@register(
+    "text_cms_heavyhitters",
+    oracle=f"""
+    WITH rawtoks AS (
+      SELECT unnest(string_split(trim(text), ' ')) AS tok FROM documents
+    ),
+    t AS (SELECT tok FROM rawtoks WHERE tok <> ''),
+    legs AS (
+      SELECT tok, u.j,
+             {_PORTABLE_HASH.format(col="concat('cms', CAST(u.j AS VARCHAR), ':', tok)")}
+               % {_CMS_W} AS bucket
+      FROM t, UNNEST(range(0, {_CMS_D})) AS u(j)
+    ),
+    sketch AS (
+      SELECT j, bucket, CAST(count(*) AS BIGINT) AS c
+      FROM legs GROUP BY 1, 2
+    ),
+    exact AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS exact_cnt
+      FROM t GROUP BY 1
+      ORDER BY exact_cnt DESC, tok ASC LIMIT 20
+    ),
+    probe AS (
+      SELECT e.tok, e.exact_cnt, u.j,
+             {_PORTABLE_HASH.format(col="concat('cms', CAST(u.j AS VARCHAR), ':', e.tok)")}
+               % {_CMS_W} AS bucket
+      FROM exact e, UNNEST(range(0, {_CMS_D})) AS u(j)
+    )
+    SELECT p.tok AS token, p.exact_cnt, min(s.c) AS cms_est
+    FROM probe p JOIN sketch s ON s.j = p.j AND s.bucket = p.bucket
+    GROUP BY 1, 2
+    """,
+)
+def text_cms_heavyhitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch heavy hitters: a {_CMS_D}×{_CMS_W} counter grid
+    over the corpus token stream (portable md5 hashes, so the sketch is
+    bit-identical across engines), probed for the exact top-20 tokens —
+    output carries (exact, estimate) side by side, and CMS guarantees
+    estimate ≥ exact (pinned in tests).
+
+    Why a sketch at 100 TB: exact token counts shuffle |distinct tokens|
+    keys; the sketch shuffles at most d×w = {_CMS_D * _CMS_W} keys — a
+    KILOBYTES-sized, fully map-side-combinable summary that merges
+    across partitions/days by cell-wise addition, the same way HLL
+    (agg_approx_distinct) merges. The exact side here exists only to
+    exhibit the error bound; production reads the sketch alone."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(tokens_col("text")).alias("tok")
+    ).where(F.col("tok") != "")
+
+    def buckets(tok_col):
+        return F.array(
+            *[
+                F.struct(
+                    F.lit(j).alias("j"),
+                    (
+                        portable_hash_mod(
+                            F.concat(F.lit(f"cms{j}:"), tok_col), _CMS_W
+                        )
+                    ).alias("bucket"),
+                )
+                for j in range(_CMS_D)
+            ]
+        )
+
+    sketch = (
+        toks.select(F.explode(buckets(F.col("tok"))).alias("b"))
+        .groupBy("b.j", "b.bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    exact = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+        .orderBy(F.col("exact_cnt").desc(), F.col("tok").asc())
+        .limit(20)
+    )
+    probe = exact.select(
+        "tok", "exact_cnt", F.explode(buckets(F.col("tok"))).alias("b")
+    ).select("tok", "exact_cnt", F.col("b.j").alias("j"), F.col("b.bucket").alias("bucket"))
+    return (
+        probe.join(F.broadcast(sketch), ["j", "bucket"])
+        .groupBy("tok", "exact_cnt")
+        .agg(F.min("c").alias("cms_est"))
+        .select(F.col("tok").alias("token"), "exact_cnt", "cms_est")
+    )

@@ -1061,3 +1061,13 @@ def test_bucketed_join_has_no_join_shuffle(spark, sf_dir, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS t_li_bkt")
         spark.sql("DROP TABLE IF EXISTS t_o_bkt")
+
+
+def test_cms_estimate_dominates_exact(spark, sf_dir):
+    """Count-Min guarantee: the sketch estimate is >= the exact count
+    for every probed token (over-count only, never under)."""
+    from pantasia_db_sync_spark.plans import QUERIES
+
+    out = QUERIES["text_cms_heavyhitters"](spark, sf_dir).collect()
+    assert len(out) == 20
+    assert all(r["cms_est"] >= r["exact_cnt"] for r in out)
