@@ -1225,14 +1225,14 @@ _CMS_D = 4
     """,
 )
 def text_cms_heavyhitters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Count-Min sketch heavy hitters: a {_CMS_D}×{_CMS_W} counter grid
+    """Count-Min sketch heavy hitters: a 4×512 counter grid
     over the corpus token stream (portable md5 hashes, so the sketch is
     bit-identical across engines), probed for the exact top-20 tokens —
     output carries (exact, estimate) side by side, and CMS guarantees
     estimate ≥ exact (pinned in tests).
 
     Why a sketch at 100 TB: exact token counts shuffle |distinct tokens|
-    keys; the sketch shuffles at most d×w = {_CMS_D * _CMS_W} keys — a
+    keys; the sketch shuffles at most d×w = 2048 keys — a
     KILOBYTES-sized, fully map-side-combinable summary that merges
     across partitions/days by cell-wise addition, the same way HLL
     (agg_approx_distinct) merges. The exact side here exists only to
@@ -1277,3 +1277,33 @@ def text_cms_heavyhitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("c").alias("cms_est"))
         .select(F.col("tok").alias("token"), "exact_cnt", "cms_est")
     )
+
+
+@register(
+    "multimodal_decode_gif",
+    oracle="""
+    SELECT doc_id,
+           CAST(doc_id % 21 + 1 AS INTEGER) AS width,
+           CAST(doc_id % 13 + 1 AS INTEGER) AS height,
+           CAST(2 AS INTEGER) AS n_colors,
+           CAST((doc_id * 3) % 256 AS DOUBLE) AS mean_r,
+           CAST((doc_id * 5) % 256 AS DOUBLE) AS mean_g,
+           CAST((doc_id * 7) % 256 AS DOUBLE) AS mean_b
+    FROM documents WHERE doc_id < 300
+    """,
+)
+def multimodal_decode_gif_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL decode of a DICTIONARY-compressed image format: GIF87a
+    streams rendered in-flight (operators/multimodal.py encode_gif —
+    from-scratch LZW, variable code widths, clear/EOI) and parsed back
+    by decode_gif: header/descriptor walk, extension skipping, LZW
+    decompression, palette mapping to channel means. Completes the
+    codec trio: raw raster (BMP), deflate (PNG), dictionary (GIF).
+    Decoder width-bump convention is validated against real
+    standard-encoder GIFs (the stdlib distribution's icons) in
+    tests/test_properties.py. Reference analogue: the image/files
+    columns (app/db/postgres.py:144-145)."""
+    from ..operators.multimodal import decode_gif_features, synthetic_gif_frame
+
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    return decode_gif_features(synthetic_gif_frame(d), "doc_id", "content")

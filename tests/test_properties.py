@@ -1071,3 +1071,77 @@ def test_cms_estimate_dominates_exact(spark, sf_dir):
     out = QUERIES["text_cms_heavyhitters"](spark, sf_dir).collect()
     assert len(out) == 20
     assert all(r["cms_est"] >= r["exact_cnt"] for r in out)
+
+
+def test_gif_lzw_roundtrip_and_edges():
+    """From-scratch GIF LZW: round trip across alphabets, lengths, and
+    the run-heavy KwKwK + width-boundary cases; dictionary reset past
+    4096 entries."""
+    import random as _random
+
+    from pantasia_db_sync_spark.operators.multimodal import (
+        _lzw_decode,
+        _lzw_encode,
+    )
+
+    rng = _random.Random(7)
+    for mcs in (2, 4, 8):
+        for n in (0, 1, 100, 30000):
+            data = bytes(rng.randrange(1 << mcs) for _ in range(n))
+            assert _lzw_decode(_lzw_encode(data, mcs), mcs) == data
+    # all-same-byte runs hit every width-growth edge incl. the final
+    # code (the decoder adds one entry per code READ, not per encoder
+    # assignment — the edge that desyncs naive implementations)
+    for n in range(1, 600):
+        data = b"\x00" * n
+        assert _lzw_decode(_lzw_encode(data, 2), 2) == data
+
+
+def test_gif_decode_spec_vector_and_real_files():
+    """Independent decoder evidence: the canonical 43-byte 1x1 GIF89a
+    (transparent-pixel vector, exercises extension skipping) and — when
+    present — the Python distribution's own standard-encoder icon GIFs
+    (width-bump convention must match real encoders, not just ours)."""
+    import glob as _glob
+
+    from pantasia_db_sync_spark.operators.multimodal import decode_gif
+
+    tiny = bytes.fromhex(
+        "474946383961010001008000"
+        "00ffffff00000021f90401000000002c"
+        "00000000010001000002024401003b"
+    )
+    d = decode_gif(tiny)
+    assert (d["width"], d["height"]) == (1, 1)
+    assert (d["mean_r"], d["mean_g"], d["mean_b"]) == (255.0, 255.0, 255.0)
+
+    real = _glob.glob("/usr/lib/python3*/idlelib/Icons/*.gif") + _glob.glob(
+        "/root/.pyenv/versions/*/lib/python3*/idlelib/Icons/*.gif"
+    )
+    decoded = 0
+    for p in real:
+        try:
+            with open(p, "rb") as f:
+                decode_gif(f.read())
+            decoded += 1
+        except ValueError:
+            pass  # interlaced / multi-image icons are out of profile
+    if real:
+        assert decoded >= 1, "no real GIF decoded"
+
+
+def test_gif_decode_rejects_corruption():
+    from pantasia_db_sync_spark.operators.multimodal import (
+        decode_gif,
+        encode_gif,
+    )
+    import pytest as _pytest
+
+    good = encode_gif(5, 4, (10, 20, 30))
+    with _pytest.raises(ValueError):
+        decode_gif(b"NOTAGIF" + good[7:])
+    with _pytest.raises(ValueError):
+        decode_gif(good + b"\x00")  # trailing bytes after trailer
+    # truncate mid-LZW: index stream can't cover the raster
+    with _pytest.raises(ValueError):
+        decode_gif(good[: len(good) - 4] + b"\x00\x3b")
