@@ -658,3 +658,110 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.where((F.col("__n") >= 10) & (F.col("__sigma") > 0)).drop(
         "__n", "__sigma"
     )
+
+
+@register(
+    "scd2_state_intervals",
+    oracle="""
+    WITH x AS (
+      SELECT user_id, ts, event_type,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_type,
+             event_id
+      FROM events
+    ),
+    changes AS (
+      SELECT user_id, ts, event_type, event_id FROM x
+      WHERE prev_type IS NULL OR prev_type <> event_type
+    )
+    SELECT user_id, event_type AS state, ts AS valid_from,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS valid_to,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+             AS is_current
+    FROM changes
+    """,
+)
+def scd2_state_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2 from an event stream: collapse
+    consecutive same-state rows (state-change compression via lag),
+    then stamp each surviving change with its validity interval
+    [valid_from, valid_to) via lead — open interval = current state.
+    This is the history-table build every warehouse runs on CDC feeds;
+    the reference's latest-owner UPDATE (app/main.py:290-315) is the
+    SCD1 projection of exactly this operator.
+
+    Shape: two window passes over the SAME (user_id × ts) order — one
+    shuffle; Catalyst reuses the sort for the second window. The change
+    filter drops most rows before the lead pass at CDC-like change
+    rates, so the second window runs on the compressed set."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    x = e.select(
+        "user_id", "ts", "event_type", "event_id",
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+    changes = x.where(
+        F.col("prev_type").isNull() | (F.col("prev_type") != F.col("event_type"))
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    valid_to = F.lead("ts").over(w2)
+    return changes.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.col("ts").alias("valid_from"),
+        valid_to.alias("valid_to"),
+        valid_to.isNull().alias("is_current"),
+    )
+
+
+@register(
+    "events_ewma",
+    oracle="""
+    WITH x AS (
+      SELECT user_id, ts, event_id, value,
+             list_reverse(list(value)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)) AS vs
+      FROM events
+    )
+    SELECT user_id, ts, value,
+           floor(
+             list_sum(list_transform(range(1, len(vs) + 1),
+                                     i -> vs[i] * 0.7 ** (i - 1)))
+             / list_sum(list_transform(range(1, len(vs) + 1),
+                                       i -> 0.7 ** (i - 1)))
+             * 10000 + 0.5) / 10000 AS ewma
+    FROM x
+    """,
+)
+def events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated exponentially-weighted moving average (α-decay 0.7,
+    last 10 observations): the smoothing gauge behind rate monitors.
+    The textbook recursive EWMA is inherently sequential; truncating at
+    10 terms (0.7^10 ≈ 2.8% residual weight) turns it into a bounded
+    window aggregate — one shuffle, no recursion, each row O(10).
+
+    Both engines fold the same reversed window array with the same
+    power weights, so parity is exact before rounding."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-9, Window.currentRow)
+    )
+    vs = F.reverse(F.collect_list("value").over(w))
+    idx = F.sequence(F.lit(1), F.size(vs))
+    num = F.aggregate(
+        F.zip_with(vs, idx, lambda v, i: v * F.pow(F.lit(0.7), i - 1)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    den = F.aggregate(
+        F.transform(idx, lambda i: F.pow(F.lit(0.7), i - 1)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return e.select(
+        "user_id", "ts", "value", fround(num / den, 4).alias("ewma")
+    )
