@@ -110,6 +110,10 @@ def test_traindata_plan_shapes(spark, sf_dir):
 _ALLOWED_NESTED_LOOP = {
     "ann_bruteforce_topk",  # exact baseline: broadcast small-query-set cross join
     "join_cross",           # the cross-join operator itself (tiny dims)
+    # one-row broadcast aggregate crossed onto the data (the in-plan
+    # scalar pattern — no driver collect): n-node count / grid bounds
+    "events_gapfill",
+    "graph_pagerank",
 }
 # Single-partition exchanges allowed only where the exchanged data is
 # metadata-scale (a handful of rows), never a full table:
@@ -125,6 +129,10 @@ _ALLOWED_SINGLE_PARTITION = {
     # collapse, operators/surrogate.py); bigger inputs fan out.
     "window_dense_ids",
     "dim_upsert_new_keys",
+    # the one-row broadcast aggregates feeding the crosses above
+    # (count(nodes) / min-max bounds) — 1 row by construction
+    "events_gapfill",
+    "graph_pagerank",
 }
 
 
