@@ -847,25 +847,29 @@ def corpus_domain_mix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def corpus_decontaminate_bloom_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """`corpus_decontaminate` with a bloom prefilter — the shape that
-    survives 100 TB. The exact path explodes EVERY corpus document's
-    shingles into the semi-join against the benchmark set; at 100 TB
-    that explode is |corpus shingles| rows entering a join even though
-    almost every document is clean. Here the benchmark shingle set
-    (small by nature — eval suites, not the corpus) is folded into a
-    16 KiB bloom bitmask (operators/bloom.py) and each document is
-    tested MAP-SIDE with a short-circuiting `exists` over its row-local
-    shingle array: clean documents never explode, never shuffle, never
-    join. Only bloom-suspect documents (true hits + the ~1e-3 false
-    positive tail) pay the exact explode + broadcast semi-join, which
-    also removes the false positives — output is identical to
-    `corpus_decontaminate`, and the oracle is the same exact SQL.
+    """`corpus_decontaminate` with a bloom prefilter: the benchmark
+    shingle set is folded into a 16 KiB bitmask (operators/bloom.py,
+    one-md5 double hashing) and each document is tested MAP-SIDE with a
+    short-circuiting `exists` over its row-local shingle array; only
+    bloom-suspect documents pay the exact explode + broadcast semi-join,
+    which also removes false positives — output identical to
+    `corpus_decontaminate`, same oracle SQL.
 
-    Scale note: the bitmask is a plan literal (8K ints at 2^17 bits),
-    fine up to ~1M benchmark shingles at 1% FP; past that the probe
-    should move to an Arrow-batched pandas UDF over a broadcast
-    bytearray — same algebra, different transport. Reference analogue:
-    the pre-write id-index membership probe
+    HONEST MEASUREMENT (scripts/scale_experiment.py, README): at
+    fixture scale this is ~9× SLOWER than the exact path (6.0s vs 0.6s
+    at 50k docs) and the ratio does not improve with corpus growth.
+    Why: the exact path is ALREADY shuffle-free — a broadcast semi-join
+    probes a hash table map-side inside whole-stage codegen — while the
+    bloom probe evaluates md5 inside a higher-order `exists` lambda,
+    which Spark executes INTERPRETED per array element. There is no
+    exchange for the bloom to save. The bloom variant earns its keep on
+    one axis only: broadcast MEMORY. A hash table over ~1e8 benchmark
+    13-grams is multi-GB (unbroadcastable); the equivalent-FP bitmask
+    is ~100 MB, and the probe should then move to an Arrow-batched
+    pandas UDF over a broadcast bytearray (vectorized, not per-element
+    interpreted). Kept registered as the membership-probe pattern with
+    its cost documented, not as the default. Reference analogue: the
+    pre-write id-index membership probe
     (/root/reference/app/db/id_index.py, get())."""
     from ..operators.bloom import bloom_might_contain, build_bloom_words
     from ..operators.dedup import shingle_arrays, shingle_frame
