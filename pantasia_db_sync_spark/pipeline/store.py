@@ -170,9 +170,13 @@ class TableStore:
         table: str,
         df: DataFrame,
         commit_id: int,
-        cluster_by: str | None = None,
+        cluster_by: str | list[str] | None = None,
         cluster_partitions: int | None = None,
     ) -> None:
+        """``cluster_by``: a column name → sort-on-write range layout;
+        a LIST of columns → Z-ORDER layout (operators/zorder.py):
+        Morton-interleaved range partitioning, so range predicates on
+        ANY listed column prune files via ordinary footer stats."""
         path = self.append_dir(table, commit_id)
         if cluster_by is not None:
             # Sort-on-write clustering: files within the commit become
@@ -193,14 +197,20 @@ class TableStore:
             # executions — sync's rows-written observation doubled,
             # which corrupted its carried-forward dense-id seeds (ids
             # went gappy). The checkpoint pins one execution (metrics
-            # fire once); the sampler then reads frozen blocks. Same
-            # rationale as the records freeze in pipeline/sync.py.
+            # fire once); the sampler — and the z-order min/max probe —
+            # then read frozen blocks. Same rationale as the records
+            # freeze in pipeline/sync.py.
             df = df.localCheckpoint(eager=True)
-            if cluster_partitions is not None:
-                df = df.repartitionByRange(cluster_partitions, cluster_by)
+            if isinstance(cluster_by, (list, tuple)):
+                from ..operators.zorder import zorder_frame
+
+                df = zorder_frame(df, list(cluster_by), cluster_partitions)
             else:
-                df = df.repartitionByRange(cluster_by)
-            df = df.sortWithinPartitions(cluster_by)
+                if cluster_partitions is not None:
+                    df = df.repartitionByRange(cluster_partitions, cluster_by)
+                else:
+                    df = df.repartitionByRange(cluster_by)
+                df = df.sortWithinPartitions(cluster_by)
         df.write.mode("overwrite").parquet(path)
         # Manifest lands INSIDE the commit dir before the pointer flip,
         # so it shares the commit's crash semantics: a commit either
@@ -518,7 +528,7 @@ class TableStore:
         table: str,
         target_bytes_per_file: int = 128 * 1024 * 1024,
         min_dirs_per_segment: int = 2,
-        cluster_by: str | None = None,
+        cluster_by: str | list[str] | None = None,
     ) -> dict:
         """Merge committed append dirs into one dir per snapshot segment.
 
@@ -571,7 +581,11 @@ class TableStore:
             if os.path.isdir(tmp):
                 shutil.rmtree(tmp)
             merged = spark.read.parquet(*dirs)
-            if cluster_by is not None:
+            if isinstance(cluster_by, (list, tuple)):
+                from ..operators.zorder import zorder_frame
+
+                merged = zorder_frame(merged, list(cluster_by), nfiles)
+            elif cluster_by is not None:
                 merged = merged.repartitionByRange(
                     nfiles, cluster_by
                 ).sortWithinPartitions(cluster_by)

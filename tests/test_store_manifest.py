@@ -362,3 +362,38 @@ def test_sync_with_clustered_facts_matches_plain(spark, source_dir, tmp_path):
             ranges = _file_ranges(d, "tx_time")
             if len(ranges) >= 2:
                 _assert_disjoint(ranges)
+
+
+def test_zorder_append_bounds_both_columns(spark, tmp_path):
+    """Z-order layout: append(cluster_by=[a, b]) with two UNCORRELATED
+    columns leaves every file covering a small rectangle of the (a, b)
+    space — per-file footer spans are narrow on BOTH columns, and a
+    range predicate on either column alone overlaps only a minority of
+    files. Single-column clustering can only do this for one column."""
+    store = TableStore(str(tmp_path / "store"))
+    n = 40_000
+    df = spark.range(0, n).select(
+        F.col("id").alias("a"),
+        ((F.col("id") * 2654435761) % n).alias("b"),  # uncorrelated permutation
+        F.col("id").alias("v"),
+    )
+    store.append("facts", df, commit_id=1, cluster_by=["a", "b"],
+                 cluster_partitions=16)
+    store.commit_append("facts", 1)
+
+    d = store.append_dir("facts", 1)
+    ra, rb = _file_ranges(d, "a"), _file_ranges(d, "b")
+    assert len(ra) >= 8, f"expected many z-files, got {len(ra)}"
+    # per-file span on EACH column is a fraction of the global span
+    for ranges in (ra, rb):
+        avg_span = sum(hi - lo for lo, hi in ranges) / len(ranges)
+        assert avg_span < 0.6 * n, f"files not bounded: avg span {avg_span}"
+    # a range filter on either column alone prunes files
+    for ranges in (ra, rb):
+        q_lo, q_hi = 0, n // 8  # 12.5% of the key space
+        overlapping = sum(1 for lo, hi in ranges if hi >= q_lo and lo <= q_hi)
+        assert overlapping <= len(ranges) * 0.7, (overlapping, len(ranges))
+
+    got = store.read_facts(spark, "facts")
+    assert got.count() == n
+    assert got.agg(F.sum("v")).collect()[0][0] == sum(range(n))
