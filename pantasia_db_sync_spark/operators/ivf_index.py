@@ -112,3 +112,33 @@ def ivf_index_topk(
     return ivf_topk_nprobe(
         pruned, queries, cents, id_col, vec_col, nprobe=nprobe, k=k
     )
+
+
+def append_ivf_index(
+    vectors: DataFrame,
+    index_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Append new vectors to an EXISTING index: assign them to the
+    frozen centroids (one map-only pass — `kmeans_cell_expr` with the
+    persisted centroids as literals) and append into the
+    cell-partitioned assignments. No refit, no rewrite of existing
+    cells: the incremental path a streaming ingest needs, O(new
+    vectors) like the store's fact appends.
+
+    The standard IVF trade rides along: appended data shifts the true
+    cell populations away from the frozen centroids, so recall decays
+    as appended volume grows relative to the fitted base — the operator
+    intentionally does NOT refit (identical probe results to assigning
+    at build time, see test_ivf_append_equals_frozen_centroid_inline);
+    rebuild via ``build_ivf_index`` when the appended fraction warrants
+    it, exactly like compaction for the fact store."""
+    with open(os.path.join(index_dir, _CENTROIDS)) as f:
+        cents = [
+            (int(cid), [float(x) for x in coords]) for cid, coords in json.load(f)
+        ]
+    assigned = kmeans_assign(vectors, cents, id_col, vec_col)
+    assigned.write.mode("append").partitionBy("cell").parquet(
+        os.path.join(index_dir, _ASSIGNMENTS)
+    )

@@ -482,7 +482,7 @@ def ann_ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(e, e.where(F.col("vec_id") < 10), k=5)
 
 
-def _kmeans_ivf_sql(k: int, iters: int, dim: int = 64, nprobe: int = 1) -> str:
+def _kmeans_ivf_sql(k: int, iters: int, dim: int = 64, nprobe: int = 1, fit_pred: str = "TRUE") -> str:
     """DuckDB replica of kmeans_fit + kmeans_assign + IVF top-5: the
     identical deterministic Lloyd's procedure (smallest-id seeds,
     rounded cosines, per-coordinate rounded AVG updates, lowest-cell
@@ -490,7 +490,10 @@ def _kmeans_ivf_sql(k: int, iters: int, dim: int = 64, nprobe: int = 1) -> str:
     IVF path stays cross-engine hash-exact like every other query.
     ``nprobe > 1`` replicates multi-cell probing: queries search their
     nprobe nearest cells (same rounded-cosine rank as assignment);
-    candidates keep their single rn=1 cell."""
+    candidates keep their single rn=1 cell. ``fit_pred`` restricts the
+    FIT (seeds + Lloyd iterations) to a vector subset while the final
+    assignment/probe ranks the full corpus — the replica of the
+    append-to-index path (new vectors assigned to frozen centroids)."""
 
     def cos(av, anrm, bv, bnrm):
         dot = f"list_sum(list_transform(range(1, {dim + 1}), i -> {av}[i] * {bv}[i]))"
@@ -500,21 +503,22 @@ def _kmeans_ivf_sql(k: int, iters: int, dim: int = 64, nprobe: int = 1) -> str:
     parts = [
         "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),",
         "n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),",
+        f"nf AS (SELECT * FROM n WHERE {fit_pred}),",
         # the k SMALLEST ids (not `vec_id < k`): matches kmeans_fit's
         # orderBy(id).limit(k) seeding on any id space, not just a
         # 0-based dense one
-        f"c0 AS (SELECT vec_id AS cell, v AS c, nrm AS cnrm FROM n ORDER BY vec_id LIMIT {k}),",
+        f"c0 AS (SELECT vec_id AS cell, v AS c, nrm AS cnrm FROM nf ORDER BY vec_id LIMIT {k}),",
     ]
     for it in range(iters):
         prev, cur = f"c{it}", f"c{it + 1}"
         parts.append(
             f"""a{it} AS (
       SELECT vec_id, v, cell FROM (
-        SELECT n.vec_id, n.v, {prev}.cell,
-               row_number() OVER (PARTITION BY n.vec_id
-                 ORDER BY {cos('n.v', 'n.nrm', f'{prev}.c', f'{prev}.cnrm')} DESC,
+        SELECT nf.vec_id, nf.v, {prev}.cell,
+               row_number() OVER (PARTITION BY nf.vec_id
+                 ORDER BY {cos('nf.v', 'nf.nrm', f'{prev}.c', f'{prev}.cnrm')} DESC,
                           {prev}.cell ASC) AS rn
-        FROM n, {prev}) WHERE rn = 1),"""
+        FROM nf, {prev}) WHERE rn = 1),"""
         )
         parts.append(
             f"""{cur} AS (
@@ -1307,3 +1311,39 @@ def multimodal_decode_gif_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
     return decode_gif_features(synthetic_gif_frame(d), "doc_id", "content")
+
+
+@register(
+    "ann_ivf_index_append_topk",
+    oracle=_kmeans_ivf_sql(k=8, iters=3, nprobe=2, fit_pred="vec_id < 300"),
+)
+def ann_ivf_index_append_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental index maintenance: build the IVF index on the first
+    300 vectors, APPEND the rest to the frozen centroids
+    (operators/ivf_index.py::append_ivf_index — one map-only assignment
+    pass + a partitioned parquet append, O(new vectors)), then serve
+    top-5. The oracle fits Lloyd's on the same 300-vector subset and
+    assigns the full corpus — exactly the frozen-centroid semantics, so
+    the appended index is cross-engine hash-exact. Recall-vs-rebuild
+    trade documented on the operator."""
+    import shutil
+    import tempfile
+
+    from ..operators.ivf_index import (
+        append_ivf_index,
+        build_ivf_index,
+        ivf_index_topk,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    d = tempfile.mkdtemp(prefix="ivf_append_")
+    try:
+        build_ivf_index(e.where(F.col("vec_id") < 300), d, k=8, iters=3)
+        append_ivf_index(e.where(F.col("vec_id") >= 300), d)
+        out = ivf_index_topk(
+            spark, e.where(F.col("vec_id") < 10), d, nprobe=2, k=5
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
