@@ -63,7 +63,7 @@ class SyncEngine:
         genesis: datetime = GENESIS,
         retention_keep_last: int | None = None,
         compact_every: int | None = None,
-        cluster_facts_by: str | None = None,
+        cluster_facts_by: str | list[str] | None = None,
     ) -> None:
         self.spark = spark
         self.source_dir = source_dir
@@ -81,7 +81,8 @@ class SyncEngine:
         self.compact_every = compact_every
         # opt-in sort-on-write layout for fact appends AND compaction
         # merges (store.append/compact_facts cluster_by): files become
-        # disjoint ranges of this column, so tx_time range readers
+        # disjoint ranges of this column — or, with a LIST of columns,
+        # Z-ordered rectangles (operators/zorder.py) — so range readers
         # prune at file/row-group level on top of the commit manifests.
         # Off by default — it adds a range shuffle of each period's new
         # rows to the sync hot path; turn it on when read patterns are
