@@ -206,7 +206,27 @@ def test_multi_period_sync_leaks_no_cached_frames(
     import time
 
     jvm = spark.sparkContext._jvm
-    baseline = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+
+    def settled_count(max_wait: float) -> int:
+        """GC until the persistent-RDD count stops shrinking (the async
+        ContextCleaner lags python-side collection by several cycles)."""
+        deadline = time.time() + max_wait
+        prev = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+        while time.time() < deadline:
+            gc.collect()
+            jvm.System.gc()
+            time.sleep(2)
+            cur = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+            if cur >= prev:
+                return cur
+            prev = cur
+        return prev
+
+    # In a full-suite session, EARLIER tests' reclaimable frames (e.g.
+    # the 121-query parity sweep's dense-id checkpoints) may still be
+    # awaiting async cleanup — drain them first so the baseline counts
+    # only frames that are genuinely pinned.
+    baseline = settled_count(60)
 
     store = TableStore(str(tmp_path_factory.mktemp("sink_leak")))
     engine = SyncEngine(spark, source_dir, store, time_interval_minutes=30)
@@ -215,6 +235,11 @@ def test_multi_period_sync_leaks_no_cached_frames(
 
     cache_mgr = spark._jsparkSession.sharedState().cacheManager()
     assert cache_mgr.isEmpty(), "SQL CacheManager entries leaked by sync"
+
+    # The checkpoints are only RECLAIMABLE once no Python wrapper can
+    # reach them — drop ours before measuring (the property under test
+    # is "unreferenced frames get cleaned", not "references are free").
+    del engine, stats
 
     # localCheckpoint blocks are ContextCleaner-managed: once the
     # per-period frames are unreferenced, a GC cycle must reclaim them
@@ -226,15 +251,16 @@ def test_multi_period_sync_leaks_no_cached_frames(
         gc.collect()
         jvm.System.gc()
         n = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
-        # A true leak pins ~6 checkpoints/period = 18+; reclamation
-        # means we settle near one period's worth (the most recent
-        # frames can outlive a few GC cycles before the async cleaner
-        # runs — generous threshold/window so full-suite GC pressure
-        # doesn't flake the test, while still discriminating a leak).
-        if n <= baseline + 12:
+        # A true leak pins ~6 checkpoints/period = 18+ and GROWS with
+        # period count; reclamation means settling near one period's
+        # worth (measured floor: ~7 — the most recent frames outlive a
+        # few GC cycles before the async cleaner runs). 15 discriminates
+        # the leak (≥18) from the floor under full-suite GC pressure
+        # (a run settled at 13 once with zero leaked frames).
+        if n <= baseline + 15:
             break
         time.sleep(2)
-    assert n is not None and n <= baseline + 12, (
+    assert n is not None and n <= baseline + 15, (
         f"{n} persistent RDDs pinned after GC (baseline {baseline}; "
         f"a per-period leak would pin ≥18)"
     )
