@@ -765,3 +765,86 @@ def events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select(
         "user_id", "ts", "value", fround(num / den, 4).alias("ewma")
     )
+
+
+@register(
+    "events_value_histogram",
+    oracle="""
+    WITH b AS (
+      SELECT event_type,
+             least(CAST(floor(value / 50.0) AS INTEGER), 9) AS bucket
+      FROM events
+    )
+    SELECT event_type, bucket,
+           CAST(bucket * 50.0 AS DOUBLE) AS bucket_lo,
+           CAST(count(*) AS BIGINT) AS n
+    FROM b GROUP BY 1, 2
+    """,
+)
+def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-width histogram (10 × 50-unit buckets, top bucket open):
+    one combinable groupBy over a pure bucket expression — the
+    profile-every-column primitive. At 100 TB this is the shape to
+    prefer over exact percentiles for dashboards: constant-width state,
+    map-side combine, mergeable across partitions/days by addition."""
+    e = load_table(spark, sf_dir, "events")
+    bucket = F.least(F.floor(F.col("value") / 50.0).cast("int"), F.lit(9))
+    return (
+        e.select("event_type", bucket.alias("bucket"))
+        .groupBy("event_type", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "event_type",
+            "bucket",
+            (F.col("bucket") * 50.0).alias("bucket_lo"),
+            "n",
+        )
+    )
+
+
+@register(
+    "agg_hll_merge",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             count(DISTINCT user_id) AS exact_daily
+      FROM events GROUP BY 1
+    ),
+    weekly_exact AS (
+      SELECT CAST(date_trunc('week', CAST(e.ts AS DATE)) AS DATE) AS week,
+             count(DISTINCT e.user_id) AS exact_users
+      FROM events e GROUP BY 1
+    )
+    SELECT week, CAST(exact_users AS BIGINT) AS exact_users,
+           TRUE AS est_within_5pct
+    FROM weekly_exact
+    """,
+)
+def agg_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch MERGEABILITY, the property that makes approximate
+    distinct-counting work at 100 TB: one Datasketches HLL per day
+    (`hll_sketch_agg`), then weeks roll up by UNIONING the daily
+    sketches (`hll_union_agg`) — never re-touching the events. This is
+    how a store's per-commit manifests would carry distinct-user
+    sketches: tiny, additive, exact-enough. The oracle checks the
+    merged estimate lands within 5% of the exact weekly distinct (the
+    agg_approx_distinct tolerance-predicate pattern: the boolean is
+    hash-compared, the estimate itself is engine-specific)."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(F.expr("hll_sketch_agg(user_id)").alias("sk"))
+    weekly = daily.groupBy(
+        F.date_trunc("week", F.col("day")).cast("date").alias("week")
+    ).agg(F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("est"))
+    exact = e.groupBy(
+        F.date_trunc("week", F.col("ts").cast("date")).cast("date").alias("week")
+    ).agg(F.countDistinct("user_id").alias("exact_users"))
+    return exact.join(weekly, "week").select(
+        "week",
+        F.col("exact_users").cast("bigint").alias("exact_users"),
+        (
+            F.abs(F.col("est") - F.col("exact_users"))
+            <= 0.05 * F.col("exact_users")
+        ).alias("est_within_5pct"),
+    )
