@@ -986,3 +986,192 @@ def corpus_diversity_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         rnk.cast("int").alias("rnk"),
         (rnk <= _DIVERSITY_KEEP).alias("kept"),
     )
+
+
+def _prepare_sql() -> str:
+    """Oracle for corpus_prepare: the full cleaning chain composed from
+    the same fragments the individual oracles use (minhash pairs via
+    llmdata._minhash_sql as a subquery; verdict rules and benchmark
+    decontamination re-stated verbatim)."""
+    from .llmdata import _minhash_sql, _stop_pred
+
+    stop_pred = _stop_pred("x", STOPWORDS)
+    return f"""
+    WITH exact_rk AS (
+      SELECT doc_id,
+             row_number() OVER (PARTITION BY text ORDER BY doc_id) AS xrn
+      FROM documents
+    ),
+    toks AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+    q AS (
+      SELECT doc_id,
+             len(t) AS n,
+             CAST(list_sum(list_transform(t, x -> len(x))) AS DOUBLE)
+               / len(t) AS avg_len,
+             len(list_filter(t, x -> {stop_pred})) AS stop_hits,
+             list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]) AS b
+      FROM toks
+    ),
+    bad_quality AS (
+      SELECT doc_id FROM q
+      WHERE n < 8 OR avg_len < 1.9871 OR avg_len > 13.9871 OR stop_hits = 0
+         OR (len(b) > 0 AND
+             1.0 - len(list_distinct(b)) / CAST(len(b) AS DOUBLE) > 0.29871)
+    ),
+    sh3 AS (
+      SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+      FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)
+    ),
+    bench AS (SELECT DISTINCT s FROM sh3 WHERE doc_id % 50 = 0),
+    contaminated AS (
+      SELECT DISTINCT sh3.doc_id
+      FROM sh3 JOIN bench USING (s)
+      WHERE sh3.doc_id % 50 <> 0
+    ),
+    near AS (SELECT DISTINCT id_b AS doc_id FROM ({_minhash_sql()})),
+    flags AS (
+      SELECT d.doc_id,
+             (x.xrn > 1) AS f_exact,
+             (bq.doc_id IS NOT NULL) AS f_quality,
+             (c.doc_id IS NOT NULL) AS f_contaminated,
+             (nr.doc_id IS NOT NULL) AS f_near,
+             (d.doc_id % 50 = 0) AS f_bench
+      FROM documents d
+      JOIN exact_rk x ON x.doc_id = d.doc_id
+      LEFT JOIN bad_quality bq ON bq.doc_id = d.doc_id
+      LEFT JOIN contaminated c ON c.doc_id = d.doc_id
+      LEFT JOIN near nr ON nr.doc_id = d.doc_id
+    )
+    SELECT doc_id,
+           NOT (f_exact OR f_quality OR f_contaminated OR f_near OR f_bench)
+             AS kept,
+           COALESCE(array_to_string(list_sort(list_filter([
+             CASE WHEN f_exact THEN 'exact_dup' END,
+             CASE WHEN f_quality THEN 'quality' END,
+             CASE WHEN f_contaminated THEN 'contaminated' END,
+             CASE WHEN f_near THEN 'near_dup' END,
+             CASE WHEN f_bench THEN 'benchmark_doc' END
+           ], x -> x IS NOT NULL)), ','), '') AS reasons
+    FROM flags
+    """
+
+
+@register("corpus_prepare", oracle=_prepare_sql())
+def corpus_prepare_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE END-TO-END PREP PIPELINE in one plan: every document judged
+    by the full cleaning chain with machine-readable reason codes —
+    `exact_dup` (not the min-id copy of identical text), `quality`
+    (the quality_filter_verdict rule stack), `contaminated` (shares a
+    3-shingle with the benchmark set), `near_dup` (the larger id of a
+    verified MinHash-LSH pair — the pairwise drop rule, deterministic
+    and shared with the oracle; cluster-canonical removal is the
+    corpus_near_dedup variant), `benchmark_doc` (held-out set itself).
+    A production run writes `kept` rows to the training shard and the
+    reasons histogram to the QA report; this query returns the per-doc
+    audit trail both derive from.
+
+    Scale shape — one pass over documents feeding four shared-scan
+    branches: a text-hash window (exact), a pure map (quality), a
+    broadcast semi-join (contamination), and the banded LSH self-join
+    (near-dup, the only corpus-sized shuffle). Reasons assemble
+    row-locally; no driver state anywhere."""
+    from ..operators.dedup import minhash_lsh_pairs
+    from .llmdata import _in_words
+
+    d = load_table(spark, sf_dir, "documents")
+
+    xrn = F.row_number().over(Window.partitionBy("text").orderBy("doc_id"))
+    exact = d.select("doc_id", (xrn > 1).alias("f_exact"))
+
+    t = tokens_col("text")
+    dq = d.select("doc_id", t.alias("__t"))
+    n = F.size("__t")
+    avg_len = (
+        F.aggregate("__t", F.lit(0), lambda acc, x: acc + F.length(x)).cast("double")
+        / n
+    )
+    stop_hits = F.size(F.filter("__t", lambda x: _in_words(x, STOPWORDS)))
+    bigrams = F.zip_with(
+        F.slice("__t", 1, n - 1),
+        F.slice("__t", 2, n - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    nb = F.size(bigrams)
+    bad_quality = (
+        (n < 8)
+        | (avg_len < 1.9871)
+        | (avg_len > 13.9871)
+        | (stop_hits == 0)
+        | (
+            (nb > 0)
+            & (
+                F.lit(1.0) - F.size(F.array_distinct(bigrams)) / nb.cast("double")
+                > 0.29871
+            )
+        )
+    )
+    quality = dq.select("doc_id", bad_quality.alias("f_quality"))
+
+    from ..operators.dedup import shingle_arrays, shingle_frame
+
+    is_bench = F.col("doc_id") % 50 == 0
+    bench_sh = (
+        shingle_frame(d.where(is_bench), "doc_id", "text", 3)
+        .select("shingle")
+        .distinct()
+    )
+    contaminated = (
+        shingle_frame(d.where(~is_bench), "doc_id", "text", 3)
+        .join(F.broadcast(bench_sh), "shingle", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("f_contaminated", F.lit(True))
+    )
+
+    near = (
+        minhash_lsh_pairs(d, "doc_id", "text", n=3, num_hashes=16, bands=4,
+                          threshold=0.5)
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+        .withColumn("f_near", F.lit(True))
+    )
+
+    flags = (
+        d.select("doc_id", is_bench.alias("f_bench"))
+        .join(exact, "doc_id")
+        .join(quality, "doc_id")
+        .join(contaminated, "doc_id", "left")
+        .join(near, "doc_id", "left")
+        .select(
+            "doc_id",
+            "f_exact",
+            "f_quality",
+            F.coalesce("f_contaminated", F.lit(False)).alias("f_contaminated"),
+            F.coalesce("f_near", F.lit(False)).alias("f_near"),
+            "f_bench",
+        )
+    )
+    null_s = F.lit(None).cast("string")
+    reasons = F.array_join(
+        F.array_sort(
+            F.filter(
+                F.array(
+                    F.when(F.col("f_exact"), F.lit("exact_dup")).otherwise(null_s),
+                    F.when(F.col("f_quality"), F.lit("quality")).otherwise(null_s),
+                    F.when(F.col("f_contaminated"), F.lit("contaminated")).otherwise(null_s),
+                    F.when(F.col("f_near"), F.lit("near_dup")).otherwise(null_s),
+                    F.when(F.col("f_bench"), F.lit("benchmark_doc")).otherwise(null_s),
+                ),
+                lambda x: x.isNotNull(),
+            )
+        ),
+        ",",
+    )
+    kept = ~(
+        F.col("f_exact")
+        | F.col("f_quality")
+        | F.col("f_contaminated")
+        | F.col("f_near")
+        | F.col("f_bench")
+    )
+    return flags.select("doc_id", kept.alias("kept"), reasons.alias("reasons"))
