@@ -653,10 +653,11 @@ def decode_gif(content: bytes) -> dict:
         if len(gct) < 3 * n:
             raise ValueError("truncated global color table")
         pos += 3 * n
-    img = None
+    img, saw_trailer = None, False
     while pos < len(content):
         b0 = content[pos]
         if b0 == 0x3B:  # trailer
+            saw_trailer = True
             pos += 1
             break
         if b0 == 0x21:  # extension: label + sub-blocks
@@ -713,6 +714,10 @@ def decode_gif(content: bytes) -> dict:
         }
     if img is None:
         raise ValueError("no image block before trailer")
+    if not saw_trailer:
+        # symmetric with decode_png's missing-IEND rule: a stream cut
+        # off at its trailer byte is truncation, not success
+        raise ValueError("missing GIF trailer (0x3B)")
     if pos != len(content):
         raise ValueError(f"{len(content) - pos} trailing bytes after trailer")
     return img

@@ -250,13 +250,20 @@ def _dense_ids_by_sampled_bounds(
             proxy = F.unix_micros(F.col(first).cast("timestamp"))
 
             def to_num(v):
+                # Footer stats arrive as datetimes; the proxy compares
+                # against unix_micros under the UTC-pinned session, so
+                # naive stats must be interpreted as UTC — a bare
+                # .timestamp() would apply the HOST timezone and shift
+                # every bucket boundary by the UTC offset, silently
+                # corrupting the footer-proved literal bucket counts
+                # (duplicate/gapped ids) on any non-UTC machine.
                 import datetime
 
-                return (
-                    int(v.timestamp() * 1_000_000)
-                    if isinstance(v, datetime.datetime)
-                    else v
-                )
+                if isinstance(v, datetime.datetime):
+                    if v.tzinfo is None:
+                        v = v.replace(tzinfo=datetime.timezone.utc)
+                    return int(v.timestamp() * 1_000_000)
+                return v
         else:
             proxy = F.col(first)
 

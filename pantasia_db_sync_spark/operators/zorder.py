@@ -51,6 +51,9 @@ def _quantize(col: Column, lo, hi, bits: int) -> Column:
 def _to_numeric(col: Column, dtype: str) -> Column:
     if dtype.startswith("timestamp"):
         return F.unix_timestamp(col).cast("bigint")
+    if dtype == "date":
+        # DATE cannot cast to DOUBLE in Spark — go through epoch days
+        return F.unix_date(col).cast("bigint")
     return col.cast("double")
 
 

@@ -64,10 +64,14 @@ def footer_stats(path: str) -> dict:
 
     def norm(v):
         # parquet stores timestamps UTC-adjusted; Spark surfaces them as
-        # naive session-local datetimes — match that convention so
-        # manifest values compare equal to collect()ed ones
+        # naive SESSION-timezone datetimes, and this repo pins the
+        # session to UTC (session.py) — so normalize to naive UTC. The
+        # former bare astimezone() rendered host-LOCAL time: on any
+        # non-UTC host every manifest timestamp shifted by the UTC
+        # offset, making pantasia_tip overshoot (skipped periods — data
+        # loss) or undershoot (re-appended periods — duplicates).
         if isinstance(v, _dt.datetime) and v.tzinfo is not None:
-            return v.astimezone().replace(tzinfo=None)
+            return v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
         return v
 
     rows, nbytes, stats = 0, 0, {}

@@ -127,9 +127,26 @@ class SyncEngine:
         tips = [
             tip
             for t in FACT_TABLES
-            if (tip := self.store.facts_max(t, "tx_time")) is not None
+            if (tip := self._facts_max_or_scan(t, "tx_time")) is not None
         ]
         return max(tips) if tips else self.genesis
+
+    def _facts_max_or_scan(self, table: str, column: str):
+        """max(column) over committed facts: manifest fold when the
+        footers recorded stats for the column, DATA SCAN fallback when
+        committed rows exist but carry none (e.g. INT96 timestamps —
+        Spark's legacy parquet timestamp layout writes NO footer
+        statistics). Without the fallback, a stats-less history would
+        read as empty: pantasia_tip would restart from genesis and
+        re-append the whole fact history under new commit ids."""
+        m = self.store.facts_stats(table)
+        if m is None or m["rows"] == 0:
+            return None
+        s = m["stats"].get(column)
+        if s is not None:
+            return s["max"]
+        df = self.store.read_facts(self.spark, table)
+        return df.agg(F.max(column)).collect()[0][0]
 
     def period_list(self) -> list[tuple[datetime, datetime]]:
         lo = self.pantasia_tip()
@@ -265,12 +282,17 @@ class SyncEngine:
     def _seed(self, table: str) -> int:
         """Next surrogate id (A5, app/db/postgres.py:251-260) from
         commit/version manifests — no fact-history scan, no Spark job
-        (see pantasia_tip)."""
-        m = (
-            self.store.facts_max(table, "id")
-            if table in FACT_TABLES
-            else self.store.dim_max(table, "id")
-        )
+        (see pantasia_tip). Stats-less footers fall back to a data scan
+        (never to 1 — that would re-issue existing ids; see
+        _facts_max_or_scan)."""
+        if table in FACT_TABLES:
+            m = self._facts_max_or_scan(table, "id")
+        else:
+            m = self.store.dim_max(table, "id")
+            if m is None:
+                df = self.store.read(self.spark, table)
+                if df is not None:
+                    m = df.agg(F.max("id")).collect()[0][0]
         return (m or 0) + 1
 
     def process_period(self, lo: datetime, hi: datetime, commit_id: int) -> dict[str, int]:

@@ -656,7 +656,9 @@ def window_dense_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         id_col="id",
         start=1000,
         strategy="sample",
-        first_col_range=_parquet_column_range(sf_dir, "orders", "o_orderdate"),
+        # first_col_range intentionally omitted: with_dense_ids derives
+        # it from the same row-group stats, so passing both walked every
+        # footer twice for identical bounds
         rowgroup_stats=_parquet_rowgroup_stats(sf_dir, "orders", "o_orderdate"),
     )
     return out.select("o_orderkey", "id")
@@ -693,41 +695,6 @@ def _parquet_rowgroup_stats(sf_dir: str, table: str, col: str):
                     return None
                 out.append((g.num_rows, st.min, st.max, st.null_count))
         return out or None
-    except Exception:
-        return None
-
-
-def _parquet_column_range(sf_dir: str, table: str, col: str):
-    """(min, max) of a column from parquet row-group statistics, or
-    None when unavailable (missing stats, directory without parts)."""
-    import os
-
-    try:
-        import pyarrow.parquet as pq
-
-        path = os.path.join(sf_dir, f"{table}.parquet")
-        if os.path.isdir(path):
-            parts = sorted(
-                f
-                for f in os.listdir(path)
-                if f.endswith(".parquet") and not f.startswith(("_", "."))
-            )
-            paths = [os.path.join(path, p) for p in parts]
-        else:
-            paths = [path]
-        lo = hi = None
-        for p in paths:
-            md = pq.ParquetFile(p).metadata
-            idx = md.schema.to_arrow_schema().get_field_index(col)
-            for rg in range(md.num_row_groups):
-                st = md.row_group(rg).column(idx).statistics
-                if st is None or not st.has_min_max:
-                    return None
-                lo = st.min if lo is None else min(lo, st.min)
-                hi = st.max if hi is None else max(hi, st.max)
-        if lo is None or lo == hi:
-            return None
-        return (lo, hi)
     except Exception:
         return None
 

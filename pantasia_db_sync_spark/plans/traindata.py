@@ -752,7 +752,12 @@ def dedup_span_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     groupBy back on doc_id. Span strings could be md5'd before the
     shuffle to cap key width at 100 TB — semantics identical, kept
     plain here so the oracle shares the exact key."""
-    d = load_table(spark, sf_dir, "documents")
+    # NULL text guard: size(split(NULL)) is -1, which would turn the
+    # span sequence BACKWARDS (sequence(0, -1) = [0, -1]) and emit two
+    # phantom null-span rows per null doc; the oracle's range(1, NULL)
+    # emits none. Dropping null-text docs matches the oracle exactly
+    # (they produce zero span rows there too).
+    d = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     t = tokens_col("text")
     w = 8
     spans = F.transform(
