@@ -30,12 +30,24 @@ def write_bucketed(
     key: str,
     n_buckets: int = 8,
     sort: bool = True,
+    replace: bool = False,
 ) -> None:
-    """Write ``df`` as an external bucketed table at ``path``. Replaces
-    any previous catalog entry of the same name (metadata only — the
-    previous path's files are not touched)."""
+    """Write ``df`` as an external bucketed table at ``path``.
+
+    Refuses to clobber an existing catalog entry unless ``replace=True``:
+    the session catalog is shared state, and silently DROPping a
+    same-named table a user (or a concurrent invocation) created is data
+    loss from their point of view. Callers that own the name — e.g. a
+    registered query using a per-invocation unique name — opt in
+    explicitly."""
     spark = df.sparkSession
-    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    if spark.catalog.tableExists(table):
+        if not replace:
+            raise ValueError(
+                f"catalog table {table!r} already exists; pass replace=True "
+                "to overwrite, or use a unique (e.g. uuid-suffixed) name"
+            )
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
     w = df.write.bucketBy(n_buckets, key)
     if sort:
         w = w.sortBy(key)

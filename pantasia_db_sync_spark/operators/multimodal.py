@@ -678,6 +678,12 @@ def decode_gif(content: bytes) -> dict:
         if ipacked & 0x80:  # local color table wins
             n = 2 << (ipacked & 0x07)
             ct = content[pos : pos + 3 * n]
+            if len(ct) < 3 * n:
+                # mirror the GCT rule: a stream cut inside the LCT must
+                # not silently shrink the palette (a short ct would also
+                # drop any partial trailing triple before the
+                # palette-index bound check below)
+                raise ValueError("truncated local color table")
             pos += 3 * n
         if ct is None:
             raise ValueError("no color table")

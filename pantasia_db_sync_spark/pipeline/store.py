@@ -75,6 +75,7 @@ def footer_stats(path: str) -> dict:
         return v
 
     rows, nbytes, stats = 0, 0, {}
+    total_rg, covered_rg = 0, {}
     for fn in sorted(os.listdir(path)):
         fp = os.path.join(path, fn)
         if not fn.endswith(".parquet") or fn.startswith(("_", ".")):
@@ -84,6 +85,7 @@ def footer_stats(path: str) -> dict:
         rows += md.num_rows
         for rg in range(md.num_row_groups):
             g = md.row_group(rg)
+            total_rg += 1
             for ci in range(g.num_columns):
                 col = g.column(ci)
                 name = col.path_in_schema
@@ -93,12 +95,20 @@ def footer_stats(path: str) -> dict:
                 mn, mx = norm(st.min), norm(st.max)
                 if not (isinstance(mn, safe) and isinstance(mx, safe)):
                     continue
+                covered_rg[name] = covered_rg.get(name, 0) + 1
                 cur = stats.get(name)
                 if cur is None:
                     stats[name] = {"min": mn, "max": mx}
                 else:
                     cur["min"] = min(cur["min"], mn)
                     cur["max"] = max(cur["max"], mx)
+    # A folded stat is only trustworthy if EVERY row group recorded it:
+    # parquet writers may omit min/max per row group (e.g. legacy INT96
+    # timestamps), and a partially-covered fold would understate the max
+    # with no signal — the exact duplicate-append bug the scan fallback
+    # in sync._facts_max_or_scan exists to prevent. Dropping the column
+    # here makes that fallback actually fire on mixed histories.
+    stats = {c: s for c, s in stats.items() if covered_rg.get(c, 0) == total_rg}
     return {"rows": rows, "bytes": nbytes, "stats": stats}
 
 
@@ -280,16 +290,27 @@ class TableStore:
         if not dirs:
             return None
         rows, stats = 0, {}
+        covered, nonempty = {}, 0
         for d in dirs:
             m = self._read_manifest(d)
             rows += m["rows"]
+            if m["rows"] > 0:
+                nonempty += 1
             for c, s in m["stats"].items():
+                covered[c] = covered.get(c, 0) + 1
                 cur = stats.get(c)
                 if cur is None:
                     stats[c] = dict(s)
                 else:
                     cur["min"] = min(cur["min"], s["min"])
                     cur["max"] = max(cur["max"], s["max"])
+        # Mirror footer_stats' coverage rule across commits: a column
+        # missing from any NON-EMPTY commit's manifest (stats-less
+        # writer era, schema drift) must not surface a partial fold —
+        # drop it so callers fall back to the data scan. Empty commits
+        # carry no stats for any column and are exempt: they cannot
+        # move a min/max.
+        stats = {c: s for c, s in stats.items() if covered.get(c, 0) >= nonempty}
         return {"rows": rows, "stats": stats, "commits": len(dirs)}
 
     def facts_max(self, table: str, column: str):

@@ -51,3 +51,25 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path, no_broadcast):
         assert joined.count() == expect
     finally:
         spark.sql("DROP DATABASE IF EXISTS bucketdb CASCADE")
+
+
+def test_write_bucketed_refuses_to_clobber_existing_table(spark, tmp_path):
+    """The session catalog is shared state: silently DROPping a
+    same-named table (round-6 advisor) is data loss for whoever created
+    it. write_bucketed must raise unless the caller opts into replace."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from pantasia_db_sync_spark.operators.bucketed import write_bucketed
+
+    df = spark.range(10).select(F.col("id").alias("k"))
+    name = "t_bkt_clobber_guard"
+    try:
+        write_bucketed(df, name, str(tmp_path / "a"), "k", 2)
+        with pytest.raises(ValueError, match="already exists"):
+            write_bucketed(df, name, str(tmp_path / "b"), "k", 2)
+        # explicit opt-in still works
+        write_bucketed(df, name, str(tmp_path / "c"), "k", 2, replace=True)
+        assert spark.table(name).count() == 10
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")

@@ -1145,3 +1145,22 @@ def test_gif_decode_rejects_corruption():
     # truncate mid-LZW: index stream can't cover the raster
     with _pytest.raises(ValueError):
         decode_gif(good[: len(good) - 4] + b"\x00\x3b")
+
+
+def test_gif_decode_rejects_truncated_local_color_table():
+    """A stream cut inside the LOCAL color table must raise like the
+    global-table case (round-6 advisor): a short LCT would silently
+    shrink the palette before the index bound check."""
+    import struct
+
+    import pytest as _pytest
+
+    from pantasia_db_sync_spark.operators.multimodal import decode_gif
+
+    # header + LSD with NO global color table
+    head = b"GIF89a" + struct.pack("<HHBBB", 1, 1, 0x00, 0, 0)
+    # image descriptor declaring a 2-entry (6-byte) local color table,
+    # then only 4 bytes of it before the stream ends
+    img = b"\x2c" + struct.pack("<HHHHB", 0, 0, 1, 1, 0x80)
+    with _pytest.raises(ValueError, match="local color table"):
+        decode_gif(head + img + b"\x01\x02\x03\x04")

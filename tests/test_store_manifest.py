@@ -397,3 +397,76 @@ def test_zorder_append_bounds_both_columns(spark, tmp_path):
     got = store.read_facts(spark, "facts")
     assert got.count() == n
     assert got.agg(F.sum("v")).collect()[0][0] == sum(range(n))
+
+
+def test_footer_stats_partial_statistics_drops_column(tmp_path):
+    """A column lacking min/max in ANY row group must not surface a
+    partial folded stat (round-6 advisor): a mixed history — some files
+    written stats-less — would otherwise understate the max silently,
+    making pantasia_tip/_seed undershoot and re-append duplicates. The
+    coverage rule drops the column so callers hit the scan fallback."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path / "mixed")
+    os.makedirs(d)
+    t1 = pa.table({"id": pa.array([1, 2, 3], pa.int64()),
+                   "v": pa.array([10, 20, 30], pa.int64())})
+    t2 = pa.table({"id": pa.array([4, 5, 6], pa.int64()),
+                   "v": pa.array([40, 50, 60], pa.int64())})
+    pq.write_table(t1, os.path.join(d, "a.parquet"))
+    pq.write_table(t2, os.path.join(d, "b.parquet"), write_statistics=False)
+
+    m = footer_stats(d)
+    assert m["rows"] == 6
+    # both columns lack stats in b.parquet's row group → both dropped
+    assert "id" not in m["stats"] and "v" not in m["stats"]
+
+    # per-column coverage: stats only for `id` in the second file →
+    # id survives (complete), v is dropped (partial)
+    d2 = str(tmp_path / "percol")
+    os.makedirs(d2)
+    pq.write_table(t1, os.path.join(d2, "a.parquet"))
+    pq.write_table(t2, os.path.join(d2, "b.parquet"), write_statistics=["id"])
+    m2 = footer_stats(d2)
+    assert m2["stats"]["id"] == {"min": 1, "max": 6}
+    assert "v" not in m2["stats"]
+
+
+def test_facts_stats_partial_commit_coverage_forces_scan(spark, synced):
+    """facts_stats drops a column missing from any non-empty commit's
+    manifest, and _facts_max_or_scan then falls back to the data scan —
+    returning the TRUE max, not an understated fold over the commits
+    that happened to carry stats."""
+    store, engine = synced
+    table = "asset_tx"
+    ptr = store.current_version(table)
+    assert ptr and ptr >= 2
+
+    true_max = (
+        store.read_facts(spark, table).agg(F.max("tx_time")).collect()[0][0]
+    )
+
+    # doctor one non-empty commit's manifest: drop tx_time, simulating a
+    # commit written by a stats-less writer era (e.g. INT96 timestamps)
+    doctored = None
+    for cid in range(1, ptr + 1):
+        p = os.path.join(store.append_dir(table, cid), MANIFEST)
+        with open(p) as f:
+            m = json.load(f)
+        if m["rows"] > 0 and "tx_time" in m["stats"]:
+            del m["stats"]["tx_time"]
+            with open(p, "w") as f:
+                json.dump(m, f)
+            doctored = cid
+            break
+    assert doctored is not None
+
+    folded = store.facts_stats(table)
+    assert "tx_time" not in folded["stats"], (
+        "partial coverage must drop the column from the fold"
+    )
+    assert "id" in folded["stats"]  # untouched column still folds
+
+    got = engine._facts_max_or_scan(table, "tx_time")
+    assert got == true_max
