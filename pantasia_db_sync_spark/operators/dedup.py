@@ -123,14 +123,15 @@ def exact_dedup(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def _pair_jaccard(
+def _pair_overlap(
     docs: DataFrame,
     id_col: str,
     text_col: str,
     n: int = 3,
     max_df: int | None = None,
 ) -> DataFrame:
-    """(id_a, id_b, jaccard) for every pair sharing ≥1 shingle.
+    """(id_a, id_b, __i, __na, __nb) for every pair sharing ≥1 shingle —
+    the shared overlap core for Jaccard AND containment scoring.
 
     The per-doc set size RIDES THROUGH the explode as a sibling column
     of the generator — every row of the inverted index carries its
@@ -209,11 +210,60 @@ def _pair_jaccard(
             F.min("__nb").alias("__nb"),
         )
     )
-    return inter.select(
+    return inter
+
+
+def _pair_jaccard(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    max_df: int | None = None,
+) -> DataFrame:
+    """(id_a, id_b, jaccard) for every pair sharing ≥1 shingle."""
+    return _pair_overlap(docs, id_col, text_col, n, max_df=max_df).select(
         "id_a",
         "id_b",
         (F.col("__i") / (F.col("__na") + F.col("__nb") - F.col("__i"))).alias("jaccard"),
     )
+
+
+def containment_pairs(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.9,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Near-SUPERSET pairs by shingle containment ≥ threshold.
+
+    Containment C(A,B) = |A∩B| / min(|A|,|B|) — the asymmetric twin of
+    Jaccard. It catches the pairs Jaccard structurally cannot: a short
+    document quoted or embedded verbatim inside a much longer one has
+    Jaccard ≈ |A|/|B| (tiny) but containment ≈ 1. Training-data
+    pipelines need this for boilerplate inclusion, quote-expansion dups
+    and benchmark questions pasted into larger pages.
+
+    Same scale shape as ``_pair_overlap`` (inverted shingle index +
+    equi-self-join — candidates only for pairs sharing ≥1 shingle,
+    never all-pairs); the score is one row-local expression over the
+    pair aggregate. ``max_df`` caps hot shingles exactly as in the
+    Jaccard path; with a cap the score underestimates, so capped
+    output ⊆ uncapped (same property as the Jaccard twin).
+
+    CONTRACT: ``id_col`` unique per row — see ``shingle_arrays``."""
+    inter = _pair_overlap(docs, id_col, text_col, n, max_df=max_df)
+    contain = F.col("__i") / F.least("__na", "__nb")
+    return inter.select(
+        "id_a",
+        "id_b",
+        contain.alias("containment"),
+        # which side is (nearly) contained: the smaller shingle set
+        F.when(F.col("__na") <= F.col("__nb"), F.col("id_a"))
+        .otherwise(F.col("id_b"))
+        .alias("contained_id"),
+    ).where(F.col("containment") >= threshold)
 
 
 def ngram_jaccard_pairs(
@@ -234,6 +284,71 @@ def ngram_jaccard_pairs(
     the set sizes (Jaccard > 1)."""
     return _pair_jaccard(docs, id_col, text_col, n, max_df=max_df).where(
         F.col("jaccard") >= threshold
+    )
+
+
+def levenshtein_pairs_fastss(
+    df: DataFrame,
+    id_col: str,
+    s_col: str,
+    max_dist: int = 1,
+) -> DataFrame:
+    """All pairs with edit distance ≤ ``max_dist`` (currently 1) via
+    FastSS deletion neighborhoods — EXACT, never all-pairs.
+
+    The FastSS observation (Bocek et al. 2007): if ed(a,b) ≤ 1 then
+    some single-deletion variant (or the string itself) of a equals one
+    of b — insertion: delete the inserted char from the longer side;
+    substitution: delete the differing position from both; equality:
+    the identity variant. So the candidate set is an EQUI-self-join on
+    the deletion-variant key: O(n·L) index rows (L = string length)
+    instead of the O(n²) cross join + per-pair DP an all-pairs
+    formulation pays. Candidates are then verified with the exact
+    ``levenshtein`` built-in, so false candidates (two deletions that
+    happen to collide) are filtered and the result EQUALS brute force —
+    the registered oracle is the brute-force cross join, so driver
+    parity re-proves completeness of the blocking every round.
+
+    Scale: the variant index shuffles once on the variant string; a
+    variant shared by d strings yields O(d²) candidate rows, and d is
+    bounded by the alphabet (deleting the differing position of an
+    ed-1 family maps them all to one variant — |Σ| strings at most),
+    so no hot-key cliff. Only ``max_dist == 1`` is implemented; k ≥ 2
+    needs multi-deletion neighborhoods (O(L^k) variants per string)."""
+    if max_dist != 1:
+        raise NotImplementedError(
+            "FastSS blocking implemented for max_dist=1 only "
+            f"(got {max_dist}); deeper radii need O(L^k) variants"
+        )
+    base = df.select(F.col(id_col).alias("__id"), F.col(s_col).alias("__s"))
+    length = F.length("__s")
+    # variant i = s with char i deleted (1-based); plus s itself
+    deletions = F.transform(
+        F.sequence(F.lit(1), length),
+        lambda i: F.concat(
+            F.col("__s").substr(F.lit(1), i - 1),
+            F.col("__s").substr(i + 1, length - i),
+        ),
+    )
+    variants = F.array_union(F.array(F.col("__s")), deletions)
+    idx = base.select(
+        "__id", F.col("__s"), F.explode(variants).alias("__v")
+    )
+    a = idx.select(
+        F.col("__id").alias("id_a"), F.col("__s").alias("__sa"), "__v"
+    )
+    b = idx.select(
+        F.col("__id").alias("id_b"), F.col("__s").alias("__sb"), "__v"
+    )
+    return (
+        a.join(b.hint("shuffle_hash"), "__v")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "__sa", "__sb")
+        .distinct()
+        .where(F.levenshtein("__sa", "__sb") <= max_dist)
+        .select(
+            "id_a", "id_b", F.levenshtein("__sa", "__sb").alias("dist")
+        )
     )
 
 

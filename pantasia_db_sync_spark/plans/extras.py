@@ -848,3 +848,103 @@ def agg_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= 0.05 * F.col("exact_users")
         ).alias("est_within_5pct"),
     )
+
+
+@register(
+    "dedup_levenshtein_names",
+    # brute-force all-pairs ground truth: driver parity re-proves the
+    # FastSS blocking COMPLETE (indexed result == cross join) each round
+    oracle="""
+    SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+           CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS dist
+    FROM customer a JOIN customer b
+      ON a.c_custkey < b.c_custkey
+     AND levenshtein(a.c_name, b.c_name) <= 1
+    """,
+)
+def dedup_levenshtein_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution fuzzy match: all customer-name pairs within
+    edit distance 1, via FastSS deletion-neighborhood blocking
+    (operators/dedup.py levenshtein_pairs_fastss) — an O(n·L) variant
+    index + equi-self-join + exact-verify, instead of the O(n²)
+    cross join × DP the oracle runs. The oracle IS brute force, so the
+    hash-parity check re-proves the blocking's completeness on every
+    driver round (FastSS: ed ≤ 1 ⟹ a deletion variant collides).
+    Reference analogue: none (north-star entity-resolution surface;
+    the reference dedups on exact natural keys only,
+    /root/reference/app/main.py upsert loops)."""
+    from ..operators.dedup import levenshtein_pairs_fastss
+
+    c = load_table(spark, sf_dir, "customer")
+    return levenshtein_pairs_fastss(c, "c_custkey", "c_name", max_dist=1).select(
+        "id_a", "id_b", F.col("dist").cast("int").alias("dist")
+    )
+
+
+_TRI_MOD = 10  # sample 1-in-10 orders: bounds co-purchase clique fan-out
+
+
+@register(
+    "graph_triangle_count",
+    oracle=f"""
+    WITH e AS (
+      SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
+      FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+      WHERE a.l_orderkey % {_TRI_MOD} = 0 AND a.l_suppkey < b.l_suppkey
+    ),
+    tri AS (
+      SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      FROM e e1
+      JOIN e e2 ON e2.u = e1.v
+      JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+    ),
+    corners AS (
+      SELECT a AS node FROM tri
+      UNION ALL SELECT b FROM tri
+      UNION ALL SELECT c FROM tri
+    )
+    SELECT node AS suppkey, CAST(count(*) AS BIGINT) AS n_triangles
+    FROM corners GROUP BY 1
+    """,
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts over the supplier co-purchase graph
+    (suppliers adjacent iff they ship lines of the same sampled order).
+    Triangle counting is the workhorse of cluster-quality audits for
+    dedup graphs (a near-dup cluster with no triangles is a chain of
+    borderline pairs, not a clique) and of community detection.
+
+    Algorithm: compact-forward / oriented wedge join. Edges are
+    ORIENTED low-id → high-id, so each triangle {{a<b<c}} is generated
+    exactly once as wedge (a→b, b→c) closed by edge (a→c) — no 6×
+    duplication and no post-hoc dedup. Shape: two self-equi-joins of
+    the oriented edge list; with edges hash-partitioned on the join key
+    both joins reuse one exchange family. At 100 TB orientation should
+    be by (degree, id) instead of raw id — wedges then fan out from
+    low-DEGREE endpoints, which bounds wedge count by arboricity
+    (Chiba–Nishizeki) instead of max degree; id ordering is used here
+    because the oracle must mirror it exactly."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_orderkey") % _TRI_MOD == 0
+    )
+    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("v"))
+    e = (
+        a.join(b, "k")
+        .where(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+    )
+    e1 = e.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    e2 = e.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    wedges = e1.join(e2, "b")
+    closing = e.select(F.col("u").alias("a"), F.col("v").alias("c"))
+    tri = wedges.join(closing, ["a", "c"])
+    corners = (
+        tri.select(F.col("a").alias("node"))
+        .unionAll(tri.select(F.col("b").alias("node")))
+        .unionAll(tri.select(F.col("c").alias("node")))
+    )
+    return corners.groupBy("node").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_triangles")
+    ).select(F.col("node").alias("suppkey"), "n_triangles")

@@ -22,6 +22,7 @@ from ..functions.text import (
     tokens_col,
 )
 from ..operators.dedup import (
+    containment_pairs,
     exact_dedup,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
@@ -285,6 +286,39 @@ def dedup_ngram_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     (no O(n²) cross join)."""
     d = load_table(spark, sf_dir, "documents")
     return ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.5)
+
+
+@register(
+    "dedup_containment",
+    oracle=f"""
+    WITH {_SQL_SHINGLES},
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           i / CAST(LEAST(sa.n, sb.n) AS DOUBLE) AS containment,
+           CASE WHEN sa.n <= sb.n THEN id_a ELSE id_b END AS contained_id
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE i / CAST(LEAST(sa.n, sb.n) AS DOUBLE) >= 0.8971
+    """,
+)
+def dedup_containment_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-SUPERSET pairs by 3-gram shingle containment
+    C = |A∩B| / min(|A|,|B|) ≥ ~0.9 — the asymmetric dedup rule Jaccard
+    misses: a short doc pasted verbatim inside a long one scores
+    Jaccard ≈ |A|/|B| (arbitrarily low) but containment ≈ 1. Corpus
+    pipelines use this for boilerplate inclusion and benchmark
+    questions embedded in larger pages (reference analogue: none — the
+    reference dedups rows by natural key only; this is north-star
+    surface). Same inverted-index shape as dedup_ngram_jaccard: pairs
+    sharing ≥1 shingle only, one reused exchange, never all-pairs."""
+    d = load_table(spark, sf_dir, "documents")
+    return containment_pairs(d, "doc_id", "text", n=3, threshold=0.8971)
 
 
 def _minhash_sql(num_hashes: int = 16, bands: int = 4, threshold: float = 0.5) -> str:
@@ -1064,18 +1098,21 @@ def text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = d.select("doc_id", F.col("__t"), bigrams.alias("__b"))
     nb = F.size("__b").cast("double")
 
+    # try_divide: a zero-bigram doc (single-token / empty text) must
+    # yield NULL fractions like the oracle's x/0.0 → NULL, not an ANSI
+    # DIVIDE_BY_ZERO error
     def _top_frac(arr, total):
         counts = F.transform(
             F.array_distinct(arr),
             lambda g: F.size(F.filter(arr, lambda x: x == g)),
         )
-        return F.array_max(counts) / total
+        return F.try_divide(F.array_max(counts), total)
 
     return d.select(
         "doc_id",
         F.size("__b").cast("int").alias("n_bigrams"),
         fround(
-            F.lit(1.0) - F.size(F.array_distinct("__b")) / nb, 4
+            F.lit(1.0) - F.try_divide(F.size(F.array_distinct("__b")), nb), 4
         ).alias("dup_bigram_frac"),
         fround(_top_frac(F.col("__b"), nb), 4).alias("top_bigram_frac"),
         fround(_top_frac(F.col("__t"), F.size("__t").cast("double")), 4).alias(
@@ -1085,7 +1122,7 @@ def text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _VERDICT_RULES_SQL = f"""
-    WITH toks AS ({_SQL_TOKS}),
+    WITH toks AS ({_SQL_TOKS} WHERE text IS NOT NULL),
     r AS (
       SELECT doc_id,
              len(t) AS n,
@@ -1141,8 +1178,13 @@ def quality_filter_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
     reasons array is built with when/filter/array_sort JVM-side.
     Thresholds are deliberately non-representable fractions (1.9871,
     0.29871...) so engine float parity can't wobble at rule
-    boundaries."""
-    d = load_table(spark, sf_dir, "documents")
+    boundaries.
+
+    NULL text is excluded up front (matching the oracle's WHERE):
+    without the guard Spark's size(split(NULL)) = -1 would flag the doc
+    too_short while SQL NULL predicates exclude it from every rule —
+    the same explicit null rule dedup_span_exact uses."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     d = d.withColumn("__t", tokens_col("text"))
     n = F.size("__t")
     avg_len = (
@@ -1161,8 +1203,12 @@ def quality_filter_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
     r_too_short = F.col("__n") < 8
     r_word_len = (F.col("__avg") < 1.9871) | (F.col("__avg") > 13.9871)
     r_no_stopwords = F.col("__stop") == 0
+    # try_divide: ANSI `&` doesn't short-circuit, so a zero-bigram doc
+    # would raise DIVIDE_BY_ZERO; NULL > thr is NULL, false & NULL = false
     r_repetitive = (nb > 0) & (
-        F.lit(1.0) - F.size(F.array_distinct("__b")) / nb.cast("double") > 0.29871
+        F.lit(1.0)
+        - F.try_divide(F.size(F.array_distinct("__b")), nb.cast("double"))
+        > 0.29871
     )
     null_s = F.lit(None).cast("string")
     reasons = F.array_join(

@@ -928,16 +928,22 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle runs."""
     import shutil
     import tempfile
+    import uuid
 
     from ..operators.bucketed import colocated_join, write_bucketed
 
     li = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders")
     d = tempfile.mkdtemp(prefix="bucketed_")
+    # per-invocation unique catalog names: the session catalog is shared,
+    # so fixed names would collide across concurrent invocations and
+    # could clobber a user's own table of the same name
+    tok = uuid.uuid4().hex[:12]
+    lt, rt = f"li_bkt_{tok}", f"o_bkt_{tok}"
     try:
-        write_bucketed(li, "li_bkt", f"{d}/li", "l_orderkey", 8)
-        write_bucketed(o, "o_bkt", f"{d}/o", "o_orderkey", 8)
-        joined = colocated_join(spark, "li_bkt", "o_bkt", "l_orderkey", "o_orderkey")
+        write_bucketed(li, lt, f"{d}/li", "l_orderkey", 8)
+        write_bucketed(o, rt, f"{d}/o", "o_orderkey", 8)
+        joined = colocated_join(spark, lt, rt, "l_orderkey", "o_orderkey")
         disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
         out = joined.groupBy("o_orderpriority").agg(
             F.count(F.lit(1)).alias("n_items"),
@@ -947,6 +953,88 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows = out.collect()
         return spark.createDataFrame(rows, out.schema)
     finally:
-        spark.sql("DROP TABLE IF EXISTS li_bkt")
-        spark.sql("DROP TABLE IF EXISTS o_bkt")
+        spark.sql(f"DROP TABLE IF EXISTS {lt}")
+        spark.sql(f"DROP TABLE IF EXISTS {rt}")
         shutil.rmtree(d, ignore_errors=True)
+
+
+_IV_EPOCH = "1992-01-01"
+_IV_BIN_DAYS = 16  # bin width ≥ max interval length (15d) → ≤2 bins/interval
+
+
+@register(
+    "join_interval_overlap",
+    # ground-truth theta join: driver parity re-proves the bin-join
+    # candidate generation COMPLETE (binned result == theta join)
+    oracle=f"""
+    WITH iv AS (
+      SELECT l_suppkey AS k,
+             l_orderkey * 100 + l_linenumber AS uid,
+             datediff('day', DATE '{_IV_EPOCH}', CAST(l_shipdate AS DATE)) AS s,
+             datediff('day', DATE '{_IV_EPOCH}', CAST(l_shipdate AS DATE))
+               + 1 + CAST(l_quantity AS INTEGER) % 14 AS e
+      FROM lineitem
+    )
+    SELECT a.k AS suppkey, CAST(count(*) AS BIGINT) AS n_overlaps
+    FROM iv a JOIN iv b
+      ON a.k = b.k AND a.uid < b.uid AND a.s <= b.e AND b.s <= a.e
+    GROUP BY 1
+    """,
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERVAL OVERLAP JOIN — per supplier, how many pairs of its
+    shipment transit windows [ship_day, ship_day + 1 + qty%14] overlap
+    in time (a shipping-concurrency audit). The naive formulation is a
+    per-key theta join (inequality on BOTH bounds — no equi key), which
+    Spark can only run as BroadcastNestedLoop/cartesian-per-key: O(m²)
+    comparisons per supplier.
+
+    Scale shape — GRID BINNING, the standard distributed interval-join
+    rewrite: each interval lands in ⌈len/W⌉ ≤ 2 bins of width W ≥ max
+    interval length, candidates come from an EQUI-join on
+    (key, bin) — overlapping intervals MUST share a bin when W bounds
+    the length, so the rewrite is exact, re-proved by hash parity
+    against the theta-join oracle. Distinct-pair dedup happens before
+    the verify; the verify itself is two integer comparisons in
+    day-space (engine-portable; no date arithmetic in the predicate).
+    At 100 TB: one shuffle on (key, bin) instead of per-key cartesian;
+    W is the knob balancing bin fan-out (2× here) against candidate
+    density per bin."""
+    li = _t(spark, sf_dir, "lineitem")
+    day = F.datediff(
+        F.col("l_shipdate").cast("date"), F.lit(_IV_EPOCH).cast("date")
+    )
+    dur = 1 + F.col("l_quantity").cast("int") % 14
+    iv = li.select(
+        F.col("l_suppkey").alias("k"),
+        (F.col("l_orderkey") * 100 + F.col("l_linenumber")).alias("uid"),
+        day.alias("s"),
+        (day + dur).alias("e"),
+    )
+    binned = iv.select(
+        "k", "uid", "s", "e",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("s") / _IV_BIN_DAYS),
+                F.floor(F.col("e") / _IV_BIN_DAYS),
+            )
+        ).alias("bin"),
+    )
+    a = binned.select(
+        F.col("k"), F.col("bin"),
+        F.col("uid").alias("uid_a"), F.col("s").alias("sa"), F.col("e").alias("ea"),
+    )
+    b = binned.select(
+        F.col("k"), F.col("bin"),
+        F.col("uid").alias("uid_b"), F.col("s").alias("sb"), F.col("e").alias("eb"),
+    )
+    pairs = (
+        a.join(b.hint("shuffle_hash"), ["k", "bin"])
+        .where(F.col("uid_a") < F.col("uid_b"))
+        .select("k", "uid_a", "uid_b", "sa", "ea", "sb", "eb")
+        .distinct()  # an overlapping pair can share both of its bins
+        .where((F.col("sa") <= F.col("eb")) & (F.col("sb") <= F.col("ea")))
+    )
+    return pairs.groupBy(F.col("k").alias("suppkey")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_overlaps")
+    )

@@ -1002,12 +1002,13 @@ def _prepare_sql() -> str:
 
     stop_pred = _stop_pred("x", STOPWORDS)
     return f"""
-    WITH exact_rk AS (
+    WITH docs AS (SELECT * FROM documents WHERE text IS NOT NULL),
+    exact_rk AS (
       SELECT doc_id,
              row_number() OVER (PARTITION BY text ORDER BY doc_id) AS xrn
-      FROM documents
+      FROM docs
     ),
-    toks AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+    toks AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM docs),
     q AS (
       SELECT doc_id,
              len(t) AS n,
@@ -1041,7 +1042,7 @@ def _prepare_sql() -> str:
              (c.doc_id IS NOT NULL) AS f_contaminated,
              (nr.doc_id IS NOT NULL) AS f_near,
              (d.doc_id % 50 = 0) AS f_bench
-      FROM documents d
+      FROM docs d
       JOIN exact_rk x ON x.doc_id = d.doc_id
       LEFT JOIN bad_quality bq ON bq.doc_id = d.doc_id
       LEFT JOIN contaminated c ON c.doc_id = d.doc_id
@@ -1079,11 +1080,16 @@ def corpus_prepare_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     branches: a text-hash window (exact), a pure map (quality), a
     broadcast semi-join (contamination), and the banded LSH self-join
     (near-dup, the only corpus-sized shuffle). Reasons assemble
-    row-locally; no driver state anywhere."""
+    row-locally; no driver state anywhere.
+
+    NULL text is excluded up front on BOTH sides (the `docs` CTE in the
+    oracle): without the guard Spark's size(split(NULL)) = -1 flags the
+    doc too_short while SQL NULL predicates exclude it from bad_quality
+    — same explicit null rule as dedup_span_exact."""
     from ..operators.dedup import minhash_lsh_pairs
     from .llmdata import _in_words
 
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
 
     xrn = F.row_number().over(Window.partitionBy("text").orderBy("doc_id"))
     exact = d.select("doc_id", (xrn > 1).alias("f_exact"))
@@ -1110,7 +1116,12 @@ def corpus_prepare_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         | (
             (nb > 0)
             & (
-                F.lit(1.0) - F.size(F.array_distinct(bigrams)) / nb.cast("double")
+                # try_divide: ANSI `&` doesn't short-circuit; a
+                # zero-bigram doc must be "not repetitive", not an error
+                F.lit(1.0)
+                - F.try_divide(
+                    F.size(F.array_distinct(bigrams)), nb.cast("double")
+                )
                 > 0.29871
             )
         )

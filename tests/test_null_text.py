@@ -1,0 +1,88 @@
+"""NULL/empty-text parity guards (round-6 advisor finding).
+
+Spark's ``size(split(NULL))`` is -1, so an unguarded quality rule flags
+a NULL-text document `too_short` while SQL NULL predicates exclude it —
+a parity break waiting on the first fixture with null text. The fixed
+queries exclude NULL text explicitly on BOTH sides; these tests run the
+Spark query and the DuckDB oracle over a doctored documents table that
+actually contains a NULL-text and an empty-text row, proving the parity
+holds where the stock fixtures can't exercise it.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+import duckdb
+import pytest
+
+from pantasia_db_sync_spark.plans import ORACLES, QUERIES
+
+from conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def null_text_dir(tmp_path_factory):
+    """sf0.001 documents + one NULL-text row + one empty-text row."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path_factory.mktemp("nulltext")
+    base = pq.read_table(os.path.join(SF_DIR, "documents.parquet"))
+    extra = pa.table(
+        {
+            "doc_id": pa.array([10_000_001, 10_000_002], pa.int64()),
+            "text": pa.array([None, ""], pa.string()),
+            "lang": pa.array(["en", "en"], pa.string()),
+            "source": pa.array(["synthetic", "synthetic"], pa.string()),
+            "n_chars": pa.array([0, 0], pa.int64()),
+        }
+    ).select(base.column_names)
+    pq.write_table(
+        pa.concat_tables([base, extra.cast(base.schema)]),
+        str(d / "documents.parquet"),
+    )
+    return str(d)
+
+
+def _norm_cell(v):
+    if isinstance(v, float):
+        return "NaN" if math.isnan(v) else v + 0.0
+    return v
+
+
+def _run_both(spark, name, sf_dir):
+    sdf = QUERIES[name](spark, sf_dir)
+    s_rows = [tuple(r) for r in sdf.collect()]
+    con = duckdb.connect()
+    path = os.path.join(sf_dir, "documents.parquet")
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{path}'")
+    res = con.execute(ORACLES[name])
+    d_cols = [c[0] for c in res.description]
+    d_rows = [tuple(r) for r in res.fetchall()]
+    return list(sdf.columns), s_rows, d_cols, d_rows
+
+
+@pytest.mark.parametrize("name", ["quality_filter_verdict", "corpus_prepare"])
+def test_null_text_parity(spark, name, null_text_dir):
+    s_cols, s_rows, d_cols, d_rows = _run_both(spark, name, null_text_dir)
+
+    def norm(cols, rows):
+        order = sorted(range(len(cols)), key=lambda i: cols[i])
+        return sorted(cols), sorted(
+            (tuple(_norm_cell(r[i]) for i in order) for r in rows), key=repr
+        )
+
+    sc, sr = norm(s_cols, s_rows)
+    dc, dr = norm(d_cols, d_rows)
+    assert sc == dc
+    assert len(sr) == len(dr), f"{name}: {len(sr)} vs {len(dr)} rows"
+    bad = [(a, b) for a, b in zip(sr, dr) if a != b]
+    assert not bad, f"{name}: first mismatches {bad[:3]}"
+
+    # the NULL-text doc is excluded by rule, not misclassified;
+    # the EMPTY-text doc stays in scope (it's a real too-short doc)
+    ids = {r[s_cols.index("doc_id")] for r in s_rows}
+    assert 10_000_001 not in ids
+    assert 10_000_002 in ids
