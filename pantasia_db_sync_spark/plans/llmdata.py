@@ -1393,3 +1393,67 @@ def ann_ivf_index_append_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+_VOCAB_V = 100
+
+
+@register(
+    "text_vocab_coverage",
+    oracle=f"""
+    WITH toks AS ({{toks}}),
+    tok AS (SELECT doc_id, unnest(t) AS w FROM toks),
+    tw AS (SELECT doc_id, w FROM tok WHERE w <> ''),
+    cnt AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM tw GROUP BY 1),
+    vocab AS (SELECT w FROM cnt ORDER BY c DESC, w ASC LIMIT {_VOCAB_V})
+    SELECT t.doc_id,
+           CAST(count(*) AS INTEGER) AS n_tokens,
+           {{rate}} AS oov_rate
+    FROM tw t LEFT JOIN vocab v ON v.w = t.w
+    GROUP BY t.doc_id
+    """.format(
+        toks=_SQL_TOKS + " WHERE text IS NOT NULL",
+        rate=sql_round(
+            "sum(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END)"
+            " / CAST(count(*) AS DOUBLE)",
+            4,
+        ),
+    ),
+)
+def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOKENIZER-BUDGET PROBE: induce the top-V corpus vocabulary by
+    frequency (ties broken by token — fully deterministic) and report
+    each document's out-of-vocabulary rate. This is how a pipeline
+    sizes a vocab / flags domain-mismatched shards before training: a
+    shard whose OOV rate spikes under the corpus vocabulary is either
+    foreign-language, boilerplate, or encoding-damaged.
+
+    Scale shape: token counts are ONE hash aggregation with map-side
+    combine (the only corpus-sized shuffle); the top-V cut is
+    orderBy+limit, which Spark plans as TakeOrderedAndProject — per-
+    partition heaps of size V, NO global sort of the vocabulary. The
+    tiny vocab then broadcasts back onto the token stream, and the
+    per-doc rate is one more combinable aggregation. V is the only
+    driver-sized object (100 rows)."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    tw = d.select(
+        "doc_id", F.explode(tokens_col("text")).alias("w")
+    ).where(F.col("w") != "")
+    cnt = tw.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    vocab = (
+        cnt.orderBy(F.col("c").desc(), F.col("w").asc())
+        .limit(_VOCAB_V)
+        .select("w", F.lit(1).alias("__in"))
+    )
+    return (
+        tw.join(F.broadcast(vocab), "w", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_tokens"),
+            fround(
+                F.sum(F.when(F.col("__in").isNull(), 1).otherwise(0))
+                / F.count(F.lit(1)).cast("double"),
+                4,
+            ).alias("oov_rate"),
+        )
+    )

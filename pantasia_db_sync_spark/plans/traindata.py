@@ -1191,3 +1191,84 @@ def corpus_prepare_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         | F.col("f_bench")
     )
     return flags.select("doc_id", kept.alias("kept"), reasons.alias("reasons"))
+
+
+@register(
+    "embedding_quantize_int8",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    stats AS (
+      SELECT u.i AS i, min(v[u.i]) AS mn, max(v[u.i]) - min(v[u.i]) AS sp
+      FROM e, UNNEST(range(1, len(v) + 1)) AS u(i)
+      GROUP BY 1
+    ),
+    packed AS (
+      SELECT list(mn ORDER BY i) AS mns, list(sp ORDER BY i) AS sps FROM stats
+    ),
+    r AS (
+      SELECT vec_id,
+             list_transform(range(1, len(v) + 1), i ->
+               CASE WHEN sps[i] = 0 THEN 0.0
+                    ELSE ((v[i] - mns[i])
+                          - floor((v[i] - mns[i]) * 255 / sps[i] + 0.5)
+                            * sps[i] / 255) ^ 2
+               END) AS errs
+      FROM e, packed
+    )
+    SELECT vec_id,
+           {sql_round("list_sum(errs) / len(errs)", 9)} AS mse,
+           {sql_round("sqrt(list_max(errs))", 9)} AS max_abs_err
+    FROM r
+    """,
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCALAR (int8) QUANTIZATION QA for the embedding store: per-dim
+    affine codes ``floor((x-mn)·255/span + 0.5)`` and the per-vector
+    reconstruction error (MSE + max abs). This is the memory lever for
+    ANN at 100 TB — int8 codes cut vector storage 4× (often 8× with
+    the norm factored out), and this report is how a pipeline decides
+    whether the recall cost is acceptable before flipping the index to
+    quantized storage.
+
+    Scale shape: pass 1 computes 2·d scalar aggregates in ONE map-side-
+    combinable agg over the corpus — NO posexplode/groupBy(dim), whose
+    shuffle is n·d rows (the collect is 2·d scalars, same class as the
+    centroid probes). Pass 2 is a pure row-local map: the per-dim
+    mins/spans ride as array literals, all zip_with/aggregate
+    higher-order expressions, zero joins and zero Python. The error
+    fold is the same left-fold both engines share (see
+    embedding_norm_stats), so parity holds bit-for-bit before the
+    defensive rounding; degenerate dims (span 0) code to 0 exactly."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_vec("embedding").alias("v")
+    )
+    # dimension probe: one row (schema carries no length for arrays)
+    d = len(e.select("v").head()[0])
+    row = e.agg(
+        *(
+            [F.min(F.element_at("v", i + 1)).alias(f"mn{i}") for i in range(d)]
+            + [F.max(F.element_at("v", i + 1)).alias(f"mx{i}") for i in range(d)]
+        )
+    ).collect()[0]
+    mins = F.array(*[F.lit(float(row[f"mn{i}"])) for i in range(d)])
+    spans = F.array(
+        *[F.lit(float(row[f"mx{i}"]) - float(row[f"mn{i}"])) for i in range(d)]
+    )
+    centered = F.zip_with("v", mins, lambda x, mn: x - mn)
+    errs = F.zip_with(
+        centered,
+        spans,
+        lambda c, sp: F.when(sp == 0.0, F.lit(0.0)).otherwise(
+            F.pow(
+                c - F.floor(c * 255 / sp + 0.5).cast("double") * sp / 255,
+                F.lit(2),
+            )
+        ),
+    )
+    out = e.select("vec_id", errs.alias("__e"))
+    total = F.aggregate("__e", F.lit(0.0), lambda acc, x: acc + x)
+    return out.select(
+        "vec_id",
+        fround(total / F.size("__e"), 9).alias("mse"),
+        fround(F.sqrt(F.array_max("__e")), 9).alias("max_abs_err"),
+    )

@@ -1164,3 +1164,50 @@ def test_gif_decode_rejects_truncated_local_color_table():
     img = b"\x2c" + struct.pack("<HHHHB", 0, 0, 1, 1, 0x80)
     with _pytest.raises(ValueError, match="local color table"):
         decode_gif(head + img + b"\x01\x02\x03\x04")
+
+
+def test_levenshtein_fastss_equals_bruteforce_with_indels(spark):
+    """The customer-name fixture only exercises SUBSTITUTIONS (fixed-
+    width ids); FastSS completeness must also hold for insertions and
+    deletions. Random strings with single-char inserts/deletes/subs
+    seeded around common stems: indexed pairs == brute-force pairs."""
+    import random as _random
+
+    from pyspark.sql import functions as F
+
+    from pantasia_db_sync_spark.operators.dedup import levenshtein_pairs_fastss
+
+    rng = _random.Random(421)
+    alpha = "abcdef"
+    stems = ["".join(rng.choice(alpha) for _ in range(rng.randint(3, 9)))
+             for _ in range(20)]
+    strings = set(stems)
+    for s in stems:
+        for _ in range(3):
+            i = rng.randrange(len(s) + 1)
+            op = rng.choice(["ins", "del", "sub"])
+            if op == "ins":
+                strings.add(s[:i] + rng.choice(alpha) + s[i:])
+            elif op == "del" and len(s) > 1 and i < len(s):
+                strings.add(s[:i] + s[i + 1:])
+            elif i < len(s):
+                strings.add(s[:i] + rng.choice(alpha) + s[i + 1:])
+    rows = [(i, s) for i, s in enumerate(sorted(strings))]
+    df = spark.createDataFrame(rows, ["id", "s"])
+
+    got = {
+        (r["id_a"], r["id_b"], r["dist"])
+        for r in levenshtein_pairs_fastss(df, "id", "s", max_dist=1).collect()
+    }
+    a = df.select(F.col("id").alias("ia"), F.col("s").alias("sa"))
+    b = df.select(F.col("id").alias("ib"), F.col("s").alias("sb"))
+    want = {
+        (r["ia"], r["ib"], r["d"])
+        for r in a.crossJoin(b)
+        .where(F.col("ia") < F.col("ib"))
+        .select("ia", "ib", F.levenshtein("sa", "sb").alias("d"))
+        .where(F.col("d") <= 1)
+        .collect()
+    }
+    assert want, "fixture produced no close pairs — broken generator"
+    assert got == want
