@@ -1457,3 +1457,151 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("oov_rate"),
         )
     )
+
+
+def _pq_sql(m: int = 4, k: int = 8, iters: int = 2, dim: int = 64, topk: int = 5) -> str:
+    """DuckDB replica of pq_fit + pq_codes + pq_topk: the identical
+    deterministic per-subspace L2 Lloyd's (smallest-id seeds, rounded
+    squared distances, rounded AVG updates, lowest-cell ties) unrolled
+    as CTE pairs over ONE exploded (vec_id, j, sv) frame, then the ADC
+    scoring in integer micro-units so the m-term sum is order-free
+    exact. x*x throughout — pow()'s last-ulp rounding is not a
+    cross-engine contract."""
+    s = dim // m
+
+    def l2(av, bv):
+        return (
+            f"list_sum(list_transform(range(1, {s + 1}), "
+            f"i -> ({av}[i] - {bv}[i]) * ({av}[i] - {bv}[i])))"
+        )
+
+    d2r = sql_round(l2("s.sv", "c.c"), 6)
+    avg_terms = ", ".join(sql_round(f"avg(sv[{i + 1}])", 6) for i in range(s))
+    sub_legs = "\n      UNION ALL\n".join(
+        f"      SELECT vec_id, {j} AS j, v[{j * s + 1}:{(j + 1) * s}] AS sv FROM e"
+        for j in range(m)
+    )
+    parts = [
+        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),",
+        f"sub AS (\n{sub_legs}\n    ),",
+        f"""c0 AS (
+      SELECT j, vec_id AS cell, sv AS c FROM (
+        SELECT j, vec_id, sv,
+               row_number() OVER (PARTITION BY j ORDER BY vec_id) AS rn
+        FROM sub) WHERE rn <= {k}),""",
+    ]
+    for it in range(iters):
+        parts.append(
+            f"""a{it} AS (
+      SELECT vec_id, j, sv, cell FROM (
+        SELECT s.vec_id, s.j, s.sv, c.cell,
+               row_number() OVER (PARTITION BY s.vec_id, s.j
+                 ORDER BY {d2r} ASC, c.cell ASC) AS rn
+        FROM sub s JOIN c{it} c ON c.j = s.j) WHERE rn = 1),"""
+        )
+        parts.append(
+            f"c{it + 1} AS (SELECT j, cell, [{avg_terms}] AS c "
+            f"FROM a{it} GROUP BY j, cell),"
+        )
+    last = f"c{iters}"
+    parts.append(
+        f"""codes AS (
+      SELECT vec_id, j, cell FROM (
+        SELECT s.vec_id, s.j, c.cell,
+               row_number() OVER (PARTITION BY s.vec_id, s.j
+                 ORDER BY {d2r} ASC, c.cell ASC) AS rn
+        FROM sub s JOIN {last} c ON c.j = s.j) WHERE rn = 1),
+    lut AS (
+      SELECT s.vec_id AS q_id, s.j, c.cell,
+             CAST(floor(({l2('s.sv', 'c.c')}) * 1000000.0 + 0.5) AS BIGINT) AS d
+      FROM sub s JOIN {last} c ON c.j = s.j
+      WHERE s.vec_id < 10),
+    sc AS (
+      SELECT l.q_id, cd.vec_id AS cand_id, CAST(sum(l.d) AS BIGINT) AS adist_u
+      FROM lut l JOIN codes cd ON cd.j = l.j AND cd.cell = l.cell
+      WHERE cd.vec_id <> l.q_id
+      GROUP BY 1, 2)
+    SELECT q_id, cand_id, adist_u, rank FROM (
+      SELECT q_id, cand_id, adist_u,
+             CAST(row_number() OVER (PARTITION BY q_id
+               ORDER BY adist_u ASC, cand_id ASC) AS INTEGER) AS rank
+      FROM sc) WHERE rank <= {topk}"""
+    )
+    return "\n    ".join(parts)
+
+
+@register("ann_pq_topk", oracle=_pq_sql())
+def ann_pq_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRODUCT QUANTIZATION top-k (Jégou et al. 2011) — the compression
+    path that makes billion-vector ANN tractable: each vector becomes
+    m=4 codeword ids (one deterministic L2 k-means per subspace), and
+    queries rank candidates by Asymmetric Distance Computation — m LUT
+    lookups summed — without ever touching the full vectors. Distances
+    are integer micro-units so the sum is exactly order-free; the
+    oracle replays the whole procedure (fit, codes, ADC) in SQL and the
+    hash check pins Spark to it bit-for-bit. At 100 TB: 64-dim float32
+    → 4 bytes/vector (64×), fit collects k·dim scalars, the |Q|·m·k LUT
+    broadcasts, and the score is one combinable aggregation — no
+    full-vector join anywhere past the fit."""
+    from ..operators.similarity import pq_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return pq_topk(
+        e, "vec_id", "embedding", m=4, k=8, iters=2,
+        query_pred=F.col("q_id") < 10, topk=5,
+    )
+
+
+def _pq_rerank_sql(
+    m: int = 8, k: int = 8, iters: int = 2, dim: int = 64,
+    pool: int = 50, topk: int = 5,
+) -> str:
+    """_pq_sql + the exact-rerank refine step: the ADC ranking becomes
+    a candidate pool, and full-dimension exact L2 (same integer
+    micro-units) picks the final top-k."""
+    base = _pq_sql(m, k, iters, dim, pool)
+    head, _, tail = base.rpartition("SELECT q_id, cand_id, adist_u, rank FROM (")
+    full_l2 = (
+        f"list_sum(list_transform(range(1, {dim + 1}), "
+        "i -> (q.v[i] - c.v[i]) * (q.v[i] - c.v[i])))"
+    )
+    return (
+        head.rstrip()  # ends at the close of the `sc` CTE
+        + ",\n    "
+        + f"""pool AS (
+      SELECT q_id, cand_id FROM (
+        SELECT q_id, cand_id,
+               row_number() OVER (PARTITION BY q_id
+                 ORDER BY adist_u ASC, cand_id ASC) AS rn
+        FROM sc) WHERE rn <= {pool}),
+    rr AS (
+      SELECT p.q_id, p.cand_id,
+             CAST(floor(({full_l2}) * 1000000.0 + 0.5) AS BIGINT) AS dist_u
+      FROM pool p
+      JOIN e q ON q.vec_id = p.q_id
+      JOIN e c ON c.vec_id = p.cand_id)
+    SELECT q_id, cand_id, dist_u, rank FROM (
+      SELECT q_id, cand_id, dist_u,
+             CAST(row_number() OVER (PARTITION BY q_id
+               ORDER BY dist_u ASC, cand_id ASC) AS INTEGER) AS rank
+      FROM rr) WHERE rank <= {topk}"""
+    )
+
+
+@register("ann_pq_rerank_topk", oracle=_pq_rerank_sql())
+def ann_pq_rerank_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-ADC pool + EXACT re-rank (the IVFADC refine step) — the
+    production PQ shape: compressed codes rank a 50-candidate pool per
+    query, then exact full-dimension L2 re-ranks just |Q|·50 pairs.
+    Measured recall@5 vs exact search on the fixture: ≈0.2-0.3 for
+    ADC-only, ≈0.8 reranked — the refine step is what makes the 64×
+    compression usable. Exact distances stay in integer micro-units
+    (order-free, engine-exact); the oracle replays fit + codes + ADC +
+    rerank end-to-end."""
+    from ..operators.similarity import pq_rerank_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return pq_rerank_topk(
+        e, "vec_id", "embedding", m=8, k=8, iters=2,
+        query_pred=F.col("q_id") < 10, pool_size=50, topk=5,
+    )

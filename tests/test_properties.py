@@ -1211,3 +1211,55 @@ def test_levenshtein_fastss_equals_bruteforce_with_indels(spark):
     }
     assert want, "fixture produced no close pairs — broken generator"
     assert got == want
+
+
+def test_pq_rerank_recall_beats_adc(spark, sf_dir):
+    """PQ sanity on the fixture corpus: (a) the exact-rerank step lifts
+    recall@5 vs exact L2 search substantially above ADC-only, and (b)
+    reranked recall clears a floor (measured 0.78 at m=8,k=8,pool=50 —
+    pinned at 0.55 for margin). Guards against a regression that
+    silently degrades the codebooks or the ADC scoring while parity
+    (which pins the PROCEDURE, not the quality) stays green."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from pantasia_db_sync_spark.operators.similarity import (
+        as_double_vec,
+        pq_rerank_topk,
+        pq_topk,
+    )
+    from pantasia_db_sync_spark.sources.catalog import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), as_double_vec("embedding").alias("qv")
+    )
+    c = e.select(
+        F.col("vec_id").alias("cand_id"), as_double_vec("embedding").alias("cv")
+    )
+    d2 = F.aggregate(
+        F.zip_with("qv", "cv", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("d").asc(), F.col("cand_id").asc())
+    exact = (
+        q.crossJoin(c)
+        .where(F.col("q_id") != F.col("cand_id"))
+        .select("q_id", "cand_id", d2.alias("d"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 5)
+    )
+    want = {(r["q_id"], r["cand_id"]) for r in exact.collect()}
+
+    adc = pq_topk(e, "vec_id", "embedding", m=8, k=8, iters=2,
+                  query_pred=F.col("q_id") < 10, topk=5)
+    got_adc = {(r["q_id"], r["cand_id"]) for r in adc.collect()}
+    rer = pq_rerank_topk(e, "vec_id", "embedding", m=8, k=8, iters=2,
+                         query_pred=F.col("q_id") < 10, pool_size=50, topk=5)
+    got_rer = {(r["q_id"], r["cand_id"]) for r in rer.collect()}
+
+    r_adc = len(got_adc & want) / len(want)
+    r_rer = len(got_rer & want) / len(want)
+    assert r_rer >= 0.55, (r_adc, r_rer)
+    assert r_rer > r_adc, (r_adc, r_rer)
