@@ -948,3 +948,54 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corners.groupBy("node").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_triangles")
     ).select(F.col("node").alias("suppkey"), "n_triangles")
+
+
+@register(
+    "events_markov_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS next_type
+      FROM events
+    ),
+    t AS (
+      SELECT event_type AS prev_type, next_type,
+             CAST(count(*) AS BIGINT) AS n
+      FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT prev_type, next_type, n,
+           floor(n / CAST(sum(n) OVER (PARTITION BY prev_type) AS DOUBLE)
+                 * 10000 + 0.5) / 10000 AS p
+    FROM t
+    """,
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: count and conditional probability of each
+    event_type → next_event_type step (ordering ties broken by
+    event_id — fully deterministic). The behavioral-analytics
+    workhorse behind funnel discovery and anomaly scoring (a session
+    whose transitions are improbable under the corpus matrix is bot
+    traffic).
+
+    Scale shape: ONE window over (user_id, ts) — same partitioning the
+    sessionize/funnel queries already use — then a combinable pair
+    count; the row-probability normalization windows over the TINY
+    transition matrix (|types|² rows), not the events."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("prev_type"),
+        F.lead("event_type").over(w).alias("next_type"),
+    ).where(F.col("next_type").isNotNull())
+    t = seq.groupBy("prev_type", "next_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    wp = Window.partitionBy("prev_type")
+    return t.select(
+        "prev_type",
+        "next_type",
+        "n",
+        fround(F.col("n") / F.sum("n").over(wp).cast("double"), 4).alias("p"),
+    )

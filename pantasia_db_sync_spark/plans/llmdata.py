@@ -1605,3 +1605,65 @@ def ann_pq_rerank_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         e, "vec_id", "embedding", m=8, k=8, iters=2,
         query_pred=F.col("q_id") < 10, pool_size=50, topk=5,
     )
+
+
+@register(
+    "text_keyword_topk",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+      FROM toks WHERE tok <> '' GROUP BY 1, 2
+    ),
+    df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+    n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.tok,
+             floor(tf * ln(CAST(n_docs AS DOUBLE) / df) * 100000 + 0.5) / 100000
+               AS tfidf
+      FROM tf, n JOIN df ON tf.tok = df.tok
+      WHERE tf * ln(CAST(n_docs AS DOUBLE) / df) > 0
+    )
+    SELECT doc_id, tok, tfidf, rank FROM (
+      SELECT doc_id, tok, tfidf,
+             CAST(row_number() OVER (PARTITION BY doc_id
+               ORDER BY tfidf DESC, tok ASC) AS INTEGER) AS rank
+      FROM scored) WHERE rank <= 3
+    """,
+)
+def text_keyword_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document KEYWORD EXTRACTION: the top-3 tokens by TF-IDF —
+    the metadata-enrichment pass corpus pipelines run for topic
+    routing, domain mixing and index facets. Rides the exact text_tfidf
+    computation plus one per-doc window (the ORDER BY compares the
+    ROUNDED score on both sides, so rank order cannot diverge at float
+    boundaries; ties break by token). At scale: the window partitions
+    by doc — no global sort, each doc's candidate set is its own
+    vocabulary."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(tokens_col("text")).alias("tok")).where(
+        F.col("tok") != ""
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = d.select("doc_id").distinct().count()
+    scored = (
+        tf.join(df_, "tok")
+        .select(
+            "doc_id",
+            "tok",
+            (F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))).alias("__raw"),
+        )
+        .where(F.col("__raw") > 0)
+        .select("doc_id", "tok", fround(F.col("__raw"), 5).alias("tfidf"))
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("tok").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= 3)
+        .select("doc_id", "tok", "tfidf", "rank")
+    )
