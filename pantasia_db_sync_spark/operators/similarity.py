@@ -1035,3 +1035,119 @@ def pq_rerank_topk(
         .where(F.col("rank") <= topk)
         .select("q_id", "cand_id", "dist_u", "rank")
     )
+
+
+def _centroid_lookup_expr(
+    cell_col: Column, cents: list[tuple[int, list[float]]]
+) -> Column:
+    """cell id → literal centroid array (CASE chain over the sorted
+    cells — a per-row projection, no join)."""
+    expr = F.when(
+        cell_col == F.lit(cents[0][0]),
+        F.array(*[F.lit(float(x)) for x in cents[0][1]]),
+    )
+    for cid, coords in cents[1:]:
+        expr = expr.when(
+            cell_col == F.lit(cid), F.array(*[F.lit(float(x)) for x in coords])
+        )
+    return expr
+
+
+def ivfadc_topk(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    coarse_k: int = 4,
+    m: int = 4,
+    k: int = 8,
+    coarse_iters: int = 2,
+    pq_iters: int = 2,
+    query_pred: Column | None = None,
+    topk: int = 5,
+    round_digits: int = 6,
+) -> DataFrame:
+    """IVFADC (Jégou et al. 2011, the full system): an IVF coarse
+    quantizer restricts the search to the query's cell, and PQ codes of
+    the RESIDUALS (v − coarse centroid) rank candidates by ADC — the
+    architecture behind every billion-scale vector index (FAISS
+    IVFx,PQy). Residual quantization matters: residuals are centered
+    near 0, so the per-subspace codebooks spend their k codewords on a
+    far smaller volume than raw vectors would need.
+
+    Determinism: the coarse quantizer IS pq_fit(m=1) — one subspace
+    covering the whole vector — so both k-means share the same
+    engine-portable recipe and a SQL replica reproduces everything.
+    ADC stays in integer micro-units (order-free sums).
+
+    Scale shape: fit collects (coarse_k + k)·dim scalars; codes + cell
+    ids are one map pass; the |Q|·m·k LUT broadcasts; the score join is
+    cell-restricted — each query touches |corpus|/coarse_k code rows,
+    the IVF pruning that makes ADC affordable. Nothing is O(n²)."""
+    coarse = pq_fit(
+        vectors, id_col, vec_col, m=1, k=coarse_k,
+        iters=coarse_iters, round_digits=round_digits,
+    )[0]
+    v = vectors.select(
+        F.col(id_col).alias("__id"), as_double_vec(vec_col).alias("__v")
+    )
+    ccell = _l2_cell_expr(F.col("__v"), coarse, round_digits)
+    resdf = v.withColumn("ccell", ccell).withColumn(
+        "res",
+        F.zip_with(
+            F.col("__v"),
+            _centroid_lookup_expr(F.col("ccell"), coarse),
+            lambda x, y: x - y,
+        ),
+    )
+    books = pq_fit(resdf, "__id", "res", m=m, k=k,
+                   iters=pq_iters, round_digits=round_digits)
+    s = len(books[0][0][1])
+    codes = pq_codes(resdf, books, "__id", "res", round_digits).join(
+        resdf.select("__id", "ccell"), "__id"
+    )
+
+    spark = vectors.sparkSession
+    book_rows = [(j, cid, coords) for j, cs in books.items() for cid, coords in cs]
+    bdf = spark.createDataFrame(book_rows, "j int, cell int, c array<double>")
+    q = resdf.select(
+        F.col("__id").alias("q_id"),
+        F.col("ccell").alias("q_ccell"),
+        F.col("res").alias("qres"),
+    )
+    if query_pred is not None:
+        q = q.where(query_pred)
+    qsub = q.select(
+        "q_id",
+        "q_ccell",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"), _subvec(F.col("qres"), j, s).alias("sv")
+                    )
+                    for j in range(len(books))
+                ]
+            )
+        ).alias("e"),
+    ).select("q_id", "q_ccell", F.col("e.j").alias("j"), F.col("e.sv").alias("sv"))
+    lut = qsub.join(bdf, "j").select(
+        "q_id",
+        "q_ccell",
+        "j",
+        "cell",
+        F.floor(_l2sq_col(F.col("sv"), F.col("c")) * 1e6 + 0.5)
+        .cast("bigint")
+        .alias("d"),
+    )
+    scored = (
+        codes.join(F.broadcast(lut), ["j", "cell"])
+        .where((F.col("ccell") == F.col("q_ccell")) & (F.col("__id") != F.col("q_id")))
+        .groupBy("q_id", F.col("__id").alias("cand_id"))
+        .agg(F.sum("d").alias("adist_u"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("adist_u").asc(), F.col("cand_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= topk)
+        .select("q_id", "cand_id", F.col("adist_u").cast("bigint"), "rank")
+    )

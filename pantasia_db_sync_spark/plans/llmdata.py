@@ -1667,3 +1667,128 @@ def text_keyword_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= 3)
         .select("doc_id", "tok", "tfidf", "rank")
     )
+
+
+def _ivfadc_sql(
+    coarse_k: int = 4, m: int = 4, k: int = 8,
+    coarse_iters: int = 2, pq_iters: int = 2,
+    dim: int = 64, topk: int = 5,
+) -> str:
+    """DuckDB replica of ivfadc_topk: the coarse L2 k-means (pq_fit
+    with one full-width subspace), residuals, per-subspace residual PQ,
+    and cell-restricted ADC in integer micro-units — every stage the
+    same deterministic recipe as _pq_sql, so the full IVFADC pipeline
+    is hash-pinned end to end."""
+    s = dim // m
+
+    def l2(av, bv, n):
+        return (
+            f"list_sum(list_transform(range(1, {n + 1}), "
+            f"i -> ({av}[i] - {bv}[i]) * ({av}[i] - {bv}[i])))"
+        )
+
+    cd2 = sql_round(l2("e.v", "c.c", dim), 6)
+    cavg = ", ".join(sql_round(f"avg(v[{i + 1}])", 6) for i in range(dim))
+    parts = [
+        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),",
+        f"cc0 AS (SELECT vec_id AS cell, v AS c FROM e ORDER BY vec_id LIMIT {coarse_k}),",
+    ]
+    for it in range(coarse_iters):
+        parts.append(
+            f"""ca{it} AS (
+      SELECT vec_id, v, cell FROM (
+        SELECT e.vec_id, e.v, c.cell,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY {cd2} ASC, c.cell ASC) AS rn
+        FROM e, cc{it} c) WHERE rn = 1),"""
+        )
+        parts.append(
+            f"cc{it + 1} AS (SELECT cell, [{cavg}] AS c FROM ca{it} GROUP BY cell),"
+        )
+    lastc = f"cc{coarse_iters}"
+    parts.append(
+        f"""asg AS (
+      SELECT vec_id, v, ccell, c FROM (
+        SELECT e.vec_id, e.v, c.cell AS ccell, c.c,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY {cd2} ASC, c.cell ASC) AS rn
+        FROM e, {lastc} c) WHERE rn = 1),
+    res AS (
+      SELECT vec_id, ccell,
+             list_transform(range(1, {dim + 1}), i -> v[i] - c[i]) AS r
+      FROM asg),"""
+    )
+    sub_legs = "\n      UNION ALL\n".join(
+        f"      SELECT vec_id, ccell, {j} AS j, r[{j * s + 1}:{(j + 1) * s}] AS sv FROM res"
+        for j in range(m)
+    )
+    parts.append(f"sub AS (\n{sub_legs}\n    ),")
+    parts.append(
+        f"""c0 AS (
+      SELECT j, vec_id AS cell, sv AS c FROM (
+        SELECT j, vec_id, sv,
+               row_number() OVER (PARTITION BY j ORDER BY vec_id) AS rn
+        FROM sub) WHERE rn <= {k}),"""
+    )
+    d2r = sql_round(l2("s.sv", "c.c", s), 6)
+    pavg = ", ".join(sql_round(f"avg(sv[{i + 1}])", 6) for i in range(s))
+    for it in range(pq_iters):
+        parts.append(
+            f"""a{it} AS (
+      SELECT vec_id, j, sv, cell FROM (
+        SELECT s.vec_id, s.j, s.sv, c.cell,
+               row_number() OVER (PARTITION BY s.vec_id, s.j
+                 ORDER BY {d2r} ASC, c.cell ASC) AS rn
+        FROM sub s JOIN c{it} c ON c.j = s.j) WHERE rn = 1),"""
+        )
+        parts.append(
+            f"c{it + 1} AS (SELECT j, cell, [{pavg}] AS c FROM a{it} GROUP BY j, cell),"
+        )
+    last = f"c{pq_iters}"
+    parts.append(
+        f"""codes AS (
+      SELECT vec_id, ccell, j, cell FROM (
+        SELECT s.vec_id, s.ccell, s.j, c.cell,
+               row_number() OVER (PARTITION BY s.vec_id, s.j
+                 ORDER BY {d2r} ASC, c.cell ASC) AS rn
+        FROM sub s JOIN {last} c ON c.j = s.j) WHERE rn = 1),
+    lut AS (
+      SELECT s.vec_id AS q_id, s.ccell AS q_ccell, s.j, c.cell,
+             CAST(floor(({l2('s.sv', 'c.c', s)}) * 1000000.0 + 0.5) AS BIGINT) AS d
+      FROM sub s JOIN {last} c ON c.j = s.j
+      WHERE s.vec_id < 10),
+    sc AS (
+      SELECT l.q_id, cd.vec_id AS cand_id, CAST(sum(l.d) AS BIGINT) AS adist_u
+      FROM lut l JOIN codes cd ON cd.j = l.j AND cd.cell = l.cell
+      WHERE cd.ccell = l.q_ccell AND cd.vec_id <> l.q_id
+      GROUP BY 1, 2)
+    SELECT q_id, cand_id, adist_u, rank FROM (
+      SELECT q_id, cand_id, adist_u,
+             CAST(row_number() OVER (PARTITION BY q_id
+               ORDER BY adist_u ASC, cand_id ASC) AS INTEGER) AS rank
+      FROM sc) WHERE rank <= {topk}"""
+    )
+    return "\n    ".join(parts)
+
+
+@register("ann_ivfadc_topk", oracle=_ivfadc_sql())
+def ann_ivfadc_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC — the full billion-scale ANN architecture (FAISS
+    IVFx,PQy; Jégou et al. 2011): an IVF coarse quantizer (deterministic
+    L2 k-means = pq_fit with one full-width subspace) routes each query
+    to its cell, and PQ codes of the RESIDUALS rank the cell's members
+    by ADC. Residual quantization is the point: residuals concentrate
+    near 0, so the per-subspace codebooks resolve far finer than raw-
+    vector PQ at the same k. At 100 TB each query touches
+    |corpus|/coarse_k code rows (4-byte codes, not 256-byte vectors);
+    fit collects (coarse_k + k)·dim scalars; the LUT broadcasts. The
+    oracle replays coarse fit → residuals → residual PQ → cell-
+    restricted ADC end to end in SQL."""
+    from ..operators.similarity import ivfadc_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return ivfadc_topk(
+        e, "vec_id", "embedding", coarse_k=4, m=4, k=8,
+        coarse_iters=2, pq_iters=2,
+        query_pred=F.col("q_id") < 10, topk=5,
+    )
