@@ -45,6 +45,11 @@ HEADLINE = [
     "ann_lsh_topk",
     "text_quality_score",
     "text_tfidf",
+    # round-7 additions (~7s of suite wall by construction — the suite
+    # total is NOT comparable to rounds ≤ 6; per-query medians are)
+    "dedup_containment",
+    "join_interval_overlap",
+    "dedup_levenshtein_names",
 ]
 
 REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
