@@ -999,3 +999,58 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         fround(F.col("n") / F.sum("n").over(wp).cast("double"), 4).alias("p"),
     )
+
+
+@register(
+    "events_ohlc_bars",
+    oracle="""
+    WITH b AS (
+      SELECT date_trunc('hour', ts) AS bar, ts, event_id, value
+      FROM events
+    ),
+    ranked AS (
+      SELECT bar, value,
+             row_number() OVER (PARTITION BY bar ORDER BY ts, event_id) AS rn_a,
+             row_number() OVER (PARTITION BY bar ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM b
+    )
+    SELECT bar,
+           max(CASE WHEN rn_a = 1 THEN value END) AS open,
+           max(value) AS high,
+           min(value) AS low,
+           max(CASE WHEN rn_d = 1 THEN value END) AS close,
+           CAST(count(*) AS BIGINT) AS n_events,
+           floor(sum(value) * 10000 + 0.5) / 10000 AS volume
+    FROM ranked GROUP BY bar
+    """,
+)
+def events_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-SERIES BAR AGGREGATION: per-hour OHLC (open/high/low/close)
+    + count + volume over the event values — the downsampling shape
+    every metrics/market pipeline runs. Open/close are the first/last
+    value by the deterministic (ts, event_id) order, expressed as two
+    row_number windows + a conditional aggregate.
+
+    Scale shape: the windows and the groupBy all partition on the SAME
+    key (the bar), so the whole query is ONE shuffle; rows flow through
+    a single WindowExec pair and a combinable aggregate. No self-joins,
+    no collect."""
+    e = load_table(spark, sf_dir, "events")
+    bar = F.date_trunc("hour", "ts").alias("bar")
+    b = e.select(bar, "ts", "event_id", "value")
+    wa = Window.partitionBy("bar").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    wd = Window.partitionBy("bar").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    ranked = b.select(
+        "bar",
+        "value",
+        F.row_number().over(wa).alias("rn_a"),
+        F.row_number().over(wd).alias("rn_d"),
+    )
+    return ranked.groupBy("bar").agg(
+        F.max(F.when(F.col("rn_a") == 1, F.col("value"))).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        fround(F.sum("value"), 4).alias("volume"),
+    )

@@ -1272,3 +1272,39 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         fround(total / F.size("__e"), 9).alias("mse"),
         fround(F.sqrt(F.array_max("__e")), 9).alias("max_abs_err"),
     )
+
+
+_RESERVOIR_N = 200
+_RESERVOIR_HASH = _PORTABLE_HASH.format(
+    col="concat('rsv:', CAST(doc_id AS VARCHAR))"
+)
+
+
+@register(
+    "corpus_reservoir_sample",
+    oracle=f"""
+    SELECT doc_id, {_RESERVOIR_HASH} AS rk
+    FROM documents
+    ORDER BY rk ASC, doc_id ASC LIMIT {_RESERVOIR_N}
+    """,
+)
+def corpus_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTRIBUTED RESERVOIR SAMPLE as a bottom-k sketch: a uniform
+    n-of-N sample = the n documents with the SMALLEST salted hash of
+    their id. This is the shape that actually distributes: classic
+    reservoir sampling is a sequential algorithm, but bottom-k is
+    MERGEABLE — each partition keeps its local bottom-k (Spark plans
+    orderBy+limit as TakeOrderedAndProject: per-partition heaps, no
+    global sort) and the driver merges heaps, O(k) memory end to end.
+    The same salted-hash rank also makes the sample STABLE under
+    corpus growth: adding documents never swaps the relative order of
+    existing ones (the property incremental pipelines need so a grown
+    corpus reuses cached sample members), unlike rand()-based
+    sampling which reshuffles everything every run."""
+    d = load_table(spark, sf_dir, "documents")
+    rk = portable_hash60(F.concat(F.lit("rsv:"), F.col("doc_id").cast("string")))
+    return (
+        d.select("doc_id", rk.alias("rk"))
+        .orderBy(F.col("rk").asc(), F.col("doc_id").asc())
+        .limit(_RESERVOIR_N)
+    )

@@ -476,3 +476,50 @@ def stream_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
     )
     return _run_stream_to_frame(spark, writer, name, d)
+
+
+def _pq_codes_oracle() -> str:
+    from .llmdata import _pq_sql
+
+    base = _pq_sql(4, 8, 2, 64)
+    head = base.split("\n    lut AS (")[0].rstrip()
+    assert head.endswith("),"), head[-40:]
+    return head[:-1] + "\n    SELECT vec_id, j, cell FROM codes"
+
+
+@register("stream_pq_codes", oracle=_pq_codes_oracle())
+def stream_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INDEX MAINTENANCE AT THE DOOR, oracle-checked: a STREAM of
+    incoming embeddings is assigned PQ codes against FROZEN codebooks
+    (trained batch-side on the static corpus — the same
+    frozen-quantizer discipline as ann_ivf_index_append_topk). The
+    assignment is a pure stateless projection (literal codebooks, no
+    join, no state store), so it runs in append mode at wire speed —
+    the shape that keeps a 100 TB vector index current without
+    re-touching history. The sink table equals the batch codes of the
+    whole corpus, so the DuckDB PQ-chain oracle pins the streamed
+    assignment bit-for-bit."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from ..operators.similarity import pq_codes, pq_fit
+
+    e = load_table(spark, sf_dir, "embeddings")
+    books = pq_fit(e, "vec_id", "embedding", m=4, k=8, iters=2)
+
+    d = tempfile.mkdtemp(prefix="stream_pq_")
+    shutil.copy(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        os.path.join(d, "embeddings-0.parquet"),
+    )
+    stream = spark.readStream.schema(e.schema).parquet(d)
+    coded = pq_codes(stream, books, "vec_id", "embedding")
+    name = "spq_" + uuid.uuid4().hex[:8]
+    writer = (
+        coded.writeStream.format("memory")
+        .outputMode("append")
+        .trigger(availableNow=True)
+    )
+    return _run_stream_to_frame(spark, writer, name, d)
