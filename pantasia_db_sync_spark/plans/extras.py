@@ -1054,3 +1054,74 @@ def events_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_events"),
         fround(F.sum("value"), 4).alias("volume"),
     )
+
+
+@register(
+    "agg_theta_set_ops",
+    oracle="""
+    WITH f AS (
+      SELECT user_id,
+             max(CASE WHEN event_type = 'click' AND value > 80
+                 THEN 1 ELSE 0 END) AS a,
+             max(CASE WHEN event_type = 'purchase' AND value > 80
+                 THEN 1 ELSE 0 END) AS b
+      FROM events GROUP BY user_id
+    )
+    SELECT CAST(sum(a) AS BIGINT) AS n_a,
+           CAST(sum(b) AS BIGINT) AS n_b,
+           CAST(sum(a * b) AS BIGINT) AS n_inter,
+           CAST(sum(CASE WHEN a = 1 OR b = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_union,
+           CAST(sum(CASE WHEN a = 1 AND b = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_diff,
+           TRUE AS inter_ok, TRUE AS union_ok, TRUE AS diff_ok
+    FROM f
+    """,
+)
+def agg_theta_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SET OPERATIONS ON SKETCHES (Datasketches Theta): |A∩B|, |A∪B|,
+    |A\\B| of two user cohorts estimated from two mergeable sketches —
+    NO join between the cohorts. This is what HLL cannot do
+    (HLL unions but never intersects) and why theta sketches are the
+    audience-overlap workhorse: at 100 TB each cohort's sketch is a
+    few KB built with one combinable aggregation, and every set
+    algebra question after that is sketch-local math. Exact counts
+    ride along from the same per-user flag frame; the oracle pins the
+    exact values plus 5%-tolerance predicates on the estimates
+    (estimates themselves are engine-specific, same pattern as
+    agg_approx_distinct / agg_hll_merge)."""
+    e = load_table(spark, sf_dir, "events")
+    cond_a = (F.col("event_type") == "click") & (F.col("value") > 80)
+    cond_b = (F.col("event_type") == "purchase") & (F.col("value") > 80)
+    flags = e.groupBy("user_id").agg(
+        F.max(cond_a).alias("a"), F.max(cond_b).alias("b")
+    )
+    sk = flags.agg(
+        F.sum(F.col("a").cast("long")).alias("n_a"),
+        F.sum(F.col("b").cast("long")).alias("n_b"),
+        F.sum((F.col("a") & F.col("b")).cast("long")).alias("n_inter"),
+        F.sum((F.col("a") | F.col("b")).cast("long")).alias("n_union"),
+        F.sum((F.col("a") & ~F.col("b")).cast("long")).alias("n_diff"),
+        F.theta_sketch_agg(F.when(F.col("a"), F.col("user_id"))).alias("ska"),
+        F.theta_sketch_agg(F.when(F.col("b"), F.col("user_id"))).alias("skb"),
+    )
+    def ok(est, exact):
+        return F.abs(est - exact) <= 0.05 * exact
+    return sk.select(
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        F.col("n_inter").cast("bigint").alias("n_inter"),
+        F.col("n_union").cast("bigint").alias("n_union"),
+        F.col("n_diff").cast("bigint").alias("n_diff"),
+        ok(
+            F.theta_sketch_estimate(F.theta_intersection("ska", "skb")),
+            F.col("n_inter"),
+        ).alias("inter_ok"),
+        ok(
+            F.theta_sketch_estimate(F.theta_union("ska", "skb")), F.col("n_union")
+        ).alias("union_ok"),
+        ok(
+            F.theta_sketch_estimate(F.theta_difference("ska", "skb")),
+            F.col("n_diff"),
+        ).alias("diff_ok"),
+    )

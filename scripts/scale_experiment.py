@@ -249,8 +249,96 @@ def main() -> None:
         print(f"| {r}x | {n} | {q} | {dt:.2f} | {n_out} |")
 
 
+
+
+
+def r7_main() -> None:
+    """Round-7 operator scale shapes at 1x vs 10x. Usage:
+    python scripts/scale_experiment.py --r7 [replicas]
+
+    - containment: the inverted-index overlap join on replicated docs
+      (linear answer structure, like the jaccard row).
+    - FastSS levenshtein: synthetic fixed-width name table (the variant
+      index is O(n*L); candidate groups bounded by the alphabet).
+    - interval overlap: synthetic intervals over a key grid (candidates
+      per (key, bin) stay constant as n grows with the key space).
+    - PQ / IVFADC: replicated embeddings (fit cost k*dim scalars,
+      ADC one combinable aggregation).
+    """
+    import time as _time
+
+    from pantasia_db_sync_spark.operators.dedup import (
+        containment_pairs,
+        levenshtein_pairs_fastss,
+    )
+    from pantasia_db_sync_spark.operators.similarity import ivfadc_topk, pq_topk
+
+    replicas = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    spark = get_spark(app_name="r7-scale-experiment")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def run(label, fn):
+        fn().write.format("noop").mode("overwrite").save()  # warm
+        t0 = _time.perf_counter()
+        n = fn().count()
+        dt = _time.perf_counter() - t0
+        print(f"{label:<52} {dt:7.2f}s  rows={n}", flush=True)
+        return dt
+
+    def names_df(n):
+        return spark.range(n).select(
+            F.col("id").alias("cid"),
+            F.concat(F.lit("Customer#"), F.lpad(F.col("id").cast("string"), 9, "0")).alias("name"),
+        )
+
+    def intervals_df(n, keys):
+        # deterministic pseudo-random starts over ~2 years, len <= 15d
+        return spark.range(n).select(
+            (F.col("id") % keys).alias("k"),
+            F.col("id").alias("uid"),
+            ((F.col("id") * 2654435761) % 730).alias("s"),
+        ).select("k", "uid", "s", (F.col("s") + 1 + F.col("uid") % 14).alias("e"))
+
+    def overlap_count(iv):
+        binned = iv.select(
+            "k", "uid", "s", "e",
+            F.explode(F.sequence(F.floor(F.col("s") / 16), F.floor(F.col("e") / 16))).alias("bin"),
+        )
+        a = binned.select("k", "bin", F.col("uid").alias("ua"), F.col("s").alias("sa"), F.col("e").alias("ea"))
+        b = binned.select("k", "bin", F.col("uid").alias("ub"), F.col("s").alias("sb"), F.col("e").alias("eb"))
+        return (
+            a.join(b.hint("shuffle_hash"), ["k", "bin"])
+            .where(F.col("ua") < F.col("ub"))
+            .select("k", "ua", "ub", "sa", "ea", "sb", "eb").distinct()
+            .where((F.col("sa") <= F.col("eb")) & (F.col("sb") <= F.col("ea")))
+            .groupBy("k").count()
+        )
+
+    for r in (1, replicas):
+        sf_dir = BASE_SF if r == 1 else build_corpus(spark, r)
+        docs = load_table(spark, sf_dir, "documents")
+        embs = load_table(spark, sf_dir, "embeddings")
+        nd, ne = docs.count(), embs.count()
+        print(f"x{r}: {nd} docs, {ne} vectors", flush=True)
+        run(f"x{r} containment_pairs (inverted index)",
+            lambda: containment_pairs(docs, "doc_id", "text", n=3, threshold=0.8971))
+        run(f"x{r} levenshtein FastSS ({20_000 * r} names)",
+            lambda: levenshtein_pairs_fastss(names_df(20_000 * r), "cid", "name"))
+        # keys scale with n so per-(key,bin) density stays fixed
+        run(f"x{r} interval_overlap ({600_000 * r} intervals)",
+            lambda: overlap_count(intervals_df(600_000 * r, 1000 * r)))
+        run(f"x{r} pq_topk ADC ({ne} vectors)",
+            lambda: pq_topk(embs, "vec_id", "embedding", m=4, k=8, iters=2,
+                            query_pred=F.col("q_id") < 10, topk=5))
+        run(f"x{r} ivfadc_topk ({ne} vectors)",
+            lambda: ivfadc_topk(embs, "vec_id", "embedding",
+                                query_pred=F.col("q_id") < 10, topk=5))
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--skew":
         skew_main()
+    elif len(sys.argv) > 1 and sys.argv[1] == "--r7":
+        r7_main()
     else:
         main()

@@ -119,6 +119,7 @@ _ALLOWED_NESTED_LOOP = {
 # metadata-scale (a handful of rows), never a full table:
 _ALLOWED_SINGLE_PARTITION = {
     "agg_approx_distinct",  # final merge of HLL sketches → 1 row
+    "agg_theta_set_ops",    # final merge of two theta sketches → 1 row
     "period_windows",       # period boundary list (one row per period)
     "sink_tip",             # max(tx_time) watermark → 1 row
     # dense-id offsets: cumulative-count window over the per-bucket
