@@ -34,7 +34,7 @@ from ..functions.cardano import staking_address_udf
 from ..functions.hexstr import hex_to_string, lower_hex
 from ..operators.surrogate import with_dense_ids
 from .fixtures import GENESIS
-from .store import TableStore
+from .store import MANIFEST, TableStore
 
 SEQ_ORDER = ["tx_time", "tx_id", "ma_id", "leg_order", "sub_id"]
 
@@ -631,6 +631,41 @@ class SyncEngine:
             empty = self.spark.createDataFrame([], TARGET_SCHEMAS["user"])
             self.store.repoint("user", self.store.stage("user", empty))
 
+    def _recover_fact_commits(self) -> None:
+        """Roll FORWARD an interrupted multi-table fact commit (G7).
+
+        ``process_period`` flips the fact pointers sequentially, after
+        every commit dir (data + manifest) has landed. A crash BETWEEN
+        the two ``commit_append`` calls leaves table A at commit N and
+        table B at N-1 with B's ``commit=N`` dir fully written but
+        invisible — and that invisibility is dangerous, not just stale:
+        ``pantasia_tip`` is max() across fact tables, so period N is
+        never replayed for B, and ``_seed`` (max COMMITTED id) would
+        hand the next period ids that collide with the orphan dir's
+        rows the moment a later flip makes it visible (``<= ptr``
+        pruning). Because the manifest is written INSIDE the commit dir
+        before any pointer moves, a present manifest IS the commit
+        record — so this is write-ahead-log roll-forward: repoint each
+        lagging fact table across every complete-but-unflipped dir up
+        to the fleet-max commit id. A dir missing its manifest means
+        the crash hit before any flip; the whole period replays from
+        the tip and the replay's append overwrites the partial dir, so
+        recovery must (and does) leave it alone. Reference analogue:
+        the single Postgres transaction wrapping all nine table writes
+        (/root/reference/app/main.py:379) — one commit point, never a
+        window between tables."""
+        ptrs = {t: self.store.current_version(t) or 0 for t in FACT_TABLES}
+        target = max(ptrs.values())
+        for t, ptr in ptrs.items():
+            nxt = ptr
+            while nxt < target:
+                d = self.store.append_dir(t, nxt + 1)
+                if not os.path.exists(os.path.join(d, MANIFEST)):
+                    break
+                nxt += 1
+            if nxt != ptr:
+                self.store.repoint(t, nxt)
+
     def run_sync(
         self,
         max_periods: int | None = None,
@@ -641,6 +676,7 @@ class SyncEngine:
         period's transactional commit — the store stays consistent and
         the next run_sync resumes from the data-derived tip."""
         self.ensure_bootstrap()
+        self._recover_fact_commits()
         # fresh probe per run: carried seeds/totals are an in-run
         # optimization only, never trusted across restarts (G7 crash
         # recovery)

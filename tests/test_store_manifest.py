@@ -470,3 +470,51 @@ def test_facts_stats_partial_commit_coverage_forces_scan(spark, synced):
 
     got = engine._facts_max_or_scan(table, "tx_time")
     assert got == true_max
+
+
+def test_crash_between_fact_commits_rolls_forward(spark, source_dir, tmp_path):
+    """G7: a crash BETWEEN the two fact-table pointer flips leaves one
+    table's final commit dir written (manifest present) but unflipped.
+    run_sync must roll the lagging pointer FORWARD (the manifest is the
+    WAL commit record) — otherwise pantasia_tip (max across tables)
+    skips the period for the lagging table, and _seed reuses the orphan
+    dir's id range, colliding the moment a later flip exposes it."""
+    store = TableStore(str(tmp_path / "store"))
+    engine = SyncEngine(spark, source_dir, store, time_interval_minutes=30)
+    engine.run_sync()
+    table = "asset_mint_tx"
+    ptr = store.current_version(table)
+    assert ptr and ptr >= 2
+    before_rows = {
+        tuple(r) for r in store.read_facts(spark, table).collect()
+    }
+    before_max_id = store.facts_max(table, "id")
+
+    # simulate the crash: un-flip the last commit (data + manifest stay)
+    with open(store._pointer(table), "w") as f:
+        f.write(str(ptr - 1))
+    assert store.facts_max(table, "id") < before_max_id  # orphan invisible
+
+    engine2 = SyncEngine(spark, source_dir, store, time_interval_minutes=30)
+    engine2.run_sync()  # no new source data; recovery must restore the flip
+    assert store.current_version(table) == ptr
+    after_rows = {tuple(r) for r in store.read_facts(spark, table).collect()}
+    assert after_rows == before_rows
+    # ids stay collision-free
+    n = store.read_facts(spark, table).count()
+    n_ids = store.read_facts(spark, table).select("id").distinct().count()
+    assert n == n_ids
+
+    # a dir WITHOUT a manifest is not a commit record: recovery must
+    # leave the pointer alone (that state means no flip happened — the
+    # period replays from the tip instead)
+    with open(store._pointer(table), "w") as f:
+        f.write(str(ptr - 1))
+    os.remove(os.path.join(store.append_dir(table, ptr), MANIFEST))
+    engine3 = SyncEngine(spark, source_dir, store, time_interval_minutes=30)
+    engine3._recover_fact_commits()
+    assert store.current_version(table) == ptr - 1
+    # restore for hygiene: full replay path is covered by the e2e crash
+    # tests; here we only pin the recovery decision itself
+    with open(store._pointer(table), "w") as f:
+        f.write(str(ptr))
