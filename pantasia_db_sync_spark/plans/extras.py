@@ -1125,3 +1125,49 @@ def agg_theta_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_diff"),
         ).alias("diff_ok"),
     )
+
+
+@register(
+    "source_python_datasource",
+    oracle="""
+    WITH src AS (
+      SELECT CAST(i AS BIGINT) AS row_id,
+             CAST((i * 2654435761) % 997 AS INTEGER) AS account,
+             CAST(879000000 + i AS BIGINT) AS ts_sec,
+             ((i * 1103515245 + 12345) % 1000000) / 100.0 AS amount
+      FROM range(0, 100000) t(i)
+    )
+    SELECT CAST(account % 16 AS INTEGER) AS bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           floor(sum(amount) * 100 + 0.5) / 100 AS total
+    FROM src
+    WHERE row_id >= 25000 AND row_id < 75000
+    GROUP BY 1
+    """,
+)
+def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSTOM PYTHON DATA SOURCE (Spark 4 `pyspark.sql.datasource`):
+    a deterministic synthetic ledger read through the planner like any
+    table — one task per InputPartition (executors pull their own
+    slices, no driver funnel) and Spark-4.1 `pushFilters` support that
+    shrinks the generated range and PRUNES whole partitions before any
+    row exists (sources/pydatasource.py; pruning pinned by a unit
+    test). The reference's sources are two psycopg2 connections
+    (app/db/postgres.py:16-60); this is the Spark-native answer for
+    data behind an API/generator rather than a file format. The row
+    arithmetic is pure integer math on row_id, so the DuckDB oracle
+    reproduces the source exactly from range()."""
+    from ..sources.pydatasource import register_ledger_source
+
+    register_ledger_source(spark)
+    src = (
+        spark.read.format("synthetic_ledger")
+        .option("rows", 100_000)
+        .option("parts", 8)
+        .load()
+        .where((F.col("row_id") >= 25_000) & (F.col("row_id") < 75_000))
+    )
+    return src.groupBy((F.col("account") % 16).cast("int").alias("bucket")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        fround(F.sum("amount"), 2).alias("total"),
+    )

@@ -76,3 +76,45 @@ def test_text_corpus_roundtrip(spark, tmp_path):
             str(tmp_path / "bad"),
             "text",
         )
+
+
+def test_python_datasource_pushdown_prunes_partitions(spark):
+    """The Spark-4 custom Python data source: pushed row_id range
+    filters must shrink the generated range AND drop whole partitions
+    (the task-pruning that makes a pushed filter a range read instead
+    of a full scan in a real backing store)."""
+    from pyspark.sql.datasource import GreaterThanOrEqual, LessThan
+
+    from pantasia_db_sync_spark.sources.pydatasource import (
+        LedgerReader,
+        ledger_row,
+        register_ledger_source,
+    )
+
+    r = LedgerReader({"rows": "100000", "parts": "8"})
+    assert len(r.partitions()) == 8
+    leftover = list(
+        r.pushFilters(
+            [
+                GreaterThanOrEqual(("row_id",), 80_000),
+                LessThan(("row_id",), 92_000),
+            ]
+        )
+    )
+    assert leftover == []  # fully consumed
+    parts = r.partitions()
+    assert len(parts) == 2  # [80000,87500) and [87500,92000)
+    assert min(p.start for p in parts) == 80_000
+    assert max(p.end for p in parts) == 92_000
+
+    # end-to-end: the read honors pushed bounds and row arithmetic
+    register_ledger_source(spark)
+    df = (
+        spark.read.format("synthetic_ledger")
+        .option("rows", 100_000)
+        .option("parts", 8)
+        .load()
+        .where("row_id >= 99990")
+    )
+    rows = sorted(tuple(x) for x in df.collect())
+    assert rows == [ledger_row(i) for i in range(99_990, 100_000)]
