@@ -523,3 +523,62 @@ def stream_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
     )
     return _run_stream_to_frame(spark, writer, name, d)
+
+
+def _ledger_sql(n_rows: int) -> str:
+    from ..sources.pydatasource import LEDGER_SQL_EXPRS
+
+    cols = ",\n             ".join(LEDGER_SQL_EXPRS)
+    return f"""
+    SELECT {cols}
+    FROM range(0, {n_rows}) t(i)
+    """
+
+
+@register("stream_python_datasource", oracle=_ledger_sql(20_000))
+def stream_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING side of the custom Python data source
+    (SimpleDataSourceStreamReader): micro-batch offsets are plain
+    {"row": n} dicts, each trigger advances one batch_rows slice, and
+    readBetweenOffsets regenerates any committed range bit-identically
+    — the replay contract exactly-once sinks rely on (same property the
+    TableStore commit protocol uses). 20k rows drain across 4+
+    micro-batches into an append memory sink; the sink table must equal
+    the batch ledger, which the range()-based oracle pins value-exactly
+    (not just counts). Spark's availableNow trigger caps a simple
+    reader at its FIRST read() offset, so the drain uses a continuous
+    trigger + progress poll — the stop is on sink row count, not
+    sleep-and-hope."""
+    import time
+    import uuid
+
+    from ..sources.pydatasource import register_ledger_source
+
+    n_rows = 20_000
+    register_ledger_source(spark)
+    stream = (
+        spark.readStream.format("synthetic_ledger")
+        .option("rows", n_rows)
+        .option("batch_rows", 5_000)
+        .load()
+    )
+    name = "spds_" + uuid.uuid4().hex[:8]
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 300
+        while spark.table(name).count() < n_rows:
+            if time.time() > deadline:
+                raise RuntimeError(f"ledger stream stalled: {name}")
+            time.sleep(0.3)
+    finally:
+        q.stop()
+    sink = spark.table(name)
+    out = spark.createDataFrame(sink.collect(), sink.schema)
+    spark.catalog.dropTempView(name)
+    return out

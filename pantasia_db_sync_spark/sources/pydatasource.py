@@ -25,6 +25,7 @@ from dataclasses import dataclass
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    SimpleDataSourceStreamReader,
     GreaterThan,
     GreaterThanOrEqual,
     InputPartition,
@@ -120,6 +121,9 @@ class LedgerDataSource(DataSource):
     def reader(self, schema: StructType) -> LedgerReader:
         return LedgerReader(self.options)
 
+    def simpleStreamReader(self, schema: StructType) -> "LedgerStreamReader":
+        return LedgerStreamReader(self.options)
+
 
 def register_ledger_source(spark) -> None:
     # Spark refuses a reader that implements pushFilters() unless the
@@ -128,3 +132,36 @@ def register_ledger_source(spark) -> None:
     # pushFilters — i.e., only this one.
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(LedgerDataSource)
+
+
+class LedgerStreamReader(SimpleDataSourceStreamReader):
+    """Micro-batch stream over the same deterministic ledger: offsets
+    are plain ``{"row": n}`` dicts, each batch advances by
+    ``batch_rows`` until ``rows`` is exhausted, then reads return empty
+    with an unmoved offset (a quiesced source). ``readBetweenOffsets``
+    regenerates any committed range deterministically — the replay
+    contract that gives exactly-once downstream (a re-delivered batch
+    is bit-identical, so idempotent sinks dedupe naturally, same
+    property the TableStore commit protocol relies on)."""
+
+    def __init__(self, options):
+        self.n_rows = int(options.get("rows", 100_000))
+        self.batch_rows = int(options.get("batch_rows", 1_000))
+
+    def initialOffset(self) -> dict:
+        return {"row": 0}
+
+    def read(self, start: dict):
+        # lists, not generators: Spark's prefetch cache copy.copy()s
+        # the returned iterator when planning partitions, and
+        # generators are not copyable
+        lo = int(start["row"])
+        hi = min(lo + self.batch_rows, self.n_rows)
+        return [ledger_row(rid) for rid in range(lo, hi)], {"row": hi}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return [
+            ledger_row(rid) for rid in range(int(start["row"]), int(end["row"]))
+        ]
+
+
