@@ -635,18 +635,32 @@ def kmeans_cell_expr(
 ) -> Column:
     """Cell assignment = argmax rounded cosine to the centroids,
     embedded as literal arrays — a pure per-row projection, no join, no
-    shuffle. Ties break to the lowest cell id (the CASE chain tests
-    cells in ascending id order)."""
-    cos_cols = []
-    for _, coords in centroids:
-        carr = F.array(*[F.lit(float(x)) for x in coords])
-        cnrm = F.lit(_py_norm(coords))
-        cos_cols.append(fround(dot_col(vec, carr) / (nrm * cnrm), round_digits))
-    best = F.greatest(*cos_cols) if len(cos_cols) > 1 else cos_cols[0]
-    cell = F.when(cos_cols[0] == best, F.lit(centroids[0][0]))
-    for (cid, _), cc in zip(centroids[1:], cos_cols[1:]):
-        cell = cell.when(cc == best, F.lit(cid))
-    return cell
+    shuffle. Ties break to the lowest cell id.
+
+    Shape: transform → array_min over (−cos, cell) structs — struct
+    ordering is lexicographic, so the minimum is "largest ROUNDED
+    cosine, then lowest cell id" with each cosine evaluated exactly
+    once (negating AFTER rounding keeps tie semantics bit-identical to
+    the former greatest()+CASE chain, which evaluated every cosine
+    fold twice and paid one py4j round trip per centroid coordinate —
+    the same driver-side overhead profiled in _l2_cell_expr)."""
+    ordered = sorted(centroids)
+    cells = F.lit([int(cid) for cid, _ in ordered])
+    coords = F.lit([[float(x) for x in c] for _, c in ordered])
+    norms = F.lit([_py_norm(c) for _, c in ordered])
+    scored = F.transform(
+        coords,
+        lambda c, i: F.struct(
+            (
+                -fround(
+                    dot_col(vec, c) / (nrm * F.element_at(norms, i + 1)),
+                    round_digits,
+                )
+            ).alias("negcos"),
+            F.element_at(cells, i + 1).alias("cell"),
+        ),
+    )
+    return F.array_min(scored)["cell"]
 
 
 def kmeans_fit(
