@@ -29,6 +29,7 @@ def asof_join(
     value_cols: list[str] | None = None,
     strict: bool = False,
     direction: str = "backward",
+    tolerance=None,
 ) -> DataFrame:
     """Left as-of join.
 
@@ -48,6 +49,15 @@ def asof_join(
 
     Ties on ``right_ts`` resolve to the greatest payload struct
     (deterministic regardless of partitioning).
+
+    ``tolerance`` (pandas ``merge_asof(tolerance=...)``): a maximum
+    time distance for a match — a Column (e.g.
+    ``F.expr("INTERVAL 2 DAYS")`` for timestamp axes) or a plain number
+    for numeric axes. A carried match farther than the tolerance is
+    nulled AFTER the carry, so it costs one row-local comparison and
+    changes nothing about the one-shuffle plan. This is the knob that
+    stops stale state from leaking across quiet periods (a price quote
+    from last month is not "the prevailing price").
     """
     if direction not in ("backward", "forward", "nearest"):
         raise ValueError(f"unknown direction {direction!r}")
@@ -124,6 +134,22 @@ def asof_join(
             .otherwise(F.col("__f")),
         )
     carried = carried.where(F.col("__lrow").isNotNull())
+    if tolerance is not None:
+        from pyspark.sql import Column as _Column
+
+        tol = tolerance if isinstance(tolerance, _Column) else F.lit(tolerance)
+        # |left_ts - matched right_ts| works for every direction and
+        # every axis type (greatest(x, -x): interval subtraction covers
+        # TIMESTAMP/TIMESTAMP_NTZ, plain arithmetic covers numerics)
+        d1 = F.col("__ts") - F.col("__carry.__rts")
+        d2 = F.col("__carry.__rts") - F.col("__ts")
+        carried = carried.withColumn(
+            "__carry",
+            F.when(
+                F.col("__carry").isNotNull() & (F.greatest(d1, d2) <= tol),
+                F.col("__carry"),
+            ),
+        )
 
     out_cols = []
     for c in left.columns:

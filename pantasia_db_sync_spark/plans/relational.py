@@ -1038,3 +1038,37 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.groupBy(F.col("k").alias("suppkey")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_overlaps")
     )
+
+
+@register(
+    "join_asof_tolerance",
+    oracle="""
+    SELECT p.event_id, p.user_id, p.ts,
+           (SELECT max(c.ts) FROM events c
+             WHERE c.event_type = 'click' AND c.user_id = p.user_id
+               AND c.ts <= p.ts
+               AND c.ts >= p.ts - INTERVAL 6 HOUR
+           ) AS last_click_ts
+    FROM events p WHERE p.event_type = 'purchase'
+    """,
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.C extension — as-of join with a TOLERANCE (pandas
+    merge_asof(tolerance=...)): the latest click at-or-before each
+    purchase, but only within 6 hours — matches farther back are
+    nulled. This is the knob that stops stale state leaking across
+    quiet periods (yesterday's click does not explain today's
+    purchase). Costs one row-local comparison after the same
+    one-shuffle union+window carry (operators/asof.py)."""
+    e = _t(spark, sf_dir, "events")
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = e.where(F.col("event_type") == "click").select("user_id", "ts")
+    out = asof_join(
+        purchases, clicks, on="user_id", left_ts="ts", right_ts="ts",
+        value_cols=[], tolerance=F.expr("INTERVAL 6 HOURS"),
+    )
+    return out.select(
+        "event_id", "user_id", "ts", F.col("asof_ts").alias("last_click_ts")
+    )
