@@ -146,15 +146,20 @@ def ivf_probe_cells(
     cells by rounded centroid cosine (ties to the lowest cell id).
     Queries are few; the centroid table rides as a literal struct
     array, so this is a map-only explode + per-query rank."""
-    cents = F.array(
-        *[
-            F.struct(
-                F.lit(int(cid)).alias("cell"),
-                F.array(*[F.lit(float(x)) for x in coords]).alias("c"),
-                F.lit(_py_norm(coords)).alias("cnrm"),
-            )
-            for cid, coords in sorted(centroids)
-        ]
+    # three batched literals (one py4j call each, not one per
+    # coordinate — the driver-overhead profile from _l2_cell_expr),
+    # zipped into structs plan-side
+    ordered = sorted(centroids)
+    cells_lit = F.lit([int(cid) for cid, _ in ordered])
+    coords_lit = F.lit([[float(x) for x in c] for _, c in ordered])
+    norms_lit = F.lit([_py_norm(c) for _, c in ordered])
+    cents = F.transform(
+        coords_lit,
+        lambda c, i: F.struct(
+            F.element_at(cells_lit, i + 1).alias("cell"),
+            c.alias("c"),
+            F.element_at(norms_lit, i + 1).alias("cnrm"),
+        ),
     )
     q = (
         queries.select(F.col(id_col).alias("q_id"), as_double_vec(vec_col).alias("q_vec"))
