@@ -784,3 +784,320 @@ def synthetic_gif_frame(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             yield pd.DataFrame({"doc_id": pdf["doc_id"].values, "content": content})
 
     return src.mapInPandas(gen, schema="doc_id bigint, content binary")
+
+
+# ---------------------------------------------------------------------------
+# WAV: REAL audio codec (RIFF/PCM, pure stdlib+numpy) — completes the
+# audio modality with actual sample parsing, not a stub
+# ---------------------------------------------------------------------------
+
+import numpy as np
+
+WAV_SCHEMA = (
+    "doc_id bigint, byte_len int, sample_rate int, channels int, bits int, "
+    "n_frames int, duration_ms double, rms double, peak int, mean double"
+)
+
+
+def encode_wav(
+    sample_rate: int, channels: int, n_frames: int, amplitude: int
+) -> bytes:
+    """Minimal spec-compliant RIFF/WAVE, 16-bit PCM: a ±amplitude square
+    wave (frame k = +a if k even else −a, all channels identical). A
+    LIST/INFO chunk rides between fmt and data so decoders must walk
+    chunks for real instead of assuming the canonical 44-byte layout.
+    Public format, written from the RIFF spec — no audio library."""
+    frames = np.empty(n_frames, dtype="<i2")
+    frames[0::2] = amplitude
+    frames[1::2] = -amplitude
+    data = np.repeat(frames, channels).tobytes()
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, sample_rate, sample_rate * channels * 2, channels * 2, 16
+    )
+    chunks = (
+        b"fmt " + struct.pack("<I", 16) + fmt
+        + b"LIST" + struct.pack("<I", 12) + b"INFOpantasia"
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def decode_wav(content: bytes) -> dict:
+    """Real WAV decode: RIFF header check, generic chunk walk (odd-size
+    pad rule honored, unknown chunks skipped), PCM-16 validation, then a
+    vectorized sample pass (numpy int16 view) for n_frames / duration /
+    RMS / peak / mean. Non-PCM or non-16-bit streams raise ValueError —
+    honest partial support, same policy as the image codecs."""
+    if len(content) < 12 or content[:4] != b"RIFF" or content[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE stream")
+    riff_size = struct.unpack_from("<I", content, 4)[0]
+    end = min(len(content), 8 + riff_size)
+    off = 12
+    fmt = None
+    data = None
+    while off + 8 <= end:
+        cid = content[off : off + 4]
+        size = struct.unpack_from("<I", content, off + 4)[0]
+        body = content[off + 8 : off + 8 + size]
+        if len(body) < size:
+            raise ValueError(f"truncated {cid!r} chunk")
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        off += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_fmt, channels, sample_rate, _byte_rate, block_align, bits = struct.unpack_from(
+        "<HHIIHH", fmt, 0
+    )
+    if audio_fmt != 1 or bits != 16:
+        raise ValueError(f"unsupported WAV profile (fmt={audio_fmt}, bits={bits})")
+    if block_align != channels * 2:
+        raise ValueError("block_align inconsistent with channels/bits")
+    samples = np.frombuffer(data, dtype="<i2").astype(np.float64)
+    n_frames = len(samples) // channels
+    return {
+        "byte_len": len(content),
+        "sample_rate": sample_rate,
+        "channels": channels,
+        "bits": bits,
+        "n_frames": n_frames,
+        "duration_ms": n_frames * 1000.0 / sample_rate,
+        "rms": float(np.sqrt(np.mean(samples**2))) if len(samples) else 0.0,
+        "peak": int(np.max(np.abs(samples))) if len(samples) else 0,
+        "mean": float(np.mean(samples)) if len(samples) else 0.0,
+    }
+
+
+def decode_wav_features(
+    df: DataFrame, id_col: str = "doc_id", binary_col: str = "content"
+) -> DataFrame:
+    """mapInPandas over a binary column with the REAL WAV decoder —
+    same Arrow batch plumbing as the image codecs; the sample pass is
+    numpy-vectorized per blob."""
+    src = df.select(F.col(id_col).alias("doc_id"), F.col(binary_col).alias("content"))
+
+    cols = [
+        "byte_len", "sample_rate", "channels", "bits", "n_frames",
+        "duration_ms", "rms", "peak", "mean",
+    ]
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, c in zip(pdf["doc_id"], pdf["content"]):
+                d = decode_wav(bytes(c))
+                rows.append((int(i), *(d[k] for k in cols)))
+            yield pd.DataFrame(rows, columns=["doc_id", *cols])
+
+    return src.mapInPandas(extract, schema=WAV_SCHEMA)
+
+
+def synthetic_wav_frame(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Real encoded bytes for the WAV path: one square-wave PCM clip per
+    input row — rate/channels/frames/amplitude all id-derived so the
+    paired oracle predicts every decoded feature arithmetically
+    (square wave ⇒ rms = amplitude exactly, mean = 0 for the even
+    frame count)."""
+    src = df.select(F.col(id_col).alias("doc_id"))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rates = (8000, 16000, 44100)
+        for pdf in batches:
+            content = [
+                encode_wav(
+                    rates[int(i) % 3],
+                    int(i) % 2 + 1,
+                    (int(i) % 250 + 50) * 2,
+                    (int(i) * 97) % 30000 + 1,
+                )
+                for i in pdf["doc_id"]
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].values, "content": content})
+
+    return src.mapInPandas(gen, schema="doc_id bigint, content binary")
+
+
+# ---------------------------------------------------------------------------
+# Image perceptual hash (dHash): image near-dup dedup over REAL decoded
+# pixels — the image-modality twin of dedup_simhash
+# ---------------------------------------------------------------------------
+
+DHASH_SCHEMA = "doc_id bigint, width int, height int, dhash_hi bigint, dhash_lo bigint"
+
+
+def encode_bmp_gray(grid: list[list[int]]) -> bytes:
+    """Spec-compliant 24-bit BMP from a top-down grayscale grid
+    (r=g=b=gray). Same layout rules as encode_bmp — bottom-up rows,
+    4-byte row padding — but per-pixel values."""
+    height = len(grid)
+    width = len(grid[0])
+    pad = (4 - (width * 3) % 4) % 4
+    raster = b"".join(
+        bytes(v for g in row for v in (g, g, g)) + b"\x00" * pad
+        for row in reversed(grid)  # bottom-up storage
+    )
+    size = 14 + 40 + len(raster)
+    file_header = struct.pack("<2sIHHI", b"BM", size, 0, 0, 54)
+    info_header = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(raster), 2835, 2835, 0, 0
+    )
+    return file_header + info_header + raster
+
+
+def decode_bmp_gray_grid(content: bytes) -> list[list[float]]:
+    """Real BMP decode to a TOP-DOWN grayscale grid (channel mean per
+    pixel). Shares the profile checks of decode_bmp; used by the
+    perceptual-hash path which needs pixels, not just means."""
+    if len(content) < 54 or content[:2] != b"BM":
+        raise ValueError("not a BMP stream")
+    data_offset = struct.unpack_from("<I", content, 10)[0]
+    header_size, width, height = struct.unpack_from("<Iii", content, 14)
+    planes, bpp = struct.unpack_from("<HH", content, 26)
+    compression = struct.unpack_from("<I", content, 30)[0]
+    if header_size < 40 or planes != 1 or bpp != 24 or compression != 0:
+        raise ValueError(f"unsupported BMP profile (bpp={bpp}, compression={compression})")
+    top_down = height < 0
+    height = abs(height)
+    row_stride = (width * 3 + 3) & ~3
+    rows: list[list[float]] = []
+    for y in range(height):
+        base = data_offset + y * row_stride
+        row = content[base : base + width * 3]
+        if len(row) < width * 3:
+            raise ValueError("truncated raster")
+        rows.append([(row[i] + row[i + 1] + row[i + 2]) / 3.0 for i in range(0, width * 3, 3)])
+    if not top_down:
+        rows.reverse()  # stored bottom-up -> return top-down
+    return rows
+
+
+def image_dhash(content: bytes, grid_w: int = 8, grid_h: int = 8) -> tuple[int, int, int, int]:
+    """Difference hash over a real decoded image: grayscale -> box-
+    average downsample to (grid_w+1) x grid_h -> bit per horizontal
+    neighbor comparison. Returns (width, height, hash_hi, hash_lo) with
+    the 64-bit hash split into two uint32 halves so both engines (and
+    parquet) carry it in signed BIGINTs without sign games."""
+    grid = decode_bmp_gray_grid(content)
+    h, w = len(grid), len(grid[0])
+    gw = grid_w + 1
+    cells = [
+        [
+            _box_mean(grid, x0=gx * w // gw, x1=(gx + 1) * w // gw,
+                      y0=gy * h // grid_h, y1=(gy + 1) * h // grid_h)
+            for gx in range(gw)
+        ]
+        for gy in range(grid_h)
+    ]
+    bits = 0
+    for gy in range(grid_h):
+        for gx in range(grid_w):
+            if cells[gy][gx + 1] > cells[gy][gx]:
+                bits |= 1 << (gy * grid_w + gx)
+    return w, h, bits >> 32, bits & 0xFFFFFFFF
+
+
+def _box_mean(grid: list[list[float]], x0: int, x1: int, y0: int, y1: int) -> float:
+    x1 = max(x1, x0 + 1)
+    y1 = max(y1, y0 + 1)
+    tot = 0.0
+    for y in range(y0, y1):
+        row = grid[y]
+        for x in range(x0, x1):
+            tot += row[x]
+    return tot / ((x1 - x0) * (y1 - y0))
+
+
+def image_dhash_features(
+    df: DataFrame, id_col: str = "doc_id", binary_col: str = "content"
+) -> DataFrame:
+    """mapInPandas computing the perceptual hash from real decoded
+    pixels — same Arrow batch plumbing as the codec features."""
+    src = df.select(F.col(id_col).alias("doc_id"), F.col(binary_col).alias("content"))
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, c in zip(pdf["doc_id"], pdf["content"]):
+                w, h, hi, lo = image_dhash(bytes(c))
+                rows.append((int(i), w, h, hi, lo))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "width", "height", "dhash_hi", "dhash_lo"]
+            )
+
+    return src.mapInPandas(extract, schema=DHASH_SCHEMA)
+
+
+def image_phash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    binary_col: str = "content",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Image near-dup pairs by perceptual hash: 4 x 16-bit pigeonhole
+    bands over the 64-bit dHash -> banded equi-self-join -> exact
+    hamming verify. Identical scale shape to dedup_simhash: with
+    hamming <= 3 and 4 bands at least one band matches, so the banded
+    candidates EQUAL the cross-join result at equi-join cost — never
+    all-pairs. At 100 TB the band join shuffles on (band_idx, band_val)
+    and AQE handles hot buckets."""
+    h = image_dhash_features(df, id_col, binary_col).select(
+        "doc_id", "dhash_hi", "dhash_lo"
+    )
+    mask = F.lit(0xFFFF)
+    bands = h.select(
+        "doc_id", "dhash_hi", "dhash_lo",
+        F.posexplode(
+            F.array(
+                F.col("dhash_lo").bitwiseAND(mask),
+                F.shiftright("dhash_lo", 16).bitwiseAND(mask),
+                F.col("dhash_hi").bitwiseAND(mask),
+                F.shiftright("dhash_hi", 16).bitwiseAND(mask),
+            )
+        ).alias("band_idx", "band_val"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("a_id"),
+            F.col("b.doc_id").alias("b_id"),
+            (
+                F.bit_count(F.col("a.dhash_hi").bitwiseXOR(F.col("b.dhash_hi")))
+                + F.bit_count(F.col("a.dhash_lo").bitwiseXOR(F.col("b.dhash_lo")))
+            ).cast("int").alias("hamming"),
+        )
+        .distinct()
+    )
+    return cand.where(F.col("hamming") <= max_hamming)
+
+
+def synthetic_patterned_bmp(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Real encoded bytes for the perceptual-hash path: 9x8 BMPs whose
+    per-pixel pattern repeats every 100 ids with a tiny +1 brightness
+    drift per repeat — so id and id+100 decode to near-identical hashes
+    (hamming 0 except rare mod-256 wraps), planting genuine image
+    near-dups. Every pixel is id-arithmetic, so the paired oracle
+    recomputes the exact hash in SQL."""
+    src = df.select(F.col(id_col).alias("doc_id"))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            content = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                grid = [
+                    [((i % 100 + 1) * (x + 3) * (y + 7) * 13 + i // 100) % 256
+                     for x in range(9)]
+                    for y in range(8)
+                ]
+                content.append(encode_bmp_gray(grid))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].values, "content": content})
+
+    return src.mapInPandas(gen, schema="doc_id bigint, content binary")

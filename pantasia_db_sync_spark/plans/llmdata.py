@@ -1792,3 +1792,123 @@ def ann_ivfadc_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         coarse_iters=2, pq_iters=2,
         query_pred=F.col("q_id") < 10, topk=5,
     )
+
+
+@register(
+    "multimodal_decode_wav",
+    oracle="""
+    SELECT doc_id,
+           CAST(64 + ((doc_id % 250 + 50) * 2) * (doc_id % 2 + 1) * 2
+                AS INTEGER) AS byte_len,
+           CAST(CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                ELSE 44100 END AS INTEGER) AS sample_rate,
+           CAST(doc_id % 2 + 1 AS INTEGER) AS channels,
+           CAST(16 AS INTEGER) AS bits,
+           CAST((doc_id % 250 + 50) * 2 AS INTEGER) AS n_frames,
+           floor(((doc_id % 250 + 50) * 2) * 1000.0
+                 / (CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                    ELSE 44100 END) * 100000 + 0.5) / 100000 AS duration_ms,
+           CAST((doc_id * 97) % 30000 + 1 AS DOUBLE) AS rms,
+           CAST((doc_id * 97) % 30000 + 1 AS INTEGER) AS peak,
+           CAST(0 AS DOUBLE) AS mean
+    FROM documents WHERE doc_id < 300
+    """,
+)
+def multimodal_decode_wav_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode: RIFF/PCM WAV clips rendered in-flight
+    (operators/multimodal.py encode_wav — ±amplitude square wave, a
+    LIST chunk forcing a genuine chunk walk) and parsed back by
+    decode_wav: header validation, word-aligned chunk traversal, PCM-16
+    sample pass (numpy) to frames/duration/RMS/peak/mean. The square
+    wave makes every feature arithmetic (rms = amplitude exactly, mean
+    = 0 over the even frame count), so the oracle predicts the full
+    output including byte length. Extends the codec family to the audio
+    modality — reference analogue: the image/files metadata columns
+    (app/db/postgres.py:144-145)."""
+    from ..operators.multimodal import decode_wav_features, synthetic_wav_frame
+
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    out = decode_wav_features(synthetic_wav_frame(d), "doc_id", "content")
+    return out.select(
+        "doc_id", "byte_len", "sample_rate", "channels", "bits", "n_frames",
+        fround(F.col("duration_ms"), 5).alias("duration_ms"),
+        fround(F.col("rms"), 5).alias("rms"),
+        "peak",
+        fround(F.col("mean"), 5).alias("mean"),
+    )
+
+
+_DHASH_ORACLE_CTE = """
+    px AS (
+      SELECT d.doc_id, t2.y, t1.x,
+             ((d.doc_id % 100 + 1) * (t1.x + 3) * (t2.y + 7) * 13
+              + d.doc_id // 100) % 256 AS g
+      FROM (SELECT doc_id FROM documents WHERE doc_id < 300) d,
+           generate_series(0, 8) AS t1(x), generate_series(0, 7) AS t2(y)
+    ),
+    bits AS (
+      SELECT a.doc_id, a.y, a.x,
+             CASE WHEN b.g > a.g THEN 1 ELSE 0 END AS bit
+      FROM px a
+      JOIN px b ON a.doc_id = b.doc_id AND a.y = b.y AND b.x = a.x + 1
+      WHERE a.x < 8
+    ),
+    hash AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN y >= 4 THEN bit * (1::BIGINT << (y * 8 + x - 32))
+                      ELSE 0 END) AS BIGINT) AS dhash_hi,
+             CAST(SUM(CASE WHEN y < 4 THEN bit * (1::BIGINT << (y * 8 + x))
+                      ELSE 0 END) AS BIGINT) AS dhash_lo
+      FROM bits GROUP BY doc_id
+    )
+"""
+
+
+@register(
+    "multimodal_image_dhash",
+    oracle=f"""
+    WITH {_DHASH_ORACLE_CTE}
+    SELECT doc_id, CAST(9 AS INTEGER) AS width, CAST(8 AS INTEGER) AS height,
+           dhash_hi, dhash_lo
+    FROM hash
+    """,
+)
+def multimodal_image_dhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual hash from REAL decoded pixels: patterned 9x8 BMPs
+    rendered in-flight (operators/multimodal.py synthetic_patterned_bmp
+    — every pixel id-arithmetic) are decoded (header walk, bottom-up
+    raster, grayscale), box-downsampled, and dHashed. The 64-bit hash
+    rides as two uint32 halves so signed BIGINT carries it on both
+    engines; the oracle recomputes the exact hash via generate_series
+    pixel arithmetic — real pixels in, bit-exact hash out."""
+    from ..operators.multimodal import image_dhash_features, synthetic_patterned_bmp
+
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    return image_dhash_features(synthetic_patterned_bmp(d), "doc_id", "content")
+
+
+@register(
+    "dedup_image_phash",
+    oracle=f"""
+    WITH {_DHASH_ORACLE_CTE}
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           CAST(bit_count(xor(a.dhash_hi, b.dhash_hi))
+                + bit_count(xor(a.dhash_lo, b.dhash_lo)) AS INTEGER) AS hamming
+    FROM hash a JOIN hash b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.dhash_hi, b.dhash_hi))
+          + bit_count(xor(a.dhash_lo, b.dhash_lo)) <= 3
+    """,
+)
+def dedup_image_phash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup dedup — the image-modality twin of dedup_simhash:
+    real BMP decode -> dHash -> 4x16-bit pigeonhole bands -> banded
+    equi-self-join -> exact hamming verify (<= 3 implies at least one
+    band matches, so banded candidates EQUAL the brute-force result at
+    equi-join cost). The fixture plants near-dups every 100 ids (tiny
+    brightness drift), and the brute-force SQL oracle proves the banded
+    plan loses nothing. Never all-pairs; at 100 TB the join shuffles on
+    (band_idx, band_val) and AQE absorbs hot buckets."""
+    from ..operators.multimodal import image_phash_pairs, synthetic_patterned_bmp
+
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    return image_phash_pairs(synthetic_patterned_bmp(d), "doc_id", "content", max_hamming=3)

@@ -1340,3 +1340,133 @@ def test_containment_dominates_jaccard_and_detects_subsets(spark):
     for pair, j in jac.items():
         if pair in cont:
             assert cont[pair][0] >= j
+
+
+# ---------------------------------------------------------------------------
+# WAV codec (RIFF/PCM)
+# ---------------------------------------------------------------------------
+
+# Hand-assembled canonical WAV: 8000 Hz mono 16-bit, 4 frames
+# [100, -100, 30000, -30000] — written from the RIFF spec, NOT by our
+# encoder, so encoder and decoder can't share a hidden layout bug.
+_SPEC_WAV = bytes(
+    [
+        0x52, 0x49, 0x46, 0x46,  # "RIFF"
+        0x2C, 0x00, 0x00, 0x00,  # riff size = 44 (4 + 24 + 16)
+        0x57, 0x41, 0x56, 0x45,  # "WAVE"
+        0x66, 0x6D, 0x74, 0x20,  # "fmt "
+        0x10, 0x00, 0x00, 0x00,  # fmt size 16
+        0x01, 0x00,              # PCM
+        0x01, 0x00,              # mono
+        0x40, 0x1F, 0x00, 0x00,  # 8000 Hz
+        0x80, 0x3E, 0x00, 0x00,  # byte rate 16000
+        0x02, 0x00,              # block align
+        0x10, 0x00,              # 16 bits
+        0x64, 0x61, 0x74, 0x61,  # "data"
+        0x08, 0x00, 0x00, 0x00,  # data size 8
+        0x64, 0x00,              # 100
+        0x9C, 0xFF,              # -100
+        0x30, 0x75,              # 30000
+        0xD0, 0x8A,              # -30000
+    ]
+)
+
+
+def test_wav_decoder_parses_spec_bytes():
+    from pantasia_db_sync_spark.operators.multimodal import decode_wav
+
+    d = decode_wav(_SPEC_WAV)
+    assert (d["sample_rate"], d["channels"], d["bits"], d["n_frames"]) == (8000, 1, 16, 4)
+    assert d["peak"] == 30000 and d["mean"] == 0.0
+    assert abs(d["rms"] - ((100**2 + 30000**2) / 2) ** 0.5) < 1e-9
+    assert d["duration_ms"] == 0.5
+
+
+@settings(**SETTINGS)
+@given(
+    rate=st.sampled_from([8000, 16000, 44100]),
+    ch=st.integers(1, 2),
+    nf=st.integers(1, 200).map(lambda n: n * 2),
+    amp=st.integers(1, 32000),
+)
+def test_wav_roundtrip(rate, ch, nf, amp):
+    from pantasia_db_sync_spark.operators.multimodal import decode_wav, encode_wav
+
+    d = decode_wav(encode_wav(rate, ch, nf, amp))
+    assert (d["sample_rate"], d["channels"], d["n_frames"]) == (rate, ch, nf)
+    assert d["rms"] == float(amp) and d["peak"] == amp and d["mean"] == 0.0
+
+
+def test_wav_decoder_rejects_garbage_and_nonpcm():
+    import pytest as _pytest
+
+    from pantasia_db_sync_spark.operators.multimodal import decode_wav, encode_wav
+
+    with _pytest.raises(ValueError):
+        decode_wav(b"RIFFxxxxNOPE" + b"\x00" * 40)
+    b = bytearray(encode_wav(8000, 1, 4, 100))
+    b[20] = 3  # IEEE-float format tag
+    with _pytest.raises(ValueError):
+        decode_wav(bytes(b))
+    with _pytest.raises(ValueError):
+        decode_wav(_SPEC_WAV[:30])  # truncated inside fmt chunk
+
+
+def test_wav_decoder_skips_unknown_chunks():
+    """encode_wav plants a LIST chunk between fmt and data — the spec
+    test proves decode walks chunks instead of assuming 44-byte layout."""
+    from pantasia_db_sync_spark.operators.multimodal import decode_wav, encode_wav
+
+    b = encode_wav(16000, 1, 10, 500)
+    assert b"LIST" in b
+    assert decode_wav(b)["n_frames"] == 10
+
+
+# ---------------------------------------------------------------------------
+# Image perceptual hash (dHash)
+# ---------------------------------------------------------------------------
+
+
+def test_dhash_matches_grid_arithmetic():
+    """Hash from the real decode path equals the hash computed straight
+    from the source grid — the BMP round trip is pixel-lossless and the
+    bit packing (hi/lo uint32 halves) is exact."""
+    from pantasia_db_sync_spark.operators.multimodal import encode_bmp_gray, image_dhash
+
+    for seed in (0, 7, 42, 99):
+        grid = [
+            [((seed % 100 + 1) * (x + 3) * (y + 7) * 13 + seed // 100) % 256
+             for x in range(9)]
+            for y in range(8)
+        ]
+        w, h, hi, lo = image_dhash(encode_bmp_gray(grid))
+        bits = 0
+        for y in range(8):
+            for x in range(8):
+                if grid[y][x + 1] > grid[y][x]:
+                    bits |= 1 << (y * 8 + x)
+        assert (w, h, hi, lo) == (9, 8, bits >> 32, bits & 0xFFFFFFFF)
+
+
+def test_dhash_downsamples_larger_images():
+    """A 2x-upscaled image (each cell duplicated) box-averages back to
+    the same hash — dHash is resolution-invariant, which is the whole
+    point of a perceptual hash."""
+    from pantasia_db_sync_spark.operators.multimodal import encode_bmp_gray, image_dhash
+
+    grid = [[(11 * (x + 3) * (y + 7)) % 256 for x in range(9)] for y in range(8)]
+    big = [[grid[y // 2][x // 2] for x in range(18)] for y in range(16)]
+    assert image_dhash(encode_bmp_gray(grid)) [2:] == image_dhash(encode_bmp_gray(big))[2:]
+
+
+def test_dhash_brightness_shift_invariance():
+    """Uniform brightness drift (the planted near-dup construction)
+    leaves the hash ~unchanged: hamming <= 3 for +2 drift."""
+    from pantasia_db_sync_spark.operators.multimodal import encode_bmp_gray, image_dhash
+
+    base = [[(37 * (x + 3) * (y + 7)) % 256 for x in range(9)] for y in range(8)]
+    shifted = [[(v + 2) % 256 for v in row] for row in base]
+    _, _, hi1, lo1 = image_dhash(encode_bmp_gray(base))
+    _, _, hi2, lo2 = image_dhash(encode_bmp_gray(shifted))
+    ham = bin((hi1 ^ hi2)).count("1") + bin((lo1 ^ lo2)).count("1")
+    assert ham <= 3
