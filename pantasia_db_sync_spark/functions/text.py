@@ -61,3 +61,26 @@ def minhash_params(num_hashes: int) -> list[tuple[int, int]]:
         b = (69069 * i + 1013904223) % HASH_PRIME
         params.append((a or 1, b))
     return params
+
+
+import pandas as pd
+import unicodedata
+
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import StringType
+
+
+def _strip_marks_str(x: str) -> str:
+    """NFD-decompose, drop combining marks (Mn), NFC-recompose,
+    casefold — the unicode canonicalization every multilingual corpus
+    pipeline applies first. Pure stdlib; the DuckDB oracle's
+    ICU-backed lower(strip_accents(...)) is the independent
+    cross-implementation check."""
+    decomp = unicodedata.normalize("NFD", x)
+    kept = "".join(c for c in decomp if unicodedata.category(c) != "Mn")
+    return unicodedata.normalize("NFC", kept).lower()
+
+
+@pandas_udf(StringType())
+def strip_marks(s: pd.Series) -> pd.Series:
+    return s.map(_strip_marks_str, na_action="ignore")

@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..operators.asof import asof_join
 from ..sources.catalog import load_table
 from .registry import fround, register
 
@@ -1216,3 +1217,108 @@ def graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bfs_distances(e, src=int(src), hops=4).select(
         F.col("node").alias("suppkey"), "dist"
     )
+
+
+@register(
+    "cdc_apply_changelog",
+    oracle="""
+    WITH ch AS (
+      SELECT user_id AS key, ts, event_id, value,
+             CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ),
+    latest AS (SELECT key, op, value FROM ch WHERE rn = 1),
+    base AS (SELECT c_custkey AS key, c_acctbal AS val FROM customer)
+    SELECT COALESCE(b.key, l.key) AS key,
+           floor((CASE WHEN l.key IS NULL THEN b.val ELSE l.value END) * 100
+                 + 0.5) / 100 AS val,
+           CASE WHEN l.key IS NULL THEN 'base' ELSE 'cdc' END AS src
+    FROM base b FULL OUTER JOIN latest l ON b.key = l.key
+    WHERE l.op IS NULL OR l.op <> 'D'
+    """,
+)
+def cdc_apply_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC merge: apply a changelog (insert/update/delete ops) to a base
+    snapshot — the MERGE INTO every warehouse runs on a Debezium-style
+    feed, and the general form of the reference's per-period upsert loop
+    (app/main.py:109-330 dedups + updates row-at-a-time; here it is two
+    declarative steps). Step 1 compacts the changelog to the latest op
+    per key (one argmax shuffle — the D2/D3 pattern); step 2 is a single
+    full-outer merge applying upserts and filtering deletes. At 100 TB
+    the compacted changelog is usually tiny vs the snapshot → AQE turns
+    the merge into a broadcast; nothing scans the snapshot twice."""
+    e = load_table(spark, sf_dir, "events")
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("key").orderBy(F.desc("ts"), F.desc("event_id"))
+    latest = (
+        e.select(
+            F.col("user_id").alias("key"), "ts", "event_id", "value",
+            F.when(F.col("event_type") == "error", "D").otherwise("U").alias("op"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("key", "op", "value")
+    )
+    base = c.select(F.col("c_custkey").alias("key"), F.col("c_acctbal").alias("val"))
+    merged = base.alias("b").join(
+        latest.alias("l"), F.col("b.key") == F.col("l.key"), "full_outer"
+    )
+    return merged.where(
+        F.col("l.op").isNull() | (F.col("l.op") != "D")
+    ).select(
+        F.coalesce(F.col("b.key"), F.col("l.key")).alias("key"),
+        fround(
+            F.when(F.col("l.key").isNull(), F.col("b.val")).otherwise(F.col("l.value")),
+            2,
+        ).alias("val"),
+        F.when(F.col("l.key").isNull(), "base").otherwise("cdc").alias("src"),
+    )
+
+
+@register(
+    "join_temporal_scd2",
+    oracle="""
+    WITH dim AS (
+      SELECT user_id, ts, event_type AS state FROM (
+        SELECT user_id, ts, event_type,
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev
+        FROM events WHERE event_id % 2 = 0
+      ) WHERE prev IS NULL OR prev <> event_type
+    )
+    SELECT f.event_id, f.user_id, f.ts,
+           (SELECT d.state FROM dim d
+             WHERE d.user_id = f.user_id AND d.ts <= f.ts
+             ORDER BY d.ts DESC, d.state DESC LIMIT 1) AS state_asof
+    FROM events f WHERE f.event_id % 2 = 1
+    """,
+)
+def join_temporal_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal dimension enrichment: join each fact to the SCD2 state
+    valid AT ITS EVENT TIME. The naive plan is an interval join
+    (fact.ts BETWEEN valid_from AND valid_to) — row-replicating and
+    non-equi. The scalable identity used here: a validity-interval
+    lookup against a change-compressed dimension IS an as-of join on
+    the change timestamps, so it rides the one-shuffle union+window
+    asof operator (operators/asof.py) — no interval materialization,
+    no non-equi join, linear at 100 TB. Dim = state changes from even
+    events; facts = odd events (disjoint so enrichment is honest)."""
+    e = load_table(spark, sf_dir, "events")
+    even = e.where(F.col("event_id") % 2 == 0)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        even.select(
+            "user_id", "ts", "event_type",
+            F.lag("event_type").over(w).alias("prev"),
+        )
+        .where(F.col("prev").isNull() | (F.col("prev") != F.col("event_type")))
+        .select("user_id", "ts", F.col("event_type").alias("state"))
+    )
+    facts = e.where(F.col("event_id") % 2 == 1).select("event_id", "user_id", "ts")
+    out = asof_join(
+        facts, changes, on="user_id", left_ts="ts", right_ts="ts",
+        value_cols=["state"],
+    )
+    return out.select("event_id", "user_id", "ts", F.col("state").alias("state_asof"))

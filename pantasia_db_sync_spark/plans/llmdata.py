@@ -1912,3 +1912,53 @@ def dedup_image_phash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
     return image_phash_pairs(synthetic_patterned_bmp(d), "doc_id", "content", max_hamming=3)
+
+
+_ACCENTED = "ÀÉÎÕÜçèñöû"
+
+
+@register(
+    "text_unicode_normalize",
+    oracle=f"""
+    WITH acc AS (
+      SELECT doc_id,
+             substr(text, 1, 5) || list_extract({list(_ACCENTED)!r}, doc_id % 10 + 1)
+               || 'e' || list_extract({list(_ACCENTED)!r}, (doc_id * 3) % 10 + 1)
+               AS accented
+      FROM documents
+    )
+    SELECT doc_id, accented,
+           lower(strip_accents(accented)) AS normalized,
+           CAST(length(accented) AS INTEGER) AS n_before,
+           CAST(length(lower(strip_accents(accented))) AS INTEGER) AS n_after
+    FROM acc
+    """,
+)
+def text_unicode_normalize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode canonicalization — the first step of every multilingual
+    corpus pipeline: NFD-decompose, strip combining marks (Mn), NFC
+    recompose, casefold. Spark has no built-in for this, so it is the
+    honest pandas-UDF case (Arrow-batched, str.normalize vectorized);
+    the oracle is DuckDB's independent ICU-backed strip_accents —
+    cross-engine agreement on the Latin-1 accent block is the parity
+    claim. Accented strings are composed in-flight from id arithmetic
+    (fixtures are pure ASCII, which would make the op a no-op)."""
+    from ..functions.text import strip_marks
+
+    d = load_table(spark, sf_dir, "documents")
+    chars = F.array(*[F.lit(c) for c in _ACCENTED])
+    acc = d.select(
+        "doc_id",
+        F.concat(
+            F.substring("text", 1, 5),
+            F.element_at(chars, (F.col("doc_id") % 10 + 1).cast("int")),
+            F.lit("e"),
+            F.element_at(chars, ((F.col("doc_id") * 3) % 10 + 1).cast("int")),
+        ).alias("accented"),
+    )
+    return acc.select(
+        "doc_id", "accented",
+        strip_marks("accented").alias("normalized"),
+        F.length("accented").cast("int").alias("n_before"),
+        F.length(strip_marks("accented")).cast("int").alias("n_after"),
+    )

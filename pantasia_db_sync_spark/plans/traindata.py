@@ -1308,3 +1308,36 @@ def corpus_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("rk").asc(), F.col("doc_id").asc())
         .limit(_RESERVOIR_N)
     )
+
+
+@register(
+    "corpus_weighted_sample",
+    oracle="""
+    WITH keyed AS (
+      SELECT doc_id, n_chars,
+             floor(ln(((doc_id * 2654435761 + 12345) % 1000003 + 1)
+                      / 1000004.0) / n_chars * 100000 + 0.5) / 100000 AS es_key
+      FROM documents
+    )
+    SELECT doc_id, n_chars, es_key FROM keyed
+    ORDER BY es_key DESC, doc_id LIMIT 50
+    """,
+)
+def corpus_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis–Spirakis
+    A-ES): each doc gets key ln(u)/w for uniform u and weight w
+    (n_chars — longer docs proportionally likelier), and the global
+    top-k by key IS an exact weighted sample. One pass, no driver
+    state, no rejection loop — the top-k is Spark's TakeOrdered
+    (per-partition heaps + k-row merge), so it holds at 100 TB where
+    quota-based samplers need iterative re-draws. u is a deterministic
+    integer-arithmetic hash of doc_id so the oracle replays the exact
+    draw; keys are rounded with the doc_id tiebreak making the k-th
+    boundary engine-stable."""
+    d = load_table(spark, sf_dir, "documents")
+    u = ((F.col("doc_id") * 2654435761 + 12345) % 1000003 + 1) / 1000004.0
+    keyed = d.select(
+        "doc_id", "n_chars",
+        fround(F.log(u) / F.col("n_chars"), 5).alias("es_key"),
+    )
+    return keyed.orderBy(F.desc("es_key"), "doc_id").limit(50)
