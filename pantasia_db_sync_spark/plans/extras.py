@@ -1322,3 +1322,85 @@ def join_temporal_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         value_cols=["state"],
     )
     return out.select("event_id", "user_id", "ts", F.col("state").alias("state_asof"))
+
+
+@register(
+    "join_spatial_grid_nn",
+    oracle="""
+    WITH a AS (
+      SELECT event_id, (event_id * 7919) % 1000 AS x,
+             (event_id * 104729) % 1000 AS y
+      FROM events WHERE event_id % 2 = 0
+    ),
+    b AS (
+      SELECT event_id, (event_id * 7919) % 1000 AS x,
+             (event_id * 104729) % 1000 AS y
+      FROM events WHERE event_id % 2 = 1
+    ),
+    cand AS (
+      SELECT a.event_id AS a_id, b.event_id AS b_id,
+             (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS dist2
+      FROM a JOIN b
+        ON b.x BETWEEN a.x - 15 AND a.x + 15
+       AND b.y BETWEEN a.y - 15 AND a.y + 15
+    ),
+    ranked AS (
+      SELECT a_id, b_id, CAST(dist2 AS BIGINT) AS dist2,
+             row_number() OVER (PARTITION BY a_id ORDER BY dist2, b_id) AS rn
+      FROM cand WHERE dist2 <= 225
+    )
+    SELECT a_id, b_id, dist2 FROM ranked WHERE rn = 1
+    """,
+)
+def join_spatial_grid_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial nearest-neighbor join via grid bucketing: each probe
+    point explodes to its 3x3 neighborhood of radius-sized grid cells
+    and equi-joins build points keyed by their own cell — candidates
+    within radius r are provably all found when cell width >= r, so the
+    banded join EQUALS the quadratic distance join (the oracle's
+    inequality join) at equi-join cost. Nearest per probe is one
+    map-side-combinable min(struct(dist2, id)) — no window over the
+    candidate set. The standard scale shape for point-radius joins:
+    shuffle on cell keys, 9x probe-side inflation, never |A| x |B|.
+    Coordinates are id-arithmetic (the fixtures carry no geometry)."""
+    e = load_table(spark, sf_dir, "events")
+    W = 15  # cell width == radius
+    pts = e.select(
+        "event_id",
+        ((F.col("event_id") * 7919) % 1000).alias("x"),
+        ((F.col("event_id") * 104729) % 1000).alias("y"),
+    )
+    a = pts.where(F.col("event_id") % 2 == 0)
+    b = pts.where(F.col("event_id") % 2 == 1).select(
+        F.col("event_id").alias("b_id"),
+        F.col("x").alias("bx"),
+        F.col("y").alias("by"),
+        (F.floor(F.col("x") / W)).alias("cx"),
+        (F.floor(F.col("y") / W)).alias("cy"),
+    )
+    shifts = F.array(*[
+        F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+        for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+    ])
+    a_cells = a.select(
+        F.col("event_id").alias("a_id"), "x", "y",
+        F.explode(shifts).alias("s"),
+    ).select(
+        "a_id", "x", "y",
+        (F.floor(F.col("x") / W) + F.col("s.dx")).alias("cx"),
+        (F.floor(F.col("y") / W) + F.col("s.dy")).alias("cy"),
+    )
+    dist2 = (F.col("x") - F.col("bx")) * (F.col("x") - F.col("bx")) + (
+        F.col("y") - F.col("by")
+    ) * (F.col("y") - F.col("by"))
+    cand = (
+        a_cells.join(b, ["cx", "cy"])
+        .withColumn("dist2", dist2)
+        .where(F.col("dist2") <= W * W)
+    )
+    best = cand.groupBy("a_id").agg(
+        F.min(F.struct(F.col("dist2"), F.col("b_id"))).alias("m")
+    )
+    return best.select(
+        "a_id", F.col("m.b_id").alias("b_id"), F.col("m.dist2").alias("dist2")
+    )

@@ -582,3 +582,76 @@ def stream_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = spark.createDataFrame(sink.collect(), sink.schema)
     spark.catalog.dropTempView(name)
     return out
+
+
+@register(
+    "stream_session_window",
+    oracle="""
+    WITH x AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w > INTERVAL 6 HOUR
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    g AS (
+      SELECT user_id, ts, value,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY ts) AS sid
+      FROM x
+    ),
+    sess AS (
+      SELECT user_id, min(ts) AS session_start,
+             max(ts) + INTERVAL 6 HOUR AS session_end,
+             CAST(count(*) AS BIGINT) AS n_events,
+             floor(sum(value) * 100 + 0.5) / 100 AS total_value
+      FROM g GROUP BY user_id, sid
+    )
+    SELECT * FROM sess
+    WHERE session_end < (SELECT max(ts) FROM events) - INTERVAL 12 HOUR
+    """,
+)
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G-ext: session windows on a LIVE stream — `F.session_window`
+    (6-hour gap) under a 12-hour watermark, append mode: Spark merges
+    and finalizes a session only once the watermark passes its end, so
+    state per key is bounded by open sessions, never history (the
+    100 TB requirement for continuous sessionization). The availableNow
+    drain emits exactly the sessions closed by the final watermark;
+    both sides filter to session_end < max(ts) - 12h so the
+    still-open tail is excluded deterministically, and the oracle is
+    the batch gaps-and-islands form."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from ..sources.catalog import load_table
+    from ..streaming import events_stream
+
+    d = tempfile.mkdtemp(prefix="stream_sw_")
+    shutil.copy(
+        os.path.join(sf_dir, "events.parquet"), os.path.join(d, "events-0.parquet")
+    )
+    s = events_stream(spark, d).withWatermark("ts", "12 hours")
+    agg = (
+        s.groupBy(F.session_window("ts", "6 hours").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("tv"))
+    )
+    writer = (
+        agg.writeStream.format("memory").outputMode("append").trigger(availableNow=True)
+    )
+    name = "ssw_" + uuid.uuid4().hex[:8]
+    res = _run_stream_to_frame(spark, writer, name, d)
+    max_ts = load_table(spark, sf_dir, "events").agg(F.max("ts")).collect()[0][0]
+    cutoff = F.lit(max_ts) - F.expr("INTERVAL 12 HOURS")
+    return (
+        res.select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            fround(F.col("tv"), 2).alias("total_value"),
+        )
+        .where(F.col("session_end") < cutoff)
+    )
