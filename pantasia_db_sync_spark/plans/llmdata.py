@@ -1962,3 +1962,36 @@ def text_unicode_normalize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("accented").cast("int").alias("n_before"),
         F.length(strip_marks("accented")).cast("int").alias("n_after"),
     )
+
+
+@register(
+    "multimodal_audio_spectrum",
+    oracle="""
+    SELECT doc_id,
+           CAST((doc_id % 250 + 50) * 2 AS INTEGER) AS n_frames,
+           CAST(doc_id % 250 + 50 AS INTEGER) AS dominant_bin,
+           CAST(CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                ELSE 44100 END AS DOUBLE) / 2 AS dominant_freq_hz,
+           CAST(((doc_id * 97) % 30000 + 1)
+                * ((doc_id % 250 + 50) * 2) AS DOUBLE) AS peak_mag,
+           CAST(0 AS DOUBLE) AS dc_mag
+    FROM documents WHERE doc_id < 300
+    """,
+)
+def multimodal_audio_spectrum_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL spectral analysis of the audio modality: rfft over decoded
+    PCM channel 0 (operators/multimodal.py audio_spectrum_features).
+    The ±a square wave is the one waveform whose DFT is fully
+    arithmetic — all energy in bin N/2 with |X| = a*N — so the oracle
+    checks an actual FFT's output exactly: dominant bin, Nyquist Hz,
+    peak magnitude, zero DC."""
+    from ..operators.multimodal import audio_spectrum_features, synthetic_wav_frame
+
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    out = audio_spectrum_features(synthetic_wav_frame(d), "doc_id", "content")
+    return out.select(
+        "doc_id", "n_frames", "dominant_bin",
+        fround(F.col("dominant_freq_hz"), 5).alias("dominant_freq_hz"),
+        fround(F.col("peak_mag"), 2).alias("peak_mag"),
+        fround(F.col("dc_mag"), 2).alias("dc_mag"),
+    )

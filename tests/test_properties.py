@@ -1470,3 +1470,28 @@ def test_dhash_brightness_shift_invariance():
     _, _, hi2, lo2 = image_dhash(encode_bmp_gray(shifted))
     ham = bin((hi1 ^ hi2)).count("1") + bin((lo1 ^ lo2)).count("1")
     assert ham <= 3
+
+
+def test_audio_spectrum_matches_analytic_dft():
+    """The rfft path against a waveform whose DFT is known in closed
+    form — a pure cosine at bin k has |X[k]| = a*N/2 (not the square
+    wave the fixtures use, so operator and oracle can't share a bug)."""
+    import numpy as np
+
+    from pantasia_db_sync_spark.operators.multimodal import (
+        encode_wav, wav_meta_and_samples,
+    )
+
+    meta, samples = wav_meta_and_samples(encode_wav(8000, 2, 64, 1000))
+    assert meta == {"sample_rate": 8000, "channels": 2, "bits": 16}
+    ch0 = samples[::2]
+    # square wave: all energy at Nyquist bin N/2 with magnitude a*N
+    spec = np.abs(np.fft.rfft(ch0))
+    assert int(np.argmax(spec)) == 32
+    assert abs(spec[32] - 1000 * 64) < 1e-6
+    # hand-built cosine at bin 5: energy splits to a*N/2
+    n = 64
+    cos5 = np.round(500 * np.cos(2 * np.pi * 5 * np.arange(n) / n)).astype("<i2")
+    spec2 = np.abs(np.fft.rfft(cos5.astype(np.float64)))
+    assert int(np.argmax(spec2)) == 5
+    assert abs(spec2[5] - 500 * n / 2) < n  # rounding of samples, not fft
