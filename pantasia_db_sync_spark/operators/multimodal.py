@@ -1098,13 +1098,17 @@ def image_phash_pairs(
     return cand.where(F.col("hamming") <= max_hamming)
 
 
-def synthetic_patterned_bmp(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def synthetic_patterned_bmp(
+    df: DataFrame, id_col: str = "doc_id", period: int = 100
+) -> DataFrame:
     """Real encoded bytes for the perceptual-hash path: 9x8 BMPs whose
-    per-pixel pattern repeats every 100 ids with a tiny +1 brightness
-    drift per repeat — so id and id+100 decode to near-identical hashes
-    (hamming 0 except rare mod-256 wraps), planting genuine image
-    near-dups. Every pixel is id-arithmetic, so the paired oracle
-    recomputes the exact hash in SQL."""
+    per-pixel pattern repeats every ``period`` ids with a tiny +1
+    brightness drift per repeat — so id and id+period decode to
+    near-identical hashes (hamming 0 except rare mod-256 wraps),
+    planting genuine image near-dups. Every pixel is id-arithmetic, so
+    the paired oracle recomputes the exact hash in SQL. Scale runs grow
+    ``period`` with the corpus so near-dup GROUP SIZE stays fixed and
+    the true answer grows linearly."""
     src = df.select(F.col(id_col).alias("doc_id"))
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1113,7 +1117,7 @@ def synthetic_patterned_bmp(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             for i in pdf["doc_id"]:
                 i = int(i)
                 grid = [
-                    [((i % 100 + 1) * (x + 3) * (y + 7) * 13 + i // 100) % 256
+                    [((i % period + 1) * (x + 3) * (y + 7) * 13 + i // period) % 256
                      for x in range(9)]
                     for y in range(8)
                 ]

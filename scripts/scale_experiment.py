@@ -335,10 +335,125 @@ def r7_main() -> None:
                                 query_pred=F.col("q_id") < 10, topk=5))
 
 
+def r7b_main() -> None:
+    """Late-round-7 operator scale shapes at 1x vs 10x. Usage:
+    python scripts/scale_experiment.py --r7b [replicas]
+
+    - image dHash near-dup: real BMP decode + perceptual hash + banded
+      hamming join over synthetic patterned images. The pattern period
+      grows with n so near-dup group size is FIXED (3) and the true
+      pair count grows linearly — any superlinear wall is operator
+      cost, not answer growth.
+    - spatial grid NN: point field area grows with n so density per
+      grid cell is fixed — the scale regime of a real geo workload.
+    """
+    import time as _time
+
+    from pantasia_db_sync_spark.operators.multimodal import (
+        image_phash_pairs,
+        synthetic_patterned_bmp,
+    )
+
+    replicas = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    spark = get_spark(app_name="r7b-scale-experiment")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def run(label, fn):
+        fn().write.format("noop").mode("overwrite").save()  # warm
+        t0 = _time.perf_counter()
+        n = fn().count()
+        dt = _time.perf_counter() - t0
+        print(f"{label:<52} {dt:7.2f}s  rows={n}", flush=True)
+        return dt
+
+    def phash(n):
+        # NOT synthetic_patterned_bmp: its linear pixel arithmetic
+        # collapses mod 256 (only 256 distinct patterns), which makes
+        # dup-group size grow with n — a quadratic TRUE answer that
+        # would masquerade as operator cost. A multiply-shift mix keeps
+        # patterns distinct per group seed, so groups stay size 3.
+        import pandas as _pd
+
+        from pantasia_db_sync_spark.operators.multimodal import encode_bmp_gray
+
+        period = n // 3
+        ids = spark.range(n).select(F.col("id").alias("doc_id"))
+
+        def gen(batches):
+            for pdf in batches:
+                content = []
+                M = (1 << 64) - 1
+                for i in pdf["doc_id"]:
+                    s0 = int(i) % period
+                    grid = []
+                    for y in range(8):
+                        row = []
+                        for x in range(9):
+                            # splitmix-style per-cell mix: a purely
+                            # linear pattern leaves every row on one
+                            # +shift orbit (measured: 63 distinct
+                            # hashes from 1000 seeds)
+                            v = (s0 * 6364136223846793005
+                                 + (y * 9 + x) * 1442695040888963407) & M
+                            v ^= v >> 31
+                            v = (v * 2654435761) & M
+                            v ^= v >> 29
+                            row.append(v % 256)
+                        grid.append(row)
+                    content.append(encode_bmp_gray(grid))
+                yield _pd.DataFrame({"doc_id": pdf["doc_id"].values, "content": content})
+
+        imgs = ids.mapInPandas(gen, schema="doc_id bigint, content binary")
+        return image_phash_pairs(imgs, "doc_id", "content", max_hamming=3)
+
+    def spatial_nn(n, L):
+        # xxhash64-scattered coordinates (no oracle here, so no need
+        # for the registered query's portable arithmetic, whose two
+        # linear mixes put every point on one lattice line — at some
+        # field sizes that lattice has NO close pairs at all)
+        pts = spark.range(n).select(
+            F.col("id").alias("event_id"),
+            F.pmod(F.xxhash64("id", F.lit(1)), F.lit(L)).alias("x"),
+            F.pmod(F.xxhash64("id", F.lit(2)), F.lit(L)).alias("y"),
+        )
+        W = 15
+        a = pts.where(F.col("event_id") % 2 == 0)
+        b = pts.where(F.col("event_id") % 2 == 1).select(
+            F.col("event_id").alias("b_id"), F.col("x").alias("bx"),
+            F.col("y").alias("by"),
+            F.floor(F.col("x") / W).alias("cx"), F.floor(F.col("y") / W).alias("cy"),
+        )
+        shifts = F.array(*[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+        ])
+        a_c = a.select(
+            F.col("event_id").alias("a_id"), "x", "y", F.explode(shifts).alias("s")
+        ).select(
+            "a_id", "x", "y",
+            (F.floor(F.col("x") / W) + F.col("s.dx")).alias("cx"),
+            (F.floor(F.col("y") / W) + F.col("s.dy")).alias("cy"),
+        )
+        d2 = (F.col("x") - F.col("bx")) * (F.col("x") - F.col("bx")) + (
+            F.col("y") - F.col("by")) * (F.col("y") - F.col("by"))
+        cand = a_c.join(b, ["cx", "cy"]).withColumn("d2", d2).where(F.col("d2") <= W * W)
+        return cand.groupBy("a_id").agg(F.min(F.struct("d2", "b_id")).alias("m"))
+
+    for r in (1, replicas):
+        n_img = 3_000 * r
+        run(f"x{r} image_phash_pairs ({n_img} real BMPs)", lambda: phash(n_img))
+        n_pts = 100_000 * r
+        L = int(1000 * (r ** 0.5))
+        run(f"x{r} spatial_grid_nn ({n_pts} pts, {L}x{L} field)",
+            lambda: spatial_nn(n_pts, L))
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--skew":
         skew_main()
     elif len(sys.argv) > 1 and sys.argv[1] == "--r7":
         r7_main()
+    elif len(sys.argv) > 1 and sys.argv[1] == "--r7b":
+        r7b_main()
     else:
         main()
