@@ -1183,3 +1183,56 @@ def ivfadc_topk(
         .where(F.col("rank") <= topk)
         .select("q_id", "cand_id", F.col("adist_u").cast("bigint"), "rank")
     )
+
+
+def pca_power_top_component(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    iters: int = 3,
+) -> DataFrame:
+    """Top principal component by deterministic power iteration — PCA
+    without ever materializing the covariance matrix.
+
+    Each iteration uses the identity  C v = E[x (x·v)] − m (m·v)
+    (C = E[xxᵀ] − mmᵀ), so one aggregation pass computes the 64-vector
+    E[x (x·v)] (dim avg columns, map-side combinable) and the scalar
+    E[x·v]; only dim+1 scalars cross to the driver per iteration —
+    the k-means-fit budget, fine at 100 TB. Start vector is all-ones
+    (never orthogonal to the top component of a nonnegative-correlation
+    fixture); sign is canonicalized so the largest-|loading| entry is
+    positive, making the answer engine-comparable. Returns one row per
+    dimension: (dim_idx, mean, loading, eigval), eigval = ‖C v‖ of the
+    final iterate (the Rayleigh estimate for a normalized v)."""
+    spark = df.sparkSession
+    x = df.select(as_double_vec(vec_col).alias("x"))
+
+    mean_aggs = [F.avg(F.element_at("x", i + 1)).alias(f"m{i}") for i in range(dim)]
+    mrow = x.agg(*mean_aggs).collect()[0]
+    m = [float(mrow[i]) for i in range(dim)]
+
+    v = [1.0] * dim
+    norm0 = sum(c * c for c in v) ** 0.5
+    v = [c / norm0 for c in v]
+    eigval = 0.0
+    for _ in range(iters):
+        dot = None
+        for i in range(dim):
+            t = F.element_at("x", i + 1) * F.lit(v[i])
+            dot = t if dot is None else dot + t
+        xd = x.withColumn("__d", dot)
+        s_aggs = [
+            F.avg(F.element_at("x", i + 1) * F.col("__d")).alias(f"s{i}")
+            for i in range(dim)
+        ]
+        row = xd.agg(F.avg("__d").alias("a"), *s_aggs).collect()[0]
+        a = float(row["a"])
+        cv = [float(row[i + 1]) - m[i] * a for i in range(dim)]
+        eigval = sum(c * c for c in cv) ** 0.5
+        v = [c / eigval for c in cv]
+    # canonical sign: the largest-magnitude loading is positive
+    k = max(range(dim), key=lambda i: abs(v[i]))
+    if v[k] < 0:
+        v = [-c for c in v]
+    rows = [(i + 1, m[i], v[i], eigval) for i in range(dim)]
+    return spark.createDataFrame(rows, "dim_idx int, mean double, loading double, eigval double")

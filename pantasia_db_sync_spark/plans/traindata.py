@@ -1341,3 +1341,83 @@ def corpus_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         fround(F.log(u) / F.col("n_chars"), 5).alias("es_key"),
     )
     return keyed.orderBy(F.desc("es_key"), "doc_id").limit(50)
+
+
+def _pca_power_sql(dim: int = 64, iters: int = 3) -> str:
+    """DuckDB twin of pca_power_top_component: the same mean pass,
+    the same unrolled power iterations over list algebra, the same
+    norm/sign canonicalization — so the iterative linear algebra is
+    cross-engine checked end to end (the k-means-oracle pattern)."""
+    idx = range(1, dim + 1)
+    mean_list = "[" + ", ".join(f"avg(x[{i}])" for i in idx) + "]"
+    s_list = "[" + ", ".join(f"avg(x[{i}] * d)" for i in idx) + "]"
+    v0 = 1.0 / (dim ** 0.5)
+    dot0 = " + ".join(f"x[{i}] * {v0!r}" for i in idx)
+    ctes = [
+        "x AS (SELECT list_transform(embedding, e -> CAST(e AS DOUBLE)) AS x FROM embeddings)",
+        f"m AS (SELECT {mean_list} AS m FROM x)",
+        f"it1 AS (SELECT {s_list} AS s, avg(d) AS a FROM (SELECT x, {dot0} AS d FROM x) t)",
+        "cv1 AS (SELECT list_transform(range(1, %d), i -> s[i] - m0.m[i] * a) AS cv FROM it1, m m0)" % (dim + 1),
+    ]
+    prev = "cv1"
+    for t in range(2, iters + 1):
+        vn = f"v{t - 1}n"
+        ctes.append(
+            f"{vn} AS (SELECT list_transform(cv, c -> c / sqrt(list_sum("
+            f"list_transform(cv, q -> q * q)))) AS v FROM {prev})"
+        )
+        dot = " + ".join(f"x[{i}] * v[{i}]" for i in idx)
+        ctes.append(
+            f"it{t} AS (SELECT {s_list} AS s, avg(d) AS a "
+            f"FROM (SELECT x, {dot} AS d FROM x, {vn}) t)"
+        )
+        ctes.append(
+            f"cv{t} AS (SELECT list_transform(range(1, {dim + 1}), "
+            f"i -> s[i] - m0.m[i] * a) AS cv FROM it{t}, m m0)"
+        )
+        prev = f"cv{t}"
+    ctes.append(
+        f"fin AS (SELECT cv, sqrt(list_sum(list_transform(cv, q -> q * q))) AS eig FROM {prev})"
+    )
+    ctes.append(
+        "vf AS (SELECT list_transform(cv, c -> c / eig) AS v, eig FROM fin)"
+    )
+    # canonical sign: flip so the largest-|loading| (lowest index on
+    # ties) entry is positive
+    ctes.append(
+        f"""sgn AS (
+      SELECT CASE WHEN v[(
+        SELECT i FROM (SELECT unnest(range(1, {dim + 1})) AS i)
+        ORDER BY abs(v[i]) DESC, i LIMIT 1
+      )] < 0 THEN -1.0 ELSE 1.0 END AS sg, v, eig FROM vf
+    )"""
+    )
+    joined = ",\n    ".join(ctes)
+    return f"""
+    WITH {joined}
+    SELECT CAST(i AS INTEGER) AS dim_idx,
+           floor(m0.m[i] * 100000 + 0.5) / 100000 AS mean,
+           floor(sg * v[i] * 100000 + 0.5) / 100000 AS loading,
+           floor(eig * 100000 + 0.5) / 100000 AS eigval
+    FROM (SELECT unnest(range(1, {dim + 1})) AS i), sgn, m m0
+    """
+
+
+@register("embedding_pca_power", oracle=_pca_power_sql())
+def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding table by power
+    iteration (operators/similarity.py pca_power_top_component): PCA
+    as pure DataFrame aggregation — no covariance matrix, no local
+    linear-algebra library, dim+1 scalars to the driver per iteration.
+    The oracle replays the identical unrolled iterations in DuckDB
+    list algebra, cross-checking the whole iterative computation."""
+    from ..operators.similarity import pca_power_top_component
+
+    e = load_table(spark, sf_dir, "embeddings")
+    out = pca_power_top_component(e, "embedding", dim=64, iters=3)
+    return out.select(
+        "dim_idx",
+        fround(F.col("mean"), 5).alias("mean"),
+        fround(F.col("loading"), 5).alias("loading"),
+        fround(F.col("eigval"), 5).alias("eigval"),
+    )

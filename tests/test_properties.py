@@ -1495,3 +1495,44 @@ def test_audio_spectrum_matches_analytic_dft():
     spec2 = np.abs(np.fft.rfft(cos5.astype(np.float64)))
     assert int(np.argmax(spec2)) == 5
     assert abs(spec2[5] - 500 * n / 2) < n  # rounding of samples, not fft
+
+
+def test_pca_power_matches_numpy_eigenvector(spark, sf_dir):
+    """Power iteration against numpy's exact eigendecomposition.
+
+    Two regimes: (a) a well-conditioned synthetic table (one planted
+    dominant direction) must converge to the true component in 3
+    iterations (|cosine| > 0.99); (b) the stock fixture's spectrum is
+    nearly flat (lambda2/lambda1 ~ 0.93 — adversarial for power
+    iteration by construction), so there the contract is the Rayleigh
+    quotient: v'Cv within 20% of the true top eigenvalue and the
+    eigval column equal to that Rayleigh estimate."""
+    import numpy as np
+
+    from pantasia_db_sync_spark.operators.similarity import pca_power_top_component
+    from pantasia_db_sync_spark.sources.catalog import load_table
+
+    # (a) planted dominant component
+    rng = np.random.default_rng(7)
+    u = rng.normal(size=16)
+    u /= np.linalg.norm(u)
+    Xs = rng.normal(size=(400, 1)) * 3.0 @ u[None, :] + rng.normal(size=(400, 16)) * 0.1
+    sdf = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(Xs)],
+        "vec_id bigint, embedding array<double>",
+    )
+    out = pca_power_top_component(sdf, "embedding", dim=16, iters=3).collect()
+    v = np.array([r["loading"] for r in sorted(out, key=lambda r: r["dim_idx"])])
+    assert abs(float(v @ u)) > 0.99
+
+    # (b) flat-spectrum fixture: Rayleigh-quotient contract
+    e = load_table(spark, sf_dir, "embeddings")
+    out = pca_power_top_component(e, "embedding", dim=64, iters=3).collect()
+    v = np.array([r["loading"] for r in sorted(out, key=lambda r: r["dim_idx"])])
+    X = np.array(
+        [r["embedding"] for r in e.select("embedding").collect()], dtype=np.float64
+    )
+    C = np.cov(X, rowvar=False, bias=True)
+    w = np.linalg.eigvalsh(C)
+    ray = float(v @ C @ v)
+    assert ray > 0.8 * w[-1], (ray, w[-1])
