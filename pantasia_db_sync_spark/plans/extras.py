@@ -1404,3 +1404,65 @@ def join_spatial_grid_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return best.select(
         "a_id", F.col("m.b_id").alias("b_id"), F.col("m.dist2").alias("dist2")
     )
+
+
+@register(
+    "window_range_frame",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           CAST(count(*) OVER w AS BIGINT) AS n_last_hour,
+           floor(sum(value) OVER w * 100 + 0.5) / 100 AS sum_last_hour
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+    """,
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-interval RANGE window frame — the frame type ROWS frames
+    can't express (how many events in the TRAILING HOUR, not the
+    trailing N rows). Spark's rangeBetween needs a numeric ordering
+    column, so the frame runs over unix seconds; the oracle uses the
+    native INTERVAL frame. One shuffle on user_id; the running frame
+    is O(events-in-window) state per key at 100 TB — bounded by the
+    hour, not history. Ties in ts share a frame in BOTH engines (RANGE
+    semantics), so no unique-ordering tiebreak is needed."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-3600, 0)
+    )
+    return e.select(
+        "event_id", "user_id", "ts",
+        F.count(F.lit(1)).over(w).alias("n_last_hour"),
+        fround(F.sum("value").over(w), 2).alias("sum_last_hour"),
+    )
+
+
+@register(
+    "events_throttle_sample",
+    oracle="""
+    SELECT event_id, user_id, ts, event_type FROM (
+      SELECT event_id, user_id, ts, event_type,
+             row_number() OVER (
+               PARTITION BY user_id, date_trunc('hour', ts)
+               ORDER BY ts, event_id) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def events_throttle_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rate-limit sampling: keep the FIRST event per (user, hour) — the
+    throttling/downsampling step event pipelines apply before fan-out
+    (and a keyed variant of D2's dedup-by-natural-key). One shuffle on
+    the composite key; at 100 TB the hour bucket bounds per-key state
+    exactly like the tumbling windows in G2."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", F.date_trunc("hour", F.col("ts"))).orderBy(
+        "ts", "event_id"
+    )
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("event_id", "user_id", "ts", "event_type")
+    )
