@@ -360,6 +360,15 @@ def running_totals_stream(events: DataFrame) -> DataFrame:
     tested custom-stateful path; this is the forward-looking variant."""
     if _RunningTotalsProcessor is None:
         raise NotImplementedError("transformWithStateInPandas needs Spark >= 4.0")
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError as ex:  # pragma: no cover - environment-dependent
+        raise NotImplementedError(
+            "transformWithStateInPandas needs google.protobuf (the state "
+            "protocol's driver runner imports it); not installed here — "
+            "verified 2026-08: the query plans but the runner crashes with "
+            "STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE"
+        ) from ex
     return events.groupBy("user_id").transformWithStateInPandas(
         _RunningTotalsProcessor(),
         outputStructType=_RUNNING_OUT_SCHEMA,
