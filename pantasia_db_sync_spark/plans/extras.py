@@ -1466,3 +1466,153 @@ def events_throttle_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") == 1)
         .select("event_id", "user_id", "ts", "event_type")
     )
+
+
+@register(
+    "market_basket_lift",
+    oracle="""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey % 100 AS item FROM lineitem
+    ),
+    n AS (SELECT CAST(count(DISTINCT l_orderkey) AS DOUBLE) AS n_orders FROM lineitem),
+    supp AS (SELECT item, count(*) AS cnt FROM items GROUP BY 1),
+    pairs AS (
+      SELECT a.item AS item_a, b.item AS item_b, count(*) AS pair_cnt
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.item < b.item
+      GROUP BY 1, 2
+    )
+    SELECT item_a, item_b, CAST(pair_cnt AS BIGINT) AS pair_cnt,
+           floor(pair_cnt / n_orders * 100000 + 0.5) / 100000 AS support,
+           floor((pair_cnt * n_orders) / (sa.cnt * CAST(sb.cnt AS DOUBLE))
+                 * 100000 + 0.5) / 100000 AS lift
+    FROM pairs, n
+    JOIN supp sa ON sa.item = item_a
+    JOIN supp sb ON sb.item = item_b
+    WHERE pair_cnt >= 20
+    """,
+)
+def market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence with support and lift — association
+    rules as three aggregations and one equi-self-join on the basket
+    key. Scale shape: pair generation is quadratic only WITHIN a
+    basket (TPC-H orders cap at 7 lines; real carts are small), so the
+    join never leaves the per-key regime; item supports broadcast.
+    Items are coarsened part groups (l_partkey % 100) so the fixture
+    produces statistically meaningful co-occurrence."""
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select(
+        "l_orderkey", (F.col("l_partkey") % 100).alias("item")
+    ).distinct()
+    n_orders = float(li.select("l_orderkey").distinct().count())
+    supp = items.groupBy("item").agg(F.count(F.lit(1)).alias("cnt"))
+    a, b = items.alias("a"), items.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.item") < F.col("b.item")),
+        )
+        .groupBy(
+            F.col("a.item").alias("item_a"), F.col("b.item").alias("item_b")
+        )
+        .agg(F.count(F.lit(1)).alias("pair_cnt"))
+        .where(F.col("pair_cnt") >= 20)
+    )
+    sa = supp.select(F.col("item").alias("item_a"), F.col("cnt").alias("cnt_a"))
+    sb = supp.select(F.col("item").alias("item_b"), F.col("cnt").alias("cnt_b"))
+    out = pairs.join(F.broadcast(sa), "item_a").join(F.broadcast(sb), "item_b")
+    return out.select(
+        "item_a", "item_b", "pair_cnt",
+        fround(F.col("pair_cnt") / F.lit(n_orders), 5).alias("support"),
+        fround(
+            F.col("pair_cnt") * F.lit(n_orders)
+            / (F.col("cnt_a") * F.col("cnt_b").cast("double")),
+            5,
+        ).alias("lift"),
+    )
+
+
+@register(
+    "agg_salted_distinct",
+    oracle="""
+    SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events GROUP BY 1
+    """,
+)
+def agg_salted_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT) under hot grouping keys via the two-stage
+    rewrite: first aggregate on (group, value) — the salt is the value
+    itself, spreading each hot group over the full cluster — then count
+    the survivors per group. Spark plans naive count-distinct as expand
+    + single aggregation per group; with a handful of groups at 100 TB
+    that is a few reducers owning everything. The rewrite is the
+    standard fix and is exactly equivalent."""
+    e = load_table(spark, sf_dir, "events")
+    stage1 = e.select("event_type", "user_id").distinct()
+    return stage1.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users")
+    )
+
+
+@register(
+    "join_relational_division",
+    oracle="""
+    WITH probe AS (SELECT DISTINCT l_partkey % 50 AS item
+                   FROM lineitem WHERE l_partkey % 50 < 5),
+    sup_items AS (SELECT DISTINCT l_suppkey, l_partkey % 50 AS item FROM lineitem)
+    SELECT l_suppkey FROM sup_items WHERE item IN (SELECT item FROM probe)
+    GROUP BY l_suppkey
+    HAVING count(*) = (SELECT count(*) FROM probe)
+    """,
+)
+def join_relational_division(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational division ("suppliers covering EVERY item in the probe
+    set") — the classic operator with no SQL keyword: semi-join to the
+    probe set, then count-equals-|probe| per candidate. One broadcast
+    semi-join + one aggregation; never a per-element loop or N stacked
+    joins, so it holds for probe sets of any size at 100 TB."""
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_suppkey", (F.col("l_partkey") % 50).alias("item")).distinct()
+    probe = (
+        li.select((F.col("l_partkey") % 50).alias("item"))
+        .where(F.col("item") < 5)
+        .distinct()
+    )
+    n_probe = probe.count()
+    covered = items.join(F.broadcast(probe), "item", "left_semi")
+    return (
+        covered.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .where(F.col("__n") == n_probe)
+        .select("l_suppkey")
+    )
+
+
+@register(
+    "func_regex_suite",
+    oracle="""
+    SELECT doc_id,
+           regexp_extract(text, '([a-z]{5,})', 1) AS first_long_word,
+           CAST(len(regexp_extract_all(text, '[a-z]{5,}')) AS INTEGER)
+             AS n_long_words,
+           regexp_replace(substr(text, 1, 40), '[aeiou]', '_', 'g') AS devoweled_head,
+           CAST(regexp_matches(text, '^[a-z]') AS BOOLEAN) AS starts_lower
+    FROM documents
+    """,
+)
+def func_regex_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The regexp function family over one pass: first match, all-match
+    count, global replace, anchor test. All JVM built-ins (codegen'd,
+    no UDF); the oracle is DuckDB's RE2-backed twins — agreement pins
+    the pattern dialect to the common subset."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.regexp_extract("text", r"([a-z]{5,})", 1).alias("first_long_word"),
+        F.size(F.regexp_extract_all("text", F.lit(r"([a-z]{5,})"))).alias("n_long_words"),
+        F.regexp_replace(F.substring("text", 1, 40), r"[aeiou]", "_").alias(
+            "devoweled_head"
+        ),
+        F.col("text").rlike(r"^[a-z]").alias("starts_lower"),
+    )
