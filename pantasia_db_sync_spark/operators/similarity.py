@@ -1236,3 +1236,28 @@ def pca_power_top_component(
         v = [-c for c in v]
     rows = [(i + 1, m[i], v[i], eigval) for i in range(dim)]
     return spark.createDataFrame(rows, "dim_idx int, mean double, loading double, eigval double")
+
+
+def knn_graph_mutual(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Mutual k-NN graph: the undirected edges (a, b) where each vector
+    ranks in the other's cosine top-k — the standard graph input for
+    clustering/manifold methods (and a natural feeder for
+    connected_components). Built from the directed top-k by one
+    equi-self-join on the reversed edge; dedup to a < b canonical form.
+    At 100 TB the directed top-k comes from a cell-restricted ANN
+    variant instead of brute force — the mutualization join is the same
+    either way and shuffles on the edge key."""
+    topk = brute_force_topk(vectors, vectors, id_col, vec_col, k=k)
+    fwd = topk.select(
+        F.col("q_id").alias("a"), F.col("cand_id").alias("b"), "cos"
+    )
+    rev = topk.select(
+        F.col("cand_id").alias("a"), F.col("q_id").alias("b")
+    )
+    mutual = fwd.join(rev, ["a", "b"]).where(F.col("a") < F.col("b"))
+    return mutual.select("a", "b", "cos").distinct()

@@ -1995,3 +1995,71 @@ def multimodal_audio_spectrum_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         fround(F.col("peak_mag"), 2).alias("peak_mag"),
         fround(F.col("dc_mag"), 2).alias("dc_mag"),
     )
+
+
+@register(
+    "embedding_knn_graph",
+    oracle=f"""
+    WITH {_SQL_VECS},
+    sub AS (SELECT * FROM n WHERE vec_id < 300),
+    s AS (
+      SELECT q.vec_id AS q_id, c.vec_id AS cand_id, {_cos_sql('q', 'c')} AS cos
+      FROM sub q JOIN sub c ON c.vec_id <> q.vec_id
+    ),
+    topk AS (
+      SELECT q_id, cand_id, cos FROM (
+        SELECT q_id, cand_id, cos,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY cos DESC, cand_id ASC) AS rank
+        FROM s
+      ) WHERE rank <= 5
+    )
+    SELECT DISTINCT f.q_id AS a, f.cand_id AS b, f.cos
+    FROM topk f JOIN topk r ON r.q_id = f.cand_id AND r.cand_id = f.q_id
+    WHERE f.q_id < f.cand_id
+    """,
+)
+def embedding_knn_graph_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual k-NN graph over an embedding subset
+    (operators/similarity.py knn_graph_mutual): directed cosine top-5
+    mutualized by one reversed-edge equi-join. The oracle replays
+    the full construction in SQL; the subset (300 vectors) bounds the
+    exact-top-k baseline — the production path swaps in the IVF
+    variants for the directed phase."""
+    from ..operators.similarity import knn_graph_mutual
+
+    e = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 300)
+    return knn_graph_mutual(e, "vec_id", "embedding", k=5)
+
+
+@register(
+    "text_hashing_vectorizer",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok FROM documents
+    )
+    SELECT doc_id,
+           CAST({_PORTABLE_HASH.replace('{col}', 'tok')} % 256 AS INTEGER) AS bucket,
+           CAST(count(*) AS BIGINT) AS cnt
+    FROM toks WHERE tok <> ''
+    GROUP BY 1, 2
+    """,
+)
+def text_hashing_vectorizer_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature hashing (the 'hashing trick'): tokens hashed into 256
+    buckets with per-(doc, bucket) counts — fixed-width featurization
+    with no vocabulary build, no second pass, no driver state; the
+    standard first step when a 100 TB corpus can't afford a vocab
+    broadcast. Portable md5 bucket hash, so the oracle reproduces the
+    exact bucketing."""
+    from ..operators.dedup import portable_hash_mod
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(tokens_col("text")).alias("tok")
+    ).where(F.col("tok") != "")
+    return (
+        toks.withColumn("bucket", portable_hash_mod("tok", 256).cast("int"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
