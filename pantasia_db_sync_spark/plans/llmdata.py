@@ -450,7 +450,7 @@ def _cosine_near_dup_sql(
     """
 
 
-@register("dedup_embedding_cosine", oracle=_cosine_near_dup_sql())
+@register("dedup_embedding_cosine", oracle=_cosine_near_dup_sql(bits=48))
 def dedup_embedding_cosine_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs, sign-LSH banded: candidates from
     an equi-join on signature bands (never an all-pairs non-equi join),
@@ -460,8 +460,12 @@ def dedup_embedding_cosine_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_properties.py (banded ⊆ all-pairs)."""
     e = load_table(spark, sf_dir, "embeddings")
     # pinned banding (NOT the auto corpus-size defaults): the oracle SQL
-    # embeds these exact constants, so the registered query must too
-    return cosine_near_dup_pairs(e, threshold=0.4445555, bits=32, n_bands=8)
+    # embeds these exact constants, so the registered query must too.
+    # 48/8 = the recommended_lsh_params answer for the bench corpus —
+    # the old 32/8 pin (16 buckets/band) made 40% of ALL pairs
+    # candidates at sf0.1 (806k of 2M), paying ~3s of verify wall for
+    # 131 true pairs; 64 buckets/band restores the banding's point
+    return cosine_near_dup_pairs(e, threshold=0.4445555, bits=48, n_bands=8)
 
 
 # ---------------------------------------------------------------------------
