@@ -1616,3 +1616,110 @@ def func_regex_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.col("text").rlike(r"^[a-z]").alias("starts_lower"),
     )
+
+
+@register(
+    "stats_welch_ttest",
+    oracle="""
+    WITH g AS (
+      SELECT event_type,
+             avg(value) AS m, var_samp(value) AS v,
+             CAST(count(*) AS DOUBLE) AS n
+      FROM events WHERE event_type IN ('click', 'purchase')
+      GROUP BY 1
+    ),
+    w AS (
+      SELECT max(CASE WHEN event_type = 'click' THEN m END) AS m1,
+             max(CASE WHEN event_type = 'click' THEN v END) AS v1,
+             max(CASE WHEN event_type = 'click' THEN n END) AS n1,
+             max(CASE WHEN event_type = 'purchase' THEN m END) AS m2,
+             max(CASE WHEN event_type = 'purchase' THEN v END) AS v2,
+             max(CASE WHEN event_type = 'purchase' THEN n END) AS n2
+      FROM g
+    )
+    SELECT floor((m1 - m2) / sqrt(v1 / n1 + v2 / n2) * 100000 + 0.5) / 100000
+             AS t_stat,
+           floor(pow(v1 / n1 + v2 / n2, 2)
+                 / (pow(v1 / n1, 2) / (n1 - 1) + pow(v2 / n2, 2) / (n2 - 1))
+                 * 1000 + 0.5) / 1000 AS welch_df,
+           CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2
+    FROM w
+    """,
+)
+def stats_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test between two event cohorts — the
+    A/B-test primitive — as ONE aggregation pass (means, sample
+    variances, counts per group are all map-side combinable) and a
+    scalar-algebra finish. No per-row work after the agg, so it is the
+    same one-shuffle job at 100 TB. Emits the t statistic and the
+    Welch-Satterthwaite degrees of freedom."""
+    e = load_table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("click", "purchase")
+    )
+    g = e.groupBy("event_type").agg(
+        F.avg("value").alias("m"),
+        F.var_samp("value").alias("v"),
+        F.count(F.lit(1)).cast("double").alias("n"),
+    )
+    w = g.agg(
+        *[
+            F.max(F.when(F.col("event_type") == t, F.col(c))).alias(f"{c}{i}")
+            for i, t in ((1, "click"), (2, "purchase"))
+            for c in ("m", "v", "n")
+        ]
+    )
+    se2 = F.col("v1") / F.col("n1") + F.col("v2") / F.col("n2")
+    df_num = F.pow(se2, 2)
+    df_den = F.pow(F.col("v1") / F.col("n1"), 2) / (F.col("n1") - 1) + F.pow(
+        F.col("v2") / F.col("n2"), 2
+    ) / (F.col("n2") - 1)
+    return w.select(
+        fround((F.col("m1") - F.col("m2")) / F.sqrt(se2), 5).alias("t_stat"),
+        fround(df_num / df_den, 3).alias("welch_df"),
+        F.col("n1").cast("bigint").alias("n1"),
+        F.col("n2").cast("bigint").alias("n2"),
+    )
+
+
+@register(
+    "stats_chi2_independence",
+    oracle="""
+    WITH obs AS (
+      SELECT event_type, user_id % 4 AS segment,
+             CAST(count(*) AS DOUBLE) AS o
+      FROM events GROUP BY 1, 2
+    ),
+    tot AS (SELECT sum(o) AS n FROM obs),
+    rows_ AS (SELECT event_type, sum(o) AS r FROM obs GROUP BY 1),
+    cols_ AS (SELECT segment, sum(o) AS c FROM obs GROUP BY 1)
+    SELECT floor(sum(pow(o - r * c / n, 2) / (r * c / n)) * 10000 + 0.5) / 10000
+             AS chi2,
+           CAST((count(DISTINCT obs.event_type) - 1)
+                * (count(DISTINCT obs.segment) - 1) AS BIGINT) AS dof
+    FROM obs
+    JOIN rows_ USING (event_type)
+    JOIN cols_ USING (segment), tot
+    """,
+)
+def stats_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence over the event_type x segment
+    contingency table: one groupBy builds the observed counts; the
+    row/column marginals are re-aggregations of that tiny table; the
+    statistic is a scalar finish. Every stage after the first agg
+    operates on |types| x |segments| rows — nothing scales with the
+    fact table beyond the single combinable count pass."""
+    e = load_table(spark, sf_dir, "events")
+    obs = e.groupBy(
+        "event_type", (F.col("user_id") % 4).alias("segment")
+    ).agg(F.count(F.lit(1)).cast("double").alias("o"))
+    n = obs.agg(F.sum("o")).collect()[0][0]
+    rows_ = obs.groupBy("event_type").agg(F.sum("o").alias("r"))
+    cols_ = obs.groupBy("segment").agg(F.sum("o").alias("c"))
+    j = obs.join(F.broadcast(rows_), "event_type").join(F.broadcast(cols_), "segment")
+    exp = F.col("r") * F.col("c") / F.lit(float(n))
+    return j.agg(
+        fround(F.sum(F.pow(F.col("o") - exp, 2) / exp), 4).alias("chi2"),
+        (
+            (F.countDistinct("event_type") - 1) * (F.countDistinct("segment") - 1)
+        ).cast("bigint").alias("dof"),
+    )
