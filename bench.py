@@ -50,6 +50,11 @@ HEADLINE = [
     "dedup_containment",
     "join_interval_overlap",
     "dedup_levenshtein_names",
+    # classic multi-join analytics (late round-7): comparable to
+    # published TPC-H shapes, small additive suite wall
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q10_returned_items",
 ]
 
 REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
