@@ -1173,3 +1173,57 @@ def audio_spectrum_features(
             )
 
     return src.mapInPandas(extract, schema=AUDIO_SPECTRUM_SCHEMA)
+
+
+RESIZE_BMP_SCHEMA = (
+    "doc_id bigint, src_w int, src_h int, out_w int, out_h int, "
+    "out_byte_len int, out_mean double"
+)
+
+
+def resize_bmp_real(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    binary_col: str = "content",
+    factor: int = 2,
+) -> DataFrame:
+    """REAL image resize for the BMP path: decode the raster, box-average
+    downsample by ``factor`` (ceil division on dimensions), re-encode a
+    spec-compliant BMP, and report the output's dimensions, byte length
+    and gray mean — the thumbnail operation resize_stub fakes, done on
+    actual pixels. Arrow-batched mapInPandas; embarrassingly parallel."""
+    src = df.select(F.col(id_col).alias("doc_id"), F.col(binary_col).alias("content"))
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, c in zip(pdf["doc_id"], pdf["content"]):
+                grid = decode_bmp_gray_grid(bytes(c))
+                h, w = len(grid), len(grid[0])
+                ow, oh = (w + factor - 1) // factor, (h + factor - 1) // factor
+                small = [
+                    [
+                        _box_mean(
+                            grid,
+                            x0=gx * factor, x1=min((gx + 1) * factor, w),
+                            y0=gy * factor, y1=min((gy + 1) * factor, h),
+                        )
+                        for gx in range(ow)
+                    ]
+                    for gy in range(oh)
+                ]
+                out = encode_bmp_gray(
+                    [[int(round(v)) for v in row] for row in small]
+                )
+                d = decode_bmp(out)
+                mean = (d["mean_r"] + d["mean_g"] + d["mean_b"]) / 3.0
+                rows.append((int(i), w, h, ow, oh, len(out), mean))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "src_w", "src_h", "out_w", "out_h",
+                    "out_byte_len", "out_mean",
+                ],
+            )
+
+    return src.mapInPandas(resize, schema=RESIZE_BMP_SCHEMA)

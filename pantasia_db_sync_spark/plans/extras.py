@@ -1870,3 +1870,67 @@ def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey", "c_name", "revenue",
         fround(F.col("c_acctbal"), 2).alias("c_acctbal"), "n_name",
     ).orderBy(F.desc("revenue"), "c_custkey").limit(20)
+
+
+@register(
+    "events_attribution_last_touch",
+    oracle="""
+    SELECT p.event_id, p.user_id, p.ts,
+           (SELECT max(c.ts) FROM events c
+             WHERE c.event_type = 'click' AND c.user_id = p.user_id
+               AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 7 DAY
+           ) AS attributed_click_ts
+    FROM events p WHERE p.event_type = 'purchase'
+    """,
+)
+def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch marketing attribution: each purchase credits the most
+    recent click within a 7-day lookback window — exactly the as-of
+    join with tolerance (operators/asof.py), so it stays the one-shuffle
+    union+window pass; clicks older than the window null out AFTER the
+    carry (one row-local comparison, no extra join). NULL = organic
+    purchase."""
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = e.where(F.col("event_type") == "click").select("user_id", "ts")
+    out = asof_join(
+        purchases, clicks, on="user_id", left_ts="ts", right_ts="ts",
+        value_cols=[], tolerance=F.expr("INTERVAL 7 DAYS"),
+    )
+    return out.select(
+        "event_id", "user_id", "ts", F.col("asof_ts").alias("attributed_click_ts")
+    )
+
+
+@register(
+    "events_mom_growth",
+    oracle="""
+    WITH m AS (
+      SELECT date_trunc('month', ts) AS month, event_type,
+             floor(sum(value) * 100 + 0.5) / 100 AS total
+      FROM events GROUP BY 1, 2
+    )
+    SELECT month, event_type, total,
+           floor((total - lag(total) OVER w)
+                 / lag(total) OVER w * 10000 + 0.5) / 10000 AS mom_pct
+    FROM m WINDOW w AS (PARTITION BY event_type ORDER BY month)
+    """,
+)
+def events_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month growth per event type — the standard BI trend
+    query: one aggregation to monthly grain, then a lag window over the
+    TINY aggregated frame (|months| x |types| rows), so the window
+    never touches fact-table volume. First month per type is NULL
+    growth by construction."""
+    e = load_table(spark, sf_dir, "events")
+    m = e.groupBy(
+        F.date_trunc("month", F.col("ts")).alias("month"), "event_type"
+    ).agg(fround(F.sum("value"), 2).alias("total"))
+    w = Window.partitionBy("event_type").orderBy("month")
+    prev = F.lag("total").over(w)
+    return m.select(
+        "month", "event_type", "total",
+        fround((F.col("total") - prev) / prev, 4).alias("mom_pct"),
+    )

@@ -2067,3 +2067,40 @@ def text_hashing_vectorizer_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "bucket")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+
+
+@register(
+    "multimodal_resize_bmp",
+    oracle="""
+    SELECT doc_id,
+           CAST(doc_id % 21 + 1 AS INTEGER) AS src_w,
+           CAST(doc_id % 13 + 1 AS INTEGER) AS src_h,
+           CAST((doc_id % 21 + 2) // 2 AS INTEGER) AS out_w,
+           CAST((doc_id % 13 + 2) // 2 AS INTEGER) AS out_h,
+           CAST(54 + (doc_id % 13 + 2) // 2
+                * ((((doc_id % 21 + 2) // 2) * 3 + 3) // 4 * 4)
+                AS INTEGER) AS out_byte_len,
+           CAST(floor(((doc_id * 3) % 256 + (doc_id * 5) % 256
+                       + (doc_id * 7) % 256) / 3.0 + 0.5) AS DOUBLE) AS out_mean
+    FROM documents WHERE doc_id < 300
+    """,
+)
+def multimodal_resize_bmp_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image resize (the operation multimodal_resize_stub fakes):
+    decode the solid-color BMP raster, box-average downsample 2x,
+    re-encode, and report output geometry + bytes + gray mean. On a
+    solid color the box average is exact, so every output — including
+    the re-encoded BMP's padded byte length — is oracle arithmetic,
+    while the operator path exercises decode -> resample -> encode on
+    real pixels. The reported mean is the DECODED output's gray — the
+    re-encoder quantizes gray = (r+g+b)/3 to round(gray), and thirds
+    never land on .5, so the oracle's floor(x + 0.5) predicts the
+    quantized value exactly."""
+    from ..operators.multimodal import resize_bmp_real, synthetic_bmp_frame
+
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    out = resize_bmp_real(synthetic_bmp_frame(d), "doc_id", "content", factor=2)
+    return out.select(
+        "doc_id", "src_w", "src_h", "out_w", "out_h", "out_byte_len",
+        fround(F.col("out_mean"), 5).alias("out_mean"),
+    )
