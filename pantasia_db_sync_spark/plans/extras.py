@@ -1908,7 +1908,7 @@ def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame
     "events_mom_growth",
     oracle="""
     WITH m AS (
-      SELECT date_trunc('month', ts) AS month, event_type,
+      SELECT CAST(date_trunc('month', ts) AS TIMESTAMP) AS month, event_type,
              floor(sum(value) * 100 + 0.5) / 100 AS total
       FROM events GROUP BY 1, 2
     )
