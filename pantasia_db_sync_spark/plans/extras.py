@@ -1934,3 +1934,96 @@ def events_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         "month", "event_type", "total",
         fround((F.col("total") - prev) / prev, 4).alias("mom_pct"),
     )
+
+
+@register(
+    "events_dau_wau",
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
+      FROM events
+    ),
+    dau AS (SELECT day, count(*) AS dau FROM ud GROUP BY 1),
+    spread AS (
+      SELECT user_id, day + to_days(CAST(o.k AS INTEGER)) AS day
+      FROM ud, (SELECT unnest(range(0, 7)) AS k) o
+    ),
+    wau AS (SELECT day, count(DISTINCT user_id) AS wau FROM spread GROUP BY 1)
+    SELECT d.day, CAST(d.dau AS BIGINT) AS dau, CAST(w.wau AS BIGINT) AS wau
+    FROM dau d JOIN wau w ON d.day = w.day
+    """,
+)
+def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU + trailing-7-day WAU per day — the product-analytics
+    staple. The scalable WAU shape: each (user, active-day) row fans
+    out to the 7 future days it keeps the user "weekly active" for
+    (a bounded 7x explode of the DEDUPED user-day frame), then one
+    distinct count per day — never a per-day 7-day rescan of raw
+    events, and no window holding a running distinct set. Days with
+    zero activity are absent from DAU, so the join keeps the grid
+    honest (gapfill composes via events_gapfill if needed)."""
+    e = load_table(spark, sf_dir, "events")
+    ud = e.select(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+    ).distinct()
+    dau = ud.groupBy("day").agg(F.count(F.lit(1)).cast("bigint").alias("dau"))
+    spread = ud.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(6))
+        ).alias("k"),
+        "day",
+    ).select("user_id", (F.col("day") + F.make_dt_interval(F.col("k"))).alias("day"))
+    wau = (
+        spread.select("day", "user_id").distinct()
+        .groupBy("day").agg(F.count(F.lit(1)).cast("bigint").alias("wau"))
+    )
+    return dau.join(wau, "day").select("day", "dau", "wau")
+
+
+@register(
+    "graph_degree_distribution",
+    oracle="""
+    WITH e AS (
+      SELECT DISTINCT a.user_id AS u, b.user_id AS v
+      FROM (SELECT DISTINCT user_id, CAST(floor(value / 10) AS BIGINT) AS k
+            FROM events WHERE event_type = 'purchase') a
+      JOIN (SELECT DISTINCT user_id, CAST(floor(value / 10) AS BIGINT) AS k
+            FROM events WHERE event_type = 'purchase') b
+        ON a.k = b.k AND a.user_id < b.user_id
+    ),
+    deg AS (
+      SELECT u AS node, count(*) AS d FROM (
+        SELECT u FROM e UNION ALL SELECT v FROM e
+      ) t(u) GROUP BY 1
+    )
+    SELECT CAST(d AS BIGINT) AS degree, CAST(count(*) AS BIGINT) AS n_nodes
+    FROM deg GROUP BY 1
+    """,
+)
+def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the co-purchase graph (same edge
+    construction as graph_pagerank/triangle_count): degrees from one
+    union-all of both edge endpoints + two groupBys. The histogram is
+    the standard first diagnostic before running iterative graph
+    algorithms — a heavy tail predicts skewed shuffles and motivates
+    the salted-join path."""
+    e = load_table(spark, sf_dir, "events")
+    p = (
+        e.where(F.col("event_type") == "purchase")
+        .select("user_id", F.floor(F.col("value") / 10).cast("bigint").alias("k"))
+        .distinct()
+    )
+    a, b = p.alias("a"), p.alias("b")
+    edges = (
+        a.join(b, (F.col("a.k") == F.col("b.k")) & (F.col("a.user_id") < F.col("b.user_id")))
+        .select(F.col("a.user_id").alias("u"), F.col("b.user_id").alias("v"))
+        .distinct()
+    )
+    ends = edges.select(F.col("u").alias("node")).unionAll(
+        edges.select(F.col("v").alias("node"))
+    )
+    deg = ends.groupBy("node").agg(F.count(F.lit(1)).alias("d"))
+    return deg.groupBy(F.col("d").cast("bigint").alias("degree")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes")
+    )
