@@ -1227,3 +1227,195 @@ def resize_bmp_real(
             )
 
     return src.mapInPandas(resize, schema=RESIZE_BMP_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Animated GIF: the video modality done REAL — multi-frame container
+# walk, per-frame LZW decode, timing metadata (no stub)
+# ---------------------------------------------------------------------------
+
+VIDEO_FRAMES_SCHEMA = (
+    "doc_id bigint, frame_idx int, delay_cs int, width int, height int, "
+    "mean_r double, mean_g double, mean_b double"
+)
+
+
+def encode_gif_animated(
+    width: int,
+    height: int,
+    palette: list[tuple[int, int, int]],
+    frame_indices: list[int],
+    delay_cs: int,
+) -> bytes:
+    """Spec-compliant animated GIF89a: one global color table, then per
+    frame a Graphic Control Extension (real delay timing) followed by
+    an image descriptor with a REAL LZW-compressed solid raster of the
+    frame's palette index. Public format, written from the GIF89a
+    spec."""
+    n_pal = len(palette)
+    size_field = max(1, (n_pal - 1).bit_length() - 1)  # 2 << f >= n_pal
+    while (2 << size_field) < n_pal:
+        size_field += 1
+    table_n = 2 << size_field
+    lsd = struct.pack("<HHBBB", width, height, 0x80 | size_field, 0, 0)
+    gct = bytearray()
+    for r, g, b in palette:
+        gct += bytes((r, g, b))
+    gct += b"\x00" * (3 * (table_n - n_pal))
+    out = bytearray(b"GIF89a" + lsd + gct)
+    mcs = max(2, size_field + 1)
+    for idx in frame_indices:
+        # Graphic Control Extension: 4-byte block, centisecond delay
+        out += b"\x21\xf9\x04\x00" + struct.pack("<H", delay_cs) + b"\x00\x00"
+        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, width, height, 0)
+        lzw = _lzw_encode(bytes([idx]) * (width * height), mcs)
+        out.append(mcs)
+        for i in range(0, len(lzw), 255):
+            chunk = lzw[i : i + 255]
+            out.append(len(chunk))
+            out += chunk
+        out.append(0)
+    out.append(0x3B)
+    return bytes(out)
+
+
+def decode_gif_frames(content: bytes) -> list[dict]:
+    """Real multi-frame GIF decode: container walk capturing each
+    Graphic Control Extension's delay, per-frame LZW decompression and
+    palette mapping to channel means. Returns one dict per frame in
+    stream order — the honest video shape (N input bytes -> M frame
+    rows) that frame_sample_stub only fakes."""
+    if content[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF stream")
+    sw, sh, packed, _bg, _ar = struct.unpack_from("<HHBBB", content, 6)
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = content[pos : pos + 3 * n]
+        if len(gct) < 3 * n:
+            raise ValueError("truncated global color table")
+        pos += 3 * n
+    frames: list[dict] = []
+    pending_delay = 0
+    saw_trailer = False
+    while pos < len(content):
+        b0 = content[pos]
+        if b0 == 0x3B:
+            saw_trailer = True
+            pos += 1
+            break
+        if b0 == 0x21:  # extension
+            label = content[pos + 1]
+            pos += 2
+            first = True
+            while pos < len(content) and content[pos] != 0:
+                ln = content[pos]
+                if label == 0xF9 and first:
+                    if ln != 4:
+                        raise ValueError("malformed graphic control extension")
+                    pending_delay = struct.unpack_from("<H", content, pos + 2)[0]
+                    first = False
+                pos += 1 + ln
+            pos += 1
+            continue
+        if b0 != 0x2C:
+            raise ValueError(f"unexpected block 0x{b0:02x}")
+        left, top, w, h, ipacked = struct.unpack_from("<HHHHB", content, pos + 1)
+        pos += 10
+        if ipacked & 0x40:
+            raise ValueError("interlaced GIFs unsupported")
+        ct = gct
+        if ipacked & 0x80:
+            n = 2 << (ipacked & 0x07)
+            ct = content[pos : pos + 3 * n]
+            if len(ct) < 3 * n:
+                raise ValueError("truncated local color table")
+            pos += 3 * n
+        if ct is None:
+            raise ValueError("no color table")
+        mcs = content[pos]
+        pos += 1
+        lzw = bytearray()
+        while pos < len(content) and content[pos] != 0:
+            ln = content[pos]
+            lzw.extend(content[pos + 1 : pos + 1 + ln])
+            pos += 1 + ln
+        pos += 1
+        idx = _lzw_decode(bytes(lzw), mcs)
+        if len(idx) != w * h:
+            raise ValueError(f"index stream length {len(idx)} != {w}x{h} raster")
+        n_colors = len(ct) // 3
+        tot = [0, 0, 0]
+        for i in idx:
+            if i >= n_colors:
+                raise ValueError(f"palette index {i} out of range")
+            tot[0] += ct[3 * i]
+            tot[1] += ct[3 * i + 1]
+            tot[2] += ct[3 * i + 2]
+        frames.append(
+            {
+                "frame_idx": len(frames),
+                "delay_cs": pending_delay,
+                "width": w,
+                "height": h,
+                "mean_r": tot[0] / (w * h),
+                "mean_g": tot[1] / (w * h),
+                "mean_b": tot[2] / (w * h),
+            }
+        )
+        pending_delay = 0
+    if not frames:
+        raise ValueError("no image blocks before trailer")
+    if not saw_trailer:
+        raise ValueError("missing GIF trailer (0x3B)")
+    return frames
+
+
+def video_frame_features(
+    df: DataFrame, id_col: str = "doc_id", binary_col: str = "content"
+) -> DataFrame:
+    """mapInPandas over an animated-GIF binary column: one output row
+    per decoded frame (variable rows per input — the true video-codec
+    UDF shape), with real timing metadata and per-frame channel means."""
+    src = df.select(F.col(id_col).alias("doc_id"), F.col(binary_col).alias("content"))
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["frame_idx", "delay_cs", "width", "height", "mean_r", "mean_g", "mean_b"]
+        for pdf in batches:
+            rows = []
+            for i, c in zip(pdf["doc_id"], pdf["content"]):
+                for fr in decode_gif_frames(bytes(c)):
+                    rows.append((int(i), *(fr[k] for k in cols)))
+            yield pd.DataFrame(rows, columns=["doc_id", *cols])
+
+    return src.mapInPandas(extract, schema=VIDEO_FRAMES_SCHEMA)
+
+
+def synthetic_animated_gif(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Real animated-GIF bytes per input row: id-derived frame count,
+    4-color palette, per-frame solid color cycling through the palette,
+    and a real centisecond delay — every decoded feature is oracle
+    arithmetic while the bytes are genuine GIF89a."""
+    src = df.select(F.col(id_col).alias("doc_id"))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            content = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                palette = [
+                    ((i * 3 + j * 11) % 256, (i * 5 + j * 13) % 256, (i * 7 + j * 17) % 256)
+                    for j in range(4)
+                ]
+                n_frames = i % 4 + 2
+                content.append(
+                    encode_gif_animated(
+                        i % 11 + 2, i % 7 + 2, palette,
+                        [(i + f) % 4 for f in range(n_frames)],
+                        (i % 10 + 1) * 5,
+                    )
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].values, "content": content})
+
+    return src.mapInPandas(gen, schema="doc_id bigint, content binary")

@@ -2104,3 +2104,40 @@ def multimodal_resize_bmp_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "src_w", "src_h", "out_w", "out_h", "out_byte_len",
         fround(F.col("out_mean"), 5).alias("out_mean"),
     )
+
+
+@register(
+    "multimodal_video_frames",
+    oracle="""
+    WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 300),
+    f AS (
+      SELECT doc_id, CAST(t.f AS INTEGER) AS frame_idx
+      FROM d, generate_series(0, 4) AS t(f)
+      WHERE t.f < doc_id % 4 + 2
+    )
+    SELECT doc_id, frame_idx,
+           CAST((doc_id % 10 + 1) * 5 AS INTEGER) AS delay_cs,
+           CAST(doc_id % 11 + 2 AS INTEGER) AS width,
+           CAST(doc_id % 7 + 2 AS INTEGER) AS height,
+           CAST((doc_id * 3 + ((doc_id + frame_idx) % 4) * 11) % 256 AS DOUBLE)
+             AS mean_r,
+           CAST((doc_id * 5 + ((doc_id + frame_idx) % 4) * 13) % 256 AS DOUBLE)
+             AS mean_g,
+           CAST((doc_id * 7 + ((doc_id + frame_idx) % 4) * 17) % 256 AS DOUBLE)
+             AS mean_b
+    FROM f
+    """,
+)
+def multimodal_video_frames_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video-container decode — the operation frame_sample_stub
+    fakes: animated GIF89a streams rendered in-flight
+    (operators/multimodal.py encode_gif_animated — per-frame Graphic
+    Control Extensions with real centisecond delays, LZW rasters) and
+    walked back frame by frame (decode_gif_frames): one output row per
+    frame with timing and per-frame channel means, the variable
+    rows-per-input codec shape. Every decoded value is id arithmetic,
+    so the oracle checks the whole multi-frame walk exactly."""
+    from ..operators.multimodal import synthetic_animated_gif, video_frame_features
+
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    return video_frame_features(synthetic_animated_gif(d), "doc_id", "content")

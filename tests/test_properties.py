@@ -1536,3 +1536,29 @@ def test_pca_power_matches_numpy_eigenvector(spark, sf_dir):
     w = np.linalg.eigvalsh(C)
     ray = float(v @ C @ v)
     assert ray > 0.8 * w[-1], (ray, w[-1])
+
+
+def test_animated_gif_roundtrip_and_rejects():
+    """Multi-frame GIF89a: frame count, per-frame GCE delays, palette
+    means and stream-order indices all survive the encode/decode walk;
+    truncation and missing trailer are rejected, matching the
+    single-image decoder's policy."""
+    import pytest as _pytest
+
+    from pantasia_db_sync_spark.operators.multimodal import (
+        decode_gif_frames, encode_gif_animated,
+    )
+
+    pal = [(1, 2, 3), (4, 5, 6), (7, 8, 9), (250, 251, 252)]
+    b = encode_gif_animated(6, 4, pal, [3, 0, 2], 40)
+    fr = decode_gif_frames(b)
+    assert [f["frame_idx"] for f in fr] == [0, 1, 2]
+    assert all(f["delay_cs"] == 40 for f in fr)
+    assert (fr[0]["mean_r"], fr[0]["mean_g"], fr[0]["mean_b"]) == (250.0, 251.0, 252.0)
+    assert (fr[1]["mean_r"], fr[2]["mean_b"]) == (1.0, 9.0)
+    with _pytest.raises(ValueError):
+        decode_gif_frames(b[:-1])  # trailer cut off
+    with _pytest.raises(ValueError):
+        decode_gif_frames(b[:30])  # truncated mid-stream
+    # single-frame animated stream still decodes via the frames API
+    assert len(decode_gif_frames(encode_gif_animated(2, 2, pal, [1], 0))) == 1
