@@ -1306,11 +1306,15 @@ def decode_gif_frames(content: bytes) -> list[dict]:
             pos += 1
             break
         if b0 == 0x21:  # extension
+            if pos + 2 > len(content):
+                raise ValueError("truncated extension introducer")
             label = content[pos + 1]
             pos += 2
             first = True
             while pos < len(content) and content[pos] != 0:
                 ln = content[pos]
+                if pos + 1 + ln > len(content):
+                    raise ValueError("truncated extension sub-block")
                 if label == 0xF9 and first:
                     if ln != 4:
                         raise ValueError("malformed graphic control extension")
