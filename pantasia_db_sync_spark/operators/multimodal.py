@@ -1,13 +1,20 @@
-"""Multimodal (binary) column plumbing: decode / feature-extract stubs.
+"""Multimodal (binary) column operators: real pure-Python codecs behind
+Arrow-batched ``mapInPandas``.
 
 North-star extension (BASELINE.json): image/audio/video are opaque
-``binary`` columns with typed metadata, processed by Arrow-batched
-``mapInPandas`` — the pattern generalizes the reference's
-``image``/``files`` metadata columns (/root/reference/app/db/
-postgres.py:144-145). The real codecs (PIL/librosa/av) are NOT in this
-container, so the decode step is stubbed with a deterministic fake; the
-Spark-side plumbing — schema, Arrow batch shape, UDF signature,
-partition-parallel execution — is real and tested.
+``binary`` columns with typed metadata — the pattern generalizes the
+reference's ``image``/``files`` metadata columns (/root/reference/app/
+db/postgres.py:144-145). Library codecs (PIL/librosa/av) are NOT in
+this container, so the formats covered here are decoded from their
+public specs directly: BMP (raw raster), PNG (zlib deflate, five
+scanline filters, CRC), GIF87a (LZW), animated GIF89a (multi-frame
+walk + frame timing — the video path), RIFF/PCM WAV (audio sample
+pass + rfft spectral features), plus perceptual hashing (dHash) and a
+real box-average resize over decoded pixels. The original
+deterministic stubs remain for formats that genuinely need native
+codecs (JPEG/MP4) — honest placeholders, clearly marked. All paths
+share the same plumbing: Arrow batches in, embarrassingly parallel
+across partitions, one vectorized pass per blob.
 """
 
 from __future__ import annotations
