@@ -1251,16 +1251,27 @@ def knn_graph_mutual(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
+    cell_col: str | None = None,
 ) -> DataFrame:
     """Mutual k-NN graph: the undirected edges (a, b) where each vector
     ranks in the other's cosine top-k — the standard graph input for
     clustering/manifold methods (and a natural feeder for
     connected_components). Built from the directed top-k by one
     equi-self-join on the reversed edge; dedup to a < b canonical form.
-    At 100 TB the directed top-k comes from a cell-restricted ANN
-    variant instead of brute force — the mutualization join is the same
-    either way and shuffles on the edge key."""
-    topk = brute_force_topk(vectors, vectors, id_col, vec_col, k=k)
+
+    ``cell_col=None`` is the exact brute-force directed phase (fine for
+    bounded subsets; the oracle-pinned baseline). Passing an IVF cell
+    column switches the directed phase to a CELL-LOCAL self-join —
+    candidates shuffle on the cell key, cost Σ|cell|² instead of n²,
+    the 100 TB shape (assign cells with kmeans_assign or reuse a label
+    column). The mutualization join is identical either way and
+    shuffles on the edge key. Measured (scripts/scale_experiment.py
+    --r7b): cell-local holds near-flat wall to 10x vectors at fixed
+    cell size while brute force grows quadratically."""
+    if cell_col is not None:
+        topk = _cell_local_topk(vectors, id_col, vec_col, cell_col, k)
+    else:
+        topk = brute_force_topk(vectors, vectors, id_col, vec_col, k=k)
     fwd = topk.select(
         F.col("q_id").alias("a"), F.col("cand_id").alias("b"), "cos"
     )
@@ -1269,3 +1280,41 @@ def knn_graph_mutual(
     )
     mutual = fwd.join(rev, ["a", "b"]).where(F.col("a") < F.col("b"))
     return mutual.select("a", "b", "cos").distinct()
+
+
+def _cell_local_topk(
+    vectors: DataFrame, id_col: str, vec_col: str, cell_col: str, k: int
+) -> DataFrame:
+    """Directed cosine top-k restricted to each vector's cell: one
+    equi-self-join on the cell key (NO broadcast of the corpus — both
+    sides shuffle on cell) + a per-query window. The candidate volume
+    is Σ|cell|², bounded by the coarse quantizer's balance, never n²."""
+    q = vectors.select(
+        F.col(id_col).alias("q_id"),
+        F.col(cell_col).alias("cell"),
+        as_double_vec(vec_col).alias("q_vec"),
+    ).withColumn("q_norm", norm_col(F.col("q_vec")))
+    c = vectors.select(
+        F.col(id_col).alias("cand_id"),
+        F.col(cell_col).alias("cell"),
+        as_double_vec(vec_col).alias("c_vec"),
+    ).withColumn("c_norm", norm_col(F.col("c_vec")))
+    scored = (
+        q.join(c.hint("shuffle_hash"), "cell")
+        .where(F.col("q_id") != F.col("cand_id"))
+        .select(
+            "q_id",
+            "cand_id",
+            fround(
+                dot_col(F.col("q_vec"), F.col("c_vec"))
+                / (F.col("q_norm") * F.col("c_norm")),
+                6,
+            ).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("cand_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+        .select("q_id", "cand_id", "cos", "rank")
+    )

@@ -439,7 +439,23 @@ def r7b_main() -> None:
         cand = a_c.join(b, ["cx", "cy"]).withColumn("d2", d2).where(F.col("d2") <= W * W)
         return cand.groupBy("a_id").agg(F.min(F.struct("d2", "b_id")).alias("m"))
 
+    def knn_cells(n, n_cells):
+        from pantasia_db_sync_spark.operators.similarity import knn_graph_mutual
+
+        vecs = spark.range(n).select(
+            F.col("id").alias("vec_id"),
+            (F.col("id") % n_cells).alias("label"),
+            F.transform(
+                F.sequence(F.lit(1), F.lit(16)),
+                lambda i: ((F.col("id") * 37 + i * 101) % 97).cast("double") / 97.0,
+            ).alias("embedding"),
+        )
+        return knn_graph_mutual(vecs, k=5, cell_col="label")
+
     for r in (1, replicas):
+        # cells scale with n so |cell| is fixed -> Σ|cell|² linear in n
+        run(f"x{r} knn_graph cell-local ({2_000 * r} vectors)",
+            lambda: knn_cells(2_000 * r, 100 * r))
         n_img = 3_000 * r
         run(f"x{r} image_phash_pairs ({n_img} real BMPs)", lambda: phash(n_img))
         n_pts = 100_000 * r

@@ -1562,3 +1562,31 @@ def test_animated_gif_roundtrip_and_rejects():
         decode_gif_frames(b[:30])  # truncated mid-stream
     # single-frame animated stream still decodes via the frames API
     assert len(decode_gif_frames(encode_gif_animated(2, 2, pal, [1], 0))) == 1
+
+
+def test_knn_graph_cell_local_path(spark, sf_dir):
+    """The IVF-restricted knn-graph phase: every edge is intra-cell
+    (the restriction is real), every edge common with the brute-force
+    graph carries the identical rounded cosine (the scoring is the
+    same arithmetic), and the graph is canonical (a < b, no dups)."""
+    from pyspark.sql import functions as F
+
+    from pantasia_db_sync_spark.operators.similarity import knn_graph_mutual
+    from pantasia_db_sync_spark.sources.catalog import load_table
+
+    e = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 300)
+    cl = knn_graph_mutual(e, k=5, cell_col="label").cache()
+    labels = e.select(F.col("vec_id").alias("a"), F.col("label").alias("la"))
+    lb = e.select(F.col("vec_id").alias("b"), F.col("label").alias("lb"))
+    cross_cell = (
+        cl.join(labels, "a").join(lb, "b").where(F.col("la") != F.col("lb")).count()
+    )
+    assert cross_cell == 0
+    rows = cl.collect()
+    assert all(r["a"] < r["b"] for r in rows)
+    assert len({(r["a"], r["b"]) for r in rows}) == len(rows)
+    bf = knn_graph_mutual(e, k=5)
+    j = bf.alias("x").join(cl.alias("y"), ["a", "b"])
+    diff = j.where(F.col("x.cos") != F.col("y.cos")).count()
+    assert diff == 0
+    cl.unpersist()
