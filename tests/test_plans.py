@@ -114,6 +114,11 @@ _ALLOWED_NESTED_LOOP = {
     # scalar pattern — no driver collect): n-node count / grid bounds
     "events_gapfill",
     "graph_pagerank",
+    # exact directed phase over a 300-vector subset (broadcast cross,
+    # same rationale as ann_bruteforce_topk); the 100 TB path is the
+    # cell-local variant (knn_graph_mutual cell_col=...), property-
+    # tested and measured in scripts/scale_experiment.py --r7b
+    "embedding_knn_graph",
 }
 # Single-partition exchanges allowed only where the exchanged data is
 # metadata-scale (a handful of rows), never a full table:
@@ -134,6 +139,12 @@ _ALLOWED_SINGLE_PARTITION = {
     # (count(nodes) / min-max bounds) — 1 row by construction
     "events_gapfill",
     "graph_pagerank",
+    # scalar-statistic finishes: the single-partition agg input is the
+    # per-group moments frame (|event types| rows) / the contingency
+    # table (|types| x |segments| rows) — metadata-scale by
+    # construction, the combinable fact-table pass happened upstream
+    "stats_welch_ttest",
+    "stats_chi2_independence",
 }
 
 
