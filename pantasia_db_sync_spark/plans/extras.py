@@ -2027,3 +2027,73 @@ def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return deg.groupBy(F.col("d").cast("bigint").alias("degree")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_nodes")
     )
+
+
+@register(
+    "agg_incremental_merge",
+    oracle="""
+    WITH partials AS (
+      SELECT event_type, CAST(date_trunc('month', ts) AS TIMESTAMP) AS month,
+             CAST(count(*) AS BIGINT) AS n,
+             sum(value) AS s,
+             sum(value * value) AS ss
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type,
+           CAST(sum(n) AS BIGINT) AS n_events,
+           floor(sum(s) / sum(n) * 10000 + 0.5) / 10000 AS mean_value,
+           floor(sqrt(sum(ss) / sum(n) - pow(sum(s) / sum(n), 2))
+                 * 10000 + 0.5) / 10000 AS std_value
+    FROM partials GROUP BY 1
+    """,
+)
+def agg_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance: per-month PARTIAL aggregates
+    (count, sum, sum-of-squares — the algebraic decomposition) merged
+    into exact global stats. This is the materialized-rollup pattern a
+    100 TB warehouse runs nightly: new months add one partial row, the
+    merge never re-reads history — and mean/std are reconstructed from
+    the merged moments, proving the decomposition carries everything
+    the direct aggregation would. Mirrors the reference's per-period
+    incremental writes (app/main.py:342-377) applied to aggregation."""
+    e = load_table(spark, sf_dir, "events")
+    partials = e.groupBy(
+        "event_type", F.date_trunc("month", F.col("ts")).alias("month")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("value").alias("s"),
+        F.sum(F.col("value") * F.col("value")).alias("ss"),
+    )
+    merged = partials.groupBy("event_type").agg(
+        F.sum("n").cast("bigint").alias("n_events"),
+        (F.sum("s") / F.sum("n")).alias("__mean"),
+        (F.sum("ss") / F.sum("n")).alias("__m2"),
+    )
+    return merged.select(
+        "event_type", "n_events",
+        fround(F.col("__mean"), 4).alias("mean_value"),
+        fround(F.sqrt(F.col("__m2") - F.col("__mean") * F.col("__mean")), 4).alias(
+            "std_value"
+        ),
+    )
+
+
+@register(
+    "window_ratio_to_report",
+    oracle="""
+    SELECT event_id, event_type, value,
+           floor(value / sum(value) OVER (PARTITION BY event_type)
+                 * 1000000 + 0.5) / 1000000 AS share_of_type
+    FROM events
+    """,
+)
+def window_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report (percent of group total): an unbounded window sum
+    per grouping key, one shuffle, no join back — the share-of-segment
+    calculation every BI layer emits."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type")
+    return e.select(
+        "event_id", "event_type", "value",
+        fround(F.col("value") / F.sum("value").over(w), 6).alias("share_of_type"),
+    )
