@@ -2097,3 +2097,25 @@ def window_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "event_type", "value",
         fround(F.col("value") / F.sum("value").over(w), 6).alias("share_of_type"),
     )
+
+
+@register(
+    "agg_bitwise",
+    oracle="""
+    SELECT event_type,
+           CAST(bit_and(CAST(user_id AS BIGINT)) AS BIGINT) AS all_bits,
+           CAST(bit_or(CAST(user_id AS BIGINT)) AS BIGINT) AS any_bits,
+           CAST(bit_xor(CAST(user_id AS BIGINT)) AS BIGINT) AS parity_bits
+    FROM events GROUP BY 1
+    """,
+)
+def agg_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise aggregate family (AND/OR/XOR) per group — flag-mask
+    rollups and parity checks; all three are commutative-associative,
+    so the pass is fully map-side combinable."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.bit_and("user_id").cast("bigint").alias("all_bits"),
+        F.bit_or("user_id").cast("bigint").alias("any_bits"),
+        F.bit_xor("user_id").cast("bigint").alias("parity_bits"),
+    )

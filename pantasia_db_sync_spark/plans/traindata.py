@@ -1421,3 +1421,52 @@ def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         fround(F.col("loading"), 5).alias("loading"),
         fround(F.col("eigval"), 5).alias("eigval"),
     )
+
+
+@register(
+    "corpus_percentile_bands",
+    oracle="""
+    WITH vc AS (
+      SELECT n_chars, CAST(count(*) AS DOUBLE) AS c FROM documents GROUP BY 1
+    ),
+    cum AS (
+      SELECT n_chars,
+             sum(c) OVER (ORDER BY n_chars
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS below,
+             sum(c) OVER () AS n
+      FROM vc
+    )
+    SELECT d.doc_id, d.n_chars,
+           CASE WHEN COALESCE(below, 0) / (n - 1) < 0.1 THEN 'short'
+                WHEN COALESCE(below, 0) / (n - 1) < 0.9 THEN 'mid'
+                ELSE 'long' END AS band
+    FROM documents d JOIN cum USING (n_chars)
+    """,
+)
+def corpus_percentile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile-band assignment over document length (P10/P90 cuts) —
+    the curriculum/bucketing step before length-aware sampling, in the
+    100 TB shape: NO global row sort. Pass 1 aggregates per-length
+    counts (map-side combinable); the cumulative window then runs over
+    the DISTINCT-VALUE frame (bounded by max document length, never by
+    corpus size — the plan-gate-clean twin of a percent_rank window);
+    bands join back on the length value, so same-length docs share a
+    band by construction (value-deterministic, no row tiebreak
+    needed)."""
+    d = load_table(spark, sf_dir, "documents")
+    vc = d.groupBy("n_chars").agg(F.count(F.lit(1)).cast("double").alias("c"))
+    w = Window.orderBy("n_chars").rowsBetween(Window.unboundedPreceding, -1)
+    cum = vc.select(
+        "n_chars",
+        F.coalesce(F.sum("c").over(w), F.lit(0.0)).alias("below"),
+        F.sum("c").over(Window.partitionBy()).alias("n"),
+    )
+    pr = F.col("below") / (F.col("n") - 1)
+    banded = cum.select(
+        "n_chars",
+        F.when(pr < 0.1, "short").when(pr < 0.9, "mid").otherwise("long").alias("band"),
+    )
+    return d.select("doc_id", "n_chars").join(F.broadcast(banded), "n_chars").select(
+        "doc_id", "n_chars", "band"
+    )

@@ -145,6 +145,10 @@ _ALLOWED_SINGLE_PARTITION = {
     # construction, the combinable fact-table pass happened upstream
     "stats_welch_ttest",
     "stats_chi2_independence",
+    # cumulative window over the per-length counts frame — one row per
+    # DISTINCT n_chars (bounded by max document length, not corpus
+    # size); the full table joins the banded result via broadcast
+    "corpus_percentile_bands",
 }
 
 
