@@ -655,3 +655,113 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("session_end") < cutoff)
     )
+
+
+@register(
+    "stream_cdc_apply",
+    oracle="""
+    WITH ch AS (
+      SELECT user_id AS key, ts, event_id, value,
+             CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ),
+    latest AS (SELECT key, op, value FROM ch WHERE rn = 1),
+    base AS (SELECT c_custkey AS key, c_acctbal AS val FROM customer)
+    SELECT COALESCE(b.key, l.key) AS key,
+           floor((CASE WHEN l.key IS NULL THEN b.val ELSE l.value END) * 100
+                 + 0.5) / 100 AS val,
+           CASE WHEN l.key IS NULL THEN 'base' ELSE 'cdc' END AS src
+    FROM base b FULL OUTER JOIN latest l ON b.key = l.key
+    WHERE l.op IS NULL OR l.op <> 'D'
+    """,
+)
+def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance on a LIVE stream: the
+    CDC changelog arrives in micro-batches (3 files, one per trigger)
+    and a foreachBatch sink maintains the compacted latest-change
+    table — each batch merges into per-key state via argmax, which is
+    ASSOCIATIVE over unions, so the final state equals the batch
+    compaction REGARDLESS of how the stream was batched (the property
+    cdc_apply_changelog computes in one pass). State is one row per
+    touched key, written stage-then-swap per batch (the TableStore
+    crash-safety pattern); the base merge runs once after the drain.
+    Same oracle as the batch twin — streaming-equals-batch is the
+    contract."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window as W
+
+    from ..sources.catalog import load_table as _lt
+    from ..streaming import events_stream
+
+    work = tempfile.mkdtemp(prefix="stream_cdc_")
+    src_dir = os.path.join(work, "src")
+    os.makedirs(src_dir)
+    e_batch = _lt(spark, sf_dir, "events")
+    # three arbitrary slices: associativity of the per-key argmax means
+    # ANY batching yields the same final state
+    for i in range(3):
+        part = os.path.join(work, f"slice{i}")
+        e_batch.where(F.col("event_id") % 3 == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(part)
+        files = [f for f in os.listdir(part) if f.endswith(".parquet")]
+        shutil.move(
+            os.path.join(part, files[0]), os.path.join(src_dir, f"events-{i}.parquet")
+        )
+
+    state_dir = os.path.join(work, "state")
+
+    def merge(batch_df, batch_id: int) -> None:
+        sp = batch_df.sparkSession
+        ch = batch_df.select(
+            F.col("user_id").alias("key"), "ts", "event_id", "value",
+            F.when(F.col("event_type") == "error", "D").otherwise("U").alias("op"),
+        )
+        if os.path.exists(state_dir):
+            ch = sp.read.parquet(state_dir).unionByName(ch)
+        w = W.partitionBy("key").orderBy(F.desc("ts"), F.desc("event_id"))
+        latest = (
+            ch.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .drop("rn")
+        )
+        staged = state_dir + f"_stage{batch_id}"
+        latest.write.mode("overwrite").parquet(staged)
+        if os.path.exists(state_dir):
+            shutil.rmtree(state_dir)
+        os.rename(staged, state_dir)
+
+    q = (
+        events_stream(spark, src_dir, max_files_per_trigger=1)
+        .writeStream.foreachBatch(merge)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError("stream_cdc_apply did not finish within 300s")
+
+    latest = spark.read.parquet(state_dir).select("key", "op", "value")
+    base = _lt(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("key"), F.col("c_acctbal").alias("val")
+    )
+    merged = base.alias("b").join(
+        latest.alias("l"), F.col("b.key") == F.col("l.key"), "full_outer"
+    )
+    out = merged.where(F.col("l.op").isNull() | (F.col("l.op") != "D")).select(
+        F.coalesce(F.col("b.key"), F.col("l.key")).alias("key"),
+        fround(
+            F.when(F.col("l.key").isNull(), F.col("b.val")).otherwise(F.col("l.value")),
+            2,
+        ).alias("val"),
+        F.when(F.col("l.key").isNull(), "base").otherwise("cdc").alias("src"),
+    )
+    # detach from the temp dirs before cleanup
+    res = spark.createDataFrame(out.collect(), out.schema)
+    shutil.rmtree(work, ignore_errors=True)
+    return res
