@@ -2119,3 +2119,124 @@ def agg_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bit_or("user_id").cast("bigint").alias("any_bits"),
         F.bit_xor("user_id").cast("bigint").alias("parity_bits"),
     )
+
+
+@register(
+    "dq_expectations",
+    oracle="""
+    SELECT 'event_id_unique' AS check_name,
+           CAST(count(*) - count(DISTINCT event_id) AS BIGINT) AS n_violations
+    FROM events
+    UNION ALL
+    SELECT 'user_id_not_null',
+           CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    FROM events
+    UNION ALL
+    SELECT 'value_non_negative',
+           CAST(sum(CASE WHEN value < 0 THEN 1 ELSE 0 END) AS BIGINT)
+    FROM events
+    UNION ALL
+    SELECT 'event_type_in_domain',
+           CAST(sum(CASE WHEN event_type NOT IN
+                ('click', 'view', 'purchase', 'signup', 'error')
+                THEN 1 ELSE 0 END) AS BIGINT)
+    FROM events
+    UNION ALL
+    SELECT 'ts_in_range',
+           CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-01'
+                          OR ts >= TIMESTAMP '2027-01-01'
+                     THEN 1 ELSE 0 END) AS BIGINT)
+    FROM events
+    """,
+)
+def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expectation-suite data-quality audit (the Great-Expectations
+    pattern): uniqueness, null, range, domain, and freshness checks as
+    ONE aggregation pass emitting a violations row per check —
+    conditional sums are all combinable, so the audit costs one scan
+    regardless of how many expectations ride it. The reference's FK
+    bootstrap (app/db/postgres.py:214-244) is the same intent enforced
+    by the database; here checks are explicit and composable."""
+    e = load_table(spark, sf_dir, "events")
+    checks = e.agg(
+        (F.count(F.lit(1)) - F.countDistinct("event_id")).alias("event_id_unique"),
+        F.sum(F.when(F.col("user_id").isNull(), 1).otherwise(0)).alias(
+            "user_id_not_null"
+        ),
+        F.sum(F.when(F.col("value") < 0, 1).otherwise(0)).alias("value_non_negative"),
+        F.sum(
+            F.when(
+                ~F.col("event_type").isin("click", "view", "purchase", "signup", "error"),
+                1,
+            ).otherwise(0)
+        ).alias("event_type_in_domain"),
+        F.sum(
+            F.when(
+                (F.col("ts") < "2024-01-01") | (F.col("ts") >= "2027-01-01"), 1
+            ).otherwise(0)
+        ).alias("ts_in_range"),
+    )
+    names = [
+        "event_id_unique", "user_id_not_null", "value_non_negative",
+        "event_type_in_domain", "ts_in_range",
+    ]
+    stacked = checks.select(
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(n).alias("check_name"),
+                    F.col(n).cast("bigint").alias("n_violations"),
+                )
+                for n in names
+            ])
+        ).alias("c")
+    )
+    return stacked.select("c.check_name", "c.n_violations")
+
+
+@register(
+    "dq_referential_integrity",
+    oracle="""
+    SELECT 'orders_custkey_fk' AS check_name,
+           CAST((SELECT count(*) FROM orders o
+                 WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_custkey = o.o_custkey)) AS BIGINT)
+             AS n_orphans
+    UNION ALL
+    SELECT 'lineitem_orderkey_fk',
+           CAST((SELECT count(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT)
+    UNION ALL
+    SELECT 'lineitem_partkey_fk',
+           CAST((SELECT count(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM part p
+                                   WHERE p.p_partkey = l.l_partkey)) AS BIGINT)
+    """,
+)
+def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit: orphan counts per FK edge via
+    broadcast left-anti joins (the declarative twin of the reference's
+    ALTER TABLE ... ADD FOREIGN KEY bootstrap, app/db/postgres.py:
+    214-244, which delegates enforcement to Postgres). Each check is
+    an anti-join against the (broadcastable) parent key set — at
+    100 TB the child side streams once per edge and never shuffles on
+    a skewed key."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+
+    def orphans(child, key, parent, pkey):
+        return child.join(
+            F.broadcast(parent.select(F.col(pkey).alias(key)).distinct()),
+            key,
+            "left_anti",
+        ).count()
+
+    rows = [
+        ("orders_custkey_fk", orphans(o, "o_custkey", c, "c_custkey")),
+        ("lineitem_orderkey_fk", orphans(li, "l_orderkey", o, "o_orderkey")),
+        ("lineitem_partkey_fk", orphans(li, "l_partkey", p, "p_partkey")),
+    ]
+    return spark.createDataFrame(rows, "check_name string, n_orphans bigint")

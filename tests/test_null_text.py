@@ -86,3 +86,62 @@ def test_null_text_parity(spark, name, null_text_dir):
     ids = {r[s_cols.index("doc_id")] for r in s_rows}
     assert 10_000_001 not in ids
     assert 10_000_002 in ids
+
+
+@pytest.fixture(scope="module")
+def bad_events_dir(tmp_path_factory):
+    """sf0.001 events + four doctored rows: a duplicate event_id, a NULL
+    user_id, a negative value, an out-of-domain type + stale ts."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path_factory.mktemp("badevents")
+    base = pq.read_table(os.path.join(SF_DIR, "events.parquet"))
+    first_id = base.column("event_id")[0].as_py()
+    import datetime
+
+    extra = pa.table(
+        {
+            "event_id": pa.array(
+                [first_id, 90_000_001, 90_000_002, 90_000_003], pa.int64()
+            ),
+            "ts": pa.array(
+                [datetime.datetime(2024, 6, 1)] * 3
+                + [datetime.datetime(2020, 1, 1)],
+                pa.timestamp("us"),
+            ),
+            "user_id": pa.array([1, None, 2, 3], pa.int64()),
+            "event_type": pa.array(["click", "click", "click", "bogus"], pa.string()),
+            "value": pa.array([1.0, 1.0, -5.0, 1.0], pa.float64()),
+            "props": pa.array(['{"k": 1}'] * 4, pa.string()),
+        }
+    ).select(base.column_names)
+    pq.write_table(
+        pa.concat_tables([base, extra.cast(base.schema)]),
+        str(d / "events.parquet"),
+    )
+    return str(d)
+
+
+def test_dq_expectations_detect_planted_violations(spark, bad_events_dir):
+    """The expectation suite is not vacuous: every check fires on a
+    doctored table (the stock fixtures are clean, so parity alone
+    proves only the zero case); the DuckDB oracle agrees on the
+    violation counts."""
+    got = {
+        r["check_name"]: r["n_violations"]
+        for r in QUERIES["dq_expectations"](spark, bad_events_dir).collect()
+    }
+    assert got == {
+        "event_id_unique": 1,
+        "user_id_not_null": 1,
+        "value_non_negative": 1,
+        "event_type_in_domain": 1,
+        "ts_in_range": 1,
+    }, got
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{os.path.join(bad_events_dir, 'events.parquet')}'"
+    )
+    oracle = dict(con.execute(ORACLES["dq_expectations"]).fetchall())
+    assert oracle == got
