@@ -2240,3 +2240,136 @@ def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("lineitem_partkey_fk", orphans(li, "l_partkey", p, "p_partkey")),
     ]
     return spark.createDataFrame(rows, "check_name string, n_orphans bigint")
+
+
+@register(
+    "join_null_safe",
+    oracle="""
+    WITH a AS (
+      SELECT event_id,
+             CASE WHEN user_id % 7 = 0 THEN NULL ELSE user_id % 5 END AS k
+      FROM events WHERE event_type = 'click'
+    ),
+    b AS (
+      SELECT user_id,
+             CASE WHEN user_id % 7 = 0 THEN NULL ELSE user_id % 5 END AS k,
+             count(*) AS n
+      FROM events WHERE event_type = 'view' GROUP BY 1, 2
+    ),
+    bk AS (SELECT k, CAST(sum(n) AS BIGINT) AS n_views FROM b GROUP BY 1)
+    SELECT a.event_id, a.k, bk.n_views
+    FROM a JOIN bk ON a.k IS NOT DISTINCT FROM bk.k
+    """,
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys
+    MATCH each other instead of dropping — the semantics ETL needs when
+    NULL is a legitimate dimension value ("unknown" bucket). Spark
+    plans eqNullSafe as an ordinary hash join (the key is
+    null-coalesced internally), so the shape stays a broadcastable
+    equi-join, not a filter-after-outer-join workaround."""
+    e = load_table(spark, sf_dir, "events")
+    k = F.when(F.col("user_id") % 7 == 0, F.lit(None)).otherwise(F.col("user_id") % 5)
+    a = e.where(F.col("event_type") == "click").select(
+        "event_id", k.alias("k")
+    )
+    bk = (
+        e.where(F.col("event_type") == "view")
+        .select(k.alias("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_views"))
+    )
+    return a.join(F.broadcast(bk), a["k"].eqNullSafe(bk["k"])).select(
+        "event_id", a["k"].alias("k"), "n_views"
+    )
+
+
+@register(
+    "func_error_safe_arithmetic",
+    oracle="""
+    SELECT event_id,
+           CASE WHEN CAST(floor(value * 10) AS BIGINT) % 7 = 0 THEN NULL
+                ELSE floor(value / (CAST(floor(value * 10) AS BIGINT) % 7)
+                           * 10000 + 0.5) / 10000 END AS safe_div,
+           TRY_CAST(CASE WHEN event_id % 3 = 0 THEN 'not a number'
+                         ELSE CAST(event_id AS VARCHAR) END AS BIGINT)
+             AS safe_cast
+    FROM events
+    """,
+)
+def func_error_safe_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe evaluation (try_divide / try_cast): malformed input
+    yields NULL instead of failing the job — at 100 TB one poisoned row
+    must never kill a 1000-executor stage. Spark's try_* functions map
+    to DuckDB's TRY_CAST and an explicit zero guard (ANSI division by
+    zero)."""
+    e = load_table(spark, sf_dir, "events")
+    den = F.floor(F.col("value") * 10).cast("bigint") % 7
+    return e.select(
+        "event_id",
+        fround(F.try_divide(F.col("value"), den), 4).alias("safe_div"),
+        F.try_to_number(
+            F.when(F.col("event_id") % 3 == 0, "not a number").otherwise(
+                F.col("event_id").cast("string")
+            ),
+            F.lit("999999999"),
+        ).cast("bigint").alias("safe_cast"),
+    )
+
+
+@register(
+    "window_ignore_nulls",
+    oracle="""
+    SELECT event_id, user_id,
+           first_value(CASE WHEN event_type = 'purchase' THEN value END
+                       IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS first_purchase_value,
+           last_value(CASE WHEN event_type = 'purchase' THEN value END
+                      IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS latest_purchase_value
+    FROM events
+    """,
+)
+def window_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IGNORE NULLS window navigation: carry the first/latest non-null
+    observation (here: purchase values past a sparse event mask) — the
+    gap-filling idiom behind last-observation-carried-forward. One
+    shuffle; the running frame makes both directions a single pass."""
+    e = load_table(spark, sf_dir, "events")
+    masked = F.when(F.col("event_type") == "purchase", F.col("value"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return e.select(
+        "event_id", "user_id",
+        F.first(masked, ignorenulls=True).over(w).alias("first_purchase_value"),
+        F.last(masked, ignorenulls=True).over(w).alias("latest_purchase_value"),
+    )
+
+
+@register(
+    "agg_string_agg",
+    oracle="""
+    SELECT event_type,
+           string_agg(DISTINCT CAST(user_id % 10 AS VARCHAR), ','
+                      ORDER BY CAST(user_id % 10 AS VARCHAR)) AS segments
+    FROM events GROUP BY 1
+    """,
+)
+def agg_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG): distinct segment labels
+    per group, sorted then joined — the sort makes the concatenation
+    deterministic across partitionings and engines (an unordered
+    listagg is nondeterministic by definition)."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.array_join(
+            F.array_sort(F.collect_set((F.col("user_id") % 10).cast("string"))), ","
+        ).alias("segments")
+    )
