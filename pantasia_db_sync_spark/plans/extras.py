@@ -2373,3 +2373,120 @@ def agg_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_sort(F.collect_set((F.col("user_id") % 10).cast("string"))), ","
         ).alias("segments")
     )
+
+
+@register(
+    "orders_open_backlog",
+    oracle="""
+    WITH deltas AS (
+      SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+             CAST(count(*) AS BIGINT) AS opened,
+             CAST(0 AS BIGINT) AS shipped
+      FROM orders GROUP BY 1
+      UNION ALL
+      SELECT CAST(date_trunc('month', l.l_shipdate) AS TIMESTAMP) AS month,
+             CAST(0 AS BIGINT), CAST(count(DISTINCT l.l_orderkey) AS BIGINT)
+      FROM lineitem l GROUP BY 1
+    ),
+    m AS (
+      SELECT month, sum(opened) AS opened, sum(shipped) AS shipped
+      FROM deltas GROUP BY 1
+    )
+    SELECT month, CAST(opened AS BIGINT) AS opened,
+           CAST(shipped AS BIGINT) AS shipped,
+           CAST(sum(opened - shipped)
+                OVER (ORDER BY month
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS open_backlog
+    FROM m
+    """,
+)
+def orders_open_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-order backlog over time (interval stabbing by month): +1 at
+    order placement, −1 when an order first ships, cumulative over the
+    month grid. The running sum window rides the AGGREGATED month frame
+    (bounded by the calendar, not by order volume — the
+    corpus_percentile_bands class), so the fact tables contribute only
+    two combinable count passes. Shipped months count an order once
+    (count DISTINCT orderkey) even though its lineitems ship across
+    months — the first-ship approximation a backlog dashboard uses."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    opened = o.groupBy(
+        F.date_trunc("month", F.col("o_orderdate")).alias("month")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("opened"))
+    shipped = li.groupBy(
+        F.date_trunc("month", F.col("l_shipdate")).alias("month")
+    ).agg(F.countDistinct("l_orderkey").cast("bigint").alias("shipped"))
+    m = (
+        opened.join(shipped, "month", "full_outer")
+        .select(
+            "month",
+            F.coalesce("opened", F.lit(0)).alias("opened"),
+            F.coalesce("shipped", F.lit(0)).alias("shipped"),
+        )
+    )
+    w = Window.orderBy("month").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return m.select(
+        "month", "opened", "shipped",
+        F.sum(F.col("opened") - F.col("shipped")).over(w).cast("bigint").alias(
+            "open_backlog"
+        ),
+    )
+
+
+@register(
+    "pareto_abc_per_brand",
+    oracle="""
+    WITH rev AS (
+      SELECT p.p_brand, l.l_partkey,
+             sum(l.l_extendedprice * (1 - l.l_discount)) AS revenue
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT p_brand, l_partkey, revenue,
+             sum(revenue) OVER (PARTITION BY p_brand
+                                ORDER BY revenue DESC, l_partkey
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS cum,
+             sum(revenue) OVER (PARTITION BY p_brand) AS tot
+      FROM rev
+    )
+    SELECT p_brand, l_partkey,
+           floor(revenue * 100 + 0.5) / 100 AS revenue,
+           CASE WHEN cum / tot <= 0.5 THEN 'A'
+                WHEN cum / tot <= 0.8 THEN 'B'
+                ELSE 'C' END AS abc_class
+    FROM ranked
+    """,
+)
+def pareto_abc_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC / Pareto classification of parts by revenue WITHIN each
+    brand: cumulative-share window partitioned on brand, so there is no
+    global sort funnel — each partition ranks its own parts (the honest
+    way to run 80/20 analysis at 100 TB: always inside a business
+    partition). Deterministic (revenue DESC, partkey) cumulative order
+    keeps boundary parts' classes engine-stable."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    rev = (
+        li.join(F.broadcast(p.select("p_partkey", "p_brand")),
+                F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "l_partkey")
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+    )
+    wc = (
+        Window.partitionBy("p_brand")
+        .orderBy(F.desc("revenue"), "l_partkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wt = Window.partitionBy("p_brand")
+    share = F.sum("revenue").over(wc) / F.sum("revenue").over(wt)
+    return rev.select(
+        "p_brand", "l_partkey",
+        fround(F.col("revenue"), 2).alias("revenue"),
+        F.when(share <= 0.5, "A").when(share <= 0.8, "B").otherwise("C").alias(
+            "abc_class"
+        ),
+    )

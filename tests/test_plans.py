@@ -149,6 +149,9 @@ _ALLOWED_SINGLE_PARTITION = {
     # DISTINCT n_chars (bounded by max document length, not corpus
     # size); the full table joins the banded result via broadcast
     "corpus_percentile_bands",
+    # cumulative backlog over the per-MONTH frame — bounded by the
+    # calendar; fact tables contribute only combinable count passes
+    "orders_open_backlog",
 }
 
 
