@@ -152,6 +152,9 @@ _ALLOWED_SINGLE_PARTITION = {
     # cumulative backlog over the per-MONTH frame — bounded by the
     # calendar; fact tables contribute only combinable count passes
     "orders_open_backlog",
+    # global expectation-suite aggregate: the single partition carries
+    # ONE row of check counters (the combinable scan happened map-side)
+    "dq_expectations",
 }
 
 
