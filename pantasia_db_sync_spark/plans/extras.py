@@ -2490,3 +2490,120 @@ def pareto_abc_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
             "abc_class"
         ),
     )
+
+
+@register(
+    "graph_link_prediction",
+    oracle="""
+    WITH p AS (
+      SELECT DISTINCT user_id, CAST(floor(value / 10) AS BIGINT) AS k
+      FROM events WHERE event_type = 'purchase'
+    ),
+    e AS (
+      SELECT a.user_id AS u, b.user_id AS v
+      FROM p a JOIN p b ON a.k = b.k AND a.user_id < b.user_id
+      GROUP BY 1, 2
+    ),
+    und AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+    deg AS (SELECT u, count(*) AS d FROM und GROUP BY 1),
+    cn AS (
+      SELECT x.u AS a, y.u AS b, count(*) AS common
+      FROM und x JOIN und y ON x.v = y.v AND x.u < y.u
+      GROUP BY 1, 2
+    ),
+    nonedge AS (
+      SELECT cn.a, cn.b, cn.common, da.d AS da, db.d AS db
+      FROM cn
+      LEFT JOIN e ON e.u = cn.a AND e.v = cn.b
+      JOIN deg da ON da.u = cn.a
+      JOIN deg db ON db.u = cn.b
+      WHERE e.u IS NULL
+    )
+    SELECT a, b, CAST(common AS BIGINT) AS common_neighbors,
+           floor(common / CAST(da + db - common AS DOUBLE) * 100000 + 0.5)
+             / 100000 AS jaccard
+    FROM nonedge WHERE common >= 2
+    """,
+)
+def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction by neighborhood Jaccard: for NON-adjacent node
+    pairs sharing >= 2 common neighbors, score |N(a) ∩ N(b)| /
+    |N(a) ∪ N(b)| — the classic graph-ML baseline. Candidates come
+    from a self-join of the undirected edge list ON THE SHARED
+    NEIGHBOR (never all node pairs — the same inverted-index shape as
+    the shingle dedups), the anti-join drops existing edges, degrees
+    broadcast. Hot hubs inflate the neighbor join exactly like hot
+    shingles; the same max_df-style degree cap applies at scale."""
+    e = load_table(spark, sf_dir, "events")
+    p = (
+        e.where(F.col("event_type") == "purchase")
+        .select("user_id", F.floor(F.col("value") / 10).cast("bigint").alias("k"))
+        .distinct()
+    )
+    a, b = p.alias("a"), p.alias("b")
+    edges = (
+        a.join(b, (F.col("a.k") == F.col("b.k")) & (F.col("a.user_id") < F.col("b.user_id")))
+        .select(F.col("a.user_id").alias("u"), F.col("b.user_id").alias("v"))
+        .distinct()
+    )
+    und = edges.unionAll(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    x, y = und.alias("x"), und.alias("y")
+    cn = (
+        x.join(y, (F.col("x.v") == F.col("y.v")) & (F.col("x.u") < F.col("y.u")))
+        .groupBy(F.col("x.u").alias("a"), F.col("y.u").alias("b"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    nonedge = cn.join(
+        edges, (edges["u"] == cn["a"]) & (edges["v"] == cn["b"]), "left_anti"
+    )
+    da = deg.select(F.col("u").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("u").alias("b"), F.col("d").alias("db"))
+    scored = nonedge.join(F.broadcast(da), "a").join(F.broadcast(db), "b")
+    return scored.where(F.col("common") >= 2).select(
+        "a", "b",
+        F.col("common").cast("bigint").alias("common_neighbors"),
+        fround(
+            F.col("common") / (F.col("da") + F.col("db") - F.col("common")).cast("double"),
+            5,
+        ).alias("jaccard"),
+    )
+
+
+@register(
+    "func_url_parse",
+    oracle="""
+    WITH u AS (
+      SELECT doc_id,
+             'https://' || source || '.example.com/docs/' || lang || '/'
+               || CAST(doc_id AS VARCHAR) || '?ref=' || CAST(doc_id % 7 AS VARCHAR)
+               AS url
+      FROM documents
+    )
+    SELECT doc_id, url,
+           regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host,
+           regexp_extract(url, '^[a-z]+://[^/]+(/[^?]*)', 1) AS path,
+           regexp_extract(url, '[?&]ref=([^&]*)', 1) AS ref_param
+    FROM u
+    """,
+)
+def func_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL decomposition with the parse_url built-in (host, path, one
+    query parameter) — the canonicalization primitive for web-corpus
+    dedup and domain mixing. URLs are composed in-flight from fixture
+    columns; the oracle re-derives the parts with RE2 regexes, so the
+    parity claim is Spark's URL grammar vs an independent
+    decomposition on this URL shape."""
+    d = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.com/docs/"),
+        F.col("lang"), F.lit("/"), F.col("doc_id").cast("string"),
+        F.lit("?ref="), (F.col("doc_id") % 7).cast("string"),
+    )
+    u = d.select("doc_id", url.alias("url"))
+    return u.select(
+        "doc_id", "url",
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("ref")).alias("ref_param"),
+    )
