@@ -2607,3 +2607,96 @@ def func_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.parse_url("url", F.lit("PATH")).alias("path"),
         F.parse_url("url", F.lit("QUERY"), F.lit("ref")).alias("ref_param"),
     )
+
+
+@register(
+    "events_seasonality_profile",
+    oracle="""
+    SELECT CAST(dayofweek(ts) AS INTEGER) AS dow,
+           CAST(hour(ts) AS INTEGER) AS hod,
+           CAST(count(*) AS BIGINT) AS n_events,
+           floor(avg(value) * 10000 + 0.5) / 10000 AS avg_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def events_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality heat map (day-of-week x hour-of-day): one combinable
+    aggregation to a 7x24 grid. Engine convention trap: Spark
+    dayofweek() is 1=Sunday..7, DuckDB dayofweek() is 0=Sunday..6 —
+    aligned here by shifting Spark's value."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy(
+        (F.dayofweek("ts") - 1).cast("int").alias("dow"),
+        F.hour("ts").cast("int").alias("hod"),
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        fround(F.avg("value"), 4).alias("avg_value"),
+    )
+
+
+@register(
+    "text_readability_score",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS DOUBLE) AS words,
+             CAST(len(regexp_extract_all(text, '[aeiou]+')) AS DOUBLE)
+               AS vowel_groups
+      FROM documents
+    )
+    SELECT doc_id, CAST(words AS BIGINT) AS n_words,
+           floor(vowel_groups / words * 10000 + 0.5) / 10000
+             AS syllables_per_word,
+           floor((206.835 - 84.6 * (vowel_groups / words)) * 100 + 0.5) / 100
+             AS flesch_proxy
+    FROM t WHERE words > 0
+    """,
+)
+def text_readability_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Readability scoring (Flesch-style proxy): vowel-group runs as
+    the syllable heuristic over regexp-tokenized words — pure JVM
+    regex, no UDF, one pass. The fixture corpus has no sentence
+    punctuation, so the sentence-length term drops out and the proxy
+    is the syllables-per-word component; the heuristic and constants
+    are the public Flesch reading-ease form."""
+    d = load_table(spark, sf_dir, "documents")
+    words = F.size(F.regexp_extract_all("text", F.lit(r"([a-z0-9]+)"))).cast("double")
+    vg = F.size(F.regexp_extract_all("text", F.lit(r"([aeiou]+)"))).cast("double")
+    t = d.select("doc_id", words.alias("words"), vg.alias("vowel_groups"))
+    spw = F.col("vowel_groups") / F.col("words")
+    return t.where(F.col("words") > 0).select(
+        "doc_id",
+        F.col("words").cast("bigint").alias("n_words"),
+        fround(spw, 4).alias("syllables_per_word"),
+        fround(206.835 - 84.6 * spw, 2).alias("flesch_proxy"),
+    )
+
+
+@register(
+    "window_rolling_median",
+    oracle="""
+    SELECT event_id, user_id, value,
+           floor(quantile_cont(value, 0.5)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 8 PRECEDING AND CURRENT ROW)
+                 * 10000 + 0.5) / 10000 AS rolling_median
+    FROM events
+    """,
+)
+def window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling exact median (9-row trailing frame) per user — the
+    robust-smoothing twin of events_ewma: medians shrug off the spikes
+    an EWMA chases. Exact percentile as a window aggregate; both
+    engines use linear interpolation on the sorted frame. The frame is
+    9 rows, so per-row cost is bounded — this does NOT scale to
+    unbounded frames (use approx sketches there)."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-8, Window.currentRow)
+    )
+    return e.select(
+        "event_id", "user_id", "value",
+        fround(F.expr("percentile(value, 0.5)").over(w), 4).alias("rolling_median"),
+    )
