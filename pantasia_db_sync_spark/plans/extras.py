@@ -2700,3 +2700,83 @@ def window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id", "value",
         fround(F.expr("percentile(value, 0.5)").over(w), 4).alias("rolling_median"),
     )
+
+
+@register(
+    "orders_cohort_ltv",
+    oracle="""
+    WITH firsts AS (
+      SELECT o_custkey,
+             CAST(date_trunc('month', min(o_orderdate)) AS TIMESTAMP)
+               AS cohort_month
+      FROM orders GROUP BY 1
+    ),
+    rev AS (
+      SELECT f.cohort_month,
+             CAST(datediff('month', f.cohort_month,
+                           date_trunc('month', o.o_orderdate)) AS INTEGER)
+               AS months_since,
+             sum(o.o_totalprice) AS revenue,
+             count(DISTINCT o.o_custkey) AS active_customers
+      FROM orders o JOIN firsts f ON o.o_custkey = f.o_custkey
+      GROUP BY 1, 2
+    )
+    SELECT cohort_month, months_since,
+           floor(revenue * 100 + 0.5) / 100 AS revenue,
+           CAST(active_customers AS BIGINT) AS active_customers
+    FROM rev WHERE months_since <= 6
+    """,
+)
+def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curve: customers grouped by first-order
+    month, revenue and active-customer counts tracked by months since
+    acquisition — the revenue twin of events_retention_cohort. Two
+    aggregations and one join on the customer key; the firsts frame is
+    one row per customer and broadcastable against the fact scan."""
+    o = load_table(spark, sf_dir, "orders")
+    firsts = o.groupBy("o_custkey").agg(
+        F.date_trunc("month", F.min("o_orderdate")).alias("cohort_month")
+    )
+    j = o.join(F.broadcast(firsts), "o_custkey")
+    months_since = (
+        (F.year(F.date_trunc("month", "o_orderdate")) - F.year("cohort_month")) * 12
+        + (F.month(F.date_trunc("month", "o_orderdate")) - F.month("cohort_month"))
+    ).cast("int")
+    rev = j.groupBy("cohort_month", months_since.alias("months_since")).agg(
+        fround(F.sum("o_totalprice"), 2).alias("revenue"),
+        F.countDistinct("o_custkey").cast("bigint").alias("active_customers"),
+    )
+    return rev.where(F.col("months_since") <= 6)
+
+
+@register(
+    "stats_linear_regression",
+    oracle="""
+    SELECT l_returnflag,
+           floor(covar_samp(l_discount, l_extendedprice)
+                 / var_samp(l_discount) * 10000 + 0.5) / 10000 AS slope,
+           floor((avg(l_extendedprice) - covar_samp(l_discount, l_extendedprice)
+                  / var_samp(l_discount) * avg(l_discount))
+                 * 100 + 0.5) / 100 AS intercept,
+           floor(corr(l_discount, l_extendedprice) * 100000 + 0.5) / 100000
+             AS r,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem GROUP BY 1
+    """,
+)
+def stats_linear_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordinary least squares per group from moment aggregates: slope =
+    cov(x,y)/var(x), intercept from the means, r from corr — ONE
+    combinable aggregation pass computes the whole fit (the classic
+    'regression without a solver' identity). The 100 TB cost is the
+    same as any groupBy: partial moments merge associatively."""
+    li = load_table(spark, sf_dir, "lineitem")
+    slope = F.covar_samp("l_discount", "l_extendedprice") / F.var_samp("l_discount")
+    return li.groupBy("l_returnflag").agg(
+        fround(slope, 4).alias("slope"),
+        fround(F.avg("l_extendedprice") - slope * F.avg("l_discount"), 2).alias(
+            "intercept"
+        ),
+        fround(F.corr("l_discount", "l_extendedprice"), 5).alias("r"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
