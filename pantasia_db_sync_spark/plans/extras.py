@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.text import tokens_col
 from ..operators.asof import asof_join
 from ..sources.catalog import load_table
 from .registry import fround, register
@@ -2779,4 +2780,90 @@ def stats_linear_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         fround(F.corr("l_discount", "l_extendedprice"), 5).alias("r"),
         F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+
+
+@register(
+    "events_autocorrelation",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             sum(value) AS total
+      FROM events GROUP BY 1
+    ),
+    pairs AS (
+      SELECT a.total AS x, b.total AS y
+      FROM daily a JOIN daily b ON b.day = a.day + INTERVAL 1 DAY
+    )
+    SELECT floor(corr(x, y) * 100000 + 0.5) / 100000 AS lag1_autocorr,
+           CAST(count(*) AS BIGINT) AS n_pairs
+    FROM pairs
+    """,
+)
+def events_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation of the daily total series — the
+    time-series diagnostic behind seasonality and anomaly thresholds.
+    The fact table contributes one combinable aggregation; the lag
+    pairing is an equi-self-join of the calendar-bounded daily frame on
+    shifted day, and corr() finishes from moments."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(F.date_trunc("day", F.col("ts")).alias("day")).agg(
+        F.sum("value").alias("total")
+    )
+    b = daily.select(
+        (F.col("day") - F.expr("INTERVAL 1 DAY")).alias("day"),
+        F.col("total").alias("y"),
+    )
+    pairs = daily.join(b, "day").select(F.col("total").alias("x"), "y")
+    return pairs.agg(
+        fround(F.corr("x", "y"), 5).alias("lag1_autocorr"),
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+    )
+
+
+@register(
+    "text_zipf_fit",
+    oracle="""
+    WITH counts AS (
+      SELECT tok, CAST(count(*) AS DOUBLE) AS c
+      FROM (SELECT unnest(string_split(trim(text), ' ')) AS tok FROM documents)
+      WHERE tok <> '' GROUP BY 1
+    ),
+    ranked AS (
+      SELECT c, row_number() OVER (ORDER BY c DESC, tok) AS r
+      FROM counts
+    ),
+    logs AS (
+      SELECT ln(r) AS lx, ln(c) AS ly FROM ranked WHERE r <= 1000
+    )
+    SELECT floor(covar_samp(lx, ly) / var_samp(lx) * 100000 + 0.5) / 100000
+             AS zipf_slope,
+           floor(corr(lx, ly) * 100000 + 0.5) / 100000 AS fit_r,
+           CAST(count(*) AS BIGINT) AS n_terms
+    FROM logs
+    """,
+)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit: OLS slope of log(frequency) on log(rank) over
+    the top-1000 vocabulary — the corpus-health diagnostic (natural
+    text sits near slope −1; a synthetic or deduplicated-to-death
+    corpus drifts). Token counts are one combinable pass; ranking runs
+    on the TOP-K frame only (bounded at 1000 rows by construction —
+    the whitelisted metadata-scale exchange class), and the fit is the
+    moments identity, no solver."""
+    d = load_table(spark, sf_dir, "documents")
+    counts = (
+        d.select(F.explode(tokens_col("text")).alias("tok"))
+        .where(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("double").alias("c"))
+    )
+    top = counts.orderBy(F.desc("c"), "tok").limit(1000)
+    w = Window.orderBy(F.desc("c"), "tok")
+    ranked = top.withColumn("r", F.row_number().over(w))
+    logs = ranked.select(F.log("r").alias("lx"), F.log("c").alias("ly"))
+    return logs.agg(
+        fround(F.covar_samp("lx", "ly") / F.var_samp("lx"), 5).alias("zipf_slope"),
+        fround(F.corr("lx", "ly"), 5).alias("fit_r"),
+        F.count(F.lit(1)).cast("bigint").alias("n_terms"),
     )

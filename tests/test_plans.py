@@ -155,6 +155,8 @@ _ALLOWED_SINGLE_PARTITION = {
     # global expectation-suite aggregate: the single partition carries
     # ONE row of check counters (the combinable scan happened map-side)
     "dq_expectations",
+    # scalar corr() finish over the calendar-bounded daily-pairs frame
+    "events_autocorrelation",
 }
 
 
