@@ -2867,3 +2867,67 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         fround(F.corr("lx", "ly"), 5).alias("fit_r"),
         F.count(F.lit(1)).cast("bigint").alias("n_terms"),
     )
+
+
+@register(
+    "events_entropy_per_user",
+    oracle="""
+    WITH tc AS (
+      SELECT user_id, event_type, CAST(count(*) AS DOUBLE) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    tot AS (SELECT user_id, sum(c) AS n FROM tc GROUP BY 1)
+    SELECT tc.user_id,
+           floor(-sum((c / n) * ln(c / n)) * 10000 + 0.5) / 10000
+             AS type_entropy,
+           CAST(count(*) AS BIGINT) AS n_types
+    FROM tc JOIN tot ON tc.user_id = tot.user_id
+    GROUP BY tc.user_id
+    """,
+)
+def events_entropy_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each user's event-type mix — the behavioral
+    diversity metric (bots are low-entropy). Two combinable groupBys
+    plus a per-key join of tiny marginals; nothing scales past the
+    (user x type) grid."""
+    e = load_table(spark, sf_dir, "events")
+    tc = e.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("c")
+    )
+    tot = tc.groupBy("user_id").agg(F.sum("c").alias("n"))
+    p = F.col("c") / F.col("n")
+    return (
+        tc.join(tot, "user_id")
+        .groupBy("user_id")
+        .agg(
+            fround(-F.sum(p * F.log(p)), 4).alias("type_entropy"),
+            F.count(F.lit(1)).cast("bigint").alias("n_types"),
+        )
+    )
+
+
+@register(
+    "agg_pythagorean_means",
+    oracle="""
+    SELECT event_type,
+           floor(avg(value) * 10000 + 0.5) / 10000 AS arithmetic_mean,
+           floor(exp(avg(ln(value))) * 10000 + 0.5) / 10000 AS geometric_mean,
+           floor(count(*) / sum(1.0 / value) * 10000 + 0.5) / 10000
+             AS harmonic_mean
+    FROM events WHERE value > 0 GROUP BY 1
+    """,
+)
+def agg_pythagorean_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The three Pythagorean means per group — geometric via the
+    exp-of-mean-log identity, harmonic via reciprocal sums — each a
+    plain combinable aggregate (rate-style metrics need harmonic;
+    multiplicative growth needs geometric; averaging the wrong mean is
+    a classic analytics bug this query's shape avoids by construction)."""
+    e = load_table(spark, sf_dir, "events").where(F.col("value") > 0)
+    return e.groupBy("event_type").agg(
+        fround(F.avg("value"), 4).alias("arithmetic_mean"),
+        fround(F.exp(F.avg(F.log("value"))), 4).alias("geometric_mean"),
+        fround(F.count(F.lit(1)) / F.sum(1.0 / F.col("value")), 4).alias(
+            "harmonic_mean"
+        ),
+    )
