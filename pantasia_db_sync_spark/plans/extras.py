@@ -2931,3 +2931,138 @@ def agg_pythagorean_means(spark: SparkSession, sf_dir: str) -> DataFrame:
             "harmonic_mean"
         ),
     )
+
+
+@register(
+    "events_benford_check",
+    oracle="""
+    WITH digits AS (
+      SELECT CAST(substr(CAST(CAST(floor(value * 100) AS BIGINT) AS VARCHAR), 1, 1)
+                  AS INTEGER) AS d
+      FROM events WHERE value > 0
+    ),
+    obs AS (SELECT d, CAST(count(*) AS DOUBLE) AS c FROM digits GROUP BY 1),
+    n AS (SELECT sum(c) AS n FROM obs)
+    SELECT d, CAST(c AS BIGINT) AS n_values,
+           floor(c / n * 100000 + 0.5) / 100000 AS observed_share,
+           floor(log10(1 + 1.0 / d) * 100000 + 0.5) / 100000 AS benford_share
+    FROM obs, n
+    """,
+)
+def events_benford_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit — the fraud/synthetic-data
+    screen: observed leading-digit shares of the value column against
+    log10(1 + 1/d). One combinable digit count; the share and the
+    theoretical curve are scalar algebra. (The uniform synthetic
+    fixture deviates from Benford, and the query SHOWS that — an
+    honest diagnostic, not a fitted one.)"""
+    e = load_table(spark, sf_dir, "events").where(F.col("value") > 0)
+    d = F.substring(
+        F.floor(F.col("value") * 100).cast("bigint").cast("string"), 1, 1
+    ).cast("int")
+    obs = e.select(d.alias("d")).groupBy("d").agg(
+        F.count(F.lit(1)).cast("double").alias("c")
+    )
+    n = obs.agg(F.sum("c")).collect()[0][0]
+    return obs.select(
+        "d",
+        F.col("c").cast("bigint").alias("n_values"),
+        fround(F.col("c") / F.lit(float(n)), 5).alias("observed_share"),
+        fround(F.log10(1 + 1.0 / F.col("d")), 5).alias("benford_share"),
+    )
+
+
+@register(
+    "gini_revenue_per_nation",
+    oracle="""
+    WITH cust AS (
+      SELECT c.c_nationkey, o.o_custkey, sum(o.o_totalprice) AS x
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT c_nationkey, x,
+             row_number() OVER (PARTITION BY c_nationkey
+                                ORDER BY x, o_custkey) AS r,
+             count(*) OVER (PARTITION BY c_nationkey) AS n
+      FROM cust
+    )
+    SELECT c_nationkey,
+           floor((2.0 * sum(r * x) / (n * sum(x)) - (n + 1.0) / n)
+                 * 100000 + 0.5) / 100000 AS gini,
+           CAST(n AS BIGINT) AS n_customers
+    FROM ranked GROUP BY c_nationkey, n
+    """,
+)
+def gini_revenue_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer revenue WITHIN each nation — the
+    concentration/inequality metric via the sorted-rank identity
+    G = 2·Σ rᵢxᵢ / (n·Σx) − (n+1)/n. The rank window partitions on
+    nation (the pareto_abc pattern: inequality analysis always runs
+    inside a business partition, so no global sort funnel); the
+    customer totals are one combinable pass over orders."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    cust = (
+        o.join(F.broadcast(c.select("c_custkey", "c_nationkey")),
+               F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_nationkey", "o_custkey")
+        .agg(F.sum("o_totalprice").alias("x"))
+    )
+    wr = Window.partitionBy("c_nationkey").orderBy("x", "o_custkey")
+    wn = Window.partitionBy("c_nationkey")
+    ranked = cust.select(
+        "c_nationkey", "x",
+        F.row_number().over(wr).alias("r"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    return ranked.groupBy("c_nationkey", "n").agg(
+        fround(
+            2.0 * F.sum(F.col("r") * F.col("x")) / (F.col("n") * F.sum("x"))
+            - (F.col("n") + 1.0) / F.col("n"),
+            5,
+        ).alias("gini"),
+        F.first("n").cast("bigint").alias("n_customers"),
+    ).select("c_nationkey", "gini", "n_customers")
+
+
+@register(
+    "events_longest_streak",
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+      FROM events
+    ),
+    isl AS (
+      SELECT user_id, day,
+             day - to_days(CAST(row_number() OVER (PARTITION BY user_id
+                                                   ORDER BY day) AS INTEGER))
+               AS grp
+      FROM ud
+    ),
+    streaks AS (
+      SELECT user_id, count(*) AS len FROM isl GROUP BY user_id, grp
+    )
+    SELECT user_id, CAST(max(len) AS BIGINT) AS longest_streak_days
+    FROM streaks GROUP BY 1
+    """,
+)
+def events_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest run of consecutive active days per user — the
+    gaps-and-islands trick: day minus its per-user rank is constant
+    exactly within a consecutive run, so streaks fall out of one
+    groupBy on that difference. One shuffle on user; the deduped
+    user-day frame bounds all later stages."""
+    e = load_table(spark, sf_dir, "events")
+    ud = e.select(
+        "user_id", F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    isl = ud.select(
+        "user_id",
+        F.date_sub(F.col("day"), F.row_number().over(w)).alias("grp"),
+    )
+    streaks = isl.groupBy("user_id", "grp").agg(F.count(F.lit(1)).alias("len"))
+    return streaks.groupBy("user_id").agg(
+        F.max("len").cast("bigint").alias("longest_streak_days")
+    )
