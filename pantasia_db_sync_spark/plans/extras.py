@@ -3066,3 +3066,140 @@ def events_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaks.groupBy("user_id").agg(
         F.max("len").cast("bigint").alias("longest_streak_days")
     )
+
+
+@register(
+    "func_unpivot_melt",
+    oracle="""
+    SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS val
+    FROM part
+    UNION ALL
+    SELECT p_partkey, 'p_retailprice',
+           floor(p_retailprice * 100 + 0.5) / 100
+    FROM part
+    """,
+)
+def func_unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT / melt: wide metric columns stacked into (metric, value)
+    rows — the long-format reshape feeding generic metric pipelines.
+    Spark's unpivot is a zero-shuffle Expand node (each input row emits
+    one row per metric), identical in cost to the UNION ALL the oracle
+    spells out."""
+    p = load_table(spark, sf_dir, "part")
+    out = p.select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("p_size"),
+        fround(F.col("p_retailprice"), 2).alias("p_retailprice"),
+    ).unpivot("p_partkey", ["p_size", "p_retailprice"], "metric", "val")
+    return out
+
+
+@register(
+    "agg_conditional_boolean",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) FILTER (WHERE value > 10) AS BIGINT) AS n_big,
+           bool_and(value > 0) AS all_positive,
+           bool_or(value > 90) AS any_huge
+    FROM events GROUP BY 1
+    """,
+)
+def agg_conditional_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional and boolean aggregates (FILTER / EVERY / ANY): the
+    assertion-style rollups monitoring queries are built from; all
+    combinable single-pass."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.count_if(F.col("value") > 10).cast("bigint").alias("n_big"),
+        F.every(F.col("value") > 0).alias("all_positive"),
+        F.some(F.col("value") > 90).alias("any_huge"),
+    )
+
+
+@register(
+    "window_nth_value",
+    oracle="""
+    SELECT user_id,
+           max(CASE WHEN rn = 3 THEN value END) AS third_value,
+           max(CASE WHEN rn = 3 THEN event_type END) AS third_type
+    FROM (
+      SELECT user_id, value, event_type,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events
+    ) GROUP BY 1
+    """,
+)
+def window_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The user's third event (nth_value navigation): what happened at
+    step N of each journey — onboarding analyses live on this. One
+    window pass + collapse; users with fewer than 3 events yield NULLs
+    (kept — absence is the signal)."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    r = e.select(
+        "user_id", "value", "event_type", F.row_number().over(w).alias("rn")
+    )
+    return r.groupBy("user_id").agg(
+        F.max(F.when(F.col("rn") == 3, F.col("value"))).alias("third_value"),
+        F.max(F.when(F.col("rn") == 3, F.col("event_type"))).alias("third_type"),
+    )
+
+
+@register(
+    "corpus_kl_divergence",
+    oracle="""
+    WITH toks AS (
+      SELECT lang, unnest(string_split(trim(text), ' ')) AS tok FROM documents
+    ),
+    p AS (
+      SELECT tok, CAST(count(*) AS DOUBLE) AS c FROM toks
+      WHERE tok <> '' AND lang = 'en' GROUP BY 1
+    ),
+    q AS (
+      SELECT tok, CAST(count(*) AS DOUBLE) AS c FROM toks
+      WHERE tok <> '' AND lang <> 'en' GROUP BY 1
+    ),
+    v AS (SELECT count(*) AS vsize FROM (SELECT tok FROM p UNION SELECT tok FROM q)),
+    joined AS (
+      SELECT COALESCE(p.c, 0) + 1 AS pc, COALESCE(q.c, 0) + 1 AS qc
+      FROM p FULL OUTER JOIN q ON p.tok = q.tok
+    ),
+    tot AS (
+      SELECT sum(pc) AS pn, sum(qc) AS qn FROM joined
+    )
+    SELECT floor(sum((pc / pn) * ln((pc / pn) / (qc / qn))) * 100000 + 0.5)
+             / 100000 AS kl_p_q,
+           CAST((SELECT vsize FROM v) AS BIGINT) AS vocab
+    FROM joined, tot
+    """,
+)
+def corpus_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KL divergence between token distributions of two corpus slices
+    (en vs rest) with add-one smoothing — the distribution-shift
+    diagnostic run before mixing corpora or after a dedup pass. Two
+    combinable token counts, one full-outer join on the (small)
+    vocabulary, a scalar finish; nothing scales past vocab size."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("lang", F.explode(tokens_col("text")).alias("tok")).where(
+        F.col("tok") != ""
+    )
+    p = toks.where(F.col("lang") == "en").groupBy("tok").agg(
+        F.count(F.lit(1)).cast("double").alias("pc0")
+    )
+    q = toks.where(F.col("lang") != "en").groupBy("tok").agg(
+        F.count(F.lit(1)).cast("double").alias("qc0")
+    )
+    joined = p.join(q, "tok", "full_outer").select(
+        "tok",
+        (F.coalesce("pc0", F.lit(0.0)) + 1).alias("pc"),
+        (F.coalesce("qc0", F.lit(0.0)) + 1).alias("qc"),
+    )
+    vocab = joined.count()
+    tot = joined.agg(F.sum("pc").alias("pn"), F.sum("qc").alias("qn")).collect()[0]
+    pn, qn = float(tot["pn"]), float(tot["qn"])
+    pp = F.col("pc") / F.lit(pn)
+    qq = F.col("qc") / F.lit(qn)
+    return joined.agg(
+        fround(F.sum(pp * F.log(pp / qq)), 5).alias("kl_p_q"),
+        F.lit(vocab).cast("bigint").alias("vocab"),
+    )

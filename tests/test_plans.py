@@ -157,6 +157,8 @@ _ALLOWED_SINGLE_PARTITION = {
     "dq_expectations",
     # scalar corr() finish over the calendar-bounded daily-pairs frame
     "events_autocorrelation",
+    # scalar KL finish over the vocabulary-bounded joined-counts frame
+    "corpus_kl_divergence",
 }
 
 
