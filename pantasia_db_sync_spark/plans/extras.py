@@ -3203,3 +3203,88 @@ def corpus_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         fround(F.sum(pp * F.log(pp / qq)), 5).alias("kl_p_q"),
         F.lit(vocab).cast("bigint").alias("vocab"),
     )
+
+
+@register(
+    "orders_rfm_per_nation",
+    oracle="""
+    WITH cust AS (
+      SELECT c.c_nationkey, o.o_custkey,
+             max(o.o_orderdate) AS last_order,
+             count(*) AS frequency,
+             sum(o.o_totalprice) AS monetary
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2
+    )
+    SELECT c_nationkey, o_custkey,
+           CAST(ntile(5) OVER (PARTITION BY c_nationkey
+                               ORDER BY last_order, o_custkey) AS INTEGER) AS r_score,
+           CAST(ntile(5) OVER (PARTITION BY c_nationkey
+                               ORDER BY frequency, o_custkey) AS INTEGER) AS f_score,
+           CAST(ntile(5) OVER (PARTITION BY c_nationkey
+                               ORDER BY monetary, o_custkey) AS INTEGER) AS m_score
+    FROM cust
+    """,
+)
+def orders_rfm_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation (recency / frequency / monetary quintiles) —
+    the CRM scoring staple. One combinable pass builds per-customer
+    stats; three ntile windows partition on nation (the
+    pareto/gini pattern: scoring inside a business partition, no global
+    sort), sharing one shuffle since all windows key on nation. The
+    custkey tiebreak pins quintile boundaries cross-engine."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    cust = (
+        o.join(F.broadcast(c.select("c_custkey", "c_nationkey")),
+               F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_nationkey", "o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum("o_totalprice").alias("monetary"),
+        )
+    )
+    def q(col):
+        return F.ntile(5).over(
+            Window.partitionBy("c_nationkey").orderBy(col, "o_custkey")
+        ).cast("int")
+    return cust.select(
+        "c_nationkey", "o_custkey",
+        q("last_order").alias("r_score"),
+        q("frequency").alias("f_score"),
+        q("monetary").alias("m_score"),
+    )
+
+
+@register(
+    "events_gap_histogram",
+    oracle="""
+    WITH gaps AS (
+      SELECT CAST(floor(epoch(ts - lag(ts) OVER (PARTITION BY user_id
+                                                 ORDER BY ts, event_id))
+                        / 3600) AS BIGINT) AS gap_hours
+      FROM events
+    )
+    SELECT gap_hours, CAST(count(*) AS BIGINT) AS n_gaps
+    FROM gaps WHERE gap_hours IS NOT NULL AND gap_hours <= 24
+    GROUP BY 1
+    """,
+)
+def events_gap_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-event gap distribution (hour-bucketed, capped at a day) —
+    the arrival-texture diagnostic behind session-gap and watermark
+    tuning: pick the sessionize gap where this histogram's valley is.
+    One window pass for the lag, one combinable histogram count."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = e.select(
+        F.floor(
+            (F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))) / 3600
+        ).cast("bigint").alias("gap_hours")
+    )
+    return (
+        gaps.where(F.col("gap_hours").isNotNull() & (F.col("gap_hours") <= 24))
+        .groupBy("gap_hours")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_gaps"))
+    )
