@@ -3288,3 +3288,110 @@ def events_gap_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("gap_hours")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_gaps"))
     )
+
+
+@register(
+    "events_audience_overlap",
+    oracle="""
+    WITH ut AS (SELECT DISTINCT event_type, user_id FROM events),
+    sizes AS (SELECT event_type, count(*) AS n FROM ut GROUP BY 1),
+    pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             count(*) AS overlap
+      FROM ut a JOIN ut b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT type_a, type_b, CAST(overlap AS BIGINT) AS overlap,
+           floor(overlap / CAST(sa.n + sb.n - overlap AS DOUBLE)
+                 * 100000 + 0.5) / 100000 AS jaccard
+    FROM pairs
+    JOIN sizes sa ON sa.event_type = type_a
+    JOIN sizes sb ON sb.event_type = type_b
+    """,
+)
+def events_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience overlap between event types (set Jaccard over user
+    sets): the segment-intersection question every campaign report
+    asks. Same inverted-index shape as the dedup family — the self-join
+    keys on the shared USER (never type x type x users), sizes
+    broadcast; with millions of users the join shuffles on user_id
+    once."""
+    e = load_table(spark, sf_dir, "events")
+    ut = e.select("event_type", "user_id").distinct()
+    sizes = ut.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    a = ut.select(F.col("event_type").alias("type_a"), "user_id")
+    b = ut.select(F.col("event_type").alias("type_b"), "user_id")
+    pairs = (
+        a.join(b, "user_id")
+        .where(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("overlap"))
+    )
+    sa = sizes.select(F.col("event_type").alias("type_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("event_type").alias("type_b"), F.col("n").alias("nb"))
+    out = pairs.join(F.broadcast(sa), "type_a").join(F.broadcast(sb), "type_b")
+    return out.select(
+        "type_a", "type_b",
+        F.col("overlap").cast("bigint").alias("overlap"),
+        fround(
+            F.col("overlap")
+            / (F.col("na") + F.col("nb") - F.col("overlap")).cast("double"),
+            5,
+        ).alias("jaccard"),
+    )
+
+
+@register(
+    "text_term_burstiness",
+    oracle="""
+    WITH tf AS (
+      SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS c
+      FROM (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok
+            FROM documents)
+      WHERE tok <> '' GROUP BY 1, 2
+    ),
+    n AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n_docs FROM documents),
+    stats AS (
+      SELECT tok,
+             count(*) AS df,
+             sum(c) AS total,
+             sum(c * c) AS total_sq
+      FROM tf GROUP BY 1
+    )
+    SELECT tok, CAST(df AS BIGINT) AS df,
+           floor(((total_sq - total * total / n_docs) / (n_docs - 1))
+                 / (total / n_docs) * 10000 + 0.5) / 10000 AS burstiness
+    FROM stats, n WHERE df >= 50
+    """,
+)
+def text_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term burstiness (variance-to-mean ratio of per-document counts,
+    zeros included via the moment identities): bursty terms (ratio > 1)
+    cluster in few documents — topical signal; ratio ~ 1 is Poisson
+    background. The zero-count documents never materialize: variance
+    comes from sum and sum-of-squares over the observed rows plus the
+    document count, so the pass stays one tf aggregation + one per-term
+    rollup."""
+    d = load_table(spark, sf_dir, "documents")
+    tf = (
+        d.select("doc_id", F.explode(tokens_col("text")).alias("tok"))
+        .where(F.col("tok") != "")
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).cast("double").alias("c"))
+    )
+    n_docs = float(d.select("doc_id").distinct().count())
+    stats = tf.groupBy("tok").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sum("c").alias("total"),
+        F.sum(F.col("c") * F.col("c")).alias("total_sq"),
+    )
+    mean = F.col("total") / F.lit(n_docs)
+    var = (F.col("total_sq") - F.col("total") * F.col("total") / F.lit(n_docs)) / (
+        F.lit(n_docs) - 1
+    )
+    return stats.where(F.col("df") >= 50).select(
+        "tok",
+        F.col("df").cast("bigint").alias("df"),
+        fround(var / mean, 4).alias("burstiness"),
+    )
