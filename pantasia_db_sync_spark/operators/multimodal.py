@@ -1069,9 +1069,13 @@ def image_phash_pairs(
     candidates EQUAL the cross-join result at equi-join cost — never
     all-pairs. At 100 TB the band join shuffles on (band_idx, band_val)
     and AQE handles hot buckets."""
+    # Freeze the slim hash frame ONCE: the banded self-join consumes it
+    # from both sides, and an unfrozen plan re-runs the full BMP decode
+    # + perceptual-hash kernel per branch (the cosine_near_dup_pairs
+    # signature-freeze rationale, review-confirmed here too).
     h = image_dhash_features(df, id_col, binary_col).select(
         "doc_id", "dhash_hi", "dhash_lo"
-    )
+    ).localCheckpoint(eager=False)
     mask = F.lit(0xFFFF)
     bands = h.select(
         "doc_id", "dhash_hi", "dhash_lo",
@@ -1332,6 +1336,8 @@ def decode_gif_frames(content: bytes) -> list[dict]:
             continue
         if b0 != 0x2C:
             raise ValueError(f"unexpected block 0x{b0:02x}")
+        if pos + 10 > len(content):
+            raise ValueError("truncated image descriptor")
         left, top, w, h, ipacked = struct.unpack_from("<HHHHB", content, pos + 1)
         pos += 10
         if ipacked & 0x40:
@@ -1345,6 +1351,8 @@ def decode_gif_frames(content: bytes) -> list[dict]:
             pos += 3 * n
         if ct is None:
             raise ValueError("no color table")
+        if pos >= len(content):
+            raise ValueError("truncated before LZW minimum code size")
         mcs = content[pos]
         pos += 1
         lzw = bytearray()

@@ -1272,6 +1272,11 @@ def knn_graph_mutual(
         topk = _cell_local_topk(vectors, id_col, vec_col, cell_col, k)
     else:
         topk = brute_force_topk(vectors, vectors, id_col, vec_col, k=k)
+    # Freeze the directed top-k ONCE: the mutualization join reads it
+    # from both sides, and an unfrozen plan re-executes the dominant
+    # scoring pass per branch (review finding; the signature-freeze
+    # rationale from cosine_near_dup_pairs).
+    topk = topk.localCheckpoint(eager=False)
     fwd = topk.select(
         F.col("q_id").alias("a"), F.col("cand_id").alias("b"), "cos"
     )

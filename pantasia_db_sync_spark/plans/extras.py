@@ -1414,8 +1414,9 @@ def join_spatial_grid_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(count(*) OVER w AS BIGINT) AS n_last_hour,
            floor(sum(value) OVER w * 100 + 0.5) / 100 AS sum_last_hour
     FROM events
-    WINDOW w AS (PARTITION BY user_id ORDER BY ts
-                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+    WINDOW w AS (PARTITION BY user_id
+                 ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+                 RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
     """,
 )
 def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1548,9 +1549,16 @@ def agg_salted_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     the survivors per group. Spark plans naive count-distinct as expand
     + single aggregation per group; with a handful of groups at 100 TB
     that is a few reducers owning everything. The rewrite is the
-    standard fix and is exactly equivalent."""
+    standard fix and is exactly equivalent — including NULL handling:
+    count(DISTINCT user_id) ignores NULLs, so stage 1 filters them
+    (review finding: an unfiltered distinct would count a NULL user as
+    a segment member)."""
     e = load_table(spark, sf_dir, "events")
-    stage1 = e.select("event_type", "user_id").distinct()
+    stage1 = (
+        e.select("event_type", "user_id")
+        .where(F.col("user_id").isNotNull())
+        .distinct()
+    )
     return stage1.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_users")
     )
@@ -1982,17 +1990,43 @@ def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dau.join(wau, "day").select("day", "dau", "wau")
 
 
-@register(
-    "graph_degree_distribution",
-    oracle="""
-    WITH e AS (
-      SELECT DISTINCT a.user_id AS u, b.user_id AS v
+
+
+_COPURCHASE_EDGES_SQL = """
+      SELECT a.user_id AS u, b.user_id AS v
       FROM (SELECT DISTINCT user_id, CAST(floor(value / 10) AS BIGINT) AS k
             FROM events WHERE event_type = 'purchase') a
       JOIN (SELECT DISTINCT user_id, CAST(floor(value / 10) AS BIGINT) AS k
             FROM events WHERE event_type = 'purchase') b
         ON a.k = b.k AND a.user_id < b.user_id
-    ),
+      GROUP BY 1, 2
+"""
+
+
+def _copurchase_edges(e: DataFrame) -> DataFrame:
+    """Distinct undirected co-purchase edges (u < v): users sharing a
+    purchase-value bucket — the one edge construction every
+    events-graph query (degree distribution, link prediction) builds
+    on, extracted so a bucket-width change cannot silently diverge
+    between them. Explicit floor() on both engines (DuckDB CAST
+    rounds)."""
+    p = (
+        e.where(F.col("event_type") == "purchase")
+        .select("user_id", F.floor(F.col("value") / 10).cast("bigint").alias("k"))
+        .distinct()
+    )
+    a, b = p.alias("a"), p.alias("b")
+    return (
+        a.join(b, (F.col("a.k") == F.col("b.k")) & (F.col("a.user_id") < F.col("b.user_id")))
+        .select(F.col("a.user_id").alias("u"), F.col("b.user_id").alias("v"))
+        .distinct()
+    )
+
+
+@register(
+    "graph_degree_distribution",
+    oracle=f"""
+    WITH e AS ({_COPURCHASE_EDGES_SQL}),
     deg AS (
       SELECT u AS node, count(*) AS d FROM (
         SELECT u FROM e UNION ALL SELECT v FROM e
@@ -2009,18 +2043,7 @@ def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     the standard first diagnostic before running iterative graph
     algorithms — a heavy tail predicts skewed shuffles and motivates
     the salted-join path."""
-    e = load_table(spark, sf_dir, "events")
-    p = (
-        e.where(F.col("event_type") == "purchase")
-        .select("user_id", F.floor(F.col("value") / 10).cast("bigint").alias("k"))
-        .distinct()
-    )
-    a, b = p.alias("a"), p.alias("b")
-    edges = (
-        a.join(b, (F.col("a.k") == F.col("b.k")) & (F.col("a.user_id") < F.col("b.user_id")))
-        .select(F.col("a.user_id").alias("u"), F.col("b.user_id").alias("v"))
-        .distinct()
-    )
+    edges = _copurchase_edges(load_table(spark, sf_dir, "events"))
     ends = edges.select(F.col("u").alias("node")).unionAll(
         edges.select(F.col("v").alias("node"))
     )
@@ -2309,12 +2332,10 @@ def func_error_safe_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select(
         "event_id",
         fround(F.try_divide(F.col("value"), den), 4).alias("safe_div"),
-        F.try_to_number(
-            F.when(F.col("event_id") % 3 == 0, "not a number").otherwise(
-                F.col("event_id").cast("string")
-            ),
-            F.lit("999999999"),
-        ).cast("bigint").alias("safe_cast"),
+        F.when(F.col("event_id") % 3 == 0, "not a number")
+        .otherwise(F.col("event_id").cast("string"))
+        .try_cast("bigint")
+        .alias("safe_cast"),
     )
 
 
@@ -2495,16 +2516,8 @@ def pareto_abc_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "graph_link_prediction",
-    oracle="""
-    WITH p AS (
-      SELECT DISTINCT user_id, CAST(floor(value / 10) AS BIGINT) AS k
-      FROM events WHERE event_type = 'purchase'
-    ),
-    e AS (
-      SELECT a.user_id AS u, b.user_id AS v
-      FROM p a JOIN p b ON a.k = b.k AND a.user_id < b.user_id
-      GROUP BY 1, 2
-    ),
+    oracle=f"""
+    WITH e AS ({_COPURCHASE_EDGES_SQL}),
     und AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
     deg AS (SELECT u, count(*) AS d FROM und GROUP BY 1),
     cn AS (
@@ -2535,18 +2548,7 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     the shingle dedups), the anti-join drops existing edges, degrees
     broadcast. Hot hubs inflate the neighbor join exactly like hot
     shingles; the same max_df-style degree cap applies at scale."""
-    e = load_table(spark, sf_dir, "events")
-    p = (
-        e.where(F.col("event_type") == "purchase")
-        .select("user_id", F.floor(F.col("value") / 10).cast("bigint").alias("k"))
-        .distinct()
-    )
-    a, b = p.alias("a"), p.alias("b")
-    edges = (
-        a.join(b, (F.col("a.k") == F.col("b.k")) & (F.col("a.user_id") < F.col("b.user_id")))
-        .select(F.col("a.user_id").alias("u"), F.col("b.user_id").alias("v"))
-        .distinct()
-    )
+    edges = _copurchase_edges(load_table(spark, sf_dir, "events"))
     und = edges.unionAll(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
     deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
     x, y = und.alias("x"), und.alias("y")
@@ -3261,8 +3263,9 @@ def orders_rfm_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_gap_histogram",
     oracle="""
     WITH gaps AS (
-      SELECT CAST(floor(epoch(ts - lag(ts) OVER (PARTITION BY user_id
-                                                 ORDER BY ts, event_id))
+      SELECT CAST(floor((floor(epoch(ts))
+                         - floor(epoch(lag(ts) OVER (PARTITION BY user_id
+                                                     ORDER BY ts, event_id))))
                         / 3600) AS BIGINT) AS gap_hours
       FROM events
     )
@@ -3275,7 +3278,11 @@ def events_gap_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inter-event gap distribution (hour-bucketed, capped at a day) —
     the arrival-texture diagnostic behind session-gap and watermark
     tuning: pick the sessionize gap where this histogram's valley is.
-    One window pass for the lag, one combinable histogram count."""
+    One window pass for the lag, one combinable histogram count.
+    Both engines bucket the difference of WHOLE epoch seconds
+    (unix_timestamp truncates) — the oracle floors each endpoint
+    before differencing so sub-second parts cannot shift a
+    near-exact-hour gap across a bucket boundary (review finding)."""
     e = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gaps = e.select(

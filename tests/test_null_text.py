@@ -145,3 +145,69 @@ def test_dq_expectations_detect_planted_violations(spark, bad_events_dir):
     )
     oracle = dict(con.execute(ORACLES["dq_expectations"]).fetchall())
     assert oracle == got
+
+
+@pytest.fixture(scope="module")
+def boundary_ts_dir(tmp_path_factory):
+    """sf0.001 events + planted timestamp edge cases for the
+    second-granularity frame/gap queries: a pair 3600.85s apart (whole-
+    second diff exactly 3600), a same-second pair, and a NULL user_id
+    row for the salted-distinct NULL rule."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path_factory.mktemp("boundaryts")
+    base = pq.read_table(os.path.join(SF_DIR, "events.parquet"))
+    t0 = datetime.datetime(2024, 6, 1, 10, 0, 0, 50_000)
+    extra = pa.table(
+        {
+            "event_id": pa.array([91_000_000 + i for i in range(5)], pa.int64()),
+            "ts": pa.array(
+                [
+                    t0,
+                    t0 + datetime.timedelta(seconds=3600, microseconds=850_000),
+                    t0 + datetime.timedelta(microseconds=200_000),  # same second
+                    t0 + datetime.timedelta(seconds=3599, microseconds=150_000),
+                    t0,
+                ],
+                pa.timestamp("us"),
+            ),
+            "user_id": pa.array([777, 777, 777, 778, None], pa.int64()),
+            "event_type": pa.array(["click"] * 5, pa.string()),
+            "value": pa.array([1.0, 2.0, 3.0, 4.0, 5.0], pa.float64()),
+            "props": pa.array(['{"k": 1}'] * 5, pa.string()),
+        }
+    ).select(base.column_names)
+    pq.write_table(
+        pa.concat_tables([base, extra.cast(base.schema)]),
+        str(d / "events.parquet"),
+    )
+    return str(d)
+
+
+@pytest.mark.parametrize(
+    "name", ["window_range_frame", "events_gap_histogram", "agg_salted_distinct"]
+)
+def test_second_granularity_parity_on_boundary_timestamps(spark, name, boundary_ts_dir):
+    """Review-finding regression: frame membership and gap bucketing
+    must agree between engines even when sub-second parts straddle an
+    hour boundary, events share a calendar second, or a user_id is
+    NULL — cases the stock fixtures never exercise."""
+    sdf = QUERIES[name](spark, boundary_ts_dir)
+    s_rows = sorted([tuple(r) for r in sdf.collect()], key=repr)
+    con = duckdb.connect()
+    path = os.path.join(boundary_ts_dir, "events.parquet")
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{path}'")
+    res = con.execute(ORACLES[name])
+    order = sorted(range(len(sdf.columns)), key=lambda i: sdf.columns[i])
+    d_cols = [c[0] for c in res.description]
+    dorder = sorted(range(len(d_cols)), key=lambda i: d_cols[i])
+    d_rows = sorted(
+        [tuple(_norm_cell(r[i]) for i in dorder) for r in res.fetchall()], key=repr
+    )
+    s_rows = sorted(
+        [tuple(_norm_cell(t[i]) for i in order) for t in s_rows], key=repr
+    )
+    assert s_rows == d_rows, name

@@ -1590,3 +1590,28 @@ def test_knn_graph_cell_local_path(spark, sf_dir):
     diff = j.where(F.col("x.cos") != F.col("y.cos")).count()
     assert diff == 0
     cl.unpersist()
+
+
+def test_simhash_survives_huge_document_under_ansi(spark):
+    """ANSI-mode overflow regression (review finding): the lane-packed
+    vote sum must never overflow a signed 64-bit accumulator, even for
+    a pathological 40k-distinct-token document (a 4x16-bit layout put
+    counts >= 32768 in the sign-bit lane and ARITHMETIC_OVERFLOW'd the
+    whole stage; 3x16-bit lanes bound the sum below 2^49)."""
+    from pyspark.sql import functions as F
+
+    from pantasia_db_sync_spark.operators.dedup import simhash_signatures
+
+    assert spark.conf.get("spark.sql.ansi.enabled") == "true"
+    big = spark.range(1).select(
+        F.lit(0).alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sequence(F.lit(1), F.lit(40000)),
+                lambda i: F.concat(F.lit("tok"), i.cast("string")),
+            ),
+        ).alias("text"),
+    )
+    row = simhash_signatures(big, "doc_id", "text", bits=48).collect()[0]
+    assert row["simhash"] != 0
