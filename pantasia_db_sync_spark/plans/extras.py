@@ -3402,3 +3402,61 @@ def text_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("df").cast("bigint").alias("df"),
         fround(var / mean, 4).alias("burstiness"),
     )
+
+
+@register(
+    "orders_basket_size_distribution",
+    oracle="""
+    WITH sizes AS (
+      SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_lines
+      FROM lineitem GROUP BY 1
+    )
+    SELECT n_lines, CAST(count(*) AS BIGINT) AS n_orders,
+           floor(avg(total) * 100 + 0.5) / 100 AS avg_order_value
+    FROM (
+      SELECT s.n_lines, sum(l.l_extendedprice) AS total
+      FROM sizes s JOIN lineitem l ON l.l_orderkey = s.l_orderkey
+      GROUP BY s.l_orderkey, s.n_lines
+    ) GROUP BY 1
+    """,
+)
+def orders_basket_size_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Basket-size distribution with average order value per size — the
+    order-profile histogram behind pricing and picking analyses. Two
+    aggregations over the same order key: Catalyst reuses the first
+    groupBy's shuffle for the second (same partitioning), then the
+    histogram collapse is combinable."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        F.sum("l_extendedprice").alias("total"),
+    )
+    return per_order.groupBy("n_lines").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        fround(F.avg("total"), 2).alias("avg_order_value"),
+    )
+
+
+@register(
+    "func_string_suite",
+    oracle="""
+    SELECT c_custkey,
+           levenshtein(c_name, 'Customer#000000001') AS edit_dist,
+           reverse(c_name) AS reversed,
+           lpad(CAST(c_custkey AS VARCHAR), 12, '0') AS padded_key,
+           CAST(length(translate(c_name, '#0', '')) AS INTEGER) AS alpha_len
+    FROM customer
+    """,
+)
+def func_string_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String built-in family: Levenshtein distance (the DP builtin, a
+    cross-engine-identical metric), reverse, zero-padding, and
+    character translation — all codegen'd JVM expressions, no UDF."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.levenshtein("c_name", F.lit("Customer#000000001")).alias("edit_dist"),
+        F.reverse("c_name").alias("reversed"),
+        F.lpad(F.col("c_custkey").cast("string"), 12, "0").alias("padded_key"),
+        F.length(F.translate("c_name", "#0", "")).cast("int").alias("alpha_len"),
+    )
