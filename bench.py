@@ -183,9 +183,15 @@ def main() -> None:
 
     sync_scale = float(os.environ.get("SPARK_GRAFT_SYNC_SCALE", "1.0"))
     sync_wall, sync_rps, sync_spread = run_sync_at(sync_scale, REPS)
-    sync10_wall, sync10_rps = (None, None)
+    sync10_wall, sync10_rps, sync10_spread = (None, None, None)
     if os.environ.get("SPARK_GRAFT_SYNC_10X", "1") == "1":
-        sync10_wall, sync10_rps, _ = run_sync_at(10 * sync_scale, 2, stat="min")
+        # 3 reps, min, WITH spread: the round-8 attribution measured
+        # ±20% rep-to-rep variance on this long run (README
+        # §methodology), so a min-of-2 single number reads as a trend
+        # when it is a draw.
+        sync10_wall, sync10_rps, sync10_spread = run_sync_at(
+            10 * sync_scale, 3, stat="min"
+        )
 
     # Dedup 10x-corpus datapoint: replicate the sf0.1 documents 10x with
     # per-replica token rewrites (so near-dup structure grows linearly,
@@ -241,6 +247,7 @@ def main() -> None:
                 "sync_pipeline_scale": sync_scale,
                 "sync_pipeline_10x_sec": sync10_wall,
                 "sync_pipeline_10x_records_per_sec": sync10_rps,
+                "sync_pipeline_10x_spread": sync10_spread,
                 "dedup_10x_sec": dedup10 or None,
             }
         )

@@ -2037,6 +2037,63 @@ def embedding_knn_graph_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "embedding_knn_graph_cells",
+    oracle=f"""
+    WITH {_SQL_VECS},
+    cells AS (
+      SELECT vec_id, v, nrm,
+             (CASE WHEN v[1] > 0 THEN 1 ELSE 0 END
+              + CASE WHEN v[2] > 0 THEN 2 ELSE 0 END
+              + CASE WHEN v[3] > 0 THEN 4 ELSE 0 END) AS cell
+      FROM n
+    ),
+    s AS (
+      SELECT q.vec_id AS q_id, c.vec_id AS cand_id, {_cos_sql('q', 'c')} AS cos
+      FROM cells q JOIN cells c
+        ON c.cell = q.cell AND c.vec_id <> q.vec_id
+    ),
+    topk AS (
+      SELECT q_id, cand_id, cos FROM (
+        SELECT q_id, cand_id, cos,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY cos DESC, cand_id ASC) AS rank
+        FROM s
+      ) WHERE rank <= 5
+    )
+    SELECT DISTINCT f.q_id AS a, f.cand_id AS b, f.cos
+    FROM topk f JOIN topk r ON r.q_id = f.cand_id AND r.cand_id = f.q_id
+    WHERE f.q_id < f.cand_id
+    """,
+)
+def embedding_knn_graph_cells_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual k-NN graph, CELL-LOCAL scale path (operators/similarity.py
+    knn_graph_mutual cell_col=...): the directed top-5 phase is an
+    equi-self-join on a deterministic sign-grid cell (the octant of the
+    first three coordinates — the sign-LSH idea with axis-aligned
+    hyperplanes, so DuckDB replays the assignment exactly). Candidate
+    volume is Σ|cell|², never n², and the plan is pure equi-join +
+    window — no nested-loop, no whitelist entry. This is the plan a
+    100 TB corpus runs (with kmeans cells instead of sign cells); the
+    whole-corpus query complements `embedding_knn_graph`'s exact
+    300-vector baseline."""
+    from ..operators.similarity import as_double_vec, knn_graph_mutual
+
+    e = load_table(spark, sf_dir, "embeddings")
+    v = as_double_vec("embedding")
+    cell = sum(
+        F.when(F.element_at(v, i + 1) > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        for i in range(3)
+    )
+    return knn_graph_mutual(
+        e.withColumn("cell", cell.cast("int")),
+        "vec_id",
+        "embedding",
+        k=5,
+        cell_col="cell",
+    )
+
+
+@register(
     "text_hashing_vectorizer",
     oracle=f"""
     WITH toks AS (

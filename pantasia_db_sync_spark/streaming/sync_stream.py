@@ -367,7 +367,11 @@ def running_totals_stream(events: DataFrame) -> DataFrame:
             "transformWithStateInPandas needs google.protobuf (the state "
             "protocol's driver runner imports it); not installed here — "
             "verified 2026-08: the query plans but the runner crashes with "
-            "STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE"
+            "STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE. Re-verified "
+            "2026-08-14 (round 8): `import google` still fails and the "
+            "sandbox forbids package installs, so this gate is permanent "
+            "for this environment; applyInPandasWithState remains the "
+            "tested stateful path"
         ) from ex
     return events.groupBy("user_id").transformWithStateInPandas(
         _RunningTotalsProcessor(),
