@@ -55,6 +55,13 @@ HEADLINE = [
     "tpch_q3_shipping_priority",
     "tpch_q5_local_supplier_volume",
     "tpch_q10_returned_items",
+    # round-8 additions (VERDICT r7 #4): the newer heavy families get
+    # per-round medians so regressions are visible without re-running
+    # scale_experiment. Again additive — suite total not comparable to
+    # rounds ≤ 7.
+    "ann_ivfadc_topk",
+    "ann_ivf_index_topk",
+    "dedup_image_phash",
 ]
 
 REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))

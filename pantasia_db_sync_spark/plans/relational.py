@@ -960,13 +960,10 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _IV_EPOCH = "1992-01-01"
 _IV_BIN_DAYS = 16  # bin width ≥ max interval length (15d) → ≤2 bins/interval
-
-
-@register(
-    "join_interval_overlap",
-    # ground-truth theta join: driver parity re-proves the bin-join
-    # candidate generation COMPLETE (binned result == theta join)
-    oracle=f"""
+# ground-truth theta join, shared by BOTH interval-overlap queries: the
+# binned pair join and the sweep-line counter are two independent
+# algorithms re-proved against the same oracle
+_IV_ORACLE = f"""
     WITH iv AS (
       SELECT l_suppkey AS k,
              l_orderkey * 100 + l_linenumber AS uid,
@@ -979,8 +976,24 @@ _IV_BIN_DAYS = 16  # bin width ≥ max interval length (15d) → ≤2 bins/inter
     FROM iv a JOIN iv b
       ON a.k = b.k AND a.uid < b.uid AND a.s <= b.e AND b.s <= a.e
     GROUP BY 1
-    """,
-)
+    """
+
+
+def _iv_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    day = F.datediff(
+        F.col("l_shipdate").cast("date"), F.lit(_IV_EPOCH).cast("date")
+    )
+    dur = 1 + F.col("l_quantity").cast("int") % 14
+    return li.select(
+        F.col("l_suppkey").alias("k"),
+        (F.col("l_orderkey") * 100 + F.col("l_linenumber")).alias("uid"),
+        day.alias("s"),
+        (day + dur).alias("e"),
+    )
+
+
+@register("join_interval_overlap", oracle=_IV_ORACLE)
 def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INTERVAL OVERLAP JOIN — per supplier, how many pairs of its
     shipment transit windows [ship_day, ship_day + 1 + qty%14] overlap
@@ -999,18 +1012,11 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     day-space (engine-portable; no date arithmetic in the predicate).
     At 100 TB: one shuffle on (key, bin) instead of per-key cartesian;
     W is the knob balancing bin fan-out (2× here) against candidate
-    density per bin."""
-    li = _t(spark, sf_dir, "lineitem")
-    day = F.datediff(
-        F.col("l_shipdate").cast("date"), F.lit(_IV_EPOCH).cast("date")
-    )
-    dur = 1 + F.col("l_quantity").cast("int") % 14
-    iv = li.select(
-        F.col("l_suppkey").alias("k"),
-        (F.col("l_orderkey") * 100 + F.col("l_linenumber")).alias("uid"),
-        day.alias("s"),
-        (day + dur).alias("e"),
-    )
+    density per bin. Hot-key caveat: pair cost (and the pair SET
+    itself) is quadratic in co-temporal intervals per key — when only
+    the COUNT is needed, `interval_overlap_count_sweep` is the
+    skew-immune shape (measured: scale_experiment.py --ivskew)."""
+    iv = _iv_intervals(spark, sf_dir)
     binned = iv.select(
         "k", "uid", "s", "e",
         F.explode(
@@ -1031,12 +1037,35 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = (
         a.join(b.hint("shuffle_hash"), ["k", "bin"])
         .where(F.col("uid_a") < F.col("uid_b"))
-        .select("k", "uid_a", "uid_b", "sa", "ea", "sb", "eb")
-        .distinct()  # an overlapping pair can share both of its bins
+        # a pair sharing TWO bins must be counted once: keep it only in
+        # the later start's bin — a cheap row-local filter instead of a
+        # full `.distinct()` shuffle of the candidate set (round-8 fix;
+        # overlapping pairs always co-occupy that bin, so no pair is
+        # lost — the theta-join oracle re-proves it)
+        .where(
+            F.floor(F.greatest("sa", "sb") / _IV_BIN_DAYS) == F.col("bin")
+        )
         .where((F.col("sa") <= F.col("eb")) & (F.col("sb") <= F.col("ea")))
     )
     return pairs.groupBy(F.col("k").alias("suppkey")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_overlaps")
+    )
+
+
+@register("interval_overlap_count_sweep", oracle=_IV_ORACLE)
+def interval_overlap_count_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERVAL OVERLAP COUNT, sweep-line shape (operators/rangejoin.py
+    interval_overlap_counts): +1/-1 events, per-key running sum, count
+    earlier-active intervals at each start. Same theta-join oracle as
+    `join_interval_overlap` — two independent algorithms, one ground
+    truth. O(m log m) per key with NO pair materialization, so a hot
+    key owning 20% of the corpus costs one larger sort, not a
+    quadratic candidate explosion (measured: scale_experiment.py
+    --ivskew)."""
+    from ..operators.rangejoin import interval_overlap_counts
+
+    return interval_overlap_counts(_iv_intervals(spark, sf_dir)).select(
+        F.col("k").alias("suppkey"), "n_overlaps"
     )
 
 

@@ -464,6 +464,91 @@ def r7b_main() -> None:
             lambda: spatial_nn(n_pts, L))
 
 
+def ivskew_main() -> None:
+    """Adversarial hot-key skew for the interval-overlap family. Usage:
+    python scripts/scale_experiment.py --ivskew [replicas] [--binned-hot-big]
+
+    Corpus: n intervals over `keys` suppliers, except supplier 1 owns
+    HOT_SHARE = 20% of ALL intervals while the time spread stays the
+    same 730 days — so the hot supplier's per-(key, bin) density grows
+    linearly with n and its candidate volume QUADRATICALLY (46 bins ×
+    (0.2n/46)² comparisons). Measures the binned PAIR join (the shape
+    that must explode) against the sweep-line COUNT
+    (operators/rangejoin.py interval_overlap_counts — O(m log m) per
+    key, no pair rows) on uniform and hot corpora. The binned hot run
+    at full replicas is opt-in (`--binned-hot-big`, expect DNF: at 10x
+    the arithmetic is 46 × (1.2M/46)² ≈ 31G candidate pairs)."""
+    import time as _time
+
+    from pantasia_db_sync_spark.operators.rangejoin import interval_overlap_counts
+
+    replicas = int(sys.argv[2]) if len(sys.argv) > 2 and sys.argv[2].isdigit() else 10
+    spark = get_spark(app_name="ivskew-scale-experiment")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def run(label, fn):
+        fn().write.format("noop").mode("overwrite").save()  # warm
+        t0 = _time.perf_counter()
+        n = fn().count()
+        dt = _time.perf_counter() - t0
+        print(f"{label:<52} {dt:7.2f}s  rows={n}", flush=True)
+        return dt
+
+    def intervals(n, keys, hot_share=0.0):
+        base = spark.range(n).select(
+            F.col("id").alias("uid"),
+            ((F.col("id") * 2654435761) % 730).alias("s"),
+            (F.col("id") % keys).alias("k0"),
+        )
+        if hot_share:
+            every = int(round(1 / hot_share))
+            base = base.select(
+                F.when(F.col("uid") % every == 0, F.lit(1))
+                .otherwise(F.col("k0")).alias("k"), "uid", "s",
+            )
+        else:
+            base = base.select(F.col("k0").alias("k"), "uid", "s")
+        return base.select(
+            "k", "uid", "s", (F.col("s") + 1 + F.col("uid") % 14).alias("e")
+        )
+
+    def binned_count(iv):
+        binned = iv.select(
+            "k", "uid", "s", "e",
+            F.explode(
+                F.sequence(F.floor(F.col("s") / 16), F.floor(F.col("e") / 16))
+            ).alias("bin"),
+        )
+        a = binned.select("k", "bin", F.col("uid").alias("ua"),
+                          F.col("s").alias("sa"), F.col("e").alias("ea"))
+        b = binned.select("k", "bin", F.col("uid").alias("ub"),
+                          F.col("s").alias("sb"), F.col("e").alias("eb"))
+        return (
+            a.join(b.hint("shuffle_hash"), ["k", "bin"])
+            .where(F.col("ua") < F.col("ub"))
+            .where(F.floor(F.greatest("sa", "sb") / 16) == F.col("bin"))
+            .where((F.col("sa") <= F.col("eb")) & (F.col("sb") <= F.col("ea")))
+            .groupBy("k").count()
+        )
+
+    N, KEYS = 600_000, 1000
+    for r in (1, replicas):
+        n, keys = N * r, KEYS * r  # uniform density fixed per (key, bin)
+        run(f"x{r} binned uniform ({n} iv, {keys} keys)",
+            lambda: binned_count(intervals(n, keys)))
+        run(f"x{r} sweep  uniform ({n} iv, {keys} keys)",
+            lambda: interval_overlap_counts(intervals(n, keys)))
+        if r == 1 or "--binned-hot-big" in sys.argv:
+            run(f"x{r} binned HOT 20% ({n} iv)",
+                lambda: binned_count(intervals(n, keys, hot_share=0.2)))
+        else:
+            print(f"x{r} binned HOT 20% ({n} iv): skipped "
+                  f"(~46×(0.2n/46)² ≈ {int(46 * (0.2 * n / 46) ** 2 / 1e9)}G "
+                  f"candidates — opt in with --binned-hot-big)", flush=True)
+        run(f"x{r} sweep  HOT 20% ({n} iv)",
+            lambda: interval_overlap_counts(intervals(n, keys, hot_share=0.2)))
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--skew":
         skew_main()
@@ -471,5 +556,7 @@ if __name__ == "__main__":
         r7_main()
     elif len(sys.argv) > 1 and sys.argv[1] == "--r7b":
         r7b_main()
+    elif len(sys.argv) > 1 and sys.argv[1] == "--ivskew":
+        ivskew_main()
     else:
         main()
