@@ -1882,6 +1882,453 @@ def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "tpch_q6_forecast_revenue",
+    oracle="""
+    SELECT floor(sum(l_extendedprice * l_discount) * 100 + 0.5) / 100
+             AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 (forecasting revenue change): the pure scan-filter-agg
+    shape — every predicate pushes to the parquet scan, the sum is
+    map-side combinable, and the single-partition exchange carries one
+    partial-sum row per partition (whitelisted scalar finish)."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1997-01-01")
+        & (F.col("l_shipdate") < "1998-01-01")
+        & (F.col("l_discount").between(0.05, 0.07))
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        fround(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+            "revenue"
+        )
+    )
+
+
+@register(
+    "tpch_q7_volume_shipping",
+    oracle="""
+    SELECT supp_nation, cust_nation, l_year,
+           floor(sum(volume) * 100 + 0.5) / 100 AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(year(l_shipdate) AS INTEGER) AS l_year,
+             l_extendedprice * (1 - l_discount) AS volume
+      FROM supplier JOIN lineitem ON s_suppkey = l_suppkey
+      JOIN orders ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+          OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+        AND l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1998-01-01'
+    )
+    GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+    """,
+)
+def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 (volume shipping): the two-nation trade-flow query with
+    a DISJUNCTIVE cross-table predicate — supplier nation and customer
+    nation must be the pair in either orientation. Both nation joins
+    broadcast (25 rows); the residual pair predicate applies after
+    them; the fact chain shuffles on its keys once."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    n1 = n.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = n.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    j = (
+        s.join(li, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .where(
+            (
+                (F.col("supp_nation") == "NATION_3")
+                & (F.col("cust_nation") == "NATION_7")
+            )
+            | (
+                (F.col("supp_nation") == "NATION_7")
+                & (F.col("cust_nation") == "NATION_3")
+            )
+        )
+    )
+    return (
+        j.select(
+            "supp_nation", "cust_nation",
+            F.year("l_shipdate").cast("int").alias("l_year"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"),
+        )
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(fround(F.sum("volume"), 2).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@register(
+    "tpch_q8_market_share",
+    oracle="""
+    SELECT o_year,
+           floor(sum(CASE WHEN nation = 'NATION_1' THEN volume ELSE 0 END)
+                 / sum(volume) * 1000000 + 0.5) / 1000000 AS mkt_share
+    FROM (
+      SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+             l_extendedprice * (1 - l_discount) AS volume,
+             n2.n_name AS nation
+      FROM part JOIN lineitem ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      JOIN region ON n1.n_regionkey = r_regionkey
+      JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      WHERE r_name = 'AMERICA' AND p_type = 'PROMO'
+        AND o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate < TIMESTAMP '1998-01-01'
+    )
+    GROUP BY o_year ORDER BY o_year
+    """,
+)
+def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 (national market share): the 8-way join where one
+    nation table plays two roles (customer's region filter vs
+    supplier's nation label) and the answer is a conditional-share
+    aggregate per year. part/supplier/nation/region broadcast; the
+    orders-lineitem-customer chain shuffles once per key."""
+    p = load_table(spark, sf_dir, "part").where(F.col("p_type") == "PROMO")
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").where(F.col("r_name") == "AMERICA")
+    n1 = n.select("n_nationkey", "n_regionkey")
+    n2 = n.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("nation")
+    )
+    j = (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    per_year = j.select(
+        F.year("o_orderdate").cast("int").alias("o_year"),
+        vol.alias("volume"),
+        F.col("nation"),
+    )
+    return (
+        per_year.groupBy("o_year")
+        .agg(
+            fround(
+                F.sum(F.when(F.col("nation") == "NATION_1", F.col("volume")).otherwise(0.0))
+                / F.sum("volume"),
+                6,
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+@register(
+    "tpch_q13_customer_distribution",
+    oracle="""
+    SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+    FROM (
+      SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+      FROM customer LEFT JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey
+    )
+    GROUP BY c_count ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def tpch_q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 (customer order-count distribution): LEFT join with an
+    EXTRA non-equi condition inside the join predicate (priority
+    exclusion must not drop order-less customers — a WHERE would), then
+    a two-level aggregation. The second groupBy operates on |customers|
+    rows; the histogram is bounded by max orders per customer."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    j = c.join(
+        o,
+        (F.col("c_custkey") == F.col("o_custkey"))
+        & (F.col("o_orderpriority") != "1-URGENT"),
+        "left",
+    )
+    per_cust = j.groupBy("c_custkey").agg(
+        F.count("o_orderkey").cast("bigint").alias("c_count")
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+@register(
+    "tpch_q14_promo_revenue",
+    oracle="""
+    SELECT floor(100 * sum(CASE WHEN p_type = 'PROMO'
+                           THEN l_extendedprice * (1 - l_discount)
+                           ELSE 0 END)
+                 / sum(l_extendedprice * (1 - l_discount)) * 10000 + 0.5)
+             / 10000 AS promo_revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+      AND l_shipdate < TIMESTAMP '1997-10-01'
+    """,
+)
+def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 (promotion effect): one month of lineitems joined to
+    the part dimension (broadcast), conditional-share scalar. The date
+    range pushes to the fact scan; the single-partition exchange
+    carries one partial row per partition (whitelisted scalar
+    finish)."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1997-09-01") & (F.col("l_shipdate") < "1997-10-01")
+    )
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    j = li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return j.agg(
+        fround(
+            F.lit(100)
+            * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+            / F.sum(rev),
+            4,
+        ).alias("promo_revenue")
+    )
+
+
+@register(
+    "tpch_q17_small_quantity_revenue",
+    oracle="""
+    SELECT floor(sum(l.l_extendedprice) / 7.0 * 100 + 0.5) / 100
+             AS avg_yearly
+    FROM lineitem l JOIN part p ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#2' AND p_size < 10
+      AND l.l_quantity < (
+        SELECT 0.2 * avg(l2.l_quantity) FROM lineitem l2
+        WHERE l2.l_partkey = l.l_partkey)
+    """,
+)
+def tpch_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 (small-quantity-order revenue), the classic CORRELATED
+    scalar subquery — decorrelated Spark-first: filter the part dim
+    first (tiny), SEMI-join lineitem down to those parts' rows ONCE,
+    compute each part's 0.2·avg(quantity) threshold from that reduced
+    frame (the threshold over all lineitems of a part equals the
+    threshold over the semi-joined rows — the filter is on the part
+    key), then one broadcast join applies it. No per-row re-aggregation,
+    no repeated fact scans: two passes over the semi-joined subset.
+    (p_size stands in for the fixture's missing p_container.)"""
+    p = load_table(spark, sf_dir, "part").where(
+        (F.col("p_brand") == "Brand#2") & (F.col("p_size") < 10)
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    li_f = li.join(
+        F.broadcast(p.select("p_partkey")),
+        F.col("l_partkey") == F.col("p_partkey"),
+    ).select("l_partkey", "l_quantity", "l_extendedprice")
+    li_f = li_f.localCheckpoint(eager=False)  # consumed by both branches
+    thr = li_f.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        (F.avg("l_quantity") * 0.2).alias("qty_threshold")
+    )
+    small = li_f.join(
+        F.broadcast(thr), F.col("l_partkey") == F.col("t_partkey")
+    ).where(F.col("l_quantity") < F.col("qty_threshold"))
+    return small.agg(
+        fround(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly")
+    )
+
+
+@register(
+    "tpch_q18_large_volume_customers",
+    oracle="""
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+           floor(o_totalprice * 100 + 0.5) / 100 AS o_totalprice,
+           CAST(sum(l_quantity) AS DOUBLE) AS total_qty
+    FROM customer JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (
+      SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+      HAVING sum(l_quantity) > 300)
+    GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+    ORDER BY o_totalprice DESC, o_orderdate, o_orderkey LIMIT 100
+    """,
+)
+def tpch_q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 (large-volume customers): the HAVING-subquery IN
+    becomes one aggregation producing the qualifying order keys (46 at
+    sf0.01 — far under the broadcast threshold at any sf because the
+    HAVING bound keeps only the distribution's tail) and a broadcast
+    SEMI join; the outer re-aggregation then runs on the few surviving
+    groups. Top-100 is TakeOrdered with deterministic tiebreaks."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sq"))
+        .where(F.col("sq") > 300)
+        .select(F.col("l_orderkey").alias("big_orderkey"))
+    )
+    j = (
+        o.join(
+            F.broadcast(big),
+            F.col("o_orderkey") == F.col("big_orderkey"),
+            "left_semi",
+        )
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+    )
+    out = j.groupBy(
+        "c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice"
+    ).agg(F.sum("l_quantity").cast("double").alias("total_qty"))
+    return out.select(
+        "c_name", "c_custkey", "o_orderkey", "o_orderdate",
+        fround(F.col("o_totalprice"), 2).alias("o_totalprice"), "total_qty",
+    ).orderBy(F.desc("o_totalprice"), "o_orderdate", "o_orderkey").limit(100)
+
+
+@register(
+    "tpch_q19_disjunctive_revenue",
+    # the revenue sum rides as exact integer micro-units (terms have <=4
+    # decimal digits: price has 2, discount 2): the plain double sum
+    # landed on a half-cent knife edge (…688.245) where the two engines'
+    # summation orders rounded to different cents
+    oracle="""
+    SELECT floor(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000
+                                + 0.5) AS BIGINT)) / 10000.0 * 100 + 0.5)
+             / 100 AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 5
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 10
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#19' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def tpch_q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 (discounted revenue): the OR-of-ANDs predicate
+    spanning both join sides. Catalyst cannot split the disjunction
+    across the join, but it DOES derive the implied single-side
+    prefilters (part: brand in the three; lineitem: quantity in the
+    union of bands) — the broadcast stays small and the residual OR
+    applies post-join. Scalar finish (whitelisted). (Adapted: p_size /
+    quantity bands stand in for the fixture's missing container and
+    shipmode columns.)"""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    j = li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#15")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#19")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    micro = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000 + 0.5
+    ).cast("bigint")
+    return j.where(cond).agg(
+        fround(F.sum(micro) / 10000.0, 2).alias("revenue")
+    )
+
+
+@register(
+    "tpch_q22_global_sales_opportunity",
+    oracle="""
+    WITH pool AS (
+      SELECT c_mktsegment, c_custkey, c_acctbal FROM customer
+      WHERE c_mktsegment IN ('AUTOMOBILE', 'BUILDING', 'MACHINERY')
+    ),
+    threshold AS (
+      SELECT avg(c_acctbal) AS t FROM pool WHERE c_acctbal > 0
+    )
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS numcust,
+           floor(sum(c_acctbal) * 100 + 0.5) / 100 AS totacctbal
+    FROM pool, threshold
+    WHERE c_acctbal > t
+      AND NOT EXISTS (
+        SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey
+          AND o_orderdate >= TIMESTAMP '2000-01-01')
+    GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+)
+def tpch_q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 (global sales opportunity): an uncorrelated scalar
+    subquery (the positive-balance average) plus a NOT EXISTS — both
+    decorrelated Spark-first: the average rides as a one-row broadcast
+    crossed onto the pool (the in-plan scalar pattern, no driver
+    collect), and NOT EXISTS is a broadcast ANTI join against the
+    recent-orders keys. (Adapted: market segments stand in for the
+    fixture's missing phone country codes, recent-order absence for
+    the missing open-order check.)"""
+    c = load_table(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment").isin("AUTOMOBILE", "BUILDING", "MACHINERY")
+    ).select("c_mktsegment", "c_custkey", "c_acctbal")
+    thr = c.where(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal").alias("t"))
+    recent = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate") >= "2000-01-01")
+        .select("o_custkey")
+    )
+    pool = (
+        c.join(F.broadcast(thr))
+        .where(F.col("c_acctbal") > F.col("t"))
+        .join(
+            recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+        )
+    )
+    return (
+        pool.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("numcust"),
+            fround(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@register(
     "events_attribution_last_touch",
     oracle="""
     SELECT p.event_id, p.user_id, p.ts,

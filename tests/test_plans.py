@@ -119,6 +119,10 @@ _ALLOWED_NESTED_LOOP = {
     # cell-local variant (knn_graph_mutual cell_col=...), property-
     # tested and measured in scripts/scale_experiment.py --r7b
     "embedding_knn_graph",
+    # uncorrelated scalar subquery (positive-balance average): one-row
+    # broadcast aggregate crossed onto the customer pool — the same
+    # in-plan scalar pattern as events_gapfill
+    "tpch_q22_global_sales_opportunity",
 }
 # Single-partition exchanges allowed only where the exchanged data is
 # metadata-scale (a handful of rows), never a full table:
@@ -157,6 +161,15 @@ _ALLOWED_SINGLE_PARTITION = {
     "dq_expectations",
     # scalar corr() finish over the calendar-bounded daily-pairs frame
     "events_autocorrelation",
+    # TPC-H scalar finishes: the single partition carries one
+    # partial-aggregate row per upstream partition (map-side combine
+    # happened first), never table rows
+    "tpch_q6_forecast_revenue",
+    "tpch_q14_promo_revenue",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q19_disjunctive_revenue",
+    # the one-row threshold aggregate feeding q22's broadcast cross
+    "tpch_q22_global_sales_opportunity",
     # scalar KL finish over the vocabulary-bounded joined-counts frame
     "corpus_kl_divergence",
 }
