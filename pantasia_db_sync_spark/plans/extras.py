@@ -2329,6 +2329,153 @@ def tpch_q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataF
 
 
 @register(
+    "skyline_parts",
+    oracle="""
+    SELECT p_partkey, p_name,
+           floor(p_retailprice * 100 + 0.5) / 100 AS p_retailprice, p_size
+    FROM part p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM part q
+      WHERE q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
+        AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size))
+    ORDER BY p_retailprice, p_partkey
+    """,
+)
+def skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SKYLINE / Pareto frontier (operators/skyline.py): the parts no
+    other part beats on BOTH price (lower) and size (bigger) — the
+    classic multi-criteria shortlist. The oracle replays the textbook
+    NOT EXISTS dominance theta-join; the Spark plan is the bucketed
+    prefix-max rewrite — one shuffle, bounded-frame windows, zero pair
+    rows (the same quadratic-to-linear trade as the interval sweep)."""
+    from ..operators.skyline import skyline_2d
+
+    p = load_table(spark, sf_dir, "part")
+    sky = skyline_2d(p, "p_retailprice", "p_size")
+    return sky.select(
+        "p_partkey", "p_name",
+        fround(F.col("p_retailprice"), 2).alias("p_retailprice"), "p_size",
+    ).orderBy("p_retailprice", "p_partkey")
+
+
+@register(
+    "func_array_suite",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split(trim(text), ' '), x -> x <> '') AS toks
+      FROM documents
+    ),
+    l AS (
+      SELECT doc_id, toks, list_transform(toks, x -> length(x)) AS lens
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(coalesce(list_sum(lens), 0) AS BIGINT) AS sum_len,
+           CAST(list_max(lens) AS INTEGER) AS max_len,
+           list_sort(lens)[1:3] AS smallest3,
+           CAST(len(list_distinct(toks)) AS INTEGER) AS n_distinct,
+           CAST(coalesce(list_position(toks, 'spark'), 0) AS INTEGER)
+             AS spark_pos,
+           len(list_filter(lens, x -> x > 6)) > 0 AS has_long,
+           list_contains(toks, 'merge') AS has_merge
+    FROM l
+    """,
+)
+def func_array_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array-function surface (§2.H built-ins): transform /
+    aggregate / filter / exists / sort+slice / distinct / position /
+    contains, all row-local JVM expressions inside one whole-stage
+    codegen span — the array analog of func_string_suite. DuckDB's
+    list_* family replays each (position nulls→0 aligned with Spark's
+    0-for-absent convention)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(tokens_col("text"), lambda t: t != "")
+    lens = F.transform(toks, lambda t: F.length(t).cast("int"))
+    return d.select(
+        "doc_id",
+        F.aggregate(
+            lens, F.lit(0).cast("bigint"), lambda a, x: a + x
+        ).alias("sum_len"),
+        F.array_max(lens).alias("max_len"),
+        F.slice(F.array_sort(lens), 1, 3).alias("smallest3"),
+        F.size(F.array_distinct(toks)).cast("int").alias("n_distinct"),
+        F.array_position(toks, "spark").cast("int").alias("spark_pos"),
+        F.exists(lens, lambda x: x > 6).alias("has_long"),
+        F.array_contains(toks, "merge").alias("has_merge"),
+    )
+
+
+@register(
+    "events_changepoint_cusum",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             sum(value) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    c AS (
+      SELECT event_type, day, x,
+             sum(x) OVER (PARTITION BY event_type ORDER BY day
+                          ROWS UNBOUNDED PRECEDING) AS s,
+             row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn,
+             sum(x) OVER (PARTITION BY event_type) AS total,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM daily
+    ),
+    d AS (
+      SELECT event_type, day,
+             abs(s - rn * total / n) AS dev,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY abs(s - rn * total / n) DESC, day)
+               AS pick
+      FROM c
+    )
+    SELECT event_type, day AS change_day,
+           floor(dev * 10000 + 0.5) / 10000 AS cusum_stat
+    FROM d WHERE pick = 1 ORDER BY event_type
+    """,
+)
+def events_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection per event type: the day where the
+    cumulative daily-value sum deviates most from its expected straight
+    line (argmax |S_t − (t/n)·S_n|, the classic unclamped CUSUM test
+    statistic — chosen over the clamped recurrence precisely because it
+    is PREFIX-expressible: running recurrences with max(0,·) clamps
+    don't distribute, prefix sums do). All windows run on the
+    calendar-bounded per-(type, day) frame, partitioned by type."""
+    from pyspark.sql.window import Window as W
+
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.sum("value").alias("x"))
+    wo = W.partitionBy("event_type").orderBy("day")
+    wall = W.partitionBy("event_type")
+    c = daily.select(
+        "event_type", "day",
+        F.sum("x").over(wo.rowsBetween(W.unboundedPreceding, 0)).alias("s"),
+        F.row_number().over(wo).alias("rn"),
+        F.sum("x").over(wall).alias("total"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+    )
+    dev = F.abs(F.col("s") - F.col("rn") * F.col("total") / F.col("n"))
+    d = c.select(
+        "event_type", "day", dev.alias("dev"),
+        F.row_number().over(wo.orderBy(dev.desc(), "day")).alias("pick"),
+    )
+    return (
+        d.where(F.col("pick") == 1)
+        .select(
+            "event_type",
+            F.col("day").alias("change_day"),
+            fround(F.col("dev"), 4).alias("cusum_stat"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
     "events_attribution_last_touch",
     oracle="""
     SELECT p.event_id, p.user_id, p.ts,

@@ -805,6 +805,90 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BM25_TERMS = ("spark", "window", "merge")
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+
+@register(
+    "text_bm25_topk",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok FROM documents
+    ),
+    dl AS (
+      SELECT doc_id, count(*) AS dl FROM toks WHERE tok <> '' GROUP BY 1
+    ),
+    stats AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+      FROM dl
+    ),
+    tf AS (
+      SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf FROM toks
+      WHERE tok IN {tuple(_BM25_TERMS)} GROUP BY 1, 2
+    ),
+    df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+    scored AS (
+      SELECT tf.doc_id,
+             sum(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+                 * tf * ({_BM25_K1} + 1)
+                 / (tf + {_BM25_K1}
+                    * (1 - {_BM25_B} + {_BM25_B} * dl.dl / avgdl))) AS s
+      FROM tf JOIN df USING (tok) JOIN dl ON dl.doc_id = tf.doc_id, stats
+      GROUP BY 1
+    )
+    SELECT doc_id, floor(s * 100000 + 0.5) / 100000 AS bm25
+    FROM scored ORDER BY bm25 DESC, doc_id LIMIT 20
+    """,
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranking (Robertson/Okapi, k1=1.2 b=0.75) for a fixed term
+    query, top-20 docs. Spark-first shape: document length is ROW-LOCAL
+    (size of the filtered token array — no explode needed for it), the
+    explode+groupBy runs only over rows matching the 3 query terms
+    (the isin pushes BELOW the explode's projection), per-term df is a
+    3-row broadcast, and N/avgdl ride as scalar probes (avgdl is the
+    exact ratio of two integer aggregates, so both engines divide the
+    same numbers — no float-accumulation drift). Top-20 is TakeOrdered
+    with a doc_id tiebreak."""
+    d = load_table(spark, sf_dir, "documents")
+    toks_arr = F.filter(tokens_col("text"), lambda t: t != "")
+    dl = d.select("doc_id", F.size(toks_arr).cast("bigint").alias("dl"))
+    srow = dl.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("dl").alias("s")
+    ).collect()[0]
+    n_docs, avgdl = int(srow["n"]), float(srow["s"]) / int(srow["n"])
+    tf = (
+        d.select("doc_id", F.explode(toks_arr).alias("tok"))
+        .where(F.col("tok").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    tf_part = (
+        F.col("tf") * (_BM25_K1 + 1)
+        / (
+            F.col("tf")
+            + _BM25_K1 * (1 - _BM25_B + _BM25_B * F.col("dl") / F.lit(avgdl))
+        )
+    )
+    scored = (
+        tf.join(F.broadcast(df_), "tok")
+        .join(dl, "doc_id")
+        .groupBy("doc_id")
+        .agg(F.sum(idf * tf_part).alias("s"))
+    )
+    return (
+        scored.select("doc_id", fround(F.col("s"), 5).alias("bm25"))
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(20)
+    )
+
+
 def _lsh_sql(bits: int = 8, dim: int = 64, n_bands: int = 2, k: int = 5) -> str:
     from ..operators.similarity import lsh_weights
 

@@ -658,6 +658,94 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_hll_distinct",
+    oracle="""
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS est_within_5pct
+    FROM events GROUP BY 1 ORDER BY 1
+    """,
+)
+def stream_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming approximate distinct via MERGEABLE sketches: each
+    micro-batch (3 file slices, one per trigger) reduces to one
+    Datasketches HLL per event type — a few KB of state per key,
+    collected driver-side like any watermark — and the final answer
+    unions the per-batch sketches (`hll_union_agg`), never re-touching
+    the events. This is the 100 TB streaming-distinct shape: state size
+    is |keys|·sketch, independent of the stream length, and sketch
+    union is associative so ANY batching yields the same estimate.
+    Oracle: the tolerance-predicate pattern (agg_hll_merge) — the
+    boolean within-5%-of-exact is hash-compared, the estimate itself
+    is engine-specific."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..streaming import events_stream
+
+    work = tempfile.mkdtemp(prefix="stream_hll_")
+    src_dir = os.path.join(work, "src")
+    os.makedirs(src_dir)
+    e_batch = load_table(spark, sf_dir, "events")
+    for i in range(3):
+        part = os.path.join(work, f"slice{i}")
+        e_batch.where(F.col("event_id") % 3 == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(part)
+        files = [f for f in os.listdir(part) if f.endswith(".parquet")]
+        shutil.move(
+            os.path.join(part, files[0]), os.path.join(src_dir, f"events-{i}.parquet")
+        )
+
+    sketches: list = []  # (event_type, sketch-bytes) — |types| rows per batch
+
+    def merge(batch_df, batch_id: int) -> None:
+        sketches.extend(
+            batch_df.groupBy("event_type")
+            .agg(F.expr("hll_sketch_agg(user_id)").alias("sk"))
+            .collect()
+        )
+
+    q = (
+        events_stream(spark, src_dir, max_files_per_trigger=1)
+        .writeStream.foreachBatch(merge)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError("stream_hll_distinct did not finish within 300s")
+    shutil.rmtree(work, ignore_errors=True)
+
+    from pyspark.sql.types import BinaryType
+
+    sk_schema = StructType(
+        [StructField("event_type", StringType()), StructField("sk", BinaryType())]
+    )
+    est = (
+        spark.createDataFrame([(r["event_type"], r["sk"]) for r in sketches], sk_schema)
+        .groupBy("event_type")
+        .agg(F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("est"))
+    )
+    exact = e_batch.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("bigint").alias("exact_users")
+    )
+    return (
+        exact.join(est, "event_type")
+        .select(
+            "event_type",
+            "exact_users",
+            (
+                F.abs(F.col("est") - F.col("exact_users"))
+                <= 0.05 * F.col("exact_users")
+            ).alias("est_within_5pct"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
     "stream_cdc_apply",
     oracle="""
     WITH ch AS (

@@ -170,6 +170,10 @@ _ALLOWED_SINGLE_PARTITION = {
     "tpch_q19_disjunctive_revenue",
     # the one-row threshold aggregate feeding q22's broadcast cross
     "tpch_q22_global_sales_opportunity",
+    # skyline's cross-bucket prefix max: a global window over <=
+    # n_buckets per-bucket maxima — bounded by construction (the
+    # dense-ids-offsets pattern), never table rows
+    "skyline_parts",
     # scalar KL finish over the vocabulary-bounded joined-counts frame
     "corpus_kl_divergence",
 }

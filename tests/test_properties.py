@@ -1615,3 +1615,35 @@ def test_simhash_survives_huge_document_under_ansi(spark):
     )
     row = simhash_signatures(big, "doc_id", "text", bits=48).collect()[0]
     assert row["simhash"] != 0
+
+
+@settings(**SETTINGS)
+@given(
+    pts=st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)),
+        min_size=1, max_size=60,
+    ),
+    n_buckets=st.integers(1, 8),
+)
+def test_skyline_2d_matches_naive_dominance(spark, pts, n_buckets):
+    """Bucketed prefix-max skyline ≡ the NOT EXISTS dominance scan,
+    including duplicate points (mutual non-dominance keeps ALL copies)
+    and all-same-x / all-same-y degenerate inputs."""
+    from pantasia_db_sync_spark.operators.skyline import skyline_2d
+
+    df = spark.createDataFrame(
+        [(i, float(x), float(y)) for i, (x, y) in enumerate(pts)],
+        "id int, x double, y double",
+    )
+    got = sorted(
+        (r["id"], r["x"], r["y"])
+        for r in skyline_2d(df, "x", "y", n_buckets=n_buckets).collect()
+    )
+    want = sorted(
+        (i, float(x), float(y))
+        for i, (x, y) in enumerate(pts)
+        if not any(
+            (qx <= x and qy >= y and (qx < x or qy > y)) for qx, qy in pts
+        )
+    )
+    assert got == want
