@@ -2476,6 +2476,131 @@ def events_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "feature_pit_training_set",
+    oracle="""
+    WITH f AS (
+      SELECT event_id, user_id, ts, event_type, value,
+             CAST(floor(epoch(ts)) AS BIGINT) AS ep,
+             CAST(coalesce(sum(CASE WHEN event_type = 'click' THEN 1 END)
+                           OVER w7, 0) AS BIGINT) AS f_clicks_7d,
+             max(CASE WHEN event_type = 'click'
+                 THEN CAST(floor(epoch(ts)) AS BIGINT) END) OVER wp
+               AS last_click_ep,
+             floor(coalesce(sum(value) OVER w30, 0) * 100 + 0.5) / 100
+               AS f_value_30d
+      FROM events
+      WINDOW
+        w7 AS (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+               RANGE BETWEEN 604800 PRECEDING AND 1 PRECEDING),
+        wp AS (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+               RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        w30 AS (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+                RANGE BETWEEN 2592000 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT f.event_id, f.user_id, f.ts,
+           floor(f.value * 100 + 0.5) / 100 AS label,
+           f.f_clicks_7d,
+           CAST(f.ep - f.last_click_ep AS BIGINT) AS f_last_click_age_s,
+           f.f_value_30d,
+           c.c_mktsegment AS f_segment
+    FROM f LEFT JOIN customer c ON f.user_id = c.c_custkey
+    WHERE f.event_type = 'purchase'
+    """,
+)
+def feature_pit_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POINT-IN-TIME feature assembly — the feature-store shape that
+    feeds supervised training without label leakage: for every purchase
+    (label row), trailing-window behavioral features computed ONLY from
+    events strictly before the label second (7-day click count, 30-day
+    spend via `1 PRECEDING` range frames; click recency from an
+    inclusive running max) plus a dimension attribute. One shuffle on
+    user_id computes every window; the dim joins broadcast; rows with
+    no history get explicit zero/NULL semantics. Frames order on whole
+    epoch seconds (the window_range_frame convention) so both engines
+    bucket ties identically."""
+    e = load_table(spark, sf_dir, "events")
+    ep = F.unix_timestamp("ts")
+    base = e.select(
+        "event_id", "user_id", "ts", "event_type", "value", ep.alias("ep")
+    )
+    w = Window.partitionBy("user_id").orderBy("ep")
+    is_click = F.when(F.col("event_type") == "click", 1)
+    f = base.select(
+        "*",
+        F.coalesce(
+            F.sum(is_click).over(w.rangeBetween(-604800, -1)), F.lit(0)
+        ).cast("bigint").alias("f_clicks_7d"),
+        F.max(F.when(F.col("event_type") == "click", F.col("ep"))).over(
+            w.rangeBetween(Window.unboundedPreceding, 0)
+        ).alias("last_click_ep"),
+        fround(
+            F.coalesce(
+                F.sum("value").over(w.rangeBetween(-2592000, -1)), F.lit(0.0)
+            ),
+            2,
+        ).alias("f_value_30d"),
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_mktsegment").alias("f_segment")
+    )
+    return (
+        f.where(F.col("event_type") == "purchase")
+        .join(F.broadcast(c), f["user_id"] == c["c_custkey"], "left")
+        .select(
+            "event_id", "user_id", "ts",
+            fround(F.col("value"), 2).alias("label"),
+            "f_clicks_7d",
+            (F.col("ep") - F.col("last_click_ep")).cast("bigint")
+            .alias("f_last_click_age_s"),
+            "f_value_30d",
+            "f_segment",
+        )
+    )
+
+
+@register(
+    "events_equidepth_histogram",
+    oracle="""
+    WITH t AS (
+      SELECT event_type, value,
+             ntile(10) OVER (PARTITION BY event_type
+                             ORDER BY value, event_id) AS decile
+      FROM events
+    )
+    SELECT event_type, CAST(decile AS INTEGER) AS decile,
+           CAST(count(*) AS BIGINT) AS n,
+           floor(min(value) * 100 + 0.5) / 100 AS lo,
+           floor(max(value) * 100 + 0.5) / 100 AS hi
+    FROM t GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def events_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EQUI-DEPTH (equal-count) histogram per event type — the
+    histogram kind optimizers and drift monitors want (equal-width
+    bins, `events_value_histogram`, starve on skewed data). ntile
+    splits each type's value distribution into 10 equal-population
+    buckets; the per-bucket min/max ARE the quantile boundaries. Ties
+    order by event_id so both engines assign identical bucket
+    membership."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    t = e.select("event_type", "value", F.ntile(10).over(w).alias("decile"))
+    return (
+        t.groupBy("event_type", "decile")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            fround(F.min("value"), 2).alias("lo"),
+            fround(F.max("value"), 2).alias("hi"),
+        )
+        .select(
+            "event_type", F.col("decile").cast("int").alias("decile"),
+            "n", "lo", "hi",
+        )
+        .orderBy("event_type", "decile")
+    )
+
+
+@register(
     "events_attribution_last_touch",
     oracle="""
     SELECT p.event_id, p.user_id, p.ts,

@@ -2282,3 +2282,59 @@ def multimodal_video_frames_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
     return video_frame_features(synthetic_animated_gif(d), "doc_id", "content")
+
+
+@register(
+    "multimodal_scene_cuts",
+    oracle="""
+    WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 300),
+    f AS (
+      SELECT doc_id, CAST(t.f AS INTEGER) AS frame_idx,
+             CAST((doc_id * 3 + ((doc_id + t.f) % 4) * 11) % 256 AS DOUBLE) AS r,
+             CAST((doc_id * 5 + ((doc_id + t.f) % 4) * 13) % 256 AS DOUBLE) AS g,
+             CAST((doc_id * 7 + ((doc_id + t.f) % 4) * 17) % 256 AS DOUBLE) AS b
+      FROM d, generate_series(0, 4) AS t(f)
+      WHERE t.f < doc_id % 4 + 2
+    ),
+    delta AS (
+      SELECT doc_id, frame_idx,
+             (abs(r - lag(r) OVER w) + abs(g - lag(g) OVER w)
+              + abs(b - lag(b) OVER w)) / 3 AS dv
+      FROM f WINDOW w AS (PARTITION BY doc_id ORDER BY frame_idx)
+    )
+    SELECT doc_id, frame_idx,
+           floor(dv * 100000 + 0.5) / 100000 AS frame_delta,
+           dv > 32 AS is_cut
+    FROM delta WHERE frame_idx > 0
+    """,
+)
+def multimodal_scene_cuts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCENE-CUT detection over decoded video frames: per-frame mean
+    channel intensity (the real GIF walk above) lagged per document
+    and thresholded on the mean absolute channel delta — the standard
+    keyframe/shot-boundary heuristic, composed entirely from the
+    decode operator plus one per-document window (frame counts are
+    codec-bounded, so the window frame is tiny). The synthetic frames'
+    channel means are id arithmetic, so the oracle replays the lag
+    chain exactly."""
+    from pyspark.sql.window import Window as W
+
+    from ..operators.multimodal import synthetic_animated_gif, video_frame_features
+
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    frames = video_frame_features(synthetic_animated_gif(d), "doc_id", "content")
+    w = W.partitionBy("doc_id").orderBy("frame_idx")
+    dv = (
+        F.abs(F.col("mean_r") - F.lag("mean_r").over(w))
+        + F.abs(F.col("mean_g") - F.lag("mean_g").over(w))
+        + F.abs(F.col("mean_b") - F.lag("mean_b").over(w))
+    ) / 3
+    return (
+        frames.select("doc_id", "frame_idx", dv.alias("dv"))
+        .where(F.col("frame_idx") > 0)
+        .select(
+            "doc_id", "frame_idx",
+            fround(F.col("dv"), 5).alias("frame_delta"),
+            (F.col("dv") > 32).alias("is_cut"),
+        )
+    )

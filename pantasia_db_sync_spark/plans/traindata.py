@@ -1470,3 +1470,150 @@ def corpus_percentile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", "n_chars").join(F.broadcast(banded), "n_chars").select(
         "doc_id", "n_chars", "band"
     )
+
+
+_SEM_CELL_SQL = """
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    cells AS (
+      SELECT vec_id, v,
+             sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm,
+             (CASE WHEN v[1] > 0 THEN 1 ELSE 0 END
+              + CASE WHEN v[2] > 0 THEN 2 ELSE 0 END
+              + CASE WHEN v[3] > 0 THEN 4 ELSE 0 END) AS cell
+      FROM e
+    ),
+    sem_pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      WHERE floor(list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i]))
+                  / (a.nrm * b.nrm) * 1000000 + 0.5) / 1000000 >= 0.4
+    )
+"""
+
+
+@register(
+    "corpus_semantic_dedup",
+    oracle=f"""
+    WITH RECURSIVE {_SEM_CELL_SQL},
+    sym AS (
+      SELECT id_a AS src, id_b AS dst FROM sem_pairs
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM sem_pairs
+    ),
+    reach(a, b) AS (
+      SELECT src, dst FROM sym
+      UNION
+      SELECT r.a, s.dst FROM reach r JOIN sym s ON r.b = s.src
+    ),
+    comp AS (SELECT a, min(b) AS m FROM reach GROUP BY a)
+    SELECT d.doc_id, d.lang, d.source
+    FROM documents d LEFT JOIN comp c ON c.a = d.doc_id
+    WHERE least(d.doc_id, coalesce(c.m, d.doc_id)) = d.doc_id
+    """,
+)
+def corpus_semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC dedup — the embedding-space twin of corpus_near_dedup:
+    pairs come from EMBEDDING cosine (cell-local sign-grid candidates,
+    the embedding_knn_graph_cells shape) instead of MinHash over
+    tokens, then the same components → keep-canonical collapse. This is
+    the SemDeDup-style pipeline stage: near-identical *meaning* with
+    different surface text, which token shingles cannot see. Cosines
+    round to 6dp before the threshold so both engines compare identical
+    numbers (threshold 0.4 is fixture-calibrated: the synthetic
+    embeddings top out near 0.5 same-cell cosine). Candidate volume is
+    Σ|cell|², one equi-join — never n²."""
+    from ..operators.similarity import dot_col, norm_col
+
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+    v = as_double_vec("embedding")
+    cell = sum(
+        F.when(F.element_at(v, i + 1) > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        for i in range(3)
+    )
+    n = e.select(
+        F.col("vec_id"), v.alias("v"), cell.cast("int").alias("cell")
+    ).withColumn("nrm", norm_col(F.col("v")))
+    a = n.select(
+        F.col("vec_id").alias("id_a"), F.col("cell"),
+        F.col("v").alias("va"), F.col("nrm").alias("na"),
+    )
+    b = n.select(
+        F.col("vec_id").alias("id_b"), F.col("cell"),
+        F.col("v").alias("vb"), F.col("nrm").alias("nb"),
+    )
+    pairs = (
+        a.join(b.hint("shuffle_hash"), "cell")
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(
+            fround(
+                dot_col(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
+            )
+            >= 0.4
+        )
+        .select("id_a", "id_b")
+    )
+    comp = connected_components(
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
+        d.select(F.col("doc_id").alias("node")),
+    )
+    keep = comp.where(F.col("node") == F.col("component_id")).select(
+        F.col("node").alias("doc_id")
+    )
+    return d.join(keep, "doc_id", "left_semi").select("doc_id", "lang", "source")
+
+
+@register(
+    "corpus_negative_pairs",
+    oracle=f"""
+    WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+    cand AS (
+      SELECT d.doc_id,
+             (d.doc_id * 2654435761 + u.j * 97) % n_docs AS neg_id
+      FROM documents d, n, (SELECT unnest(range(0, 3)) AS j) u
+    ),
+    pairs AS (SELECT id_a, id_b FROM ({_minhash_sql()})),
+    sym AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION ALL SELECT id_b, id_a FROM pairs
+    )
+    SELECT c.doc_id, CAST(c.neg_id AS BIGINT) AS neg_id
+    FROM cand c
+    WHERE c.neg_id <> c.doc_id
+      AND NOT EXISTS (SELECT 1 FROM sym s
+                      WHERE s.a = c.doc_id AND s.b = c.neg_id)
+    ORDER BY doc_id, neg_id
+    """,
+)
+def corpus_negative_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive NEGATIVE sampling: each document draws 3
+    deterministic pseudo-random partners (a Knuth-hash mix over the
+    dense doc-id space — seedless, replayable by any engine) and keeps
+    the ones that are NOT near-duplicates (anti-join against the
+    symmetric MinHash pair set — a hard requirement for contrastive
+    training: a near-dup labeled 'negative' poisons the loss). Shapes:
+    a bounded 3× row-local fanout, one broadcast anti-join against the
+    pair set; the 100 TB variant swaps the modulus for the corpus
+    count, everything else unchanged."""
+    d = load_table(spark, sf_dir, "documents")
+    n_docs = d.count()  # scalar probe
+    cand = d.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(2))).alias("j"),
+    ).select(
+        "doc_id",
+        ((F.col("doc_id") * F.lit(2654435761) + F.col("j") * 97) % n_docs)
+        .cast("bigint")
+        .alias("neg_id"),
+    ).where(F.col("neg_id") != F.col("doc_id"))
+    pairs = minhash_lsh_pairs(
+        d, "doc_id", "text", n=3, num_hashes=16, bands=4, threshold=0.5
+    )
+    sym = pairs.select(
+        F.col("id_a").alias("doc_id"), F.col("id_b").alias("neg_id")
+    ).unionAll(
+        pairs.select(F.col("id_b").alias("doc_id"), F.col("id_a").alias("neg_id"))
+    )
+    return cand.join(sym, ["doc_id", "neg_id"], "left_anti").orderBy(
+        "doc_id", "neg_id"
+    )
