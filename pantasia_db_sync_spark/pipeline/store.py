@@ -339,7 +339,16 @@ class TableStore:
         from pyspark.sql import functions as F
 
         data = os.path.join(self._tdir(table), "data")
-        df = spark.read.option("basePath", data).parquet(data)
+        # mergeSchema: commits may carry EVOLVED schemas (a column added
+        # in a later period); the merged read surfaces the union with
+        # NULLs for pre-evolution commits — the additive-only evolution
+        # contract (drops/renames need a compaction rewrite). Cost is a
+        # parallel footer sweep, O(#files) metadata, zero data pages.
+        df = (
+            spark.read.option("basePath", data)
+            .option("mergeSchema", "true")
+            .parquet(data)
+        )
         return df.where(F.col("commit") <= ptr).drop("commit")
 
     def read_facts_pruned(
@@ -372,11 +381,18 @@ class TableStore:
         base = self.read_facts(spark, table)  # schema ref; commit already dropped
         if not keep:
             return base.where(F.lit(False))
-        return (
-            spark.read.parquet(*keep)
+        df = (
+            spark.read.option("mergeSchema", "true")
+            .parquet(*keep)
             .where(F.col(column).between(F.lit(lo), F.lit(hi)))
-            .select(base.columns)
         )
+        # evolved columns present only in PRUNED commits: surface them
+        # as typed NULLs so the pruned read's schema always equals the
+        # full read's (the additive-evolution contract of read_facts)
+        for f_ in base.schema.fields:
+            if f_.name not in df.columns:
+                df = df.withColumn(f_.name, F.lit(None).cast(f_.dataType))
+        return df.select(base.columns)
 
     # --- checkpoint (sync tip) ----------------------------------------------
 
@@ -434,9 +450,55 @@ class TableStore:
             from pyspark.sql import functions as F
 
             data = os.path.join(self._tdir(table), "data")
-            df = spark.read.option("basePath", data).parquet(data)
+            df = (
+                spark.read.option("basePath", data)
+                .option("mergeSchema", "true")
+                .parquet(data)
+            )
             return df.where(F.col("commit") <= version).drop("commit")
         return spark.read.parquet(self._data_dir(table, version))
+
+    def diff(
+        self,
+        spark: SparkSession,
+        table: str,
+        tag_a: str,
+        tag_b: str,
+        key_cols: list[str],
+    ) -> DataFrame:
+        """Row-level CHANGE FEED between two snapshots: which keys were
+        added / removed / changed going tag_a → tag_b. Both sides are
+        O(1)-metadata time-travel reads (read_at); the comparison is one
+        full-outer equi-join on the key with null-safe struct equality
+        over the common non-key columns — no row hashing, no driver
+        state. Unchanged rows are dropped before the result leaves the
+        join, so output is O(|changes|). This is the audit/debug query a
+        versioned 100 TB store must answer ("what did period N change?")
+        without replaying the pipeline."""
+        from pyspark.sql import functions as F
+
+        a, b = self.read_at(spark, table, tag_a), self.read_at(spark, table, tag_b)
+        if a is None and b is None:
+            raise ValueError(f"{table} exists in neither snapshot")
+        if a is None:
+            return b.select(*key_cols, F.lit("added").alias("change_type"))
+        if b is None:
+            return a.select(*key_cols, F.lit("removed").alias("change_type"))
+        vals = sorted(
+            (set(a.columns) & set(b.columns)) - set(key_cols)
+        )
+        a_s = a.select(*key_cols, F.struct(*vals).alias("__va"))
+        b_s = b.select(*key_cols, F.struct(*vals).alias("__vb"))
+        j = a_s.join(b_s, key_cols, "full_outer")
+        change = (
+            F.when(F.col("__va").isNull(), "added")
+            .when(F.col("__vb").isNull(), "removed")
+            .when(~F.col("__va").eqNullSafe(F.col("__vb")), "changed")
+        )
+        return (
+            j.select(*key_cols, change.alias("change_type"))
+            .where(F.col("change_type").isNotNull())
+        )
 
     # --- retention ----------------------------------------------------------
 

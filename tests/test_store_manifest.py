@@ -518,3 +518,59 @@ def test_crash_between_fact_commits_rolls_forward(spark, source_dir, tmp_path):
     # tests; here we only pin the recovery decision itself
     with open(store._pointer(table), "w") as f:
         f.write(str(ptr))
+
+
+# ---------------------------------------------------------------------------
+# round 8: additive schema evolution + snapshot diff (change data feed)
+# ---------------------------------------------------------------------------
+
+
+def test_fact_schema_evolution_additive(spark, tmp_path):
+    """A column added in a later commit surfaces on the merged read with
+    NULLs for pre-evolution commits, and the pruned read's schema stays
+    equal to the full read's even when the evolved commit is pruned."""
+    store = TableStore(str(tmp_path / "evo"))
+    v1 = spark.createDataFrame([(1, 10), (2, 20)], "k int, val int")
+    store.append("t", v1, commit_id=1)
+    store.commit_append("t", 1)
+    v2 = spark.createDataFrame(
+        [(3, 30, "eu")], "k int, val int, zone string"
+    )
+    store.append("t", v2, commit_id=2)
+    store.commit_append("t", 2)
+
+    full = store.read_facts(spark, "t")
+    assert sorted(full.columns) == ["k", "val", "zone"]
+    rows = {r["k"]: (r["val"], r["zone"]) for r in full.collect()}
+    assert rows == {1: (10, None), 2: (20, None), 3: (30, "eu")}
+
+    # prune down to commit 1 only (k BETWEEN 0 AND 2): the evolved
+    # column must still appear, as typed NULLs
+    pruned = store.read_facts_pruned(spark, "t", "k", 0, 2)
+    assert sorted(pruned.columns) == ["k", "val", "zone"]
+    assert {r["k"] for r in pruned.collect()} == {1, 2}
+    assert all(r["zone"] is None for r in pruned.collect())
+
+
+def test_snapshot_diff_change_feed(spark, tmp_path):
+    """store.diff(tag_a, tag_b) classifies keys added / removed /
+    changed between two time-travel snapshots and drops unchanged."""
+    store = TableStore(str(tmp_path / "diffstore"))
+    d1 = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0)], "k int, s string, v double"
+    )
+    s1 = store.stage("dim", d1)
+    store.repoint("dim", s1)
+    store.snapshot("t_a")
+    d2 = spark.createDataFrame(
+        [(2, "b", 2.5), (3, "c", 3.0), (4, "d", 4.0)], "k int, s string, v double"
+    )
+    s2 = store.stage("dim", d2)
+    store.repoint("dim", s2)
+    store.snapshot("t_b")
+
+    got = {
+        r["k"]: r["change_type"]
+        for r in store.diff(spark, "dim", "t_a", "t_b", ["k"]).collect()
+    }
+    assert got == {1: "removed", 2: "changed", 4: "added"}  # 3 unchanged

@@ -75,7 +75,16 @@ def test_redelivered_batch_is_idempotent(spark, dirs):
     _run(spark, stream_dir, ckpt, store)
     before = store.read_facts(spark, "events_sink").count()
 
-    redelivered = spark.read.parquet(os.path.join(stream_dir, "part-0.parquet"))
+    # Re-deliver with the SINK's schema: in production the replayed
+    # batch comes through the same streaming source, so its schema
+    # (TIMESTAMP_NTZ ts) matches the original commits. A bare batch
+    # re-read here would drift ts to session-tz TIMESTAMP, which the
+    # merged fact read now rejects LOUDLY (CANNOT_MERGE_SCHEMAS) — the
+    # store's evolution contract: additive columns merge, timestamp
+    # KIND drift is a writer bug, not something to coerce silently.
+    redelivered = spark.read.schema(
+        spark.read.parquet(store.append_dir("events_sink", 0)).schema
+    ).parquet(os.path.join(stream_dir, "part-0.parquet"))
     store.append("events_sink", redelivered, commit_id=0)  # same id again
     store.commit_append("events_sink", store.current_version("events_sink"))
     assert store.read_facts(spark, "events_sink").count() == before
