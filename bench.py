@@ -62,6 +62,11 @@ HEADLINE = [
     "ann_ivfadc_topk",
     "ann_ivf_index_topk",
     "dedup_image_phash",
+    # round-8 new-operator medians (still additive)
+    "text_bm25_topk",
+    "corpus_semantic_dedup",
+    "skyline_parts",
+    "interval_overlap_count_sweep",
 ]
 
 REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))

@@ -549,6 +549,101 @@ def ivskew_main() -> None:
             lambda: interval_overlap_counts(intervals(n, keys, hot_share=0.2)))
 
 
+def r8_main() -> None:
+    """Round-8 operator scale shapes at 1x vs Rx. Usage:
+    python scripts/scale_experiment.py --r8 [replicas]
+
+    - semantic dedup: cell-local cosine pairs + components over the
+      replicated corpus. The registered query pins the fixture's 8
+      sign-grid cells; at scale the cell count must grow with n to
+      hold |cell| fixed (the operator's 100 TB guidance), so this run
+      sizes the sign grid to ceil(log2(n/250)) dims — Σ|cell|² stays
+      linear in n.
+    - BM25: linear by construction (explode restricted to the 3 query
+      terms + row-local doc lengths).
+    - skyline_2d: synthetic uniform points; frontier of a uniform
+      cloud is O(log n), so wall growth is the scan, not the answer.
+    """
+    import math
+    import time as _time
+
+    from pantasia_db_sync_spark.operators.components import connected_components
+    from pantasia_db_sync_spark.operators.similarity import (
+        as_double_vec,
+        dot_col,
+        norm_col,
+    )
+    from pantasia_db_sync_spark.operators.skyline import skyline_2d
+    from pantasia_db_sync_spark.plans import QUERIES
+    from pantasia_db_sync_spark.plans.registry import fround
+
+    replicas = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    spark = get_spark(app_name="r8-scale-experiment")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def run(label, fn):
+        fn().write.format("noop").mode("overwrite").save()  # warm
+        t0 = _time.perf_counter()
+        n = fn().count()
+        dt = _time.perf_counter() - t0
+        print(f"{label:<52} {dt:7.2f}s  rows={n}", flush=True)
+        return dt
+
+    def semantic_dedup_scaled(sf_dir, n_vecs):
+        dims = max(3, math.ceil(math.log2(max(n_vecs, 500) / 250)))
+        d = load_table(spark, sf_dir, "documents")
+        e = load_table(spark, sf_dir, "embeddings")
+        v = as_double_vec("embedding")
+        cell = sum(
+            F.when(F.element_at(v, i + 1) > 0, F.lit(1 << i)).otherwise(F.lit(0))
+            for i in range(dims)
+        )
+        n = e.select(
+            "vec_id", v.alias("v"), cell.cast("int").alias("cell")
+        ).withColumn("nrm", norm_col(F.col("v")))
+        a = n.select(
+            F.col("vec_id").alias("id_a"), "cell",
+            F.col("v").alias("va"), F.col("nrm").alias("na"),
+        )
+        b = n.select(
+            F.col("vec_id").alias("id_b"), "cell",
+            F.col("v").alias("vb"), F.col("nrm").alias("nb"),
+        )
+        pairs = (
+            a.join(b.hint("shuffle_hash"), "cell")
+            .where(F.col("id_a") < F.col("id_b"))
+            .where(
+                fround(
+                    dot_col(F.col("va"), F.col("vb"))
+                    / (F.col("na") * F.col("nb")),
+                    6,
+                )
+                >= 0.4
+            )
+            .select("id_a", "id_b")
+        )
+        comp = connected_components(
+            pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
+            d.select(F.col("doc_id").alias("node")),
+        )
+        return comp.where(F.col("node") == F.col("component_id"))
+
+    for r in (1, replicas):
+        sf_dir = BASE_SF if r == 1 else build_corpus(spark, r)
+        ne = load_table(spark, sf_dir, "embeddings").count()
+        run(f"x{r} semantic_dedup ({ne} vecs, scaled cells)",
+            lambda: semantic_dedup_scaled(sf_dir, ne))
+        run(f"x{r} text_bm25_topk", lambda: QUERIES["text_bm25_topk"](spark, sf_dir))
+        n_pts = 1_000_000 * r
+        pts = spark.range(n_pts).select(
+            F.col("id"),
+            ((F.col("id") * 2654435761) % 1000003).cast("double").alias("x"),
+            ((F.col("id") * 40503) % 999983).cast("double").alias("y"),
+        )
+        run(f"x{r} skyline_2d ({n_pts} pts)",
+            lambda: skyline_2d(pts, "x", "y"))
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--skew":
         skew_main()
@@ -558,5 +653,7 @@ if __name__ == "__main__":
         r7b_main()
     elif len(sys.argv) > 1 and sys.argv[1] == "--ivskew":
         ivskew_main()
+    elif len(sys.argv) > 1 and sys.argv[1] == "--r8":
+        r8_main()
     else:
         main()
