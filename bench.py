@@ -67,6 +67,8 @@ HEADLINE = [
     "corpus_semantic_dedup",
     "skyline_parts",
     "interval_overlap_count_sweep",
+    "corpus_incremental_dedup",
+    "text_similar_docs_topk",
 ]
 
 REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))

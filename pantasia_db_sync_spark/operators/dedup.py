@@ -462,6 +462,83 @@ def minhash_lsh_pairs(
     return verified.where(F.col("jaccard") >= threshold)
 
 
+def incremental_minhash_dedup(
+    new_docs: DataFrame,
+    corpus_docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Dedup an incoming batch against an EXISTING corpus — the
+    production shape of near-dedup at 100 TB: the corpus is never
+    re-self-joined; each ingest batch only band-joins its own
+    signatures against the corpus signature store and verifies the
+    (few) candidates, so per-batch work is O(|new| + |candidates|),
+    independent of corpus self-pair structure.
+
+    Returns one row per NEW doc: (id, matched_id, is_dup) where
+    matched_id is the smallest corpus doc whose exact Jaccard with the
+    new doc clears ``threshold`` (NULL when none — the doc is novel).
+
+    Scale notes: at deployment scale the corpus side of the band join
+    comes from a PERSISTED signature table written at corpus-build time
+    (cf. operators/ivf_index.py for the same pattern on vectors),
+    partitioned by hash(band_val) so each batch's probe shuffles only
+    the batch; here both sides are computed inline from the fixture
+    split so the DuckDB oracle can replay the arithmetic bit-for-bit.
+    The verify step joins candidate pairs back to row-local shingle
+    arrays (never a collect_set shuffle — see shingle_arrays)."""
+    sh_new = shingle_frame(new_docs, id_col, text_col, n)
+    sh_old = shingle_frame(corpus_docs, id_col, text_col, n)
+    band_structs = minhash_band_structs(num_hashes, bands)
+
+    def banded(sh: DataFrame, alias: str) -> DataFrame:
+        sig = minhash_signatures(sh, id_col, num_hashes)
+        return sig.select(
+            F.col(id_col).alias(alias), F.explode(band_structs).alias("b")
+        ).select(
+            alias,
+            F.col("b.band_idx").alias("band_idx"),
+            F.col("b.band_val").alias("band_val"),
+        )
+
+    cand = (
+        banded(sh_new, "new_id")
+        .join(banded(sh_old, "old_id").hint("shuffle_hash"), ["band_idx", "band_val"])
+        .select("new_id", "old_id")
+        .distinct()
+    )
+    sa = shingle_arrays(new_docs, id_col, text_col, n).select(
+        F.col(id_col).alias("new_id"), F.col("__sh").alias("__sa")
+    )
+    sb = shingle_arrays(corpus_docs, id_col, text_col, n).select(
+        F.col(id_col).alias("old_id"), F.col("__sh").alias("__sb")
+    )
+    i_ = F.size(F.array_intersect("__sa", "__sb"))
+    hits = (
+        cand.join(sa.hint("shuffle_hash"), "new_id")
+        .join(sb.hint("shuffle_hash"), "old_id")
+        .withColumn(
+            "jaccard", i_ / (F.size("__sa") + F.size("__sb") - i_)
+        )
+        .where(F.col("jaccard") >= threshold)
+        .groupBy("new_id")
+        .agg(F.min("old_id").alias("matched_id"))
+    )
+    return (
+        new_docs.select(F.col(id_col))
+        .join(hits.withColumnRenamed("new_id", id_col), id_col, "left")
+        .select(
+            id_col,
+            F.col("matched_id").cast("bigint"),
+            F.col("matched_id").isNotNull().alias("is_dup"),
+        )
+    )
+
+
 def simhash_signatures(
     docs: DataFrame, id_col: str, text_col: str, bits: int = SIMHASH_BITS
 ) -> DataFrame:

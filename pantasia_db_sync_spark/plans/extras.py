@@ -606,6 +606,88 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select("node", fround(F.col("pr"), 8).alias("pagerank"))
 
 
+_LP_ROUNDS = 3
+
+
+def _label_prop_sql(rounds: int = _LP_ROUNDS) -> str:
+    """Unrolled synchronous min-label rounds over the undirected
+    purchase graph — same fixed-point-by-CTE pattern as _pagerank_sql."""
+    head = f"""
+    WITH e AS (
+      SELECT DISTINCT o.o_custkey AS src, l.l_suppkey + {_PR_OFFSET} AS dst
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      WHERE o.o_orderkey % 10 = 0
+    ),
+    und AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+    l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM und)
+    """
+    legs = []
+    for k in range(1, rounds + 1):
+        prev = f"l{k - 1}"
+        legs.append(f"""
+    m{k} AS (
+      SELECT u.src AS node, min(p.lbl) AS mn
+      FROM und u JOIN {prev} p ON p.node = u.dst
+      GROUP BY 1
+    ),
+    l{k} AS (
+      SELECT p.node, least(p.lbl, COALESCE(m{k}.mn, p.lbl)) AS lbl
+      FROM {prev} p LEFT JOIN m{k} ON m{k}.node = p.node
+    )""")
+    return (
+        head + "," + ",".join(legs)
+        + f"""
+    SELECT node, CAST(lbl AS BIGINT) AS label FROM l{rounds}
+    """
+    )
+
+
+@register("graph_label_propagation", oracle=_label_prop_sql())
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous min-label propagation, {rounds} unrolled rounds, over
+    the undirected customer↔supplier purchase graph: every node starts
+    as its own label; each round it adopts the minimum label in its
+    closed neighborhood. After k rounds a node's label is the minimum
+    node id within k hops — the bounded-round community/seed-expansion
+    primitive (deterministic, unlike max-frequency LPA tie-breaking).
+
+    Shape per round: one groupBy(src) min-agg over the undirected edge
+    list joined to the previous labels (both hash on the node key — the
+    exchange is reused), then a left join back onto the label frame.
+    Contrast with operators/components.py: that is the O(log n)
+    large-star/small-star fixed point for FULL connectivity; this is
+    the fixed-round variant whose cost a scheduler can bound a priori.
+    At 100 TB each round must localCheckpoint to cut lineage, exactly
+    as connected_components does."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    e = (
+        o.where(F.col("o_orderkey") % 10 == 0)
+        .join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_suppkey") + _PR_OFFSET).alias("dst"),
+        )
+        .distinct()
+    )
+    und = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).distinct()
+    labels = und.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("lbl")
+    )
+    for _ in range(_LP_ROUNDS):
+        neigh_min = (
+            und.join(labels.withColumnRenamed("node", "dst"), "dst")
+            .groupBy("src")
+            .agg(F.min("lbl").alias("mn"))
+            .withColumnRenamed("src", "node")
+        )
+        labels = labels.join(neigh_min, "node", "left").select(
+            "node",
+            F.least(F.col("lbl"), F.coalesce("mn", F.col("lbl"))).alias("lbl"),
+        )
+    return labels.select("node", F.col("lbl").cast("bigint").alias("label"))
+
+
 @register(
     "events_anomaly_zscore",
     oracle="""
@@ -4178,4 +4260,170 @@ def func_string_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.reverse("c_name").alias("reversed"),
         F.lpad(F.col("c_custkey").cast("string"), 12, "0").alias("padded_key"),
         F.length(F.translate("c_name", "#0", "")).cast("int").alias("alpha_len"),
+    )
+
+
+@register(
+    "window_rolling_corr",
+    oracle="""
+    WITH seq AS (
+      SELECT event_id, user_id,
+             CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS DOUBLE) AS x,
+             CAST(value AS DOUBLE) AS y
+      FROM events
+    ),
+    s AS (
+      SELECT event_id, user_id,
+             count(*) OVER w AS n,
+             sum(x) OVER w AS sx, sum(y) OVER w AS sy,
+             sum(x * y) OVER w AS sxy,
+             sum(x * x) OVER w AS sxx, sum(y * y) OVER w AS syy
+      FROM seq
+      WINDOW w AS (PARTITION BY user_id ORDER BY x
+                   ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_id, user_id, CAST(n AS INTEGER) AS n_window,
+           CASE WHEN n >= 2 AND (n * sxx - sx * sx) * (n * syy - sy * sy) > 0
+                THEN floor((n * sxy - sx * sy)
+                           / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+                           * 1e6 + 0.5) / 1e6
+           END AS trend_corr
+    FROM s
+    """,
+)
+def window_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 10-event Pearson trend correlation per user: corr between
+    the event's sequence index and its value over the trailing frame —
+    the monotone-drift detector behind metric dashboards (≈ +1 steadily
+    rising, ≈ −1 falling). Spark has no corr window function, so the
+    five component sums run over ONE rows-frame window (single
+    partition-sort per user, all six aggregates share the frame) and
+    the Pearson formula assembles row-locally; the DuckDB oracle uses
+    the identical component form. Sequence index (not epoch seconds) as
+    x keeps the magnitudes small so the n·Σx² − (Σx)² cancellation
+    stays far above double ulp at any key depth. NULL where the frame
+    has <2 rows or zero variance."""
+    e = load_table(spark, sf_dir, "events")
+    w_seq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_id",
+        "user_id",
+        F.row_number().over(w_seq).cast("double").alias("x"),
+        F.col("value").cast("double").alias("y"),
+    )
+    w = Window.partitionBy("user_id").orderBy("x").rowsBetween(-9, 0)
+    s = seq.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("x").over(w).alias("sx"),
+        F.sum("y").over(w).alias("sy"),
+        F.sum(F.col("x") * F.col("y")).over(w).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).over(w).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).over(w).alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    varx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return s.select(
+        "event_id",
+        "user_id",
+        F.col("n").cast("int").alias("n_window"),
+        F.when(
+            (F.col("n") >= 2) & (varx * vary > 0),
+            fround(num / F.sqrt(varx * vary), 6),
+        ).alias("trend_corr"),
+    )
+
+
+_CI_REPLICATES = 32
+_CI_Z = 1.96
+
+
+def _subsample_ci_sql(B: int = _CI_REPLICATES) -> str:
+    ph = "CAST(concat('0x', substr(md5({col}), 1, 15)) AS BIGINT)"
+    sel = ph.format(col="concat(CAST(o_orderkey AS VARCHAR), '_', {b})")
+    means = ",\n      ".join(
+        f"avg(o_totalprice) FILTER (WHERE {sel.format(b=b)} % 2 = 0) AS m{b}"
+        for b in range(B)
+    )
+    mlist = ", ".join(f"m{b}" for b in range(B))
+    return f"""
+    WITH reps AS (
+      SELECT
+      {means}
+      FROM orders
+    ),
+    arr AS (SELECT [{mlist}] AS ms FROM reps),
+    stats AS (
+      SELECT list_avg(ms) AS est,
+             sqrt(list_sum(list_transform(ms, x -> (x - list_avg(ms)) * (x - list_avg(ms)))) / ({B} - 1)) AS sd
+      FROM arr
+    )
+    SELECT CAST({B} AS INTEGER) AS n_replicates,
+           floor(est * 1e4 + 0.5) / 1e4 AS mean_est,
+           floor(sd * 1e4 + 0.5) / 1e4 AS se_est,
+           floor((est - {_CI_Z} * sd) * 1e4 + 0.5) / 1e4 AS ci_lo,
+           floor((est + {_CI_Z} * sd) * 1e4 + 0.5) / 1e4 AS ci_hi
+    FROM stats
+    """
+
+
+@register("stats_subsample_ci", oracle=_subsample_ci_sql())
+def stats_subsample_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subsample-bootstrap confidence interval for the mean order value:
+    32 deterministic half-samples (order o included in replicate b iff
+    the portable md5 hash of "orderkey_b" is even — the engine-portable
+    stand-in for RNG resampling, so DuckDB replays every replicate
+    bit-for-bit), each replicate's mean computed as a FILTERed
+    aggregate; the estimate, its spread across replicates, and a
+    normal-approximation 95% band assemble row-locally.
+
+    Shape: ONE pass over orders producing all 32 conditional aggregates
+    (map-side combinable, no 32x explode of the fact table — the
+    difference between a one-scan statistic and a replicated-shuffle
+    job at 100 TB), then scalar arithmetic on a single row."""
+    from ..functions.text import portable_hash60
+
+    o = load_table(spark, sf_dir, "orders")
+    aggs = [
+        F.avg(
+            F.when(
+                portable_hash60(
+                    F.concat(
+                        F.col("o_orderkey").cast("string"), F.lit(f"_{b}")
+                    )
+                )
+                % 2
+                == 0,
+                F.col("o_totalprice"),
+            )
+        ).alias(f"m{b}")
+        for b in range(_CI_REPLICATES)
+    ]
+    reps = o.agg(*aggs).select(
+        F.array(*[F.col(f"m{b}") for b in range(_CI_REPLICATES)]).alias("ms")
+    )
+    est = (
+        F.aggregate(F.col("ms"), F.lit(0.0), lambda a, x: a + x)
+        / _CI_REPLICATES
+    )
+    withm = reps.select("ms", est.alias("est"))
+    sd = F.sqrt(
+        F.aggregate(
+            F.transform(
+                F.col("ms"),
+                lambda x: (x - F.col("est")) * (x - F.col("est")),
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+        / (_CI_REPLICATES - 1)
+    )
+    return withm.select(
+        F.lit(_CI_REPLICATES).cast("int").alias("n_replicates"),
+        fround(F.col("est"), 4).alias("mean_est"),
+        fround(sd, 4).alias("se_est"),
+        fround(F.col("est") - _CI_Z * sd, 4).alias("ci_lo"),
+        fround(F.col("est") + _CI_Z * sd, 4).alias("ci_hi"),
     )

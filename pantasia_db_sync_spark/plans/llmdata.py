@@ -24,6 +24,7 @@ from ..functions.text import (
 from ..operators.dedup import (
     containment_pairs,
     exact_dedup,
+    incremental_minhash_dedup,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     shingle_frame,
@@ -321,7 +322,16 @@ def dedup_containment_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return containment_pairs(d, "doc_id", "text", n=3, threshold=0.8971)
 
 
-def _minhash_sql(num_hashes: int = 16, bands: int = 4, threshold: float = 0.5) -> str:
+def _minhash_sql(
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+    tail: str | None = None,
+) -> str:
+    """MinHash CTE chain; ``tail`` (if given) consumes the verified
+    pairs as a CTE named ``vp(id_a, id_b, jaccard)`` instead of the
+    default pair SELECT — lets derived queries (per-doc top-k) reuse
+    the exact signature arithmetic without drift."""
     params = minhash_params(num_hashes)
     rows = num_hashes // bands
     x = f"({_PORTABLE_HASH.format(col='s')} % {HASH_PRIME})"
@@ -347,9 +357,11 @@ def _minhash_sql(num_hashes: int = 16, bands: int = 4, threshold: float = 0.5) -
         ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id
     ),
     {_SQL_JACCARD_TAIL}
+    {', vp AS (' if tail is not None else ''}
     SELECT j.id_a, j.id_b, j.jaccard
     FROM jac j JOIN cand c ON j.id_a = c.id_a AND j.id_b = c.id_b
     WHERE j.jaccard >= {threshold}
+    {')' + tail if tail is not None else ''}
     """
 
 
@@ -359,6 +371,139 @@ def dedup_minhash_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     The scale path: candidate generation is an equi-join on band values."""
     d = load_table(spark, sf_dir, "documents")
     return minhash_lsh_pairs(d, "doc_id", "text", n=3, num_hashes=16, bands=4, threshold=0.5)
+
+
+@register(
+    "text_similar_docs_topk",
+    oracle=_minhash_sql(
+        tail="""
+    , sym AS (
+      SELECT id_a AS doc_id, id_b AS other_id, jaccard FROM vp
+      UNION ALL
+      SELECT id_b AS doc_id, id_a AS other_id, jaccard FROM vp
+    )
+    SELECT doc_id, other_id, jaccard, rank FROM (
+      SELECT doc_id, other_id, jaccard,
+             CAST(row_number() OVER (PARTITION BY doc_id
+                  ORDER BY jaccard DESC, other_id ASC) AS INTEGER) AS rank
+      FROM sym
+    ) WHERE rank <= 3
+    """
+    ),
+)
+def text_similar_docs_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document text similarity search: the top-3 most similar
+    other docs by exact Jaccard, restricted to MinHash-LSH candidates
+    (16/4, ≥ 0.5) — \"more like this\" over text, the lexical twin of
+    the embedding ANN family. Symmetrization is ROW-LOCAL (each
+    verified pair explodes into its two orientations — no second
+    consumption of the expensive pair frame, no union re-execution);
+    the top-k is one row_number window partitioned by doc. The oracle
+    replays the identical signatures via the shared md5 hash, so rank
+    order is bit-reproducible cross-engine."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        d, "doc_id", "text", n=3, num_hashes=16, bands=4, threshold=0.5
+    )
+    sym = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("id_a").alias("doc_id"),
+                    F.col("id_b").alias("other_id"),
+                    F.col("jaccard"),
+                ),
+                F.struct(
+                    F.col("id_b").alias("doc_id"),
+                    F.col("id_a").alias("other_id"),
+                    F.col("jaccard"),
+                ),
+            )
+        ).alias("p")
+    ).select("p.doc_id", "p.other_id", "p.jaccard")
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("jaccard").desc(), F.col("other_id").asc()
+    )
+    return (
+        sym.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= 3)
+    )
+
+
+def _incremental_minhash_sql(
+    num_hashes: int = 16, bands: int = 4, threshold: float = 0.5
+) -> str:
+    """DuckDB twin of ``incremental_minhash_dedup`` over the parity
+    fixture split (even doc_id = existing corpus, odd = new batch)."""
+    params = minhash_params(num_hashes)
+    rows = num_hashes // bands
+    x = f"({_PORTABLE_HASH.format(col='s')} % {HASH_PRIME})"
+    mins = ",\n           ".join(
+        f"min(({a} * x + {b}) % {HASH_PRIME}) AS mh{i}"
+        for i, (a, b) in enumerate(params)
+    )
+    band_legs = "\n    UNION ALL\n".join(
+        "    SELECT doc_id, {j} AS band_idx, concat_ws('_', {cols}) AS band_val FROM sig".format(
+            j=j, cols=", ".join(f"mh{j * rows + r}" for r in range(rows))
+        )
+        for j in range(bands)
+    )
+    return f"""
+    WITH {_SQL_SHINGLES},
+    h AS (SELECT doc_id, {x} AS x FROM sh),
+    sig AS (SELECT doc_id, {mins} FROM h GROUP BY doc_id),
+    bands AS (
+{band_legs}
+    ),
+    cand AS (
+      SELECT DISTINCT nw.doc_id AS new_id, ol.doc_id AS old_id
+      FROM bands nw JOIN bands ol
+        ON nw.band_idx = ol.band_idx AND nw.band_val = ol.band_val
+      WHERE nw.doc_id % 2 = 1 AND ol.doc_id % 2 = 0
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT c.new_id, c.old_id, count(*) AS i
+      FROM cand c
+      JOIN sh a ON a.doc_id = c.new_id
+      JOIN sh b ON b.doc_id = c.old_id AND a.s = b.s
+      GROUP BY 1, 2
+    ),
+    hit AS (
+      SELECT new_id, CAST(min(old_id) AS BIGINT) AS matched_id
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = new_id
+      JOIN sizes sb ON sb.doc_id = old_id
+      WHERE i / CAST(sa.n + sb.n - i AS DOUBLE) >= {threshold}
+      GROUP BY 1
+    )
+    SELECT d.doc_id, hit.matched_id, hit.matched_id IS NOT NULL AS is_dup
+    FROM documents d LEFT JOIN hit ON hit.new_id = d.doc_id
+    WHERE d.doc_id % 2 = 1
+    """
+
+
+@register("corpus_incremental_dedup", oracle=_incremental_minhash_sql())
+def corpus_incremental_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup: the odd-doc_id half of the fixture
+    arrives as a new batch and is near-deduped against the even half
+    standing in for the existing corpus (MinHash 16/4, exact-Jaccard
+    verify ≥ 0.5). The batch-vs-corpus band join is the O(batch)
+    production pattern — see operators/dedup.incremental_minhash_dedup
+    for the persisted-signature-store scale notes."""
+    d = load_table(spark, sf_dir, "documents")
+    return incremental_minhash_dedup(
+        d.where(F.col("doc_id") % 2 == 1),
+        d.where(F.col("doc_id") % 2 == 0),
+        "doc_id",
+        "text",
+        n=3,
+        num_hashes=16,
+        bands=4,
+        threshold=0.5,
+    )
 
 
 _SIMHASH_BITS_Q = 48

@@ -1617,3 +1617,81 @@ def corpus_negative_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cand.join(sym, ["doc_id", "neg_id"], "left_anti").orderBy(
         "doc_id", "neg_id"
     )
+
+
+@register(
+    "text_bigram_lm_score",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+    bi AS (
+      SELECT doc_id, t[i] AS a, t[i] || ' ' || t[i+1] AS ab
+      FROM toks, UNNEST(range(1, len(t))) AS u(i)
+    ),
+    cab AS (SELECT ab, count(*) AS c FROM bi GROUP BY 1),
+    ca AS (SELECT a, count(*) AS c FROM bi GROUP BY 1),
+    v AS (
+      SELECT count(DISTINCT tok) AS v
+      FROM (SELECT unnest(t) AS tok FROM toks) u
+    ),
+    scored AS (
+      SELECT b.doc_id, ln((cab.c + 1.0) / (ca.c + v.v)) AS lp
+      FROM bi b JOIN cab ON cab.ab = b.ab JOIN ca ON ca.a = b.a CROSS JOIN v
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           floor(avg(lp) * 1e6 + 0.5) / 1e6 AS avg_logp
+    FROM scored GROUP BY doc_id
+    """,
+)
+def text_bigram_lm_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model quality score: train add-one-smoothed
+    bigram probabilities ON the corpus itself, then score every doc by
+    its mean log P(w_i | w_{i-1}) — the CCNet/KenLM-style perplexity
+    filter (low avg_logp ⇒ unnatural token sequences), one tier above
+    the registered unigram twin (text_unigram_lm_score).
+
+    Shape: bigrams are built ROW-LOCALLY (transform over an index
+    sequence — no positional self-join of the exploded tokens), then
+    one explode feeds two combinable count aggregations (bigram and
+    prefix); the vocab size is a one-row broadcast. Scoring re-joins
+    the exploded bigrams to the two count tables on their natural keys
+    — both shuffles hash on short strings with near-uniform Zipf tails,
+    and the per-doc average is a final combinable agg. At 100 TB the
+    count tables are exactly the LM artifact a corpus build would
+    persist once and broadcast-or-bucket for every scoring batch."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("doc_id", tokens_col("text").alias("__t"))
+    bi_arr = F.when(
+        F.size("__t") >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size("__t") - 2),
+            lambda i: F.struct(
+                F.element_at("__t", i + 1).alias("a"),
+                F.concat_ws(
+                    " ", F.element_at("__t", i + 1), F.element_at("__t", i + 2)
+                ).alias("ab"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<a:string,ab:string>>"))
+    bi = t.select("doc_id", F.explode(bi_arr).alias("b")).select(
+        "doc_id", F.col("b.a").alias("a"), F.col("b.ab").alias("ab")
+    )
+    cab = bi.groupBy("ab").agg(F.count(F.lit(1)).alias("cab"))
+    ca = bi.groupBy("a").agg(F.count(F.lit(1)).alias("ca"))
+    vocab = t.select(F.explode("__t").alias("tok")).agg(
+        F.count_distinct("tok").alias("v")
+    )
+    scored = (
+        bi.join(cab.hint("shuffle_hash"), "ab")
+        .join(ca.hint("shuffle_hash"), "a")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            F.log((F.col("cab") + F.lit(1.0)) / (F.col("ca") + F.col("v"))).alias(
+                "lp"
+            ),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+        fround(F.avg("lp"), 6).alias("avg_logp"),
+    )

@@ -642,6 +642,21 @@ def r8_main() -> None:
         )
         run(f"x{r} skyline_2d ({n_pts} pts)",
             lambda: skyline_2d(pts, "x", "y"))
+        # incremental batch-vs-corpus dedup: the replicated corpus keeps
+        # near-dup structure linear, so candidates (and the answer) must
+        # grow linearly while per-batch cost stays O(batch + candidates)
+        from pantasia_db_sync_spark.operators.dedup import (
+            incremental_minhash_dedup,
+        )
+
+        docs = load_table(spark, sf_dir, "documents")
+        run(f"x{r} incremental_dedup (odd batch vs even corpus)",
+            lambda: incremental_minhash_dedup(
+                docs.where(F.col("doc_id") % 2 == 1),
+                docs.where(F.col("doc_id") % 2 == 0),
+                "doc_id", "text", n=3, num_hashes=16, bands=4,
+                threshold=0.5,
+            ).where(F.col("is_dup")))
 
 
 if __name__ == "__main__":

@@ -123,6 +123,9 @@ _ALLOWED_NESTED_LOOP = {
     # broadcast aggregate crossed onto the customer pool — the same
     # in-plan scalar pattern as events_gapfill
     "tpch_q22_global_sales_opportunity",
+    # one-row vocabulary-size aggregate crossed onto the bigram scoring
+    # frame — the events_gapfill in-plan scalar pattern
+    "text_bigram_lm_score",
 }
 # Single-partition exchanges allowed only where the exchanged data is
 # metadata-scale (a handful of rows), never a full table:
@@ -176,6 +179,12 @@ _ALLOWED_SINGLE_PARTITION = {
     "skyline_parts",
     # scalar KL finish over the vocabulary-bounded joined-counts frame
     "corpus_kl_divergence",
+    # 32 conditional means in ONE combinable pass over orders; the
+    # single partition receives one partial-aggregate row per upstream
+    # partition (the TPC-H scalar-finish pattern)
+    "stats_subsample_ci",
+    # the one-row vocab-count aggregate feeding the broadcast cross
+    "text_bigram_lm_score",
 }
 
 
