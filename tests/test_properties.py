@@ -1647,3 +1647,140 @@ def test_skyline_2d_matches_naive_dominance(spark, pts, n_buckets):
         )
     )
     assert got == want
+
+
+def test_incremental_dedup_consistent_with_self_join_lsh(spark, sf_dir):
+    """Two algorithms, one truth: every odd-even near-dup pair the
+    SELF-join LSH finds must be flagged by the batch-vs-corpus
+    incremental dedup (same banding => identical candidate generation
+    restricted to cross-parity pairs), and vice versa: every flagged
+    new doc must have at least one odd-even LSH pair."""
+    from pyspark.sql import functions as F
+
+    from pantasia_db_sync_spark.operators.dedup import (
+        incremental_minhash_dedup,
+        minhash_lsh_pairs,
+    )
+    from pantasia_db_sync_spark.sources.catalog import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        d, "doc_id", "text", n=3, num_hashes=16, bands=4, threshold=0.5
+    )
+    cross_parity = {
+        (int(r.id_a), int(r.id_b))
+        for r in pairs.collect()
+        if (r.id_a % 2) != (r.id_b % 2)
+    }
+    expected_dup_new = {a if a % 2 == 1 else b for a, b in cross_parity}
+    inc = incremental_minhash_dedup(
+        d.where(F.col("doc_id") % 2 == 1),
+        d.where(F.col("doc_id") % 2 == 0),
+        "doc_id",
+        "text",
+        n=3,
+        num_hashes=16,
+        bands=4,
+        threshold=0.5,
+    ).collect()
+    flagged = {int(r.doc_id) for r in inc if r.is_dup}
+    assert flagged == expected_dup_new
+    # matched_id is the minimum qualifying corpus doc
+    best = {}
+    for a, b in cross_parity:
+        new, old = (a, b) if a % 2 == 1 else (b, a)
+        best[new] = min(best.get(new, old), old)
+    got = {int(r.doc_id): int(r.matched_id) for r in inc if r.is_dup}
+    assert got == best
+
+
+def test_label_propagation_converges_to_component_min(spark, sf_dir):
+    """Min-label propagation run to the graph's diameter must agree
+    with connected_components' min-id labels — the bounded-round
+    operator's fixed point IS full connectivity."""
+    from pyspark.sql import functions as F
+
+    from pantasia_db_sync_spark.operators.components import (
+        connected_components,
+    )
+    from pantasia_db_sync_spark.sources.catalog import load_table
+
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    e = (
+        o.where(F.col("o_orderkey") % 10 == 0)
+        .join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_suppkey") + 1_000_000).alias("dst"),
+        )
+        .distinct()
+    )
+    und = e.union(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    nodes = und.select(F.col("src").alias("node")).distinct()
+    labels = {int(r.node): int(r.node) for r in nodes.collect()}
+    adj = {}
+    for r in und.collect():
+        adj.setdefault(int(r.src), []).append(int(r.dst))
+    # synchronous min-label rounds in plain Python until fixed point
+    # (mirrors the registered query's per-round dataflow exactly)
+    changed = True
+    while changed:
+        changed = False
+        new = dict(labels)
+        for v, ns in adj.items():
+            m = min([labels[v]] + [labels[u] for u in ns])
+            if m != new[v]:
+                new[v] = m
+                changed = True
+        labels = new
+    comp = connected_components(
+        e, nodes
+    )
+    comp_min = {
+        int(r.node): int(r.component_id) for r in comp.collect()
+    }
+    assert labels == comp_min
+
+
+def test_rolling_corr_matches_numpy(spark, sf_dir):
+    """The component-sum Pearson form must equal numpy.corrcoef on
+    every trailing frame (exact definition check, independent of the
+    DuckDB oracle's identical formula)."""
+    import numpy as np
+
+    from pantasia_db_sync_spark.plans import QUERIES
+    from pantasia_db_sync_spark.sources.catalog import load_table
+    from pyspark.sql import functions as F
+
+    out = {
+        (int(r.user_id), int(r.event_id)): (
+            r.n_window,
+            r.trend_corr,
+        )
+        for r in QUERIES["window_rolling_corr"](spark, sf_dir).collect()
+    }
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", F.col("value").cast("double").alias("v")
+    )
+    by_user = {}
+    for r in e.collect():
+        by_user.setdefault(int(r.user_id), []).append(r)
+    checked = 0
+    for uid, rows in list(by_user.items())[:20]:
+        rows.sort(key=lambda r: (r.ts, r.event_id))
+        ys = [r.v for r in rows]
+        for i, r in enumerate(rows):
+            lo = max(0, i - 9)
+            frame = ys[lo : i + 1]
+            xs = list(range(lo + 1, i + 2))
+            n, corr = out[(uid, int(r.event_id))]
+            assert n == len(frame)
+            if len(frame) >= 2 and len(set(frame)) > 1:
+                expect = float(np.corrcoef(xs, frame)[0, 1])
+                assert corr is not None
+                assert abs(corr - expect) < 1e-5, (uid, r.event_id)
+                checked += 1
+    assert checked > 50
