@@ -76,6 +76,7 @@ def footer_stats(path: str) -> dict:
 
     rows, nbytes, stats = 0, 0, {}
     total_rg, covered_rg = 0, {}
+    files = []
     for fn in sorted(os.listdir(path)):
         fp = os.path.join(path, fn)
         if not fn.endswith(".parquet") or fn.startswith(("_", ".")):
@@ -83,6 +84,7 @@ def footer_stats(path: str) -> dict:
         nbytes += os.path.getsize(fp)
         md = pq.ParquetFile(fp).metadata
         rows += md.num_rows
+        f_stats, f_covered = {}, {}
         for rg in range(md.num_row_groups):
             g = md.row_group(rg)
             total_rg += 1
@@ -96,12 +98,29 @@ def footer_stats(path: str) -> dict:
                 if not (isinstance(mn, safe) and isinstance(mx, safe)):
                     continue
                 covered_rg[name] = covered_rg.get(name, 0) + 1
+                f_covered[name] = f_covered.get(name, 0) + 1
                 cur = stats.get(name)
                 if cur is None:
                     stats[name] = {"min": mn, "max": mx}
                 else:
                     cur["min"] = min(cur["min"], mn)
                     cur["max"] = max(cur["max"], mx)
+                fc = f_stats.get(name)
+                if fc is None:
+                    f_stats[name] = {"min": mn, "max": mx}
+                else:
+                    fc["min"] = min(fc["min"], mn)
+                    fc["max"] = max(fc["max"], mx)
+        # Per-FILE stats obey the same coverage rule per file: a column
+        # is recorded only if every row group in THIS file carries
+        # min/max — a partial fold could understate a range and prune a
+        # file that holds matching rows (silent data loss on reads).
+        f_stats = {
+            c: s
+            for c, s in f_stats.items()
+            if f_covered.get(c, 0) == md.num_row_groups
+        }
+        files.append({"name": fn, "rows": md.num_rows, "stats": f_stats})
     # A folded stat is only trustworthy if EVERY row group recorded it:
     # parquet writers may omit min/max per row group (e.g. legacy INT96
     # timestamps), and a partially-covered fold would understate the max
@@ -109,7 +128,7 @@ def footer_stats(path: str) -> dict:
     # in sync._facts_max_or_scan exists to prevent. Dropping the column
     # here makes that fallback actually fire on mixed histories.
     stats = {c: s for c, s in stats.items() if covered_rg.get(c, 0) == total_rg}
-    return {"rows": rows, "bytes": nbytes, "stats": stats}
+    return {"rows": rows, "bytes": nbytes, "stats": stats, "files": files}
 
 
 class TableStore:
@@ -253,6 +272,21 @@ class TableStore:
                         c: {"min": _enc(s["min"]), "max": _enc(s["max"])}
                         for c, s in m["stats"].items()
                     },
+                    # per-file zone map (Iceberg's data-file stats): lets
+                    # read_facts_pruned skip FILES inside a surviving
+                    # commit, not just whole commits — the payoff of
+                    # sort-on-write clustering realized at planning time
+                    "files": [
+                        {
+                            "name": fe["name"],
+                            "rows": fe["rows"],
+                            "stats": {
+                                c: {"min": _enc(s["min"]), "max": _enc(s["max"])}
+                                for c, s in fe["stats"].items()
+                            },
+                        }
+                        for fe in m["files"]
+                    ],
                 },
                 f,
             )
@@ -270,6 +304,14 @@ class TableStore:
             c: {"min": _dec(s["min"]), "max": _dec(s["max"])}
             for c, s in m["stats"].items()
         }
+        # pre-file-stats manifests (older writer era) have no "files":
+        # callers treat that as "cannot prune within this commit" and
+        # keep the whole dir — never rewrite committed history for it
+        for fe in m.get("files", ()):
+            fe["stats"] = {
+                c: {"min": _dec(s["min"]), "max": _dec(s["max"])}
+                for c, s in fe["stats"].items()
+            }
         return m
 
     def _committed_append_dirs(self, table: str) -> list[str]:
@@ -355,29 +397,42 @@ class TableStore:
         self, spark: SparkSession, table: str, column: str, lo, hi
     ) -> DataFrame | None:
         """``read_facts`` restricted to ``column BETWEEN lo AND hi``,
-        with COMMIT-DIR pruning from the per-commit manifests: commit
-        dirs whose manifest [min, max] misses the range are never given
-        to the reader at all. This is manifest-level partition pruning —
-        the same job parquet row-group stats do per file, lifted to the
-        commit level, so an incremental consumer of a 100 TB fact
-        history lists O(#commits) manifests and scans only the commits
-        its time range touches. The residual predicate still applies
-        (manifest ranges overlap the filter, they don't equal it).
-        Returns None when no committed data exists; an empty frame when
-        no commit overlaps."""
+        with TWO levels of manifest pruning: (1) commit dirs whose
+        folded [min, max] misses the range are never given to the
+        reader; (2) within surviving commits, individual FILES whose
+        per-file zone-map range misses it are dropped from the read —
+        the Iceberg data-file-stats plan-time skip, which is what makes
+        sort-on-write clustering (``append(cluster_by=...)``: disjoint
+        per-file ranges) pay off before the scan even starts. An
+        incremental consumer of a 100 TB fact history lists O(#commits)
+        manifests and scans only the files its time range touches. The
+        residual predicate still applies (manifest ranges overlap the
+        filter, they don't equal it). Manifests from before the
+        file-stats era carry no "files" entry — those commits keep all
+        their files (prune only what is provably absent). Returns None
+        when no committed data exists; an empty frame when nothing
+        overlaps."""
         from pyspark.sql import functions as F
 
         dirs = self._committed_append_dirs(table)
         if not dirs:
             return None
-        keep = []
+        keep: list[str] = []
         for d in dirs:
             m = self._read_manifest(d)
             s = m["stats"].get(column)
             # no stats for the column (all-null or non-footer type):
             # cannot prove absence — keep the dir
-            if s is None or (s["max"] >= lo and s["min"] <= hi):
-                keep.append(d)
+            if s is not None and not (s["max"] >= lo and s["min"] <= hi):
+                continue
+            file_entries = m.get("files")
+            if not file_entries:
+                keep.append(d)  # pre-file-stats manifest: whole dir
+                continue
+            for fe in file_entries:
+                fs = fe["stats"].get(column)
+                if fs is None or (fs["max"] >= lo and fs["min"] <= hi):
+                    keep.append(os.path.join(d, fe["name"]))
         base = self.read_facts(spark, table)  # schema ref; commit already dropped
         if not keep:
             return base.where(F.lit(False))

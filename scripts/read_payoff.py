@@ -13,9 +13,11 @@ commits), then times a 2-hour time-range aggregate three ways:
               kept commit → parquet row-group skipping)
 
 Reported per variant: wall (median of 3), files/bytes handed to the
-reader (the manifest-level skip), rows returned. The within-commit
-clustering payoff shows in the wall, not the file count — the pruned
-file LIST is the same, the row groups actually decoded are not.
+reader (the manifest-level skip), rows returned. Since the round-8
+per-file zone maps landed in the commit manifests, the clustered
+store's payoff ALSO shows in the file/byte counts: disjoint per-file
+ranges let read_facts_pruned drop files inside the kept commit at
+planning time, on top of the row-group skipping at decode time.
 
 Usage: python scripts/read_payoff.py [scale]
 """

@@ -574,3 +574,64 @@ def test_snapshot_diff_change_feed(spark, tmp_path):
         for r in store.diff(spark, "dim", "t_a", "t_b", ["k"]).collect()
     }
     assert got == {1: "removed", 2: "changed", 4: "added"}  # 3 unchanged
+
+
+def test_read_facts_pruned_skips_files_within_commit(spark, tmp_path):
+    """File-level zone-map pruning: within a SINGLE surviving commit
+    laid out by cluster_by, a narrow range must scan strictly fewer
+    files than the commit holds (plan-time skip from the manifest's
+    per-file stats), with row sets identical to the full filtered
+    read — and a pre-file-stats manifest must fall back to keeping the
+    whole dir, never to wrong results."""
+    store = TableStore(str(tmp_path / "store"))
+    df = (
+        spark.range(0, 4000)
+        .select(
+            ((F.col("id") * 2654435761) % 4000).alias("ts"),
+            F.col("id").alias("v"),
+        )
+        .repartition(8)
+    )
+    store.append("facts", df, commit_id=1, cluster_by="ts", cluster_partitions=4)
+    store.commit_append("facts", 1)
+    commit_dir = store.append_dir("facts", 1)
+    n_files = len(
+        [f for f in os.listdir(commit_dir) if f.endswith(".parquet")]
+    )
+    assert n_files >= 2
+
+    full = store.read_facts(spark, "facts")
+    expect = sorted(
+        map(tuple, full.where(F.col("ts").between(0, 500)).collect())
+    )
+    pruned = store.read_facts_pruned(spark, "facts", "ts", 0, 500)
+    assert sorted(map(tuple, pruned.collect())) == expect
+    scanned = {
+        f.rsplit("/", 1)[-1]
+        for f in pruned.inputFiles()
+        if f.endswith(".parquet")
+    }
+    assert len(scanned) < n_files, (scanned, n_files)
+
+    # every file pruned -> empty frame with the full schema
+    empty = store.read_facts_pruned(spark, "facts", "ts", 10_000, 20_000)
+    assert empty.count() == 0 and empty.columns == full.columns
+
+    # pre-file-stats manifest era: strip "files" -> whole dir kept,
+    # same rows (prune only what is provably absent)
+    import json as _json
+
+    mf = os.path.join(commit_dir, "_MANIFEST.json")
+    with open(mf) as fh:
+        m = _json.load(fh)
+    m.pop("files")
+    with open(mf, "w") as fh:
+        _json.dump(m, fh)
+    legacy = store.read_facts_pruned(spark, "facts", "ts", 0, 500)
+    assert sorted(map(tuple, legacy.collect())) == expect
+    legacy_scanned = {
+        f.rsplit("/", 1)[-1]
+        for f in legacy.inputFiles()
+        if f.endswith(".parquet")
+    }
+    assert len(legacy_scanned) == n_files
