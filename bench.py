@@ -69,6 +69,12 @@ HEADLINE = [
     "interval_overlap_count_sweep",
     "corpus_incremental_dedup",
     "text_similar_docs_topk",
+    # round-8 TPC-H completion: the three heaviest of the 10 new shapes
+    # (scan-heavy 8-agg pass, 5-way profit join, triple-self-reference
+    # rewrite). Still additive — suite total not comparable.
+    "tpch_q1_pricing_summary",
+    "tpch_q9_product_type_profit",
+    "tpch_q21_suppliers_who_kept_waiting",
 ]
 
 REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))

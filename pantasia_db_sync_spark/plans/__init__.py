@@ -14,3 +14,4 @@ from . import pipeline_ops  # noqa: E402,F401
 from . import udf_surface  # noqa: E402,F401
 from . import extras  # noqa: E402,F401
 from . import traindata  # noqa: E402,F401
+from . import tpch  # noqa: E402,F401

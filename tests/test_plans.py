@@ -126,6 +126,10 @@ _ALLOWED_NESTED_LOOP = {
     # one-row vocabulary-size aggregate crossed onto the bigram scoring
     # frame — the events_gapfill in-plan scalar pattern
     "text_bigram_lm_score",
+    # uncorrelated scalar subqueries (grand-total / global-max) crossed
+    # onto per-key frames — the q22 in-plan scalar pattern
+    "tpch_q11_important_stock",
+    "tpch_q15_top_supplier",
 }
 # Single-partition exchanges allowed only where the exchanged data is
 # metadata-scale (a handful of rows), never a full table:
@@ -185,6 +189,10 @@ _ALLOWED_SINGLE_PARTITION = {
     "stats_subsample_ci",
     # the one-row vocab-count aggregate feeding the broadcast cross
     "text_bigram_lm_score",
+    # the one-row total / max aggregates feeding q11's and q15's
+    # broadcast crosses — 1 row by construction
+    "tpch_q11_important_stock",
+    "tpch_q15_top_supplier",
 }
 
 
