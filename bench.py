@@ -75,6 +75,8 @@ HEADLINE = [
     "tpch_q1_pricing_summary",
     "tpch_q9_product_type_profit",
     "tpch_q21_suppliers_who_kept_waiting",
+    # round-8 PPJoin prefix filtering (third exact-Jaccard algorithm)
+    "dedup_prefix_filter",
 ]
 
 REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))

@@ -24,7 +24,7 @@ training-data pipeline needs at 100 TB. Design notes per operator:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import HASH_PRIME, minhash_params, portable_hash_mod, tokens_col
@@ -284,6 +284,82 @@ def ngram_jaccard_pairs(
     the set sizes (Jaccard > 1)."""
     return _pair_jaccard(docs, id_col, text_col, n, max_df=max_df).where(
         F.col("jaccard") >= threshold
+    )
+
+
+def prefix_filter_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard ≥ threshold pairs via PPJoin-style PREFIX
+    FILTERING (Xiao et al., WWW'08; Chaudhuri et al., ICDE'06) — the
+    third algorithm for the same truth as ``ngram_jaccard_pairs``
+    (full inverted index) and ``minhash_lsh_pairs`` (probabilistic).
+
+    Principle: order every document's shingles by GLOBAL document
+    frequency ascending (rarest first, ties by shingle text). If
+    J(A,B) ≥ τ then |A∩B| ≥ τ·|A∪B| ≥ τ·max(|A|,|B|), and two sets
+    with overlap ≥ t must share an element within their first
+    |x| − t + 1 ordered elements — so joining only each doc's
+    (|x| − ⌈τ·|x|⌉ + 1)-prefix finds every qualifying pair. Candidates
+    are then verified EXACTLY with row-local ``array_intersect`` over
+    the full shingle arrays: the result is exact, unlike ``max_df``
+    capping (which trades recall) or MinHash (which trades both ways).
+
+    Scale shape vs the full inverted index: the equi-self-join touches
+    only PREFIX tokens — by construction the globally RAREST tokens of
+    each doc — so a shingle with document frequency d contributes
+    O(d²) pair rows only if it survives into prefixes, which frequent
+    shingles do not (they sort last). The degenerate hot-shingle
+    corpus that forces ``max_df`` guarding here defuses itself: the
+    hot shingle lands in no prefix of any doc whose rarer shingles
+    fill its prefix (#rare ≥ |x| − ⌈τ·|x|⌉ + 1 — property-pinned). Cost: one extra shuffle to attach global df and one
+    window per doc for the prefix cut — paid once, against a
+    candidate set that shrinks with τ.
+
+    CONTRACT: ``id_col`` unique per row (see ``shingle_arrays``)."""
+    arred = shingle_arrays(docs, id_col, text_col, n)
+    arred = arred.localCheckpoint(eager=False)  # 3 consumers: explode + 2 verifies
+    exploded = arred.select(
+        F.col(id_col),
+        F.explode("__sh").alias("shingle"),
+        F.size("__sh").alias("__n"),
+    )
+    df_counts = exploded.groupBy("shingle").agg(
+        F.count(F.lit(1)).alias("__df")
+    )
+    prefix_len = F.col("__n") - F.ceil(F.lit(threshold) * F.col("__n")) + 1
+    w = Window.partitionBy(id_col).orderBy("__df", "shingle")
+    prefix = (
+        exploded.join(df_counts.hint("shuffle_hash"), "shingle")
+        .withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= prefix_len)
+        .select(F.col(id_col), "shingle")
+    )
+    cand = (
+        prefix.select(F.col(id_col).alias("id_a"), "shingle")
+        .join(
+            prefix.select(F.col(id_col).alias("id_b"), "shingle").hint(
+                "shuffle_hash"
+            ),
+            "shingle",
+        )
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sa = arred.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("__sa"))
+    sb = arred.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("__sb"))
+    inter = F.size(F.array_intersect("__sa", "__sb"))
+    jac = inter / (F.size("__sa") + F.size("__sb") - inter)
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", jac.alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
     )
 
 

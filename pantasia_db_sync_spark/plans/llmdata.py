@@ -27,6 +27,7 @@ from ..operators.dedup import (
     incremental_minhash_dedup,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
+    prefix_filter_jaccard_pairs,
     shingle_frame,
     simhash_pairs,
 )
@@ -320,6 +321,33 @@ def dedup_containment_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     sharing ≥1 shingle only, one reused exchange, never all-pairs."""
     d = load_table(spark, sf_dir, "documents")
     return containment_pairs(d, "doc_id", "text", n=3, threshold=0.8971)
+
+
+@register(
+    "dedup_prefix_filter",
+    # the SAME truth as dedup_ngram_jaccard: prefix filtering is a
+    # candidate-generation strategy, not a different similarity — the
+    # oracle replays the full pair join and the registered query must
+    # reproduce it exactly (completeness of the prefix cut is thereby
+    # re-proven against DuckDB every round, same discipline as the
+    # FastSS blocking and sweep-line oracles)
+    oracle=f"""
+    WITH {_SQL_SHINGLES},
+    {_SQL_JACCARD_TAIL}
+    SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= 0.5
+    """,
+)
+def dedup_prefix_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard ≥ 0.5 pairs via PPJoin-style PREFIX
+    FILTERING (operators/dedup.py:prefix_filter_jaccard_pairs): join
+    only each doc's globally-rarest-token prefix, verify candidates
+    row-locally. Third algorithm for the dedup_ngram_jaccard truth —
+    exact like the inverted index, skew-immune like nothing else: hot
+    shingles sort LAST and fall out of prefixes, so the degenerate
+    corpus that needs max_df guarding on the full index defuses
+    itself here (measured: scripts/scale_experiment.py)."""
+    d = load_table(spark, sf_dir, "documents")
+    return prefix_filter_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.5)
 
 
 def _minhash_sql(

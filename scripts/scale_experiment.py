@@ -149,7 +149,10 @@ def skew_main() -> None:
     python scripts/scale_experiment.py --skew [replicas]"""
     import time as _time
 
-    from pantasia_db_sync_spark.operators.dedup import ngram_jaccard_pairs
+    from pantasia_db_sync_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        prefix_filter_jaccard_pairs,
+    )
     from pantasia_db_sync_spark.operators.similarity import cosine_near_dup_pairs
 
     replicas = int(sys.argv[2]) if len(sys.argv) > 2 else 10
@@ -184,6 +187,13 @@ def skew_main() -> None:
         run(f"x{r} jaccard max_df=50 (guarded)",
             lambda: ngram_jaccard_pairs(docs, "doc_id", "text", n=3,
                                         threshold=0.5, max_df=50))
+        # prefix filtering needs NO guard on this corpus AND stays
+        # exact: the hot shingles sort last by global df and fall out
+        # of (almost) every prefix, so the candidate join never sees
+        # the (0.3n)^2/2 hot pairs the unguarded full index pays for
+        run(f"x{r} jaccard prefix-filter (EXACT, no guard)",
+            lambda: prefix_filter_jaccard_pairs(docs, "doc_id", "text",
+                                                n=3, threshold=0.5))
         run(f"x{r} cosine auto params (hot band value)",
             lambda: cosine_near_dup_pairs(embs, threshold=0.4445555))
         run(f"x{r} cosine fixture 32/8 (hot band value)",

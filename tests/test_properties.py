@@ -383,6 +383,96 @@ def test_df_capped_jaccard_subset_of_uncapped(spark, docs, max_df, threshold):
 
 @settings(**SETTINGS)
 @given(
+    docs=st.lists(
+        st.text(alphabet="abc ", min_size=3, max_size=20),
+        min_size=2,
+        max_size=12,
+    ),
+    threshold=st.floats(0.05, 0.9),
+)
+def test_prefix_filter_equals_full_inverted_index(spark, docs, threshold):
+    """PPJoin prefix filtering is EXACT: for any corpus and threshold,
+    the prefix-joined + verified pairs equal the full inverted-index
+    pairs — same pair set, same jaccard values. This re-proves the
+    prefix-cut completeness lemma (|x| − ⌈τ|x|⌉ + 1 rarest tokens)
+    empirically on arbitrary token distributions, including the
+    all-docs-identical and shared-hot-shingle corpora hypothesis
+    likes to generate from this alphabet."""
+    from pantasia_db_sync_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        prefix_filter_jaccard_pairs,
+    )
+
+    df = spark.createDataFrame(
+        list(enumerate(docs)), "doc_id long, text string"
+    )
+    via_prefix = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in prefix_filter_jaccard_pairs(
+            df, "doc_id", "text", n=3, threshold=threshold
+        ).collect()
+    }
+    full = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(
+            df, "doc_id", "text", n=3, threshold=threshold
+        ).collect()
+    }
+    assert set(via_prefix) == set(full)
+    for pair, j in via_prefix.items():
+        assert abs(j - full[pair]) < 1e-12, pair
+
+
+def test_prefix_filter_hot_shingle_prefix_stays_cold(spark):
+    """The skew claim, verified structurally: on a corpus where every
+    doc shares one hot boilerplate sentence (the adversarial shape
+    that forces max_df guarding on the full index), the hot shingles
+    appear in (almost) no prefixes, so the candidate join's biggest
+    key group stays O(1) instead of O(n). The exclusion holds exactly
+    when a doc's RARE shingles can fill its prefix (#rare ≥
+    |x| − ⌈τ|x|⌉ + 1) — these docs sit right at that bound: 8 hot
+    shingles + a 10-token unique tail → 18 shingles, prefix length
+    10, 10 rare shingles."""
+    from pantasia_db_sync_spark.operators.dedup import (
+        prefix_filter_jaccard_pairs,
+        shingle_arrays,
+    )
+
+    hot = "the quick brown fox jumps over the lazy dog again"
+    tail = " ".join(f"u{k}x{{i}}" for k in range(10))
+    docs = [(i, f"{hot} " + tail.format(i=i)) for i in range(60)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    # functional: exact result, no guard knob needed
+    pairs = prefix_filter_jaccard_pairs(
+        df, "doc_id", "text", n=3, threshold=0.5
+    ).collect()
+    assert pairs == []  # unique tails push every pair below 0.5
+
+    # structural: rebuild the prefix frame exactly as the operator does
+    # and assert the hot shingles (df == 60) never enter any prefix
+    from pyspark.sql import Window
+
+    arred = shingle_arrays(df, "doc_id", "text", 3)
+    exploded = arred.select(
+        F.col("doc_id"),
+        F.explode("__sh").alias("shingle"),
+        F.size("__sh").alias("__n"),
+    )
+    dfc = exploded.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
+    plen = F.col("__n") - F.ceil(F.lit(0.5) * F.col("__n")) + 1
+    w = Window.partitionBy("doc_id").orderBy("__df", "shingle")
+    prefix = (
+        exploded.join(dfc, "shingle")
+        .withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= plen)
+    )
+    max_prefix_df = prefix.agg(F.max("__df")).collect()[0][0]
+    assert max_prefix_df < 60, max_prefix_df  # hot shingles excluded
+
+
+@settings(**SETTINGS)
+@given(
     n_nodes=st.integers(1, 25),
     edges=st.lists(
         st.tuples(st.integers(0, 24), st.integers(0, 24)), max_size=40
