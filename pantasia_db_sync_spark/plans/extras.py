@@ -689,6 +689,69 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_robust_outliers_mad",
+    oracle="""
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY 1
+    ),
+    dev AS (
+      SELECT e.event_id, e.event_type, e.value,
+             e.value - m.med AS dv, abs(e.value - m.med) AS absdev
+      FROM events e JOIN med m USING (event_type)
+    ),
+    mad AS (
+      SELECT event_type, quantile_cont(absdev, 0.5) AS mad
+      FROM dev GROUP BY 1
+    )
+    SELECT event_id, d.event_type, value,
+           floor(0.6745 * dv / mad * 10000 + 0.5) / 10000 AS robust_z
+    FROM dev d JOIN mad m USING (event_type)
+    WHERE mad > 0
+      AND abs(floor(0.6745 * dv / mad * 10000 + 0.5) / 10000) > 3.5
+    """,
+)
+def events_robust_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection via median/MAD — the breakdown-resistant
+    twin of ``events_anomaly_zscore``: mean/stddev are themselves
+    dragged by the outliers they hunt (one 1000x spike shifts mu and
+    inflates sigma until nothing else flags); the median and the
+    median-absolute-deviation have 50% breakdown, so the modified
+    z-score 0.6745·(x − med)/MAD (Iglewicz–Hoaglin) flags against an
+    uncontaminated baseline. Flag at |z| > 3.5, the standard cut.
+
+    Shape: two aggregation passes over events (median, then median of
+    absolute deviations — MAD is inherently two-pass) with the tiny
+    per-type stats broadcast back between them; both comparisons run
+    on the ROUNDED score so the boolean can never flip on a last-ulp
+    interpolation difference between engines. Exact ``percentile``
+    (== DuckDB ``quantile_cont``, the agg_percentile_exact parity) is
+    the oracle-parity choice; ``approx_percentile`` (t-digest,
+    mergeable, one pass each) is the drop-in 100 TB path."""
+    e = load_table(spark, sf_dir, "events")
+    med = e.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("med")
+    )
+    dev = e.join(F.broadcast(med), "event_type").select(
+        "event_id",
+        "event_type",
+        "value",
+        (F.col("value") - F.col("med")).alias("dv"),
+        F.abs(F.col("value") - F.col("med")).alias("absdev"),
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.percentile("absdev", F.lit(0.5)).alias("mad")
+    )
+    rz = fround(0.6745 * F.col("dv") / F.col("mad"), 4)
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .where(F.col("mad") > 0)
+        .select("event_id", "event_type", "value", rz.alias("robust_z"))
+        .where(F.abs(F.col("robust_z")) > 3.5)
+    )
+
+
+@register(
     "events_anomaly_zscore",
     oracle="""
     WITH w AS (

@@ -204,6 +204,53 @@ def split_train_valid_test_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_EPOCH_SQL_HASH = _PORTABLE_HASH.format(
+    col="concat('epoch1:', CAST(doc_id AS VARCHAR))"
+)
+
+
+@register(
+    "corpus_epoch_order",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id, {_EPOCH_SQL_HASH} AS shuffle_key FROM documents
+    )
+    SELECT doc_id,
+           CAST(shuffle_key % 64 AS INTEGER) AS bucket,
+           CAST(row_number() OVER (
+             PARTITION BY shuffle_key % 64
+             ORDER BY shuffle_key, doc_id) AS BIGINT) AS pos
+    FROM h
+    """,
+)
+def corpus_epoch_order_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch shuffle order for training: every document
+    gets a reproducible position (bucket, pos) — bucket-major order IS
+    the epoch's read order. The salted content-independent hash makes
+    the permutation stable across runs, engines, and partitionings
+    (change the salt per epoch for a fresh permutation), the same
+    discipline as split_train_valid_test vs rand().
+
+    Scale shape: the per-bucket row_number windows shuffle once on the
+    64 hash buckets and never funnel through a global sort or a
+    single-partition rank — a trainer reading bucket by bucket streams
+    the whole corpus in permuted order while each bucket's window
+    state stays executor-local (the dense-ids bucket-offsets idea,
+    with the offset join made unnecessary by exposing the bucket in
+    the order key)."""
+    d = load_table(spark, sf_dir, "documents")
+    key = portable_hash60(
+        F.concat(F.lit("epoch1:"), F.col("doc_id").cast("string"))
+    )
+    h = d.select("doc_id", key.alias("__key"))
+    w = Window.partitionBy(F.col("__key") % 64).orderBy("__key", "doc_id")
+    return h.select(
+        "doc_id",
+        (F.col("__key") % 64).cast("int").alias("bucket"),
+        F.row_number().over(w).cast("bigint").alias("pos"),
+    )
+
+
 @register(
     "pack_token_budget",
     oracle="""
