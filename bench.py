@@ -235,14 +235,25 @@ def main() -> None:
 
         dir10 = build_corpus(spark, 10)
         for name in ("dedup_minhash_lsh", "dedup_simhash"):
+            # median of 3 (round-8 change): the single-run form caught
+            # a cold-page-cache / external-load spike as "10.97s" where
+            # the warm steady state re-measured at 3.5s — same noise
+            # class the sync-10x spread fix addresses
             materialize(QUERIES[name](spark, dir10))  # warm
-            jvm_gc()
-            dt = timed(lambda: materialize(QUERIES[name](spark, dir10)))
+            runs = []
+            for _ in range(3):
+                jvm_gc()
+                runs.append(
+                    timed(lambda: materialize(QUERIES[name](spark, dir10)))
+                )
+            runs.sort()
+            dt = statistics.median(runs)
             dedup10[name] = round(dt, 3)
             ratio = dt / timings[name]
             print(
-                f"# {name}@10x: {dt:.3f}s ({ratio:.1f}x the 1x wall → "
-                f"{10 / ratio:.1f}x rec/s)",
+                f"# {name}@10x: median {dt:.3f}s of 3 "
+                f"(min {runs[0]:.3f} / max {runs[-1]:.3f}; "
+                f"{ratio:.1f}x the 1x wall → {10 / ratio:.1f}x rec/s)",
                 file=sys.stderr,
             )
 
