@@ -158,13 +158,74 @@ class TableStore:
     def _data_dir(self, table: str, version: int) -> str:
         return os.path.join(self._tdir(table), f"v{version}")
 
+    # --- zero-copy branches ----------------------------------------------------
+    # A branch is METADATA: {"source": <table>, "base": <source pointer
+    # at branch time>}. Reads resolve shared history (fact commits and
+    # dim versions ≤ base) from the SOURCE's directories; writes land
+    # only under the branch's own dir. Nothing is copied at creation —
+    # O(1) regardless of table size, the Iceberg-branch / Delta
+    # shallow-clone workflow (test a pipeline change against production
+    # history, then throw the branch away). The source keeps evolving
+    # independently; commits it adds after `base` are invisible to the
+    # branch. `vacuum` and `compact_facts` treat every branch base as a
+    # protected watermark so shared history can neither be reclaimed
+    # nor merged across the branch point.
+
+    def _branch_path(self, table: str) -> str:
+        return os.path.join(self._tdir(table), "_BRANCH.json")
+
+    def branch_info(self, table: str) -> dict | None:
+        try:
+            with open(self._branch_path(table)) as f:
+                return json.load(f)
+        except (FileNotFoundError, json.JSONDecodeError):
+            return None
+
+    def create_branch(self, source: str, branch: str) -> dict:
+        """Create zero-copy ``branch`` from ``source``'s current state.
+        One level only (branching a branch would chain read resolution
+        through every ancestor — refuse rather than silently slow)."""
+        if self.branch_info(source) is not None:
+            raise ValueError(
+                f"cannot branch {source!r}: it is itself a branch "
+                "(one level of branching is supported)"
+            )
+        base = self.current_version(source)
+        if base is None:
+            raise ValueError(f"{source!r} has no committed version to branch")
+        if (
+            self.current_version(branch) is not None
+            or self.branch_info(branch) is not None
+        ):
+            raise ValueError(f"{branch!r} already exists")
+        os.makedirs(self._tdir(branch), exist_ok=True)
+        meta = {"source": source, "base": base}
+        tmp = self._branch_path(branch) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, self._branch_path(branch))
+        self.repoint(branch, base)
+        return meta
+
+    def _resolve_version_dir(self, table: str, version: int) -> str:
+        """Versioned-dim dir for ``table``: the branch's own dir if it
+        staged that version locally, else the source's (shared,
+        un-copied history)."""
+        path = self._data_dir(table, version)
+        if os.path.isdir(path):
+            return path
+        br = self.branch_info(table)
+        if br is not None:
+            return self._data_dir(br["source"], version)
+        return path
+
     # --- read / write --------------------------------------------------------
 
     def read(self, spark: SparkSession, table: str) -> DataFrame | None:
         v = self.current_version(table)
         if v is None:
             return None
-        return spark.read.parquet(self._data_dir(table, v))
+        return spark.read.parquet(self._resolve_version_dir(table, v))
 
     def stage(self, table: str, df: DataFrame) -> int:
         """Write a new version directory without repointing."""
@@ -210,6 +271,13 @@ class TableStore:
         a LIST of columns → Z-ORDER layout (operators/zorder.py):
         Morton-interleaved range partitioning, so range predicates on
         ANY listed column prune files via ordinary footer stats."""
+        br = self.branch_info(table)
+        if br is not None and commit_id <= br["base"]:
+            raise ValueError(
+                f"branch {table!r} append commit_id={commit_id} must exceed "
+                f"the branch base {br['base']} (shared history below the "
+                "base is the source's, read-only)"
+            )
         path = self.append_dir(table, commit_id)
         if cluster_by is not None:
             # Sort-on-write clustering: files within the commit become
@@ -316,14 +384,30 @@ class TableStore:
 
     def _committed_append_dirs(self, table: str) -> list[str]:
         ptr = self.current_version(table)
-        data = os.path.join(self._tdir(table), "data")
-        if ptr is None or not os.path.isdir(data):
+        if ptr is None:
             return []
-        return [
-            os.path.join(data, d)
-            for d in sorted(os.listdir(data))
-            if d.startswith("commit=") and int(d.split("=", 1)[1]) <= ptr
-        ]
+        br = self.branch_info(table)
+        out: list[str] = []
+        if br is not None:
+            # shared history: the source's commits up to the frozen base
+            src = os.path.join(self._tdir(br["source"]), "data")
+            if os.path.isdir(src):
+                out += [
+                    os.path.join(src, d)
+                    for d in sorted(os.listdir(src))
+                    if d.startswith("commit=")
+                    and int(d.split("=", 1)[1]) <= min(br["base"], ptr)
+                ]
+        data = os.path.join(self._tdir(table), "data")
+        if os.path.isdir(data):
+            lo = br["base"] if br is not None else float("-inf")
+            out += [
+                os.path.join(data, d)
+                for d in sorted(os.listdir(data))
+                if d.startswith("commit=")
+                and lo < int(d.split("=", 1)[1]) <= ptr
+            ]
+        return out
 
     def facts_stats(self, table: str) -> dict | None:
         """Fold per-commit manifests: total rows + global min/max per
@@ -366,7 +450,7 @@ class TableStore:
         v = self.current_version(table)
         if v is None:
             return None
-        return self._read_manifest(self._data_dir(table, v))
+        return self._read_manifest(self._resolve_version_dir(table, v))
 
     def dim_max(self, table: str, column: str):
         m = self.dim_stats(table)
@@ -374,24 +458,58 @@ class TableStore:
             return None
         return m["stats"][column]["max"]
 
+    def _facts_frame(
+        self, spark: SparkSession, table: str, watermark: int
+    ) -> DataFrame | None:
+        """Fact rows visible to ``table`` at commit ``watermark``,
+        branch-aware: a branch unions the source root (commits ≤ the
+        frozen base) with its own root (base < commit ≤ watermark);
+        a plain table reads its single root. Returns None when no fact
+        root exists.
+
+        mergeSchema: commits may carry EVOLVED schemas (a column added
+        in a later period); the merged read surfaces the union with
+        NULLs for pre-evolution commits — the additive-only evolution
+        contract (drops/renames need a compaction rewrite). Cost is a
+        parallel footer sweep, O(#files) metadata, zero data pages.
+        Across branch roots the same contract holds via unionByName
+        with allowMissingColumns."""
+        from pyspark.sql import functions as F
+
+        def root(data: str, lo, hi) -> DataFrame:
+            df = (
+                spark.read.option("basePath", data)
+                .option("mergeSchema", "true")
+                .parquet(data)
+            )
+            cond = F.col("commit") <= hi
+            if lo is not None:
+                cond = cond & (F.col("commit") > lo)
+            return df.where(cond).drop("commit")
+
+        br = self.branch_info(table)
+        parts: list[DataFrame] = []
+        if br is not None:
+            src = os.path.join(self._tdir(br["source"]), "data")
+            if os.path.isdir(src):
+                parts.append(root(src, None, min(br["base"], watermark)))
+        data = os.path.join(self._tdir(table), "data")
+        if os.path.isdir(data):
+            parts.append(
+                root(data, br["base"] if br is not None else None, watermark)
+            )
+        if not parts:
+            return None
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p, allowMissingColumns=True)
+        return out
+
     def read_facts(self, spark: SparkSession, table: str) -> DataFrame | None:
         ptr = self.current_version(table)
         if ptr is None:
             return None
-        from pyspark.sql import functions as F
-
-        data = os.path.join(self._tdir(table), "data")
-        # mergeSchema: commits may carry EVOLVED schemas (a column added
-        # in a later period); the merged read surfaces the union with
-        # NULLs for pre-evolution commits — the additive-only evolution
-        # contract (drops/renames need a compaction rewrite). Cost is a
-        # parallel footer sweep, O(#files) metadata, zero data pages.
-        df = (
-            spark.read.option("basePath", data)
-            .option("mergeSchema", "true")
-            .parquet(data)
-        )
-        return df.where(F.col("commit") <= ptr).drop("commit")
+        return self._facts_frame(spark, table, ptr)
 
     def read_facts_pruned(
         self, spark: SparkSession, table: str, column: str, lo, hi
@@ -501,17 +619,14 @@ class TableStore:
         version = manifest["versions"].get(table)
         if version is None:
             return None
-        if os.path.isdir(os.path.join(self._tdir(table), "data")):
-            from pyspark.sql import functions as F
-
-            data = os.path.join(self._tdir(table), "data")
-            df = (
-                spark.read.option("basePath", data)
-                .option("mergeSchema", "true")
-                .parquet(data)
-            )
-            return df.where(F.col("commit") <= version).drop("commit")
-        return spark.read.parquet(self._data_dir(table, version))
+        br = self.branch_info(table)
+        is_facts = os.path.isdir(os.path.join(self._tdir(table), "data")) or (
+            br is not None
+            and os.path.isdir(os.path.join(self._tdir(br["source"]), "data"))
+        )
+        if is_facts:
+            return self._facts_frame(spark, table, version)
+        return spark.read.parquet(self._resolve_version_dir(table, version))
 
     def diff(
         self,
@@ -586,6 +701,14 @@ class TableStore:
             with open(self._snap_path(tag)) as f:
                 for t, v in json.load(f)["versions"].items():
                     protected.setdefault(t, set()).add(v)
+        # every branch pins its source's state at the branch base: the
+        # shared dim version dir and (via the fact watermark below) the
+        # shared commit dirs must survive any vacuum of the source
+        for t in os.listdir(self.base_dir):
+            if os.path.isdir(self._tdir(t)):
+                bi = self.branch_info(t)
+                if bi is not None:
+                    protected.setdefault(bi["source"], set()).add(bi["base"])
 
         removed: dict[str, list[str]] = {}
         for table in os.listdir(self.base_dir):
@@ -703,6 +826,14 @@ class TableStore:
                 v = json.load(f)["versions"].get(table)
             if v is not None:
                 watermarks.add(v)
+        # branch bases are reader watermarks too: a branch resolves
+        # "source commit ≤ base", so a merged dir must never straddle a
+        # base — otherwise the branch would see post-base rows
+        for t in os.listdir(self.base_dir):
+            if os.path.isdir(self._tdir(t)):
+                bi = self.branch_info(t)
+                if bi is not None and bi["source"] == table:
+                    watermarks.add(bi["base"])
 
         cids = sorted(
             int(d.split("=", 1)[1])

@@ -159,6 +159,65 @@ def sink_tip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "store_branch_read",
+    oracle="""
+    SELECT 'branch' AS side,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+    FROM orders WHERE o_orderkey % 4 IN (0, 1, 2)
+    UNION ALL
+    SELECT 'source',
+           CAST(count(*) AS BIGINT),
+           CAST(sum(o_orderkey) AS BIGINT)
+    FROM orders WHERE o_orderkey % 4 IN (0, 1, 3)
+    """,
+)
+def store_branch_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10-ext — zero-copy BRANCH round trip through a real TableStore
+    (pipeline/store.py::create_branch): two shared commits land, the
+    branch is created (metadata only — nothing copied), then branch and
+    source each append a divergent commit under the SAME commit id.
+    The branch must read shared + its own rows, the source shared +
+    its own — the isolation the oracle replays as plain key-mod set
+    algebra over orders. Exercises the branch-aware commit-dir
+    resolution end-to-end at driver-check scale."""
+    import shutil
+    import tempfile
+
+    from ..pipeline.store import TableStore
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    part = F.pmod(F.col("o_orderkey"), 4)
+    d = tempfile.mkdtemp(prefix="branch_store_")
+    try:
+        store = TableStore(d)
+        store.append("orders_f", o.where(part == 0), commit_id=1)
+        store.commit_append("orders_f", 1)
+        store.append("orders_f", o.where(part == 1), commit_id=2)
+        store.commit_append("orders_f", 2)
+        store.create_branch("orders_f", "orders_dev")
+        store.append("orders_dev", o.where(part == 2), commit_id=3)
+        store.commit_append("orders_dev", 3)
+        store.append("orders_f", o.where(part == 3), commit_id=3)
+        store.commit_append("orders_f", 3)
+
+        def agg(table: str, side: str) -> DataFrame:
+            return store.read_facts(spark, table).agg(
+                F.lit(side).alias("side"),
+                F.count(F.lit(1)).cast("bigint").alias("n"),
+                F.sum("o_orderkey").cast("bigint").alias("key_sum"),
+            ).select("side", "n", "key_sum")
+
+        out = agg("orders_dev", "branch").unionByName(agg("orders_f", "source"))
+        # materialize before the store dir disappears (the driver may
+        # collect lazily after this function returns)
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+@register(
     "period_windows",
     oracle="""
     WITH b AS (SELECT min(ts) AS lo, max(ts) AS hi FROM events),

@@ -635,3 +635,121 @@ def test_read_facts_pruned_skips_files_within_commit(spark, tmp_path):
         if f.endswith(".parquet")
     }
     assert len(legacy_scanned) == n_files
+
+
+def test_branch_zero_copy_isolated_reads_and_writes(spark, tmp_path):
+    """Zero-copy branching: create_branch copies NOTHING (the branch
+    dir holds only metadata), the branch sees the source's history
+    frozen at the base plus its own appends, the source never sees
+    branch writes, and source commits made AFTER the branch point stay
+    invisible to the branch."""
+    store = TableStore(str(tmp_path / "store"))
+
+    def batch(lo, hi):
+        return spark.range(lo, hi).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        )
+
+    store.append("facts", batch(0, 100), commit_id=1)
+    store.commit_append("facts", 1)
+    store.append("facts", batch(100, 200), commit_id=2)
+    store.commit_append("facts", 2)
+
+    store.create_branch("facts", "facts_dev")
+    # zero copy: no parquet under the branch dir, just metadata
+    bdir = os.path.join(str(tmp_path / "store"), "facts_dev")
+    assert not any(
+        f.endswith(".parquet")
+        for _, _, fs in os.walk(bdir)
+        for f in fs
+    )
+    assert sorted(r.k for r in store.read_facts(spark, "facts_dev").collect()) == list(
+        range(200)
+    )
+
+    # diverge: branch appends 3, source appends its own 3
+    store.append("facts_dev", batch(1000, 1010), commit_id=3)
+    store.commit_append("facts_dev", 3)
+    store.append("facts", batch(2000, 2010), commit_id=3)
+    store.commit_append("facts", 3)
+
+    got_branch = sorted(r.k for r in store.read_facts(spark, "facts_dev").collect())
+    got_source = sorted(r.k for r in store.read_facts(spark, "facts").collect())
+    assert got_branch == list(range(200)) + list(range(1000, 1010))
+    assert got_source == list(range(200)) + list(range(2000, 2010))
+
+    # manifest folds resolve branch-aware too (zero fact rows scanned)
+    assert store.facts_stats("facts_dev")["rows"] == 210
+    assert store.facts_max("facts_dev", "k") == 1009
+    assert store.facts_max("facts", "k") == 2009
+
+    # pruned read spans both roots
+    pruned = store.read_facts_pruned(spark, "facts_dev", "k", 150, 1005)
+    assert sorted(r.k for r in pruned.collect()) == list(range(150, 200)) + list(
+        range(1000, 1006)
+    )
+
+    # guards: appends below the base are refused; branch-of-branch too
+    with pytest.raises(ValueError, match="must exceed"):
+        store.append("facts_dev", batch(0, 1), commit_id=2)
+    with pytest.raises(ValueError, match="itself a branch"):
+        store.create_branch("facts_dev", "facts_dev2")
+    with pytest.raises(ValueError, match="already exists"):
+        store.create_branch("facts", "facts_dev")
+
+
+def test_branch_dims_and_vacuum_protection(spark, tmp_path):
+    """Versioned dims on a branch: reads fall through to the source's
+    version dir until the branch stages its own; vacuum of the source
+    never reclaims a dim version or fact commit a branch still
+    references."""
+    store = TableStore(str(tmp_path / "store"))
+    dim1 = spark.range(0, 5).select(F.col("id").alias("k"))
+    v = store.stage("dim", dim1)
+    store.repoint("dim", v)
+    store.create_branch("dim", "dim_dev")
+    assert store.read(spark, "dim_dev").count() == 5
+    assert store.dim_stats("dim_dev")["rows"] == 5
+
+    # branch stages its own version; source unchanged
+    v2 = store.stage("dim_dev", spark.range(0, 9).select(F.col("id").alias("k")))
+    store.repoint("dim_dev", v2)
+    assert store.read(spark, "dim_dev").count() == 9
+    assert store.read(spark, "dim").count() == 5
+
+    # source advances twice, then vacuums: the branch base version must
+    # survive even though it is neither current nor in keep_last=1
+    for n in (6, 7):
+        vn = store.stage("dim", spark.range(0, n).select(F.col("id").alias("k")))
+        store.repoint("dim", vn)
+    removed = store.vacuum(keep_last=1)
+    assert "v1" not in removed.get("dim", []), removed
+    assert store.read(spark, "dim_dev").count() == 9  # still readable
+
+
+def test_branch_compaction_respects_base_boundary(spark, tmp_path):
+    """compact_facts on the source must treat every branch base as a
+    segment boundary: merged dirs may not straddle the branch point,
+    or the branch's 'source commit <= base' read would see post-base
+    rows. After compaction the branch row set is byte-identical."""
+    store = TableStore(str(tmp_path / "store"))
+
+    def batch(lo, hi):
+        return spark.range(lo, hi).select(F.col("id").alias("k"))
+
+    for cid in (1, 2, 3):
+        store.append("facts", batch(100 * cid, 100 * cid + 10), commit_id=cid)
+        store.commit_append("facts", cid)
+    store.create_branch("facts", "facts_dev")  # base = 3
+    for cid in (4, 5):
+        store.append("facts", batch(100 * cid, 100 * cid + 10), commit_id=cid)
+        store.commit_append("facts", cid)
+
+    before = sorted(r.k for r in store.read_facts(spark, "facts_dev").collect())
+    segments = store.compact_facts(spark, "facts", min_dirs_per_segment=2)
+    # two segments: (1..3] merged at the branch base, (3..5] at the ptr
+    assert [b for b, _ in segments["segments"]] == [3, 5], segments
+    after = sorted(r.k for r in store.read_facts(spark, "facts_dev").collect())
+    assert after == before
+    src_after = sorted(r.k for r in store.read_facts(spark, "facts").collect())
+    assert src_after == [k for c in (1, 2, 3, 4, 5) for k in range(100 * c, 100 * c + 10)]
