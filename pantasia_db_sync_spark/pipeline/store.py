@@ -135,7 +135,9 @@ class TableStore:
     def __init__(self, base_dir: str) -> None:
         self.base_dir = base_dir
         os.makedirs(base_dir, exist_ok=True)
-        # finish any compaction interrupted by a crash (idempotent)
+        # finish any compaction or branch promotion interrupted by a
+        # crash (both idempotent journal replays)
+        self._recover_promote()
         for t in os.listdir(base_dir):
             if os.path.isdir(self._tdir(t)):
                 self._recover_compaction(t)
@@ -218,6 +220,90 @@ class TableStore:
         if br is not None:
             return self._data_dir(br["source"], version)
         return path
+
+    def _promote_journal_path(self) -> str:
+        return os.path.join(self.base_dir, "_PROMOTE_JOURNAL.json")
+
+    def _apply_promote(self, journal: dict) -> None:
+        """Idempotent journal application — every step checks whether a
+        prior (crashed) run already did it, so recovery can simply
+        re-apply from the top."""
+        for frm, to in journal["moves"]:
+            if os.path.isdir(frm):
+                if os.path.isdir(to):
+                    # destination can only be an aborted-commit orphan
+                    # above the source pointer (never committed data:
+                    # ids > base were unreachable on the source) — safe
+                    # to clear before the move
+                    shutil.rmtree(to)
+                os.replace(frm, to)
+        self.repoint(journal["source"], journal["repoint"])
+        if os.path.isdir(self._tdir(journal["branch"])):
+            shutil.rmtree(self._tdir(journal["branch"]))
+        os.remove(self._promote_journal_path())
+
+    def _recover_promote(self) -> None:
+        jp = self._promote_journal_path()
+        if os.path.exists(jp):
+            with open(jp) as f:
+                self._apply_promote(json.load(f))
+
+    def promote_branch(self, branch: str) -> None:
+        """FAST-FORWARD the source to the branch's state and delete the
+        branch. Allowed only when the source has not moved since the
+        branch was created (current pointer == base) — with divergence
+        there is no merge semantics to offer, so refuse loudly. The
+        branch's committed fact dirs and locally-staged dim versions
+        are renamed into the source (ids > the source pointer stay
+        invisible until the final repoint — the stage-then-flip
+        discipline), driven by a journal that TableStore.__init__
+        re-applies idempotently after a crash at any step. Uncommitted
+        branch work above its pointer is discarded with the branch.
+        Snapshots that recorded the branch's name do not survive its
+        promotion (same class as dropping a table)."""
+        br = self.branch_info(branch)
+        if br is None:
+            raise ValueError(f"{branch!r} is not a branch")
+        source, base = br["source"], br["base"]
+        if self.current_version(source) != base:
+            raise ValueError(
+                f"cannot promote {branch!r}: source {source!r} moved from "
+                f"base {base} to {self.current_version(source)} — "
+                "fast-forward only"
+            )
+        bptr = self.current_version(branch)
+        moves: list[list[str]] = []
+        bdata = os.path.join(self._tdir(branch), "data")
+        sdata = os.path.join(self._tdir(source), "data")
+        if os.path.isdir(bdata):
+            os.makedirs(sdata, exist_ok=True)
+            for d in sorted(os.listdir(bdata)):
+                if (
+                    d.startswith("commit=")
+                    and base < int(d.split("=", 1)[1]) <= bptr
+                ):
+                    moves.append(
+                        [os.path.join(bdata, d), os.path.join(sdata, d)]
+                    )
+        for d in os.listdir(self._tdir(branch)):
+            if d.startswith("v") and d[1:].isdigit() and base < int(d[1:]) <= bptr:
+                moves.append(
+                    [
+                        os.path.join(self._tdir(branch), d),
+                        os.path.join(self._tdir(source), d),
+                    ]
+                )
+        journal = {
+            "branch": branch,
+            "source": source,
+            "moves": moves,
+            "repoint": bptr,
+        }
+        tmp = self._promote_journal_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(journal, f)
+        os.replace(tmp, self._promote_journal_path())
+        self._apply_promote(journal)
 
     # --- read / write --------------------------------------------------------
 

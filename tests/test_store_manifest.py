@@ -753,3 +753,68 @@ def test_branch_compaction_respects_base_boundary(spark, tmp_path):
     assert after == before
     src_after = sorted(r.k for r in store.read_facts(spark, "facts").collect())
     assert src_after == [k for c in (1, 2, 3, 4, 5) for k in range(100 * c, 100 * c + 10)]
+
+
+def test_promote_branch_fast_forward_and_crash_replay(spark, tmp_path):
+    """promote_branch fast-forwards the source to the branch state
+    (fact commits AND locally-staged dim versions move over, the
+    branch disappears), refuses when the source diverged, and its
+    journal replays idempotently from a crash at any step."""
+    base = str(tmp_path / "store")
+    store = TableStore(base)
+
+    def batch(lo, hi):
+        return spark.range(lo, hi).select(F.col("id").alias("k"))
+
+    store.append("facts", batch(0, 10), commit_id=1)
+    store.commit_append("facts", 1)
+    v = store.stage("dim", batch(0, 3))
+    store.repoint("dim", v)
+
+    # divergence refusal
+    store.create_branch("facts", "fx")
+    store.append("facts", batch(50, 60), commit_id=2)
+    store.commit_append("facts", 2)
+    with pytest.raises(ValueError, match="fast-forward only"):
+        store.promote_branch("fx")
+    shutil.rmtree(os.path.join(base, "fx"))
+
+    # fast-forward: branch adds a fact commit and a dim version
+    store.create_branch("facts", "fdev")
+    store.append("fdev", batch(100, 110), commit_id=3)
+    store.commit_append("fdev", 3)
+    store.create_branch("dim", "ddev")
+    dv = store.stage("ddev", batch(0, 7))
+    store.repoint("ddev", dv)
+
+    store.promote_branch("fdev")
+    store.promote_branch("ddev")
+    assert not os.path.isdir(os.path.join(base, "fdev"))
+    assert not os.path.isdir(os.path.join(base, "ddev"))
+    got = sorted(r.k for r in store.read_facts(spark, "facts").collect())
+    assert got == list(range(10)) + list(range(50, 60)) + list(range(100, 110))
+    assert store.read(spark, "dim").count() == 7
+
+    # crash replay: write the journal, apply only the MOVES by hand
+    # (simulating a crash before repoint + cleanup), then re-open the
+    # store — __init__ must finish the promotion
+    store.create_branch("facts", "crash")
+    store.append("crash", batch(200, 210), commit_id=4)
+    store.commit_append("crash", 4)
+    frm = os.path.join(base, "crash", "data", "commit=4")
+    to = os.path.join(base, "facts", "data", "commit=4")
+    journal = {
+        "branch": "crash",
+        "source": "facts",
+        "moves": [[frm, to]],
+        "repoint": 4,
+    }
+    with open(os.path.join(base, "_PROMOTE_JOURNAL.json"), "w") as f:
+        json.dump(journal, f)
+    os.replace(frm, to)  # the crash happened mid-apply, after one move
+
+    store2 = TableStore(base)  # recovery runs here
+    assert not os.path.exists(os.path.join(base, "_PROMOTE_JOURNAL.json"))
+    assert not os.path.isdir(os.path.join(base, "crash"))
+    got2 = sorted(r.k for r in store2.read_facts(spark, "facts").collect())
+    assert got2 == got + list(range(200, 210))
