@@ -273,18 +273,19 @@ class TableStore:
             )
         bptr = self.current_version(branch)
         moves: list[list[str]] = []
-        bdata = os.path.join(self._tdir(branch), "data")
-        sdata = os.path.join(self._tdir(source), "data")
-        if os.path.isdir(bdata):
-            os.makedirs(sdata, exist_ok=True)
-            for d in sorted(os.listdir(bdata)):
-                if (
-                    d.startswith("commit=")
-                    and base < int(d.split("=", 1)[1]) <= bptr
-                ):
-                    moves.append(
-                        [os.path.join(bdata, d), os.path.join(sdata, d)]
-                    )
+        for sub in ("data", "deletes"):
+            bdata = os.path.join(self._tdir(branch), sub)
+            sdata = os.path.join(self._tdir(source), sub)
+            if os.path.isdir(bdata):
+                os.makedirs(sdata, exist_ok=True)
+                for d in sorted(os.listdir(bdata)):
+                    if (
+                        d.startswith("commit=")
+                        and base < int(d.split("=", 1)[1]) <= bptr
+                    ):
+                        moves.append(
+                            [os.path.join(bdata, d), os.path.join(sdata, d)]
+                        )
         for d in os.listdir(self._tdir(branch)):
             if d.startswith("v") and d[1:].isdigit() and base < int(d[1:]) <= bptr:
                 moves.append(
@@ -411,6 +412,127 @@ class TableStore:
 
     def commit_append(self, table: str, commit_id: int) -> None:
         self.repoint(table, commit_id)
+
+    # --- merge-on-read equality deletes ---------------------------------------
+    # The Iceberg-v2 delete-file idea on this store's commit layout: a
+    # delete at commit d is a tiny parquet of KEY ROWS under
+    # deletes/commit=d, gated by the SAME pointer as appends (a commit
+    # exposes its appends and deletes together or neither). Semantics
+    # (Iceberg's sequence-number rule): the delete removes every row
+    # whose key matches and whose OWN commit id is STRICTLY BELOW d —
+    # a re-insert in the same or a later commit survives, which makes
+    # the one-commit upsert (delete old + append new) atomic.
+    # Reads apply the tombstones with one equi-join against the
+    # (usually tiny) aggregated delete-key frame; compaction purges
+    # them physically for the segment it rewrites (it must: merging
+    # re-stamps rows to the segment-boundary commit id, which would
+    # otherwise resurrect deleted rows past their tombstone).
+    # Tombstone dirs themselves are retained — rows in segments that
+    # were never rewritten still need them; re-applying a tombstone to
+    # already-purged rows is a no-op by construction.
+
+    def delete_dir(self, table: str, commit_id: int) -> str:
+        return os.path.join(self._tdir(table), "deletes", f"commit={commit_id}")
+
+    def delete_facts(self, table: str, keys: DataFrame, commit_id: int) -> None:
+        """Stage an equality-delete tombstone: every fact row matching a
+        row of ``keys`` (all of its columns are the equality key) with
+        row commit STRICTLY BELOW ``commit_id`` is removed from reads
+        once the commit pointer reaches ``commit_id`` (appends in the
+        same commit survive — the atomic upsert). Key columns must be
+        consistent across all deletes of a table."""
+        br = self.branch_info(table)
+        if br is not None and commit_id <= br["base"]:
+            raise ValueError(
+                f"branch {table!r} delete commit_id={commit_id} must exceed "
+                f"the branch base {br['base']}"
+            )
+        existing = self._delete_key_cols(table)
+        if existing is not None and existing != sorted(keys.columns):
+            raise ValueError(
+                f"delete key columns {sorted(keys.columns)} != the table's "
+                f"established delete key {existing}"
+            )
+        keys.distinct().write.mode("overwrite").parquet(
+            self.delete_dir(table, commit_id)
+        )
+
+    def _committed_delete_dirs(self, table: str) -> list[str]:
+        """Mirror of ``_committed_append_dirs`` for tombstones
+        (branch-aware: the source's deletes ≤ base apply to the shared
+        history; the branch's own above it)."""
+        ptr = self.current_version(table)
+        if ptr is None:
+            return []
+        br = self.branch_info(table)
+        out: list[str] = []
+        roots = []
+        if br is not None:
+            roots.append(
+                (
+                    os.path.join(self._tdir(br["source"]), "deletes"),
+                    float("-inf"),
+                    min(br["base"], ptr),
+                )
+            )
+            roots.append(
+                (os.path.join(self._tdir(table), "deletes"), br["base"], ptr)
+            )
+        else:
+            roots.append(
+                (os.path.join(self._tdir(table), "deletes"), float("-inf"), ptr)
+            )
+        for root, lo, hi in roots:
+            if not os.path.isdir(root):
+                continue
+            out += [
+                os.path.join(root, d)
+                for d in sorted(os.listdir(root))
+                if d.startswith("commit=") and lo < int(d.split("=", 1)[1]) <= hi
+            ]
+        return out
+
+    def _delete_key_cols(self, table: str) -> list[str] | None:
+        import pyarrow.parquet as pq
+
+        dirs = self._committed_delete_dirs(table)
+        if not dirs:
+            # uncommitted tombstones still pin the key columns
+            root = os.path.join(self._tdir(table), "deletes")
+            if os.path.isdir(root):
+                dirs = [os.path.join(root, d) for d in sorted(os.listdir(root))]
+        for d in dirs:
+            for fn in sorted(os.listdir(d)):
+                if fn.endswith(".parquet"):
+                    return sorted(pq.read_schema(os.path.join(d, fn)).names)
+        return None
+
+    def _delete_frame(
+        self, spark: SparkSession, table: str, watermark: int
+    ) -> DataFrame | None:
+        """(key cols..., __del_max) — the highest committed tombstone
+        ≤ ``watermark`` per key. None when the table has no committed
+        deletes (the zero-cost common case: reads skip the join)."""
+        from pyspark.sql import functions as F
+
+        dirs = [
+            d
+            for d in self._committed_delete_dirs(table)
+            if int(d.rsplit("=", 1)[1]) <= watermark
+        ]
+        if not dirs:
+            return None
+        parts = []
+        for d in dirs:
+            cid = int(d.rsplit("=", 1)[1])
+            parts.append(
+                spark.read.parquet(d).withColumn("__del_at", F.lit(cid))
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        keys = [c for c in out.columns if c != "__del_at"]
+        return out.groupBy(*keys).agg(F.max("__del_at").alias("__del_max"))
 
     # --- commit manifests ----------------------------------------------------
 
@@ -571,7 +693,7 @@ class TableStore:
             cond = F.col("commit") <= hi
             if lo is not None:
                 cond = cond & (F.col("commit") > lo)
-            return df.where(cond).drop("commit")
+            return df.where(cond)
 
         br = self.branch_info(table)
         parts: list[DataFrame] = []
@@ -589,7 +711,31 @@ class TableStore:
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p, allowMissingColumns=True)
-        return out
+        return self._apply_deletes(spark, table, out, watermark).drop("commit")
+
+    def _apply_deletes(
+        self, spark: SparkSession, table: str, df: DataFrame, watermark: int
+    ) -> DataFrame:
+        """Merge-on-read: drop rows killed by a committed tombstone
+        (``df`` must carry the ``commit`` column). A row survives when
+        no tombstone for its key sits STRICTLY ABOVE its own commit id
+        (the Iceberg sequence rule) — re-inserts in the same or a later
+        commit outlive earlier deletes. No-op (no join in the plan at
+        all) for tables that never deleted anything."""
+        from pyspark.sql import functions as F
+
+        dels = self._delete_frame(spark, table, watermark)
+        if dels is None:
+            return df
+        keys = [c for c in dels.columns if c != "__del_max"]
+        return (
+            df.join(dels, keys, "left")
+            .where(
+                F.col("__del_max").isNull()
+                | (F.col("__del_max") <= F.col("commit"))
+            )
+            .drop("__del_max")
+        )
 
     def read_facts(self, spark: SparkSession, table: str) -> DataFrame | None:
         ptr = self.current_version(table)
@@ -640,11 +786,27 @@ class TableStore:
         base = self.read_facts(spark, table)  # schema ref; commit already dropped
         if not keep:
             return base.where(F.lit(False))
-        df = (
-            spark.read.option("mergeSchema", "true")
-            .parquet(*keep)
-            .where(F.col(column).between(F.lit(lo), F.lit(hi)))
-        )
+        # group kept entries by their data ROOT and read each group with
+        # basePath so the commit partition column survives — tombstone
+        # application needs each row's own commit id (a branch read
+        # spans two roots, hence the grouping rather than one basePath)
+        by_root: dict[str, list[str]] = {}
+        for p in keep:
+            root = p[: p.index(os.sep + "data" + os.sep) + 5]
+            by_root.setdefault(root, []).append(p)
+        parts = [
+            spark.read.option("basePath", root)
+            .option("mergeSchema", "true")
+            .parquet(*paths)
+            for root, paths in by_root.items()
+        ]
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p, allowMissingColumns=True)
+        df = df.where(F.col(column).between(F.lit(lo), F.lit(hi)))
+        df = self._apply_deletes(
+            spark, table, df, self.current_version(table)
+        ).drop("commit")
         # evolved columns present only in PRUNED commits: surface them
         # as typed NULLs so the pruned read's schema always equals the
         # full read's (the additive-evolution contract of read_facts)
@@ -816,18 +978,24 @@ class TableStore:
                 if v not in keep:
                     shutil.rmtree(self._data_dir(table, v))
                     removed.setdefault(table, []).append(f"v{v}")
-            data = os.path.join(tdir, "data")
-            if os.path.isdir(data):
-                # orphans = commits above EVERY watermark anyone could
-                # read: the live pointer and any snapshot's pointer (a
-                # restore may move the watermark forward again)
-                watermark = max(keep)
-                for d in os.listdir(data):
+            # orphans = commits above EVERY watermark anyone could
+            # read: the live pointer and any snapshot's pointer (a
+            # restore may move the watermark forward again). Same rule
+            # for tombstone dirs — an aborted delete commit never
+            # became visible.
+            watermark = max(keep)
+            for sub in ("data", "deletes"):
+                root = os.path.join(tdir, sub)
+                if not os.path.isdir(root):
+                    continue
+                for d in os.listdir(root):
                     if d.startswith("commit="):
                         cid = int(d.split("=", 1)[1])
                         if cid > watermark:
-                            shutil.rmtree(os.path.join(data, d))
-                            removed.setdefault(table, []).append(d)
+                            shutil.rmtree(os.path.join(root, d))
+                            removed.setdefault(table, []).append(
+                                d if sub == "data" else f"deletes/{d}"
+                            )
         return removed
 
     # --- fact compaction -----------------------------------------------------
@@ -939,7 +1107,18 @@ class TableStore:
             tmp = os.path.join(data, f".compact-{b}.tmp")
             if os.path.isdir(tmp):
                 shutil.rmtree(tmp)
-            merged = spark.read.parquet(*dirs)
+            # PHYSICALLY purge tombstoned rows while merging — required
+            # for correctness, not just hygiene: the merge re-stamps
+            # every row to commit id b, so a row deleted at d ≤ b would
+            # otherwise outrank its tombstone and resurrect. Tombstone
+            # dirs are retained (rows in never-rewritten segments still
+            # need them; re-application to purged rows is a no-op).
+            merged = (
+                spark.read.option("basePath", data)
+                .option("mergeSchema", "true")
+                .parquet(*dirs)
+            )
+            merged = self._apply_deletes(spark, table, merged, b).drop("commit")
             if isinstance(cluster_by, (list, tuple)):
                 from ..operators.zorder import zorder_frame
 

@@ -218,6 +218,54 @@ def store_branch_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "store_merge_on_read_delete",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+    FROM orders
+    WHERE (o_orderkey % 4 = 0 AND o_orderkey % 8 <> 0)
+       OR o_orderkey % 4 IN (1, 2)
+    """,
+)
+def store_merge_on_read_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10-ext — equality-delete round trip through a real TableStore
+    (pipeline/store.py::delete_facts): commits 1 and 2 append two key
+    classes, commit 3 tombstones the %8==0 keys (killing only their
+    commit-1 rows — the Iceberg strictly-below sequence rule) while
+    appending a third class in the same commit. The merged read must
+    show exactly the oracle's key-mod set algebra."""
+    import shutil
+    import tempfile
+
+    from ..pipeline.store import TableStore
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    part = F.pmod(F.col("o_orderkey"), 4)
+    d = tempfile.mkdtemp(prefix="mor_store_")
+    try:
+        store = TableStore(d)
+        store.append("orders_f", o.where(part == 0), commit_id=1)
+        store.commit_append("orders_f", 1)
+        store.append("orders_f", o.where(part == 1), commit_id=2)
+        store.commit_append("orders_f", 2)
+        store.delete_facts(
+            "orders_f",
+            o.where(F.pmod(F.col("o_orderkey"), 8) == 0),
+            commit_id=3,
+        )
+        store.append("orders_f", o.where(part == 2), commit_id=3)
+        store.commit_append("orders_f", 3)
+        out = store.read_facts(spark, "orders_f").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("o_orderkey").cast("bigint").alias("key_sum"),
+        )
+        rows = out.collect()  # materialize before the tempdir vanishes
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+@register(
     "period_windows",
     oracle="""
     WITH b AS (SELECT min(ts) AS lo, max(ts) AS hi FROM events),

@@ -818,3 +818,117 @@ def test_promote_branch_fast_forward_and_crash_replay(spark, tmp_path):
     assert not os.path.isdir(os.path.join(base, "crash"))
     got2 = sorted(r.k for r in store2.read_facts(spark, "facts").collect())
     assert got2 == got + list(range(200, 210))
+
+
+def test_equality_deletes_merge_on_read(spark, tmp_path):
+    """Iceberg-v2-style equality deletes: tombstones are commit-gated
+    like appends, kill rows with row-commit <= tombstone-commit,
+    re-inserts survive, time travel ignores later deletes, and the
+    pruned read path applies them too."""
+    store = TableStore(str(tmp_path / "store"))
+
+    def rows(ks, cid):
+        return spark.createDataFrame(
+            [(k, k * 10 + cid) for k in ks], "k long, v long"
+        )
+
+    store.append("facts", rows(range(10), 1), commit_id=1)
+    store.commit_append("facts", 1)
+    store.snapshot("before_delete")
+    # commit 2: delete keys {2, 3, 7} and append a RE-INSERT of key 2
+    store.delete_facts(
+        "facts", spark.createDataFrame([(2,), (3,), (7,)], "k long"), 2
+    )
+    store.append("facts", rows([2], 2), commit_id=2)
+    store.commit_append("facts", 2)
+
+    got = {r.k: r.v for r in store.read_facts(spark, "facts").collect()}
+    assert set(got) == set(range(10)) - {3, 7}
+    assert got[2] == 2 * 10 + 2  # the commit-2 re-insert, not the original
+
+    # time travel: the pre-delete snapshot still shows all 10 originals
+    at = {r.k: r.v for r in store.read_at(spark, "facts", "before_delete").collect()}
+    assert set(at) == set(range(10)) and at[2] == 2 * 10 + 1
+
+    # pruned read applies tombstones too
+    pruned = store.read_facts_pruned(spark, "facts", "k", 0, 9)
+    assert {r.k for r in pruned.collect()} == set(range(10)) - {3, 7}
+
+    # inconsistent delete key columns are refused
+    with pytest.raises(ValueError, match="delete key columns"):
+        store.delete_facts(
+            "facts", spark.createDataFrame([(1, 2)], "k long, v long"), 3
+        )
+
+    # manifest folds still work (append-level; deletes not subtracted)
+    assert store.facts_stats("facts")["rows"] == 11
+
+
+def test_equality_deletes_compaction_purges_and_cannot_resurrect(spark, tmp_path):
+    """Compaction re-stamps merged rows to the segment-boundary commit
+    id, so it MUST purge tombstoned rows physically — this test pins
+    both the purge (files no longer hold deleted keys) and the
+    no-resurrection property (read sets identical before/after)."""
+    store = TableStore(str(tmp_path / "store"))
+
+    def rows(ks, cid):
+        return spark.createDataFrame(
+            [(k, k * 100 + cid) for k in ks], "k long, v long"
+        )
+
+    store.append("facts", rows(range(0, 10), 1), commit_id=1)
+    store.commit_append("facts", 1)
+    store.append("facts", rows(range(10, 20), 2), commit_id=2)
+    store.commit_append("facts", 2)
+    store.delete_facts(
+        "facts", spark.createDataFrame([(1,), (11,)], "k long"), 3
+    )
+    store.append("facts", rows([1], 3), commit_id=3)  # re-insert key 1
+    store.commit_append("facts", 3)
+
+    before = sorted(
+        (r.k, r.v) for r in store.read_facts(spark, "facts").collect()
+    )
+    segs = store.compact_facts(spark, "facts", min_dirs_per_segment=2)
+    assert segs["segments"], segs
+    after = sorted(
+        (r.k, r.v) for r in store.read_facts(spark, "facts").collect()
+    )
+    assert after == before
+    assert (1, 1 * 100 + 3) in after and not any(k == 11 for k, _ in after)
+
+    # physical purge: the merged files hold no tombstoned-and-dead rows
+    merged_dir = store.append_dir("facts", 3)
+    raw = {
+        (r.k, r.v)
+        for r in spark.read.option("mergeSchema", "true")
+        .parquet(merged_dir)
+        .collect()
+    }
+    assert (11, 11 * 100 + 2) not in raw
+    assert (1, 1 * 100 + 1) not in raw  # the pre-delete version of key 1
+
+
+def test_equality_deletes_branch_isolation(spark, tmp_path):
+    """Deletes on a branch stay on the branch; source tombstones at or
+    below the base keep applying to the shared history on both sides."""
+    store = TableStore(str(tmp_path / "store"))
+
+    def rows(ks, cid):
+        return spark.createDataFrame([(k, cid) for k in ks], "k long, v long")
+
+    store.append("facts", rows(range(10), 1), commit_id=1)
+    store.commit_append("facts", 1)
+    store.delete_facts("facts", spark.createDataFrame([(0,)], "k long"), 2)
+    store.commit_append("facts", 2)  # source tombstone, pre-branch
+
+    store.create_branch("facts", "dev")  # base = 2
+    store.delete_facts("dev", spark.createDataFrame([(5,)], "k long"), 3)
+    store.commit_append("dev", 3)
+
+    assert {r.k for r in store.read_facts(spark, "dev").collect()} == (
+        set(range(10)) - {0, 5}
+    )
+    assert {r.k for r in store.read_facts(spark, "facts").collect()} == (
+        set(range(10)) - {0}
+    )
