@@ -457,6 +457,25 @@ class TableStore:
             self.delete_dir(table, commit_id)
         )
 
+    def upsert_facts(
+        self,
+        table: str,
+        df: DataFrame,
+        key_cols: list[str],
+        commit_id: int,
+        cluster_by: str | list[str] | None = None,
+    ) -> None:
+        """Atomic upsert = equality-delete of ``df``'s keys + append of
+        ``df``, in ONE commit: the tombstone kills only rows committed
+        strictly below ``commit_id`` (older versions of these keys),
+        the new rows ride at ``commit_id`` and survive, and the pointer
+        flip exposes both together or neither. O(new data) — history is
+        never rewritten; the old versions stop matching at read time
+        and are physically dropped by the next compaction."""
+        keys = df.select(*key_cols).distinct()
+        self.delete_facts(table, keys, commit_id)
+        self.append(table, df, commit_id, cluster_by=cluster_by)
+
     def _committed_delete_dirs(self, table: str) -> list[str]:
         """Mirror of ``_committed_append_dirs`` for tombstones
         (branch-aware: the source's deletes ≤ base apply to the shared

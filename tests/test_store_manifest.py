@@ -932,3 +932,43 @@ def test_equality_deletes_branch_isolation(spark, tmp_path):
     assert {r.k for r in store.read_facts(spark, "facts").collect()} == (
         set(range(10)) - {0}
     )
+
+
+def test_upsert_facts_one_commit_atomic(spark, tmp_path):
+    """upsert_facts = tombstone + append under one commit id: changed
+    keys show their NEW values, untouched keys keep their old rows,
+    nothing is visible until commit_append flips the pointer, and the
+    next compaction physically drops the superseded versions."""
+    store = TableStore(str(tmp_path / "store"))
+    base = spark.createDataFrame(
+        [(k, f"v1-{k}") for k in range(8)], "k long, val string"
+    )
+    store.append("facts", base, commit_id=1)
+    store.commit_append("facts", 1)
+
+    upd = spark.createDataFrame(
+        [(2, "v2-2"), (5, "v2-5"), (100, "v2-100")], "k long, val string"
+    )
+    store.upsert_facts("facts", upd, ["k"], commit_id=2)
+    # staged but not committed: reads still show the old state
+    assert {r.val for r in store.read_facts(spark, "facts").collect()} == {
+        f"v1-{k}" for k in range(8)
+    }
+    store.commit_append("facts", 2)
+    got = {r.k: r.val for r in store.read_facts(spark, "facts").collect()}
+    assert got == {
+        **{k: f"v1-{k}" for k in range(8) if k not in (2, 5)},
+        2: "v2-2", 5: "v2-5", 100: "v2-100",
+    }
+
+    # compaction physically drops the superseded rows
+    store.compact_facts(spark, "facts", min_dirs_per_segment=2)
+    raw = {
+        (r.k, r.val)
+        for r in spark.read.option("mergeSchema", "true")
+        .parquet(store.append_dir("facts", 2))
+        .collect()
+    }
+    assert (2, "v1-2") not in raw and (5, "v1-5") not in raw
+    got2 = {r.k: r.val for r in store.read_facts(spark, "facts").collect()}
+    assert got2 == got
