@@ -115,6 +115,68 @@ def corpus_near_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "corpus_dedup_keep_best",
+    oracle=f"""
+    WITH RECURSIVE pairs AS (
+      SELECT id_a, id_b FROM ({_minhash_sql()})
+    ),
+    sym AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    reach(a, b) AS (
+      SELECT src, dst FROM sym
+      UNION
+      SELECT r.a, s.dst FROM reach r JOIN sym s ON r.b = s.src
+    ),
+    comp AS (SELECT a, min(b) AS m FROM reach GROUP BY a),
+    clus AS (
+      SELECT d.doc_id, d.lang, d.source, d.n_chars,
+             least(d.doc_id, coalesce(c.m, d.doc_id)) AS cid
+      FROM documents d LEFT JOIN comp c ON c.a = d.doc_id
+    )
+    SELECT doc_id, lang, source, CAST(n_chars AS BIGINT) AS n_chars
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY cid ORDER BY n_chars DESC, doc_id) AS rn
+      FROM clus
+    ) WHERE rn = 1
+    """,
+)
+def corpus_dedup_keep_best_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUALITY-AWARE near-dedup: collapse each near-dup cluster to its
+    LONGEST member (n_chars, doc_id tiebreak) instead of
+    corpus_near_dedup's min-id canonical — the keep-longest rule
+    production web corpora actually ship (a truncated or boilerplate
+    copy should lose to the full version, whichever id crawled first).
+    Same scale shape: LSH pairs → connected components → ONE window
+    argmax per cluster (components are tiny; the window shuffles on
+    component_id, never globally)."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        d, "doc_id", "text", n=3, num_hashes=16, bands=4, threshold=0.5
+    )
+    comp = connected_components(
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
+        d.select(F.col("doc_id").alias("node")),
+    )
+    clus = d.join(comp, d["doc_id"] == comp["node"], "left").select(
+        "doc_id", "lang", "source", "n_chars",
+        F.coalesce(F.col("component_id"), F.col("doc_id")).alias("cid"),
+    )
+    w = Window.partitionBy("cid").orderBy(F.desc("n_chars"), "doc_id")
+    return (
+        clus.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "doc_id", "lang", "source",
+            F.col("n_chars").cast("bigint").alias("n_chars"),
+        )
+    )
+
+
+@register(
     "dedup_cluster_sizes",
     oracle=f"""
     WITH RECURSIVE pairs AS (
