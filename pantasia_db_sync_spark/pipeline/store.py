@@ -1160,4 +1160,28 @@ class TableStore:
             os.replace(jtmp, self._journal_path(table))
             self._apply_journal(table, journal)
             done.append((b, len(seg)))
+        # TOMBSTONE GC: once the FIRST segment (history's beginning up
+        # to the first boundary b1) has been compacted, every tombstone
+        # at commit ≤ b1 is provably spent — its victims (rows with
+        # commit < d ≤ b1) all lived in that segment and were purged by
+        # the merge, and no reader watermark sits below b1 (boundaries
+        # ARE the watermarks, b1 the smallest). Dropping them returns
+        # never-deleted read plans to the zero-join fast path. A
+        # first segment skipped by min_dirs_per_segment keeps its
+        # tombstones (nothing was rewritten). NEVER GC on a BRANCH: its
+        # tombstones in (base, b1] target the source's shared history,
+        # which this compaction did not rewrite — dropping them would
+        # resurrect those rows in branch reads.
+        if done and done[0][0] == boundaries[0] and self.branch_info(table) is None:
+            b1 = done[0][0]
+            droot = os.path.join(self._tdir(table), "deletes")
+            if os.path.isdir(droot):
+                spent = []
+                for d in sorted(os.listdir(droot)):
+                    if d.startswith("commit=") and int(d.split("=", 1)[1]) <= b1:
+                        shutil.rmtree(os.path.join(droot, d))
+                        spent.append(d)
+                if spent:
+                    done_meta = {"tombstones_dropped": spent}
+                    return {"segments": done, **done_meta}
         return {"segments": done}

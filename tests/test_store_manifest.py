@@ -972,3 +972,54 @@ def test_upsert_facts_one_commit_atomic(spark, tmp_path):
     assert (2, "v1-2") not in raw and (5, "v1-5") not in raw
     got2 = {r.k: r.val for r in store.read_facts(spark, "facts").collect()}
     assert got2 == got
+
+
+def test_compaction_gcs_spent_tombstones_but_not_on_branches(spark, tmp_path):
+    """Tombstone GC: compacting the FIRST segment drops tombstones at
+    or below its boundary (their victims were purged by the merge, and
+    no reader watermark sits lower), restoring the zero-join read
+    plan; read sets stay identical. On a BRANCH the GC never runs —
+    its tombstones target the source's un-rewritten shared history."""
+    store = TableStore(str(tmp_path / "store"))
+
+    def rows(ks, cid):
+        return spark.createDataFrame([(k, cid) for k in ks], "k long, v long")
+
+    store.append("facts", rows(range(10), 1), commit_id=1)
+    store.commit_append("facts", 1)
+    store.delete_facts("facts", spark.createDataFrame([(4,)], "k long"), 2)
+    store.append("facts", rows(range(10, 15), 2), commit_id=2)
+    store.commit_append("facts", 2)
+
+    before = sorted(r.k for r in store.read_facts(spark, "facts").collect())
+    assert 4 not in before
+    out = store.compact_facts(spark, "facts", min_dirs_per_segment=2)
+    assert out.get("tombstones_dropped") == ["commit=2"], out
+    assert not os.path.isdir(store.delete_dir("facts", 2))
+    after = sorted(r.k for r in store.read_facts(spark, "facts").collect())
+    assert after == before
+    # zero-join fast path restored
+    plan = (
+        store.read_facts(spark, "facts")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Join" not in plan, plan
+
+    # branch: tombstones in (base, b1] target shared history -> no GC
+    store2 = TableStore(str(tmp_path / "store2"))
+    store2.append("facts", rows(range(10), 1), commit_id=1)
+    store2.commit_append("facts", 1)
+    store2.create_branch("facts", "dev")  # base = 1
+    store2.delete_facts("dev", spark.createDataFrame([(3,)], "k long"), 2)
+    store2.append("dev", rows([100, 101], 2), commit_id=2)
+    store2.commit_append("dev", 2)
+    store2.append("dev", rows([102], 3), commit_id=3)
+    store2.commit_append("dev", 3)
+    dev_before = sorted(r.k for r in store2.read_facts(spark, "dev").collect())
+    assert 3 not in dev_before
+    out2 = store2.compact_facts(spark, "dev", min_dirs_per_segment=2)
+    assert out2["segments"], out2
+    assert "tombstones_dropped" not in out2, out2
+    assert os.path.isdir(store2.delete_dir("dev", 2))  # tombstone survives
+    dev_after = sorted(r.k for r in store2.read_facts(spark, "dev").collect())
+    assert dev_after == dev_before  # key 3 stays dead
