@@ -287,6 +287,19 @@ def ngram_jaccard_pairs(
     )
 
 
+def _prefix_len_expr(threshold: float, n_col: Column) -> Column:
+    """PPJoin prefix length |x| − ⌈τ·|x|⌉ + 1, with the ceil guarded by
+    an epsilon: threshold*n computed in doubles can round UP past an
+    exact integer (0.55*20 → 11.000000000000002 → ceil 12), which would
+    SHORTEN the prefix below the mathematical bound and silently drop a
+    qualifying pair whose overlap sits exactly at the bound. The 1e-9
+    nudge only ever cancels that float error — a true fractional part
+    of τ·n is ≥ 1/n ≫ 1e-9 for any realistic document — so the prefix
+    is never shorter than the bound (longer by one in the rounding
+    cases, which costs candidates, never recall)."""
+    return n_col - F.ceil(F.lit(threshold) * n_col - F.lit(1e-9)) + 1
+
+
 def prefix_filter_jaccard_pairs(
     docs: DataFrame,
     id_col: str,
@@ -331,7 +344,7 @@ def prefix_filter_jaccard_pairs(
     df_counts = exploded.groupBy("shingle").agg(
         F.count(F.lit(1)).alias("__df")
     )
-    prefix_len = F.col("__n") - F.ceil(F.lit(threshold) * F.col("__n")) + 1
+    prefix_len = _prefix_len_expr(threshold, F.col("__n"))
     w = Window.partitionBy(id_col).orderBy("__df", "shingle")
     prefix = (
         exploded.join(df_counts.hint("shuffle_hash"), "shingle")

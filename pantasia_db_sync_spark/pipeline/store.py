@@ -700,31 +700,45 @@ class TableStore:
         contract (drops/renames need a compaction rewrite). Cost is a
         parallel footer sweep, O(#files) metadata, zero data pages.
         Across branch roots the same contract holds via unionByName
-        with allowMissingColumns."""
-        from pyspark.sql import functions as F
+        with allowMissingColumns.
 
-        def root(data: str, lo, hi) -> DataFrame:
-            df = (
+        Schema is isolated AT the watermark: only commit dirs inside
+        (lo, hi] are handed to the reader, so a column introduced by a
+        LATER commit never appears in a branch / time-travel read —
+        "commits after base are invisible" holds for the schema, not
+        just the rows. (Listing the visible dirs explicitly also
+        replaces the old read-everything-then-row-filter plan, so the
+        footer sweep itself is bounded by the watermark.)"""
+
+        def root(data: str, lo, hi) -> DataFrame | None:
+            dirs = [
+                os.path.join(data, d)
+                for d in sorted(os.listdir(data))
+                if d.startswith("commit=")
+                and (lo is None or int(d.split("=", 1)[1]) > lo)
+                and int(d.split("=", 1)[1]) <= hi
+            ]
+            if not dirs:
+                return None
+            return (
                 spark.read.option("basePath", data)
                 .option("mergeSchema", "true")
-                .parquet(data)
+                .parquet(*dirs)
             )
-            cond = F.col("commit") <= hi
-            if lo is not None:
-                cond = cond & (F.col("commit") > lo)
-            return df.where(cond)
 
         br = self.branch_info(table)
         parts: list[DataFrame] = []
         if br is not None:
             src = os.path.join(self._tdir(br["source"]), "data")
             if os.path.isdir(src):
-                parts.append(root(src, None, min(br["base"], watermark)))
+                p = root(src, None, min(br["base"], watermark))
+                if p is not None:
+                    parts.append(p)
         data = os.path.join(self._tdir(table), "data")
         if os.path.isdir(data):
-            parts.append(
-                root(data, br["base"] if br is not None else None, watermark)
-            )
+            p = root(data, br["base"] if br is not None else None, watermark)
+            if p is not None:
+                parts.append(p)
         if not parts:
             return None
         out = parts[0]
@@ -808,10 +822,20 @@ class TableStore:
         # group kept entries by their data ROOT and read each group with
         # basePath so the commit partition column survives — tombstone
         # application needs each row's own commit id (a branch read
-        # spans two roots, hence the grouping rather than one basePath)
+        # spans two roots, hence the grouping rather than one basePath).
+        # Roots are matched against the KNOWN candidates (this table's
+        # data dir + the branch source's), not string-searched: a
+        # base_dir containing a "data" path segment, or a table named
+        # "data", must not corrupt the basePath.
+        br = self.branch_info(table)
+        candidates = [os.path.join(self._tdir(table), "data")]
+        if br is not None:
+            candidates.append(os.path.join(self._tdir(br["source"]), "data"))
         by_root: dict[str, list[str]] = {}
         for p in keep:
-            root = p[: p.index(os.sep + "data" + os.sep) + 5]
+            root = next(
+                r for r in candidates if p == r or p.startswith(r + os.sep)
+            )
             by_root.setdefault(root, []).append(p)
         parts = [
             spark.read.option("basePath", root)

@@ -459,8 +459,10 @@ def test_prefix_filter_hot_shingle_prefix_stays_cold(spark):
         F.explode("__sh").alias("shingle"),
         F.size("__sh").alias("__n"),
     )
+    from pantasia_db_sync_spark.operators.dedup import _prefix_len_expr
+
     dfc = exploded.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
-    plen = F.col("__n") - F.ceil(F.lit(0.5) * F.col("__n")) + 1
+    plen = _prefix_len_expr(0.5, F.col("__n"))
     w = Window.partitionBy("doc_id").orderBy("__df", "shingle")
     prefix = (
         exploded.join(dfc, "shingle")
@@ -469,6 +471,43 @@ def test_prefix_filter_hot_shingle_prefix_stays_cold(spark):
     )
     max_prefix_df = prefix.agg(F.max("__df")).collect()[0][0]
     assert max_prefix_df < 60, max_prefix_df  # hot shingles excluded
+
+
+def test_prefix_len_never_below_exact_bound(spark):
+    """ADVICE r8 regression: the PPJoin prefix length must equal
+    |x| − ⌈τ·|x|⌉ + 1 under EXACT (rational) arithmetic for every
+    (τ, n) — the unguarded double product rounds ⌈0.55·20⌉ up to 12
+    and shortens the prefix by one, which can drop exactly-at-threshold
+    pairs. Oracle: Fraction-based ceil over the DECIMAL the caller
+    wrote, evaluated for every n ≤ 200 and a grid of thresholds
+    including exact-integer-product and exact-binary cases."""
+    from fractions import Fraction
+    from math import ceil
+
+    from pantasia_db_sync_spark.operators.dedup import _prefix_len_expr
+
+    thresholds = [
+        Fraction(55, 100),  # the reproduced 0.55*20 case
+        Fraction(1, 2),  # exact in binary: must stay unchanged
+        Fraction(3, 10),
+        Fraction(7, 10),
+        Fraction(85, 100),
+        Fraction(9, 10),
+        Fraction(1, 3),  # non-terminating either way
+        Fraction(25, 100),  # exact in binary
+    ]
+    ns = spark.range(1, 201).select(F.col("id").cast("int").alias("__n"))
+    for frac in thresholds:
+        tau = float(frac)  # what a caller actually passes
+        got = {
+            r["__n"]: r["plen"]
+            for r in ns.select(
+                "__n", _prefix_len_expr(tau, F.col("__n")).alias("plen")
+            ).collect()
+        }
+        for n in range(1, 201):
+            want = n - ceil(frac * n) + 1
+            assert got[n] == want, (tau, n, got[n], want)
 
 
 @settings(**SETTINGS)

@@ -1023,3 +1023,89 @@ def test_compaction_gcs_spent_tombstones_but_not_on_branches(spark, tmp_path):
     assert os.path.isdir(store2.delete_dir("dev", 2))  # tombstone survives
     dev_after = sorted(r.k for r in store2.read_facts(spark, "dev").collect())
     assert dev_after == dev_before  # key 3 stays dead
+
+
+def test_pruned_read_with_data_segment_in_base_dir(spark, tmp_path):
+    """ADVICE r8 regression (medium): read_facts_pruned must derive
+    each kept path's data ROOT from the store's known candidate roots,
+    not by string-searching for the FIRST '/data/' segment — a
+    base_dir containing a 'data' path segment (/srv/data/warehouse)
+    or a table literally named 'data' would otherwise yield a wrong
+    basePath, breaking partition discovery / dropping the commit
+    column that tombstone application depends on."""
+    store = TableStore(str(tmp_path / "data" / "warehouse"))
+
+    def batch(lo, hi):
+        return spark.range(lo, hi).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        )
+
+    for table in ("facts", "data"):  # 'data' = the table-named-data trap
+        store.append(table, batch(0, 50), commit_id=1, cluster_by="k")
+        store.commit_append(table, 1)
+        store.append(table, batch(50, 100), commit_id=2, cluster_by="k")
+        store.commit_append(table, 2)
+        # a tombstone forces _apply_deletes to use each row's commit id,
+        # so a dropped/mangled commit column cannot pass silently
+        store.delete_facts(
+            table, spark.createDataFrame([(10,), (60,)], "k long"), commit_id=3
+        )
+        store.commit_append(table, 3)
+        pruned = store.read_facts_pruned(spark, table, "k", 5, 70)
+        got = sorted(r.k for r in pruned.collect())
+        assert got == [k for k in range(5, 71) if k not in (10, 60)], table
+
+    # branch spanning two roots under the same trap base_dir
+    store.create_branch("facts", "dev")
+    store.append("dev", batch(100, 120), commit_id=4, cluster_by="k")
+    store.commit_append("dev", 4)
+    pruned = store.read_facts_pruned(spark, "dev", "k", 90, 110)
+    assert sorted(r.k for r in pruned.collect()) == list(range(90, 111))
+
+
+def test_schema_isolated_at_watermark(spark, tmp_path):
+    """ADVICE r8 regression: columns added by commits AFTER a branch's
+    base (or after a time-travel snapshot's watermark) must not appear
+    in the branch/snapshot read's schema at all — 'commits after base
+    are invisible' holds for the schema, not just the rows."""
+    store = TableStore(str(tmp_path / "store"))
+    store.append(
+        "facts",
+        spark.createDataFrame([(1, "a"), (2, "b")], "k long, s string"),
+        commit_id=1,
+    )
+    store.commit_append("facts", 1)
+    store.snapshot("before_evolution")
+    store.create_branch("facts", "dev")
+
+    # evolve on main AFTER the snapshot + branch point
+    store.append(
+        "facts",
+        spark.createDataFrame([(3, "c", 9.5)], "k long, s string, score double"),
+        commit_id=2,
+    )
+    store.commit_append("facts", 2)
+
+    full = store.read_facts(spark, "facts")
+    assert sorted(full.columns) == ["k", "s", "score"]  # main sees it
+
+    at = store.read_at(spark, "facts", "before_evolution")
+    assert sorted(at.columns) == ["k", "s"], at.columns
+    assert sorted(r.k for r in at.collect()) == [1, 2]
+
+    dev = store.read_facts(spark, "dev")
+    assert sorted(dev.columns) == ["k", "s"], dev.columns
+
+    # branch's own append evolves the BRANCH only; main stays isolated
+    store.append(
+        "dev",
+        spark.createDataFrame([(4, "d", True)], "k long, s string, flag boolean"),
+        commit_id=3,
+    )
+    store.commit_append("dev", 3)
+    assert sorted(store.read_facts(spark, "dev").columns) == ["flag", "k", "s"]
+    assert sorted(store.read_facts(spark, "facts").columns) == ["k", "s", "score"]
+
+    # pruned read under the same watermark rule: schema matches read_facts
+    pruned = store.read_facts_pruned(spark, "dev", "k", 0, 10)
+    assert sorted(pruned.columns) == ["flag", "k", "s"]
