@@ -713,12 +713,25 @@ def kmeans_fit(
         assigned = v.withColumn(
             "cell", kmeans_cell_expr(F.col("v"), F.col("nrm"), cents, round_digits)
         )
-        rows = assigned.groupBy("cell").agg(
-            *[F.avg(F.col("v")[i]).alias(f"c{i}") for i in range(dim)]
-        ).collect()
+        # posexplode + ONE avg (regrouped on the driver): identical
+        # values and identical k×dim partial-agg shuffle volume as a
+        # dim-wide avg agg, but ~½ the per-iteration codegen compile —
+        # each iteration is a fresh plan (literal centroids), so
+        # compile cost is paid every time (see pq_fit)
+        rows = (
+            assigned.select("cell", F.posexplode("v").alias("i", "x"))
+            .groupBy("cell", "i")
+            .agg(F.avg("x").alias("c"))
+            .collect()
+        )
+        acc: dict[int, dict[int, float]] = {}
+        for r in rows:
+            acc.setdefault(int(r["cell"]), {})[int(r["i"])] = _py_fround(
+                r["c"], round_digits
+            )
         cents = sorted(
-            (int(r["cell"]), [_py_fround(r[f"c{i}"], round_digits) for i in range(dim)])
-            for r in rows
+            (cell, [coords[i] for i in range(dim)])
+            for cell, coords in acc.items()
         )
     return cents
 
@@ -916,17 +929,27 @@ def pq_fit(
                 )
             ).alias("e")
         ).select("e.j", "e.cell", "e.sv")
-        rows = sub.groupBy("j", "cell").agg(
-            *[F.avg(F.col("sv")[i]).alias(f"c{i}") for i in range(s)]
-        ).collect()
-        books = {j: [] for j in range(m)}
+        # posexplode + ONE avg, regrouped driver-side: same multiset of
+        # values and the same m·k·s partial-agg shuffle rows as the
+        # former s-column-wide avg agg (map-side combine on (j,cell,i)),
+        # but the generated code is a fraction of the size — the wide
+        # agg cost ~1.5 s of janino compile PER ITERATION (every
+        # iteration is a fresh plan: the centroids are literals), the
+        # dominant wall at bench scale. Collect is m·k·s scalars.
+        rows = (
+            sub.select("j", "cell", F.posexplode("sv").alias("i", "x"))
+            .groupBy("j", "cell", "i")
+            .agg(F.avg("x").alias("c"))
+            .collect()
+        )
+        acc: dict[tuple[int, int], dict[int, float]] = {}
         for r in rows:
-            books[int(r["j"])].append(
-                (
-                    int(r["cell"]),
-                    [_py_fround(r[f"c{i}"], round_digits) for i in range(s)],
-                )
+            acc.setdefault((int(r["j"]), int(r["cell"])), {})[int(r["i"])] = (
+                _py_fround(r["c"], round_digits)
             )
+        books = {j: [] for j in range(m)}
+        for (j, cell), coords in acc.items():
+            books[j].append((cell, [coords[i] for i in range(s)]))
         books = {j: sorted(cs) for j, cs in books.items()}
     return books
 
@@ -937,14 +960,20 @@ def pq_codes(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int = 6,
+    carry: list[str] | None = None,
 ) -> DataFrame:
     """(id, j, cell): each vector's m codeword ids — the COMPRESSED
     corpus. At dim=64 float32 → m=4 int8 codes this is the 64× storage
     cut that makes billion-vector ANN fit in memory; materialized
-    exploded here because the ADC join consumes (j, cell) keys."""
+    exploded here because the ADC join consumes (j, cell) keys.
+
+    ``carry``: extra per-row columns to thread through the explode
+    (e.g. the IVF coarse-cell id) — free in the same map pass, where
+    re-attaching them afterwards would cost a corpus-wide join."""
     m = len(books)
     v = as_double_vec(vec_col)
     dim_s = len(books[0][0][1])
+    extra = list(carry or ())
     cells = [
         F.struct(
             F.lit(j).alias("j"),
@@ -953,8 +982,10 @@ def pq_codes(
         for j in range(m)
     ]
     return vectors.select(
-        F.col(id_col), F.explode(F.array(*cells)).alias("e")
-    ).select(F.col(id_col), F.col("e.j").alias("j"), F.col("e.cell").alias("cell"))
+        F.col(id_col), *extra, F.explode(F.array(*cells)).alias("e")
+    ).select(
+        F.col(id_col), *extra, F.col("e.j").alias("j"), F.col("e.cell").alias("cell")
+    )
 
 
 def pq_topk(
@@ -1139,12 +1170,18 @@ def ivfadc_topk(
             lambda x, y: x - y,
         ),
     )
+    # freeze before fan-out: FIVE consumers follow (residual fit's seed
+    # probe + its iterations, the code pass, the query frame) and each
+    # would otherwise re-run the coarse assignment + residual fold AND
+    # re-analyze its literal-heavy expression tree per consumer plan —
+    # measured 9.9 → ~4 s at sf0.1 where the wall is analysis/codegen
+    resdf = resdf.localCheckpoint(eager=False)
     books = pq_fit(resdf, "__id", "res", m=m, k=k,
                    iters=pq_iters, round_digits=round_digits)
     s = len(books[0][0][1])
-    codes = pq_codes(resdf, books, "__id", "res", round_digits).join(
-        resdf.select("__id", "ccell"), "__id"
-    )
+    # ccell rides through the code pass's explode — re-attaching it
+    # here used to cost a corpus-wide equi-join on __id
+    codes = pq_codes(resdf, books, "__id", "res", round_digits, carry=["ccell"])
 
     spark = vectors.sparkSession
     book_rows = [(j, cid, coords) for j, cs in books.items() for cid, coords in cs]

@@ -476,6 +476,95 @@ class TableStore:
         self.delete_facts(table, keys, commit_id)
         self.append(table, df, commit_id, cluster_by=cluster_by)
 
+    def merge_into(
+        self,
+        spark: SparkSession,
+        table: str,
+        source: DataFrame,
+        key_cols: list[str],
+        commit_id: int,
+        when_matched: str | None = "update",
+        when_not_matched: str | None = "insert",
+        cluster_by: str | list[str] | None = None,
+    ) -> dict:
+        """MERGE INTO (the Delta/Iceberg statement) on the fact store,
+        staged as ONE commit: source rows whose key exists in the
+        current merged read are "matched" (``when_matched``: ``update``
+        = new version via tombstone + append, ``delete`` = tombstone
+        only, ``None`` = leave target untouched); the rest follow
+        ``when_not_matched`` (``insert`` or ``None``). The pointer flip
+        exposes tombstones and appends together or not at all, and a
+        crash before ``commit_append`` leaves only orphan staged dirs
+        (vacuumed later) — same atomicity as :meth:`upsert_facts`.
+
+        Scale shape: the only read of the target is the key-existence
+        probe. ``update``+``insert`` needs NO probe at all (it is
+        exactly :meth:`upsert_facts` — tombstoning an absent key is a
+        no-op, so matched/unmatched need not be distinguished). For the
+        other clause combinations the probe is one semi/anti join of
+        the SOURCE against the target's key columns — and when the
+        merge key is a single clustered column, the target side is
+        :meth:`read_facts_pruned` down to the source's [min, max] key
+        range first (a scalar probe), so a merge touching one day of a
+        100 TB history classifies against that day's files, not the
+        table. History is never rewritten; old versions stop matching
+        at read time and compaction physically purges them.
+
+        CONTRACT: source keys unique (same as upsert — duplicate
+        source keys would all survive the merge). Returns counts
+        ``{"matched": n, "not_matched": m}`` (the probe's two sides;
+        the update+insert fast path returns ``{"staged": rows}``
+        without counting). Caller still runs ``commit_append``."""
+        if when_matched not in ("update", "delete", None):
+            raise ValueError(f"when_matched={when_matched!r}")
+        if when_not_matched not in ("insert", None):
+            raise ValueError(f"when_not_matched={when_not_matched!r}")
+        from pyspark.sql import functions as F
+
+        if when_matched == "update" and when_not_matched == "insert":
+            self.upsert_facts(table, source, key_cols, commit_id, cluster_by)
+            return {"staged": source.count()}
+
+        cur = self.read_facts(spark, table)
+        if cur is None:
+            matched = source.where(F.lit(False))
+            unmatched = source
+        else:
+            if len(key_cols) == 1:
+                kc = key_cols[0]
+                b = source.agg(
+                    F.min(kc).alias("lo"), F.max(kc).alias("hi")
+                ).collect()[0]
+                if b["lo"] is not None:
+                    pruned = self.read_facts_pruned(
+                        spark, table, kc, b["lo"], b["hi"]
+                    )
+                    if pruned is not None:
+                        cur = pruned
+            cur_keys = cur.select(*key_cols).distinct()
+            matched = source.join(cur_keys, key_cols, "left_semi")
+            unmatched = source.join(cur_keys, key_cols, "left_anti")
+        # classify BEFORE staging mutates anything; the counts also
+        # force the plans while the probe frame is still consistent
+        n_matched = matched.count()
+        n_unmatched = unmatched.count()
+
+        if when_matched in ("update", "delete") and n_matched:
+            self.delete_facts(
+                table, matched.select(*key_cols).distinct(), commit_id
+            )
+        appends = []
+        if when_matched == "update" and n_matched:
+            appends.append(matched)
+        if when_not_matched == "insert" and n_unmatched:
+            appends.append(unmatched)
+        if appends:
+            out = appends[0]
+            for p in appends[1:]:
+                out = out.unionByName(p)
+            self.append(table, out, commit_id, cluster_by=cluster_by)
+        return {"matched": n_matched, "not_matched": n_unmatched}
+
     def _committed_delete_dirs(self, table: str) -> list[str]:
         """Mirror of ``_committed_append_dirs`` for tombstones
         (branch-aware: the source's deletes ≤ base apply to the shared

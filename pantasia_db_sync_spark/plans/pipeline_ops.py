@@ -266,6 +266,84 @@ def store_merge_on_read_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "store_merge_into",
+    oracle="""
+    SELECT CAST(o_orderkey % 4 AS INTEGER) AS key_class,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(val) AS BIGINT) AS val_sum
+    FROM (
+      SELECT o_orderkey, o_orderkey AS val FROM orders
+      WHERE o_orderkey % 4 = 0 AND o_orderkey % 8 <> 0
+      UNION ALL
+      SELECT o_orderkey, o_orderkey * 10 FROM orders WHERE o_orderkey % 4 = 1
+      UNION ALL
+      SELECT o_orderkey, o_orderkey * 100 FROM orders WHERE o_orderkey % 4 = 3
+    )
+    GROUP BY 1
+    """,
+)
+def store_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10-ext — MERGE INTO (the Delta/Iceberg statement) end-to-end on
+    a real TableStore (pipeline/store.py::merge_into): commit 1 seeds
+    key classes %4∈{0,1}; merge #1 (matched=update, not_matched=None)
+    sends classes {1,2} at val×10 — class 1 updates, class 2 is
+    DISCARDED (no insert clause); merge #2 (matched=delete,
+    not_matched=insert) sends the %8==0 keys plus class 3 at val×100 —
+    the former are tombstoned, the latter inserted. The oracle replays
+    the surviving versions as key-mod set algebra. Each merge stages
+    tombstone + append under ONE commit (atomic at the pointer flip),
+    and the matched/unmatched probe is the only target read."""
+    import shutil
+    import tempfile
+
+    from ..pipeline.store import TableStore
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    part = F.pmod(F.col("o_orderkey"), 4)
+    d = tempfile.mkdtemp(prefix="merge_store_")
+    try:
+        store = TableStore(d)
+        seed = o.where(part.isin(0, 1)).select(
+            "o_orderkey", F.col("o_orderkey").alias("val")
+        )
+        store.append("orders_f", seed, commit_id=1)
+        store.commit_append("orders_f", 1)
+
+        src1 = o.where(part.isin(1, 2)).select(
+            "o_orderkey", (F.col("o_orderkey") * 10).alias("val")
+        )
+        store.merge_into(
+            spark, "orders_f", src1, ["o_orderkey"], commit_id=2,
+            when_matched="update", when_not_matched=None,
+        )
+        store.commit_append("orders_f", 2)
+
+        src2 = o.where(
+            (F.pmod(F.col("o_orderkey"), 8) == 0) | (part == 3)
+        ).select("o_orderkey", (F.col("o_orderkey") * 100).alias("val"))
+        store.merge_into(
+            spark, "orders_f", src2, ["o_orderkey"], commit_id=3,
+            when_matched="delete", when_not_matched="insert",
+        )
+        store.commit_append("orders_f", 3)
+
+        out = (
+            store.read_facts(spark, "orders_f")
+            .groupBy(
+                F.pmod(F.col("o_orderkey"), 4).cast("int").alias("key_class")
+            )
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n"),
+                F.sum("val").cast("bigint").alias("val_sum"),
+            )
+        )
+        rows = out.collect()  # materialize before the tempdir vanishes
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+@register(
     "period_windows",
     oracle="""
     WITH b AS (SELECT min(ts) AS lo, max(ts) AS hi FROM events),

@@ -1109,3 +1109,110 @@ def test_schema_isolated_at_watermark(spark, tmp_path):
     # pruned read under the same watermark rule: schema matches read_facts
     pruned = store.read_facts_pruned(spark, "dev", "k", 0, 10)
     assert sorted(pruned.columns) == ["flag", "k", "s"]
+
+
+def test_merge_into_clause_combinations(spark, tmp_path):
+    """MERGE INTO semantics per clause pair: update-only drops
+    unmatched source rows, delete+insert tombstones matched keys while
+    inserting new ones in the SAME commit, insert-only is
+    insert-if-absent, and update+insert takes the probe-free upsert
+    fast path. Nothing is exposed until commit_append."""
+    store = TableStore(str(tmp_path / "store"))
+
+    def rows(*pairs):
+        return spark.createDataFrame(list(pairs), "k long, val long")
+
+    store.append("t", rows((1, 10), (2, 20), (3, 30)), commit_id=1)
+    store.commit_append("t", 1)
+
+    # update-only: key 2 updates, key 9 (unmatched) is discarded
+    res = store.merge_into(
+        spark, "t", rows((2, 200), (9, 900)), ["k"], commit_id=2,
+        when_matched="update", when_not_matched=None,
+    )
+    assert res == {"matched": 1, "not_matched": 1}
+    # staged but not committed: still invisible
+    assert {r.k: r.val for r in store.read_facts(spark, "t").collect()} == {
+        1: 10, 2: 20, 3: 30
+    }
+    store.commit_append("t", 2)
+    assert {r.k: r.val for r in store.read_facts(spark, "t").collect()} == {
+        1: 10, 2: 200, 3: 30
+    }
+
+    # delete + insert in one commit: key 1 dies, key 4 appears
+    res = store.merge_into(
+        spark, "t", rows((1, 0), (4, 40)), ["k"], commit_id=3,
+        when_matched="delete", when_not_matched="insert",
+    )
+    assert res == {"matched": 1, "not_matched": 1}
+    store.commit_append("t", 3)
+    assert {r.k: r.val for r in store.read_facts(spark, "t").collect()} == {
+        2: 200, 3: 30, 4: 40
+    }
+
+    # insert-only (insert-if-absent): existing key 3 untouched
+    res = store.merge_into(
+        spark, "t", rows((3, 999), (5, 50)), ["k"], commit_id=4,
+        when_matched=None, when_not_matched="insert",
+    )
+    assert res == {"matched": 1, "not_matched": 1}
+    store.commit_append("t", 4)
+    assert {r.k: r.val for r in store.read_facts(spark, "t").collect()} == {
+        2: 200, 3: 30, 4: 40, 5: 50
+    }
+
+    # update+insert = the upsert fast path (returns staged count only)
+    res = store.merge_into(
+        spark, "t", rows((5, 500), (6, 60)), ["k"], commit_id=5,
+    )
+    assert res == {"staged": 2}
+    store.commit_append("t", 5)
+    assert {r.k: r.val for r in store.read_facts(spark, "t").collect()} == {
+        2: 200, 3: 30, 4: 40, 5: 500, 6: 60
+    }
+
+    # delete-only merge into an EMPTY table: no-op, still committable
+    store2 = TableStore(str(tmp_path / "empty"))
+    res = store2.merge_into(
+        spark, "e", rows((1, 1)), ["k"], commit_id=1,
+        when_matched="delete", when_not_matched=None,
+    )
+    assert res == {"matched": 0, "not_matched": 1}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        store.merge_into(spark, "t", rows((1, 1)), ["k"], 9, when_matched="upsert")
+
+
+def test_merge_into_composite_key_and_reinsert(spark, tmp_path):
+    """Composite merge keys classify on ALL key columns, and a deleted
+    key can be re-inserted by a later merge (the tombstone kills only
+    rows strictly below its commit)."""
+    store = TableStore(str(tmp_path / "store"))
+    df = spark.createDataFrame(
+        [(1, "a", 10), (1, "b", 11), (2, "a", 20)], "k long, s string, val long"
+    )
+    store.append("t", df, commit_id=1)
+    store.commit_append("t", 1)
+
+    src = spark.createDataFrame(
+        [(1, "a", 100), (2, "b", 210)], "k long, s string, val long"
+    )
+    res = store.merge_into(
+        spark, "t", src, ["k", "s"], commit_id=2,
+        when_matched="delete", when_not_matched="insert",
+    )
+    assert res == {"matched": 1, "not_matched": 1}
+    store.commit_append("t", 2)
+    got = {(r.k, r.s): r.val for r in store.read_facts(spark, "t").collect()}
+    assert got == {(1, "b"): 11, (2, "a"): 20, (2, "b"): 210}
+
+    # re-insert the deleted (1,'a') via a later merge
+    back = spark.createDataFrame([(1, "a", 1000)], "k long, s string, val long")
+    store.merge_into(spark, "t", back, ["k", "s"], commit_id=3,
+                     when_matched=None, when_not_matched="insert")
+    store.commit_append("t", 3)
+    got = {(r.k, r.s): r.val for r in store.read_facts(spark, "t").collect()}
+    assert got[(1, "a")] == 1000 and len(got) == 4
