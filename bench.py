@@ -77,6 +77,14 @@ HEADLINE = [
     "tpch_q21_suppliers_who_kept_waiting",
     # round-8 PPJoin prefix filtering (third exact-Jaccard algorithm)
     "dedup_prefix_filter",
+    # round-9 additions (still additive — suite total not comparable to
+    # rounds ≤ 8): lakehouse MERGE INTO + change feed round trips
+    # through a real TableStore, and the distributed-prefix-sum KS
+    # drift test
+    "store_merge_into",
+    "store_change_feed",
+    "stats_ks_two_sample",
+    "events_interpolate_linear",
 ]
 
 REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))

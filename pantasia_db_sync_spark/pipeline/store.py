@@ -865,6 +865,108 @@ class TableStore:
             return None
         return self._facts_frame(spark, table, ptr)
 
+    def read_facts_changes(
+        self,
+        spark: SparkSession,
+        table: str,
+        since: int,
+        until: int | None = None,
+    ) -> DataFrame | None:
+        """Row-level change feed for commits in ``(since, until]`` —
+        the Delta change-data-feed / Iceberg incremental-scan read that
+        lets a downstream consumer sync WITHOUT rescanning the table:
+        appended rows surface as ``_change_type='insert'`` and
+        equality-delete keys as ``'delete'`` (key columns populated,
+        value columns NULL — merge-on-read tombstones carry no
+        before-image), each stamped with its ``_commit``. History is
+        reported as written: a row inserted and deleted inside the
+        range emits BOTH events, in commit order.
+
+        Scale: reads exactly the commit dirs in the range (O(changed
+        data), never the table) plus the tiny tombstone parquets.
+        Branch-aware through the same dir resolution as ``read_facts``.
+        Caveat (Iceberg has the same): ``compact_facts`` re-stamps
+        merged rows to the segment boundary, so a feed consumer must
+        stay ahead of the compaction horizon or resync from a full
+        read. Returns None when the table has no committed data; an
+        empty frame when the range contains no changes."""
+        from pyspark.sql import functions as F
+
+        ptr = self.current_version(table)
+        if ptr is None:
+            return None
+        hi = ptr if until is None else min(until, ptr)
+
+        def _cid(d: str) -> int:
+            return int(os.path.basename(d).split("=", 1)[1])
+
+        app_dirs = [
+            d
+            for d in self._committed_append_dirs(table)
+            if since < _cid(d) <= hi
+        ]
+        del_dirs = [
+            d
+            for d in self._committed_delete_dirs(table)
+            if since < _cid(d) <= hi
+        ]
+        base = self.read_facts(spark, table)  # full-schema reference
+        schema_cols = base.columns
+        parts: list[DataFrame] = []
+        # group append dirs per data root (a branch spans two roots)
+        by_root: dict[str, list[str]] = {}
+        br = self.branch_info(table)
+        candidates = [os.path.join(self._tdir(table), "data")]
+        if br is not None:
+            candidates.append(os.path.join(self._tdir(br["source"]), "data"))
+        for d in app_dirs:
+            root = next(
+                r for r in candidates if d == r or d.startswith(r + os.sep)
+            )
+            by_root.setdefault(root, []).append(d)
+        for root, dirs in by_root.items():
+            df = (
+                spark.read.option("basePath", root)
+                .option("mergeSchema", "true")
+                .parquet(*dirs)
+            )
+            df = df.withColumn("_commit", F.col("commit").cast("bigint")).drop(
+                "commit"
+            )
+            for c in schema_cols:
+                if c not in df.columns:
+                    df = df.withColumn(
+                        c, F.lit(None).cast(base.schema[c].dataType)
+                    )
+            parts.append(
+                df.select(*schema_cols, "_commit").withColumn(
+                    "_change_type", F.lit("insert")
+                )
+            )
+        for d in del_dirs:
+            keys = spark.read.parquet(d)
+            df = keys.withColumn("_commit", F.lit(_cid(d)).cast("bigint"))
+            for c in schema_cols:
+                if c not in df.columns:
+                    df = df.withColumn(
+                        c, F.lit(None).cast(base.schema[c].dataType)
+                    )
+            parts.append(
+                df.select(*schema_cols, "_commit").withColumn(
+                    "_change_type", F.lit("delete")
+                )
+            )
+        if not parts:
+            return (
+                base.withColumn("_commit", F.lit(None).cast("bigint"))
+                .withColumn("_change_type", F.lit(None).cast("string"))
+                .where(F.lit(False))
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
     def read_facts_pruned(
         self, spark: SparkSession, table: str, column: str, lo, hi
     ) -> DataFrame | None:

@@ -461,6 +461,124 @@ def events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_interpolate_linear",
+    oracle="""
+    WITH bounds AS (
+      SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi
+      FROM events
+    ),
+    grid AS (
+      SELECT uu.user_id, b.lo + u.i * INTERVAL 1 HOUR AS bucket
+      FROM bounds b,
+           UNNEST(range(0, CAST(date_diff('hour', b.lo, b.hi) AS BIGINT) + 1))
+             AS u(i),
+           (SELECT unnest(range(0, 5)) AS user_id) uu
+    ),
+    obs AS (
+      SELECT user_id, date_trunc('hour', ts) AS bucket,
+             floor(sum(value) * 100 + 0.5) / 100 AS tv
+      FROM events WHERE event_type = 'purchase' AND user_id < 5
+      GROUP BY 1, 2
+    ),
+    ctx AS (
+      SELECT g.user_id, g.bucket, o.tv,
+             last_value(o.tv IGNORE NULLS)
+               OVER (PARTITION BY g.user_id ORDER BY g.bucket) AS pv,
+             last_value(CASE WHEN o.tv IS NOT NULL THEN g.bucket END IGNORE NULLS)
+               OVER (PARTITION BY g.user_id ORDER BY g.bucket) AS pt,
+             first_value(o.tv IGNORE NULLS)
+               OVER (PARTITION BY g.user_id ORDER BY g.bucket
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+             first_value(CASE WHEN o.tv IS NOT NULL THEN g.bucket END IGNORE NULLS)
+               OVER (PARTITION BY g.user_id ORDER BY g.bucket
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+      FROM grid g LEFT JOIN obs o USING (user_id, bucket)
+    )
+    SELECT user_id, bucket,
+           CASE WHEN tv IS NOT NULL THEN 1 ELSE 0 END AS observed,
+           CASE
+             WHEN tv IS NOT NULL THEN tv
+             WHEN pt IS NULL OR nt IS NULL THEN NULL
+             ELSE floor((pv + (nv - pv)
+                    * (epoch(bucket) - epoch(pt))
+                    / (epoch(nt) - epoch(pt))) * 10000 + 0.5) / 10000
+           END AS interp_value
+    FROM ctx
+    """,
+)
+def events_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """time_bucket_gapfill with the `interpolate()` finisher (the
+    TimescaleDB idiom events_gapfill's LOCF doesn't cover): missing
+    hourly buckets between two observations take the LINEAR
+    interpolation v0 + (v1−v0)·(t−t0)/(t1−t0); buckets before the
+    first or after the last observation stay NULL (no extrapolation);
+    observed buckets pass through untouched.
+
+    Shape: the dense grid is generated in-plan (sequence + explode ×
+    a 5-row broadcast user dim, like events_gapfill), and the
+    prev/next observation context is FOUR window functions over the
+    same (user, bucket) window pair — one backward frame, one forward
+    frame, both partitioned per user: no self-join, no as-of join, one
+    shuffle for the obs agg and one sort per user partition. At 100 TB
+    the grid stays hours × users while the events scan feeds obs."""
+    e = load_table(spark, sf_dir, "events")
+    bounds = e.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    grid_t = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("bucket")
+    )
+    users = spark.range(0, 5).select(F.col("id").alias("user_id"))
+    grid = grid_t.crossJoin(F.broadcast(users))
+    obs = (
+        e.where((F.col("event_type") == "purchase") & (F.col("user_id") < 5))
+        .groupBy("user_id", F.date_trunc("hour", "ts").alias("bucket"))
+        .agg(fround(F.sum("value"), 2).alias("tv"))
+    )
+    g = grid.join(obs, ["user_id", "bucket"], "left")
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("bucket")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    t_of_obs = F.when(F.col("tv").isNotNull(), F.col("bucket"))
+    g = g.select(
+        "user_id",
+        "bucket",
+        "tv",
+        F.last("tv", ignorenulls=True).over(wb).alias("pv"),
+        F.last(t_of_obs, ignorenulls=True).over(wb).alias("pt"),
+        F.first("tv", ignorenulls=True).over(wf).alias("nv"),
+        F.first(t_of_obs, ignorenulls=True).over(wf).alias("nt"),
+    )
+    # multiply BEFORE dividing, exactly like the oracle's left-to-right
+    # x*a/b — (nv−pv)·(Δt₁/Δt₂) drifts a last ulp on 2/3600 fixture
+    # rows, which the ×10⁴ rounding boundary then exposes
+    lerp = F.col("pv") + (
+        (F.col("nv") - F.col("pv"))
+        * (F.unix_timestamp("bucket") - F.unix_timestamp("pt")).cast("double")
+    ) / (F.unix_timestamp("nt") - F.unix_timestamp("pt")).cast("double")
+    return g.select(
+        "user_id",
+        "bucket",
+        F.when(F.col("tv").isNotNull(), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("observed"),
+        F.when(F.col("tv").isNotNull(), F.col("tv"))
+        .when(F.col("pt").isNull() | F.col("nt").isNull(), F.lit(None))
+        .otherwise(fround(lerp, 4))
+        .alias("interp_value"),
+    )
+
+
+@register(
     "events_retention_cohort",
     oracle="""
     WITH first_seen AS (
@@ -1769,6 +1887,109 @@ def func_regex_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             "devoweled_head"
         ),
         F.col("text").rlike(r"^[a-z]").alias("starts_lower"),
+    )
+
+
+@register(
+    "stats_ks_two_sample",
+    oracle="""
+    WITH g AS (
+      SELECT value,
+             CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS c2
+      FROM events
+      WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL
+      GROUP BY 1
+    ),
+    cum AS (
+      SELECT sum(c1) OVER (ORDER BY value) AS k1,
+             sum(c2) OVER (ORDER BY value) AS k2
+      FROM g
+    ),
+    tot AS (
+      SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2
+      FROM g
+    ),
+    d AS (
+      SELECT max(abs(k1 / CAST(t.n1 AS DOUBLE) - k2 / CAST(t.n2 AS DOUBLE))) AS raw
+      FROM cum, tot t
+    )
+    SELECT t.n1, t.n2,
+           floor(d.raw * 1000000 + 0.5) / 1000000 AS ks_stat,
+           floor(1.358 * sqrt((t.n1 + t.n2) / CAST(t.n1 * t.n2 AS DOUBLE))
+                 * 1000000 + 0.5) / 1000000 AS crit_05,
+           floor(d.raw * 1000000 + 0.5) / 1000000
+             > floor(1.358 * sqrt((t.n1 + t.n2) / CAST(t.n1 * t.n2 AS DOUBLE))
+                     * 1000000 + 0.5) / 1000000 AS drift
+    FROM d, tot t
+    """,
+)
+def stats_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov test between two event cohorts —
+    the standard distribution-drift gate for a training-data pipeline
+    (did this snapshot's quality/value distribution move vs the last
+    one?). D = max |F̂₁(x) − F̂₂(x)| over the pooled support, compared
+    to the α=0.05 asymptotic critical value 1.358·√((n₁+n₂)/(n₁n₂))
+    (Smirnov's approximation; no transcendental beyond IEEE-exact
+    sqrt, so both engines agree bit-for-bit after rounding).
+
+    Scale shape: the empirical CDFs need a GLOBAL cumulative count —
+    computed with operators/prefix.py::with_prefix_sums (range
+    repartition → partition-local running sums → #partitions-row
+    offset collect), never a single-partition global window. The only
+    corpus-sized stages are the per-value count aggregation and the
+    range shuffle of the distinct values."""
+    from ..operators.prefix import with_prefix_sums
+
+    e = load_table(spark, sf_dir, "events")
+    g = (
+        e.where(
+            F.col("event_type").isin("click", "purchase")
+            & F.col("value").isNotNull()
+        )
+        .groupBy("value")
+        .agg(
+            F.sum(
+                F.when(F.col("event_type") == "click", 1).otherwise(0)
+            ).cast("bigint").alias("c1"),
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).cast("bigint").alias("c2"),
+        )
+    )
+    cum = with_prefix_sums(g, "value", ["c1", "c2"], num_partitions=32)
+    tot = g.agg(
+        F.sum("c1").cast("bigint").alias("n1"),
+        F.sum("c2").cast("bigint").alias("n2"),
+    )
+    d = (
+        cum.crossJoin(F.broadcast(tot))
+        .select(
+            F.abs(
+                F.col("cum_c1") / F.col("n1").cast("double")
+                - F.col("cum_c2") / F.col("n2").cast("double")
+            ).alias("gap")
+        )
+        .agg(F.max("gap").alias("raw"))
+    )
+    ks = fround(F.col("raw"), 6)
+    crit = fround(
+        F.lit(1.358)
+        * F.sqrt(
+            (F.col("n1") + F.col("n2"))
+            / (F.col("n1") * F.col("n2")).cast("double")
+        ),
+        6,
+    )
+    return (
+        d.crossJoin(F.broadcast(tot))
+        .select(
+            "n1",
+            "n2",
+            ks.alias("ks_stat"),
+            crit.alias("crit_05"),
+            (ks > crit).alias("drift"),
+        )
     )
 
 

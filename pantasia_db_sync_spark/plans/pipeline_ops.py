@@ -266,6 +266,68 @@ def store_merge_on_read_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "store_change_feed",
+    oracle="""
+    SELECT 'insert' AS change_type, CAST(2 AS BIGINT) AS commit_id,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+    FROM orders WHERE o_orderkey % 4 = 1
+    UNION ALL
+    SELECT 'insert', 3, CAST(count(*) AS BIGINT), CAST(sum(o_orderkey) AS BIGINT)
+    FROM orders WHERE o_orderkey % 4 = 2
+    UNION ALL
+    SELECT 'delete', 3, CAST(count(*) AS BIGINT), CAST(sum(o_orderkey) AS BIGINT)
+    FROM orders WHERE o_orderkey % 8 = 0
+    """,
+)
+def store_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10-ext — incremental change feed (Delta CDF / Iceberg
+    incremental scan) through a real TableStore
+    (pipeline/store.py::read_facts_changes): after the same commit
+    history as store_merge_on_read_delete (seed, seed, delete+append in
+    one commit), reading changes since commit 1 must emit exactly the
+    commit-2 and commit-3 appends as inserts and the commit-3
+    tombstone keys as deletes — each stamped with its commit id, rows
+    read O(changed commits), never the table. The oracle replays the
+    three change groups as key-mod algebra."""
+    import shutil
+    import tempfile
+
+    from ..pipeline.store import TableStore
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    part = F.pmod(F.col("o_orderkey"), 4)
+    d = tempfile.mkdtemp(prefix="cdf_store_")
+    try:
+        store = TableStore(d)
+        store.append("orders_f", o.where(part == 0), commit_id=1)
+        store.commit_append("orders_f", 1)
+        store.append("orders_f", o.where(part == 1), commit_id=2)
+        store.commit_append("orders_f", 2)
+        store.delete_facts(
+            "orders_f", o.where(F.pmod(F.col("o_orderkey"), 8) == 0), commit_id=3
+        )
+        store.append("orders_f", o.where(part == 2), commit_id=3)
+        store.commit_append("orders_f", 3)
+
+        out = (
+            store.read_facts_changes(spark, "orders_f", since=1)
+            .groupBy(
+                F.col("_change_type").alias("change_type"),
+                F.col("_commit").alias("commit_id"),
+            )
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n"),
+                F.sum("o_orderkey").cast("bigint").alias("key_sum"),
+            )
+        )
+        rows = out.collect()  # materialize before the tempdir vanishes
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+@register(
     "store_merge_into",
     oracle="""
     SELECT CAST(o_orderkey % 4 AS INTEGER) AS key_class,

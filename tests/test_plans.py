@@ -130,6 +130,12 @@ _ALLOWED_NESTED_LOOP = {
     # onto per-key frames — the q22 in-plan scalar pattern
     "tpch_q11_important_stock",
     "tpch_q15_top_supplier",
+    # grid bounds + 5-row user dim crossed in-plan, exactly the
+    # events_gapfill pattern (this is its interpolate() twin)
+    "events_interpolate_linear",
+    # one-row totals aggregate (n1, n2) broadcast-crossed onto the
+    # cumulative-counts frame and the one-row KS max — in-plan scalars
+    "stats_ks_two_sample",
 }
 # Single-partition exchanges allowed only where the exchanged data is
 # metadata-scale (a handful of rows), never a full table:
@@ -177,6 +183,13 @@ _ALLOWED_SINGLE_PARTITION = {
     "tpch_q19_disjunctive_revenue",
     # the one-row threshold aggregate feeding q22's broadcast cross
     "tpch_q22_global_sales_opportunity",
+    # grid-bounds one-row aggregate (the events_gapfill scalar) — the
+    # cumulative CDF itself runs per-partition via with_prefix_sums
+    "events_interpolate_linear",
+    # KS finishes: the (n1, n2) totals row and the max-gap row are
+    # 1-row aggregates; per-partition offset totals are ≤ #partitions
+    # rows (operators/prefix.py) — the dense-ids-offsets pattern
+    "stats_ks_two_sample",
     # skyline's cross-bucket prefix max: a global window over <=
     # n_buckets per-bucket maxima — bounded by construction (the
     # dense-ids-offsets pattern), never table rows

@@ -1913,3 +1913,33 @@ def test_rolling_corr_matches_numpy(spark, sf_dir):
                 assert abs(corr - expect) < 1e-5, (uid, r.event_id)
                 checked += 1
     assert checked > 50
+
+
+@settings(**SETTINGS)
+@given(
+    vals=st.lists(
+        st.tuples(st.integers(-50, 50), st.integers(0, 5), st.integers(0, 5)),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda t: t[0],
+    ),
+    parts=st.integers(1, 8),
+)
+def test_prefix_sums_match_serial_cumsum(spark, vals, parts):
+    """with_prefix_sums (range partition + partition-local window +
+    offset collect) equals a serial Python cumulative sum over the
+    total order, for ANY values and ANY partition count — including
+    more partitions than rows (empty partitions must contribute zero
+    offsets, not crash)."""
+    from pantasia_db_sync_spark.operators.prefix import with_prefix_sums
+
+    df = spark.createDataFrame(vals, "k long, a long, b long")
+    out = {
+        r["k"]: (r["cum_a"], r["cum_b"])
+        for r in with_prefix_sums(df, "k", ["a", "b"], num_partitions=parts).collect()
+    }
+    ca = cb = 0
+    for k, a, b in sorted(vals):
+        ca += a
+        cb += b
+        assert out[k] == (ca, cb), (k, out[k], (ca, cb))

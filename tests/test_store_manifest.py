@@ -1216,3 +1216,65 @@ def test_merge_into_composite_key_and_reinsert(spark, tmp_path):
     store.commit_append("t", 3)
     got = {(r.k, r.s): r.val for r in store.read_facts(spark, "t").collect()}
     assert got[(1, "a")] == 1000 and len(got) == 4
+
+
+def test_read_facts_changes_feed(spark, tmp_path):
+    """Change feed semantics: (since, until] windowing, insert+delete
+    events in commit order (a row inserted AND deleted inside the range
+    emits both), delete rows carry keys + NULL value columns, schema
+    evolution surfaces typed NULLs, and an empty range yields an empty
+    frame with the feed schema."""
+    store = TableStore(str(tmp_path / "store"))
+
+    def rows(*pairs):
+        return spark.createDataFrame(list(pairs), "k long, val long")
+
+    store.append("t", rows((1, 10), (2, 20)), commit_id=1)
+    store.commit_append("t", 1)
+    store.append("t", rows((3, 30)), commit_id=2)
+    store.commit_append("t", 2)
+    # commit 3: delete key 3 (inserted at 2 — both events must show),
+    # upsert key 1
+    store.delete_facts(
+        "t", spark.createDataFrame([(3,), (1,)], "k long"), commit_id=3
+    )
+    store.append("t", rows((1, 100)), commit_id=3)
+    store.commit_append("t", 3)
+
+    feed = store.read_facts_changes(spark, "t", since=1)
+    got = sorted(
+        (r["_change_type"], r["_commit"], r["k"], r["val"])
+        for r in feed.collect()
+    )
+    assert got == [
+        ("delete", 3, 1, None),
+        ("delete", 3, 3, None),
+        ("insert", 2, 3, 30),
+        ("insert", 3, 1, 100),
+    ]
+
+    # until bound: only commit 2's insert
+    feed2 = store.read_facts_changes(spark, "t", since=1, until=2)
+    assert [
+        (r["_change_type"], r["_commit"], r["k"]) for r in feed2.collect()
+    ] == [("insert", 2, 3)]
+
+    # empty range -> empty frame, feed schema intact
+    empty = store.read_facts_changes(spark, "t", since=3)
+    assert empty.count() == 0
+    assert empty.columns == ["k", "val", "_commit", "_change_type"]
+
+    # evolved column appears as typed NULL for pre-evolution commits
+    store.append(
+        "t",
+        spark.createDataFrame([(9, 90, "x")], "k long, val long, tag string"),
+        commit_id=4,
+    )
+    store.commit_append("t", 4)
+    feed3 = store.read_facts_changes(spark, "t", since=2)
+    by_commit = {
+        (r["_commit"], r["_change_type"], r["k"]): r["tag"]
+        for r in feed3.collect()
+    }
+    assert by_commit[(4, "insert", 9)] == "x"
+    assert by_commit[(3, "insert", 1)] is None
