@@ -85,6 +85,7 @@ HEADLINE = [
     "store_change_feed",
     "stats_ks_two_sample",
     "events_interpolate_linear",
+    "text_bpe_train",
 ]
 
 REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))

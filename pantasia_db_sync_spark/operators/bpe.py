@@ -1,0 +1,105 @@
+"""Distributed BPE merge training — learn a tokenizer from the corpus.
+
+Sennrich et al. 2016 byte-pair encoding, in the word-frequency-table
+formulation every real BPE trainer uses: ONE corpus pass builds the
+(word, freq) table, and all K merge iterations run over that distinct-
+word frame — at 100 TB the corpus is touched once, the loop touches
+|vocab| rows. Per iteration:
+
+  pairs   explode each word's adjacent symbol pairs (map-only)
+  count   one combinable groupBy(pair).sum(freq) — k·|vocab| shuffle
+          rows at worst, map-side combined
+  argmax  the winning pair, ties to the lexicographically smallest —
+          a ONE-ROW collect (the kmeans_fit scalar-probe budget)
+  apply   a literal string replace over the space-joined symbol column
+          (map-only; the chain of K replaces fuses into one codegen
+          stage over the frozen word table)
+
+Merge application semantics — pinned, engine-portable: symbols live in
+a space-delimited string (symbols never contain spaces) and one
+iteration applies ONE non-overlapping left-to-right replace pass of
+`' l r '` → `' lr '`. Both Spark's `replace` and DuckDB's `replace`
+continue scanning AFTER the inserted replacement, so on degenerate
+runs ("a a a a" merges to [aa, a, a], not textbook-BPE's [aa, aa]) the
+two engines — and the pure-Python `str.replace` the property test uses
+— agree bit-for-bit; residual pairs stay counted and can win a later
+rank. This is the one documented divergence from the textbook
+rescan-after-merge loop (verified identical across all three engines
+in tests).
+
+Reference analogue: none (the reference ships no tokenizer); this is
+the training-data-pipeline capability next to text_bpe_tokens'
+fixed-regex tokenizer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens_col
+
+__all__ = ["bpe_train"]
+
+
+def bpe_train(
+    docs: DataFrame,
+    text_col: str = "text",
+    num_merges: int = 6,
+) -> DataFrame:
+    """Learn ``num_merges`` BPE merges; returns one row per merge:
+    (merge_rank, lhs, rhs, merged, pair_count), in learning order.
+
+    Deterministic: whitespace word tokenization (the corpus-wide
+    tokens contract), character-level initial symbols, winner = max
+    weighted pair count with ties to the smallest pair string."""
+    spark = docs.sparkSession
+    w = (
+        docs.select(F.explode(tokens_col(text_col)).alias("word"))
+        .where(F.length("word") > 0)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+    )
+    w = w.withColumn(
+        "sym",
+        F.concat(
+            F.lit(" "), F.concat_ws(" ", F.split(F.col("word"), "")), F.lit(" ")
+        ),
+    )
+    # freeze: every iteration's pair-count job re-reads this frame (plus
+    # its growing chain of map-only replaces) — without the freeze each
+    # of the K jobs would redo the corpus explode + groupBy shuffle
+    w = w.localCheckpoint(eager=False)
+
+    merges: list[tuple[int, str, str, str, int]] = []
+    for rank in range(1, num_merges + 1):
+        syms = F.split(F.trim(F.col("sym")), " ")
+        n = F.size(syms)
+        pairs = F.zip_with(
+            F.slice(syms, 1, n - 1),
+            F.slice(syms, 2, n - 1),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+        best = (
+            w.select(F.explode(pairs).alias("pair"), "freq")
+            .groupBy("pair")
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), F.col("pair").asc())
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        pair, cnt = best[0]["pair"], int(best[0]["cnt"])
+        left, right = pair.split(" ", 1)
+        merged = left + right
+        merges.append((rank, left, right, merged, cnt))
+        w = w.withColumn(
+            "sym",
+            F.replace(
+                F.col("sym"), F.lit(f" {pair} "), F.lit(f" {merged} ")
+            ),
+        )
+    return spark.createDataFrame(
+        merges, "merge_rank int, lhs string, rhs string, merged string, pair_count bigint"
+    )

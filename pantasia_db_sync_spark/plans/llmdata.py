@@ -1164,6 +1164,68 @@ def text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bpe_train_sql(k: int = 6) -> str:
+    """DuckDB replay of operators/bpe.py::bpe_train — the K learning
+    iterations chained as CTE stages: pair counting via UNNEST of the
+    adjacent-symbol list, the per-iteration winner as a one-row CTE
+    (ORDER BY cnt DESC, pair ASC LIMIT 1), and the merge application
+    as the same non-overlapping left-to-right `replace` both engines
+    share (bpe.py module docstring pins that semantics)."""
+    parts = [
+        f"toks AS ({_SQL_TOKS})",
+        "w0 AS (SELECT u.word, CAST(count(*) AS BIGINT) AS freq"
+        " FROM toks, UNNEST(t) AS u(word) WHERE len(u.word) > 0 GROUP BY 1)",
+        "s0 AS (SELECT word, freq,"
+        " ' ' || array_to_string(str_split(word, ''), ' ') || ' ' AS sym"
+        " FROM w0)",
+    ]
+    for i in range(1, k + 1):
+        prev = f"s{i - 1}"
+        parts.append(
+            f"p{i} AS (SELECT u.p AS pair, CAST(sum(freq) AS BIGINT) AS cnt"
+            f" FROM (SELECT freq, str_split(trim(sym), ' ') AS sy FROM {prev}),"
+            f" UNNEST(list_transform(range(1, len(sy)),"
+            f" j -> sy[j] || ' ' || sy[j+1])) AS u(p)"
+            f" GROUP BY 1)"
+        )
+        parts.append(
+            f"b{i} AS (SELECT pair, cnt FROM p{i}"
+            f" ORDER BY cnt DESC, pair ASC LIMIT 1)"
+        )
+        if i < k:
+            parts.append(
+                f"s{i} AS (SELECT word, freq,"
+                f" replace(sym, ' ' || b.pair || ' ',"
+                f" ' ' || replace(b.pair, ' ', '') || ' ') AS sym"
+                f" FROM {prev}, b{i} b)"
+            )
+    selects = [
+        f"SELECT CAST({i} AS INTEGER) AS merge_rank,"
+        f" split_part(pair, ' ', 1) AS lhs,"
+        f" split_part(pair, ' ', 2) AS rhs,"
+        f" replace(pair, ' ', '') AS merged,"
+        f" cnt AS pair_count FROM b{i}"
+        for i in range(1, k + 1)
+    ]
+    return "WITH " + ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+@register("text_bpe_train", oracle=_bpe_train_sql(k=6))
+def text_bpe_train_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn 6 BPE merges from the documents corpus
+    (operators/bpe.py::bpe_train): the Sennrich et al. 2016 trainer in
+    its word-frequency-table formulation — the corpus is scanned ONCE
+    (explode + groupBy(word)), then every iteration runs over the
+    frozen |vocab|-row frame: combinable pair counts, a one-row argmax
+    collect, a map-only literal replace. The oracle replays all six
+    learning iterations as chained SQL stages, so the full training
+    trajectory (not just the final state) is verified."""
+    from ..operators.bpe import bpe_train
+
+    d = load_table(spark, sf_dir, "documents")
+    return bpe_train(d, "text", num_merges=6)
+
+
 @register(
     "multimodal_resize_stub",
     oracle="""

@@ -1943,3 +1943,46 @@ def test_prefix_sums_match_serial_cumsum(spark, vals, parts):
         ca += a
         cb += b
         assert out[k] == (ca, cb), (k, out[k], (ca, cb))
+
+
+@settings(**SETTINGS)
+@given(
+    docs=st.lists(
+        st.text(alphabet="ab c", min_size=1, max_size=16),
+        min_size=1,
+        max_size=10,
+    ),
+    k=st.integers(1, 4),
+)
+def test_bpe_train_matches_python_replica(spark, docs, k):
+    """bpe_train ≡ a serial pure-Python trainer with the SAME pinned
+    replace-pass semantics (str.replace continues after the inserted
+    replacement — the engine-shared behavior the module docstring
+    documents), for any corpus including degenerate same-char runs
+    ('aaaa') and early exhaustion (all words single-char)."""
+    from collections import Counter
+
+    from pantasia_db_sync_spark.operators.bpe import bpe_train
+
+    freq = Counter(w for t in docs for w in t.strip().split(" ") if w)
+    sym = {w: " " + " ".join(list(w)) + " " for w in freq}
+    expect = []
+    for rank in range(1, k + 1):
+        pc: Counter = Counter()
+        for w, f in freq.items():
+            s = sym[w].strip().split(" ")
+            for a, b in zip(s, s[1:]):
+                pc[a + " " + b] += f
+        if not pc:
+            break
+        pair, cnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        merged = pair.replace(" ", "")
+        expect.append((rank, *pair.split(" ", 1), merged, cnt))
+        for w in sym:
+            sym[w] = sym[w].replace(f" {pair} ", f" {merged} ")
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "doc_id long, text string"
+    )
+    got = [tuple(r) for r in bpe_train(df, "text", num_merges=k).collect()]
+    assert got == expect, (got, expect)
