@@ -486,6 +486,7 @@ class TableStore:
         when_matched: str | None = "update",
         when_not_matched: str | None = "insert",
         cluster_by: str | list[str] | None = None,
+        matched_condition=None,
     ) -> dict:
         """MERGE INTO (the Delta/Iceberg statement) on the fact store,
         staged as ONE commit: source rows whose key exists in the
@@ -510,6 +511,19 @@ class TableStore:
         table. History is never rewritten; old versions stop matching
         at read time and compaction physically purges them.
 
+        ``matched_condition`` (Delta's ``WHEN MATCHED AND <cond>``): a
+        callable ``(s, t) -> Column`` where ``s("col")`` / ``t("col")``
+        reference the source / target row — a matched source row
+        updates/deletes ONLY when the condition holds; matched rows
+        failing it leave the target untouched (they are never
+        inserted). The canonical use is ordered upserts out of an
+        unordered stream: ``lambda s, t: s("ts") > t("ts")`` makes the
+        merge a per-key last-writer-wins regardless of batch arrival
+        order. Needs the probe join to carry the target's compared
+        columns, so the update+insert fast path is skipped; the target
+        must hold at most ONE visible row per key (the upsert
+        invariant) for the comparison to be well-defined.
+
         CONTRACT: source keys unique (same as upsert — duplicate
         source keys would all survive the merge). Returns counts
         ``{"matched": n, "not_matched": m}`` (the probe's two sides;
@@ -521,7 +535,11 @@ class TableStore:
             raise ValueError(f"when_not_matched={when_not_matched!r}")
         from pyspark.sql import functions as F
 
-        if when_matched == "update" and when_not_matched == "insert":
+        if (
+            when_matched == "update"
+            and when_not_matched == "insert"
+            and matched_condition is None
+        ):
             self.upsert_facts(table, source, key_cols, commit_id, cluster_by)
             return {"staged": source.count()}
 
@@ -541,9 +559,35 @@ class TableStore:
                     )
                     if pruned is not None:
                         cur = pruned
-            cur_keys = cur.select(*key_cols).distinct()
-            matched = source.join(cur_keys, key_cols, "left_semi")
-            unmatched = source.join(cur_keys, key_cols, "left_anti")
+            if matched_condition is not None:
+                # one left join carrying the target's columns (prefixed)
+                # so the condition can compare source vs target rows
+                tgt = cur.select(
+                    *key_cols,
+                    F.lit(True).alias("__t_exists"),
+                    *[
+                        F.col(c).alias(f"__t_{c}")
+                        for c in cur.columns
+                        if c not in key_cols
+                    ],
+                )
+                j = source.join(tgt, key_cols, "left")
+                cond = matched_condition(
+                    lambda c: F.col(c), lambda c: F.col(f"__t_{c}")
+                )
+                src_cols = source.columns
+                matched = (
+                    j.where(F.col("__t_exists") & cond)
+                    .select(*src_cols)
+                    .dropDuplicates(key_cols)
+                )
+                unmatched = j.where(F.col("__t_exists").isNull()).select(
+                    *src_cols
+                )
+            else:
+                cur_keys = cur.select(*key_cols).distinct()
+                matched = source.join(cur_keys, key_cols, "left_semi")
+                unmatched = source.join(cur_keys, key_cols, "left_anti")
         # classify BEFORE staging mutates anything; the counts also
         # force the plans while the probe frame is still consistent
         n_matched = matched.count()

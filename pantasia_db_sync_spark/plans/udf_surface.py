@@ -849,3 +849,100 @@ def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     res = spark.createDataFrame(out.collect(), out.schema)
     shutil.rmtree(work, ignore_errors=True)
     return res
+
+@register(
+    "stream_merge_into",
+    oracle="""
+    SELECT user_id AS key,
+           floor(value * 100 + 0.5) / 100 AS val
+    FROM (
+      SELECT user_id, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    )
+    WHERE rn = 1
+    """,
+)
+def stream_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming MERGE INTO a versioned lakehouse table (the Delta
+    foreachBatch-upsert deployment shape): the event stream arrives in
+    3 UNORDERED micro-batches (sliced by event_id % 3, deliberately not
+    time-ordered) and each trigger merges its per-key latest into a
+    TableStore table with ``matched_condition = source newer than
+    target`` — per-key LAST-WRITER-WINS regardless of batch arrival
+    order, which a plain upsert cannot give (a stale batch would
+    overwrite a fresher row). Commit id = batch id + 1 and a
+    pointer-guard skips already-committed batches, so a foreachBatch
+    redelivery after a crash is a no-op: exactly-once state through
+    at-least-once delivery. The oracle is the batch truth — the global
+    per-key argmax over all events; streaming-equals-batch is the
+    contract (same discipline as stream_cdc_apply)."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from ..pipeline.store import TableStore
+    from ..sources.catalog import load_table as _lt
+    from ..streaming import events_stream
+
+    work = tempfile.mkdtemp(prefix="stream_merge_")
+    src_dir = os.path.join(work, "src")
+    os.makedirs(src_dir)
+    e_batch = _lt(spark, sf_dir, "events")
+    for i in range(3):
+        part = os.path.join(work, f"slice{i}")
+        e_batch.where(F.col("event_id") % 3 == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(part)
+        files = [f for f in os.listdir(part) if f.endswith(".parquet")]
+        shutil.move(
+            os.path.join(part, files[0]),
+            os.path.join(src_dir, f"events-{i}.parquet"),
+        )
+
+    store = TableStore(os.path.join(work, "store"))
+    newer = lambda s, t: (s("ts") > t("ts")) | (  # noqa: E731
+        (s("ts") == t("ts")) & (s("event_id") > t("event_id"))
+    )
+
+    def merge(batch_df, batch_id: int) -> None:
+        cid = int(batch_id) + 1
+        if (store.current_version("latest") or 0) >= cid:
+            return  # redelivered batch: already committed (exactly-once)
+        w = Window.partitionBy("key").orderBy(
+            F.col("ts").desc(), F.col("event_id").desc()
+        )
+        b = (
+            batch_df.select(
+                F.col("user_id").alias("key"), "ts", "event_id", "value"
+            )
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .drop("rn")
+        )
+        store.merge_into(
+            batch_df.sparkSession, "latest", b, ["key"], commit_id=cid,
+            matched_condition=newer,
+        )
+        store.commit_append("latest", cid)
+
+    q = (
+        events_stream(spark, src_dir, max_files_per_trigger=1)
+        .writeStream.foreachBatch(merge)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError("stream_merge_into did not finish within 300s")
+
+    out = store.read_facts(spark, "latest").select(
+        "key", fround(F.col("value"), 2).alias("val")
+    )
+    # detach from the temp dirs before cleanup
+    res = spark.createDataFrame(out.collect(), out.schema)
+    shutil.rmtree(work, ignore_errors=True)
+    return res

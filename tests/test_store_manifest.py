@@ -1278,3 +1278,50 @@ def test_read_facts_changes_feed(spark, tmp_path):
     }
     assert by_commit[(4, "insert", 9)] == "x"
     assert by_commit[(3, "insert", 1)] is None
+
+
+def test_merge_into_matched_condition_lww(spark, tmp_path):
+    """Conditional matched clause (WHEN MATCHED AND source newer):
+    a STALE source row must leave the target untouched (not update,
+    not insert), a fresher one updates — last-writer-wins regardless
+    of merge order; and the condition disables the upsert fast path
+    (the probe must carry the target's compared columns)."""
+    store = TableStore(str(tmp_path / "store"))
+
+    def rows(*triples):
+        return spark.createDataFrame(list(triples), "k long, ts long, val long")
+
+    newer = lambda s, t: s("ts") > t("ts")  # noqa: E731
+
+    store.append("t", rows((1, 100, 10), (2, 200, 20)), commit_id=1)
+    store.commit_append("t", 1)
+
+    # stale update for k=1 (ts 50 < 100), fresh for k=2 (ts 300 > 200),
+    # brand-new k=3 (insert clause, condition irrelevant)
+    res = store.merge_into(
+        spark, "t", rows((1, 50, 11), (2, 300, 22), (3, 1, 30)),
+        ["k"], commit_id=2, matched_condition=newer,
+    )
+    assert res == {"matched": 1, "not_matched": 1}  # k=2 eligible, k=3 new
+    store.commit_append("t", 2)
+    got = {r.k: (r.ts, r.val) for r in store.read_facts(spark, "t").collect()}
+    assert got == {1: (100, 10), 2: (300, 22), 3: (1, 30)}
+
+    # same merge WITHOUT the condition: the stale row overwrites
+    store2 = TableStore(str(tmp_path / "plain"))
+    store2.append("t", rows((1, 100, 10)), commit_id=1)
+    store2.commit_append("t", 1)
+    store2.merge_into(spark, "t", rows((1, 50, 11)), ["k"], commit_id=2)
+    store2.commit_append("t", 2)
+    assert {r.k: (r.ts, r.val) for r in store2.read_facts(spark, "t").collect()} == {
+        1: (50, 11)
+    }
+
+    # conditional DELETE: only rows the source outdates die
+    res = store.merge_into(
+        spark, "t", rows((2, 301, 0), (1, 50, 0)), ["k"], commit_id=3,
+        when_matched="delete", when_not_matched=None, matched_condition=newer,
+    )
+    assert res["matched"] == 1  # only k=2 (source ts 301 > 300)
+    store.commit_append("t", 3)
+    assert sorted(r.k for r in store.read_facts(spark, "t").collect()) == [1, 3]
