@@ -955,6 +955,8 @@ class TableStore:
             if since < _cid(d) <= hi
         ]
         base = self.read_facts(spark, table)  # full-schema reference
+        if base is None:  # pointer exists but no fact data root at all
+            return None
         schema_cols = base.columns
         parts: list[DataFrame] = []
         # group append dirs per data root (a branch spans two roots)

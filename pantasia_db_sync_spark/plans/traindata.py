@@ -942,6 +942,73 @@ def corpus_domain_mix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "corpus_temperature_mix",
+    oracle="""
+    WITH g AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(floor(sqrt(CAST(count(*) AS DOUBLE)) * 1000000 + 0.5)
+                  AS BIGINT) AS sqrt_u
+      FROM documents GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(sum(n_docs) AS BIGINT) AS n_total,
+             CAST(sum(sqrt_u) AS BIGINT) AS tot_u
+      FROM g
+    )
+    SELECT lang, n_docs,
+           floor(n_docs / CAST(n_total AS DOUBLE) * 1000000 + 0.5) / 1000000
+             AS p_native,
+           floor(sqrt_u / CAST(tot_u AS DOUBLE) * 1000000 + 0.5) / 1000000
+             AS q_alpha05,
+           CAST(floor(sqrt_u / CAST(tot_u AS DOUBLE) * 100000 + 0.5) AS BIGINT)
+             AS budget_docs
+    FROM g, tot
+    """,
+)
+def corpus_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled language-sampling weights — the multilingual
+    mixing recipe (Conneau & Lample 2019; XLM-R/mT5 use the same
+    q_i ∝ p_i^α): at α=0.5, q_i ∝ √n_i upweights low-resource
+    languages relative to their native share. Emits per language the
+    native share p, the α=0.5 sampling weight q, and the document
+    budget for a 100k-doc epoch.
+
+    Engine-exact by the micro-unit discipline: √n_i is floored into
+    integer MICRO-UNITS before the denominator sum, so the only
+    cross-engine float operations are IEEE-exact sqrt and one division
+    per row — the order-sensitive double SUM over languages never
+    happens (integer sums are order-free). One combinable count pass
+    over the corpus; the totals row broadcasts (in-plan scalar)."""
+    d = load_table(spark, sf_dir, "documents")
+    g = d.groupBy("lang").agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    g = g.withColumn(
+        "sqrt_u",
+        F.floor(F.sqrt(F.col("n_docs").cast("double")) * 1e6 + 0.5).cast(
+            "bigint"
+        ),
+    )
+    tot = g.agg(
+        F.sum("n_docs").cast("bigint").alias("n_total"),
+        F.sum("sqrt_u").cast("bigint").alias("tot_u"),
+    )
+    return g.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_docs",
+        fround(F.col("n_docs") / F.col("n_total").cast("double"), 6).alias(
+            "p_native"
+        ),
+        fround(F.col("sqrt_u") / F.col("tot_u").cast("double"), 6).alias(
+            "q_alpha05"
+        ),
+        F.floor(
+            F.col("sqrt_u") / F.col("tot_u").cast("double") * 100000 + 0.5
+        )
+        .cast("bigint")
+        .alias("budget_docs"),
+    )
+
+
+@register(
     "corpus_decontaminate_bloom",
     oracle="""
     WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),

@@ -669,6 +669,85 @@ def r8_main() -> None:
             ).where(F.col("is_dup")))
 
 
+def r9_main() -> None:
+    """Round-9 operator scale shapes at 1x vs Rx. Usage:
+    python scripts/scale_experiment.py --r9 [replicas]
+
+    - bpe_train: the corpus pass (explode + groupBy(word)) grows with
+      the data, but every learning iteration runs over the FROZEN
+      distinct-word frame — the replicated corpus barely grows the
+      vocabulary, so wall should be scan-bound, far below linear.
+    - stats_ks_two_sample: per-value counts + the distributed prefix
+      sum — one range shuffle over distinct values, linear at worst.
+    - merge_into probe: delete+insert merge into a 20-commit clustered
+      store whose size scales with r; the source stays fixed (~1% key
+      span), so the PRUNED probe wall should stay ~flat while the
+      table grows (the manifest skip is the whole point).
+    """
+    import time as _time
+
+    from pantasia_db_sync_spark.operators.bpe import bpe_train
+    from pantasia_db_sync_spark.plans import QUERIES
+
+    replicas = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    spark = get_spark(app_name="r9-scale-experiment")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def run(label, fn):
+        fn().write.format("noop").mode("overwrite").save()  # warm
+        t0 = _time.perf_counter()
+        n = fn().count()
+        dt = _time.perf_counter() - t0
+        print(f"{label:<52} {dt:7.2f}s  rows={n}", flush=True)
+        return dt
+
+    for r in (1, replicas):
+        sf_dir = BASE_SF if r == 1 else build_corpus(spark, r)
+        docs = load_table(spark, sf_dir, "documents")
+        nd = docs.count()
+        run(f"x{r} bpe_train 6 merges ({nd} docs)",
+            lambda: bpe_train(docs, "text", num_merges=6))
+        run(f"x{r} stats_ks_two_sample",
+            lambda: QUERIES["stats_ks_two_sample"](spark, sf_dir))
+
+    # merge probe: table grows r-fold, source fixed → pruned probe flat
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from pantasia_db_sync_spark.pipeline.store import TableStore
+
+    for r in (1, replicas):
+        n_rows = 200_000 * r
+        work = _tempfile.mkdtemp(prefix=f"r9_merge_{r}_")
+        try:
+            store = TableStore(work)
+            per = n_rows // 20
+            for c in range(20):
+                df = spark.range(c * per, (c + 1) * per).select(
+                    F.col("id").alias("k"), (F.col("id") % 997).alias("v")
+                )
+                store.append("facts", df, commit_id=c + 1, cluster_by="k",
+                             cluster_partitions=4)
+                store.commit_append("facts", c + 1)
+            src = spark.range(100_000, 102_000).select(
+                F.col("id").alias("k"),
+                F.lit(-1).cast("bigint").alias("v"),
+            ).localCheckpoint(eager=True)
+            t0 = _time.perf_counter()
+            res = store.merge_into(
+                spark, "facts", src, ["k"], commit_id=21,
+                when_matched="delete", when_not_matched="insert",
+            )
+            dt = _time.perf_counter() - t0
+            print(
+                f"x{r} merge_into probe ({n_rows} rows, fixed 2k src)"
+                f"{'':<8} {dt:7.2f}s  {res}",
+                flush=True,
+            )
+        finally:
+            _shutil.rmtree(work, ignore_errors=True)
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--skew":
         skew_main()
@@ -680,5 +759,7 @@ if __name__ == "__main__":
         ivskew_main()
     elif len(sys.argv) > 1 and sys.argv[1] == "--r8":
         r8_main()
+    elif len(sys.argv) > 1 and sys.argv[1] == "--r9":
+        r9_main()
     else:
         main()

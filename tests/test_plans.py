@@ -136,6 +136,9 @@ _ALLOWED_NESTED_LOOP = {
     # one-row totals aggregate (n1, n2) broadcast-crossed onto the
     # cumulative-counts frame and the one-row KS max — in-plan scalars
     "stats_ks_two_sample",
+    # one-row (n_total, tot_u) aggregate crossed onto the per-language
+    # frame — the events_gapfill in-plan scalar pattern
+    "corpus_temperature_mix",
 }
 # Single-partition exchanges allowed only where the exchanged data is
 # metadata-scale (a handful of rows), never a full table:
@@ -190,6 +193,8 @@ _ALLOWED_SINGLE_PARTITION = {
     # 1-row aggregates; per-partition offset totals are ≤ #partitions
     # rows (operators/prefix.py) — the dense-ids-offsets pattern
     "stats_ks_two_sample",
+    # the one-row totals aggregate feeding the temperature-mix cross
+    "corpus_temperature_mix",
     # skyline's cross-bucket prefix max: a global window over <=
     # n_buckets per-bucket maxima — bounded by construction (the
     # dense-ids-offsets pattern), never table rows
