@@ -701,8 +701,32 @@ def r9_main() -> None:
         print(f"{label:<52} {dt:7.2f}s  rows={n}", flush=True)
         return dt
 
+    def ensure_events(sf_dir: str, r: int) -> None:
+        # build_corpus replicates documents/embeddings only; KS needs
+        # events — replicate with per-replica value jitter so the
+        # distinct-value frame (the prefix-sum input) grows r-fold too
+        path = os.path.join(sf_dir, "events.parquet")
+        if os.path.exists(path):
+            return
+        e = load_table(spark, BASE_SF, "events")
+        parts = [
+            e.select(
+                (F.col("event_id") + F.lit(k * 10_000_000)).alias("event_id"),
+                "ts", "user_id", "event_type",
+                (F.col("value") * (1 + F.lit(k) * 1e-7)).alias("value"),
+                "props",
+            )
+            for k in range(r)
+        ]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        out.repartition(16).write.mode("overwrite").parquet(path)
+
     for r in (1, replicas):
         sf_dir = BASE_SF if r == 1 else build_corpus(spark, r)
+        if r > 1:
+            ensure_events(sf_dir, r)
         docs = load_table(spark, sf_dir, "documents")
         nd = docs.count()
         run(f"x{r} bpe_train 6 merges ({nd} docs)",
