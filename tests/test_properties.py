@@ -1986,3 +1986,66 @@ def test_bpe_train_matches_python_replica(spark, docs, k):
     )
     got = [tuple(r) for r in bpe_train(df, "text", num_merges=k).collect()]
     assert got == expect, (got, expect)
+
+
+@settings(**SETTINGS)
+@given(
+    ops=st.lists(
+        st.tuples(
+            st.sampled_from(["append", "delete", "upsert"]),
+            st.lists(
+                st.tuples(st.integers(0, 6), st.integers(0, 99)),
+                min_size=1,
+                max_size=4,
+                unique_by=lambda t: t[0],
+            ),
+        ),
+        min_size=1,
+        max_size=5,
+    ),
+)
+def test_change_feed_replay_reconstructs_state(spark, tmp_path_factory, ops):
+    """The lakehouse audit property: folding read_facts_changes'
+    insert/delete events in commit order under the Iceberg sequence
+    rule (a delete at commit d kills earlier-commit rows of that key)
+    reconstructs read_facts EXACTLY, for ANY sequence of appends,
+    equality deletes, and one-commit upserts. This ties merge-on-read,
+    the atomic upsert, and the change feed to one another — if any of
+    the three drifts, the fold and the read disagree."""
+    from pantasia_db_sync_spark.pipeline.store import TableStore
+
+    store = TableStore(str(tmp_path_factory.mktemp("cdf_prop")))
+    cid = 0
+    for kind, rows in ops:
+        cid += 1
+        df = spark.createDataFrame(rows, "k long, val long")
+        if kind == "append":
+            store.append("t", df, commit_id=cid)
+        elif kind == "delete":
+            store.delete_facts("t", df.select("k"), commit_id=cid)
+        else:
+            store.upsert_facts("t", df, ["k"], commit_id=cid)
+        store.commit_append("t", cid)
+
+    feed = store.read_facts_changes(spark, "t", since=0)
+    # a table that only ever saw deletes has no data root: feed and
+    # read are both None (no schema exists to surface)
+    events = sorted(
+        (r["_commit"], r["_change_type"], r["k"], r["val"])
+        for r in (feed.collect() if feed is not None else [])
+    )
+    # fold: state maps key -> list of (commit, val) live versions
+    state: dict[int, list[tuple[int, int]]] = {}
+    for commit, kind, k, val in events:
+        if kind == "insert":
+            state.setdefault(k, []).append((commit, val))
+        else:  # delete kills versions strictly below its commit
+            state[k] = [
+                (c, v) for c, v in state.get(k, []) if c >= commit
+            ]
+    expect = sorted(
+        (k, v) for k, versions in state.items() for _, v in versions
+    )
+    read = store.read_facts(spark, "t")
+    got = sorted((r["k"], r["val"]) for r in read.collect()) if read is not None else []
+    assert got == expect, (got, expect, events)
