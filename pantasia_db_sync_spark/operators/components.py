@@ -260,3 +260,60 @@ def bfs_distances(
             .localCheckpoint(eager=True)
         )
     return dist.select("node", F.col("d").alias("dist"))
+
+
+def shortest_paths(
+    edges: DataFrame,
+    src: int,
+    rounds: int = 4,
+    u_col: str = "u",
+    v_col: str = "v",
+    w_col: str = "w",
+) -> DataFrame:
+    """(node, dist): single-source WEIGHTED shortest distance over
+    undirected edges, exact for paths of ≤ ``rounds`` edges (the
+    Bellman-Ford relaxation count); unreached nodes keep NULL.
+
+    The weighted generalization of :func:`bfs_distances`: each round
+    every known distance flows over the symmetric edge list adding the
+    edge weight, and every node keeps its MIN. One equi-join + one
+    combinable groupBy per round, distances checkpointed per round —
+    the connected_components loop shape, no driver graph state.
+
+    CONTRACT: integer (BIGINT) non-negative weights — the micro-unit
+    discipline; integer min/plus is order-free, so the result is
+    engine-exact (the oracle is a hop-capped recursive CTE). The round
+    cap is part of the contract, not a shortcut, same as the BFS twin:
+    ``rounds`` relaxations = exact minimum over ≤``rounds``-edge paths,
+    and at 100 TB a bounded round count is what you can schedule
+    (|V|−1 rounds is textbook-exact Bellman-Ford, same loop)."""
+    sym = edges.select(
+        F.col(u_col).alias("a"), F.col(v_col).alias("b"),
+        F.col(w_col).cast("bigint").alias("w"),
+    ).unionAll(
+        edges.select(
+            F.col(v_col).alias("a"), F.col(u_col).alias("b"),
+            F.col(w_col).cast("bigint").alias("w"),
+        )
+    ).localCheckpoint(eager=True)  # joined every round
+    nodes = sym.select(F.col("a").alias("node")).distinct()
+    dist = nodes.select(
+        "node",
+        F.when(F.col("node") == F.lit(src), F.lit(0))
+        .otherwise(F.lit(None))
+        .cast("bigint")
+        .alias("d"),
+    ).localCheckpoint(eager=True)
+    for _ in range(rounds):
+        cand = (
+            dist.where(F.col("d").isNotNull())
+            .join(sym, dist["node"] == sym["a"])
+            .select(F.col("b").alias("node"), (F.col("d") + F.col("w")).alias("d"))
+        )
+        dist = (
+            dist.unionByName(cand)
+            .groupBy("node")
+            .agg(F.min("d").cast("bigint").alias("d"))
+            .localCheckpoint(eager=True)
+        )
+    return dist.select("node", F.col("d").alias("dist"))

@@ -1484,6 +1484,71 @@ def graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "graph_shortest_path",
+    oracle=f"""
+    WITH RECURSIVE e AS (
+      SELECT a.l_suppkey AS u, b.l_suppkey AS v,
+             CAST(min(floor(a.l_quantity + b.l_quantity)) AS BIGINT) AS w
+      FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+      WHERE a.l_orderkey % {_TRI_MOD} = 0 AND a.l_suppkey < b.l_suppkey
+      GROUP BY 1, 2
+    ),
+    sym AS (SELECT u AS a, v AS b, w FROM e UNION ALL SELECT v, u, w FROM e),
+    nodes AS (SELECT DISTINCT a AS node FROM sym),
+    src AS (SELECT min(node) AS s FROM nodes),
+    r(node, d, h) AS (
+      SELECT s, CAST(0 AS BIGINT), 0 FROM src
+      UNION
+      SELECT sym.b, r.d + sym.w, r.h + 1
+      FROM r JOIN sym ON sym.a = r.node WHERE r.h < 4
+    ),
+    best AS (SELECT node, min(d) AS dist FROM r GROUP BY node)
+    SELECT n.node AS suppkey, b.dist
+    FROM nodes n LEFT JOIN best b ON b.node = n.node
+    """,
+)
+def graph_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-source WEIGHTED shortest paths over the supplier
+    co-purchase graph (edge weight = min combined quantity over shared
+    orders, floored to BIGINT — integer min/plus is order-free, the
+    micro-unit discipline), exact over ≤4-edge paths: Bellman-Ford
+    relaxation rounds (operators/components.py::shortest_paths — one
+    equi-join + one combinable groupBy per round, the components/BFS
+    loop shape, no driver graph state) checked against the hop-capped
+    recursive CTE. Completes the graph family's distance story: hops
+    (graph_bfs_distance) and now costs."""
+    from ..operators.components import shortest_paths
+
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_orderkey") % _TRI_MOD == 0
+    )
+    a = li.select(
+        F.col("l_orderkey").alias("k"),
+        F.col("l_suppkey").alias("u"),
+        F.col("l_quantity").alias("qa"),
+    )
+    b = li.select(
+        F.col("l_orderkey").alias("k"),
+        F.col("l_suppkey").alias("v"),
+        F.col("l_quantity").alias("qb"),
+    )
+    e = (
+        a.join(b, "k")
+        .where(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(
+            F.min(F.floor(F.col("qa") + F.col("qb")))
+            .cast("bigint")
+            .alias("w")
+        )
+    )
+    src = e.agg(F.min(F.least("u", "v"))).collect()[0][0]  # scalar probe
+    return shortest_paths(e, src=int(src), rounds=4).select(
+        F.col("node").alias("suppkey"), "dist"
+    )
+
+
+@register(
     "cdc_apply_changelog",
     oracle="""
     WITH ch AS (

@@ -222,7 +222,8 @@ def test_every_query_plan_free_of_scale_smells(spark, sf_dir):
     funnel.
 
     Known blind spot: operators that eagerly localCheckpoint
-    (with_dense_ids strategy="checkpoint", connected_components)
+    (with_dense_ids strategy="checkpoint", connected_components,
+    bfs_distances / shortest_paths' per-round distance frames)
     truncate the inspected plan to a checkpoint scan, so THEIR upstream
     lineage is not visible here — covered instead by dedicated property
     tests and the pipeline e2e suite. with_dense_ids strategy="sample"

@@ -2049,3 +2049,45 @@ def test_change_feed_replay_reconstructs_state(spark, tmp_path_factory, ops):
     read = store.read_facts(spark, "t")
     got = sorted((r["k"], r["val"]) for r in read.collect()) if read is not None else []
     assert got == expect, (got, expect, events)
+
+
+@settings(**SETTINGS)
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(0, 8), st.integers(0, 8), st.integers(0, 20)
+        ),
+        min_size=1,
+        max_size=15,
+    ),
+    rounds=st.integers(1, 4),
+)
+def test_shortest_paths_matches_bellman_ford(spark, edges, rounds):
+    """shortest_paths ≡ serial synchronous Bellman-Ford capped at the
+    same round count (= exact min over ≤rounds-edge paths), for any
+    undirected weighted multigraph including self-loops, parallel
+    edges with different weights, and zero weights."""
+    from pantasia_db_sync_spark.operators.components import shortest_paths
+
+    edges = [(u, v, w) for u, v, w in edges]
+    src = min(min(u, v) for u, v, _ in edges)
+    # serial synchronous relaxation over the symmetric edge list
+    dist = {src: 0}
+    for _ in range(rounds):
+        nd = dict(dist)
+        for u, v, w in edges:
+            for a, b in ((u, v), (v, u)):
+                if a in dist:
+                    c = dist[a] + w
+                    if b not in nd or c < nd[b]:
+                        nd[b] = c
+        dist = nd
+    nodes = {n for u, v, _ in edges for n in (u, v)}
+    expect = {n: dist.get(n) for n in nodes}
+
+    df = spark.createDataFrame(edges, "u long, v long, w long")
+    got = {
+        r["node"]: r["dist"]
+        for r in shortest_paths(df, src=src, rounds=rounds).collect()
+    }
+    assert got == expect, (got, expect)
