@@ -2059,6 +2059,104 @@ def stats_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stats_mann_whitney",
+    oracle="""
+    WITH g AS (
+      SELECT value,
+             CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS c2
+      FROM events
+      WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL
+      GROUP BY 1
+    ),
+    cum AS (
+      SELECT c1, c2,
+             sum(c1 + c2) OVER (ORDER BY value) AS k
+      FROM g
+    ),
+    tot AS (
+      SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2
+      FROM g
+    ),
+    -- rank sum of sample 1 in MICRO-RANKS (avg rank × 2 stays integral:
+    -- 2·avgrank = 2·(k−n)+n+1 for a tie group of n ending at cum k)
+    rs AS (
+      SELECT CAST(sum(c1 * (2 * (k - c1 - c2) + (c1 + c2) + 1)) AS BIGINT)
+               AS two_r1
+      FROM cum
+    )
+    SELECT t.n1, t.n2,
+           CAST((rs.two_r1 - 2 * t.n1 * (t.n1 + 1) / 2) / 2.0 AS DOUBLE) AS u1,
+           CAST(t.n1 * t.n2 - (rs.two_r1 - 2 * t.n1 * (t.n1 + 1) / 2) / 2.0
+                AS DOUBLE) AS u2,
+           floor(abs((rs.two_r1 - 2 * t.n1 * (t.n1 + 1) / 2) / 2.0
+                     - t.n1 * t.n2 / 2.0)
+                 / sqrt(t.n1 * t.n2 * (t.n1 + t.n2 + 1) / 12.0)
+                 * 1000000 + 0.5) / 1000000 AS z_abs
+    FROM rs, tot t
+    """,
+)
+def stats_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Whitney U rank-sum test between two event cohorts — the
+    nonparametric location-shift twin of stats_welch_ttest (no
+    normality assumption; the standard A/B gate for skewed metrics
+    like revenue-per-user). Ties get AVERAGE ranks, computed exactly:
+    a tie group of n values ending at pooled cumulative k spans ranks
+    (k−n, k], so 2·avgrank = 2(k−n)+n+1 stays INTEGRAL — the rank sum
+    is accumulated in doubled integer units (order-free) and halved
+    once at the end; the z statistic's only float ops are divisions
+    and one IEEE-exact sqrt.
+
+    Scale shape: same as stats_ks_two_sample — one combinable
+    per-value count pass, one distributed prefix sum over distinct
+    values (operators/prefix.py), scalar finishes. No global window,
+    no rank() over the raw rows (which would funnel the corpus through
+    one partition)."""
+    from ..operators.prefix import with_prefix_sums
+
+    e = load_table(spark, sf_dir, "events")
+    g = (
+        e.where(
+            F.col("event_type").isin("click", "purchase")
+            & F.col("value").isNotNull()
+        )
+        .groupBy("value")
+        .agg(
+            F.sum(
+                F.when(F.col("event_type") == "click", 1).otherwise(0)
+            ).cast("bigint").alias("c1"),
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).cast("bigint").alias("c2"),
+        )
+        .withColumn("cb", F.col("c1") + F.col("c2"))
+    )
+    cum = with_prefix_sums(g, "value", ["cb"], num_partitions=32)
+    two_r1 = cum.select(
+        (
+            F.col("c1")
+            * (2 * (F.col("cum_cb") - F.col("cb")) + F.col("cb") + 1)
+        ).alias("t")
+    ).agg(F.sum("t").cast("bigint").alias("two_r1"))
+    tot = g.agg(
+        F.sum("c1").cast("bigint").alias("n1"),
+        F.sum("c2").cast("bigint").alias("n2"),
+    )
+    j = two_r1.crossJoin(F.broadcast(tot))
+    u1 = (F.col("two_r1") - 2 * F.col("n1") * (F.col("n1") + 1) / 2) / 2.0
+    z = F.abs(u1 - F.col("n1") * F.col("n2") / 2.0) / F.sqrt(
+        F.col("n1") * F.col("n2") * (F.col("n1") + F.col("n2") + 1) / 12.0
+    )
+    return j.select(
+        "n1",
+        "n2",
+        u1.cast("double").alias("u1"),
+        (F.col("n1") * F.col("n2") - u1).cast("double").alias("u2"),
+        fround(z, 6).alias("z_abs"),
+    )
+
+
+@register(
     "stats_welch_ttest",
     oracle="""
     WITH g AS (

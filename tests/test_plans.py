@@ -136,6 +136,8 @@ _ALLOWED_NESTED_LOOP = {
     # one-row totals aggregate (n1, n2) broadcast-crossed onto the
     # cumulative-counts frame and the one-row KS max — in-plan scalars
     "stats_ks_two_sample",
+    # same shape: the one-row doubled-rank-sum × one-row totals cross
+    "stats_mann_whitney",
     # one-row (n_total, tot_u) aggregate crossed onto the per-language
     # frame — the events_gapfill in-plan scalar pattern
     "corpus_temperature_mix",
@@ -193,6 +195,9 @@ _ALLOWED_SINGLE_PARTITION = {
     # 1-row aggregates; per-partition offset totals are ≤ #partitions
     # rows (operators/prefix.py) — the dense-ids-offsets pattern
     "stats_ks_two_sample",
+    # rank-sum finishes: one-row two_r1 / totals aggregates; offsets
+    # are ≤ #partitions rows (operators/prefix.py)
+    "stats_mann_whitney",
     # the one-row totals aggregate feeding the temperature-mix cross
     "corpus_temperature_mix",
     # skyline's cross-bucket prefix max: a global window over <=
