@@ -10,7 +10,7 @@ hash (functions/text.py).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import (
@@ -982,10 +982,9 @@ _BM25_TERMS = ("spark", "window", "merge")
 _BM25_K1, _BM25_B = 1.2, 0.75
 
 
-@register(
-    "text_bm25_topk",
-    oracle=f"""
-    WITH toks AS (
+# BM25 `scored` CTE chain — shared by text_bm25_topk and the hybrid
+# RRF fusion so the two oracles can never drift apart
+_BM25_SCORED_CTES = f"""toks AS (
       SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok FROM documents
     ),
     dl AS (
@@ -1009,7 +1008,13 @@ _BM25_K1, _BM25_B = 1.2, 0.75
                     * (1 - {_BM25_B} + {_BM25_B} * dl.dl / avgdl))) AS s
       FROM tf JOIN df USING (tok) JOIN dl ON dl.doc_id = tf.doc_id, stats
       GROUP BY 1
-    )
+    )"""
+
+
+@register(
+    "text_bm25_topk",
+    oracle=f"""
+    WITH {_BM25_SCORED_CTES}
     SELECT doc_id, floor(s * 100000 + 0.5) / 100000 AS bm25
     FROM scored ORDER BY bm25 DESC, doc_id LIMIT 20
     """,
@@ -1024,6 +1029,19 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact ratio of two integer aggregates, so both engines divide the
     same numbers — no float-accumulation drift). Top-20 is TakeOrdered
     with a doc_id tiebreak."""
+    scored = _bm25_scored_frame(spark, sf_dir)
+    return (
+        scored.select("doc_id", fround(F.col("s"), 5).alias("bm25"))
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(20)
+    )
+
+
+def _bm25_scored_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, s): raw BM25 scores for the fixed _BM25_TERMS query —
+    the shared lexical leg of text_bm25_topk and the RRF fusion (one
+    implementation, one truth; see _BM25_SCORED_CTES for the shared
+    oracle chain)."""
     d = load_table(spark, sf_dir, "documents")
     toks_arr = F.filter(tokens_col("text"), lambda t: t != "")
     dl = d.select("doc_id", F.size(toks_arr).cast("bigint").alias("dl"))
@@ -1049,16 +1067,121 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             + _BM25_K1 * (1 - _BM25_B + _BM25_B * F.col("dl") / F.lit(avgdl))
         )
     )
-    scored = (
+    return (
         tf.join(F.broadcast(df_), "tok")
         .join(dl, "doc_id")
         .groupBy("doc_id")
         .agg(F.sum(idf * tf_part).alias("s"))
     )
-    return (
+
+
+@register(
+    "text_hybrid_search_rrf",
+    oracle=f"""
+    WITH {_BM25_SCORED_CTES},
+    lexr AS (
+      SELECT doc_id, floor(s * 100000 + 0.5) / 100000 AS bm25
+      FROM scored ORDER BY bm25 DESC, doc_id LIMIT 20
+    ),
+    lex AS (
+      SELECT doc_id,
+             CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS INTEGER) AS r
+      FROM lexr
+    ),
+    emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    nv AS (
+      SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+      FROM emb
+    ),
+    q AS (SELECT v AS qv, nrm AS qn FROM nv WHERE vec_id = 0),
+    semr AS (
+      SELECT vec_id AS doc_id,
+             {sql_round("list_sum(list_transform(range(1, len(nv.v) + 1), i -> nv.v[i] * qv[i])) / (nv.nrm * qn)", 6)}
+               AS cos
+      FROM nv, q WHERE vec_id <> 0
+      ORDER BY cos DESC, doc_id LIMIT 20
+    ),
+    sem AS (
+      SELECT doc_id,
+             CAST(row_number() OVER (ORDER BY cos DESC, doc_id) AS INTEGER) AS r
+      FROM semr
+    ),
+    fused AS (
+      SELECT COALESCE(l.doc_id, s2.doc_id) AS doc_id,
+             COALESCE(1.0 / (60 + l.r), 0) + COALESCE(1.0 / (60 + s2.r), 0)
+               AS rrf_raw,
+             l.r AS lex_rank, s2.r AS sem_rank
+      FROM lex l FULL OUTER JOIN sem s2 ON l.doc_id = s2.doc_id
+    )
+    SELECT doc_id, floor(rrf_raw * 1000000 + 0.5) / 1000000 AS rrf,
+           lex_rank, sem_rank
+    FROM fused ORDER BY rrf_raw DESC, doc_id LIMIT 10
+    """,
+)
+def text_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via Reciprocal Rank Fusion (Cormack et al.
+    2009, k=60 — the fusion every modern RAG/search stack runs):
+    fuse the LEXICAL top-20 (BM25, the shared _bm25_scored_frame leg)
+    with the SEMANTIC top-20 (cosine against a fixed query embedding,
+    vec 0) by score = Σ 1/(60 + rank). RRF needs no score calibration
+    between the two rankers — only ranks — which is why it wins over
+    weighted score sums in practice.
+
+    Scale shape: each leg is its own already-scale-correct retrieval
+    (BM25's term-restricted explode; the brute-force cosine leg stands
+    in for any ANN leg — the ivf/pq queries are drop-in). The fusion
+    itself touches 2×20 rows: the row_number windows and the full
+    outer join run on top-k frames, metadata-scale by construction."""
+    e = load_table(spark, sf_dir, "embeddings")
+    from ..operators.similarity import _py_norm, as_double_vec, dot_col, norm_col
+
+    scored = _bm25_scored_frame(spark, sf_dir)
+    lexr = (
         scored.select("doc_id", fround(F.col("s"), 5).alias("bm25"))
         .orderBy(F.desc("bm25"), "doc_id")
         .limit(20)
+    )
+    w_lex = Window.orderBy(F.desc("bm25"), "doc_id")
+    lex = lexr.select(
+        "doc_id", F.row_number().over(w_lex).cast("int").alias("lex_rank")
+    )
+
+    qv = [
+        float(x)
+        for x in e.where(F.col("vec_id") == 0)
+        .select(as_double_vec("embedding").alias("v"))
+        .first()["v"]
+    ]  # scalar probe: one 64-float query vector
+    v = as_double_vec("embedding")
+    cos = fround(
+        dot_col(v, F.lit(qv)) / (norm_col(v) * F.lit(_py_norm(qv))), 6
+    )
+    semr = (
+        e.where(F.col("vec_id") != 0)
+        .select(F.col("vec_id").alias("doc_id"), cos.alias("cos"))
+        .orderBy(F.desc("cos"), "doc_id")
+        .limit(20)
+    )
+    w_sem = Window.orderBy(F.desc("cos"), "doc_id")
+    sem = semr.select(
+        "doc_id", F.row_number().over(w_sem).cast("int").alias("sem_rank")
+    )
+
+    fused = lex.join(sem, "doc_id", "full_outer")
+    rrf_raw = F.coalesce(1.0 / (60 + F.col("lex_rank")), F.lit(0.0)) + F.coalesce(
+        1.0 / (60 + F.col("sem_rank")), F.lit(0.0)
+    )
+    return (
+        fused.select(
+            "doc_id",
+            fround(rrf_raw, 6).alias("rrf"),
+            "lex_rank",
+            "sem_rank",
+            rrf_raw.alias("__raw"),
+        )
+        .orderBy(F.desc("__raw"), "doc_id")
+        .limit(10)
+        .drop("__raw")
     )
 
 

@@ -198,6 +198,9 @@ _ALLOWED_SINGLE_PARTITION = {
     # rank-sum finishes: one-row two_r1 / totals aggregates; offsets
     # are ≤ #partitions rows (operators/prefix.py)
     "stats_mann_whitney",
+    # RRF fusion: row_number windows + full-outer join over the two
+    # TOP-20 frames — ≤20 rows by construction (post-limit), never data
+    "text_hybrid_search_rrf",
     # the one-row totals aggregate feeding the temperature-mix cross
     "corpus_temperature_mix",
     # skyline's cross-bucket prefix max: a global window over <=
