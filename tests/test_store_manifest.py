@@ -1325,3 +1325,65 @@ def test_merge_into_matched_condition_lww(spark, tmp_path):
     assert res["matched"] == 1  # only k=2 (source ts 301 > 300)
     store.commit_append("t", 3)
     assert sorted(r.k for r in store.read_facts(spark, "t").collect()) == [1, 3]
+
+
+def test_change_feed_compaction_horizon_and_branch_merge(spark, tmp_path):
+    """Two likely-probe behaviors pinned:
+
+    (1) Change-feed compaction horizon (the documented Iceberg-shared
+    caveat): compaction re-stamps merged rows to the segment boundary,
+    so a feed read from BEFORE the horizon re-emits them as boundary-
+    commit inserts (a consumer must stay ahead of compaction or
+    resync); a read from AT/after the horizon sees only genuinely new
+    commits, and the POST-compaction table state is unchanged.
+
+    (2) merge_into on a zero-copy BRANCH: the probe resolves shared
+    source history through the branch dirs, updates land branch-only,
+    and the source never sees them."""
+    store = TableStore(str(tmp_path / "store"))
+
+    def rows(*pairs):
+        return spark.createDataFrame(list(pairs), "k long, val long")
+
+    # --- (1) compaction horizon
+    store.append("t", rows((1, 10)), commit_id=1)
+    store.commit_append("t", 1)
+    store.append("t", rows((2, 20)), commit_id=2)
+    store.commit_append("t", 2)
+    before = sorted(map(tuple, store.read_facts(spark, "t").collect()))
+    out = store.compact_facts(spark, "t", min_dirs_per_segment=2)
+    assert out["segments"], out
+    boundary = out["segments"][0][0]
+    store.append("t", rows((3, 30)), commit_id=3)
+    store.commit_append("t", 3)
+
+    assert sorted(map(tuple, store.read_facts(spark, "t").collect())) == before + [
+        (3, 30)
+    ]
+    # from the horizon onward: exactly the new commit
+    fresh = store.read_facts_changes(spark, "t", since=boundary)
+    assert [(r["_change_type"], r["_commit"], r["k"]) for r in fresh.collect()] == [
+        ("insert", 3, 3)
+    ]
+    # from before the horizon: the merged dir re-emits rows 1 and 2 at
+    # the boundary commit — the documented resync signal
+    stale = store.read_facts_changes(spark, "t", since=0)
+    got = sorted((r["_commit"], r["k"]) for r in stale.collect())
+    assert got == [(boundary, 1), (boundary, 2), (3, 3)], got
+
+    # --- (2) merge into a branch
+    store.create_branch("t", "dev")
+    src = rows((1, 111), (9, 90))
+    res = store.merge_into(
+        spark, "dev", src, ["k"], commit_id=4,
+        when_matched="update", when_not_matched=None,
+    )
+    assert res == {"matched": 1, "not_matched": 1}  # k=1 via shared history
+    store.commit_append("dev", 4)
+    assert {r.k: r.val for r in store.read_facts(spark, "dev").collect()} == {
+        1: 111, 2: 20, 3: 30
+    }
+    # source untouched
+    assert {r.k: r.val for r in store.read_facts(spark, "t").collect()} == {
+        1: 10, 2: 20, 3: 30
+    }
