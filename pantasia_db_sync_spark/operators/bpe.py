@@ -39,7 +39,7 @@ from pyspark.sql import functions as F
 
 from ..functions.text import tokens_col
 
-__all__ = ["bpe_train"]
+__all__ = ["bpe_train", "bpe_vocab_after_merges"]
 
 
 def bpe_train(
@@ -53,7 +53,30 @@ def bpe_train(
     Deterministic: whitespace word tokenization (the corpus-wide
     tokens contract), character-level initial symbols, winner = max
     weighted pair count with ties to the smallest pair string."""
-    spark = docs.sparkSession
+    merges, _ = _train(docs, text_col, num_merges)
+    return docs.sparkSession.createDataFrame(
+        merges,
+        "merge_rank int, lhs string, rhs string, merged string, pair_count bigint",
+    )
+
+
+def bpe_vocab_after_merges(
+    docs: DataFrame,
+    text_col: str = "text",
+    num_merges: int = 6,
+) -> DataFrame:
+    """(word, freq, sym): the word-frequency vocabulary AFTER applying
+    all ``num_merges`` learned merges — the APPLY side of the trainer
+    (``sym`` is the space-joined symbol string; its piece count is the
+    word's tokenized length under the learned vocabulary). Same frozen
+    one-corpus-pass frame the trainer iterates on, so train + apply
+    share every pass."""
+    _, w = _train(docs, text_col, num_merges)
+    return w.select("word", "freq", "sym")
+
+
+def _train(docs: DataFrame, text_col: str, num_merges: int):
+    """Shared trainer loop: returns (merges list, final word frame)."""
     w = (
         docs.select(F.explode(tokens_col(text_col)).alias("word"))
         .where(F.length("word") > 0)
@@ -100,6 +123,4 @@ def bpe_train(
                 F.col("sym"), F.lit(f" {pair} "), F.lit(f" {merged} ")
             ),
         )
-    return spark.createDataFrame(
-        merges, "merge_rank int, lhs string, rhs string, merged string, pair_count bigint"
-    )
+    return merges, w

@@ -1287,13 +1287,15 @@ def text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bpe_train_sql(k: int = 6) -> str:
-    """DuckDB replay of operators/bpe.py::bpe_train — the K learning
-    iterations chained as CTE stages: pair counting via UNNEST of the
-    adjacent-symbol list, the per-iteration winner as a one-row CTE
-    (ORDER BY cnt DESC, pair ASC LIMIT 1), and the merge application
-    as the same non-overlapping left-to-right `replace` both engines
-    share (bpe.py module docstring pins that semantics)."""
+def _bpe_train_ctes(k: int = 6) -> str:
+    """DuckDB replay of operators/bpe.py::bpe_train as a CTE chain:
+    pair counting via UNNEST of the adjacent-symbol list, the
+    per-iteration winner as a one-row CTE (ORDER BY cnt DESC, pair ASC
+    LIMIT 1), and the merge application as the same non-overlapping
+    left-to-right `replace` both engines share (bpe.py module
+    docstring pins that semantics). Exposes b1..bK (the winners) AND
+    sK (the fully rewritten vocabulary) so both the training query and
+    the apply query derive from one chain."""
     parts = [
         f"toks AS ({_SQL_TOKS})",
         "w0 AS (SELECT u.word, CAST(count(*) AS BIGINT) AS freq"
@@ -1315,13 +1317,16 @@ def _bpe_train_sql(k: int = 6) -> str:
             f"b{i} AS (SELECT pair, cnt FROM p{i}"
             f" ORDER BY cnt DESC, pair ASC LIMIT 1)"
         )
-        if i < k:
-            parts.append(
-                f"s{i} AS (SELECT word, freq,"
-                f" replace(sym, ' ' || b.pair || ' ',"
-                f" ' ' || replace(b.pair, ' ', '') || ' ') AS sym"
-                f" FROM {prev}, b{i} b)"
-            )
+        parts.append(
+            f"s{i} AS (SELECT word, freq,"
+            f" replace(sym, ' ' || b.pair || ' ',"
+            f" ' ' || replace(b.pair, ' ', '') || ' ') AS sym"
+            f" FROM {prev}, b{i} b)"
+        )
+    return "WITH " + ",\n".join(parts)
+
+
+def _bpe_train_sql(k: int = 6) -> str:
     selects = [
         f"SELECT CAST({i} AS INTEGER) AS merge_rank,"
         f" split_part(pair, ' ', 1) AS lhs,"
@@ -1330,7 +1335,7 @@ def _bpe_train_sql(k: int = 6) -> str:
         f" cnt AS pair_count FROM b{i}"
         for i in range(1, k + 1)
     ]
-    return "WITH " + ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(selects)
+    return _bpe_train_ctes(k) + "\n" + "\nUNION ALL\n".join(selects)
 
 
 @register("text_bpe_train", oracle=_bpe_train_sql(k=6))
@@ -1347,6 +1352,56 @@ def text_bpe_train_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return bpe_train(d, "text", num_merges=6)
+
+
+@register(
+    "text_bpe_apply",
+    oracle=_bpe_train_ctes(6)
+    + """,
+    pieces AS (
+      SELECT word, freq,
+             CAST(len(str_split(trim(sym), ' ')) AS BIGINT) AS np,
+             CAST(len(word) AS BIGINT) AS nc
+      FROM s6
+    )
+    SELECT CAST(count(*) AS BIGINT) AS vocab_words,
+           CAST(sum(freq * np) AS BIGINT) AS corpus_pieces,
+           CAST(sum(freq * nc) AS BIGINT) AS corpus_chars,
+           floor(sum(freq * nc) / CAST(sum(freq * np) AS DOUBLE) * 10000 + 0.5)
+             / 10000 AS chars_per_piece
+    FROM pieces
+    """,
+)
+def text_bpe_apply_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The APPLY side of the BPE trainer: tokenize the corpus under the
+    6 learned merges (operators/bpe.py::bpe_vocab_after_merges — the
+    same frozen word-frequency frame the trainer iterated on) and
+    report the compression it buys: total pieces vs total characters
+    and the chars-per-piece ratio (>1 = the learned vocabulary packs
+    more text per token — the metric BPE training exists to move).
+    The oracle replays train AND apply from one CTE chain, so the two
+    registered queries cannot drift from each other."""
+    from ..operators.bpe import bpe_vocab_after_merges
+
+    d = load_table(spark, sf_dir, "documents")
+    w = bpe_vocab_after_merges(d, "text", num_merges=6)
+    np_ = F.size(F.split(F.trim(F.col("sym")), " ")).cast("bigint")
+    nc = F.length("word").cast("bigint")
+    agg = w.select(
+        F.col("freq"), np_.alias("np"), nc.alias("nc")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("vocab_words"),
+        F.sum(F.col("freq") * F.col("np")).cast("bigint").alias("corpus_pieces"),
+        F.sum(F.col("freq") * F.col("nc")).cast("bigint").alias("corpus_chars"),
+    )
+    return agg.select(
+        "vocab_words",
+        "corpus_pieces",
+        "corpus_chars",
+        fround(
+            F.col("corpus_chars") / F.col("corpus_pieces").cast("double"), 4
+        ).alias("chars_per_piece"),
+    )
 
 
 @register(
