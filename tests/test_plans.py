@@ -201,6 +201,10 @@ _ALLOWED_SINGLE_PARTITION = {
     # RRF fusion: row_number windows + full-outer join over the two
     # TOP-20 frames — ≤20 rows by construction (post-limit), never data
     "text_hybrid_search_rrf",
+    # BPE-apply finish: the single partition carries one partial-agg
+    # row per upstream partition over the vocab frame (map-side combine
+    # first) — the tpch_q6-class scalar finish
+    "text_bpe_apply",
     # the one-row totals aggregate feeding the temperature-mix cross
     "corpus_temperature_mix",
     # skyline's cross-bucket prefix max: a global window over <=
