@@ -946,6 +946,127 @@ def synthetic_wav_frame(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return src.mapInPandas(gen, schema="doc_id bigint, content binary")
 
 
+def encode_wav_gapped(
+    sample_rate: int,
+    n_segments: int,
+    seg_frames: int,
+    gap_frames: int,
+    amplitude: int,
+) -> bytes:
+    """Mono PCM-16 WAV of ``n_segments`` ±amplitude square-wave bursts
+    separated by exact-zero silence gaps (voiced, gap, voiced, …,
+    voiced) — the fixture shape for voice-activity segmentation. Same
+    RIFF layout rules as encode_wav (LIST chunk forcing a real walk)."""
+    total = n_segments * seg_frames + (n_segments - 1) * gap_frames
+    frames = np.zeros(total, dtype="<i2")
+    for k in range(n_segments):
+        s = k * (seg_frames + gap_frames)
+        burst = np.empty(seg_frames, dtype="<i2")
+        burst[0::2] = amplitude
+        burst[1::2] = -amplitude
+        frames[s : s + seg_frames] = burst
+    data = frames.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    chunks = (
+        b"fmt " + struct.pack("<I", 16) + fmt
+        + b"LIST" + struct.pack("<I", 12) + b"INFOpantasia"
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def audio_segments(
+    content: bytes, window: int = 64, threshold: float = 0.5
+) -> dict:
+    """Energy-based voice-activity segmentation over a REAL WAV decode:
+    chunk-walk the stream, window the mono sample track into
+    ``window``-frame blocks, mark a block voiced when its peak |sample|
+    exceeds ``threshold``, and merge consecutive voiced blocks into
+    segments. Returns per-clip counts at window granularity (the
+    resolution every practical VAD reports):
+    n_segments / voiced_frames / silence_frames / seg_start_sum (the
+    boundary checksum: Σ segment start frames) / voiced_ratio."""
+    meta, samples = wav_meta_and_samples(content)
+    ch = meta["channels"]
+    if ch > 1:  # mixdown: mean over channels, frame-major interleave
+        samples = samples.reshape(-1, ch).mean(axis=1)
+    n = len(samples)
+    n_blocks = (n + window - 1) // window
+    padded = np.zeros(n_blocks * window)
+    padded[:n] = samples
+    voiced = np.abs(padded).reshape(n_blocks, window).max(axis=1) > threshold
+    # segment starts = voiced blocks whose predecessor is silent
+    prev = np.concatenate(([False], voiced[:-1]))
+    starts = np.flatnonzero(voiced & ~prev)
+    voiced_frames = int(voiced.sum()) * window
+    return {
+        "n_segments": int(len(starts)),
+        "voiced_frames": min(voiced_frames, n),
+        "silence_frames": n - min(voiced_frames, n),
+        "seg_start_sum": int((starts * window).sum()),
+        "voiced_ratio": float(min(voiced_frames, n)) / n if n else 0.0,
+    }
+
+
+AUDIO_SEG_SCHEMA = (
+    "doc_id bigint, n_segments int, voiced_frames int, silence_frames int, "
+    "seg_start_sum bigint, voiced_ratio double"
+)
+
+
+def audio_segments_features(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    binary_col: str = "content",
+    window: int = 64,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """mapInPandas VAD over a binary WAV column — same Arrow plumbing
+    as the other codecs; numpy-vectorized per blob."""
+    src = df.select(
+        F.col(id_col).alias("doc_id"), F.col(binary_col).alias("content")
+    )
+    cols = [
+        "n_segments", "voiced_frames", "silence_frames",
+        "seg_start_sum", "voiced_ratio",
+    ]
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, c in zip(pdf["doc_id"], pdf["content"]):
+                d = audio_segments(bytes(c), window, threshold)
+                rows.append((int(i), *(d[k] for k in cols)))
+            yield pd.DataFrame(rows, columns=["doc_id", *cols])
+
+    return src.mapInPandas(extract, schema=AUDIO_SEG_SCHEMA)
+
+
+def synthetic_gapped_wav_frame(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Real encoded gapped-WAV bytes, one clip per row — segment count /
+    lengths / amplitude all id-derived AND multiples of the VAD window
+    (64), so the paired oracle predicts every output arithmetically:
+    s = i%4+2 segments of (i%3+1)·64 frames with (i%2+1)·64-frame gaps
+    at amplitude (i·131)%20000+500."""
+    src = df.select(F.col(id_col).alias("doc_id"))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            content = [
+                encode_wav_gapped(
+                    16000,
+                    int(i) % 4 + 2,
+                    (int(i) % 3 + 1) * 64,
+                    (int(i) % 2 + 1) * 64,
+                    (int(i) * 131) % 20000 + 500,
+                )
+                for i in pdf["doc_id"]
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].values, "content": content})
+
+    return src.mapInPandas(gen, schema="doc_id bigint, content binary")
+
+
 # ---------------------------------------------------------------------------
 # Image perceptual hash (dHash): image near-dup dedup over REAL decoded
 # pixels — the image-modality twin of dedup_simhash

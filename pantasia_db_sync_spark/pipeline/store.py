@@ -1156,6 +1156,20 @@ class TableStore:
             return self._facts_frame(spark, table, version)
         return spark.read.parquet(self._resolve_version_dir(table, version))
 
+    def read_facts_at_commit(
+        self, spark: SparkSession, table: str, commit_id: int
+    ) -> DataFrame | None:
+        """Time-travel a FACT table to an arbitrary commit id without a
+        snapshot tag (Iceberg's VERSION AS OF by snapshot-id, vs
+        read_at's tag-based AS OF): the merged read replayed to
+        ``min(commit_id, current pointer)`` — schema isolated at that
+        watermark, tombstones ≤ it applied, branch-aware. O(visible
+        commit dirs) metadata, no repointing."""
+        ptr = self.current_version(table)
+        if ptr is None:
+            return None
+        return self._facts_frame(spark, table, min(commit_id, ptr))
+
     def diff(
         self,
         spark: SparkSession,

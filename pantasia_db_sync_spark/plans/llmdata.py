@@ -2315,6 +2315,55 @@ def ann_ivfadc_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM documents WHERE doc_id < 300
     """,
 )
+@register(
+    "multimodal_audio_segments",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id,
+             doc_id % 4 + 2 AS s,
+             (doc_id % 3 + 1) * 64 AS seg,
+             (doc_id % 2 + 1) * 64 AS gap
+      FROM documents WHERE doc_id < 300
+    )
+    SELECT doc_id,
+           CAST(s AS INTEGER) AS n_segments,
+           CAST(s * seg AS INTEGER) AS voiced_frames,
+           CAST((s - 1) * gap AS INTEGER) AS silence_frames,
+           CAST((seg + gap) * s * (s - 1) / 2 AS BIGINT) AS seg_start_sum,
+           floor(s * seg / CAST(s * seg + (s - 1) * gap AS DOUBLE)
+                 * 1000000 + 0.5) / 1000000 AS voiced_ratio
+    FROM p
+    """,
+)
+def multimodal_audio_segments_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Voice-activity segmentation on REAL audio: gapped square-wave
+    PCM clips rendered in-flight (operators/multimodal.py
+    encode_wav_gapped — bursts separated by exact-zero silence) and
+    segmented back by a windowed-energy VAD (audio_segments: RIFF walk,
+    64-frame peak-energy blocks, consecutive-voiced merge). Segment
+    lengths are multiples of the VAD window by construction, so the
+    oracle predicts segment COUNT, voiced/silence frame totals, the
+    boundary checksum Σ(start frames), and the voiced ratio in closed
+    form from doc_id. The speech-dataset preprocessing primitive
+    (silence trimming / utterance splitting) the audio modality was
+    missing next to decode + spectrum."""
+    from ..operators.multimodal import (
+        audio_segments_features,
+        synthetic_gapped_wav_frame,
+    )
+
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    out = audio_segments_features(synthetic_gapped_wav_frame(d), "doc_id", "content")
+    return out.select(
+        "doc_id",
+        "n_segments",
+        "voiced_frames",
+        "silence_frames",
+        "seg_start_sum",
+        fround(F.col("voiced_ratio"), 6).alias("voiced_ratio"),
+    )
+
+
 def multimodal_decode_wav_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio decode: RIFF/PCM WAV clips rendered in-flight
     (operators/multimodal.py encode_wav — ±amplitude square wave, a

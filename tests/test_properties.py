@@ -2091,3 +2091,62 @@ def test_shortest_paths_matches_bellman_ford(spark, edges, rounds):
         for r in shortest_paths(df, src=src, rounds=rounds).collect()
     }
     assert got == expect, (got, expect)
+
+
+@settings(**SETTINGS)
+@given(
+    n_seg=st.integers(1, 5),
+    seg_blocks=st.integers(1, 4),
+    gap_blocks=st.integers(1, 3),
+    amp=st.integers(1, 30000),
+    tail=st.integers(0, 63),
+    channels=st.integers(1, 2),
+)
+def test_audio_segments_exact_for_block_aligned_and_robust_to_tail(
+    n_seg, seg_blocks, gap_blocks, amp, tail, channels
+):
+    """The VAD's exactness contract on block-aligned clips — segment
+    count, voiced/silence frame totals, boundary checksum — plus
+    robustness off the happy path: a silent TAIL shorter than one
+    window must not invent a segment, and stereo input mixes down
+    instead of doubling the track length."""
+    import struct
+
+    import numpy as np
+
+    from pantasia_db_sync_spark.operators.multimodal import (
+        audio_segments,
+        encode_wav_gapped,
+    )
+
+    W = 64
+    seg, gap = seg_blocks * W, gap_blocks * W
+    clip = encode_wav_gapped(16000, n_seg, seg, gap, amp)
+    d = audio_segments(clip, window=W, threshold=0.5)
+    total = n_seg * seg + (n_seg - 1) * gap
+    assert d["n_segments"] == n_seg
+    assert d["voiced_frames"] == n_seg * seg
+    assert d["silence_frames"] == total - n_seg * seg
+    assert d["seg_start_sum"] == (seg + gap) * n_seg * (n_seg - 1) // 2
+
+    # append a silent sub-window tail by hand-building the sample track
+    frames = np.zeros(seg + tail, dtype="<i2")
+    burst = np.empty(seg, dtype="<i2")
+    burst[0::2] = amp
+    burst[1::2] = -amp
+    frames[:seg] = burst
+    data = np.repeat(frames, channels).tobytes()
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, 16000, 16000 * 2 * channels, 2 * channels, 16
+    )
+    raw = (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + 16 + 8 + len(data))
+        + b"WAVE"
+        + b"fmt " + struct.pack("<I", 16) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    d2 = audio_segments(raw, window=W, threshold=0.5)
+    assert d2["n_segments"] == 1
+    assert d2["seg_start_sum"] == 0
+    assert d2["silence_frames"] == tail  # the tail counts as silence

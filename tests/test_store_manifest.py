@@ -1387,3 +1387,34 @@ def test_change_feed_compaction_horizon_and_branch_merge(spark, tmp_path):
     assert {r.k: r.val for r in store.read_facts(spark, "t").collect()} == {
         1: 10, 2: 20, 3: 30
     }
+
+
+def test_read_facts_at_commit(spark, tmp_path):
+    """VERSION AS OF by commit id (no snapshot tag needed): each
+    watermark replays exactly its visible commits — rows, tombstones,
+    AND schema."""
+    store = TableStore(str(tmp_path / "store"))
+
+    def rows(schema, *tups):
+        return spark.createDataFrame(list(tups), schema)
+
+    store.append("t", rows("k long, val long", (1, 10), (2, 20)), commit_id=1)
+    store.commit_append("t", 1)
+    store.delete_facts("t", spark.createDataFrame([(1,)], "k long"), commit_id=2)
+    store.commit_append("t", 2)
+    store.append(
+        "t", rows("k long, val long, tag string", (3, 30, "x")), commit_id=3
+    )
+    store.commit_append("t", 3)
+
+    at1 = store.read_facts_at_commit(spark, "t", 1)
+    assert sorted((r.k, r.val) for r in at1.collect()) == [(1, 10), (2, 20)]
+    assert sorted(at1.columns) == ["k", "val"]  # pre-evolution schema
+
+    at2 = store.read_facts_at_commit(spark, "t", 2)
+    assert sorted(r.k for r in at2.collect()) == [2]  # tombstone applied
+
+    # beyond the pointer clamps to the current state
+    at9 = store.read_facts_at_commit(spark, "t", 9)
+    assert sorted(r.k for r in at9.collect()) == [2, 3]
+    assert sorted(at9.columns) == ["k", "tag", "val"]
