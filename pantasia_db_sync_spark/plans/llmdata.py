@@ -2296,26 +2296,6 @@ def ann_ivfadc_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "multimodal_decode_wav",
-    oracle="""
-    SELECT doc_id,
-           CAST(64 + ((doc_id % 250 + 50) * 2) * (doc_id % 2 + 1) * 2
-                AS INTEGER) AS byte_len,
-           CAST(CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
-                ELSE 44100 END AS INTEGER) AS sample_rate,
-           CAST(doc_id % 2 + 1 AS INTEGER) AS channels,
-           CAST(16 AS INTEGER) AS bits,
-           CAST((doc_id % 250 + 50) * 2 AS INTEGER) AS n_frames,
-           floor(((doc_id % 250 + 50) * 2) * 1000.0
-                 / (CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
-                    ELSE 44100 END) * 100000 + 0.5) / 100000 AS duration_ms,
-           CAST((doc_id * 97) % 30000 + 1 AS DOUBLE) AS rms,
-           CAST((doc_id * 97) % 30000 + 1 AS INTEGER) AS peak,
-           CAST(0 AS DOUBLE) AS mean
-    FROM documents WHERE doc_id < 300
-    """,
-)
-@register(
     "multimodal_audio_segments",
     oracle="""
     WITH p AS (
@@ -2364,6 +2344,26 @@ def multimodal_audio_segments_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "multimodal_decode_wav",
+    oracle="""
+    SELECT doc_id,
+           CAST(64 + ((doc_id % 250 + 50) * 2) * (doc_id % 2 + 1) * 2
+                AS INTEGER) AS byte_len,
+           CAST(CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                ELSE 44100 END AS INTEGER) AS sample_rate,
+           CAST(doc_id % 2 + 1 AS INTEGER) AS channels,
+           CAST(16 AS INTEGER) AS bits,
+           CAST((doc_id % 250 + 50) * 2 AS INTEGER) AS n_frames,
+           floor(((doc_id % 250 + 50) * 2) * 1000.0
+                 / (CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                    ELSE 44100 END) * 100000 + 0.5) / 100000 AS duration_ms,
+           CAST((doc_id * 97) % 30000 + 1 AS DOUBLE) AS rms,
+           CAST((doc_id * 97) % 30000 + 1 AS INTEGER) AS peak,
+           CAST(0 AS DOUBLE) AS mean
+    FROM documents WHERE doc_id < 300
+    """,
+)
 def multimodal_decode_wav_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio decode: RIFF/PCM WAV clips rendered in-flight
     (operators/multimodal.py encode_wav — ±amplitude square wave, a
