@@ -262,6 +262,50 @@ def bfs_distances(
     return dist.select("node", F.col("d").alias("dist"))
 
 
+def kcore(
+    edges: DataFrame,
+    k: int,
+    rounds: int = 4,
+    u_col: str = "u",
+    v_col: str = "v",
+) -> DataFrame:
+    """(node, degree): the nodes surviving ``rounds`` of k-core PEELING
+    (repeatedly delete nodes of degree < k and their edges), with their
+    degree in the surviving subgraph. Converges to the exact k-core
+    when no round removes anything — on shallow graphs a handful of
+    rounds suffices; the cap is part of the CONTRACT (same discipline
+    as bfs_distances / shortest_paths: a bounded round count is what a
+    100 TB scheduler can commit to, and it makes the operator
+    engine-portable — the oracle replays the same peeling rounds as
+    chained CTE stages).
+
+    Per round: one combinable degree count + one semi-join filter of
+    the edge list — both partitioned on the node id; the shrinking
+    edge list is checkpointed per round (components-loop hygiene).
+    Cohesion primitive for dedup/spam graph audits: the k-core is
+    where dense near-dup communities live, rank-robust unlike raw
+    degree."""
+    sym = (
+        edges.select(F.col(u_col).alias("a"), F.col(v_col).alias("b"))
+        .unionAll(edges.select(F.col(v_col).alias("a"), F.col(u_col).alias("b")))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(rounds):
+        deg = sym.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+        keep = deg.where(F.col("deg") >= k).select("a")
+        sym = (
+            sym.join(keep, "a", "left_semi")
+            .join(keep.withColumnRenamed("a", "b"), "b", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+    return (
+        sym.groupBy("a")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
+        .where(F.col("degree") >= k)
+        .select(F.col("a").alias("node"), "degree")
+    )
+
+
 def shortest_paths(
     edges: DataFrame,
     src: int,

@@ -1483,6 +1483,63 @@ def graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _kcore_sql(k: int, rounds: int) -> str:
+    """DuckDB replay of operators/components.py::kcore — the peeling
+    rounds as chained CTE stages over the co-purchase graph."""
+    parts = [
+        f"""e AS (
+      SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
+      FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+      WHERE a.l_orderkey % {_TRI_MOD} = 0 AND a.l_suppkey < b.l_suppkey
+    )""",
+        "s0 AS (SELECT u AS a, v AS b FROM e UNION ALL SELECT v, u FROM e)",
+    ]
+    for r in range(1, rounds + 1):
+        prev = f"s{r - 1}"
+        parts.append(
+            f"k{r} AS (SELECT a FROM {prev} GROUP BY a"
+            f" HAVING count(*) >= {k})"
+        )
+        parts.append(
+            f"s{r} AS (SELECT s.a, s.b FROM {prev} s"
+            f" JOIN k{r} x ON x.a = s.a JOIN k{r} y ON y.a = s.b)"
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+    SELECT a AS suppkey, CAST(count(*) AS BIGINT) AS degree
+    FROM s{rounds} GROUP BY a HAVING count(*) >= {k}
+    """
+    )
+
+
+@register("graph_kcore", oracle=_kcore_sql(k=78, rounds=3))
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """78-core of the supplier co-purchase graph after 3 peeling rounds
+    (operators/components.py::kcore): repeatedly delete degree-<78
+    nodes and their edges (the dense fixture graph peels 100 -> 97 ->
+    95 -> 93 -> 90 under this k — a REAL cascade, still moving at the
+    round cap, so the round-capped contract is genuinely exercised) — the cohesion primitive that separates
+    dense communities from stringy periphery (raw degree can't: a hub
+    touching 100 leaves dies in round 1, a triangle member survives).
+    Per round one combinable degree count + two semi-join edge
+    filters; the round cap is the engine-portable contract and the
+    oracle replays exactly those rounds as chained CTEs — the same
+    iterative-vs-recursive-SQL pairing as components/BFS/SSSP."""
+    from ..operators.components import kcore
+
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_orderkey") % _TRI_MOD == 0
+    )
+    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("v"))
+    e = a.join(b, "k").where(F.col("u") < F.col("v")).select("u", "v").distinct()
+    return kcore(e, k=78, rounds=3).select(
+        F.col("node").alias("suppkey"), "degree"
+    )
+
+
 @register(
     "graph_shortest_path",
     oracle=f"""

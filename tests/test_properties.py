@@ -2150,3 +2150,38 @@ def test_audio_segments_exact_for_block_aligned_and_robust_to_tail(
     assert d2["n_segments"] == 1
     assert d2["seg_start_sum"] == 0
     assert d2["silence_frames"] == tail  # the tail counts as silence
+
+
+@settings(**SETTINGS)
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 9)),
+        min_size=1,
+        max_size=20,
+    ),
+    k=st.integers(1, 4),
+    rounds=st.integers(1, 4),
+)
+def test_kcore_matches_serial_peeling(spark, edges, k, rounds):
+    """kcore ≡ serial round-synchronous peeling (delete degree<k nodes
+    + their edges per round, then the final degree≥k select), for any
+    multigraph including self-loops and duplicate edges — and equals
+    the TRUE k-core whenever the rounds suffice to converge."""
+    from pantasia_db_sync_spark.operators.components import kcore
+
+    sym = [(u, v) for u, v in edges] + [(v, u) for u, v in edges]
+    cur = sym
+    for _ in range(rounds):
+        deg: dict[int, int] = {}
+        for a, _b in cur:
+            deg[a] = deg.get(a, 0) + 1
+        keep = {a for a, d in deg.items() if d >= k}
+        cur = [(a, b) for a, b in cur if a in keep and b in keep]
+    deg = {}
+    for a, _b in cur:
+        deg[a] = deg.get(a, 0) + 1
+    expect = {a: d for a, d in deg.items() if d >= k}
+
+    df = spark.createDataFrame(edges, "u long, v long")
+    got = {r["node"]: r["degree"] for r in kcore(df, k=k, rounds=rounds).collect()}
+    assert got == expect, (got, expect)
