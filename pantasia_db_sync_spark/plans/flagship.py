@@ -162,4 +162,6 @@ def flagship_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-register("flagship_extraction", oracle=FLAGSHIP_ORACLE)(flagship_frame)
+@register("flagship_extraction", oracle=FLAGSHIP_ORACLE)
+def flagship_extraction_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return flagship_frame(spark, sf_dir)

@@ -30,9 +30,37 @@ ORACLES: dict[str, str] = {}
 
 
 def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+    """Register ``fn`` under ``name`` with an optional DuckDB oracle.
+
+    Guards against the decorator-stacking bug class that shipped in round 9
+    (commit 58844c6): an ``@register`` line separated from its intended
+    ``def`` silently binds the key to the *neighboring* function.  Neither
+    name collides, so the duplicate-key check never fires.  Two structural
+    assertions close that hole:
+
+    1. the decorated function must not already be registered under another
+       key (one function object == one query), and
+    2. ``fn.__name__`` must match the repo-wide convention — ``name`` or
+       ``name + "_q"`` — so a decorator that drifted onto a neighbor fails
+       loudly at import time instead of at oracle-sweep time.
+    """
+
     def deco(fn: QueryFn) -> QueryFn:
         if name in QUERIES:
             raise ValueError(f"duplicate query registration: {name}")
+        for other, existing in QUERIES.items():
+            if existing is fn:
+                raise ValueError(
+                    f"function {fn.__name__!r} already registered as {other!r}; "
+                    f"refusing to also bind it to {name!r} (decorator likely "
+                    "attached to the wrong def)"
+                )
+        if fn.__name__ not in (name, name + "_q"):
+            raise ValueError(
+                f"register({name!r}) decorates {fn.__name__!r}: function name "
+                f"must be {name!r} or '{name}_q' (decorator likely attached "
+                "to the wrong def)"
+            )
         QUERIES[name] = fn
         if oracle is not None:
             ORACLES[name] = oracle

@@ -83,11 +83,48 @@ def test_all_queries_have_entries():
     # pinned to the real registry size so an accidental deregistration
     # (or key rename — the driver's hard signal depends on stable keys)
     # fails loudly; raise the floor when adding queries.
-    assert len(QUERIES) >= 235, len(QUERIES)
+    assert len(QUERIES) >= 266, len(QUERIES)
     missing_oracle = set(QUERIES) - set(ORACLES)
     # every registered query carries a DuckDB oracle (agg_approx_distinct
     # became hash-checkable via its tolerance-predicate reshape)
     assert missing_oracle == set(), missing_oracle
+
+
+def test_register_rejects_rebound_function():
+    # the r9 decorator-stacking bug class (commit 58844c6): an @register
+    # separated from its def silently binds the key to the neighboring
+    # function — no name collides, so the duplicate-key check never fires.
+    import pytest
+
+    from pantasia_db_sync_spark.plans.registry import register
+
+    victim = next(iter(QUERIES))
+    fn = QUERIES[victim]
+    with pytest.raises(ValueError, match="already registered"):
+        register("some_new_key_q_never_used")(fn)
+    assert "some_new_key_q_never_used" not in QUERIES
+
+
+def test_register_rejects_name_convention_violation():
+    import pytest
+
+    from pantasia_db_sync_spark.plans.registry import register
+
+    def wrong_name(spark, sf_dir):  # pragma: no cover - never called
+        raise AssertionError
+
+    with pytest.raises(ValueError, match="function name"):
+        register("guard_probe_key")(wrong_name)
+    assert "guard_probe_key" not in QUERIES
+
+
+def test_register_name_convention_holds_for_all_entries():
+    bad = [
+        (name, fn.__name__)
+        for name, fn in QUERIES.items()
+        if fn.__name__ not in (name, name + "_q")
+    ]
+    assert bad == [], bad
 
 
 def test_entry_smoke(spark):
