@@ -464,17 +464,27 @@ class TableStore:
         key_cols: list[str],
         commit_id: int,
         cluster_by: str | list[str] | None = None,
-    ) -> None:
+    ) -> DataFrame:
         """Atomic upsert = equality-delete of ``df``'s keys + append of
         ``df``, in ONE commit: the tombstone kills only rows committed
         strictly below ``commit_id`` (older versions of these keys),
         the new rows ride at ``commit_id`` and survive, and the pointer
         flip exposes both together or neither. O(new data) — history is
         never rewritten; the old versions stop matching at read time
-        and are physically dropped by the next compaction."""
+        and are physically dropped by the next compaction.
+
+        ``df`` is frozen (lazy ``localCheckpoint``) before use so the
+        tombstone's key scan and the append consume the SAME
+        materialized rows — a nondeterministic source (sample / rand /
+        limit-after-shuffle) must not tombstone one key set and append
+        another inside one commit. Returns the frozen frame so callers
+        needing a row count can scan the cached partitions instead of
+        re-evaluating the source."""
+        df = df.localCheckpoint(eager=False)
         keys = df.select(*key_cols).distinct()
         self.delete_facts(table, keys, commit_id)
         self.append(table, df, commit_id, cluster_by=cluster_by)
+        return df
 
     def merge_into(
         self,
@@ -524,11 +534,23 @@ class TableStore:
         must hold at most ONE visible row per key (the upsert
         invariant) for the comparison to be well-defined.
 
+        NULL comparand caveat: SQL three-valued logic applies. If the
+        target's compared column is NULL for a matched key (e.g.
+        pre-schema-evolution rows surfaced as typed NULLs by
+        mergeSchema), a plain ``s("ts") > t("ts")`` evaluates to NULL —
+        the source row is then neither updated nor inserted, so that
+        stale target row can never be overwritten. For last-writer-wins
+        over evolving schemas, coalesce the target side to a sentinel
+        older than any real value:
+        ``lambda s, t: s("ts") > F.coalesce(t("ts"), F.lit(0))``.
+
         CONTRACT: source keys unique (same as upsert — duplicate
         source keys would all survive the merge). Returns counts
         ``{"matched": n, "not_matched": m}`` (the probe's two sides;
-        the update+insert fast path returns ``{"staged": rows}``
-        without counting). Caller still runs ``commit_append``."""
+        the update+insert fast path skips the probe so it cannot split
+        the count — it returns ``{"staged": rows}``, counted off the
+        frozen source without re-evaluating it). Caller still runs
+        ``commit_append``."""
         if when_matched not in ("update", "delete", None):
             raise ValueError(f"when_matched={when_matched!r}")
         if when_not_matched not in ("insert", None):
@@ -540,8 +562,13 @@ class TableStore:
             and when_not_matched == "insert"
             and matched_condition is None
         ):
-            self.upsert_facts(table, source, key_cols, commit_id, cluster_by)
-            return {"staged": source.count()}
+            # upsert_facts freezes the source; counting the returned
+            # frozen frame scans cached partitions instead of paying a
+            # third full evaluation of the source plan.
+            frozen = self.upsert_facts(
+                table, source, key_cols, commit_id, cluster_by
+            )
+            return {"staged": frozen.count()}
 
         cur = self.read_facts(spark, table)
         if cur is None:
@@ -588,8 +615,17 @@ class TableStore:
                 cur_keys = cur.select(*key_cols).distinct()
                 matched = source.join(cur_keys, key_cols, "left_semi")
                 unmatched = source.join(cur_keys, key_cols, "left_anti")
-        # classify BEFORE staging mutates anything; the counts also
-        # force the plans while the probe frame is still consistent
+        # Freeze both classification frames ONCE (lazy localCheckpoint —
+        # the same freeze-before-multiple-consumers discipline as bpe.py
+        # and prefix.py): the counts below, the tombstone staging, and
+        # the append staging each consume `matched`/`unmatched`, and
+        # without the freeze each consumer re-runs the target-probe join
+        # (3x on the scale path) — worse, a nondeterministic source
+        # (sample / rand / limit-after-shuffle) could classify a key as
+        # matched for the tombstone write but not for the append write
+        # inside one commit, tombstoning it without its replacement.
+        matched = matched.localCheckpoint(eager=False)
+        unmatched = unmatched.localCheckpoint(eager=False)
         n_matched = matched.count()
         n_unmatched = unmatched.count()
 
@@ -958,6 +994,14 @@ class TableStore:
         if base is None:  # pointer exists but no fact data root at all
             return None
         schema_cols = base.columns
+        clash = {"_commit", "_change_type", "commit"}.intersection(schema_cols)
+        if clash:
+            raise ValueError(
+                f"read_facts_changes: fact schema of {table!r} uses reserved "
+                f"change-feed column name(s) {sorted(clash)}; rename them — "
+                "'_commit'/'_change_type' are feed metadata and 'commit' is "
+                "the store's internal partition column"
+            )
         parts: list[DataFrame] = []
         # group append dirs per data root (a branch spans two roots)
         by_root: dict[str, list[str]] = {}

@@ -885,6 +885,101 @@ def dedup_span_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_span_extend",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(trim(text), ' ') AS t
+      FROM documents WHERE text IS NOT NULL
+    ),
+    wins AS (
+      SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos,
+             array_to_string(t[i : i + 7], ' ') AS span
+      FROM toks, unnest(range(1, len(t) - 8 + 2)) AS u(i)
+      WHERE len(t) >= 8
+    ),
+    dup AS (
+      SELECT doc_id, pos FROM (
+        SELECT doc_id, pos, count(*) OVER (PARTITION BY span) AS n
+        FROM wins
+      ) WHERE n >= 2
+    ),
+    gaps AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos - lag(pos)
+                    OVER (PARTITION BY doc_id ORDER BY pos) > 8
+                  THEN 1 ELSE 0 END AS brk
+      FROM dup
+    ),
+    isl AS (
+      SELECT doc_id, pos,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS UNBOUNDED PRECEDING) AS island
+      FROM gaps
+    )
+    SELECT doc_id,
+           CAST(min(pos) AS INTEGER) AS seg_start,
+           CAST(max(pos) + 7 AS INTEGER) AS seg_end,
+           CAST(max(pos) - min(pos) + 8 AS INTEGER) AS seg_len
+    FROM isl GROUP BY doc_id, island
+    """,
+)
+def dedup_span_extend_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variable-length exact-substring dedup (Lee et al. 2022
+    "Deduplicating Training Data Makes Language Models Better"
+    semantics, without the suffix array): report, per document, every
+    maximal token segment all of whose k-windows repeat somewhere in
+    the corpus — i.e. any repeated substring of >= k tokens surfaces
+    at its FULL length, not chopped to the fixed k-token grid that
+    ``dedup_span_exact`` uses.
+
+    Formulation (one declarative pass — no seed-and-extend rounds):
+    a token position is *covered* iff some k-window containing it
+    occurs >= 2 times globally (within- or cross-document). A maximal
+    repeat of length L contributes exactly L - k + 1 consecutive
+    duplicated window starts, whose fixed-length cover intervals
+    [pos, pos+k-1] merge into one segment of exactly L tokens — the
+    classic gaps-and-islands interval merge (break when the next
+    start exceeds the previous start by more than k). Overlapping or
+    adjacent repeats merge into one segment, the standard
+    interval-union semantics of span dedup.
+
+    Scale shape: stride-1 windows are a bounded x~tokens fan-out (the
+    inherent input size of exact substring dedup); ONE shuffle on the
+    span for the global occurrence count, ONE shuffle on doc_id for
+    the island window — the final groupBy(doc_id, island) reuses the
+    doc_id hash partitioning (subset clustering, no extra exchange).
+    At 100 TB the span string would be portable_hash60'd before the
+    shuffle to cap key width (collision epsilon 2^-60 per pair); kept
+    plain here so the oracle shares the exact key."""
+    k = 8
+    d = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    t = tokens_col("text")
+    wins = F.transform(
+        F.sequence(F.lit(0), F.size(t) - k),
+        lambda i: F.array_join(F.slice(t, i + 1, k), " "),
+    )
+    e = d.where(F.size(t) >= k).select(
+        "doc_id", F.posexplode(wins).alias("pos", "span")
+    )
+    dup = (
+        e.withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("span")))
+        .where(F.col("n") >= 2)
+        .select("doc_id", "pos")
+    )
+    byword = Window.partitionBy("doc_id").orderBy("pos")
+    gap = F.when(F.col("pos") - F.lag("pos").over(byword) > k, 1).otherwise(0)
+    isl = dup.withColumn(
+        "island",
+        F.sum(gap).over(byword.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return isl.groupBy("doc_id", "island").agg(
+        F.min("pos").cast("int").alias("seg_start"),
+        (F.max("pos") + k - 1).cast("int").alias("seg_end"),
+        (F.max("pos") - F.min("pos") + k).cast("int").alias("seg_len"),
+    ).drop("island")
+
+
+@register(
     "corpus_domain_mix",
     oracle=f"""
     WITH rated AS (

@@ -2185,3 +2185,110 @@ def test_kcore_matches_serial_peeling(spark, edges, k, rounds):
     df = spark.createDataFrame(edges, "u long, v long")
     got = {r["node"]: r["degree"] for r in kcore(df, k=k, rounds=rounds).collect()}
     assert got == expect, (got, expect)
+
+
+def test_span_extend_reports_maximal_repeats_at_full_length(spark, tmp_path):
+    """dedup_span_extend's contract (the round-9 verdict's property
+    pin): every maximal repeated substring of >= k tokens that seeds
+    at k=8 fixed windows is reported as ONE segment of exactly its
+    full length — cross-document and within-document — and unique
+    text yields no segments. Cross-checked against the DuckDB oracle
+    on the same synthetic corpus."""
+    import duckdb
+
+    from pantasia_db_sync_spark.plans.registry import ORACLES, QUERIES
+
+    def words(prefix, n):
+        return [f"{prefix}{i}" for i in range(n)]
+
+    rep = [f"rep{i}" for i in range(20)]     # 20-token cross-doc repeat
+    q8 = [f"q{i}" for i in range(8)]         # exactly-k within-doc repeat
+    docs = [
+        (100, " ".join(words("a", 30) + rep + words("b", 25))),
+        (101, " ".join(words("c", 10) + rep + words("d", 40))),
+        (102, " ".join(q8 + words("e", 42) + q8 + words("f", 10))),
+        (103, " ".join(words("g", 60))),     # fully unique
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    path = str(tmp_path / "corpus")
+    df.coalesce(1).write.parquet(path + "/tmp")
+    import glob
+    import os
+    import shutil
+
+    os.makedirs(path, exist_ok=True)
+    shutil.move(glob.glob(path + "/tmp/part-*.parquet")[0],
+                path + "/documents.parquet")
+
+    out = sorted(
+        tuple(r) for r in QUERIES["dedup_span_extend"](spark, path).collect()
+    )
+    assert out == [
+        (100, 30, 49, 20),   # full 20-token length, not the 8-grid chop
+        (101, 10, 29, 20),
+        (102, 0, 7, 8),      # within-doc repeat, both occurrences
+        (102, 50, 57, 8),
+    ], out
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{path}/documents.parquet'"
+    )
+    oracle = sorted(con.execute(ORACLES["dedup_span_extend"]).fetchall())
+    assert oracle == out
+
+
+@settings(**SETTINGS)
+@given(
+    docs=st.lists(
+        st.text(alphabet="abx c", min_size=1, max_size=16),
+        min_size=1,
+        max_size=10,
+    ),
+    k=st.integers(1, 5),
+    m=st.integers(2, 5),
+)
+def test_bpe_batched_identical_to_serial(spark, docs, k, m):
+    """batch_merges > 1 must be OUTPUT-IDENTICAL to the serial
+    trainer for any corpus (the round-9 verdict's property pin). The
+    prefix rule + strict-M guard in _select_batch is what makes this
+    exact — plain pairwise disjointness is NOT enough, because a
+    merge creates new pairs containing the merged symbol that can
+    outrank a later batch member (see the trap test below)."""
+    from pantasia_db_sync_spark.operators.bpe import bpe_train
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "doc_id long, text string"
+    )
+    serial = [
+        tuple(r) for r in bpe_train(df, "text", num_merges=k).collect()
+    ]
+    batched = [
+        tuple(r)
+        for r in bpe_train(df, "text", num_merges=k, batch_merges=m).collect()
+    ]
+    assert batched == serial, (batched, serial)
+
+
+def test_bpe_batched_created_pair_trap(spark):
+    """The adversarial case that breaks naive skip-rule batching:
+    corpus 'xab'x100 + 'cd'x60. Round 1 merges (a,b) -> creating pair
+    (x,ab) with count 100, which must WIN rank 2 over the untouched
+    (c,d):60. A batcher that had greedily pulled (c,d) into round 1's
+    batch (it is symbol-disjoint from (a,b)!) would emit the wrong
+    rank order; the strict-M prefix guard defers it."""
+    from pantasia_db_sync_spark.operators.bpe import bpe_train
+
+    rows = [(i, "xab") for i in range(100)] + [
+        (1000 + i, "cd") for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = [
+        tuple(r)
+        for r in bpe_train(df, "text", num_merges=3, batch_merges=4).collect()
+    ]
+    assert out == [
+        (1, "a", "b", "ab", 100),
+        (2, "x", "ab", "xab", 100),
+        (3, "c", "d", "cd", 60),
+    ], out

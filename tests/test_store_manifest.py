@@ -1280,6 +1280,59 @@ def test_read_facts_changes_feed(spark, tmp_path):
     assert by_commit[(3, "insert", 1)] is None
 
 
+def test_change_feed_reserved_column_collision(spark, tmp_path):
+    """A fact schema that already uses a change-feed metadata name
+    ('_commit' / '_change_type') must fail loudly instead of producing
+    a corrupt or ambiguous feed (round-9 ADVICE item)."""
+    import pytest
+
+    store = TableStore(str(tmp_path / "store"))
+    store.append(
+        "bad",
+        spark.createDataFrame([(1, 5)], "k long, _commit long"),
+        commit_id=1,
+    )
+    store.commit_append("bad", 1)
+    with pytest.raises(ValueError, match="reserved change-feed column"):
+        store.read_facts_changes(spark, "bad", since=0)
+
+
+def test_merge_into_nondeterministic_source_is_classified_once(spark, tmp_path):
+    """The probe path freezes matched/unmatched before the counts and
+    BOTH staging writes consume the frozen frames, so a
+    NONDETERMINISTIC source (rand-filtered here) cannot be classified
+    one way for the tombstone write and another for the append write
+    inside the same commit — which would tombstone a key without
+    appending its replacement. Invariant: no pre-existing target key
+    may vanish from an update-clause merge, and every key stays
+    single-visible-row."""
+    from pyspark.sql import functions as F
+
+    store = TableStore(str(tmp_path / "store"))
+    base = spark.range(0, 200).select(
+        F.col("id").alias("k"), F.lit(1).alias("ver"), F.lit(0).alias("ts")
+    )
+    store.append("t", base, commit_id=1)
+    store.commit_append("t", 1)
+
+    # ~half the keys, chosen nondeterministically at evaluation time
+    src = spark.range(0, 200).select(
+        F.col("id").alias("k"), F.lit(2).alias("ver"), F.lit(5).alias("ts")
+    ).where(F.rand() < 0.5)
+    res = store.merge_into(
+        spark, "t", src, ["k"], commit_id=2,
+        when_matched="update", when_not_matched="insert",
+        # condition forces the probe path (fast path never splits)
+        matched_condition=lambda s, t: s("ts") > t("ts"),
+    )
+    store.commit_append("t", 2)
+    assert res["matched"] + res["not_matched"] >= 0  # shape-stable keys
+    out = store.read_facts(spark, "t").groupBy("k").count().collect()
+    # every original key survived (updated or untouched), exactly once
+    assert len(out) == 200, len(out)
+    assert all(r["count"] == 1 for r in out)
+
+
 def test_merge_into_matched_condition_lww(spark, tmp_path):
     """Conditional matched clause (WHEN MATCHED AND source newer):
     a STALE source row must leave the target untouched (not update,
