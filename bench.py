@@ -86,6 +86,18 @@ HEADLINE = [
     "stats_ks_two_sample",
     "events_interpolate_linear",
     "text_bpe_train",
+    # round-10 additions (VERDICT r9 #5): the r9 operators that lacked
+    # per-round medians — a regression in these was invisible — plus
+    # the round-10 operators. Still additive; suite total not
+    # comparable to rounds ≤ 9.
+    "graph_kcore",
+    "graph_shortest_path",
+    "stats_mann_whitney",
+    "text_hybrid_search_rrf",
+    "multimodal_audio_segments",
+    "text_bpe_apply",
+    "dedup_span_extend",
+    "quality_model_score",
 ]
 
 REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))

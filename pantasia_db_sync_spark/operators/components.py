@@ -265,19 +265,23 @@ def bfs_distances(
 def kcore(
     edges: DataFrame,
     k: int,
-    rounds: int = 4,
+    rounds: int | None = 4,
     u_col: str = "u",
     v_col: str = "v",
 ) -> DataFrame:
-    """(node, degree): the nodes surviving ``rounds`` of k-core PEELING
-    (repeatedly delete nodes of degree < k and their edges), with their
-    degree in the surviving subgraph. Converges to the exact k-core
-    when no round removes anything — on shallow graphs a handful of
-    rounds suffices; the cap is part of the CONTRACT (same discipline
-    as bfs_distances / shortest_paths: a bounded round count is what a
-    100 TB scheduler can commit to, and it makes the operator
-    engine-portable — the oracle replays the same peeling rounds as
-    chained CTE stages).
+    """(node, degree): the nodes surviving k-core PEELING (repeatedly
+    delete nodes of degree < k and their edges), with their degree in
+    the surviving subgraph.
+
+    ``rounds=None`` (the user-facing contract at scale) peels to the
+    FIXPOINT: rounds run until one removes nothing, detected by the
+    edge count of the freshly checkpointed frame — a free scalar probe
+    off already-materialized partitions, so convergence costs one
+    no-op round, never a recount of unmaterialized plans. An integer
+    ``rounds`` caps the peeling instead; that form is engine-portable
+    (the oracle replays the same rounds as chained CTE stages) and is
+    what the registered query pins. A capped run that reaches a round
+    removing nothing has converged and equals the fixpoint.
 
     Per round: one combinable degree count + one semi-join filter of
     the edge list — both partitioned on the node id; the shrinking
@@ -290,14 +294,27 @@ def kcore(
         .unionAll(edges.select(F.col(v_col).alias("a"), F.col(u_col).alias("b")))
         .localCheckpoint(eager=True)
     )
-    for _ in range(rounds):
-        deg = sym.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+
+    def peel(s: DataFrame) -> DataFrame:
+        deg = s.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
         keep = deg.where(F.col("deg") >= k).select("a")
-        sym = (
-            sym.join(keep, "a", "left_semi")
+        return (
+            s.join(keep, "a", "left_semi")
             .join(keep.withColumnRenamed("a", "b"), "b", "left_semi")
             .localCheckpoint(eager=True)
         )
+
+    if rounds is None:
+        prev = sym.count()
+        while True:
+            sym = peel(sym)
+            cur = sym.count()
+            if cur == prev:
+                break
+            prev = cur
+    else:
+        for _ in range(rounds):
+            sym = peel(sym)
     return (
         sym.groupBy("a")
         .agg(F.count(F.lit(1)).cast("bigint").alias("degree"))

@@ -1738,6 +1738,87 @@ def quality_filter_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "quality_filter_verdict_model",
+    oracle=f"""
+    WITH verdict AS ({_VERDICT_RULES_SQL.format(stop_pred=_stop_pred("x", STOPWORDS))}),
+    model AS (
+      WITH toks AS (
+        SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok FROM documents
+      ),
+      b AS (
+        SELECT doc_id,
+               CAST({_PORTABLE_HASH.replace('{col}', 'tok')} % 256 AS INTEGER) AS bucket,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM toks WHERE tok <> ''
+        GROUP BY 1, 2
+      )
+      SELECT doc_id,
+             sum(cnt * ((bucket * 37 + 11) % 21 - 10)) > 0
+               AS passed_model
+      FROM b GROUP BY 1
+    )
+    SELECT v.doc_id,
+           v.passed AND COALESCE(m.passed_model, FALSE) AS passed,
+           CAST(v.n_failed
+                + CASE WHEN COALESCE(m.passed_model, FALSE) THEN 0 ELSE 1 END
+                AS INTEGER) AS n_failed,
+           COALESCE(array_to_string(list_sort(list_filter(
+             list_append(string_split(v.reasons, ','),
+                         CASE WHEN COALESCE(m.passed_model, FALSE)
+                              THEN NULL ELSE 'model_low' END),
+             x -> x IS NOT NULL AND x <> '')), ','), '') AS reasons
+    FROM verdict v LEFT JOIN model m ON v.doc_id = m.doc_id
+    """,
+)
+def quality_filter_verdict_model_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """quality_filter_verdict with the model-based scorer joined in as
+    an OPTIONAL FIFTH RULE (`model_low`): the heuristic stack's
+    verdict AND'd with quality_model_score's integer-exact
+    `passed_model`, the failed-rule list re-sorted with the new reason
+    code. The original four-rule query is untouched (driver keys
+    stable); this is the composed production stack — heuristics catch
+    structural garbage, the linear model catches fluent-but-low-value
+    text, and per-rule reason codes stay auditable.
+
+    Scale shape: the rule stack is a pure map, the model is two
+    combinable groupBys; the composition adds ONE equi-join on doc_id
+    (broadcast-eligible against a dimension-sized model output, plain
+    shuffle join at corpus scale). A doc with no hashable tokens has
+    no model row — COALESCE(passed_model, FALSE) flags it model_low,
+    the conservative default for unscorable text."""
+    verdict = quality_filter_verdict(spark, sf_dir)
+    model = quality_model_score_q(spark, sf_dir).select(
+        "doc_id", "passed_model"
+    )
+    j = verdict.join(model, "doc_id", "left")
+    ok = F.coalesce(F.col("passed_model"), F.lit(False))
+    reasons = F.array_join(
+        F.array_sort(
+            F.filter(
+                F.concat(
+                    F.split(F.col("reasons"), ","),
+                    F.array(
+                        F.when(ok, F.lit(None).cast("string")).otherwise(
+                            F.lit("model_low")
+                        )
+                    ),
+                ),
+                lambda x: x.isNotNull() & (x != ""),
+            )
+        ),
+        ",",
+    )
+    return j.select(
+        "doc_id",
+        (F.col("passed") & ok).alias("passed"),
+        (
+            F.col("n_failed") + F.when(ok, 0).otherwise(1)
+        ).cast("int").alias("n_failed"),
+        reasons.alias("reasons"),
+    )
+
+
 _CMS_W = 512
 _CMS_D = 4
 
@@ -2669,6 +2750,78 @@ def text_hashing_vectorizer_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         toks.withColumn("bucket", portable_hash_mod("tok", 256).cast("int"))
         .groupBy("doc_id", "bucket")
         .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+@register(
+    "quality_model_score",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok FROM documents
+    ),
+    b AS (
+      SELECT doc_id,
+             CAST({_PORTABLE_HASH.replace('{col}', 'tok')} % 256 AS INTEGER) AS bucket,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM toks WHERE tok <> ''
+      GROUP BY 1, 2
+    ),
+    z AS (
+      SELECT doc_id,
+             CAST(sum(cnt * ((bucket * 37 + 11) % 21 - 10)) AS BIGINT) AS num,
+             CAST(sum(cnt) AS BIGINT) AS den
+      FROM b GROUP BY 1
+    )
+    SELECT doc_id,
+           {sql_round("(num / (10.0 * den))", 4)} AS logit,
+           {sql_round("(1.0 / (1.0 + exp(-(num / (10.0 * den)))))", 4)}
+             AS score,
+           num > 0 AS passed_model
+    FROM z
+    """,
+)
+def quality_model_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality scoring — the fasttext-style LINEAR
+    classifier that completes the heuristic filter stack (the
+    CCNet/LLaMA-data pattern: hash n-grams -> mean bucket weight ->
+    sigmoid): tokens feature-hash into 256 buckets (the
+    text_hashing_vectorizer front end), a broadcast 256-float weight
+    vector (a deterministic literal here; a trained model in
+    production — same plan either way) dots against the per-doc tf
+    vector, zero bias, sigmoid on top. Everything is built-ins: one
+    explode, one combinable groupBy(doc, bucket), one groupBy(doc) —
+    no vocabulary build, no UDF, no driver state, so the scorer runs
+    at corpus scale exactly like the vectorizer it extends.
+
+    Engine parity at the DECISION boundary is exact, not rounded:
+    weights are integer micro-units (w[b] = (b*37+11) %% 21 - 10, i.e.
+    tenths), so `passed_model` reduces to the integer predicate
+    sum(cnt*w) > 0 — no float compare can wobble a verdict
+    across engines; only the reported logit/score round at 4dp."""
+    from ..functions.text import portable_hash_mod
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(tokens_col("text")).alias("tok")
+    ).where(F.col("tok") != "")
+    weights = F.array(*[F.lit((b * 37 + 11) % 21 - 10) for b in range(256)])
+    b = (
+        toks.withColumn("bucket", portable_hash_mod("tok", 256).cast("int"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    z = b.groupBy("doc_id").agg(
+        F.sum(
+            F.col("cnt") * F.element_at(weights, F.col("bucket") + 1)
+        ).cast("bigint").alias("num"),
+        F.sum("cnt").cast("bigint").alias("den"),
+    )
+    logit = F.col("num") / (10.0 * F.col("den"))
+    return z.select(
+        "doc_id",
+        fround(logit, 4).alias("logit"),
+        fround(F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)), 4).alias("score"),
+        (F.col("num") > 0).alias("passed_model"),
     )
 
 

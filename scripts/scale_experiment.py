@@ -772,6 +772,48 @@ def r9_main() -> None:
             _shutil.rmtree(work, ignore_errors=True)
 
 
+def r9b_main() -> None:
+    """Audio VAD segmentation scale shape (round-10; the one new
+    mapInPandas family member without a 1x->Rx row). Usage:
+    python scripts/scale_experiment.py --r9b [replicas]
+
+    Clips are rendered and segmented in the same Arrow-batched
+    mapInPandas pass — no shuffle, no join, per-clip work constant —
+    so the wall should scale ~linearly in clip count (i.e. FLAT
+    per-clip cost), the embarrassingly-parallel decode shape phash
+    already demonstrated."""
+    import time as _time
+
+    from pantasia_db_sync_spark.operators.multimodal import (
+        audio_segments_features,
+        synthetic_gapped_wav_frame,
+    )
+
+    replicas = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    spark = get_spark(app_name="r9b-scale-experiment")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    base = 300  # the registered query's clip count (doc_id < 300)
+    for r in (1, replicas):
+        n = base * r
+        clips = spark.range(0, n, 1, 32).select(F.col("id").alias("doc_id"))
+
+        def vad():
+            return audio_segments_features(
+                synthetic_gapped_wav_frame(clips), "doc_id", "content"
+            )
+
+        vad().write.format("noop").mode("overwrite").save()  # warm
+        t0 = _time.perf_counter()
+        cnt = vad().count()
+        dt = _time.perf_counter() - t0
+        print(
+            f"x{r} audio_vad_segments ({n} clips) {dt:7.2f}s  rows={cnt}  "
+            f"{n / dt:,.0f} clips/s",
+            flush=True,
+        )
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--skew":
         skew_main()
@@ -785,5 +827,7 @@ if __name__ == "__main__":
         r8_main()
     elif len(sys.argv) > 1 and sys.argv[1] == "--r9":
         r9_main()
+    elif len(sys.argv) > 1 and sys.argv[1] == "--r9b":
+        r9b_main()
     else:
         main()

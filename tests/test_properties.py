@@ -2292,3 +2292,39 @@ def test_bpe_batched_created_pair_trap(spark):
         (2, "x", "ab", "xab", 100),
         (3, "c", "d", "cd", 60),
     ], out
+
+
+def test_kcore_fixpoint_peels_cascades_and_matches_capped(spark):
+    """kcore(rounds=None) peels to the true fixpoint: a pendant chain
+    hung off a clique cascades one node per round (depth 3 here), so a
+    1-round cap keeps chain remnants while the fixpoint sheds them
+    all; a cap >= the cascade depth equals the fixpoint exactly; and
+    every surviving node's REPORTED degree is its degree in the
+    induced surviving subgraph, all >= k."""
+    from pantasia_db_sync_spark.operators.components import kcore
+
+    clique = [(i, j) for i in range(5) for j in range(i + 1, 5)]
+    chain = [(0, 7), (7, 6), (6, 5)]  # 5 peels r1, 6 peels r2, 7 peels r3
+    df = spark.createDataFrame(clique + chain, "u long, v long")
+
+    fix = {r.node: r.degree for r in kcore(df, k=2, rounds=None).collect()}
+    assert fix == {0: 4, 1: 4, 2: 4, 3: 4, 4: 4}, fix
+
+    # cascade unfinished after 1 round: node 7 still reports degree 2
+    # (edges to 0 and to not-yet-peeled 6); the output's final
+    # degree>=k filter already hides 6 itself
+    shallow = {r.node for r in kcore(df, k=2, rounds=1).collect()}
+    assert shallow == {0, 1, 2, 3, 4, 7}, shallow
+
+    capped = {r.node: r.degree for r in kcore(df, k=2, rounds=6).collect()}
+    assert capped == fix
+
+    # induced-degree invariant on the fixpoint output
+    surv = set(fix)
+    induced = {}
+    for u, v in clique + chain:
+        if u in surv and v in surv:
+            induced[u] = induced.get(u, 0) + 1
+            induced[v] = induced.get(v, 0) + 1
+    assert induced == fix
+    assert all(d >= 2 for d in fix.values())
