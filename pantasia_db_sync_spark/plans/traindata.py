@@ -884,9 +884,7 @@ def dedup_span_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "dedup_span_extend",
-    oracle="""
+_SPAN_EXTEND_SQL = """
     WITH toks AS (
       SELECT doc_id, string_split(trim(text), ' ') AS t
       FROM documents WHERE text IS NOT NULL
@@ -921,8 +919,10 @@ def dedup_span_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(max(pos) + 7 AS INTEGER) AS seg_end,
            CAST(max(pos) - min(pos) + 8 AS INTEGER) AS seg_len
     FROM isl GROUP BY doc_id, island
-    """,
-)
+    """
+
+
+@register("dedup_span_extend", oracle=_SPAN_EXTEND_SQL)
 def dedup_span_extend_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Variable-length exact-substring dedup (Lee et al. 2022
     "Deduplicating Training Data Makes Language Models Better"
@@ -944,13 +944,19 @@ def dedup_span_extend_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     interval-union semantics of span dedup.
 
     Scale shape: stride-1 windows are a bounded x~tokens fan-out (the
-    inherent input size of exact substring dedup); ONE shuffle on the
-    span for the global occurrence count, ONE shuffle on doc_id for
-    the island window — the final groupBy(doc_id, island) reuses the
-    doc_id hash partitioning (subset clustering, no extra exchange).
-    At 100 TB the span string would be portable_hash60'd before the
-    shuffle to cap key width (collision epsilon 2^-60 per pair); kept
-    plain here so the oracle shares the exact key."""
+    inherent input size of exact substring dedup). Duplicated-span
+    membership is a groupBy(span).count >= 2 SEMI-JOIN, deliberately
+    not a count-over-window: the groupBy partial-aggregates map-side
+    (a span repeated a million times — the license-header hot key —
+    collapses to one row per map partition before the shuffle) and
+    the remaining equi-join is AQE-skew-splittable, where a window
+    over partitionBy(span) would funnel every copy of the hot span
+    through one sort task with no combine. Then ONE shuffle on doc_id
+    for the island window — the final groupBy(doc_id, island) reuses
+    the doc_id hash partitioning (subset clustering, no extra
+    exchange). At 100 TB the span string would be portable_hash60'd
+    before the shuffle to cap key width (collision epsilon 2^-60 per
+    pair); kept plain here so the oracle shares the exact key."""
     k = 8
     d = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     t = tokens_col("text")
@@ -961,11 +967,13 @@ def dedup_span_extend_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = d.where(F.size(t) >= k).select(
         "doc_id", F.posexplode(wins).alias("pos", "span")
     )
-    dup = (
-        e.withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("span")))
+    dupspans = (
+        e.groupBy("span")
+        .agg(F.count(F.lit(1)).alias("n"))
         .where(F.col("n") >= 2)
-        .select("doc_id", "pos")
+        .select("span")
     )
+    dup = e.join(dupspans, "span", "left_semi").select("doc_id", "pos")
     byword = Window.partitionBy("doc_id").orderBy("pos")
     gap = F.when(F.col("pos") - F.lag("pos").over(byword) > k, 1).otherwise(0)
     isl = dup.withColumn(
@@ -977,6 +985,67 @@ def dedup_span_extend_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.max("pos") + k - 1).cast("int").alias("seg_end"),
         (F.max("pos") - F.min("pos") + k).cast("int").alias("seg_len"),
     ).drop("island")
+
+
+@register(
+    "dedup_span_coverage",
+    oracle=f"""
+    WITH alltoks AS (
+      SELECT doc_id, len(string_split(trim(text), ' ')) AS n_tokens
+      FROM documents WHERE text IS NOT NULL
+    ),
+    seg AS ({_SPAN_EXTEND_SQL}),
+    cov AS (
+      SELECT doc_id, CAST(sum(seg_len) AS BIGINT) AS dup_tokens
+      FROM seg GROUP BY doc_id
+    )
+    SELECT a.doc_id,
+           CAST(a.n_tokens AS INTEGER) AS n_tokens,
+           CAST(COALESCE(c.dup_tokens, 0) AS INTEGER) AS dup_tokens,
+           {sql_round("(COALESCE(c.dup_tokens, 0) / CAST(a.n_tokens AS DOUBLE))", 4)}
+             AS dup_frac,
+           COALESCE(c.dup_tokens, 0) * 2 > a.n_tokens AS drop_doc
+    FROM alltoks a LEFT JOIN cov c ON a.doc_id = c.doc_id
+    """,
+)
+def dedup_span_coverage_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-level verdict from span dedup — the decision layer on
+    top of ``dedup_span_extend``: per document, how many of its tokens
+    sit inside a duplicated segment, and the drop verdict at >50 %
+    coverage (the dedup policy training pipelines apply: a document
+    that is mostly boilerplate/copied text is removed whole rather
+    than hole-punched). Segments are disjoint by construction
+    (interval-merge output), so summing ``seg_len`` IS the covered
+    token count — no re-overlap accounting.
+
+    The drop boundary is the integer predicate
+    ``2 * dup_tokens > n_tokens`` — engine-exact, no float compare at
+    the decision; only the reported fraction rounds. Scale shape: the
+    span-extend plan plus one combinable groupBy(doc_id) and one
+    equi-join back to the per-doc token counts (broadcast-eligible:
+    one row per doc with a segment)."""
+    k = 8
+    d = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    alltoks = d.select(
+        "doc_id", F.size(tokens_col("text")).cast("int").alias("n_tokens")
+    )
+    cov = (
+        dedup_span_extend_q(spark, sf_dir)
+        .groupBy("doc_id")
+        .agg(F.sum("seg_len").cast("bigint").alias("dup_tokens"))
+    )
+    j = alltoks.join(cov, "doc_id", "left").withColumn(
+        "dup_tokens", F.coalesce(F.col("dup_tokens"), F.lit(0))
+    )
+    return j.select(
+        "doc_id",
+        "n_tokens",
+        F.col("dup_tokens").cast("int").alias("dup_tokens"),
+        fround(
+            F.col("dup_tokens") / F.col("n_tokens").cast("double"), 4
+        ).alias("dup_frac"),
+        (F.col("dup_tokens") * 2 > F.col("n_tokens")).alias("drop_doc"),
+    )
 
 
 @register(

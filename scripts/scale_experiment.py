@@ -814,6 +814,60 @@ def r9b_main() -> None:
         )
 
 
+def r10_main() -> None:
+    """Round-10 span-dedup scale shapes. Usage:
+    python scripts/scale_experiment.py --r10 [replicas]
+
+    - dedup_span_extend 1x->Rx on the replicated corpus: stride-1
+      window fan-out grows linearly; the dup-membership groupBy is
+      map-side combined, so wall should track the scan, not blow up.
+    - HOT-SPAN adversarial: every document shares one boilerplate
+      8-token header (the license-header case). The span occurrence
+      count collapses map-side (one row per partition for the hot
+      span); the semi-join back is one key. A count-over-window
+      formulation would funnel every copy of the hot span through a
+      single sort task — this measurement is why the operator uses
+      groupBy + semi-join instead."""
+    import time as _time
+
+    from pantasia_db_sync_spark.plans import QUERIES
+
+    replicas = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    spark = get_spark(app_name="r10-scale-experiment")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def run(label, fn):
+        fn().write.format("noop").mode("overwrite").save()  # warm
+        t0 = _time.perf_counter()
+        n = fn().count()
+        dt = _time.perf_counter() - t0
+        print(f"{label:<58} {dt:7.2f}s  rows={n}", flush=True)
+        return dt
+
+    for r in (1, replicas):
+        sf_dir = BASE_SF if r == 1 else build_corpus(spark, r)
+        nd = load_table(spark, sf_dir, "documents").count()
+        run(f"x{r} dedup_span_extend ({nd} docs)",
+            lambda: QUERIES["dedup_span_extend"](spark, sf_dir))
+
+    # hot-span adversarial: N docs, each = shared 8-token header +
+    # unique tail -> the header's windows appear N times (one span key
+    # holds N rows), every doc reports exactly one 8-token segment
+    import tempfile as _tempfile
+
+    header = " ".join(f"hdr{i}" for i in range(8))
+    for n_docs in (5_000, 50_000):
+        work = _tempfile.mkdtemp(prefix=f"r10_hot_{n_docs}_")
+        docs = spark.range(0, n_docs, 1, 32).selectExpr(
+            "id AS doc_id",
+            f"concat('{header}', ' u', id, 'a u', id, 'b u', id, 'c u', id,"
+            " 'd u', id, 'e u', id, 'f u', id, 'g u', id, 'h') AS text",
+        )
+        docs.write.mode("overwrite").parquet(work + "/documents.parquet")
+        run(f"hot-span x{n_docs // 5000} ({n_docs} docs share one header)",
+            lambda: QUERIES["dedup_span_extend"](spark, work))
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--skew":
         skew_main()
@@ -829,5 +883,7 @@ if __name__ == "__main__":
         r9_main()
     elif len(sys.argv) > 1 and sys.argv[1] == "--r9b":
         r9b_main()
+    elif len(sys.argv) > 1 and sys.argv[1] == "--r10":
+        r10_main()
     else:
         main()
