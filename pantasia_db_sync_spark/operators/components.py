@@ -378,3 +378,58 @@ def shortest_paths(
             .localCheckpoint(eager=True)
         )
     return dist.select("node", F.col("d").alias("dist"))
+
+
+def pagerank(
+    edges: DataFrame,
+    rounds: int = 3,
+    u_col: str = "u",
+    v_col: str = "v",
+    micro: int = 1_000_000,
+    damp_num: int = 85,
+    damp_den: int = 100,
+) -> DataFrame:
+    """(node, rank_micro): round-capped PageRank over the symmetrized
+    edge list, in INTEGER MICRO-UNITS — every arithmetic step is
+    int64, so the result is bit-identical across engines and
+    partitionings (float PageRank drifts in the last ulps per round as
+    summation order changes; the integer formulation has no order to
+    disagree about — the corpus_temperature_mix / shortest_paths
+    micro-unit discipline applied to rank mass).
+
+    Semantics (pinned): every node starts at ``micro``; each round a
+    node sends each neighbor ``(damp_num * rank) DIV (damp_den * deg)``
+    (floor division — the sub-unit remainder is dropped, a documented
+    leak of < deg micro-units per node per round) and every node
+    restarts with ``micro * (damp_den - damp_num) / damp_den``. The
+    round cap is the engine-portable contract (the oracle replays the
+    rounds as chained CTE stages), same as kcore / BFS / SSSP.
+
+    Scale shape per round: one equi-join of the rank frame onto the
+    (frozen) symmetric edge list + one combinable groupBy(dst) — no
+    driver graph state; ranks are checkpointed per round
+    (components-loop hygiene). Degrees are computed once and reused."""
+    base = micro * (damp_den - damp_num) // damp_den
+    sym = (
+        edges.select(F.col(u_col).alias("a"), F.col(v_col).alias("b"))
+        .unionAll(edges.select(F.col(v_col).alias("a"), F.col(u_col).alias("b")))
+        .localCheckpoint(eager=True)
+    )
+    deg = sym.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+    r = deg.select("a", F.lit(micro).cast("bigint").alias("r"))
+    for _ in range(rounds):
+        contrib = (
+            sym.join(r.join(deg, "a"), "a")
+            .select(
+                F.col("b").alias("a"),
+                F.expr(
+                    f"CAST(({damp_num} * r) DIV ({damp_den} * deg) AS BIGINT)"
+                ).alias("c"),
+            )
+        )
+        r = (
+            contrib.groupBy("a")
+            .agg((F.lit(base) + F.sum("c")).cast("bigint").alias("r"))
+            .localCheckpoint(eager=True)
+        )
+    return r.select(F.col("a").alias("node"), F.col("r").alias("rank_micro"))

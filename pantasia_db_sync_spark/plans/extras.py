@@ -1540,6 +1540,62 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pagerank_sql(rounds: int) -> str:
+    """DuckDB replay of operators/components.py::pagerank — the
+    integer micro-unit rounds as chained CTE stages over the
+    co-purchase graph (floor division makes every stage engine-exact,
+    so this is a hash-equal oracle, not a tolerance check)."""
+    parts = [
+        f"""e AS (
+      SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
+      FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+      WHERE a.l_orderkey % {_TRI_MOD} = 0 AND a.l_suppkey < b.l_suppkey
+    )""",
+        "sym AS (SELECT u AS a, v AS b FROM e UNION ALL SELECT v, u FROM e)",
+        "deg AS (SELECT a, count(*) AS deg FROM sym GROUP BY a)",
+        "p0 AS (SELECT a, CAST(1000000 AS BIGINT) AS r FROM deg)",
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"""p{i} AS (
+      SELECT s.b AS a,
+             CAST(150000 + sum((85 * p.r) // (100 * d.deg)) AS BIGINT) AS r
+      FROM sym s JOIN p{i - 1} p ON p.a = s.a JOIN deg d ON d.a = s.a
+      GROUP BY s.b
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\n    SELECT a AS suppkey, r AS rank_micro FROM p{rounds}"
+    )
+
+
+@register("graph_pagerank", oracle=_pagerank_sql(rounds=3))
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-capped PageRank over the supplier co-purchase graph
+    (operators/components.py::pagerank) — the one headline centrality
+    the graph family lacked next to components / LPA / BFS / k-core /
+    SSSP / triangles. Integer micro-unit rank mass (damping 85/100,
+    restart 150000, floor-divided shares) makes all three rounds
+    engine-EXACT — no float summation order to disagree about, so the
+    oracle is a value-hash chained-CTE replay, not a tolerance check.
+    Per round: one equi-join of ranks onto the frozen symmetric edge
+    list + one combinable groupBy(dst); degrees computed once. The
+    round cap is the engine-portable contract, same as kcore/BFS."""
+    from ..operators.components import pagerank
+
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_orderkey") % _TRI_MOD == 0
+    )
+    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("v"))
+    e = a.join(b, "k").where(F.col("u") < F.col("v")).select("u", "v").distinct()
+    return pagerank(e, rounds=3).select(
+        F.col("node").alias("suppkey"), "rank_micro"
+    )
+
+
 @register(
     "graph_shortest_path",
     oracle=f"""
