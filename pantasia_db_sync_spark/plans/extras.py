@@ -682,7 +682,14 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     lazily here (3 is fine for a plan); a convergence-driven run at
     100 TB must localCheckpoint each iteration to cut the growing
     lineage, exactly as operators/components.py does for its
-    large/small-star rounds."""
+    large/small-star rounds.
+
+    Sibling: graph_pagerank_micro — same algorithm in integer
+    micro-units over the supplier co-purchase graph; that variant is
+    hash-EXACT against its oracle (no float rounding step), while this
+    one keeps the classic float formulation with a 1e-8 rounding
+    contract. Both are kept deliberately: float matches the published
+    definition, integer matches engines bit-for-bit."""
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
     e = (
@@ -1540,7 +1547,7 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _pagerank_sql(rounds: int) -> str:
+def _pagerank_micro_sql(rounds: int) -> str:
     """DuckDB replay of operators/components.py::pagerank — the
     integer micro-unit rounds as chained CTE stages over the
     co-purchase graph (floor division makes every stage engine-exact,
@@ -1571,8 +1578,8 @@ def _pagerank_sql(rounds: int) -> str:
     )
 
 
-@register("graph_pagerank", oracle=_pagerank_sql(rounds=3))
-def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+@register("graph_pagerank_micro", oracle=_pagerank_micro_sql(rounds=3))
+def graph_pagerank_micro(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round-capped PageRank over the supplier co-purchase graph
     (operators/components.py::pagerank) — the one headline centrality
     the graph family lacked next to components / LPA / BFS / k-core /
@@ -1582,7 +1589,10 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle is a value-hash chained-CTE replay, not a tolerance check.
     Per round: one equi-join of ranks onto the frozen symmetric edge
     list + one combinable groupBy(dst); degrees computed once. The
-    round cap is the engine-portable contract, same as kcore/BFS."""
+    round cap is the engine-portable contract, same as kcore/BFS.
+    Sibling: graph_pagerank (float, 1e-8-rounded oracle) over the
+    customer->supplier bipartite graph — see its docstring for why
+    both formulations are kept."""
     from ..operators.components import pagerank
 
     li = load_table(spark, sf_dir, "lineitem").where(
