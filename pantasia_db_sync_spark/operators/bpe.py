@@ -57,11 +57,13 @@ def bpe_train(
 
     ``batch_merges > 1`` applies up to that many merges per Spark
     round — output PROVABLY IDENTICAL to the serial trainer (see
-    ``_select_batch``), cutting driver round-trips for real (32k)
-    vocabularies. Measured on the sf0.001 fixture, num_merges=6:
-    serial = 6 pair-count rounds; batch_merges=4 = 3 rounds (batch
-    sizes 1, 2, 3 — the prefix rule stops at each first
-    symbol-sharing candidate), merges bit-for-bit identical."""
+    ``_select_batch`` for the three conflict clauses and the strict-M
+    truncation; the round-10 counterexample docs=['aacba'], k=3, m=2
+    is pinned as a regression @example), cutting driver round-trips
+    for real (32k) vocabularies. Measured on the sf0.001 fixture,
+    num_merges=6: serial = 6 pair-count rounds; batch_merges=4 =
+    3 rounds (batch sizes 1, 2, 3 — the prefix rule stops at each
+    first conflicting candidate), merges bit-for-bit identical."""
     merges, _ = _train(docs, text_col, num_merges, batch_merges)
     return docs.sparkSession.createDataFrame(
         merges,
@@ -85,37 +87,87 @@ def bpe_vocab_after_merges(
     return w.select("word", "freq", "sym")
 
 
-def _select_batch(cand, want: int, saw_all: bool):
+def _select_batch(cand, want: int, saw_all: bool, created: set[str]):
     """Serial-exact batch selection over the sorted candidate list
-    (cnt desc, pair asc): take the maximal PREFIX whose pairs are
-    pairwise symbol-disjoint, then truncate to counts STRICTLY above
-    the stop bound M. Disjointness alone is not enough — applying a
-    selected merge creates new pairs containing the merged symbol, and
-    such a pair could outrank a later batch member. The guard closes
-    that: every new pair (x, l+r) / (l+r, y) arising from a selected
-    merge (l, r) is count-bounded by the OLD pair (x, l) / (r, y),
-    which shares a symbol with the selection and therefore sorts at or
-    below the first non-disjoint candidate — whose count is M. Keeping
-    only members with cnt > M (the rank-1 winner is always safe: it IS
-    the serial argmax) means no created pair, and no surviving old
-    pair (disjoint counts are unchanged; overlapping counts only
-    fall), can overtake any batch member, so the serial trainer picks
-    exactly this sequence. When the candidate list was truncated
-    (``saw_all=False``) the first non-disjoint pair may be unseen, so
-    M falls back to the last collected count (conservative)."""
+    (cnt desc, pair asc): take the maximal PREFIX of CONFLICT-free
+    pairs, then truncate to counts STRICTLY above the stop bound M.
+
+    A candidate (l, r) CONFLICTS with the selection when
+      (a) l or r is a raw symbol of a selected pair,
+      (b) l or r equals a selected pair's concatenation, or the
+          candidate's own concatenation l+r equals a selected symbol
+          or a selected concatenation, or
+      (c) l+r already exists as a vocabulary symbol (``created`` is
+          the superset of all multi-char symbols: every merge ever
+          emitted — initial symbols are single chars, so any
+          multi-char symbol must be in it).
+
+    Why each clause is needed for serial-exactness:
+      (a) applying a selected merge (l, r) creates new pairs
+          (x, l+r) / (l+r, y); each new occurrence maps to an OLD
+          occurrence of (x, l) / (r, y), which raw-shares a symbol
+          with the selection — so its count is <= M, the count of the
+          FIRST conflicting candidate (sort is cnt desc). Keeping only
+          members with cnt > M (rank 1 is always safe: it IS the
+          serial argmax) means no created pair can overtake any kept
+          member in the serial replay, and raw-sharing old pairs only
+          FALL (occurrences consumed).
+      (b) a candidate whose symbol equals a selected concatenation
+          pre-exists with a counted cnt that RISES once the selected
+          merge applies — its recorded count is stale, so it can
+          neither be selected nor ignored: it bounds M.
+      (c) same hazard one level up: if a selected pair's concatenation
+          already exists as a symbol, pre-existing pairs containing it
+          (possibly UNSEEN in the collected list) gain occurrences —
+          their post-merge count is bounded by old_cnt + growth
+          <= 2*M, which strict cnt > M does NOT dominate. Clause (c)
+          forbids selecting such a pair at rank >= 2; at rank 1 the
+          pick itself is still the serial argmax, but nothing later in
+          the batch is provably safe, so the batch is cut to rank 1.
+
+    The scan continues over the ENTIRE collected list after the batch
+    fills — the first conflicting candidate may sort below the last
+    selected member, and M must still see it (missing this was the
+    round-10 hole: docs=['aacba'], k=3, m=2 filled the batch with
+    (aa,c),(b,a) and never learned that (c,b) bounded M=1, letting the
+    created pair (aac,b) tie-break past (b,a) in the serial replay).
+    When the candidate list was truncated (``saw_all=False``) the
+    first conflicting pair may be unseen, so M is additionally capped
+    by the last collected count (conservative)."""
     selected: list[tuple[str, int, str, str]] = []
     used: set[str] = set()
+    concats: set[str] = set()
     M = None
     for row in cand:
         left, right = row["pair"].split(" ", 1)
-        if used & {left, right}:
+        merged = left + right
+        conflict = (
+            bool(used & {left, right})
+            or left in concats
+            or right in concats
+            or merged in used
+            or merged in concats
+        )
+        if not conflict and merged in created:
+            if not selected:
+                # rank-1 is the serial argmax regardless; but its
+                # application can boost pre-existing pairs containing
+                # `merged`, so nothing after it is provably exact
+                selected.append((row["pair"], int(row["cnt"]), left, right))
+                return selected[:1]
+            conflict = True
+        if conflict:
             M = int(row["cnt"])
             break
-        selected.append((row["pair"], int(row["cnt"]), left, right))
-        used |= {left, right}
-        if len(selected) == want:
-            break
+        if len(selected) < want:
+            selected.append((row["pair"], int(row["cnt"]), left, right))
+            used |= {left, right}
+            concats.add(merged)
+        # else: batch full — keep scanning for the first conflicting
+        # candidate so M is still established (the round-10 hole)
     if M is None and not saw_all:
+        # no seen conflict, but unseen pairs (cnt <= last collected)
+        # may conflict: bound by the last collected count
         M = int(cand[-1]["cnt"])
     if M is not None:
         selected = selected[:1] + [s for s in selected[1:] if s[1] > M]
@@ -168,7 +220,10 @@ def _train(
         )
         if not cand:
             break
-        selected = _select_batch(cand, want, saw_all=len(cand) < limit_r)
+        created = {m[3] for m in merges}
+        selected = _select_batch(
+            cand, want, saw_all=len(cand) < limit_r, created=created
+        )
         for pair, cnt, left, right in selected:
             merged = left + right
             merges.append((rank, left, right, merged, cnt))

@@ -562,14 +562,24 @@ class TableStore:
             and when_not_matched == "insert"
             and matched_condition is None
         ):
-            # upsert_facts freezes the source; counting the returned
-            # frozen frame scans cached partitions instead of paying a
-            # third full evaluation of the source plan.
-            frozen = self.upsert_facts(
-                table, source, key_cols, commit_id, cluster_by
-            )
-            return {"staged": frozen.count()}
+            # upsert_facts freezes the source and its append already
+            # folded per-file footer row counts into the staged commit's
+            # manifest — read the count from THERE: zero extra Spark
+            # job, not even a cached-partition scan (r10 verdict #7).
+            self.upsert_facts(table, source, key_cols, commit_id, cluster_by)
+            staged = self._read_manifest(self.append_dir(table, commit_id))
+            return {"staged": int(staged["rows"])}
 
+        # Freeze the SOURCE itself before anything observes it: the
+        # manifest-pruning bounds collect below is the first of several
+        # evaluations (bounds, probe join x2, staging), and with a
+        # nondeterministic source (sample / rand) a re-evaluation could
+        # emit keys OUTSIDE the first evaluation's [lo, hi] — pruning
+        # would then drop those keys' target rows from `cur`, an
+        # existing key would classify as unmatched and append WITHOUT a
+        # tombstone: two visible rows for one key. One materialization
+        # feeds bounds, classification, and staging alike.
+        source = source.localCheckpoint(eager=False)
         cur = self.read_facts(spark, table)
         if cur is None:
             matched = source.where(F.lit(False))

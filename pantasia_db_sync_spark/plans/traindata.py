@@ -1048,6 +1048,148 @@ def dedup_span_coverage_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SPAN_SCRUB_SQL = """
+    WITH toks AS (
+      SELECT doc_id, string_split(trim(text), ' ') AS t
+      FROM documents WHERE text IS NOT NULL
+    ),
+    wins AS (
+      SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos,
+             array_to_string(t[i : i + 7], ' ') AS span
+      FROM toks, unnest(range(1, len(t) - 8 + 2)) AS u(i)
+      WHERE len(t) >= 8
+    ),
+    dupw AS (
+      SELECT doc_id, pos,
+             count(*) OVER (PARTITION BY span) AS n,
+             row_number() OVER (PARTITION BY span ORDER BY doc_id, pos) AS rn
+      FROM wins
+    ),
+    cut AS (SELECT doc_id, pos FROM dupw WHERE n >= 2 AND rn >= 2),
+    gaps AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos - lag(pos)
+                    OVER (PARTITION BY doc_id ORDER BY pos) > 8
+                  THEN 1 ELSE 0 END AS brk
+      FROM cut
+    ),
+    isl AS (
+      SELECT doc_id, pos,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS UNBOUNDED PRECEDING) AS island
+      FROM gaps
+    ),
+    seg AS (
+      SELECT doc_id, min(pos) AS s, max(pos) + 7 AS e
+      FROM isl GROUP BY doc_id, island
+    ),
+    tok_pos AS (
+      SELECT doc_id, CAST(u.i - 1 AS INTEGER) AS p, t[u.i] AS tok
+      FROM toks, unnest(range(1, len(t) + 1)) AS u(i)
+    ),
+    keptp AS (
+      SELECT tp.doc_id, tp.p, tp.tok FROM tok_pos tp
+      WHERE NOT EXISTS (SELECT 1 FROM seg s
+                        WHERE s.doc_id = tp.doc_id
+                          AND tp.p >= s.s AND tp.p <= s.e)
+    )
+    SELECT t0.doc_id,
+           CAST(len(t0.t) AS INTEGER) AS n_tokens,
+           CAST(len(t0.t) - COALESCE(kc.kept, 0) AS INTEGER) AS cut_tokens,
+           COALESCE(kt.txt, '') AS scrubbed_text
+    FROM toks t0
+    LEFT JOIN (SELECT doc_id, count(*) AS kept
+               FROM keptp GROUP BY doc_id) kc USING (doc_id)
+    LEFT JOIN (SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS txt
+               FROM keptp GROUP BY doc_id) kt USING (doc_id)
+    """
+
+
+@register("dedup_span_scrub", oracle=_SPAN_SCRUB_SQL)
+def dedup_span_scrub_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus PRODUCT of span dedup (Lee et al. 2022 semantics):
+    cut every duplicated token segment except its one canonical
+    occurrence and re-join the remainders — ``dedup_span_extend``
+    finds the segments, ``dedup_span_coverage`` grades the docs, this
+    emits the cleaned text the training pipeline actually ships.
+
+    Canonicality is decided at the k-window level: each duplicated
+    window's FIRST occurrence in (doc_id, pos) order is canonical;
+    every later occurrence is a cut position. For a maximal repeated
+    segment this keeps the whole earliest occurrence intact (all its
+    windows rank first — (doc_id, pos) order is consistent across a
+    segment's windows) and cuts every later occurrence at its FULL
+    merged length via the same gaps-and-islands interval union the
+    extend query uses. Scrubbing can itself splice new k-windows
+    together at cut boundaries, so a re-run is near-zero, not
+    identically zero — the same fixpoint caveat as Lee et al.'s
+    implementation.
+
+    Scale shape: canonical detection is groupBy(span).agg(min(struct
+    (doc_id,pos)), count) — map-side combinable, deliberately NOT the
+    oracle's row_number-over-span (the corpus-wide hot span would
+    funnel through one sort task); the equi-join back is
+    AQE-skew-splittable. One doc_id shuffle for islands, then the cut
+    intervals collapse to ONE row per doc (collect_list is bounded by
+    segments-per-doc) and broadcast-join back onto the token arrays,
+    where an index-aware higher-order filter drops covered positions
+    JVM-side — no UDF, no per-token shuffle."""
+    k = 8
+    d = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    t = tokens_col("text")
+    wins = F.transform(
+        F.sequence(F.lit(0), F.size(t) - k),
+        lambda i: F.array_join(F.slice(t, i + 1, k), " "),
+    )
+    e = d.where(F.size(t) >= k).select(
+        "doc_id", F.posexplode(wins).alias("pos", "span")
+    )
+    firsts = (
+        e.groupBy("span")
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.min(F.struct("doc_id", "pos")).alias("__first"),
+        )
+        .where(F.col("__n") >= 2)
+        .select("span", "__first")
+    )
+    cut = (
+        e.join(firsts, "span")
+        .where(
+            (F.col("doc_id") != F.col("__first.doc_id"))
+            | (F.col("pos") != F.col("__first.pos"))
+        )
+        .select("doc_id", "pos")
+    )
+    byword = Window.partitionBy("doc_id").orderBy("pos")
+    gap = F.when(F.col("pos") - F.lag("pos").over(byword) > k, 1).otherwise(0)
+    isl = cut.withColumn(
+        "island",
+        F.sum(gap).over(byword.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    seg = isl.groupBy("doc_id", "island").agg(
+        F.min("pos").alias("s"), (F.max("pos") + k - 1).alias("e")
+    )
+    ivs = seg.groupBy("doc_id").agg(
+        F.collect_list(F.struct("s", "e")).alias("__ivs")
+    )
+    j = d.select("doc_id", t.alias("__t")).join(ivs, "doc_id", "left")
+    kept = F.when(F.col("__ivs").isNull(), F.col("__t")).otherwise(
+        F.filter(
+            "__t",
+            lambda x, i: ~F.exists(
+                "__ivs", lambda iv: (i >= iv["s"]) & (i <= iv["e"])
+            ),
+        )
+    )
+    return j.select(
+        "doc_id",
+        F.size("__t").cast("int").alias("n_tokens"),
+        (F.size("__t") - F.size(kept)).cast("int").alias("cut_tokens"),
+        F.array_join(kept, " ").alias("scrubbed_text"),
+    )
+
+
 @register(
     "corpus_domain_mix",
     oracle=f"""

@@ -1326,10 +1326,76 @@ def test_merge_into_nondeterministic_source_is_classified_once(spark, tmp_path):
         matched_condition=lambda s, t: s("ts") > t("ts"),
     )
     store.commit_append("t", 2)
-    assert res["matched"] + res["not_matched"] >= 0  # shape-stable keys
+    # the source is frozen before classification: matched+not_matched
+    # is exactly the frozen sample's row count — all 200 candidate keys
+    # pre-exist, so not_matched must be 0 and matched <= 200 (a
+    # re-evaluated rand() could not satisfy both bounds reliably)
+    assert res["not_matched"] == 0, res
+    assert 0 <= res["matched"] <= 200, res
     out = store.read_facts(spark, "t").groupBy("k").count().collect()
     # every original key survived (updated or untouched), exactly once
     assert len(out) == 200, len(out)
+    assert all(r["count"] == 1 for r in out)
+
+
+def test_merge_into_nondeterministic_source_outside_bounds(spark, tmp_path):
+    """Round-10 ADVICE medium: the single-key manifest-pruning bounds
+    (min/max collect) must be computed from the FROZEN source. With an
+    unfrozen nondeterministic source, a re-evaluation can emit keys
+    OUTSIDE the first evaluation's [lo, hi]; read_facts_pruned then
+    drops those keys' target rows, an EXISTING key classifies as
+    unmatched and appends with no tombstone — two visible rows for one
+    key. Source: a single-partition mapInPandas that increments a
+    counter file and emits a DIFFERENT pre-existing key on every plan
+    evaluation (eval 0 -> 500, eval 1 -> 9500, ...), i.e. genuine
+    nondeterminism — rand()/sample are seeded at analysis time and
+    re-evaluate identically, so they cannot exercise this path.
+    Verified to fail (matched=0/not_matched=1 and a duplicated key)
+    when the source freeze in merge_into is removed."""
+    from pyspark.sql import functions as F
+
+    store = TableStore(str(tmp_path / "store"))
+    # several commits -> several files -> real manifest ranges to prune
+    for c in range(1, 6):
+        part = spark.range((c - 1) * 2000, c * 2000).select(
+            F.col("id").alias("k"), F.lit(1).cast("long").alias("ver")
+        )
+        store.append("t", part, commit_id=c)
+        store.commit_append("t", c)
+
+    counter = str(tmp_path / "eval_counter")
+    keys = [500, 9500, 2500, 7500, 4500, 6500, 1500, 8500]
+
+    def pick_one(_it):
+        import os
+
+        import pandas as pd
+
+        n = 0
+        if os.path.exists(counter):
+            with open(counter) as f:
+                n = int(f.read())
+        with open(counter, "w") as f:
+            f.write(str(n + 1))
+        yield pd.DataFrame(
+            {"k": [keys[n % len(keys)]], "ver": [2]}
+        )
+
+    src = spark.range(1).coalesce(1).mapInPandas(
+        pick_one, "k long, ver long"
+    )
+    res = store.merge_into(
+        spark, "t", src, ["k"], commit_id=6,
+        when_matched="update", when_not_matched="insert",
+        # condition forces the probe path (fast path never splits)
+        matched_condition=lambda s, t: s("ver") > t("ver"),
+    )
+    store.commit_append("t", 6)
+    # frozen source has exactly 1 row and its key always pre-exists:
+    # it MUST classify as matched, never as a no-tombstone insert
+    assert res == {"matched": 1, "not_matched": 0}, res
+    out = store.read_facts(spark, "t").groupBy("k").count().collect()
+    assert len(out) == 10000, len(out)
     assert all(r["count"] == 1 for r in out)
 
 
