@@ -98,6 +98,11 @@ HEADLINE = [
     "text_bpe_apply",
     "dedup_span_extend",
     "quality_model_score",
+    # round-11 additions (still additive — suite total not comparable
+    # to rounds ≤ 10): the span-dedup corpus product and the
+    # change-feed MV refresh round trip through a real TableStore
+    "dedup_span_scrub",
+    "store_incremental_agg",
 ]
 
 REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))

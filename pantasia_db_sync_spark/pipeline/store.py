@@ -346,6 +346,44 @@ class TableStore:
     def append_dir(self, table: str, commit_id: int) -> str:
         return os.path.join(self._tdir(table), "data", f"commit={commit_id}")
 
+    # --- write-time CHECK constraints ----------------------------------------
+    # Delta-style table constraints (ALTER TABLE ... ADD CONSTRAINT ...
+    # CHECK): a named SQL boolean expression every STAGED row must
+    # satisfy. Validation costs ZERO extra passes — the predicates ride
+    # the staging write itself as `Observation` metrics (Spark
+    # accumulators folded during the one materialization the append
+    # already pays), and a violation rolls the staged dir back before
+    # any pointer flip, so the table is never left half-constrained.
+    # SQL CHECK semantics: a row violates only when the expression is
+    # FALSE; NULL (unknown) passes — same as Delta/Postgres.
+
+    def _constraints_path(self, table: str) -> str:
+        return os.path.join(self._tdir(table), "_CONSTRAINTS.json")
+
+    def check_constraints(self, table: str) -> dict[str, str]:
+        try:
+            with open(self._constraints_path(table)) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return {}
+
+    def set_check_constraint(self, table: str, name: str, expr: str) -> None:
+        """Add/replace the named CHECK constraint. Applies to FUTURE
+        appends only (Delta's behavior requires existing rows to pass;
+        here the caller can assert that with one read — documented
+        trade, history is immutable anyway)."""
+        os.makedirs(self._tdir(table), exist_ok=True)
+        cons = self.check_constraints(table)
+        cons[name] = expr
+        with open(self._constraints_path(table), "w") as f:
+            json.dump(cons, f)
+
+    def drop_check_constraint(self, table: str, name: str) -> None:
+        cons = self.check_constraints(table)
+        cons.pop(name, None)
+        with open(self._constraints_path(table), "w") as f:
+            json.dump(cons, f)
+
     def append(
         self,
         table: str,
@@ -399,7 +437,34 @@ class TableStore:
                 else:
                     df = df.repartitionByRange(cluster_by)
                 df = df.sortWithinPartitions(cluster_by)
+        cons = self.check_constraints(table)
+        obs = None
+        if cons:
+            from pyspark.sql import Observation
+            from pyspark.sql import functions as F
+
+            obs = Observation()
+            df = df.observe(
+                obs,
+                *[
+                    F.sum(F.when(~F.expr(e), 1).otherwise(0))
+                    .cast("long")
+                    .alias(n)
+                    for n, e in sorted(cons.items())
+                ],
+            )
         df.write.mode("overwrite").parquet(path)
+        if obs is not None:
+            bad = {n: v for n, v in obs.get.items() if v is not None and v > 0}
+            if bad:
+                # roll back the staged dir BEFORE any pointer flip —
+                # the table stays exactly at its previous version
+                shutil.rmtree(path, ignore_errors=True)
+                raise ValueError(
+                    f"append to {table!r} commit {commit_id} violates CHECK "
+                    f"constraint(s) {bad} (violating-row counts); staged "
+                    "data rolled back"
+                )
         # Manifest lands INSIDE the commit dir before the pointer flip,
         # so it shares the commit's crash semantics: a commit either
         # exposes data+manifest together or neither. At 100 TB this is
@@ -483,7 +548,16 @@ class TableStore:
         df = df.localCheckpoint(eager=False)
         keys = df.select(*key_cols).distinct()
         self.delete_facts(table, keys, commit_id)
-        self.append(table, df, commit_id, cluster_by=cluster_by)
+        try:
+            self.append(table, df, commit_id, cluster_by=cluster_by)
+        except Exception:
+            # the tombstone staged above would otherwise RESURFACE once
+            # a LATER commit moves the pointer past this commit id
+            # (staged dirs <= pointer are visible) — a failed upsert
+            # must roll back BOTH halves, not just the append
+            shutil.rmtree(self.delete_dir(table, commit_id), ignore_errors=True)
+            shutil.rmtree(self.append_dir(table, commit_id), ignore_errors=True)
+            raise
         return df
 
     def merge_into(
@@ -652,7 +726,18 @@ class TableStore:
             out = appends[0]
             for p in appends[1:]:
                 out = out.unionByName(p)
-            self.append(table, out, commit_id, cluster_by=cluster_by)
+            try:
+                self.append(table, out, commit_id, cluster_by=cluster_by)
+            except Exception:
+                # same both-halves rollback as upsert_facts: a staged
+                # tombstone must not outlive its failed append
+                shutil.rmtree(
+                    self.delete_dir(table, commit_id), ignore_errors=True
+                )
+                shutil.rmtree(
+                    self.append_dir(table, commit_id), ignore_errors=True
+                )
+                raise
         return {"matched": n_matched, "not_matched": n_unmatched}
 
     def _committed_delete_dirs(self, table: str) -> list[str]:

@@ -814,6 +814,244 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "graph_modularity",
+    oracle=f"""
+    WITH lab AS ({_label_prop_sql()}),
+    e2 AS (
+      SELECT DISTINCT o.o_custkey AS src, l.l_suppkey + {_PR_OFFSET} AS dst
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      WHERE o.o_orderkey % 10 = 0
+    ),
+    und2 AS (SELECT src, dst FROM e2 UNION SELECT dst, src FROM e2),
+    m AS (SELECT CAST(count(*) AS BIGINT) AS m_edges FROM e2),
+    deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS d
+            FROM und2 GROUP BY 1),
+    ein AS (
+      SELECT la.label, CAST(count(*) AS BIGINT) AS e_in
+      FROM e2 JOIN lab la ON la.node = e2.src
+              JOIN lab lb ON lb.node = e2.dst
+      WHERE la.label = lb.label
+      GROUP BY 1
+    ),
+    dsum AS (
+      SELECT la.label, CAST(count(*) AS BIGINT) AS n_nodes,
+             CAST(sum(d.d) AS BIGINT) AS deg_sum
+      FROM lab la JOIN deg d ON d.node = la.node
+      GROUP BY 1
+    )
+    SELECT ds.label, ds.n_nodes, COALESCE(ei.e_in, 0) AS e_in, ds.deg_sum,
+           CAST(4 * m.m_edges * COALESCE(ei.e_in, 0)
+                - ds.deg_sum * ds.deg_sum AS BIGINT) AS q_num
+    FROM dsum ds LEFT JOIN ein ei USING (label) CROSS JOIN m
+    """,
+)
+def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the 3-round min-label communities — the
+    quality score that turns ``graph_label_propagation``'s output into
+    a judged clustering: per community c, Q_c = e_c/m − (d_c/2m)², and
+    this query emits the EXACT INTEGER numerator q_num = 4·m·e_c −
+    d_c² over the shared denominator 4m² (Σ q_num / 4m² = Q), so the
+    oracle is a value-hash check with no float tolerance anywhere —
+    the same micro-unit discipline as graph_pagerank_micro. Labels
+    come from the SAME registered LPA plan (shared code path, the
+    dedup_span_coverage pattern), so the two queries cannot drift.
+
+    Scale shape: the LPA rounds as documented there; then m is a
+    one-row broadcast aggregate, e_in is ONE equi-join of the edge
+    list against the label frame on each endpoint + a combinable
+    groupBy(label), and deg_sum reuses the degree groupBy. Isolated
+    nodes cannot exist here (every node has >= 1 edge by
+    construction)."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    e = (
+        o.where(F.col("o_orderkey") % 10 == 0)
+        .join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_suppkey") + _PR_OFFSET).alias("dst"),
+        )
+        .distinct()
+    )
+    und = e.union(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    lab = graph_label_propagation(spark, sf_dir).select(
+        F.col("node"), F.col("label")
+    )
+    m = e.agg(F.count(F.lit(1)).cast("bigint").alias("m_edges"))
+    deg = und.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("d")
+    )
+    ein = (
+        e.join(lab.select(F.col("node").alias("src"), F.col("label").alias("la")), "src")
+        .join(lab.select(F.col("node").alias("dst"), F.col("label").alias("lb")), "dst")
+        .where(F.col("la") == F.col("lb"))
+        .groupBy(F.col("la").alias("label"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("e_in"))
+    )
+    dsum = (
+        lab.join(deg, "node")
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+            F.sum("d").cast("bigint").alias("deg_sum"),
+        )
+    )
+    return (
+        dsum.join(ein, "label", "left")
+        .withColumn("e_in", F.coalesce("e_in", F.lit(0)).cast("bigint"))
+        .crossJoin(F.broadcast(m))
+        .select(
+            "label",
+            "n_nodes",
+            "e_in",
+            "deg_sum",
+            (
+                4 * F.col("m_edges") * F.col("e_in")
+                - F.col("deg_sum") * F.col("deg_sum")
+            ).cast("bigint").alias("q_num"),
+        )
+    )
+
+
+@register(
+    "events_ewma_forecast",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT event_type, n,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY day DESC) AS rn
+      FROM daily
+    ),
+    r20 AS (SELECT * FROM r WHERE rn <= 20),
+    mx AS (SELECT event_type, max(rn) AS mxr FROM r20 GROUP BY 1)
+    SELECT r.event_type, CAST(m.mxr AS INTEGER) AS n_days,
+           sum(r.n / CAST(CAST(1 AS BIGINT)
+               << (CASE WHEN r.rn = m.mxr THEN r.rn - 1 ELSE r.rn END)
+               AS DOUBLE)) AS ewma
+    FROM r20 r JOIN mx m USING (event_type)
+    GROUP BY 1, 2
+    """,
+)
+def events_ewma_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of the daily event volume
+    (alpha = 1/2, 20-day window) — the one-number-per-series forecast
+    baseline. The recurrence s_t = x_t/2 + s_{t-1}/2 (seeded with the
+    window's oldest value, which therefore carries weight 2^-(L-1))
+    unrolls to a weighted sum whose weights are all POWERS OF TWO:
+    with daily counts < 2^11 every term AND every partial sum is a
+    dyadic rational within the 52-bit double mantissa, so the float
+    result is EXACT in any summation order — no rounding contract
+    needed, unlike every other float query in this repo (the
+    engine-portability trick: pick alpha = 1/2, not 0.3).
+
+    Scale shape: one combinable groupBy(event_type, day) over the fact
+    table, then a row_number window over the per-series daily frame —
+    bounded by the calendar (LE 20 rows per series survive), never by
+    event volume. The weight 2^-rn is an integer shiftleft cast to
+    double (bit-exact in both engines), not pow() (libm may not be
+    exact for integral exponents)."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    w = Window.partitionBy("event_type").orderBy(F.col("day").desc())
+    r = daily.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= 20)
+    mx = r.groupBy("event_type").agg(F.max("rn").alias("mxr"))
+    j = r.join(mx, "event_type")
+    shift = F.when(F.col("rn") == F.col("mxr"), F.col("rn") - 1).otherwise(
+        F.col("rn")
+    )
+    term = F.col("n") / F.expr("cast(shiftleft(1L, __sh) as double)")
+    return (
+        j.withColumn("__sh", shift)
+        .groupBy("event_type", F.col("mxr").cast("int").alias("n_days"))
+        .agg(F.sum(term).alias("ewma"))
+    )
+
+
+@register(
+    "events_funnel_conversion",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY 1
+    ),
+    s2 AS (
+      SELECT e.user_id, min(e.ts) AS t2
+      FROM events e JOIN s1 USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts > s1.t1
+      GROUP BY 1
+    ),
+    s3 AS (
+      SELECT e.user_id, min(e.ts) AS t3
+      FROM events e JOIN s2 USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+      GROUP BY 1
+    )
+    SELECT 'view' AS step, CAST((SELECT count(*) FROM s1) AS BIGINT) AS users
+    UNION ALL
+    SELECT 'click_after_view', CAST((SELECT count(*) FROM s2) AS BIGINT)
+    UNION ALL
+    SELECT 'purchase_after_click', CAST((SELECT count(*) FROM s3) AS BIGINT)
+    """,
+)
+def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered three-step funnel (view → click → purchase), the
+    product-analytics staple: a user converts step k only with an
+    event STRICTLY LATER than their step-(k−1) conversion time —
+    first-touch semantics (min ts per step), so re-orderings like
+    click-before-first-view do not count. Declarative two-join chain:
+    each step is one combinable groupBy(user) min-agg over the events
+    filtered to that type, equi-joined to the previous step's frame —
+    no window, no per-user sort, no session state. At 100 TB each step
+    touches one event-type partition slice and shuffles on user_id
+    once (the exchange is reused across steps by AQE since the key is
+    identical)."""
+    e = load_table(spark, sf_dir, "events")
+    s1 = (
+        e.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        e.where(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .where(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        e.where(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .where(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    counts = [
+        ("view", s1),
+        ("click_after_view", s2),
+        ("purchase_after_click", s3),
+    ]
+    parts = [
+        df.agg(F.count(F.lit(1)).cast("bigint").alias("users")).select(
+            F.lit(name).alias("step"), "users"
+        )
+        for name, df in counts
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+@register(
     "events_robust_outliers_mad",
     oracle="""
     WITH med AS (
@@ -3635,6 +3873,115 @@ def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("lineitem_partkey_fk", orphans(li, "l_partkey", p, "p_partkey")),
     ]
     return spark.createDataFrame(rows, "check_name string, n_orphans bigint")
+
+
+@register(
+    "dq_k_anonymity",
+    oracle="""
+    SELECT c_nationkey, c_mktsegment,
+           CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band,
+           CAST(count(*) AS BIGINT) AS n
+    FROM customer
+    GROUP BY 1, 2, 3
+    HAVING count(*) < 5
+    """,
+)
+def dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit (Sweeney 2002) over the quasi-identifier
+    (nation, market segment, account-balance band): every equivalence
+    class with fewer than k=5 members is a re-identification risk —
+    the privacy gate a training-data pipeline runs before releasing
+    tabular slices (the structured-data sibling of text_pii_scrub).
+    One combinable groupBy on the bounded-cardinality QI tuple; the
+    HAVING filter rides the aggregate — at 100 TB this is a single
+    map-side-combined pass."""
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        c.groupBy(
+            "c_nationkey",
+            "c_mktsegment",
+            F.floor(F.col("c_acctbal") / 1000).cast("bigint").alias("bal_band"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .where(F.col("n") < 5)
+    )
+
+
+@register(
+    "dq_k_anonymize_ladder",
+    oracle="""
+    WITH base AS (
+      SELECT c_custkey, c_nationkey, c_mktsegment,
+             CAST(floor(c_acctbal / 1000) AS BIGINT) AS b0,
+             CAST(floor(c_acctbal / 2500) AS BIGINT) AS b1
+      FROM customer
+    ),
+    g0 AS (SELECT c_nationkey, c_mktsegment, b0, count(*) AS n0
+           FROM base GROUP BY 1, 2, 3),
+    g1 AS (SELECT c_nationkey, c_mktsegment, b1, count(*) AS n1
+           FROM base GROUP BY 1, 2, 3),
+    g2 AS (SELECT c_nationkey, c_mktsegment, count(*) AS n2
+           FROM base GROUP BY 1, 2),
+    g3 AS (SELECT c_mktsegment, count(*) AS n3 FROM base GROUP BY 1)
+    SELECT b.c_custkey,
+           CAST(CASE WHEN n0 >= 5 THEN 0 WHEN n1 >= 5 THEN 1
+                     WHEN n2 >= 5 THEN 2 WHEN n3 >= 5 THEN 3
+                     ELSE 4 END AS INTEGER) AS anonymity_level
+    FROM base b
+    JOIN g0 USING (c_nationkey, c_mktsegment, b0)
+    JOIN g1 USING (c_nationkey, c_mktsegment, b1)
+    JOIN g2 USING (c_nationkey, c_mktsegment)
+    JOIN g3 USING (c_mktsegment)
+    """,
+)
+def dq_k_anonymize_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity ENFORCEMENT via a generalization ladder — the
+    Datafly-style fix for what ``dq_k_anonymity`` audits: each row is
+    assigned the FIRST (least-general) level of a fixed QI hierarchy
+    whose equivalence class reaches k=5 — L0 (nation, segment,
+    balance/1000 band) → L1 (balance/2500 band) → L2 (drop the band)
+    → L3 (segment only) → L4 (suppress). Deterministic and row-local
+    given the level counts, so both engines agree exactly.
+
+    Scale shape: one combinable groupBy per ladder level (each on a
+    BOUNDED-cardinality QI tuple — the group frames are metadata-sized
+    regardless of table size) and broadcast-eligible equi-joins back
+    onto the rows; no window, no per-row state. At 100 TB the four
+    count frames broadcast and the table streams once."""
+    c = load_table(spark, sf_dir, "customer")
+    base = c.select(
+        "c_custkey",
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000).cast("bigint").alias("b0"),
+        F.floor(F.col("c_acctbal") / 2500).cast("bigint").alias("b1"),
+    )
+    g0 = base.groupBy("c_nationkey", "c_mktsegment", "b0").agg(
+        F.count(F.lit(1)).alias("n0")
+    )
+    g1 = base.groupBy("c_nationkey", "c_mktsegment", "b1").agg(
+        F.count(F.lit(1)).alias("n1")
+    )
+    g2 = base.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n2")
+    )
+    g3 = base.groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("n3"))
+    j = (
+        base.join(F.broadcast(g0), ["c_nationkey", "c_mktsegment", "b0"])
+        .join(F.broadcast(g1), ["c_nationkey", "c_mktsegment", "b1"])
+        .join(F.broadcast(g2), ["c_nationkey", "c_mktsegment"])
+        .join(F.broadcast(g3), ["c_mktsegment"])
+    )
+    level = (
+        F.when(F.col("n0") >= 5, 0)
+        .when(F.col("n1") >= 5, 1)
+        .when(F.col("n2") >= 5, 2)
+        .when(F.col("n3") >= 5, 3)
+        .otherwise(4)
+    )
+    return j.select(
+        "c_custkey", level.cast("int").alias("anonymity_level")
+    )
 
 
 @register(

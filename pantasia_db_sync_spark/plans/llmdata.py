@@ -1354,6 +1354,25 @@ def text_bpe_train_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_train(d, "text", num_merges=6)
 
 
+@register("text_bpe_train_batched", oracle=_bpe_train_sql(k=6))
+def text_bpe_train_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME 6 merges learned with ``batch_merges=3`` — up to three
+    merges applied per Spark round. Registered under the SAME oracle
+    as ``text_bpe_train`` (the serial trajectory replay) on purpose:
+    the batched trainer's contract is bit-identical output
+    (``operators/bpe.py::_select_batch``'s conflict clauses + strict-M
+    truncation), and pairing it with the serial oracle makes the
+    driver's sf0.01 value-hash gate re-prove serial-exactness every
+    round — the property the round-10 counterexample broke is now a
+    hard signal, not just a unit test. Scale: the batch cuts driver
+    argmax round-trips ~3x for real (32k) vocabularies; each round is
+    still one combinable pair count + one bounded (<=16-row) probe."""
+    from ..operators.bpe import bpe_train
+
+    d = load_table(spark, sf_dir, "documents")
+    return bpe_train(d, "text", num_merges=6, batch_merges=3)
+
+
 @register(
     "text_bpe_apply",
     oracle=_bpe_train_ctes(6)

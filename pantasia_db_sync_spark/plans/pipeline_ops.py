@@ -406,6 +406,116 @@ def store_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "store_incremental_agg",
+    oracle="""
+    WITH fin AS (
+      SELECT o_orderkey, o_orderkey AS val FROM orders
+      WHERE o_orderkey % 4 = 0 AND o_orderkey % 8 <> 0
+      UNION ALL
+      SELECT o_orderkey, o_orderkey * 10 FROM orders
+      WHERE o_orderkey % 4 IN (1, 2)
+    )
+    SELECT CAST(o_orderkey % 7 AS INTEGER) AS grp,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(val) AS BIGINT) AS val_sum
+    FROM fin GROUP BY 1
+    """,
+)
+def store_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10-ext — INCREMENTAL MATERIALIZED-VIEW REFRESH off the change
+    feed (the Delta/Materialize pattern): a grouped aggregate snapshot
+    taken at commit 1 is advanced to the table's head by folding ONLY
+    the feed's deltas — inserts contribute (+1, +val), deletes
+    (-1, -pre_val) — never rescanning the table. The oracle is the
+    full recompute over the final state, so driver parity proves
+    incremental == full every round.
+
+    History: commit 1 seeds key classes %4∈{0,1} at val=key; commit 2
+    is an UPSERT of classes {1,2} at val×10 (the feed shows it as
+    delete(class-1 keys) + insert(both classes) — update = tombstone +
+    append in one commit); commit 3 equality-deletes the %8==0 keys.
+
+    Delete pre-images: merge-on-read tombstones carry keys only, so
+    the subtraction side joins the deleted keys back to the
+    ``read_facts_at_commit(1)`` time-travel snapshot — valid here
+    because no key is modified twice after the MV snapshot (class-1
+    deletes at commit 2 and %8==0 deletes at commit 3 both kill
+    commit-1 rows). The general case replays per commit with the
+    snapshot at each delete's predecessor — same plan shape, one
+    bounded feed-range read per step. Scale shape: the MV base is one
+    combinable groupBy over the snapshot; the refresh reads O(changed
+    commits) feed rows, one broadcast-eligible pre-image semi-join,
+    and one final combinable groupBy over (|groups| + |changes|) rows
+    — a 100 TB table with a quiet day refreshes in O(day), not
+    O(history)."""
+    import shutil
+    import tempfile
+
+    from ..pipeline.store import TableStore
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    part = F.pmod(F.col("o_orderkey"), 4)
+    grp = F.pmod(F.col("o_orderkey"), 7).cast("int")
+    d = tempfile.mkdtemp(prefix="mv_store_")
+    try:
+        store = TableStore(d)
+        seed = o.where(part.isin(0, 1)).select(
+            "o_orderkey", F.col("o_orderkey").cast("long").alias("val")
+        )
+        store.append("orders_f", seed, commit_id=1)
+        store.commit_append("orders_f", 1)
+
+        src = o.where(part.isin(1, 2)).select(
+            "o_orderkey", (F.col("o_orderkey") * 10).cast("long").alias("val")
+        )
+        store.upsert_facts("orders_f", src, ["o_orderkey"], commit_id=2)
+        store.commit_append("orders_f", 2)
+
+        store.delete_facts(
+            "orders_f",
+            o.where(F.pmod(F.col("o_orderkey"), 8) == 0),
+            commit_id=3,
+        )
+        store.commit_append("orders_f", 3)
+
+        base = store.read_facts_at_commit(spark, "orders_f", 1)
+        mv = base.groupBy(grp.alias("grp")).agg(
+            F.count(F.lit(1)).cast("long").alias("dn"),
+            F.sum("val").cast("long").alias("dv"),
+        )
+        feed = store.read_facts_changes(spark, "orders_f", since=1)
+        ins = feed.where(F.col("_change_type") == "insert").select(
+            grp.alias("grp"),
+            F.lit(1).cast("long").alias("dn"),
+            F.col("val").cast("long").alias("dv"),
+        )
+        dels = (
+            feed.where(F.col("_change_type") == "delete")
+            .select("o_orderkey")
+            .join(base, "o_orderkey")
+            .select(
+                grp.alias("grp"),
+                F.lit(-1).cast("long").alias("dn"),
+                (-F.col("val")).cast("long").alias("dv"),
+            )
+        )
+        out = (
+            mv.unionByName(ins)
+            .unionByName(dels)
+            .groupBy("grp")
+            .agg(
+                F.sum("dn").cast("bigint").alias("n"),
+                F.sum("dv").cast("bigint").alias("val_sum"),
+            )
+            .where(F.col("n") > 0)
+        )
+        rows = out.collect()  # materialize before the tempdir vanishes
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+@register(
     "period_windows",
     oracle="""
     WITH b AS (SELECT min(ts) AS lo, max(ts) AS hi FROM events),

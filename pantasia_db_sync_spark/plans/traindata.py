@@ -560,6 +560,97 @@ def corpus_decontaminate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "corpus_decontaminate_spans",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(trim(text), ' ') AS t
+      FROM documents WHERE text IS NOT NULL
+    ),
+    wins AS (
+      SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos,
+             array_to_string(t[i : i + 3], ' ') AS span
+      FROM toks, unnest(range(1, len(t) - 4 + 2)) AS u(i)
+      WHERE len(t) >= 4
+    ),
+    bench AS (SELECT DISTINCT span FROM wins WHERE doc_id % 50 = 0),
+    hit AS (
+      SELECT w.doc_id, w.pos FROM wins w JOIN bench USING (span)
+      WHERE w.doc_id % 50 <> 0
+    ),
+    gaps AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos - lag(pos)
+                    OVER (PARTITION BY doc_id ORDER BY pos) > 4
+                  THEN 1 ELSE 0 END AS brk
+      FROM hit
+    ),
+    isl AS (
+      SELECT doc_id, pos,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS UNBOUNDED PRECEDING) AS island
+      FROM gaps
+    )
+    SELECT doc_id,
+           CAST(min(pos) AS INTEGER) AS seg_start,
+           CAST(max(pos) + 3 AS INTEGER) AS seg_end,
+           CAST(max(pos) - min(pos) + 4 AS INTEGER) AS seg_len
+    FROM isl GROUP BY doc_id, island
+    """,
+)
+def corpus_decontaminate_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPAN-level benchmark decontamination — the surgical upgrade of
+    ``corpus_decontaminate``'s doc-level flag: report, per training
+    document, every maximal token segment whose k=4 windows all occur
+    in the held-out benchmark set (stand-in: doc_id % 50 == 0, same
+    convention as the doc-level query), at FULL merged length via the
+    gaps-and-islands interval union the span-dedup family shares. The
+    training pipeline can then CUT the contaminated span (the
+    dedup_span_scrub mechanism) instead of dropping a 50k-token
+    document over one leaked benchmark sentence — the PaLM/Llama
+    practice for long documents.
+
+    Scale shape: benchmark window sets are small by nature (eval
+    suites, not corpora) → broadcast the distinct benchmark spans and
+    semi-join the training corpus's stride-1 windows against them
+    map-side (NO shuffle of the big side); then one doc_id shuffle for
+    the islands, whose groupBy reuses the partitioning. Contrast with
+    dedup_span_extend, whose dup membership needs the global
+    groupBy(span) — contamination against a fixed reference set is
+    strictly cheaper."""
+    # k=4, not the span family's 8: fixture docs are short, so 8-token
+    # cross-doc overlap is nearly empty (the same reason the doc-level
+    # query uses 3-shingles); production raises k to ~13 (GPT-3 rule)
+    k = 4
+    d = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    t = tokens_col("text")
+    is_bench = F.col("doc_id") % 50 == 0
+    wins = F.transform(
+        F.sequence(F.lit(0), F.size(t) - k),
+        lambda i: F.array_join(F.slice(t, i + 1, k), " "),
+    )
+    win_rows = d.where(F.size(t) >= k).select(
+        "doc_id", F.posexplode(wins).alias("pos", "span")
+    )
+    bench_spans = win_rows.where(is_bench).select("span").distinct()
+    hit = (
+        win_rows.where(~is_bench)
+        .join(F.broadcast(bench_spans), "span", "left_semi")
+        .select("doc_id", "pos")
+    )
+    byword = Window.partitionBy("doc_id").orderBy("pos")
+    gap = F.when(F.col("pos") - F.lag("pos").over(byword) > k, 1).otherwise(0)
+    isl = hit.withColumn(
+        "island",
+        F.sum(gap).over(byword.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return isl.groupBy("doc_id", "island").agg(
+        F.min("pos").cast("int").alias("seg_start"),
+        (F.max("pos") + k - 1).cast("int").alias("seg_end"),
+        (F.max("pos") - F.min("pos") + k).cast("int").alias("seg_len"),
+    ).drop("island")
+
+
+@register(
     "text_chunk_overlap",
     oracle="""
     WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),

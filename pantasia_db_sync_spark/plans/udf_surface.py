@@ -478,6 +478,84 @@ def stream_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_stream_to_frame(spark, writer, name, d)
 
 
+@register(
+    "stream_decontaminate_hits",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(trim(text), ' ') AS t
+      FROM documents WHERE text IS NOT NULL
+    ),
+    wins AS (
+      SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos,
+             array_to_string(t[i : i + 3], ' ') AS span
+      FROM toks, unnest(range(1, len(t) - 4 + 2)) AS u(i)
+      WHERE len(t) >= 4
+    ),
+    bench AS (SELECT DISTINCT span FROM wins WHERE doc_id % 50 = 0)
+    SELECT w.doc_id, w.pos FROM wins w JOIN bench USING (span)
+    WHERE w.doc_id % 50 <> 0
+    """,
+)
+def stream_decontaminate_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination AT THE DOOR — the streaming twin of
+    ``corpus_decontaminate_spans``'s hit detection: a STREAM of
+    incoming training documents has its k=4 stride-1 windows checked
+    against the static benchmark span set, emitting every contaminated
+    (doc_id, window pos). The whole plan is STATELESS append-mode —
+    per-row window explode (flatMap-shaped projection, no state) plus
+    one stream-static LEFT SEMI equi-join against the broadcastable
+    benchmark spans — so it runs at ingest wire speed with zero state
+    store; the gaps-and-islands merge (which needs per-doc ordering)
+    stays a batch concern, exactly the split a production ingest
+    pipeline makes. Oracle pins the streamed hits to the batch
+    formulation bit-for-bit."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from ..functions.text import tokens_col
+
+    k = 4
+    docs = load_table(spark, sf_dir, "documents")
+    t = tokens_col("text")
+    wins = F.transform(
+        F.sequence(F.lit(0), F.size(t) - k),
+        lambda i: F.array_join(F.slice(t, i + 1, k), " "),
+    )
+    bench_spans = (
+        docs.where(F.col("text").isNotNull() & (F.col("doc_id") % 50 == 0))
+        .where(F.size(t) >= k)
+        .select(F.explode(wins).alias("span"))
+        .distinct()
+    )
+
+    d = tempfile.mkdtemp(prefix="stream_decon_")
+    shutil.copy(
+        os.path.join(sf_dir, "documents.parquet"),
+        os.path.join(d, "documents-0.parquet"),
+    )
+    incoming = (
+        spark.readStream.schema(docs.schema)
+        .parquet(d)
+        .where(
+            F.col("text").isNotNull()
+            & (F.col("doc_id") % 50 != 0)
+            & (F.size(t) >= k)
+        )
+        .select("doc_id", F.posexplode(wins).alias("pos", "span"))
+        .join(F.broadcast(bench_spans), "span", "left_semi")
+        .select("doc_id", "pos")
+    )
+    name = "sdc_" + uuid.uuid4().hex[:8]
+    writer = (
+        incoming.writeStream.format("memory")
+        .outputMode("append")
+        .trigger(availableNow=True)
+    )
+    return _run_stream_to_frame(spark, writer, name, d)
+
+
 def _pq_codes_oracle() -> str:
     from .llmdata import _pq_sql
 

@@ -868,6 +868,61 @@ def r10_main() -> None:
             lambda: QUERIES["dedup_span_extend"](spark, work))
 
 
+def r11_main() -> None:
+    """Round-11 span-SCRUB scale shapes. Usage:
+    python scripts/scale_experiment.py --r11 [replicas]
+
+    - dedup_span_scrub 1x->Rx on the replicated corpus: same stride-1
+      fan-out as extend plus the canonical min-struct groupBy, the cut
+      islands, and the token-array rewrite — wall should track extend,
+      not multiply it.
+    - HOT-SPAN adversarial: every doc shares one boilerplate header;
+      canonical detection is groupBy(span).agg(min(struct), count) —
+      map-side combined like extend's count, so the 50k-copy span
+      still collapses to one row per partition before the shuffle.
+      The oracle's row_number-over-span would funnel all copies
+      through one sort task; this measurement is why the operator
+      picks min-struct + join instead."""
+    import time as _time
+
+    from pantasia_db_sync_spark.plans import QUERIES
+
+    replicas = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    spark = get_spark(app_name="r11-scale-experiment")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def run(label, fn):
+        # time the NOOP WRITE (all columns materialized) — a .count()
+        # here would let Catalyst prune the scrubbed_text rewrite and
+        # the interval join feeding it, timing a different plan
+        fn().write.format("noop").mode("overwrite").save()  # warm
+        t0 = _time.perf_counter()
+        fn().write.format("noop").mode("overwrite").save()
+        dt = _time.perf_counter() - t0
+        print(f"{label:<58} {dt:7.2f}s", flush=True)
+        return dt
+
+    for r in (1, replicas):
+        sf_dir = BASE_SF if r == 1 else build_corpus(spark, r)
+        nd = load_table(spark, sf_dir, "documents").count()
+        run(f"x{r} dedup_span_scrub ({nd} docs)",
+            lambda: QUERIES["dedup_span_scrub"](spark, sf_dir))
+
+    import tempfile as _tempfile
+
+    header = " ".join(f"hdr{i}" for i in range(8))
+    for n_docs in (5_000, 50_000):
+        work = _tempfile.mkdtemp(prefix=f"r11_hot_{n_docs}_")
+        docs = spark.range(0, n_docs, 1, 32).selectExpr(
+            "id AS doc_id",
+            f"concat('{header}', ' u', id, 'a u', id, 'b u', id, 'c u', id,"
+            " 'd u', id, 'e u', id, 'f u', id, 'g u', id, 'h') AS text",
+        )
+        docs.write.mode("overwrite").parquet(work + "/documents.parquet")
+        run(f"hot-span scrub x{n_docs // 5000} ({n_docs} docs, one header)",
+            lambda: QUERIES["dedup_span_scrub"](spark, work))
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--skew":
         skew_main()
@@ -885,5 +940,7 @@ if __name__ == "__main__":
         r9b_main()
     elif len(sys.argv) > 1 and sys.argv[1] == "--r10":
         r10_main()
+    elif len(sys.argv) > 1 and sys.argv[1] == "--r11":
+        r11_main()
     else:
         main()

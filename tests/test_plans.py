@@ -141,6 +141,9 @@ _ALLOWED_NESTED_LOOP = {
     # one-row (n_total, tot_u) aggregate crossed onto the per-language
     # frame — the events_gapfill in-plan scalar pattern
     "corpus_temperature_mix",
+    # one-row m_edges aggregate crossed onto the per-community frame —
+    # the events_gapfill in-plan scalar pattern (round 11)
+    "graph_modularity",
 }
 # Single-partition exchanges allowed only where the exchanged data is
 # metadata-scale (a handful of rows), never a full table:
@@ -223,6 +226,13 @@ _ALLOWED_SINGLE_PARTITION = {
     # broadcast crosses — 1 row by construction
     "tpch_q11_important_stock",
     "tpch_q15_top_supplier",
+    # the one-row m_edges aggregate feeding the modularity cross — the
+    # q22/q11 pattern (round 11)
+    "graph_modularity",
+    # three 1-row per-step user-count finishes (the tpch_q6-class
+    # scalar finish): each single partition receives one
+    # partial-aggregate row per upstream partition, never event rows
+    "events_funnel_conversion",
 }
 
 

@@ -1399,6 +1399,89 @@ def test_merge_into_nondeterministic_source_outside_bounds(spark, tmp_path):
     assert all(r["count"] == 1 for r in out)
 
 
+def test_check_constraints_gate_appends_with_rollback(spark, tmp_path):
+    """Delta-style CHECK constraints (round 11): validation rides the
+    staging write as Observation metrics (no extra pass), a violating
+    append raises AND rolls the staged dir back (table stays at its
+    previous version, a clean retry under the same commit id works),
+    NULL passes (SQL CHECK semantics), and the constraint gates the
+    upsert/merge path too (they stage through append)."""
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    store = TableStore(str(tmp_path / "store"))
+    store.set_check_constraint("t", "qty_nonneg", "qty >= 0")
+    ok = spark.createDataFrame([(1, 5), (2, 0)], "k long, qty long")
+    store.append("t", ok, commit_id=1)
+    store.commit_append("t", 1)
+    assert store.read_facts(spark, "t").count() == 2
+
+    bad = spark.createDataFrame([(3, 7), (4, -1)], "k long, qty long")
+    with pytest.raises(ValueError, match="qty_nonneg"):
+        store.append("t", bad, commit_id=2)
+    # staged dir rolled back; table unchanged at v1
+    assert not os.path.exists(store.append_dir("t", 2))
+    assert store.read_facts(spark, "t").count() == 2
+
+    # clean retry under the SAME commit id
+    store.append(
+        "t",
+        ok.select((F.col("k") + 10).alias("k"), F.col("qty")),
+        commit_id=2,
+    )
+    store.commit_append("t", 2)
+    assert store.read_facts(spark, "t").count() == 4
+
+    # NULL passes CHECK (unknown, not false)
+    nulls = spark.createDataFrame([(20, None)], "k long, qty long")
+    store.append("t", nulls, commit_id=3)
+    store.commit_append("t", 3)
+    assert store.read_facts(spark, "t").count() == 5
+
+    # the upsert path (tombstone + append) is gated too — and the
+    # rollback must remove the STAGED TOMBSTONE as well: it would
+    # otherwise resurface once a later commit moves the pointer past
+    # commit 4 and silently delete key 1 (caught in development)
+    with pytest.raises(ValueError, match="qty_nonneg"):
+        store.upsert_facts(
+            "t",
+            spark.createDataFrame([(1, -9)], "k long, qty long"),
+            ["k"],
+            commit_id=4,
+        )
+    assert store.read_facts(spark, "t").count() == 5
+    assert not os.path.exists(store.delete_dir("t", 4))
+
+    # dropping the constraint lifts the gate; key 1 must still be here
+    store.drop_check_constraint("t", "qty_nonneg")
+    store.append("t", bad, commit_id=5)
+    store.commit_append("t", 5)
+    out = store.read_facts(spark, "t")
+    assert out.count() == 7
+    assert out.where("k = 1").count() == 1
+
+
+def test_check_constraint_with_cluster_by_write(spark, tmp_path):
+    """The constraint observation must also fire on the clustered
+    (sort-on-write) append path, whose frame is eagerly checkpointed
+    and range-shuffled before the write."""
+    import pytest
+
+    store = TableStore(str(tmp_path / "store"))
+    store.set_check_constraint("t", "pos_id", "k > 0")
+    ok = spark.range(1, 100).selectExpr("id AS k", "id * 2 AS qty")
+    store.append("t", ok, commit_id=1, cluster_by="k")
+    store.commit_append("t", 1)
+    assert store.read_facts(spark, "t").count() == 99
+
+    bad = spark.range(0, 10).selectExpr("id AS k", "id AS qty")  # k=0 violates
+    with pytest.raises(ValueError, match="pos_id"):
+        store.append("t", bad, commit_id=2, cluster_by="k")
+    assert store.read_facts(spark, "t").count() == 99
+
+
 def test_merge_into_matched_condition_lww(spark, tmp_path):
     """Conditional matched clause (WHEN MATCHED AND source newer):
     a STALE source row must leave the target untouched (not update,
