@@ -560,6 +560,79 @@ def corpus_decontaminate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "quality_gopher_rules",
+    oracle=f"""
+    WITH t0 AS (
+      SELECT doc_id, string_split(trim(text), ' ') AS t
+      FROM documents WHERE text IS NOT NULL
+    ),
+    m AS (
+      SELECT doc_id,
+             CAST(len(t) AS BIGINT) AS n_words,
+             CAST(len(array_to_string(t, '')) AS BIGINT) AS n_chars,
+             CAST(len(list_filter(t, x -> regexp_matches(x, '[A-Za-z]')))
+                  AS BIGINT) AS alpha_words,
+             CAST(len(list_intersect(list_distinct(t),
+                  ['the', 'a', 'of', 'and'])) AS BIGINT) AS n_stop
+      FROM t0
+    )
+    SELECT doc_id, n_words,
+           (n_words >= 50 AND n_words <= 100000) AS rule_word_count,
+           (3 * n_words <= n_chars AND n_chars <= 10 * n_words)
+             AS rule_mean_word_len,
+           (10 * alpha_words >= 8 * n_words) AS rule_alpha_ratio,
+           (n_stop >= 2) AS rule_stopwords,
+           ((n_words >= 50 AND n_words <= 100000)
+            AND (3 * n_words <= n_chars AND n_chars <= 10 * n_words)
+            AND (10 * alpha_words >= 8 * n_words)
+            AND (n_stop >= 2)) AS keep
+    FROM m
+    """,
+)
+def quality_gopher_rules_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher rule-based quality suite (Rae et al. 2021 §A1.1, the
+    filter battery most open corpora reuse): per document, word count
+    in [50, 100000], mean word length in [3, 10] characters, >= 80 %
+    of words containing an alphabetic character, and >= 2 distinct
+    stopwords present — plus the conjunction verdict. Every boundary
+    is an INTEGER cross-multiplied predicate (3·n <= chars <= 10·n,
+    10·alpha >= 8·n), so no ratio ever materializes as a float and the
+    decision can never flip on a rounding difference — the
+    quality_model_score/EWMA engine-exactness discipline.
+
+    Scale shape: one map-only pass — per-row higher-order token
+    functions (size / filter / array_intersect against a 4-word
+    literal), zero shuffles, zero UDFs; the whole plan is one
+    WholeStageCodegen span over the parquet scan."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    t = tokens_col("text")
+    n = F.size(t).cast("bigint")
+    n_chars = F.length(F.array_join(t, "")).cast("bigint")
+    alpha = F.size(
+        F.filter(t, lambda x: F.regexp_extract(x, "[A-Za-z]", 0) != "")
+    ).cast("bigint")
+    n_stop = F.size(
+        F.array_intersect(
+            F.array_distinct(t),
+            F.array(*[F.lit(w) for w in STOPWORDS]),
+        )
+    ).cast("bigint")
+    r_wc = (n >= 50) & (n <= 100000)
+    r_len = (3 * n <= n_chars) & (n_chars <= 10 * n)
+    r_alpha = 10 * alpha >= 8 * n
+    r_stop = n_stop >= 2
+    return d.select(
+        "doc_id",
+        n.alias("n_words"),
+        r_wc.alias("rule_word_count"),
+        r_len.alias("rule_mean_word_len"),
+        r_alpha.alias("rule_alpha_ratio"),
+        r_stop.alias("rule_stopwords"),
+        (r_wc & r_len & r_alpha & r_stop).alias("keep"),
+    )
+
+
+@register(
     "corpus_decontaminate_spans",
     oracle="""
     WITH toks AS (
