@@ -103,6 +103,9 @@ HEADLINE = [
     # change-feed MV refresh round trip through a real TableStore
     "dedup_span_scrub",
     "store_incremental_agg",
+    "corpus_decontaminate_spans",
+    "graph_modularity",
+    "quality_gopher_rules",
 ]
 
 REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))

@@ -916,6 +916,144 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sql_multi_table_report",
+    oracle="""
+    SELECT n.n_name,
+           CAST(count(DISTINCT c.c_custkey) AS BIGINT) AS n_customers,
+           CAST(count(o.o_orderkey) AS BIGINT) AS n_orders,
+           CAST(sum(CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_finished
+    FROM nation n
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY n.n_name
+    """,
+)
+def sql_multi_table_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL ENTRY POINT exercised end to end: this query is
+    authored as a `spark.sql(...)` string over registered temp views —
+    not the DataFrame API — because the reference's entire surface is
+    SQL (app/db/postgres.py embeds every query as SQL text) and a user
+    switching engines will bring SQL, not DataFrames. Same Catalyst
+    plan either way (views are lazy DataFrames; pushdown, broadcast,
+    and AQE all apply), so this also pins that the repo's SQL dialect
+    stays ANSI enough to share text shape with the DuckDB oracle.
+    Per-nation customer/order rollup: two equi-joins (dims broadcast)
+    + one combinable groupBy."""
+    for t in ("nation", "customer", "orders"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(f"__sql_{t}")
+    return spark.sql(
+        """
+        SELECT n.n_name,
+               CAST(count(DISTINCT c.c_custkey) AS BIGINT) AS n_customers,
+               CAST(count(o.o_orderkey) AS BIGINT) AS n_orders,
+               CAST(sum(CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_finished
+        FROM __sql_nation n
+        JOIN __sql_customer c ON c.c_nationkey = n.n_nationkey
+        LEFT JOIN __sql_orders o ON o.o_custkey = c.c_custkey
+        GROUP BY n.n_name
+        """
+    )
+
+
+@register(
+    "events_holt_linear",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT event_type, n,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY day ASC) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS total
+      FROM daily
+    ),
+    r16 AS (SELECT * FROM r WHERE rn > total - 16),
+    seq AS (
+      SELECT event_type, n,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY rn ASC) AS i
+      FROM r16
+    ),
+    agg AS (
+      SELECT event_type,
+             list(n ORDER BY i) AS xs
+      FROM seq GROUP BY 1
+    )
+    SELECT event_type,
+           CAST(len(xs) AS INTEGER) AS n_days,
+           list_aggregate(list_transform(list_zip(xs, range(1, len(xs) + 1)),
+             p -> CAST(p[1] AS DOUBLE) *
+                  (CASE WHEN CAST(p[2] AS BIGINT) = 1
+                        THEN 2.0 / CAST(CAST(1 AS BIGINT) << len(xs) AS DOUBLE)
+                        WHEN CAST(p[2] AS BIGINT) = len(xs)
+                        THEN 0.5
+                        ELSE 1.0 / CAST(CAST(1 AS BIGINT)
+                             << (1 + len(xs) - CAST(p[2] AS BIGINT)) AS DOUBLE)
+                   END)), 'sum') AS level_hat
+    FROM agg
+    """,
+)
+def events_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simple exponential smoothing over the TRAILING 16 daily buckets
+    (alpha = 1/2, oldest observation as seed — Holt's level equation;
+    the ``events_ewma_forecast`` sibling computed row-locally from the
+    COLLECTED per-series daily array instead of a window rank join,
+    trading one join for a bounded collect_list: the array is <= 16
+    elements per series BY CONSTRUCTION, the legitimate use of
+    collect_list the repo's scale rules allow). Same dyadic-weight
+    exactness argument: weights are 2^-j (seed 2·2^-n), counts < 2^11,
+    all partial sums exact doubles — the float output is hash-exact
+    with NO rounding contract.
+
+    Scale shape: one combinable groupBy(event_type, day), one
+    row_number window over the calendar-bounded per-series frame, one
+    groupBy(event_type) collecting <= 16 ints, then a higher-order
+    zip/transform/aggregate fold JVM-side."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    w = Window.partitionBy("event_type").orderBy(F.col("day").desc())
+    r = daily.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= 16)
+    # xs oldest-first: collect (rn, n) and sort by rn DESC = oldest first
+    agg = r.groupBy("event_type").agg(
+        F.reverse(
+            F.array_sort(F.collect_list(F.struct("rn", "n")))
+        ).alias("__ps")
+    )
+    # weights via shiftleft on COLUMN shift amounts — the SQL form
+    # allows it where the Python wrapper wants an int literal; pow()
+    # is deliberately avoided (libm exactness not guaranteed even for
+    # integral powers of two)
+    level = F.expr(
+        """
+        aggregate(
+          zip_with(
+            transform(__ps, p -> p.n),
+            sequence(1, size(__ps)),
+            (x, i) -> cast(x as double) * (
+              CASE WHEN i = 1
+                     THEN 2.0 / cast(shiftleft(1L, size(__ps)) as double)
+                   WHEN i = size(__ps) THEN 0.5
+                   ELSE cast(shiftleft(1L, i) as double)
+                        / cast(shiftleft(1L, size(__ps) + 1) as double)
+              END)),
+          cast(0.0 as double), (acc, x) -> acc + x)
+        """
+    )
+    return agg.select(
+        "event_type",
+        F.size("__ps").cast("int").alias("n_days"),
+        level.alias("level_hat"),
+    )
+
+
+@register(
     "events_ewma_forecast",
     oracle="""
     WITH daily AS (
