@@ -205,6 +205,72 @@ def _number_buckets(
     )
 
 
+def with_dense_ids_grouped(
+    df: DataFrame,
+    order_cols: list[str],
+    group_col: str,
+    starts: dict,
+    id_col: str = "id",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """SEVERAL independent dense-id sequences from ONE range shuffle
+    and ONE freeze: group g's rows get ``starts[g], starts[g]+1, ...``
+    in ``order_cols`` order. Output-equivalent to calling
+    ``with_dense_ids`` once per group over the filtered subsets
+    (property-pinned), but the (often wide) frame is materialized to
+    checkpoint blocks ONCE instead of once per group — the sync
+    pipeline's mint/transfer fact split pays one checkpoint of
+    ``rows_wa`` here where two half-frame checkpoints (same total
+    bytes, twice the jobs and shuffles) used to run.
+
+    Shape: the same order-aligned range shuffle as ``with_dense_ids``
+    (group membership does NOT partition the shuffle — ids of every
+    group stay globally order-aligned), ranks from a window over
+    (bucket, group), per-(bucket, group) counts, and per-group
+    cumulative offsets + seed folded in through one broadcast join.
+    ``group_col`` values must all be keys of ``starts``."""
+    if num_partitions is None:
+        num_partitions = df.sparkSession.sparkContext.defaultParallelism
+    ranged = df.repartitionByRange(
+        num_partitions, *[F.col(c) for c in order_cols]
+    )
+    ranged = ranged.withColumn("__pid", F.spark_partition_id())
+    w = Window.partitionBy("__pid", group_col).orderBy(
+        *[F.col(c).asc() for c in order_cols]
+    )
+    # same freeze-once contract as with_dense_ids: counts and final
+    # numbering must observe one bucketing, not one per job
+    numbered = ranged.withColumn("__rn", F.row_number().over(w))
+    numbered = numbered.localCheckpoint(eager=True)
+    counts = numbered.groupBy("__pid", group_col).agg(
+        F.count(F.lit(1)).alias("__cnt")
+    )
+    w_off = Window.partitionBy(group_col).orderBy("__pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = (
+        counts.coalesce(1)  # ≤ num_buckets × |groups| rows (see _number_buckets)
+        .withColumn("__off", F.coalesce(F.sum("__cnt").over(w_off), F.lit(0)))
+        .select("__pid", group_col, "__off")
+    )
+    seed = F.create_map(
+        *[x for g, s in starts.items() for x in (F.lit(g), F.lit(s))]
+    )
+    return (
+        numbered.join(F.broadcast(offsets), ["__pid", group_col])
+        .withColumn(
+            id_col,
+            (
+                F.col("__rn")
+                + F.col("__off")
+                + seed[F.col(group_col)]
+                - 1
+            ).cast("long"),
+        )
+        .drop("__pid", "__rn", "__off")
+    )
+
+
 def _dense_ids_by_sampled_bounds(
     df: DataFrame,
     order_cols: list[str],

@@ -32,7 +32,7 @@ from pyspark.sql.types import StringType
 
 from ..functions.cardano import staking_address_udf
 from ..functions.hexstr import hex_to_string, lower_hex
-from ..operators.surrogate import with_dense_ids
+from ..operators.surrogate import with_dense_ids, with_dense_ids_grouped
 from .fixtures import GENESIS
 from .store import MANIFEST, TableStore
 
@@ -456,12 +456,21 @@ class SyncEngine:
         )
 
         # ---- facts: ids in seq order per type (mint vs transfer counters) ----
-        mint_rows = with_dense_ids(
-            rows_wa.where(F.col("is_mint_tx")), ["seq"], id_col="id", start=seeds["asset_mint_tx"]
+        # ONE grouped numbering instead of two with_dense_ids calls over
+        # the mint/transfer halves: same ids (property-pinned in
+        # test_properties), but the wide rows_wa frame hits checkpoint
+        # blocks once instead of twice — measured ~1s off the scale-1
+        # sync wall (two fewer jobs + one fewer shuffle of JSON-heavy
+        # columns).
+        typed_rows = with_dense_ids_grouped(
+            rows_wa,
+            ["seq"],
+            "is_mint_tx",
+            starts={True: seeds["asset_mint_tx"], False: seeds["asset_tx"]},
+            id_col="id",
         )
-        tx_rows = with_dense_ids(
-            rows_wa.where(~F.col("is_mint_tx")), ["seq"], id_col="id", start=seeds["asset_tx"]
-        )
+        mint_rows = typed_rows.where(F.col("is_mint_tx"))
+        tx_rows = typed_rows.where(~F.col("is_mint_tx"))
 
         asset_mint_tx_new = mint_rows.select(
             "id",

@@ -41,6 +41,48 @@ def test_dense_ids_are_dense_and_ordered(spark, rows, start):
 @settings(**SETTINGS)
 @given(
     rows=st.lists(
+        st.tuples(st.integers(0, 50), st.integers(-1000, 1000),
+                  st.booleans()),
+        min_size=1,
+        max_size=200,
+        unique_by=lambda r: (r[0], r[1]),
+    ),
+    start_a=st.integers(1, 10_000),
+    start_b=st.integers(1, 10_000),
+)
+def test_dense_ids_grouped_equals_per_group(spark, rows, start_a, start_b):
+    """with_dense_ids_grouped is OUTPUT-IDENTICAL to one with_dense_ids
+    call per group over the filtered subsets, for any input, any group
+    split (including one-sided), and any pair of seeds — the contract
+    that lets the sync pipeline fuse its mint/transfer numberings into
+    one checkpoint."""
+    from pantasia_db_sync_spark.operators.surrogate import (
+        with_dense_ids_grouped,
+    )
+
+    df = spark.createDataFrame(rows, "k int, v int, g boolean")
+    starts = {True: start_a, False: start_b}
+    got = sorted(
+        (r["g"], r["id"], r["k"], r["v"])
+        for r in with_dense_ids_grouped(
+            df, ["k", "v"], "g", starts, id_col="id"
+        ).collect()
+    )
+    want = []
+    for gval in (True, False):
+        sub = df.where(F.col("g") == gval)
+        want.extend(
+            (gval, r["id"], r["k"], r["v"])
+            for r in with_dense_ids(
+                sub, ["k", "v"], id_col="id", start=starts[gval]
+            ).collect()
+        )
+    assert got == sorted(want)
+
+
+@settings(**SETTINGS)
+@given(
+    rows=st.lists(
         st.tuples(st.integers(0, 50), st.integers(-1000, 1000)),
         min_size=1,
         max_size=200,
