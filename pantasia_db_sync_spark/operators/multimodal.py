@@ -30,13 +30,22 @@ DECODE_SCHEMA = "doc_id bigint, byte_len int, width int, height int, n_frames in
 
 
 def real_image_decode(content: bytes) -> dict:
-    """Placeholder for the real decoder (PIL.Image.open(io.BytesIO(...))).
-
-    Image libraries are not available in this environment; see
-    `fake_decode_features` for the deterministic stand-in exercised by
-    tests and oracles.
-    """
-    raise NotImplementedError("image codecs not available in this environment")
+    """Dispatch a binary image payload to the matching REAL pure-Python
+    decoder by magic bytes — BMP, PNG, GIF, or JPEG (round 11: the
+    from-scratch baseline-JPEG decoder closed this function's former
+    NotImplementedError gate). Unknown formats still raise — honest
+    partial support, never a silent guess."""
+    if content[:2] == b"BM":
+        return decode_bmp(content)
+    if content[:8] == b"\x89PNG\r\n\x1a\n":
+        return decode_png(content)
+    if content[:6] in (b"GIF87a", b"GIF89a"):
+        return decode_gif(content)
+    if content[:2] == b"\xff\xd8":
+        return decode_jpeg(content)
+    raise NotImplementedError(
+        f"no decoder for magic bytes {content[:4]!r} (BMP/PNG/GIF/JPEG supported)"
+    )
 
 
 def fake_decode_features(doc_id: int, content: bytes) -> tuple[int, int, int, int]:
@@ -1559,3 +1568,417 @@ def synthetic_animated_gif(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             yield pd.DataFrame({"doc_id": pdf["doc_id"].values, "content": content})
 
     return src.mapInPandas(gen, schema="doc_id bigint, content binary")
+
+
+# ---------------------------------------------------------------------------
+# JPEG: sixth REAL codec — baseline DCT (ITU-T T.81), pure Python
+# ---------------------------------------------------------------------------
+# Closes the one remaining honest gate (`real_image_decode`): a
+# from-scratch baseline-JPEG decoder — marker walk, DQT/DHT parse,
+# canonical-Huffman entropy decode with byte unstuffing, DC prediction,
+# dequantize, de-zigzag, naive IDCT, crop — plus the paired encoder the
+# in-flight fixtures use. Supported profile: SOF0, 8-bit precision,
+# 1x1 sampling, no restart markers; anything else raises ValueError
+# (honest partial support, the decode_bmp discipline).
+#
+# Exactness contract the registered query leans on: with all-ones quant
+# tables a SOLID image is DC-only, DC = 8*(v-128) is an exact float,
+# and the IDCT of a DC-only block is the exact constant back — so the
+# oracle can predict the decoded mean bit-for-bit from id arithmetic,
+# same as the BMP/PNG twins. Reference analogue: the image/files
+# columns (app/db/postgres.py:144-145).
+
+import math
+
+_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+#: IDCT basis: _COS[u][x] = C(u) * cos((2x+1) * u * pi / 16) with
+#: C(0)=1/sqrt(2), C(u>0)=1 — shared by decode and the encoder's FDCT.
+_COS = [
+    [
+        (1.0 / math.sqrt(2.0) if u == 0 else 1.0)
+        * math.cos((2 * x + 1) * u * math.pi / 16.0)
+        for x in range(8)
+    ]
+    for u in range(8)
+]
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, code: int, length: int) -> None:
+        for i in range(length - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((code >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:  # byte stuffing
+                    self.out.append(0x00)
+                self.acc, self.n = 0, 0
+
+    def flush(self) -> bytes:
+        if self.n:
+            self.acc = (self.acc << (8 - self.n)) | ((1 << (8 - self.n)) - 1)
+            self.out.append(self.acc)
+            if self.acc == 0xFF:
+                self.out.append(0x00)
+            self.acc, self.n = 0, 0
+        return bytes(self.out)
+
+
+# Canonical Huffman tables the ENCODER writes into DHT (the decoder is
+# fully generic and rebuilds whatever DHT declares): DC categories
+# 0..11 all at code length 4 (12 <= 15 codes, all-ones unused), every
+# AC (run, size) run 0..15 x size 1..10 plus EOB and ZRL at length 8
+# (162 <= 255, all-ones unused).
+_DC_SYMS = list(range(12))
+_AC_SYMS = [0x00, 0xF0] + [
+    (r << 4) | s for r in range(16) for s in range(1, 11)
+]
+_DC_CODES = {sym: (i, 4) for i, sym in enumerate(_DC_SYMS)}
+_AC_CODES = {sym: (i, 8) for i, sym in enumerate(sorted(_AC_SYMS))}
+
+
+def _dht_segment(table_class: int, table_id: int, syms: list, length: int) -> bytes:
+    counts = [0] * 16
+    counts[length - 1] = len(syms)
+    body = bytes([(table_class << 4) | table_id]) + bytes(counts) + bytes(
+        sorted(syms)
+    )
+    return b"\xff\xc4" + struct.pack(">H", len(body) + 2) + body
+
+
+def _category(v: int) -> int:
+    return v.bit_length() if v >= 0 else (-v).bit_length()
+
+
+def encode_jpeg_gray(width: int, height: int, gray: int) -> bytes:
+    """Render a SOLID-gray baseline JPEG (1 component, 1x1 sampling,
+    all-ones quant table). Solid blocks are DC-only with DC =
+    8*(gray-128) exactly, so the stream decodes back to ``gray``
+    bit-for-bit — the closed-form fixture the oracle predicts."""
+    if not (0 < width and 0 < height and 0 <= gray <= 255):
+        raise ValueError("bad solid-JPEG parameters")
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes([1] * 64)
+    out += (
+        b"\xff\xc0"
+        + struct.pack(">H", 11)
+        + b"\x08"
+        + struct.pack(">HH", height, width)
+        + b"\x01"
+        + bytes([1, 0x11, 0])  # comp id 1, 1x1 sampling, qtable 0
+    )
+    out += _dht_segment(0, 0, _DC_SYMS, 4)
+    out += _dht_segment(1, 0, sorted(_AC_SYMS), 8)
+    out += b"\xff\xda" + struct.pack(">H", 8) + b"\x01" + bytes([1, 0x00, 0, 63, 0])
+    w = _BitWriter()
+    dc = round(8.0 * (gray - 128))
+    blocks_x = (width + 7) // 8
+    blocks_y = (height + 7) // 8
+    pred = 0
+    for _ in range(blocks_x * blocks_y):
+        diff = dc - pred
+        pred = dc
+        t = _category(diff)
+        code, ln = _DC_CODES[t]
+        w.put(code, ln)
+        if t:
+            bits = diff if diff > 0 else diff + (1 << t) - 1
+            w.put(bits & ((1 << t) - 1), t)
+        code, ln = _AC_CODES[0x00]  # EOB — solid block has no AC
+        w.put(code, ln)
+    out += w.flush()
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+class _BitReader:
+    """Entropy-segment bit reader with 0xFF00 unstuffing; stops at any
+    real marker (a 0xFF followed by non-zero)."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.n = 0
+
+    def bit(self) -> int:
+        if self.n == 0:
+            if self.pos >= len(self.data):
+                raise ValueError("truncated entropy segment")
+            b = self.data[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                if self.pos >= len(self.data):
+                    raise ValueError("truncated after 0xFF")
+                nxt = self.data[self.pos]
+                if nxt == 0x00:
+                    self.pos += 1
+                else:
+                    raise ValueError("unexpected marker inside entropy data")
+            self.acc, self.n = b, 8
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.bit()
+        return v
+
+
+def _build_huffman(counts: list, syms: bytes) -> dict:
+    """DHT counts+symbols -> {(length, code): symbol} canonical map."""
+    table = {}
+    code = 0
+    i = 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            table[(length, code)] = syms[i]
+            code += 1
+            i += 1
+        code <<= 1
+    return table
+
+
+def _huff_decode(r: _BitReader, table: dict) -> int:
+    code, length = 0, 0
+    while length < 16:
+        code = (code << 1) | r.bit()
+        length += 1
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid Huffman code")
+
+
+def _extend(v: int, t: int) -> int:
+    return v if t == 0 or v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+def _idct_block(coef: list) -> list:
+    """Naive 2-D IDCT of one 8x8 block (row-major coefficient list) —
+    returns 64 floats BEFORE level shift.
+
+    DC-only fast path: the true value is the constant DC/8 exactly (a
+    dyadic rational, exact in floats), where the general loop would
+    compute DC * (1/sqrt(2))^2 / 4 and pick up the last-ulp error of
+    the rounded basis product — the fast path is both faster AND more
+    accurate, and it is what makes the solid-fixture oracle hash-exact."""
+    if not any(coef[1:]):
+        return [coef[0] / 8.0] * 64
+    out = [0.0] * 64
+    for y in range(8):
+        for x in range(8):
+            s = 0.0
+            for v in range(8):
+                cv = _COS[v][y]
+                row = v * 8
+                for u in range(8):
+                    c = coef[row + u]
+                    if c:
+                        s += _COS[u][x] * cv * c
+            out[y * 8 + x] = s / 4.0
+    return out
+
+
+def decode_jpeg(content: bytes) -> dict:
+    """Real baseline-JPEG decode (profile documented in the section
+    header). Returns width/height/component count and per-component
+    pixel means over the CROPPED image (block padding excluded)."""
+    if len(content) < 4 or content[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG stream")
+    pos = 2
+    qtables: dict[int, list] = {}
+    htables: dict[tuple, dict] = {}
+    comps: list[dict] = []
+    width = height = 0
+    while pos + 4 <= len(content):
+        if content[pos] != 0xFF:
+            raise ValueError("marker expected")
+        marker = content[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            raise ValueError("no scan data before EOI")
+        seglen = struct.unpack_from(">H", content, pos)[0]
+        if pos + seglen > len(content):
+            raise ValueError("truncated segment")
+        body = content[pos + 2 : pos + seglen]
+        if marker == 0xDB:  # DQT
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 0xF
+                if pq != 0:
+                    raise ValueError("16-bit quant tables unsupported")
+                qtables[tq] = list(body[i + 1 : i + 65])
+                i += 65
+        elif marker == 0xC0:  # SOF0 baseline
+            if body[0] != 8:
+                raise ValueError("only 8-bit precision supported")
+            height, width = struct.unpack_from(">HH", body, 1)
+            ncomp = body[5]
+            for c in range(ncomp):
+                cid, samp, tq = body[6 + 3 * c : 9 + 3 * c]
+                if samp != 0x11:
+                    raise ValueError("only 1x1 sampling supported")
+                comps.append({"id": cid, "tq": tq})
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                        0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("only baseline SOF0 supported")
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i < len(body):
+                tc, th = body[i] >> 4, body[i] & 0xF
+                counts = list(body[i + 1 : i + 17])
+                nsym = sum(counts)
+                syms = body[i + 17 : i + 17 + nsym]
+                htables[(tc, th)] = _build_huffman(counts, syms)
+                i += 17 + nsym
+        elif marker == 0xDD:  # DRI
+            if struct.unpack_from(">H", body, 0)[0] != 0:
+                raise ValueError("restart intervals unsupported")
+        elif marker == 0xDA:  # SOS
+            ns = body[0]
+            scan = []
+            for c in range(ns):
+                cid, tt = body[1 + 2 * c], body[2 + 2 * c]
+                comp = next(x for x in comps if x["id"] == cid)
+                scan.append((comp, tt >> 4, tt & 0xF))
+            pos += seglen
+            return _decode_scan(
+                content, pos, width, height, scan, qtables, htables
+            )
+        pos += seglen
+    raise ValueError("no SOS marker found")
+
+
+def _decode_scan(content, pos, width, height, scan, qtables, htables) -> dict:
+    if not width or not height or not scan:
+        raise ValueError("scan before SOF0")
+    bx, by = (width + 7) // 8, (height + 7) // 8
+    planes = [[0.0] * (bx * 8 * by * 8) for _ in scan]
+    pred = [0] * len(scan)
+    r = _BitReader(content, pos)
+    for mcu in range(bx * by):
+        ox, oy = (mcu % bx) * 8, (mcu // bx) * 8
+        for ci, (comp, td, ta) in enumerate(scan):
+            dct = htables.get((0, td))
+            act = htables.get((1, ta))
+            q = qtables.get(comp["tq"])
+            if dct is None or act is None or q is None:
+                raise ValueError("scan references undefined table")
+            zz = [0] * 64
+            t = _huff_decode(r, dct)
+            pred[ci] += _extend(r.bits(t), t) if t else 0
+            zz[0] = pred[ci]
+            k = 1
+            while k < 64:
+                rs = _huff_decode(r, act)
+                run, size = rs >> 4, rs & 0xF
+                if size == 0:
+                    if run == 15:  # ZRL
+                        k += 16
+                        continue
+                    break  # EOB
+                k += run
+                if k > 63:
+                    raise ValueError("AC coefficient index out of range")
+                zz[k] = _extend(r.bits(size), size)
+                k += 1
+            coef = [0] * 64
+            for i in range(64):
+                coef[_ZIGZAG[i]] = zz[i] * q[i]
+            px = _idct_block(coef)
+            plane = planes[ci]
+            stride = bx * 8
+            for y in range(8):
+                base = (oy + y) * stride + ox
+                row = px[y * 8 : y * 8 + 8]
+                for x in range(8):
+                    v = row[x] + 128.0
+                    plane[base + x] = 0.0 if v < 0 else (255.0 if v > 255 else v)
+    n_px = width * height
+    means = []
+    stride = bx * 8
+    for plane in planes:
+        tot = 0.0
+        for y in range(height):
+            tot += sum(plane[y * stride : y * stride + width])
+        means.append(tot / n_px)
+    out = {
+        "width": width,
+        "height": height,
+        "channels": len(scan),
+        "planes": planes,
+        "plane_stride": stride,
+    }
+    if len(scan) == 1:
+        out["mean_gray"] = means[0]
+    else:
+        y_m, cb_m, cr_m = means[0], means[1], means[2]
+        out["mean_y"], out["mean_cb"], out["mean_cr"] = y_m, cb_m, cr_m
+    return out
+
+
+JPEG_SCHEMA = (
+    "doc_id bigint, width int, height int, channels int, mean_gray double"
+)
+
+
+def synthetic_jpeg_frame(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Real encoded bytes for the JPEG path: one solid-gray baseline
+    JPEG per row, dims/level from id arithmetic (widths 1..21, heights
+    1..13 exercise partial edge blocks and multi-block rasters; gray
+    (id*11)%256 covers the full level range)."""
+    src = df.select(F.col(id_col).alias("doc_id"))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            content = [
+                encode_jpeg_gray(
+                    int(i) % 21 + 1, int(i) % 13 + 1, (int(i) * 11) % 256
+                )
+                for i in pdf["doc_id"]
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].values, "content": content})
+
+    return src.mapInPandas(gen, schema="doc_id bigint, content binary")
+
+
+def decode_jpeg_features(
+    df: DataFrame, id_col: str = "doc_id", binary_col: str = "content"
+) -> DataFrame:
+    """mapInPandas over a binary column with the REAL JPEG decoder —
+    Arrow-batched, embarrassingly parallel, same shape as the BMP/PNG
+    twins."""
+    src = df.select(F.col(id_col).alias("doc_id"), F.col(binary_col).alias("content"))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, content in zip(pdf["doc_id"], pdf["content"]):
+                d = decode_jpeg(bytes(content))
+                rows.append(
+                    (
+                        int(i),
+                        d["width"],
+                        d["height"],
+                        d["channels"],
+                        float(d["mean_gray"]),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "width", "height", "channels", "mean_gray"]
+            )
+
+    return src.mapInPandas(gen, schema=JPEG_SCHEMA)

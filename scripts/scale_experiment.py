@@ -922,6 +922,16 @@ def r11_main() -> None:
         run(f"hot-span scrub x{n_docs // 5000} ({n_docs} docs, one header)",
             lambda: QUERIES["dedup_span_scrub"](spark, work))
 
+    # decontamination + modularity on the replicated corpus: the
+    # benchmark-span broadcast and the label-frame joins must stay flat
+    for r in (1, replicas):
+        sf_dir = BASE_SF if r == 1 else build_corpus(spark, r)
+        nd = load_table(spark, sf_dir, "documents").count()
+        run(f"x{r} corpus_decontaminate_spans ({nd} docs)",
+            lambda: QUERIES["corpus_decontaminate_spans"](spark, sf_dir))
+    run("graph_modularity (sf0.1 purchase graph)",
+        lambda: QUERIES["graph_modularity"](spark, BASE_SF))
+
 
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--skew":

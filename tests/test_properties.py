@@ -741,6 +741,168 @@ _SPEC_BMP_2X2 = bytes(
 )
 
 
+def test_jpeg_solid_roundtrip_bit_exact():
+    """encode_jpeg_gray -> decode_jpeg is BIT-EXACT for solid images
+    (all-ones quant tables make a solid block DC-only; the decoder's
+    DC-only IDCT fast path returns the exact constant): every width
+    1..21 x height 1..13 (partial edge blocks, multi-block rasters,
+    DC categories over the full level range)."""
+    from pantasia_db_sync_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg_gray,
+    )
+
+    for w in range(1, 22):
+        for h in range(1, 14):
+            g = (w * 37 + h * 11) % 256
+            d = decode_jpeg(encode_jpeg_gray(w, h, g))
+            assert (d["width"], d["height"], d["channels"]) == (w, h, 1)
+            assert d["mean_gray"] == float(g), (w, h, g, d["mean_gray"])
+
+
+def test_jpeg_single_ac_coefficient_matches_independent_idct():
+    """Entropy decoder + dequant + de-zigzag + IDCT against
+    INDEPENDENTLY computed cosines: a hand-assembled one-block JPEG
+    with DC=0 and a single AC coefficient a at zigzag index 1 (natural
+    (u=1, v=0)) must decode to f(x, y) = a/(4*sqrt(2)) *
+    cos((2x+1)pi/16) + 128 — constant down each column, strictly
+    decreasing along x. Catches transposed/mis-scaled IDCTs and
+    zigzag/extend bugs the solid round-trip cannot see (the expected
+    pixels here are computed with math.cos in this test, not with the
+    operator's basis table)."""
+    import math
+    import struct as _struct
+
+    from pantasia_db_sync_spark.operators.multimodal import (
+        _AC_CODES,
+        _BitWriter,
+        _DC_CODES,
+        _dht_segment,
+        _AC_SYMS,
+        _DC_SYMS,
+        decode_jpeg,
+    )
+
+    a = 100  # AC coefficient value (size 7)
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + _struct.pack(">H", 67) + b"\x00" + bytes([1] * 64)
+    out += (
+        b"\xff\xc0" + _struct.pack(">H", 11) + b"\x08"
+        + _struct.pack(">HH", 8, 8) + b"\x01" + bytes([1, 0x11, 0])
+    )
+    out += _dht_segment(0, 0, _DC_SYMS, 4)
+    out += _dht_segment(1, 0, sorted(_AC_SYMS), 8)
+    out += b"\xff\xda" + _struct.pack(">H", 8) + b"\x01" + bytes(
+        [1, 0x00, 0, 63, 0]
+    )
+    w = _BitWriter()
+    code, ln = _DC_CODES[0]          # DC diff category 0 (DC = 0)
+    w.put(code, ln)
+    size = a.bit_length()
+    code, ln = _AC_CODES[size]       # run 0, size -> symbol 0x0s
+    w.put(code, ln)
+    w.put(a, size)                   # positive value: raw bits
+    code, ln = _AC_CODES[0x00]       # EOB
+    w.put(code, ln)
+    out += w.flush() + b"\xff\xd9"
+
+    d = decode_jpeg(bytes(out))
+    stride = d["plane_stride"]
+    plane = d["planes"][0]
+    for x in range(8):
+        expected = a / (4.0 * math.sqrt(2.0)) * math.cos(
+            (2 * x + 1) * math.pi / 16.0
+        ) + 128.0
+        expected = min(255.0, max(0.0, expected))
+        for y in range(8):
+            got = plane[y * stride + x]
+            assert abs(got - expected) < 1e-9, (x, y, got, expected)
+    row0 = [plane[x] for x in range(8)]
+    assert all(row0[i] > row0[i + 1] for i in range(7)), row0
+
+
+def test_jpeg_three_component_interleaved_solid():
+    """Interleaved 3-component scan: a hand-assembled solid R=G=B=v
+    color JPEG (Y=v, Cb=Cr=128 exactly under BT.601, so the chroma DCs
+    are zero) decodes with mean_y == v and both chroma means == 128 —
+    pins the per-MCU component interleave and per-component DC
+    prediction."""
+    import struct as _struct
+
+    from pantasia_db_sync_spark.operators.multimodal import (
+        _AC_CODES,
+        _BitWriter,
+        _DC_CODES,
+        _dht_segment,
+        _AC_SYMS,
+        _DC_SYMS,
+        decode_jpeg,
+    )
+
+    v = 200
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + _struct.pack(">H", 67) + b"\x00" + bytes([1] * 64)
+    out += (
+        b"\xff\xc0" + _struct.pack(">H", 17) + b"\x08"
+        + _struct.pack(">HH", 10, 12) + b"\x03"
+        + bytes([1, 0x11, 0]) + bytes([2, 0x11, 0]) + bytes([3, 0x11, 0])
+    )
+    out += _dht_segment(0, 0, _DC_SYMS, 4)
+    out += _dht_segment(1, 0, sorted(_AC_SYMS), 8)
+    out += b"\xff\xda" + _struct.pack(">H", 12) + b"\x03" + bytes(
+        [1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]
+    )
+    w = _BitWriter()
+    dc_y = round(8.0 * (v - 128))
+    preds = [0, 0, 0]
+    dcs = [dc_y, 0, 0]
+    for _ in range(2 * 2):  # 12x10 -> 2x2 blocks per component
+        for ci in range(3):
+            diff = dcs[ci] - preds[ci]
+            preds[ci] = dcs[ci]
+            t = abs(diff).bit_length()
+            code, ln = _DC_CODES[t]
+            w.put(code, ln)
+            if t:
+                bits = diff if diff > 0 else diff + (1 << t) - 1
+                w.put(bits & ((1 << t) - 1), t)
+            code, ln = _AC_CODES[0x00]
+            w.put(code, ln)
+    out += w.flush() + b"\xff\xd9"
+
+    d = decode_jpeg(bytes(out))
+    assert (d["width"], d["height"], d["channels"]) == (12, 10, 3)
+    assert d["mean_y"] == float(v)
+    assert d["mean_cb"] == 128.0 and d["mean_cr"] == 128.0
+
+
+def test_jpeg_rejects_unsupported_profiles():
+    """Progressive (SOF2), subsampled, and truncated streams raise
+    ValueError — honest partial support, never a silent wrong decode."""
+    import struct as _struct
+
+    import pytest
+
+    from pantasia_db_sync_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg_gray,
+    )
+
+    good = encode_jpeg_gray(8, 8, 10)
+    with pytest.raises(ValueError, match="baseline"):
+        decode_jpeg(good.replace(b"\xff\xc0", b"\xff\xc2", 1))
+    with pytest.raises(ValueError):
+        decode_jpeg(good[:-20])
+    with pytest.raises(ValueError, match="not a JPEG"):
+        decode_jpeg(b"BM no jpeg here.....")
+    # 2x1 subsampling in SOF0 -> unsupported
+    bad = bytearray(good)
+    i = bad.find(b"\xff\xc0")
+    bad[i + 11] = 0x21  # sampling byte: comp id at i+10, sampling i+11
+    with pytest.raises(ValueError, match="sampling"):
+        decode_jpeg(bytes(bad))
+
+
 def test_bmp_decoder_parses_spec_bytes():
     """decode_bmp against hand-written spec bytes — proves the decoder
     reads the REAL layout, independent of our own encoder."""
