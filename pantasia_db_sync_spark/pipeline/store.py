@@ -331,6 +331,37 @@ class TableStore:
             f.write(str(version))
         os.replace(tmp, self._pointer(table))  # atomic on POSIX
 
+    def rollback_facts(self, table: str, commit_id: int) -> None:
+        """Delta's ``RESTORE TABLE ... TO VERSION AS OF`` for a fact
+        table: repoint to an EARLIER commit id without touching any
+        data — commits above it become invisible to reads (appends and
+        tombstones alike, they gate on the same pointer) and their
+        dirs remain on disk as orphans until either re-commit under
+        the same ids (the crash-replay path) or ``vacuum``. O(1)
+        metadata; no snapshot tag needed, unlike :meth:`restore`.
+
+        Guards: the target must not exceed the current pointer (a
+        forward 'rollback' would expose staged-but-never-committed
+        dirs), and a table that has branches may not roll below any
+        branch base (shared history ≤ base belongs to the branches —
+        the same watermark ``vacuum`` and ``compact_facts`` protect)."""
+        ptr = self.current_version(table)
+        if ptr is None:
+            raise ValueError(f"rollback_facts: {table!r} has no commits")
+        if commit_id > ptr:
+            raise ValueError(
+                f"rollback_facts: target {commit_id} is above the current "
+                f"pointer {ptr} (would expose uncommitted staged dirs)"
+            )
+        for other in os.listdir(self.base_dir):
+            br = self.branch_info(other)
+            if br is not None and br["source"] == table and commit_id < br["base"]:
+                raise ValueError(
+                    f"rollback_facts: branch {other!r} holds base "
+                    f"{br['base']} on {table!r}; cannot roll below it"
+                )
+        self.repoint(table, commit_id)
+
     def commit_many(self, staged: dict[str, tuple[int, DataFrame]]) -> None:
         """Stage-then-flip: all writes land before any pointer moves."""
         for table, (version, _) in staged.items():

@@ -971,6 +971,82 @@ def multimodal_decode_jpeg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_decode_mixed",
+    oracle="""
+    SELECT doc_id,
+           CASE CAST(doc_id % 3 AS INTEGER)
+             WHEN 0 THEN 'bmp' WHEN 1 THEN 'png' ELSE 'jpeg' END AS fmt,
+           CAST(doc_id % 21 + 1 AS INTEGER) AS width,
+           CAST(doc_id % 13 + 1 AS INTEGER) AS height,
+           CAST(CASE WHEN doc_id % 3 = 2 THEN 1 ELSE 3 END AS INTEGER)
+             AS channels,
+           CAST(CASE WHEN doc_id % 3 = 2 THEN (doc_id * 11) % 256
+                     ELSE (doc_id * 3) % 256 END AS DOUBLE) AS mean_c0
+    FROM documents WHERE doc_id < 300
+    """,
+)
+def multimodal_decode_mixed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A HETEROGENEOUS binary column — BMP, PNG, and JPEG streams
+    interleaved in one column by doc_id % 3 — decoded through the
+    magic-byte dispatcher (operators/multimodal.py real_image_decode):
+    the production shape of a scraped-corpus image column, where format
+    is data, not schema. Per row: detected format, dimensions, channel
+    count, and the first channel's mean (R for the color formats, gray
+    for JPEG) — every value id-predictable because each per-format
+    fixture is the same closed-form render its dedicated query uses.
+    Same Arrow-batched mapInPandas plumbing; one pass, no shuffle."""
+    from ..operators.multimodal import (
+        encode_bmp,
+        encode_jpeg_gray,
+        encode_png,
+        real_image_decode,
+    )
+
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    src = d.select("doc_id")
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                w, h = i % 21 + 1, i % 13 + 1
+                rgb = ((i * 3) % 256, (i * 5) % 256, (i * 7) % 256)
+                if i % 3 == 0:
+                    content = encode_bmp(w, h, rgb)
+                elif i % 3 == 1:
+                    content = encode_png(w, h, rgb)
+                else:
+                    content = encode_jpeg_gray(w, h, (i * 11) % 256)
+                dec = real_image_decode(content)
+                fmt = (
+                    "bmp" if content[:2] == b"BM"
+                    else ("png" if content[:4] == b"\x89PNG" else "jpeg")
+                )
+                mean_c0 = dec.get("mean_r", dec.get("mean_gray"))
+                rows.append(
+                    (i, fmt, dec["width"], dec["height"],
+                     dec.get("channels", 3), float(mean_c0))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "fmt", "width", "height", "channels", "mean_c0",
+                ],
+            )
+
+    return src.mapInPandas(
+        gen,
+        schema=(
+            "doc_id bigint, fmt string, width int, height int, "
+            "channels int, mean_c0 double"
+        ),
+    )
+
+
+@register(
     "text_tfidf",
     oracle="""
     WITH toks AS (

@@ -1399,6 +1399,58 @@ def test_merge_into_nondeterministic_source_outside_bounds(spark, tmp_path):
     assert all(r["count"] == 1 for r in out)
 
 
+def test_rollback_facts_restores_earlier_version(spark, tmp_path):
+    """rollback_facts = Delta RESTORE TO VERSION AS OF: reads drop the
+    rolled-back commits (appends AND their same-commit tombstones),
+    re-committing under the same ids replays cleanly, forward targets
+    refuse, and a branch base blocks rolling the source below it."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    store = TableStore(str(tmp_path / "store"))
+    for c in (1, 2):
+        store.append(
+            "t",
+            spark.range((c - 1) * 10, c * 10).selectExpr("id AS k"),
+            commit_id=c,
+        )
+        store.commit_append("t", c)
+    # commit 3 = upsert (tombstone + append) so rollback must hide both
+    store.upsert_facts(
+        "t",
+        spark.range(0, 5).selectExpr("id AS k"),
+        ["k"],
+        commit_id=3,
+    )
+    store.commit_append("t", 3)
+    assert store.read_facts(spark, "t").count() == 20
+
+    store.rollback_facts("t", 2)
+    assert store.read_facts(spark, "t").count() == 20
+    assert store.read_facts(spark, "t").where("k < 5").count() == 5
+
+    with pytest.raises(ValueError, match="above the current pointer"):
+        store.rollback_facts("t", 9)
+
+    # replay commit 3 with different content under the same id
+    store.upsert_facts(
+        "t",
+        spark.range(100, 103).selectExpr("id AS k"),
+        ["k"],
+        commit_id=3,
+    )
+    store.commit_append("t", 3)
+    out = store.read_facts(spark, "t")
+    assert out.count() == 23
+    assert out.where("k >= 100").count() == 3
+
+    # a branch base is a rollback floor for its source
+    store.create_branch("t", "t_dev")
+    with pytest.raises(ValueError, match="cannot roll below"):
+        store.rollback_facts("t", 2)
+    store.rollback_facts("t", 3)  # at the base: allowed
+
+
 def test_check_constraints_gate_appends_with_rollback(spark, tmp_path):
     """Delta-style CHECK constraints (round 11): validation rides the
     staging write as Observation metrics (no extra pass), a violating
