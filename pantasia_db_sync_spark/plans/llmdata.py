@@ -1354,6 +1354,74 @@ def ann_lsh_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(e, e.where(F.col("vec_id") < 10), k=5)
 
 
+@register(
+    "ann_recall_report",
+    oracle=f"""
+    WITH b AS (
+      SELECT q_id, cand_id FROM (
+        WITH {_SQL_VECS},
+        s AS (
+          SELECT q.vec_id AS q_id, c.vec_id AS cand_id,
+                 {_cos_sql('q', 'c')} AS cos
+          FROM n q JOIN n c ON c.vec_id <> q.vec_id
+          WHERE q.vec_id < 10
+        )
+        SELECT q_id, cand_id FROM (
+          SELECT q_id, cand_id,
+                 row_number() OVER (PARTITION BY q_id
+                                    ORDER BY cos DESC, cand_id ASC) AS rank
+          FROM s
+        ) WHERE rank <= 5
+      )
+    ),
+    l AS (SELECT q_id, cand_id FROM ({_lsh_sql()})),
+    hit AS (
+      SELECT b.q_id, CAST(count(l.cand_id) AS BIGINT) AS hits
+      FROM b LEFT JOIN l ON l.q_id = b.q_id AND l.cand_id = b.cand_id
+      GROUP BY b.q_id
+    )
+    SELECT q_id, hits, hits / 5.0 AS recall_at_5 FROM hit
+    """,
+)
+def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN QUALITY AS A FIRST-CLASS MEASURABLE: per query vector, how
+    many of the exact brute-force top-5 neighbors the sign-LSH index
+    actually returned (recall@5) — the accuracy/cost trade every
+    approximate index must report, computed in ONE plan from the SAME
+    two code paths the registered ann_bruteforce_topk / ann_lsh_topk
+    queries run (they cannot drift). Both top-5 sets are deterministic
+    (cosine ties broken by cand_id in both engines), so recall is
+    engine-exact — the oracle recomputes both searches and the
+    intersection in SQL.
+
+    Scale shape: the brute leg is the whitelisted 10-query broadcast
+    cross (the exact baseline exists precisely to measure the index);
+    the LSH leg is the banded equi-join; the comparison is a
+    10x5-row LEFT join + combinable groupBy — measurement cost is the
+    two searches, nothing more."""
+    from ..operators.similarity import brute_force_topk, lsh_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 10)
+    b = brute_force_topk(e, q, k=5).select("q_id", "cand_id")
+    l = lsh_topk(e, q, k=5).select(
+        F.col("q_id").alias("q_id"), F.col("cand_id").alias("__lc")
+    )
+    hits = (
+        b.join(
+            l,
+            (b["q_id"] == l["q_id"]) & (b["cand_id"] == l["__lc"]),
+            "left",
+        )
+        .select(b["q_id"].alias("q_id"), l["__lc"])
+        .groupBy("q_id")
+        .agg(F.count("__lc").cast("bigint").alias("hits"))
+    )
+    return hits.select(
+        "q_id", "hits", (F.col("hits") / 5.0).alias("recall_at_5")
+    )
+
+
 _BPE_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
 
 

@@ -109,6 +109,9 @@ def test_traindata_plan_shapes(spark, sf_dir):
 # Deliberate exceptions to the no-quadratic-plan rule, each justified:
 _ALLOWED_NESTED_LOOP = {
     "ann_bruteforce_topk",  # exact baseline: broadcast small-query-set cross join
+    # recall@5 report: contains the same whitelisted brute-force leg —
+    # the exact baseline exists precisely to measure the LSH index
+    "ann_recall_report",
     "join_cross",           # the cross-join operator itself (tiny dims)
     # one-row broadcast aggregate crossed onto the data (the in-plan
     # scalar pattern — no driver collect): n-node count / grid bounds

@@ -2442,6 +2442,73 @@ def test_span_extend_reports_maximal_repeats_at_full_length(spark, tmp_path):
     assert oracle == out
 
 
+@settings(**SETTINGS)
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["a", "b"]), min_size=1, max_size=24),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_span_scrub_matches_python_model(spark, tmp_path, docs):
+    """dedup_span_scrub against a BRUTE-FORCE Python model on random
+    two-letter corpora (dense 8-gram collisions, heavy within-doc
+    repeats — the regime where islands merge and canonical selection
+    interact): a position is cut iff it lies inside the interval union
+    of non-canonical duplicated windows, canonical = the globally
+    first (doc_id, pos) occurrence. The island/gap formulation in the
+    operator must equal this direct interval union exactly."""
+    import glob
+    import os
+    import shutil
+    import uuid
+    from collections import Counter
+
+    from pantasia_db_sync_spark.plans.registry import QUERIES
+
+    k = 8
+    corpus = {100 + i: t for i, t in enumerate(docs)}
+
+    # --- model ---
+    wins = []
+    for d in sorted(corpus):
+        t = corpus[d]
+        for i in range(len(t) - k + 1):
+            wins.append((d, i, tuple(t[i : i + k])))
+    cnt = Counter(sp for _, _, sp in wins)
+    first = {}
+    for d, i, sp in wins:  # wins already in (doc_id, pos) order
+        first.setdefault(sp, (d, i))
+    expected = {}
+    for d in sorted(corpus):
+        t = corpus[d]
+        covered = set()
+        for dd, i, sp in wins:
+            if dd == d and cnt[sp] >= 2 and first[sp] != (d, i):
+                covered.update(range(i, i + k))
+        kept = [tok for p, tok in enumerate(t) if p not in covered]
+        expected[d] = (len(t), len(covered), " ".join(kept))
+
+    # --- operator ---
+    df = spark.createDataFrame(
+        [(d, " ".join(t)) for d, t in corpus.items()],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / ("corpus_" + uuid.uuid4().hex[:8]))
+    df.coalesce(1).write.parquet(path + "/tmp")
+    os.makedirs(path, exist_ok=True)
+    shutil.move(
+        glob.glob(path + "/tmp/part-*.parquet")[0],
+        path + "/documents.parquet",
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["cut_tokens"], r["scrubbed_text"])
+        for r in QUERIES["dedup_span_scrub"](spark, path).collect()
+    }
+    shutil.rmtree(path, ignore_errors=True)
+    assert got == expected, (got, expected)
+
+
 def test_span_scrub_keeps_one_canonical_and_rerun_is_clean(spark, tmp_path):
     """dedup_span_scrub's contract (the round-10 verdict's ask): the
     EARLIEST occurrence of every repeated segment survives intact,
