@@ -876,9 +876,13 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     und = e.union(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).distinct()
+    # freeze the label frame ONCE: three consumers below (both
+    # endpoint joins of e_in and the degree sum) would otherwise each
+    # re-run the 3-round LPA join lineage — the bpe.py / prefix.py
+    # freeze-before-multiple-consumers discipline
     lab = graph_label_propagation(spark, sf_dir).select(
         F.col("node"), F.col("label")
-    )
+    ).localCheckpoint(eager=False)
     m = e.agg(F.count(F.lit(1)).cast("bigint").alias("m_edges"))
     deg = und.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).cast("bigint").alias("d")
