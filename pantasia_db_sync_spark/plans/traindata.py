@@ -704,6 +704,9 @@ def corpus_decontaminate_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     win_rows = d.where(F.size(t) >= k).select(
         "doc_id", F.posexplode(wins).alias("pos", "span")
     )
+    # freeze-once: the benchmark side and the training side both read
+    # this explode (see dedup_span_extend)
+    win_rows = win_rows.localCheckpoint(eager=False)
     bench_spans = win_rows.where(is_bench).select("span").distinct()
     hit = (
         win_rows.where(~is_bench)
@@ -1131,6 +1134,11 @@ def dedup_span_extend_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = d.where(F.size(t) >= k).select(
         "doc_id", F.posexplode(wins).alias("pos", "span")
     )
+    # freeze the exploded window frame ONCE: the dup-membership groupBy
+    # and the semi-join back both consume it, and recomputing means a
+    # second corpus scan + explode (measured 4.2 -> 2.8s at sf0.1 on
+    # the scrub twin; block-write volume ~= one shuffle of the frame)
+    e = e.localCheckpoint(eager=False)
     dupspans = (
         e.groupBy("span")
         .agg(F.count(F.lit(1)).alias("n"))
@@ -1308,6 +1316,8 @@ def dedup_span_scrub_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = d.where(F.size(t) >= k).select(
         "doc_id", F.posexplode(wins).alias("pos", "span")
     )
+    # freeze-once: canonical groupBy + join back (see dedup_span_extend)
+    e = e.localCheckpoint(eager=False)
     firsts = (
         e.groupBy("span")
         .agg(
