@@ -1058,6 +1058,53 @@ def events_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_cumulative_distinct_users",
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id, min(CAST(ts AS DATE)) AS d0 FROM events
+      WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    daily AS (
+      SELECT d0 AS day, CAST(count(*) AS BIGINT) AS new_users
+      FROM first_seen GROUP BY 1
+    )
+    SELECT day, new_users,
+           CAST(sum(new_users) OVER (ORDER BY day
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users
+    FROM daily
+    """,
+)
+def events_cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative unique users per day — the growth-curve staple —
+    WITHOUT running-distinct state: a user contributes on exactly one
+    day (their first), so the running COUNT DISTINCT collapses to one
+    combinable groupBy(user).min(date), a groupBy(day) count, and a
+    cumulative sum over the CALENDAR-BOUNDED per-day frame (<=366
+    rows/year — the orders_open_backlog single-partition pattern; the
+    fact table never enters a window). The stateful formulation
+    (distinct-so-far per day) is O(users) of window state; this is
+    O(days). Scoped to first PURCHASE (cumulative unique buyers — the
+    conversion growth curve; the all-events variant is the same plan
+    with the filter dropped, but every fixture user is active from day
+    one, which would leave a 1-row result)."""
+    e = load_table(spark, sf_dir, "events")
+    first_seen = (
+        e.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min(F.to_date("ts")).alias("d0"))
+    )
+    daily = first_seen.groupBy(F.col("d0").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("new_users")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        "day",
+        "new_users",
+        F.sum("new_users").over(w).cast("bigint").alias("cum_users"),
+    )
+
+
+@register(
     "events_ewma_forecast",
     oracle="""
     WITH daily AS (

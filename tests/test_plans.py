@@ -180,6 +180,10 @@ _ALLOWED_SINGLE_PARTITION = {
     # cumulative backlog over the per-MONTH frame — bounded by the
     # calendar; fact tables contribute only combinable count passes
     "orders_open_backlog",
+    # cumulative sum over the per-DAY first-seen frame — bounded by the
+    # calendar (<=366 rows/year); the fact table contributes only a
+    # combinable groupBy(user).min(date) pass
+    "events_cumulative_distinct_users",
     # global expectation-suite aggregate: the single partition carries
     # ONE row of check counters (the combinable scan happened map-side)
     "dq_expectations",
