@@ -560,6 +560,71 @@ def corpus_decontaminate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_ngram_novelty",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(trim(text), ' ') AS t
+      FROM documents WHERE text IS NOT NULL
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+      FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)
+      WHERE len(t) >= 3
+    ),
+    firstd AS (SELECT g, min(doc_id) AS first_doc FROM sh GROUP BY 1)
+    SELECT sh.doc_id,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(sum(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           {sql_round("sum(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END)"
+                      " / CAST(count(*) AS DOUBLE)", 4)} AS novelty_frac
+    FROM sh JOIN firstd f USING (g)
+    GROUP BY sh.doc_id
+    """,
+)
+def text_ngram_novelty_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram NOVELTY in corpus order: the fraction of a
+    doc's distinct 3-grams whose FIRST corpus occurrence (min doc_id)
+    is this doc — the inverse of boilerplate saturation, the signal
+    curriculum/dedup research ranks ingestion order by (a doc of
+    mostly already-seen 3-grams adds little). Deterministic: firsts by
+    min doc_id, distinct grams per doc.
+
+    Scale shape: one distinct on (doc, gram) (map-side combinable
+    groupBy), one combinable groupBy(gram).min — the hot boilerplate
+    gram collapses to one row per map partition — and one
+    AQE-skew-splittable equi-join back, then a groupBy(doc_id). Same
+    skeleton as the span family's membership pass."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    t = tokens_col("text")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(t) - 3),
+        lambda i: F.array_join(F.slice(t, i + 1, 3), " "),
+    )
+    sh = (
+        d.where(F.size(t) >= 3)
+        .select("doc_id", F.explode(grams).alias("g"))
+        .distinct()
+        .localCheckpoint(eager=False)  # 2 consumers: firsts + join back
+    )
+    firstd = sh.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    novel = F.sum(
+        F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+    )
+    return (
+        sh.join(firstd, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+            novel.cast("bigint").alias("n_novel"),
+            fround(
+                novel / F.count(F.lit(1)).cast("double"), 4
+            ).alias("novelty_frac"),
+        )
+    )
+
+
+@register(
     "quality_gopher_rules",
     oracle=f"""
     WITH t0 AS (

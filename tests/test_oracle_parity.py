@@ -83,7 +83,7 @@ def test_all_queries_have_entries():
     # pinned to the real registry size so an accidental deregistration
     # (or key rename — the driver's hard signal depends on stable keys)
     # fails loudly; raise the floor when adding queries.
-    assert len(QUERIES) >= 288, len(QUERIES)
+    assert len(QUERIES) >= 289, len(QUERIES)
     missing_oracle = set(QUERIES) - set(ORACLES)
     # every registered query carries a DuckDB oracle (agg_approx_distinct
     # became hash-checkable via its tolerance-predicate reshape)
