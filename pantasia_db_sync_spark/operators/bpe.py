@@ -100,7 +100,8 @@ def _select_batch(cand, want: int, saw_all: bool, created: set[str]):
       (c) l+r already exists as a vocabulary symbol (``created`` is
           the superset of all multi-char symbols: every merge ever
           emitted — initial symbols are single chars, so any
-          multi-char symbol must be in it).
+          multi-char symbol must be in it), or
+      (d) the candidate is SELF-OVERLAPPING (l == r).
 
     Why each clause is needed for serial-exactness:
       (a) applying a selected merge (l, r) creates new pairs
@@ -124,6 +125,24 @@ def _select_batch(cand, want: int, saw_all: bool, created: set[str]):
           forbids selecting such a pair at rank >= 2; at rank 1 the
           pick itself is still the serial argmax, but nothing later in
           the batch is provably safe, so the batch is cut to rank 1.
+      (d) applying a self-overlapping merge (b, b) -> bb over a run
+          'bbb...' creates pairs (bb, b) / (bb, bb) whose occurrences
+          map to old occurrences of (b, b) — THE SELECTED PAIR
+          ITSELF. Their counts are bounded only by cnt(b, b), not by
+          M, and the conflict scan cannot see them (the selected pair
+          is by definition not a conflict). For any NON-self-
+          overlapping merge (l, r), every created pair maps to an old
+          pair raw-sharing l or r — (x, lr) -> (x, l), (lr, y) ->
+          (r, y), (lr, lr) -> (r, l) — all distinct from (l, r) when
+          l != r, so clauses (a)-(c) bound them; (r, l) = (l, r)
+          exactly when l == r, which is the ONE hazard those clauses
+          miss (the round-11 hole: docs=['ca','bbb'], k=2, m=2 —
+          selected (b,b):2 creates (bb,b):1 that ties the batch
+          member (c,a):1 and beats it on the lexicographic tiebreak).
+          Treatment mirrors clause (c): at rank 1 the pick is the
+          serial argmax and is taken ALONE; at rank >= 2 it
+          terminates the batch and bounds M (conservative — any
+          later genuine conflict sorts at or below it).
 
     The scan continues over the ENTIRE collected list after the batch
     fills — the first conflicting candidate may sort below the last
@@ -148,11 +167,13 @@ def _select_batch(cand, want: int, saw_all: bool, created: set[str]):
             or merged in used
             or merged in concats
         )
-        if not conflict and merged in created:
+        if not conflict and (merged in created or left == right):
             if not selected:
                 # rank-1 is the serial argmax regardless; but its
                 # application can boost pre-existing pairs containing
-                # `merged`, so nothing after it is provably exact
+                # `merged` (clause c) or create pairs bounded only by
+                # its own count (clause d), so nothing after it is
+                # provably exact
                 selected.append((row["pair"], int(row["cnt"]), left, right))
                 return selected[:1]
             conflict = True
@@ -201,8 +222,10 @@ def _train(
         want = min(batch_merges, num_merges - rank + 1)
         # collect headroom beyond the batch size: the prefix rule needs
         # to SEE the first non-disjoint candidate to bound M exactly —
-        # still one bounded driver probe per round (R rows, not 1)
-        limit_r = max(4 * want, 16)
+        # still one bounded driver probe per round (R rows, not 1).
+        # Serial (want == 1) keeps selected[:1] unconditionally, so M
+        # never matters and the probe is exactly the argmax row.
+        limit_r = 1 if want == 1 else max(4 * want, 16)
         syms = F.split(F.trim(F.col("sym")), " ")
         n = F.size(syms)
         pairs = F.zip_with(

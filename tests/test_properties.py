@@ -2583,6 +2583,7 @@ def test_span_scrub_keeps_one_canonical_and_rerun_is_clean(spark, tmp_path):
     m=st.integers(2, 5),
 )
 @example(docs=["aacba"], k=3, m=2)  # round-10 hole: batch filled before M set
+@example(docs=["ca", "bbb"], k=2, m=2)  # round-11 hole: self-overlap (b,b)
 @example(docs=["xabxab", "abz"], k=4, m=3)
 def test_bpe_batched_identical_to_serial(spark, docs, k, m):
     """batch_merges > 1 must be OUTPUT-IDENTICAL to the serial
