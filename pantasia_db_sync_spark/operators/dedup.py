@@ -369,9 +369,13 @@ def prefix_filter_jaccard_pairs(
         # prefix join already carries (-24% candidates on the sf0.1
         # corpus; the oracle's full-index join re-proves completeness
         # every round)
+        # the 1e-9 slack (same as _prefix_len_expr) keeps this filter
+        # strictly WEAKER than the verify's `jac >= threshold`: for
+        # non-dyadic tau the double-rounded product can sit an ulp
+        # above an integer min the verify's jaccard would still accept
         .where(
             F.least("__na", "__nb")
-            >= F.lit(threshold) * F.greatest("__na", "__nb")
+            >= F.lit(threshold) * F.greatest("__na", "__nb") - F.lit(1e-9)
         )
         .select("id_a", "id_b")
         .distinct()

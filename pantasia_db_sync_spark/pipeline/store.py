@@ -177,10 +177,14 @@ class TableStore:
         return os.path.join(self._tdir(table), "_BRANCH.json")
 
     def branch_info(self, table: str) -> dict | None:
+        # NotADirectoryError: callers iterate os.listdir(base_dir),
+        # where snapshot tags are plain _SNAPSHOT_<tag>.json FILES —
+        # opening '<file>/_BRANCH.json' must read as "not a branch",
+        # not crash (rollback_facts on any store with a snapshot).
         try:
             with open(self._branch_path(table)) as f:
                 return json.load(f)
-        except (FileNotFoundError, json.JSONDecodeError):
+        except (FileNotFoundError, NotADirectoryError, json.JSONDecodeError):
             return None
 
     def create_branch(self, source: str, branch: str) -> dict:

@@ -1451,6 +1451,25 @@ def test_rollback_facts_restores_earlier_version(spark, tmp_path):
     store.rollback_facts("t", 3)  # at the base: allowed
 
 
+def test_rollback_facts_coexists_with_snapshots(spark, tmp_path):
+    """Round-11 advice regression: snapshot tags live as plain
+    _SNAPSHOT_<tag>.json FILES at the store root, and rollback_facts'
+    branch-floor scan walks os.listdir(base_dir) — branch_info on a
+    snapshot file must read as 'not a branch', not raise
+    NotADirectoryError (which made rollback_facts unusable on any
+    store with a snapshot)."""
+    store = TableStore(str(tmp_path / "store"))
+    for c in (1, 2):
+        store.append("t", spark.range(10).selectExpr("id AS k"), commit_id=c)
+        store.commit_append("t", c)
+    store.snapshot("before_rollback")
+    store.rollback_facts("t", 1)  # must not crash on the snapshot file
+    assert store.read_facts(spark, "t").count() == 10
+    # the listdir entry that used to crash: a FILE, so _BRANCH.json
+    # resolution hits NotADirectoryError, which must mean "no branch"
+    assert store.branch_info("_SNAPSHOT_before_rollback.json") is None
+
+
 def test_check_constraints_gate_appends_with_rollback(spark, tmp_path):
     """Delta-style CHECK constraints (round 11): validation rides the
     staging write as Observation metrics (no extra pass), a violating
