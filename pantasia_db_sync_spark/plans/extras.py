@@ -964,7 +964,7 @@ def sql_multi_table_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "events_holt_linear",
     oracle="""
-    WITH daily AS (
+    WITH RECURSIVE daily AS (
       SELECT event_type, CAST(ts AS DATE) AS day,
              CAST(count(*) AS BIGINT) AS n
       FROM events GROUP BY 1, 2
@@ -976,48 +976,63 @@ def sql_multi_table_report(spark: SparkSession, sf_dir: str) -> DataFrame:
              count(*) OVER (PARTITION BY event_type) AS total
       FROM daily
     ),
-    r16 AS (SELECT * FROM r WHERE rn > total - 16),
     seq AS (
-      SELECT event_type, n,
+      SELECT event_type, n AS x,
              row_number() OVER (PARTITION BY event_type
                                 ORDER BY rn ASC) AS i
-      FROM r16
+      FROM r WHERE rn > total - 16
     ),
-    agg AS (
-      SELECT event_type,
-             list(n ORDER BY i) AS xs
-      FROM seq GROUP BY 1
+    sizes AS (
+      SELECT event_type, CAST(max(i) AS INTEGER) AS n_days FROM seq
+      GROUP BY 1
+    ),
+    holt AS (
+      SELECT s1.event_type, 1 AS t,
+             CAST(s1.x AS DOUBLE) AS l,
+             COALESCE(CAST(s2.x - s1.x AS DOUBLE), 0.0) AS b
+      FROM seq s1
+      LEFT JOIN seq s2 ON s2.event_type = s1.event_type AND s2.i = 2
+      WHERE s1.i = 1
+      UNION ALL
+      SELECT h.event_type, h.t + 1,
+             (CAST(s.x AS DOUBLE) + h.l + h.b) / 2,
+             ((CAST(s.x AS DOUBLE) + h.l + h.b) / 2 - h.l + h.b) / 2
+      FROM holt h
+      JOIN seq s ON s.event_type = h.event_type AND s.i = h.t + 1
     )
-    SELECT event_type,
-           CAST(len(xs) AS INTEGER) AS n_days,
-           list_aggregate(list_transform(list_zip(xs, range(1, len(xs) + 1)),
-             p -> CAST(p[1] AS DOUBLE) *
-                  (CASE WHEN CAST(p[2] AS BIGINT) = 1
-                        THEN 2.0 / CAST(CAST(1 AS BIGINT) << len(xs) AS DOUBLE)
-                        WHEN CAST(p[2] AS BIGINT) = len(xs)
-                        THEN 0.5
-                        ELSE 1.0 / CAST(CAST(1 AS BIGINT)
-                             << (1 + len(xs) - CAST(p[2] AS BIGINT)) AS DOUBLE)
-                   END)), 'sum') AS level_hat
-    FROM agg
+    SELECT h.event_type, z.n_days,
+           h.l AS level_hat, h.b AS trend_hat,
+           h.l + h.b AS forecast_1
+    FROM holt h JOIN sizes z
+      ON z.event_type = h.event_type AND h.t = z.n_days
     """,
 )
 def events_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Simple exponential smoothing over the TRAILING 16 daily buckets
-    (alpha = 1/2, oldest observation as seed — Holt's level equation;
-    the ``events_ewma_forecast`` sibling computed row-locally from the
-    COLLECTED per-series daily array instead of a window rank join,
-    trading one join for a bounded collect_list: the array is <= 16
-    elements per series BY CONSTRUCTION, the legitimate use of
-    collect_list the repo's scale rules allow). Same dyadic-weight
-    exactness argument: weights are 2^-j (seed 2·2^-n), counts < 2^11,
-    all partial sums exact doubles — the float output is hash-exact
-    with NO rounding contract.
+    """Holt's LINEAR method (level + trend) over the trailing 16 daily
+    buckets, alpha = beta = 1/2:
+
+        l_t = (x_t + l_{t-1} + b_{t-1}) / 2
+        b_t = (l_t - l_{t-1} + b_{t-1}) / 2
+
+    textbook seeds l_1 = x_1, b_1 = x_2 - x_1 (0 when the series has a
+    single point), emitting the final level, trend, and the one-step
+    forecast l_n + b_n. The round-11 form computed ONLY the SES level
+    equation (its closed-form dyadic weights can't carry the coupled
+    trend recurrence); this is the full method, unrolled as a struct
+    fold — the accumulator (l, b) rides through ``aggregate`` JVM-side,
+    and the DuckDB oracle unrolls the SAME recurrence with a recursive
+    CTE, one iteration per t.
+
+    Exactness (hash-exact doubles, NO rounding contract): dyadic
+    alpha/beta make every step two exact halvings — each of the <= 15
+    recurrence steps adds at most 2 fraction bits (l: 1, b: 1 more),
+    so <= 30 fraction bits; daily counts < 2^21 keep magnitudes under
+    2^22, total significand < 53 bits. Exact on both engines.
 
     Scale shape: one combinable groupBy(event_type, day), one
-    row_number window over the calendar-bounded per-series frame, one
-    groupBy(event_type) collecting <= 16 ints, then a higher-order
-    zip/transform/aggregate fold JVM-side."""
+    row_number window over the per-series frame, one groupBy
+    collecting <= 16 ints BY CONSTRUCTION (the legitimate bounded
+    collect_list), then an O(16) fold per series."""
     e = load_table(spark, sf_dir, "events")
     daily = e.groupBy(
         "event_type", F.to_date("ts").alias("day")
@@ -1026,34 +1041,39 @@ def events_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = daily.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= 16)
     # xs oldest-first: collect (rn, n) and sort by rn DESC = oldest first
     agg = r.groupBy("event_type").agg(
-        F.reverse(
-            F.array_sort(F.collect_list(F.struct("rn", "n")))
-        ).alias("__ps")
+        F.expr(
+            "transform(reverse(array_sort(collect_list(struct(rn, n)))),"
+            " p -> p.n)"
+        ).alias("__xs")
     )
-    # weights via shiftleft on COLUMN shift amounts — the SQL form
-    # allows it where the Python wrapper wants an int literal; pow()
-    # is deliberately avoided (libm exactness not guaranteed even for
-    # integral powers of two)
-    level = F.expr(
+    fold = F.expr(
         """
         aggregate(
-          zip_with(
-            transform(__ps, p -> p.n),
-            sequence(1, size(__ps)),
-            (x, i) -> cast(x as double) * (
-              CASE WHEN i = 1
-                     THEN 2.0 / cast(shiftleft(1L, size(__ps)) as double)
-                   WHEN i = size(__ps) THEN 0.5
-                   ELSE cast(shiftleft(1L, i) as double)
-                        / cast(shiftleft(1L, size(__ps) + 1) as double)
-              END)),
-          cast(0.0 as double), (acc, x) -> acc + x)
+          slice(__xs, 2, greatest(size(__xs) - 1, 0)),
+          named_struct(
+            'l', cast(element_at(__xs, 1) as double),
+            'b', if(size(__xs) >= 2,
+                    cast(element_at(__xs, 2) - element_at(__xs, 1) as double),
+                    cast(0.0 as double))),
+          (acc, x) -> named_struct(
+            'l', (cast(x as double) + acc.l + acc.b) / 2.0D,
+            'b', ((cast(x as double) + acc.l + acc.b) / 2.0D - acc.l + acc.b)
+                 / 2.0D))
         """
     )
+    # materialize the fold ONCE as a struct column, then expand — three
+    # copies of the aggregate expression would triple the plan for the
+    # same value
     return agg.select(
         "event_type",
-        F.size("__ps").cast("int").alias("n_days"),
-        level.alias("level_hat"),
+        F.size("__xs").cast("int").alias("n_days"),
+        fold.alias("__h"),
+    ).select(
+        "event_type",
+        "n_days",
+        F.col("__h.l").alias("level_hat"),
+        F.col("__h.b").alias("trend_hat"),
+        (F.col("__h.l") + F.col("__h.b")).alias("forecast_1"),
     )
 
 
