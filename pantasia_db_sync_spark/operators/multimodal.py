@@ -1578,7 +1578,8 @@ def synthetic_animated_gif(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 # canonical-Huffman entropy decode with byte unstuffing, DC prediction,
 # dequantize, de-zigzag, naive IDCT, crop — plus the paired encoder the
 # in-flight fixtures use. Supported profile: SOF0, 8-bit precision,
-# 1x1 sampling, no restart markers; anything else raises ValueError
+# sampling factors 1..2 (4:4:4 / 4:2:2 / 4:4:0 / 4:2:0 — the round-12
+# §A.2 MCU walk), no restart markers; anything else raises ValueError
 # (honest partial support, the decode_bmp discipline).
 #
 # Exactness contract the registered query leans on: with all-ones quant
@@ -1829,9 +1830,12 @@ def decode_jpeg(content: bytes) -> dict:
             ncomp = body[5]
             for c in range(ncomp):
                 cid, samp, tq = body[6 + 3 * c : 9 + 3 * c]
-                if samp != 0x11:
-                    raise ValueError("only 1x1 sampling supported")
-                comps.append({"id": cid, "tq": tq})
+                h, v = samp >> 4, samp & 0xF
+                if not (1 <= h <= 2 and 1 <= v <= 2):
+                    raise ValueError(
+                        "sampling factors above 2 unsupported"
+                    )  # covers 4:4:4 / 4:2:2 / 4:4:0 / 4:2:0
+                comps.append({"id": cid, "tq": tq, "h": h, "v": v})
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError("only baseline SOF0 supported")
@@ -1862,65 +1866,105 @@ def decode_jpeg(content: bytes) -> dict:
     raise ValueError("no SOS marker found")
 
 
+def _decode_block(r, dct, act, q, pred_ci: int) -> tuple[list, int]:
+    """Entropy-decode one 8x8 block: DC diff + AC runs, dequantize,
+    de-zigzag, IDCT. Returns (64 pixel floats before level shift,
+    new DC predictor)."""
+    zz = [0] * 64
+    t = _huff_decode(r, dct)
+    pred_ci += _extend(r.bits(t), t) if t else 0
+    zz[0] = pred_ci
+    k = 1
+    while k < 64:
+        rs = _huff_decode(r, act)
+        run, size = rs >> 4, rs & 0xF
+        if size == 0:
+            if run == 15:  # ZRL
+                k += 16
+                continue
+            break  # EOB
+        k += run
+        if k > 63:
+            raise ValueError("AC coefficient index out of range")
+        zz[k] = _extend(r.bits(size), size)
+        k += 1
+    coef = [0] * 64
+    for i in range(64):
+        coef[_ZIGZAG[i]] = zz[i] * q[i]
+    return _idct_block(coef), pred_ci
+
+
 def _decode_scan(content, pos, width, height, scan, qtables, htables) -> dict:
+    """Interleaved-scan MCU walk per ITU-T T.81 §A.2: an MCU is the
+    hmax*8 x vmax*8 region; within it component ci contributes its
+    h_i x v_i blocks in RASTER order (left-to-right, then top-to-
+    bottom), components in scan order. Component ci's own raster is
+    ceil(width*h_i/hmax) x ceil(height*v_i/vmax) (§A.1.1 — the
+    subsampled chroma dims for 4:2:0), and per-component means crop to
+    exactly that. The 1x1-everything case degenerates to the round-11
+    single-block walk; a single-component scan is non-interleaved per
+    §A.2.2 (MCU = one block regardless of declared factors)."""
     if not width or not height or not scan:
         raise ValueError("scan before SOF0")
-    bx, by = (width + 7) // 8, (height + 7) // 8
-    planes = [[0.0] * (bx * 8 * by * 8) for _ in scan]
+    if len(scan) == 1:
+        factors = [(1, 1)]  # non-interleaved: MCU = one block (§A.2.2)
+        hmax = vmax = 1
+    else:
+        factors = [(c["h"], c["v"]) for c, _, _ in scan]
+        hmax = max(h for h, _ in factors)
+        vmax = max(v for _, v in factors)
+    mcux = (width + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (height + 8 * vmax - 1) // (8 * vmax)
+    strides, comp_dims, planes = [], [], []
+    for h, v in factors:
+        stride = mcux * h * 8
+        strides.append(stride)
+        planes.append([0.0] * (stride * mcuy * v * 8))
+        comp_dims.append(
+            ((width * h + hmax - 1) // hmax, (height * v + vmax - 1) // vmax)
+        )
     pred = [0] * len(scan)
     r = _BitReader(content, pos)
-    for mcu in range(bx * by):
-        ox, oy = (mcu % bx) * 8, (mcu // bx) * 8
+    for mcu in range(mcux * mcuy):
+        mx, my = mcu % mcux, mcu // mcux
         for ci, (comp, td, ta) in enumerate(scan):
             dct = htables.get((0, td))
             act = htables.get((1, ta))
             q = qtables.get(comp["tq"])
             if dct is None or act is None or q is None:
                 raise ValueError("scan references undefined table")
-            zz = [0] * 64
-            t = _huff_decode(r, dct)
-            pred[ci] += _extend(r.bits(t), t) if t else 0
-            zz[0] = pred[ci]
-            k = 1
-            while k < 64:
-                rs = _huff_decode(r, act)
-                run, size = rs >> 4, rs & 0xF
-                if size == 0:
-                    if run == 15:  # ZRL
-                        k += 16
-                        continue
-                    break  # EOB
-                k += run
-                if k > 63:
-                    raise ValueError("AC coefficient index out of range")
-                zz[k] = _extend(r.bits(size), size)
-                k += 1
-            coef = [0] * 64
-            for i in range(64):
-                coef[_ZIGZAG[i]] = zz[i] * q[i]
-            px = _idct_block(coef)
+            h, v = factors[ci]
+            stride = strides[ci]
             plane = planes[ci]
-            stride = bx * 8
-            for y in range(8):
-                base = (oy + y) * stride + ox
-                row = px[y * 8 : y * 8 + 8]
-                for x in range(8):
-                    v = row[x] + 128.0
-                    plane[base + x] = 0.0 if v < 0 else (255.0 if v > 255 else v)
-    n_px = width * height
+            for vy in range(v):
+                for hx in range(h):
+                    px, pred[ci] = _decode_block(r, dct, act, q, pred[ci])
+                    ox = (mx * h + hx) * 8
+                    oy = (my * v + vy) * 8
+                    for y in range(8):
+                        base = (oy + y) * stride + ox
+                        row = px[y * 8 : y * 8 + 8]
+                        for x in range(8):
+                            val = row[x] + 128.0
+                            plane[base + x] = (
+                                0.0 if val < 0 else (255.0 if val > 255 else val)
+                            )
     means = []
-    stride = bx * 8
-    for plane in planes:
+    for ci, plane in enumerate(planes):
+        cw, ch = comp_dims[ci]
+        stride = strides[ci]
         tot = 0.0
-        for y in range(height):
-            tot += sum(plane[y * stride : y * stride + width])
-        means.append(tot / n_px)
+        for y in range(ch):
+            tot += sum(plane[y * stride : y * stride + cw])
+        means.append(tot / (cw * ch))
     out = {
         "width": width,
         "height": height,
         "channels": len(scan),
         "planes": planes,
-        "plane_stride": stride,
+        "plane_stride": strides[0],
+        "plane_strides": strides,
+        "comp_dims": comp_dims,
     }
     if len(scan) == 1:
         out["mean_gray"] = means[0]
@@ -1982,3 +2026,132 @@ def decode_jpeg_features(
             )
 
     return src.mapInPandas(gen, schema=JPEG_SCHEMA)
+
+
+def _put_dc_block(w: "_BitWriter", dc: int, pred: int) -> int:
+    """Write one DC-only block (DC diff + EOB) and return the new
+    predictor — shared by the gray and the 4:2:0 color encoders."""
+    diff = dc - pred
+    t = _category(diff)
+    code, ln = _DC_CODES[t]
+    w.put(code, ln)
+    if t:
+        bits = diff if diff > 0 else diff + (1 << t) - 1
+        w.put(bits & ((1 << t) - 1), t)
+    code, ln = _AC_CODES[0x00]  # EOB
+    w.put(code, ln)
+    return dc
+
+
+def encode_jpeg_color_420(
+    width: int, height: int, y: int, cb: int, cr: int
+) -> bytes:
+    """Render a SOLID-color baseline JPEG with the real-world default
+    layout: 3 components, Y at 2x2 / Cb,Cr at 1x1 sampling (4:2:0),
+    interleaved scan, all-ones quant table. Per 16x16 MCU: four Y
+    blocks in raster order, one Cb, one Cr — the exact §A.2 interleave
+    the decoder walks. Solid planes are DC-only with DC = 8*(v-128)
+    exactly, so mean_y/mean_cb/mean_cr decode back bit-for-bit."""
+    if not (0 < width and 0 < height):
+        raise ValueError("bad solid-JPEG parameters")
+    if not all(0 <= v <= 255 for v in (y, cb, cr)):
+        raise ValueError("component levels must be bytes")
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes([1] * 64)
+    out += (
+        b"\xff\xc0"
+        + struct.pack(">H", 17)
+        + b"\x08"
+        + struct.pack(">HH", height, width)
+        + b"\x03"
+        + bytes([1, 0x22, 0])  # Y: 2x2 sampling
+        + bytes([2, 0x11, 0])  # Cb: 1x1
+        + bytes([3, 0x11, 0])  # Cr: 1x1
+    )
+    out += _dht_segment(0, 0, _DC_SYMS, 4)
+    out += _dht_segment(1, 0, sorted(_AC_SYMS), 8)
+    out += (
+        b"\xff\xda"
+        + struct.pack(">H", 12)
+        + b"\x03"
+        + bytes([1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0])
+    )
+    w = _BitWriter()
+    dcs = [round(8.0 * (v - 128)) for v in (y, cb, cr)]
+    mcux = (width + 15) // 16
+    mcuy = (height + 15) // 16
+    pred = [0, 0, 0]
+    for _ in range(mcux * mcuy):
+        for _ in range(4):  # four Y blocks per MCU
+            pred[0] = _put_dc_block(w, dcs[0], pred[0])
+        pred[1] = _put_dc_block(w, dcs[1], pred[1])
+        pred[2] = _put_dc_block(w, dcs[2], pred[2])
+    out += w.flush()
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+JPEG_420_SCHEMA = (
+    "doc_id bigint, width int, height int, channels int, "
+    "mean_y double, mean_cb double, mean_cr double"
+)
+
+
+def synthetic_jpeg_420_frame(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Real encoded bytes for the 4:2:0 path: one solid-color
+    chroma-subsampled JPEG per row. Widths 1..37 x heights 1..29 cover
+    every MCU edge case — partial Y blocks, partial chroma blocks, and
+    images smaller than one 16x16 MCU in either axis."""
+    src = df.select(F.col(id_col).alias("doc_id"))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            content = [
+                encode_jpeg_color_420(
+                    int(i) % 37 + 1,
+                    int(i) % 29 + 1,
+                    (int(i) * 11) % 256,
+                    (int(i) * 5) % 256,
+                    (int(i) * 7) % 256,
+                )
+                for i in pdf["doc_id"]
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].values, "content": content})
+
+    return src.mapInPandas(gen, schema="doc_id bigint, content binary")
+
+
+def decode_jpeg_420_features(
+    df: DataFrame, id_col: str = "doc_id", binary_col: str = "content"
+) -> DataFrame:
+    """mapInPandas decode of 3-component JPEGs (any supported sampling
+    — the decoder's MCU walk handles 4:2:0/4:2:2/4:4:4 uniformly),
+    emitting per-plane means over each component's OWN subsampled
+    crop."""
+    src = df.select(F.col(id_col).alias("doc_id"), F.col(binary_col).alias("content"))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, content in zip(pdf["doc_id"], pdf["content"]):
+                d = decode_jpeg(bytes(content))
+                rows.append(
+                    (
+                        int(i),
+                        d["width"],
+                        d["height"],
+                        d["channels"],
+                        float(d["mean_y"]),
+                        float(d["mean_cb"]),
+                        float(d["mean_cr"]),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height", "channels",
+                    "mean_y", "mean_cb", "mean_cr",
+                ],
+            )
+
+    return src.mapInPandas(gen, schema=JPEG_420_SCHEMA)

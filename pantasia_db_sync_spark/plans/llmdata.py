@@ -971,6 +971,44 @@ def multimodal_decode_jpeg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_decode_jpeg_420",
+    oracle="""
+    SELECT doc_id,
+           CAST(doc_id % 37 + 1 AS INTEGER) AS width,
+           CAST(doc_id % 29 + 1 AS INTEGER) AS height,
+           CAST(3 AS INTEGER) AS channels,
+           CAST((doc_id * 11) % 256 AS DOUBLE) AS mean_y,
+           CAST((doc_id * 5) % 256 AS DOUBLE) AS mean_cb,
+           CAST((doc_id * 7) % 256 AS DOUBLE) AS mean_cr
+    FROM documents WHERE doc_id < 300
+    """,
+)
+def multimodal_decode_jpeg_420_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4:2:0 CHROMA-SUBSAMPLED baseline JPEG — the real-world default
+    layout (3 components, Y at 2x2, Cb/Cr at 1x1, interleaved scan).
+    The round-12 MCU walk (operators/multimodal.py _decode_scan)
+    implements ITU-T T.81 §A.2: per 16x16 MCU, four Y blocks in raster
+    order then one Cb and one Cr, each component's raster and crop at
+    its OWN subsampled dims (§A.1.1). Fixtures are solid-color streams
+    from encode_jpeg_color_420 (all-ones quant tables): solid planes
+    are DC-only with DC = 8*(v-128) exact, so all three plane means
+    are id-predictable BIT-FOR-BIT. Widths 1..37 x heights 1..29 cover
+    sub-MCU images and partial Y/chroma edge blocks; the hand-written
+    distinct-DC spec-bytes test (tests/test_properties.py) pins the
+    block interleave independently of our encoder. Reference analogue:
+    the image/files columns (app/db/postgres.py:144-145)."""
+    from ..operators.multimodal import (
+        decode_jpeg_420_features,
+        synthetic_jpeg_420_frame,
+    )
+
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    return decode_jpeg_420_features(
+        synthetic_jpeg_420_frame(d), "doc_id", "content"
+    )
+
+
+@register(
     "multimodal_decode_mixed",
     oracle="""
     SELECT doc_id,

@@ -895,12 +895,113 @@ def test_jpeg_rejects_unsupported_profiles():
         decode_jpeg(good[:-20])
     with pytest.raises(ValueError, match="not a JPEG"):
         decode_jpeg(b"BM no jpeg here.....")
-    # 2x1 subsampling in SOF0 -> unsupported
+    # 3x1 subsampling in SOF0 -> unsupported (factors <= 2 only; 2x1
+    # et al. are REAL profiles since the round-12 MCU walk)
     bad = bytearray(good)
     i = bad.find(b"\xff\xc0")
-    bad[i + 11] = 0x21  # sampling byte: comp id at i+10, sampling i+11
+    bad[i + 11] = 0x31  # sampling byte: comp id at i+10, sampling i+11
     with pytest.raises(ValueError, match="sampling"):
         decode_jpeg(bytes(bad))
+
+
+def test_jpeg_420_mcu_interleave_spec_bytes():
+    """The §A.2 4:2:0 MCU walk against a HAND-ASSEMBLED stream whose
+    four Y blocks per MCU carry DISTINCT DC levels: a 32x16 image (2
+    MCUs across, 1 down) with Y quadrant levels (10,20,30,40) in MCU 0
+    and (50,60,70,80) in MCU 1, Cb=100, Cr=200 everywhere. Any wrong
+    interleave — column-major Y blocks, chroma before the 4th Y block,
+    MCUs in column order — lands a level in the wrong quadrant; DC
+    prediction must also chain CORRECTLY across blocks of the same
+    component (the diffs here are all nonzero)."""
+    import struct as _struct
+
+    from pantasia_db_sync_spark.operators.multimodal import (
+        _AC_CODES,
+        _BitWriter,
+        _DC_CODES,
+        _dht_segment,
+        _AC_SYMS,
+        _DC_SYMS,
+        decode_jpeg,
+    )
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + _struct.pack(">H", 67) + b"\x00" + bytes([1] * 64)
+    out += (
+        b"\xff\xc0" + _struct.pack(">H", 17) + b"\x08"
+        + _struct.pack(">HH", 16, 32) + b"\x03"
+        + bytes([1, 0x22, 0]) + bytes([2, 0x11, 0]) + bytes([3, 0x11, 0])
+    )
+    out += _dht_segment(0, 0, _DC_SYMS, 4)
+    out += _dht_segment(1, 0, sorted(_AC_SYMS), 8)
+    out += b"\xff\xda" + _struct.pack(">H", 12) + b"\x03" + bytes(
+        [1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]
+    )
+    w = _BitWriter()
+
+    def put_block(level: int, pred: int) -> int:
+        dc = round(8.0 * (level - 128))
+        diff = dc - pred
+        t = abs(diff).bit_length()
+        code, ln = _DC_CODES[t]
+        w.put(code, ln)
+        if t:
+            bits = diff if diff > 0 else diff + (1 << t) - 1
+            w.put(bits & ((1 << t) - 1), t)
+        code, ln = _AC_CODES[0x00]
+        w.put(code, ln)
+        return dc
+
+    y_levels = [[10, 20, 30, 40], [50, 60, 70, 80]]  # per-MCU raster TL,TR,BL,BR
+    preds = [0, 0, 0]
+    for mcu in range(2):
+        for lvl in y_levels[mcu]:
+            preds[0] = put_block(lvl, preds[0])
+        preds[1] = put_block(100, preds[1])
+        preds[2] = put_block(200, preds[2])
+    out += w.flush() + b"\xff\xd9"
+
+    d = decode_jpeg(bytes(out))
+    assert (d["width"], d["height"], d["channels"]) == (32, 16, 3)
+    yplane, ystride = d["planes"][0], d["plane_strides"][0]
+
+    def quadrant_mean(x0: int, y0: int) -> float:
+        tot = 0.0
+        for yy in range(y0, y0 + 8):
+            tot += sum(yplane[yy * ystride + x0 : yy * ystride + x0 + 8])
+        return tot / 64.0
+
+    # MCU 0 occupies x 0..15, MCU 1 x 16..31; quadrants are 8x8 blocks
+    assert quadrant_mean(0, 0) == 10.0
+    assert quadrant_mean(8, 0) == 20.0
+    assert quadrant_mean(0, 8) == 30.0
+    assert quadrant_mean(8, 8) == 40.0
+    assert quadrant_mean(16, 0) == 50.0
+    assert quadrant_mean(24, 0) == 60.0
+    assert quadrant_mean(16, 8) == 70.0
+    assert quadrant_mean(24, 8) == 80.0
+    # chroma planes: 16x8 each (subsampled dims), solid levels
+    assert d["comp_dims"] == [(32, 16), (16, 8), (16, 8)]
+    assert d["mean_cb"] == 100.0 and d["mean_cr"] == 200.0
+    assert d["mean_y"] == sum(sum(q) for q in y_levels) / 8.0
+
+
+def test_jpeg_420_solid_roundtrip_bit_exact():
+    """encode_jpeg_color_420 -> decode_jpeg is BIT-EXACT across edge
+    dims: sub-MCU images, partial Y and partial chroma blocks."""
+    from pantasia_db_sync_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg_color_420,
+    )
+
+    for (w, h) in [(1, 1), (16, 16), (17, 16), (16, 17), (37, 29),
+                   (8, 3), (15, 31), (9, 9)]:
+        y, cb, cr = (w * 11) % 256, (h * 5) % 256, (w * h * 7) % 256
+        d = decode_jpeg(encode_jpeg_color_420(w, h, y, cb, cr))
+        assert (d["width"], d["height"], d["channels"]) == (w, h, 3)
+        assert d["mean_y"] == float(y), (w, h, d["mean_y"], y)
+        assert d["mean_cb"] == float(cb)
+        assert d["mean_cr"] == float(cr)
 
 
 def test_bmp_decoder_parses_spec_bytes():
