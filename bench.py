@@ -106,6 +106,14 @@ HEADLINE = [
     "corpus_decontaminate_spans",
     "graph_modularity",
     "quality_gopher_rules",
+    # round-12 additions (VERDICT r11 #6: the ANN-quality and
+    # mixed-decode paths get round-over-round medians) plus the new
+    # round-12 operators. Still additive — suite total not comparable
+    # to rounds <= 11.
+    "ann_recall_report",
+    "multimodal_decode_mixed",
+    "multimodal_decode_jpeg_420",
+    "events_holt_linear",
 ]
 
 REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))

@@ -933,6 +933,180 @@ def r11_main() -> None:
         lambda: QUERIES["graph_modularity"](spark, BASE_SF))
 
 
+def r12_main() -> None:
+    """Round-12 scale shapes (VERDICT r11 #7). Usage:
+    python scripts/scale_experiment.py --r12 [base_multiplier]
+
+    - INCREMENTAL MV REFRESH vs FULL RECOMPUTE at 1x -> Rx base
+      history (store_incremental_agg's claim is refresh = O(changes),
+      not O(history)): a TableStore fact table seeded with N base rows
+      plus two fixed-size delta commits (20k-row upsert, 20k-key
+      delete). The MV base aggregate is MATERIALIZED once (7 grouped
+      rows — in production it IS the stored MV), so the timed
+      incremental path is exactly the refresh: O(changed commits) feed
+      read + one broadcast pre-image join + a combinable groupBy over
+      (|groups| + |changes|) rows. Expectation: full recompute grows
+      ~linearly with N, incremental stays flat.
+    - multimodal_decode_mixed at 1x -> 10x corpus: the heterogeneous
+      decode is mapInPandas over range-partitioned ids with zero
+      shuffle, so wall should scale ~linearly in rows / flat per-core
+      until cores saturate."""
+    import time as _time
+
+    from pantasia_db_sync_spark.pipeline.store import TableStore
+
+    mult = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    spark = get_spark(app_name="r12-scale-experiment")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def timed(label, fn):
+        fn()  # warm
+        t0 = _time.perf_counter()
+        fn()
+        dt = _time.perf_counter() - t0
+        print(f"{label:<58} {dt:7.2f}s", flush=True)
+        return dt
+
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    grp = F.pmod(F.col("o_orderkey"), 7).cast("int")
+    for n_base in (600_000, 600_000 * mult):
+        d = _tempfile.mkdtemp(prefix=f"r12_mv_{n_base}_")
+        try:
+            store = TableStore(d)
+            seed = spark.range(0, n_base, 1, 32).selectExpr(
+                "id AS o_orderkey", "id AS val"
+            )
+            store.append("f", seed, commit_id=1)
+            store.commit_append("f", 1)
+            # fixed-size deltas regardless of base size
+            upd = spark.range(0, 20_000, 1, 8).selectExpr(
+                "id * 3 AS o_orderkey", "id * 30 AS val"
+            )
+            store.upsert_facts("f", upd, ["o_orderkey"], commit_id=2)
+            store.commit_append("f", 2)
+            # delete keys =1 mod 3: DISJOINT from the commit-2 updated
+            # keys (multiples of 3) — the registered query's documented
+            # invariant (no key modified twice after the MV snapshot),
+            # which lets delete pre-images join the commit-1 snapshot
+            store.delete_facts(
+                "f",
+                spark.range(0, 20_000, 1, 8).selectExpr(
+                    "id * 3 + 1 AS o_orderkey"
+                ),
+                commit_id=3,
+            )
+            store.commit_append("f", 3)
+
+            base = store.read_facts_at_commit(spark, "f", 1)
+            mv_rows = (
+                base.groupBy(grp.alias("grp"))
+                .agg(
+                    F.count(F.lit(1)).cast("long").alias("dn"),
+                    F.sum("val").cast("long").alias("dv"),
+                )
+                .collect()
+            )
+            mv = spark.createDataFrame(mv_rows, "grp int, dn long, dv long")
+
+            def incremental():
+                feed = store.read_facts_changes(spark, "f", since=1)
+                ins = feed.where(F.col("_change_type") == "insert").select(
+                    grp.alias("grp"),
+                    F.lit(1).cast("long").alias("dn"),
+                    F.col("val").cast("long").alias("dv"),
+                )
+                dels = (
+                    feed.where(F.col("_change_type") == "delete")
+                    .select("o_orderkey")
+                    .join(base, "o_orderkey")
+                    .select(
+                        grp.alias("grp"),
+                        F.lit(-1).cast("long").alias("dn"),
+                        (-F.col("val")).cast("long").alias("dv"),
+                    )
+                )
+                return (
+                    mv.unionByName(ins).unionByName(dels)
+                    .groupBy("grp")
+                    .agg(F.sum("dn").alias("n"), F.sum("dv").alias("val_sum"))
+                    .where(F.col("n") > 0)
+                )
+
+            def full():
+                return (
+                    store.read_facts(spark, "f")
+                    .groupBy(grp.alias("grp"))
+                    .agg(
+                        F.count(F.lit(1)).alias("n"),
+                        F.sum("val").alias("val_sum"),
+                    )
+                )
+
+            inc_rows = sorted(map(tuple, incremental().collect()))
+            full_rows = sorted(map(tuple, full().collect()))
+            assert inc_rows == full_rows, "incremental != full recompute"
+            timed(f"MV refresh INCREMENTAL (base {n_base:,})",
+                  lambda: incremental().write.format("noop")
+                  .mode("overwrite").save())
+            timed(f"MV refresh FULL RECOMPUTE (base {n_base:,})",
+                  lambda: full().write.format("noop")
+                  .mode("overwrite").save())
+        finally:
+            _shutil.rmtree(d, ignore_errors=True)
+
+    # heterogeneous decode at 1x -> 10x rows (fixtures built in-flight
+    # inside the same mapInPandas pass the registered query uses)
+    from pantasia_db_sync_spark.operators.multimodal import (
+        decode_bmp_features,  # noqa: F401 — parity of import style
+    )
+
+    def mixed_decode(n_rows: int):
+        from pantasia_db_sync_spark.operators.multimodal import (
+            encode_bmp,
+            encode_jpeg_gray,
+            encode_png,
+            real_image_decode,
+        )
+
+        src = spark.range(0, n_rows, 1, 32).selectExpr("id AS doc_id")
+
+        def gen(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                rows = []
+                for i in pdf["doc_id"]:
+                    i = int(i)
+                    w, h = i % 21 + 1, i % 13 + 1
+                    rgb = ((i * 3) % 256, (i * 5) % 256, (i * 7) % 256)
+                    if i % 3 == 0:
+                        content = encode_bmp(w, h, rgb)
+                    elif i % 3 == 1:
+                        content = encode_png(w, h, rgb)
+                    else:
+                        content = encode_jpeg_gray(w, h, (i * 11) % 256)
+                    dec = real_image_decode(content)
+                    rows.append(
+                        (i, dec["width"], dec["height"],
+                         float(dec.get("mean_r", dec.get("mean_gray"))))
+                    )
+                yield pd.DataFrame(
+                    rows, columns=["doc_id", "width", "height", "mean_c0"]
+                )
+
+        return src.mapInPandas(
+            gen,
+            schema="doc_id bigint, width int, height int, mean_c0 double",
+        )
+
+    for n_rows in (3_000, 30_000):
+        timed(f"mixed decode x{n_rows // 3000} ({n_rows} images)",
+              lambda: mixed_decode(n_rows).write.format("noop")
+              .mode("overwrite").save())
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--skew":
         skew_main()
@@ -952,5 +1126,7 @@ if __name__ == "__main__":
         r10_main()
     elif len(sys.argv) > 1 and sys.argv[1] == "--r11":
         r11_main()
+    elif len(sys.argv) > 1 and sys.argv[1] == "--r12":
+        r12_main()
     else:
         main()
