@@ -557,6 +557,39 @@ class TableStore:
             self.delete_dir(table, commit_id)
         )
 
+    def delete_where(
+        self,
+        spark: SparkSession,
+        table: str,
+        condition,
+        key_cols: list[str],
+        commit_id: int,
+    ) -> None:
+        """Delta-style predicate DELETE (``DELETE FROM t WHERE ...``)
+        on the merge-on-read path: ONE scan of the current table state
+        computes the matching ``key_cols`` rows, which are staged as an
+        ordinary equality-delete tombstone — history is never
+        rewritten, the physical purge happens at the next compaction,
+        and time travel below ``commit_id`` still sees the rows. The
+        scan prunes to the predicate + key columns (columnar reads stay
+        O(referenced columns), not O(row width)); the tombstone write
+        is O(matching keys). ``condition`` is a Column or SQL string
+        evaluated against the table's current read state.
+
+        The strictly-below rule composes the usual way: rows appended
+        later under the SAME commit id survive (predicate-delete +
+        re-insert = atomic replace-where)."""
+        from pyspark.sql import functions as F
+
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+        keys = (
+            self.read_facts(spark, table)
+            .where(cond)
+            .select(*key_cols)
+            .distinct()
+        )
+        self.delete_facts(table, keys, commit_id)
+
     def upsert_facts(
         self,
         table: str,

@@ -1078,6 +1078,126 @@ def events_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_holt_winters",
+    oracle="""
+    WITH RECURSIVE daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT event_type, n,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY day ASC) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS total
+      FROM daily
+    ),
+    seq AS (
+      SELECT event_type, n AS x,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY rn ASC) AS i
+      FROM r WHERE rn > total - 21
+    ),
+    sizes AS (
+      SELECT event_type, CAST(max(i) AS INTEGER) AS n_days FROM seq
+      GROUP BY 1
+    ),
+    hw AS (
+      SELECT event_type, 1 AS t, CAST(x AS DOUBLE) AS l,
+             CAST(0.0 AS DOUBLE) AS b,
+             [CAST(0.0 AS DOUBLE), 0.0, 0.0, 0.0, 0.0, 0.0, 0.0] AS ss
+      FROM seq WHERE i = 1
+      UNION ALL
+      SELECT h.event_type, h.t + 1,
+             ((CAST(s.x AS DOUBLE) - h.ss[1]) + (h.l + h.b)) / 2,
+             ((((CAST(s.x AS DOUBLE) - h.ss[1]) + (h.l + h.b)) / 2 - h.l)
+              + h.b) / 2,
+             list_append(h.ss[2:7],
+               ((CAST(s.x AS DOUBLE) - h.l - h.b) + h.ss[1]) / 2)
+      FROM hw h JOIN seq s ON s.event_type = h.event_type AND s.i = h.t + 1
+    )
+    SELECT h.event_type, z.n_days, h.l AS level_hat, h.b AS trend_hat,
+           h.ss[7] AS season_hat, h.l + h.b + h.ss[1] AS forecast_1
+    FROM hw h JOIN sizes z
+      ON z.event_type = h.event_type AND h.t = z.n_days
+    """,
+)
+def events_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt–Winters ADDITIVE SEASONAL smoothing (the triple-exponential
+    sibling of events_holt_linear) over the trailing 21 daily buckets,
+    season length m = 7 (weekly), alpha = beta = gamma = 1/2:
+
+        l_t = ((x_t - s_{t-m}) + (l_{t-1} + b_{t-1})) / 2
+        b_t = ((l_t - l_{t-1}) + b_{t-1}) / 2
+        s_t = ((x_t - l_{t-1} - b_{t-1}) + s_{t-m}) / 2
+
+    zero-seeded season (s = 0 for the virtual pre-history, a standard
+    cold-start), l_1 = x_1, b_1 = 0; emits the final level, trend, the
+    newest seasonal index s_n, and the one-step forecast
+    l_n + b_n + s_{n+1-m}. The seasonal RING rides through the fold as
+    a 7-element array (shift + append per step); the DuckDB oracle
+    carries the identical ring in a recursive-CTE LIST column — both
+    engines unroll the same coupled recurrence, verified bit-for-bit
+    against an independent Python replica.
+
+    Exactness (hash-exact doubles, NO rounding contract): dyadic
+    coefficients make every step exact halvings of exact sums — <= 2
+    fraction bits per step (b is the deepest), <= 40 bits over 20
+    steps; daily counts < 2**11 keep magnitudes under 2**13, total
+    significand < 53 bits at any tested scale.
+
+    Scale shape: identical to events_holt_linear — one combinable
+    groupBy(event_type, day), one bounded-frame window, a <= 21-int
+    collect_list BY CONSTRUCTION, then an O(21 x 7) JVM-side fold per
+    series."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    w = Window.partitionBy("event_type").orderBy(F.col("day").desc())
+    r = daily.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= 21)
+    agg = r.groupBy("event_type").agg(
+        F.expr(
+            "transform(reverse(array_sort(collect_list(struct(rn, n)))),"
+            " p -> p.n)"
+        ).alias("__xs")
+    )
+    fold = F.expr(
+        """
+        aggregate(
+          slice(__xs, 2, greatest(size(__xs) - 1, 0)),
+          named_struct(
+            'l', cast(element_at(__xs, 1) as double),
+            'b', cast(0.0 as double),
+            'ss', array(0.0D, 0.0D, 0.0D, 0.0D, 0.0D, 0.0D, 0.0D)),
+          (acc, x) -> named_struct(
+            'l', ((cast(x as double) - element_at(acc.ss, 1))
+                  + (acc.l + acc.b)) / 2.0D,
+            'b', ((((cast(x as double) - element_at(acc.ss, 1))
+                    + (acc.l + acc.b)) / 2.0D - acc.l) + acc.b) / 2.0D,
+            'ss', concat(
+              slice(acc.ss, 2, 6),
+              array(((cast(x as double) - acc.l - acc.b)
+                     + element_at(acc.ss, 1)) / 2.0D))))
+        """
+    )
+    return agg.select(
+        "event_type",
+        F.size("__xs").cast("int").alias("n_days"),
+        fold.alias("__h"),
+    ).select(
+        "event_type",
+        "n_days",
+        F.col("__h.l").alias("level_hat"),
+        F.col("__h.b").alias("trend_hat"),
+        F.element_at("__h.ss", 7).alias("season_hat"),
+        (
+            F.col("__h.l") + F.col("__h.b") + F.element_at("__h.ss", 1)
+        ).alias("forecast_1"),
+    )
+
+
+@register(
     "events_cumulative_distinct_users",
     oracle="""
     WITH first_seen AS (

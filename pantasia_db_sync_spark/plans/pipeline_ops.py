@@ -266,6 +266,66 @@ def store_merge_on_read_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "store_delete_where",
+    oracle="""
+    WITH base AS (SELECT o_orderkey, o_orderkey % 97 AS val FROM orders),
+    fin AS (
+      SELECT o_orderkey, CAST(val AS BIGINT) AS val FROM base WHERE val >= 30
+      UNION ALL
+      SELECT o_orderkey, CAST(val + 1000 AS BIGINT) FROM base WHERE val < 10
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(val) AS BIGINT) AS val_sum,
+           CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+    FROM fin
+    """,
+)
+def store_delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10-ext — predicate DELETE + atomic REPLACE WHERE
+    (pipeline/store.py::delete_where, the Delta ``DELETE FROM ...
+    WHERE`` / ``replaceWhere`` pair on the merge-on-read path): commit
+    1 seeds (key, val); commit 2 predicate-deletes ``val < 30`` — ONE
+    pruned scan resolves the predicate to equality-delete keys, no
+    rewrite — and re-appends the ``val < 10`` slice at val+1000 UNDER
+    THE SAME COMMIT, so the strictly-below tombstone rule makes
+    delete + re-insert one atomic replace-where. The merged read must
+    equal the oracle's set algebra over the final state."""
+    import shutil
+    import tempfile
+
+    from ..pipeline.store import TableStore
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.pmod(F.col("o_orderkey"), 97).cast("long").alias("val")
+    )
+    d = tempfile.mkdtemp(prefix="dw_store_")
+    try:
+        store = TableStore(d)
+        store.append("orders_f", o, commit_id=1)
+        store.commit_append("orders_f", 1)
+        store.delete_where(
+            spark, "orders_f", "val < 30", ["o_orderkey"], commit_id=2
+        )
+        store.append(
+            "orders_f",
+            o.where(F.col("val") < 10).select(
+                "o_orderkey", (F.col("val") + 1000).alias("val")
+            ),
+            commit_id=2,
+        )
+        store.commit_append("orders_f", 2)
+        out = store.read_facts(spark, "orders_f").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("val").cast("bigint").alias("val_sum"),
+            F.sum("o_orderkey").cast("bigint").alias("key_sum"),
+        )
+        rows = out.collect()  # materialize before the tempdir vanishes
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+@register(
     "store_change_feed",
     oracle="""
     SELECT 'insert' AS change_type, CAST(2 AS BIGINT) AS commit_id,

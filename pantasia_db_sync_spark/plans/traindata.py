@@ -2416,3 +2416,136 @@ def text_bigram_lm_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
         fround(F.avg("lp"), 6).alias("avg_logp"),
     )
+
+
+@register(
+    "corpus_dsir_sample",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok
+      FROM documents
+    ),
+    dbc AS (
+      SELECT doc_id,
+             CAST({{PH}} % 256 AS INTEGER) AS bucket,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM toks WHERE tok <> ''
+      GROUP BY 1, 2
+    ),
+    raw AS (SELECT bucket, CAST(sum(cnt) AS BIGINT) AS cr FROM dbc GROUP BY 1),
+    tgt AS (
+      SELECT bucket, CAST(sum(cnt) AS BIGINT) AS ct FROM dbc
+      WHERE doc_id % 10 = 0 GROUP BY 1
+    ),
+    tot AS (
+      SELECT (SELECT CAST(sum(cr) AS BIGINT) FROM raw) AS nr,
+             (SELECT CAST(coalesce(sum(ct), 0) AS BIGINT) FROM tgt) AS nt
+    ),
+    delta AS (
+      SELECT raw.bucket,
+             CAST(floor(1000000.0 * ln(
+               ((coalesce(ct, 0) + 1) * CAST(nr + 256 AS DOUBLE))
+               / ((cr + 1) * CAST(nt + 256 AS DOUBLE))) + 0.5) AS BIGINT)
+               AS delta_u
+      FROM raw LEFT JOIN tgt USING (bucket), tot
+    ),
+    w AS (
+      SELECT dbc.doc_id,
+             CAST(sum(cnt * delta_u) AS BIGINT) AS weight_micro,
+             CAST(sum(cnt) AS BIGINT) AS n_tokens
+      FROM dbc JOIN delta USING (bucket)
+      WHERE dbc.doc_id % 10 <> 0
+      GROUP BY 1
+    )
+    SELECT doc_id, n_tokens, weight_micro
+    FROM w ORDER BY weight_micro DESC, doc_id ASC LIMIT 100
+    """.replace("{PH}", _PORTABLE_HASH.replace("{col}", "tok")),
+)
+def corpus_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR — Data Selection with Importance Resampling (Xie et al.
+    2023): select raw-corpus documents that look most like a TARGET
+    domain by an importance weight computed from hashed n-gram
+    features, the published recipe for steering a 100 TB crawl toward
+    a curated domain without training a model. Feature space: unigram
+    tokens hashed into 256 buckets (the same portable md5 bucketing as
+    text_hashing_vectorizer); target sample: doc_id % 10 == 0 (the
+    held-out domain exemplars, excluded from selection); bucket
+    distributions Laplace-smoothed; per-doc log importance
+    log w(d) = sum_b cnt_d(b) * ln(p_target(b) / p_raw(b)). Emits the
+    top-100 raw docs by weight.
+
+    Engine-exact by the micro-unit discipline (corpus_temperature_mix):
+    each bucket's log-ratio is floored into integer MICRO-NATS once —
+    the argument of the single ln is a ratio of EXACT-integer products
+    (token counts < 2**21, products < 2**46, exact doubles) — and the
+    per-doc weight is then an order-free integer sum, so the
+    order-sensitive float accumulation over a document's buckets never
+    happens.
+
+    Scale shape: one token-explode pass into a combinable
+    groupBy(doc_id, bucket); the raw/target marginals are 256-row
+    re-aggregations of that frame; the 256-row delta table BROADCASTS
+    into the per-doc weight join; top-100 is a TakeOrdered, never a
+    global sort. Reference analogue: the quality-filter stage the
+    reference's extraction feeds (SURVEY §2.I)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(tokens_col("text")).alias("tok")
+    ).where(F.col("tok") != "")
+    from ..operators.dedup import portable_hash_mod
+
+    dbc = (
+        toks.withColumn("bucket", portable_hash_mod("tok", 256).cast("int"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    # freeze-once: dbc feeds THREE consumers (raw marginal, target
+    # marginal, per-doc weights) — without it each would replay the
+    # corpus explode + shuffle
+    dbc = dbc.localCheckpoint(eager=False)
+    raw = dbc.groupBy("bucket").agg(F.sum("cnt").cast("bigint").alias("cr"))
+    tgt = (
+        dbc.where(F.pmod(F.col("doc_id"), 10) == 0)
+        .groupBy("bucket")
+        .agg(F.sum("cnt").cast("bigint").alias("ct"))
+    )
+    tot = raw.agg(F.sum("cr").cast("bigint").alias("nr")).crossJoin(
+        tgt.agg(F.coalesce(F.sum("ct"), F.lit(0)).cast("bigint").alias("nt"))
+    )
+    delta = (
+        raw.join(tgt, "bucket", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            F.floor(
+                F.lit(1e6)
+                * F.log(
+                    (
+                        (F.coalesce(F.col("ct"), F.lit(0)) + 1)
+                        * (F.col("nr") + 256).cast("double")
+                    )
+                    / (
+                        (F.col("cr") + 1)
+                        * (F.col("nt") + 256).cast("double")
+                    )
+                )
+                + 0.5
+            )
+            .cast("bigint")
+            .alias("delta_u"),
+        )
+    )
+    w = (
+        dbc.where(F.pmod(F.col("doc_id"), 10) != 0)
+        .join(F.broadcast(delta), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("cnt") * F.col("delta_u")).cast("bigint").alias(
+                "weight_micro"
+            ),
+            F.sum("cnt").cast("bigint").alias("n_tokens"),
+        )
+    )
+    return w.select("doc_id", "n_tokens", "weight_micro").orderBy(
+        F.col("weight_micro").desc(), F.col("doc_id").asc()
+    ).limit(100)

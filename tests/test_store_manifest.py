@@ -1451,6 +1451,38 @@ def test_rollback_facts_restores_earlier_version(spark, tmp_path):
     store.rollback_facts("t", 3)  # at the base: allowed
 
 
+def test_delete_where_predicate_and_replace(spark, tmp_path):
+    """delete_where = Delta DELETE WHERE on merge-on-read: the
+    predicate resolves to equality-delete keys in one scan, history is
+    untouched (time travel below the delete still sees the rows),
+    delete + same-commit append is an atomic replace-where, and
+    compaction physically purges the victims."""
+    store = TableStore(str(tmp_path / "store"))
+    base = spark.range(100).selectExpr("id AS k", "id % 10 AS val")
+    store.append("t", base, commit_id=1)
+    store.commit_append("t", 1)
+    # replace-where: drop val >= 7, re-insert val == 9 rows at val*100
+    store.delete_where(spark, "t", "val >= 7", ["k"], commit_id=2)
+    store.append(
+        "t",
+        base.where("val = 9").selectExpr("k", "val * 100 AS val"),
+        commit_id=2,
+    )
+    store.commit_append("t", 2)
+
+    cur = store.read_facts(spark, "t")
+    assert cur.count() == 80  # 70 survivors + 10 re-inserted
+    assert cur.where("val >= 7 AND val < 100").count() == 0
+    assert cur.where("val = 900").count() == 10
+    # time travel below the delete sees the full original state
+    assert store.read_facts_at_commit(spark, "t", 1).count() == 100
+    # compaction purges physically and the result still reads the same
+    store.compact_facts(spark, "t")
+    cur2 = store.read_facts(spark, "t")
+    assert cur2.count() == 80
+    assert cur2.where("val >= 7 AND val < 100").count() == 0
+
+
 def test_rollback_facts_coexists_with_snapshots(spark, tmp_path):
     """Round-11 advice regression: snapshot tags live as plain
     _SNAPSHOT_<tag>.json FILES at the store root, and rollback_facts'
