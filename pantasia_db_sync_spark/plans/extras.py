@@ -1720,6 +1720,69 @@ def dedup_levenshtein_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_sorted_neighborhood",
+    oracle="""
+    WITH r AS (
+      SELECT c_custkey, c_name,
+             row_number() OVER (ORDER BY c_name ASC, c_custkey ASC) AS rnk
+      FROM customer
+    ),
+    pairs AS (
+      SELECT least(a.c_custkey, b.c_custkey) AS id_a,
+             greatest(a.c_custkey, b.c_custkey) AS id_b,
+             CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS dist
+      FROM r a JOIN r b ON b.rnk BETWEEN a.rnk + 1 AND a.rnk + 2
+    )
+    SELECT id_a, id_b, dist FROM pairs WHERE dist <= 1
+    """,
+)
+def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution blocking #2 — the SORTED NEIGHBORHOOD METHOD
+    (Hernandez & Stolfo 1995): sort all records by a blocking key,
+    compare each record only to its w successors (w = 2 here), verify
+    survivors with exact edit distance. The complement of the FastSS
+    query above: SNM trades RECALL (matches farther than w ranks apart
+    are missed — that contract is the operator, so the oracle replays
+    the same window, not brute force) for a hard O(n*w) candidate
+    bound that no data skew can break.
+
+    Spark-first scale shape: the global sort rank comes from
+    operators/surrogate.py with_dense_ids(strategy='sample') — a
+    range-shuffle + per-partition row_number + boundary-count offsets,
+    NEVER a single-partition window; the w-successor probe is an
+    EQUI-join on rank+d (d exploded from [1..w]), so the whole plan is
+    one range shuffle + one hash join at any corpus size. Reference
+    analogue: none (north-star entity-resolution surface)."""
+    from ..operators.surrogate import with_dense_ids
+
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    ranked = with_dense_ids(
+        c, ["c_name", "c_custkey"], id_col="rnk", strategy="sample"
+    )
+    a = ranked.select(
+        F.col("c_custkey").alias("__ka"),
+        F.col("c_name").alias("__na"),
+        F.explode(F.array(F.lit(1), F.lit(2))).alias("__d"),
+        F.col("rnk").alias("__ra"),
+    ).withColumn("__probe", F.col("__ra") + F.col("__d"))
+    b = ranked.select(
+        F.col("c_custkey").alias("__kb"),
+        F.col("c_name").alias("__nb"),
+        F.col("rnk").alias("__rb"),
+    )
+    return (
+        a.join(b, a["__probe"] == b["__rb"])
+        .withColumn("dist", F.levenshtein("__na", "__nb").cast("int"))
+        .where(F.col("dist") <= 1)
+        .select(
+            F.least("__ka", "__kb").alias("id_a"),
+            F.greatest("__ka", "__kb").alias("id_b"),
+            "dist",
+        )
+    )
+
+
 _TRI_MOD = 10  # sample 1-in-10 orders: bounds co-purchase clique fan-out
 
 
