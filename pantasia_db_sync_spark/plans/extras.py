@@ -2076,6 +2076,48 @@ def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "source_xml_roundtrip",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(user_id) AS BIGINT) AS uid_sum,
+           min(CAST(ts AS TIMESTAMP)) AS first_ts
+    FROM events GROUP BY 1
+    """,
+)
+def source_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1-ext — XML landing-zone round trip (NATIVE in Spark 4: the
+    spark-xml package merged into core): events exported to XML with
+    the catalog's explicit-offset timestamp discipline, read back
+    under an explicit schema, then aggregated. Hash parity against the
+    oracle running on the ORIGINAL parquet proves the text round trip
+    value-exact end to end — same contract the CSV/JSONL/ORC tests pin
+    (tests/test_sources_formats.py). Reference analogue: the psycopg2
+    source connections (app/db/postgres.py:16-60)."""
+    import shutil
+    import tempfile
+
+    from ..sources.catalog import load_table_as, write_table_as
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type", "user_id", "ts"
+    )
+    d = tempfile.mkdtemp(prefix="xml_src_")
+    try:
+        write_table_as(e, d + "/events_xml", "xml")
+        back = load_table_as(spark, d + "/events_xml", "xml", schema=e.schema)
+        out = back.groupBy("event_type").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("user_id").cast("bigint").alias("uid_sum"),
+            F.min("ts").alias("first_ts"),
+        )
+        rows = out.collect()  # materialize before the tempdir vanishes
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+@register(
     "graph_bfs_distance",
     oracle=f"""
     WITH RECURSIVE e AS (

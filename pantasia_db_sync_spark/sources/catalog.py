@@ -133,6 +133,13 @@ def write_table_as(
                 f"text format needs exactly one string column, got {df.columns}"
             )
         w.text(path)
+    elif fmt == "xml":
+        # Native in Spark 4 (the former spark-xml package moved into
+        # core) — the enterprise-feed landing shape. Same explicit
+        # timestamp discipline as CSV/JSONL.
+        w.format("xml").option("rowTag", "row").option(
+            "timestampFormat", _TS_FMT
+        ).option("timestampNTZFormat", _TS_NTZ_FMT).save(path)
     else:
         raise ValueError(f"unsupported format {fmt!r}")
 
@@ -169,4 +176,15 @@ def load_table_as(
         # value: string — one row per line; schema param intentionally
         # ignored (the format defines it)
         return spark.read.text(path)
+    if fmt == "xml":
+        r = (
+            spark.read.format("xml")
+            .option("rowTag", "row")
+            .option("timestampFormat", _TS_FMT)
+            .option("timestampNTZFormat", _TS_NTZ_FMT)
+            .option("mode", "FAILFAST")
+        )
+        if schema is not None:
+            r = r.schema(schema)
+        return r.load(path)
     raise ValueError(f"unsupported format {fmt!r}")

@@ -50,6 +50,19 @@ def test_unknown_format_rejected(spark, tmp_path):
 
 
 @pytest.mark.parametrize("table", ["orders", "events"])
+def test_xml_roundtrip_bit_exact(spark, tmp_path, table):
+    """XML is native in Spark 4 (spark-xml merged into core): the
+    enterprise-feed landing format must round-trip values bit-exactly
+    under an explicit schema, same contract as CSV/JSONL."""
+    src = load_table(spark, SF_DIR, table)
+    p = str(tmp_path / f"{table}_xml")
+    write_table_as(src, p, "xml")
+    back = load_table_as(spark, p, "xml", schema=src.schema)
+    assert back.schema == src.schema
+    assert _rows(back) == _rows(src)
+
+
+@pytest.mark.parametrize("table", ["orders", "events"])
 def test_orc_roundtrip_bit_exact(spark, tmp_path, table):
     src = load_table(spark, SF_DIR, table)
     path = str(tmp_path / f"{table}_orc")
