@@ -23,7 +23,7 @@ from ..operators.components import connected_components
 from ..operators.dedup import minhash_lsh_pairs
 from ..operators.similarity import as_double_vec
 from ..sources.catalog import load_table
-from .llmdata import _in_words, _minhash_sql, _PORTABLE_HASH, _stop_pred
+from .llmdata import _cos_sql, _in_words, _minhash_sql, _PORTABLE_HASH, _stop_pred
 from .registry import fround, register, sql_round
 
 
@@ -2549,3 +2549,74 @@ def corpus_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return w.select("doc_id", "n_tokens", "weight_micro").orderBy(
         F.col("weight_micro").desc(), F.col("doc_id").asc()
     ).limit(100)
+
+
+@register(
+    "corpus_decontaminate_semantic",
+    oracle=f"""
+    WITH
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    n AS (
+      SELECT vec_id, v,
+             sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+      FROM e
+    ),
+    b AS (SELECT * FROM n WHERE vec_id % 50 = 0),
+    t AS (SELECT * FROM n WHERE vec_id % 50 <> 0),
+    m AS (
+      SELECT t.vec_id,
+             max({{COS}}) AS max_cos
+      FROM t, b GROUP BY 1
+    )
+    SELECT vec_id, max_cos, (max_cos >= 0.35) AS contaminated
+    FROM m
+    """.replace("{COS}", _cos_sql("t", "b")),
+)
+def corpus_decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FOURTH decontamination modality (after exact-shingle, bloom,
+    and span): SEMANTIC — flag training embeddings whose cosine to ANY
+    benchmark vector reaches tau = 0.35, catching paraphrased
+    contamination that n-gram overlap misses (the eval-leak sweep
+    run before training an LLM on scraped data). Benchmark side =
+    vec_id % 50 == 0, the held-out convention the other modalities use.
+
+    The flag is computed from the ROUNDED per-pair cosine (6 dp, the
+    repo's portable floor-round) and max() is order-free over rounded
+    values, so both engines agree bit-for-bit at the threshold.
+
+    Scale shape: the benchmark side BROADCASTS (eval suites are small
+    by nature — same argument as corpus_decontaminate_spans), so the
+    training side streams map-side through one whole-stage-codegen
+    dot-product pass with NO shuffle of the big side; the per-vec max
+    is a combinable groupBy. At 100 TB the plan is scan-bound. For
+    benchmark sets too big to broadcast, the ANN operators
+    (ann_lsh_topk / ivf cells) bound the candidate pairs instead —
+    that trade is the corpus_semantic_dedup query. Reference analogue:
+    none (north-star §2.I surface)."""
+    from ..operators.similarity import as_double_vec
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_vec("embedding").alias("v")
+    )
+    nrm = F.sqrt(F.aggregate("v", F.lit(0.0), lambda a, x: a + x * x))
+    n = e.select("vec_id", "v", nrm.alias("nrm"))
+    is_bench = F.pmod(F.col("vec_id"), 50) == 0
+    b = n.where(is_bench).select(
+        F.col("vec_id").alias("b_id"),
+        F.col("v").alias("bv"),
+        F.col("nrm").alias("bnrm"),
+    )
+    t = n.where(~is_bench)
+    dot = F.aggregate(
+        F.zip_with("v", "bv", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+    )
+    cos = fround(dot / (F.col("nrm") * F.col("bnrm")), 6)
+    m = (
+        t.crossJoin(F.broadcast(b))
+        .select("vec_id", cos.alias("__c"))
+        .groupBy("vec_id")
+        .agg(F.max("__c").alias("max_cos"))
+    )
+    return m.select(
+        "vec_id", "max_cos", (F.col("max_cos") >= 0.35).alias("contaminated")
+    )
