@@ -9,6 +9,8 @@ Catalyst built-ins: single-shuffle aggregations/windows, no UDFs.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -5777,4 +5779,55 @@ def stats_subsample_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         fround(sd, 4).alias("se_est"),
         fround(F.col("est") - _CI_Z * sd, 4).alias("ci_lo"),
         fround(F.col("est") + _CI_Z * sd, 4).alias("ci_hi"),
+    )
+
+
+def _irls_feats_cte() -> str:
+    return """feats AS (
+      SELECT CAST(1.0 AS DOUBLE) AS x0,
+             value / 100 AS x1,
+             CAST(hour(CAST(ts AS TIMESTAMP)) AS DOUBLE) / 10 AS x2,
+             CAST(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                  AS DOUBLE) AS y
+      FROM events
+    )"""
+
+
+from ..operators.logistic import irls_oracle_sql as _irls_oracle_sql  # noqa: E402
+
+
+@register(
+    "stats_logistic_irls",
+    oracle=_irls_oracle_sql(_irls_feats_cte(), iters=4),
+)
+def stats_logistic_irls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTRIBUTED LOGISTIC REGRESSION by IRLS / Newton-Raphson
+    (operators/logistic.py) — iterative ML training as a first-class
+    oracle-paired operator: predict P(event_type = 'purchase') from
+    scaled value and hour-of-day. Each Newton step reduces the corpus
+    to nine sufficient statistics (X'WX upper triangle + gradient) in
+    ONE combinable aggregation — the statistical-query decomposition
+    MLlib's aggregators use — so 4 iterations = 4 scan-bound jobs with
+    a 10-value driver probe each, zero per-row state, any cluster
+    width. Per-row contributions are floored into integer micro-units
+    before summing (order-free, partition-count-independent), and the
+    3x3 Cramer solve runs the same literal op order driver-side and in
+    the oracle's unrolled-CTE replay, so the fitted betas are
+    BIT-IDENTICAL across engines (rounded to 6 dp only at emission).
+    Pinned against a serial pure-Python IRLS in the property suite."""
+    from ..operators.logistic import logistic_irls_fit
+
+    e = load_table(spark, sf_dir, "events")
+    feats = e.select(
+        F.lit(1.0).alias("x0"),
+        (F.col("value") / 100).alias("x1"),
+        (F.hour("ts").cast("double") / 10).alias("x2"),
+        F.when(F.col("event_type") == "purchase", 1.0)
+        .otherwise(0.0)
+        .alias("y"),
+    )
+    b, n = logistic_irls_fit(feats, iters=4)
+    return spark.createDataFrame(
+        [(n, *(math.floor(v * 1000000 + 0.5) / 1000000 for v in b))],
+        "n bigint, beta0 double, beta1 double, beta2 double",
     )

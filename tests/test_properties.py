@@ -2766,3 +2766,41 @@ def test_kcore_fixpoint_peels_cascades_and_matches_capped(spark):
             induced[v] = induced.get(v, 0) + 1
     assert induced == fix
     assert all(d >= 2 for d in fix.values())
+
+
+@settings(**SETTINGS)
+@given(
+    n=st.integers(20, 120),
+    seed=st.integers(0, 2**31 - 1),
+    parts=st.integers(1, 7),
+)
+def test_logistic_irls_matches_serial_replica(spark, n, seed, parts):
+    """The distributed IRLS fit is BIT-IDENTICAL to the serial
+    pure-Python replica on any dataset and ANY partition count — the
+    integer micro-unit sums are order-free, so partitioning cannot
+    move the result (the property that makes the DuckDB oracle valid).
+    """
+    import random
+
+    from pantasia_db_sync_spark.operators.logistic import (
+        logistic_irls_fit,
+        python_replica_fit,
+    )
+
+    rng = random.Random(seed)
+    rows = [
+        (
+            round(rng.uniform(0.0, 5.0), 3),
+            round(rng.uniform(0.0, 2.4), 3),
+            float(rng.random() < 0.3),
+        )
+        for _ in range(n)
+    ]
+    df = spark.createDataFrame(
+        rows, "x1 double, x2 double, y double"
+    ).repartition(parts)
+    feats = df.selectExpr("CAST(1.0 AS DOUBLE) AS x0", "x1", "x2", "y")
+    got, n_got = logistic_irls_fit(feats, iters=3)
+    want = python_replica_fit(rows, iters=3)
+    assert n_got == n
+    assert got == want, (got, want)
