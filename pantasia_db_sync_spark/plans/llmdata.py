@@ -3187,3 +3187,126 @@ def multimodal_scene_cuts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("dv") > 32).alias("is_cut"),
         )
     )
+
+
+@register(
+    "ann_matryoshka_recall",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    dims AS (SELECT unnest([8, 16, 32, 64]) AS dim),
+    s AS (
+      SELECT d.dim, q.vec_id AS q_id, c.vec_id AS cand_id,
+             floor(
+               list_sum(list_transform(range(1, d.dim + 1),
+                 i -> q.v[i] * c.v[i]))
+               / (sqrt(list_sum(list_transform(range(1, d.dim + 1),
+                    i -> q.v[i] * q.v[i])))
+                  * sqrt(list_sum(list_transform(range(1, d.dim + 1),
+                    i -> c.v[i] * c.v[i]))))
+               * 1000000 + 0.5) / 1000000 AS cos
+      FROM dims d, e q JOIN e c ON c.vec_id <> q.vec_id
+      WHERE q.vec_id < 10
+    ),
+    topk AS (
+      SELECT dim, q_id, cand_id FROM (
+        SELECT dim, q_id, cand_id,
+               row_number() OVER (PARTITION BY dim, q_id
+                                  ORDER BY cos DESC, cand_id ASC) AS rnk
+        FROM s
+      ) WHERE rnk <= 5
+    ),
+    truth AS (SELECT q_id, cand_id FROM topk WHERE dim = 64),
+    hit AS (
+      SELECT t.dim, t.q_id, CAST(count(tr.cand_id) AS BIGINT) AS hits
+      FROM topk t LEFT JOIN truth tr
+        ON tr.q_id = t.q_id AND tr.cand_id = t.cand_id
+      WHERE t.dim < 64
+      GROUP BY 1, 2
+    )
+    SELECT CAST(dim AS INTEGER) AS dim, q_id, hits,
+           hits / 5.0 AS recall_at_5
+    FROM hit
+    """,
+)
+def ann_matryoshka_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATRYOSHKA-EMBEDDING evaluation (Kusupati et al. 2022): how much
+    top-5 recall survives truncating the 64-dim embeddings to their
+    first 8 / 16 / 32 coordinates — the measurement behind the
+    store-small-search-big MRL deployment trade (truncated vectors cut
+    index memory and ANN cost by 2-8x; this query tells you what that
+    costs in recall, per query). All four rankings (three truncations
+    + the full-dim truth) come out of ONE pass: the query side
+    explodes a dim column, the cosine is computed over slice(v, 1,
+    dim) with per-dim renormalization, one window ranks per (dim,
+    q_id), and recall joins each truncation against the dim=64 leg.
+    Rounded cosines + cand_id tie-break make every ranking
+    deterministic, so recall is engine-exact.
+
+    Scale shape: the 10-query exploded side (40 rows) BROADCASTS into
+    the corpus scan — one shuffle-free map pass over n vectors
+    computing 4 sliced dots per row, then a combinable per-(dim, q)
+    top-5; at 100 TB this is the same whitelisted broadcast-cross
+    shape as ann_bruteforce_topk, which exists precisely to ground
+    approximate indexes."""
+    from ..operators.similarity import as_double_vec
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_vec("embedding").alias("v")
+    )
+    q = (
+        e.where(F.col("vec_id") < 10)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("v").alias("qv"),
+            F.explode(F.array(*[F.lit(d) for d in (8, 16, 32, 64)])).alias(
+                "dim"
+            ),
+        )
+    )
+    pairs = e.select(
+        F.col("vec_id").alias("cand_id"), F.col("v").alias("cv")
+    ).join(F.broadcast(q), F.col("cand_id") != F.col("q_id"))
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    qd = F.slice("qv", F.lit(1), F.col("dim"))
+    cd = F.slice("cv", F.lit(1), F.col("dim"))
+    cos = fround(
+        dot(qd, cd) / (F.sqrt(dot(qd, qd)) * F.sqrt(dot(cd, cd))), 6
+    )
+    s = pairs.select("dim", "q_id", "cand_id", cos.alias("cos"))
+    w = Window.partitionBy("dim", "q_id").orderBy(
+        F.col("cos").desc(), F.col("cand_id").asc()
+    )
+    topk = (
+        s.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 5)
+        .select("dim", "q_id", "cand_id")
+    )
+    topk = topk.localCheckpoint(eager=False)  # truth + 3 legs share it
+    truth = topk.where(F.col("dim") == 64).select(
+        F.col("q_id").alias("t_q"), F.col("cand_id").alias("t_c")
+    )
+    hit = (
+        topk.where(F.col("dim") < 64)
+        .join(
+            truth,
+            (F.col("q_id") == F.col("t_q")) & (F.col("cand_id") == F.col("t_c")),
+            "left",
+        )
+        .groupBy("dim", "q_id")
+        .agg(F.count("t_c").cast("bigint").alias("hits"))
+    )
+    return hit.select(
+        F.col("dim").cast("int").alias("dim"),
+        "q_id",
+        "hits",
+        (F.col("hits") / 5.0).alias("recall_at_5"),
+    )
