@@ -64,6 +64,7 @@ class SyncEngine:
         retention_keep_last: int | None = None,
         compact_every: int | None = None,
         cluster_facts_by: str | list[str] | None = None,
+        dim_id_strategy: str = "checkpoint",
     ) -> None:
         self.spark = spark
         self.source_dir = source_dir
@@ -88,6 +89,14 @@ class SyncEngine:
         # rows to the sync hot path; turn it on when read patterns are
         # time-ranged (the analytics default at 100 TB).
         self.cluster_facts_by = cluster_facts_by
+        # dense-id strategy for the three SMALL per-period dim frames
+        # (new wallets/collections/assets). "checkpoint" (default)
+        # freezes each; "sample" derives order-aligned buckets with no
+        # materialization (operators/surrogate.py) — their inputs are
+        # cheap re-aggregations of the frozen records checkpoint, and
+        # the min(seq)-style order keys are unique by construction
+        # (each seq belongs to exactly one group's row set).
+        self.dim_id_strategy = dim_id_strategy
         # per-run carry-forward (see process_period): None = must probe
         self._seeds: dict[str, int] | None = None
         self._dim_totals: dict[str, int] | None = None
@@ -363,7 +372,8 @@ class SyncEngine:
                 "left_anti",
             )
         new_wallets = with_dense_ids(
-            wallet_firsts, ["first_seq"], id_col="id", start=seeds["wallet"]
+            wallet_firsts, ["first_seq"], id_col="id", start=seeds["wallet"],
+            strategy=self.dim_id_strategy,
         ).select(
             "id",
             F.col("wallet_key").alias("address"),
@@ -383,7 +393,8 @@ class SyncEngine:
                 collection_dim.select("policy_id"), "policy_id", "left_anti"
             )
         new_collections = with_dense_ids(
-            coll_firsts, ["first_seq"], id_col="id", start=seeds["collection"]
+            coll_firsts, ["first_seq"], id_col="id", start=seeds["collection"],
+            strategy=self.dim_id_strategy,
         ).select(
             "id",
             "policy_id",
@@ -427,7 +438,10 @@ class SyncEngine:
         else:
             new_asset_firsts = firsts
         new_assets = (
-            with_dense_ids(new_asset_firsts, ["seq"], id_col="id", start=seeds["asset"])
+            with_dense_ids(
+                new_asset_firsts, ["seq"], id_col="id",
+                start=seeds["asset"], strategy=self.dim_id_strategy,
+            )
             .join(
                 collection_next.select(F.col("policy_id"), F.col("id").alias("collection_id")),
                 "policy_id",

@@ -105,6 +105,27 @@ def test_golden_parity(spark, source_dir, batch_store):
         )
 
 
+def test_sample_dim_id_strategy_identical(
+    spark, source_dir, batch_store, tmp_path_factory
+):
+    """dim_id_strategy='sample' (zero-materialization dense ids for the
+    three small per-period dim frames) must produce BYTE-IDENTICAL
+    table contents to the default checkpoint strategy — the min(seq)
+    order keys are unique by construction, which is exactly the
+    precondition the sample strategy needs."""
+    store = TableStore(str(tmp_path_factory.mktemp("sink_sample")))
+    engine = SyncEngine(
+        spark,
+        source_dir,
+        store,
+        time_interval_minutes=10**6,
+        dim_id_strategy="sample",
+    )
+    stats = engine.run_sync()
+    assert len(stats) == 1 and stats[0]["records"] > 0
+    assert _store_tables(spark, store) == _store_tables(spark, batch_store)
+
+
 def test_idempotent_rerun(spark, source_dir, batch_store):
     engine = SyncEngine(spark, source_dir, batch_store, time_interval_minutes=10**6)
     before = _store_tables(spark, batch_store)
