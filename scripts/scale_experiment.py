@@ -1107,6 +1107,84 @@ def r12_main() -> None:
               .mode("overwrite").save())
 
 
+def r12b_main() -> None:
+    """Round-12 NEW-OPERATOR scale shapes. Usage:
+    python scripts/scale_experiment.py --r12b [replicas]
+
+    - corpus_dsir_sample at 1x -> Rx documents: two combinable
+      passes over token counts + a 256-row broadcast — wall should
+      track the corpus scan, not the pair space.
+    - dedup_sorted_neighborhood at 1x -> 10x customers: one range
+      shuffle (sample-strategy dense ids) + one equi hash join; the
+      candidate set is O(n*w) BY CONSTRUCTION, so growth is linear.
+    - stats_logistic_irls at 1x -> 10x events: 4 scan-bound
+      aggregation jobs with 10-value driver probes — wall should be
+      nearly flat until the scans dominate the fixed per-job cost."""
+    import shutil as _shutil
+    import tempfile as _tempfile
+    import time as _time
+
+    from pantasia_db_sync_spark.plans import QUERIES
+
+    replicas = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    spark = get_spark(app_name="r12b-scale-experiment")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def run(label, fn):
+        fn().write.format("noop").mode("overwrite").save()  # warm
+        t0 = _time.perf_counter()
+        fn().write.format("noop").mode("overwrite").save()
+        dt = _time.perf_counter() - t0
+        print(f"{label:<58} {dt:7.2f}s", flush=True)
+        return dt
+
+    for r in (1, replicas):
+        sf_dir = BASE_SF if r == 1 else build_corpus(spark, r)
+        nd = load_table(spark, sf_dir, "documents").count()
+        run(f"x{r} corpus_dsir_sample ({nd} docs)",
+            lambda: QUERIES["corpus_dsir_sample"](spark, sf_dir))
+
+    for n in (15_000, 15_000 * replicas):
+        work = _tempfile.mkdtemp(prefix=f"r12b_cust_{n}_")
+        try:
+            spark.range(0, n, 1, 32).selectExpr(
+                "id AS c_custkey",
+                "printf('Customer#%09d', id * 7 % 1000000000) AS c_name",
+            ).write.mode("overwrite").parquet(work + "/customer.parquet")
+            run(f"dedup_sorted_neighborhood ({n} names)",
+                lambda: QUERIES["dedup_sorted_neighborhood"](spark, work))
+        finally:
+            _shutil.rmtree(work, ignore_errors=True)
+
+    e = load_table(spark, BASE_SF, "events")
+    for r in (1, replicas):
+        work = _tempfile.mkdtemp(prefix=f"r12b_ev_{r}_")
+        try:
+            parts = [e]
+            for k in range(1, r):
+                parts.append(
+                    e.selectExpr(
+                        f"event_id + {k} * 100000000 AS event_id",
+                        f"ts + INTERVAL {k} HOURS AS ts",
+                        f"user_id + {k} * 100000000 AS user_id",
+                        "event_type",
+                        f"value * {1 + k * 0.01} AS value",
+                        "props",
+                    )
+                )
+            big = parts[0]
+            for p in parts[1:]:
+                big = big.unionByName(p)
+            big.repartition(32).write.mode("overwrite").parquet(
+                work + "/events.parquet"
+            )
+            n_ev = load_table(spark, work, "events").count()
+            run(f"x{r} stats_logistic_irls ({n_ev} events)",
+                lambda: QUERIES["stats_logistic_irls"](spark, work))
+        finally:
+            _shutil.rmtree(work, ignore_errors=True)
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--skew":
         skew_main()
@@ -1128,5 +1206,7 @@ if __name__ == "__main__":
         r11_main()
     elif len(sys.argv) > 1 and sys.argv[1] == "--r12":
         r12_main()
+    elif len(sys.argv) > 1 and sys.argv[1] == "--r12b":
+        r12b_main()
     else:
         main()
