@@ -334,6 +334,22 @@ class TableStore:
         with open(tmp, "w") as f:
             f.write(str(version))
         os.replace(tmp, self._pointer(table))  # atomic on POSIX
+        # commit-time log for TIMESTAMP AS OF (see read_facts_at_time):
+        # appended AFTER the flip so the log never claims an exposure
+        # that didn't happen; a crash between the two loses one line,
+        # which the resolver treats conservatively
+        with open(self._commit_log_path(table), "a") as f:
+            f.write(
+                json.dumps(
+                    {
+                        "version": version,
+                        "ts": _dt.datetime.now(_dt.timezone.utc)
+                        .replace(tzinfo=None)
+                        .isoformat(),
+                    }
+                )
+                + "\n"
+            )
 
     def rollback_facts(self, table: str, commit_id: int) -> None:
         """Delta's ``RESTORE TABLE ... TO VERSION AS OF`` for a fact
@@ -1362,6 +1378,68 @@ class TableStore:
         if is_facts:
             return self._facts_frame(spark, table, version)
         return spark.read.parquet(self._resolve_version_dir(table, version))
+
+    # --- AS OF TIMESTAMP time travel ------------------------------------------
+    # Delta/Iceberg resolve TIMESTAMP AS OF through per-commit wall
+    # times; here `repoint` appends {version, ts} to a per-table
+    # _COMMITS.jsonl AFTER the atomic pointer flip, and timestamp
+    # queries resolve to the LAST version whose flip time <= ts. A
+    # crash between flip and log append loses one log line — the
+    # fallback below treats a pointer ahead of the log as committed
+    # "now", and crash-replay re-commits append a second line whose
+    # later time wins (the replayed exposure time — the honest answer).
+    # A rollback logs the OLD version at rollback time, so AS OF after
+    # the rollback correctly sees the rolled-back state.
+
+    def _commit_log_path(self, table: str) -> str:
+        return os.path.join(self._tdir(table), "_COMMITS.jsonl")
+
+    def commit_log(self, table: str) -> list[dict]:
+        try:
+            with open(self._commit_log_path(table)) as f:
+                return [json.loads(line) for line in f if line.strip()]
+        except FileNotFoundError:
+            return []
+
+    def version_as_of_time(self, table: str, ts) -> int | None:
+        """Largest version whose pointer flip happened at or before
+        ``ts`` (datetime or ISO string, UTC). None = before the first
+        commit."""
+        if isinstance(ts, str):
+            ts = _dt.datetime.fromisoformat(ts)
+        if ts.tzinfo is not None:
+            ts = ts.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+        # the LATEST flip at-or-before ts wins — NOT the max version:
+        # after a rollback the log reads e.g. v3@t3 then v2@t5, and
+        # AS OF t6 must answer v2 (log order breaks equal-ts ties).
+        # The answer is additionally CLAMPED to the current pointer:
+        # after a rollback, commits above the pointer are unreadable
+        # (read_facts_at_commit's documented invariant — above-pointer
+        # dirs are indistinguishable from crashed staging attempts and
+        # may be rewritten in place by the replay protocol), so the
+        # queryable timeline truncates at the rollback target, unlike
+        # Delta where immutable version files stay readable until
+        # VACUUM.
+        best = None
+        best_ts = None
+        for e in self.commit_log(table):
+            ets = _dt.datetime.fromisoformat(e["ts"])
+            if ets <= ts and (best_ts is None or ets >= best_ts):
+                best, best_ts = e["version"], ets
+        ptr = self.current_version(table)
+        if best is not None and ptr is not None:
+            best = min(best, ptr)
+        return best
+
+    def read_facts_at_time(
+        self, spark: SparkSession, table: str, ts
+    ) -> DataFrame | None:
+        """``TIMESTAMP AS OF`` for a fact table: the merged read
+        replayed to the last commit exposed at wall time ``ts``."""
+        version = self.version_as_of_time(table, ts)
+        if version is None:
+            return None
+        return self.read_facts_at_commit(spark, table, version)
 
     def read_facts_at_commit(
         self, spark: SparkSession, table: str, commit_id: int

@@ -1483,6 +1483,49 @@ def test_delete_where_predicate_and_replace(spark, tmp_path):
     assert cur2.where("val >= 7 AND val < 100").count() == 0
 
 
+def test_read_facts_at_time_timestamp_travel(spark, tmp_path):
+    """Delta's TIMESTAMP AS OF: repoint logs {version, wall time} after
+    every atomic flip, and timestamp queries resolve to the LATEST flip
+    at-or-before ts — including after a rollback, where the max-version
+    answer would be wrong."""
+    import datetime as dt
+    import time
+
+    store = TableStore(str(tmp_path / "store"))
+    marks = []
+    for c in (1, 2, 3):
+        store.append(
+            "t", spark.range((c - 1) * 10, c * 10).selectExpr("id AS k"),
+            commit_id=c,
+        )
+        store.commit_append("t", c)
+        marks.append(dt.datetime.now(dt.timezone.utc).replace(tzinfo=None))
+        time.sleep(0.02)
+
+    before_all = marks[0] - dt.timedelta(seconds=10)
+    assert store.version_as_of_time("t", before_all) is None
+    assert store.read_facts_at_time(spark, "t", before_all) is None
+    assert store.read_facts_at_time(spark, "t", marks[0]).count() == 10
+    assert store.read_facts_at_time(spark, "t", marks[1]).count() == 20
+    assert store.read_facts_at_time(spark, "t", marks[2]).count() == 30
+    # ISO-string timestamps accepted
+    assert store.read_facts_at_time(spark, "t", marks[1].isoformat()).count() == 20
+
+    # rollback: AS OF after the rollback sees the rolled-back state
+    store.rollback_facts("t", 1)
+    time.sleep(0.02)
+    after_rb = dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
+    assert store.version_as_of_time("t", after_rb) == 1
+    assert store.read_facts_at_time(spark, "t", after_rb).count() == 10
+    # the queryable timeline CLAMPS at the rollback target: commits
+    # above the pointer are unreadable (they may be rewritten in place
+    # by the crash-replay protocol), so pre-rollback times answer the
+    # clamped state — documented divergence from Delta's immutable
+    # version files
+    assert store.version_as_of_time("t", marks[2]) == 1
+    assert store.read_facts_at_time(spark, "t", marks[2]).count() == 10
+
+
 def test_rollback_facts_coexists_with_snapshots(spark, tmp_path):
     """Round-11 advice regression: snapshot tags live as plain
     _SNAPSHOT_<tag>.json FILES at the store root, and rollback_facts'
