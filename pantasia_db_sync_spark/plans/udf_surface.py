@@ -1024,3 +1024,139 @@ def stream_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
     res = spark.createDataFrame(out.collect(), out.schema)
     shutil.rmtree(work, ignore_errors=True)
     return res
+
+
+@register(
+    "stream_dsir_weights",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok
+      FROM documents
+    ),
+    dbc AS (
+      SELECT doc_id,
+             CAST(CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT)
+                  % 256 AS INTEGER) AS bucket,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM toks WHERE tok <> ''
+      GROUP BY 1, 2
+    ),
+    raw AS (SELECT bucket, CAST(sum(cnt) AS BIGINT) AS cr FROM dbc GROUP BY 1),
+    tgt AS (
+      SELECT bucket, CAST(sum(cnt) AS BIGINT) AS ct FROM dbc
+      WHERE doc_id % 10 = 0 GROUP BY 1
+    ),
+    tot AS (
+      SELECT (SELECT CAST(sum(cr) AS BIGINT) FROM raw) AS nr,
+             (SELECT CAST(coalesce(sum(ct), 0) AS BIGINT) FROM tgt) AS nt
+    ),
+    delta AS (
+      SELECT raw.bucket,
+             CAST(floor(1000000.0 * ln(
+               ((coalesce(ct, 0) + 1) * CAST(nr + 256 AS DOUBLE))
+               / ((cr + 1) * CAST(nt + 256 AS DOUBLE))) + 0.5) AS BIGINT)
+               AS delta_u
+      FROM raw LEFT JOIN tgt USING (bucket), tot
+    )
+    SELECT dbc.doc_id,
+           CAST(sum(cnt) AS BIGINT) AS n_tokens,
+           CAST(sum(cnt * delta_u) AS BIGINT) AS weight_micro
+    FROM dbc JOIN delta USING (bucket)
+    WHERE dbc.doc_id % 10 <> 0
+    GROUP BY 1
+    """,
+)
+def stream_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING DSIR scoring — the production deployment of
+    corpus_dsir_sample: the bucket log-ratio model is fit ONCE in batch
+    (the same two-pass fit), collapsed to a 256-entry MAP LITERAL, and
+    the document stream is scored row-locally — bucket each token with
+    the portable hash inside a higher-order lambda, fold the map
+    lookups with aggregate() — so the hot path has NO aggregation, NO
+    join, NO state: append-mode-legal and trivially scalable (the
+    model rides in the plan; a firehose scorer is a map-only stage).
+    The memory-sink table must equal the batch per-doc weights — the
+    oracle recomputes fit + scoring in SQL."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from ..functions.text import portable_hash_mod, tokens_col
+    from ..sources.catalog import load_table as _lt
+
+    d_batch = _lt(spark, sf_dir, "documents")
+    toks = d_batch.select(
+        "doc_id", F.explode(tokens_col("text")).alias("tok")
+    ).where(F.col("tok") != "")
+    dbc = (
+        toks.withColumn("bucket", portable_hash_mod("tok", 256).cast("int"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    dbc = dbc.localCheckpoint(eager=False)
+    raw = dbc.groupBy("bucket").agg(F.sum("cnt").cast("bigint").alias("cr"))
+    tgt = (
+        dbc.where(F.pmod(F.col("doc_id"), 10) == 0)
+        .groupBy("bucket")
+        .agg(F.sum("cnt").cast("bigint").alias("ct"))
+    )
+    tot = raw.agg(F.sum("cr").cast("bigint").alias("nr")).crossJoin(
+        tgt.agg(F.coalesce(F.sum("ct"), F.lit(0)).cast("bigint").alias("nt"))
+    )
+    delta_rows = (
+        raw.join(tgt, "bucket", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            F.floor(
+                F.lit(1e6)
+                * F.log(
+                    (
+                        (F.coalesce(F.col("ct"), F.lit(0)) + 1)
+                        * (F.col("nr") + 256).cast("double")
+                    )
+                    / ((F.col("cr") + 1) * (F.col("nt") + 256).cast("double"))
+                )
+                + 0.5
+            )
+            .cast("bigint")
+            .alias("delta_u"),
+        )
+        .collect()
+    )
+    # the frozen model: 256 scalars as an in-plan map literal
+    kv = []
+    for r in delta_rows:
+        kv.append(F.lit(int(r["bucket"])))
+        kv.append(F.lit(int(r["delta_u"])))
+    delta_map = F.create_map(*kv)
+
+    d = tempfile.mkdtemp(prefix="stream_dsir_")
+    shutil.copy(
+        os.path.join(sf_dir, "documents.parquet"),
+        os.path.join(d, "documents-0.parquet"),
+    )
+    stream_docs = (
+        spark.readStream.schema(d_batch.schema)
+        .parquet(d)
+        .where(F.pmod(F.col("doc_id"), 10) != 0)
+    )
+    clean = F.filter(tokens_col("text"), lambda t: t != F.lit(""))
+    scored = stream_docs.select(
+        "doc_id",
+        F.size(clean).cast("bigint").alias("n_tokens"),
+        F.aggregate(
+            clean,
+            F.lit(0).cast("bigint"),
+            lambda acc, t: acc
+            + F.element_at(delta_map, portable_hash_mod(t, 256).cast("int")),
+        ).alias("weight_micro"),
+    )
+    name = "sdw_" + uuid.uuid4().hex[:8]
+    writer = (
+        scored.writeStream.format("memory")
+        .outputMode("append")
+        .trigger(availableNow=True)
+    )
+    return _run_stream_to_frame(spark, writer, name, d)
