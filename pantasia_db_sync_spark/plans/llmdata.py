@@ -3310,3 +3310,78 @@ def ann_matryoshka_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "hits",
         (F.col("hits") / 5.0).alias("recall_at_5"),
     )
+
+
+@register(
+    "quality_perplexity_buckets",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok FROM documents
+    ),
+    t AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
+    freq AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM t GROUP BY 1),
+    total AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM t),
+    s AS (
+      SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_toks,
+             floor(avg(ln(cnt / n)) * 10000 + 0.5) / 10000 AS lp
+      FROM t, total JOIN freq ON freq.tok = t.tok
+      GROUP BY 1
+    ),
+    b AS (
+      SELECT CASE WHEN lp >= -3.40 THEN 'head'
+                  WHEN lp >= -3.41 THEN 'middle'
+                  ELSE 'tail' END AS bucket,
+             n_toks, CAST(lp * 10000 AS BIGINT) AS lp_u
+      FROM s
+    )
+    SELECT bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_toks) AS BIGINT) AS tok_sum,
+           CAST(sum(lp_u) AS BIGINT) / 10000.0 / count(*) AS mean_logp
+    FROM b GROUP BY 1
+    """,
+)
+def quality_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style HEAD / MIDDLE / TAIL corpus split (Wenzek et al.
+    2020): bucket documents by their language-model score against
+    FIXED thresholds — in CCNet the constants are percentiles of a
+    reference-corpus (Wikipedia) perplexity distribution computed
+    offline, which is exactly what keeps the production split a
+    MAP-ONLY stage (a per-batch quantile would need a global rank and
+    would also make the split drift batch-to-batch). Here the LM is
+    the registered unigram proxy (text_unigram_lm_score's 4-dp score,
+    shared shape) and the thresholds (-3.40 / -3.41) are pinned from
+    the fixture profile the way CCNet pins its reference percentiles.
+    Per bucket: doc count, token budget, and the mean score folded
+    from INTEGER 1e-4 units (the 4-dp scores are exact multiples, so
+    the sum is order-free and the one division per bucket is
+    engine-identical)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(tokens_col("text")).alias("tok")
+    ).where(F.col("tok") != "")
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    total = float(toks.count())
+    s = (
+        toks.join(freq, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_toks"),
+            fround(F.avg(F.log(F.col("cnt") / F.lit(total))), 4).alias("lp"),
+        )
+    )
+    b = s.select(
+        F.when(F.col("lp") >= -3.40, "head")
+        .when(F.col("lp") >= -3.41, "middle")
+        .otherwise("tail")
+        .alias("bucket"),
+        "n_toks",
+        (F.col("lp") * 10000).cast("bigint").alias("lp_u"),
+    )
+    return b.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_toks").cast("bigint").alias("tok_sum"),
+        (
+            F.sum("lp_u").cast("bigint") / F.lit(10000.0) / F.count(F.lit(1))
+        ).alias("mean_logp"),
+    )
