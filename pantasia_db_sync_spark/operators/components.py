@@ -433,3 +433,52 @@ def pagerank(
             .localCheckpoint(eager=True)
         )
     return r.select(F.col("a").alias("node"), F.col("r").alias("rank_micro"))
+
+
+def multi_bfs_distances(
+    edges: DataFrame,
+    seeds: list[int],
+    hops: int = 4,
+    u_col: str = "u",
+    v_col: str = "v",
+) -> DataFrame:
+    """(seed, node, dist): hop distances from EVERY seed at once, exact
+    to ``hops`` — the multi-source generalization of bfs_distances that
+    centrality computations need (one BFS per seed would be |seeds|
+    sequential job chains; this runs them as ONE chain with a composite
+    (seed, node) label key).
+
+    Per round: one equi-join of the frontier against the symmetric edge
+    list + one combinable (seed, node) min — both shuffle on the node
+    id, so the per-round cost is |frontier| x avg-degree regardless of
+    seed count, and the label state is at most |seeds| x |reachable|
+    rows.  Distances are localCheckpoint'ed per round (the components
+    loop's lineage hygiene).  Only reached (seed, node) pairs appear in
+    the output.
+    """
+    sym = edges.select(
+        F.col(u_col).alias("a"), F.col(v_col).alias("b")
+    ).unionAll(edges.select(F.col(v_col).alias("a"), F.col(u_col).alias("b")))
+    seed_lits = [F.lit(int(s)) for s in seeds]
+    dist = (
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .where(F.col("node").isin(*seed_lits))
+        .select(
+            F.col("node").alias("seed"),
+            "node",
+            F.lit(0).cast("int").alias("d"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(hops):
+        cand = dist.join(sym, dist["node"] == sym["a"]).select(
+            "seed", F.col("b").alias("node"), (F.col("d") + 1).cast("int").alias("d")
+        )
+        dist = (
+            dist.unionByName(cand)
+            .groupBy("seed", "node")
+            .agg(F.min("d").cast("int").alias("d"))
+            .localCheckpoint(eager=True)
+        )
+    return dist.select("seed", "node", F.col("d").alias("dist"))

@@ -2155,3 +2155,192 @@ def decode_jpeg_420_features(
             )
 
     return src.mapInPandas(gen, schema=JPEG_420_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# EXIF / TIFF: typed image METADATA as a first-class parsed structure
+# ---------------------------------------------------------------------------
+#
+# Real pipelines filter and route images on camera metadata (orientation
+# normalization, resolution floors, capture-time dedup) long before any
+# pixel is decoded.  The reference stores image payloads as opaque bytea
+# with no metadata model (app/db/postgres.py:144-145); here the Exif
+# APP1 segment — a TIFF 6.0 byte stream — is both RENDERED and PARSED
+# from scratch: byte-order mark (II/MM, both exercised), magic 42, IFD
+# walk with ascending-tag entries, type dispatch (ASCII / SHORT /
+# RATIONAL), and the inline-vs-offset value rule (values wider than the
+# 4-byte entry field live out-of-line at an absolute TIFF offset).
+
+_EXIF_HEADER = b"Exif\x00\x00"
+_TIFF_TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}  # BYTE ASCII SHORT LONG RATIONAL
+
+EXIF_SCHEMA = (
+    "doc_id bigint, byte_order string, n_entries int, make string, "
+    "orientation int, xres_num bigint, xres_den bigint, datetime string"
+)
+
+
+def encode_exif(
+    make: str,
+    orientation: int,
+    xres: tuple[int, int],
+    datetime_str: str,
+    big_endian: bool = False,
+) -> bytes:
+    """Render a spec-shaped Exif APP1 payload: TIFF header + one IFD0
+    holding Make (ASCII, out-of-line), Orientation (SHORT, inline),
+    XResolution (RATIONAL, out-of-line), DateTime (ASCII 20 bytes,
+    out-of-line), entries in ascending tag order as TIFF 6.0 requires.
+    ``big_endian`` selects the MM byte order (else II)."""
+    bo = ">" if big_endian else "<"
+    make_b = make.encode("ascii") + b"\x00"
+    dt_b = datetime_str.encode("ascii") + b"\x00"
+    if len(dt_b) != 20:
+        raise ValueError("Exif DateTime must be exactly 19 chars + NUL")
+    # fixed layout: header(8) + count(2) + 4*12 + next(4) = 62 bytes of
+    # structure, then the out-of-line data area in tag order.
+    data_base = 8 + 2 + 4 * 12 + 4
+    off_make = data_base
+    off_xres = off_make + len(make_b)
+    off_dt = off_xres + 8
+
+    def entry(tag: int, typ: int, count: int, inline: bytes | None, off: int | None):
+        head = struct.pack(bo + "HHI", tag, typ, count)
+        if inline is not None:
+            return head + inline.ljust(4, b"\x00")
+        return head + struct.pack(bo + "I", off)
+
+    entries = (
+        entry(0x010F, 2, len(make_b), None, off_make)
+        + entry(0x0112, 3, 1, struct.pack(bo + "H", orientation), None)
+        + entry(0x011A, 5, 1, None, off_xres)
+        + entry(0x0132, 2, len(dt_b), None, off_dt)
+    )
+    tiff = (
+        (b"MM" if big_endian else b"II")
+        + struct.pack(bo + "H", 42)
+        + struct.pack(bo + "I", 8)
+        + struct.pack(bo + "H", 4)
+        + entries
+        + struct.pack(bo + "I", 0)
+        + make_b
+        + struct.pack(bo + "II", xres[0], xres[1])
+        + dt_b
+    )
+    return _EXIF_HEADER + tiff
+
+
+def decode_exif(blob: bytes) -> dict:
+    """Parse an Exif APP1 payload back to typed fields: validate the
+    Exif header and TIFF magic, honor the byte-order mark, walk IFD0,
+    and dispatch each entry on its TIFF type — reading inline values
+    from the 4-byte field and out-of-line values at their absolute
+    TIFF offset.  Unknown tags are skipped (forward-compatible walk),
+    so the parser is not a mirror of the encoder's fixed layout."""
+    if blob[:6] != _EXIF_HEADER:
+        raise ValueError("not an Exif APP1 payload")
+    t = blob[6:]
+    order = t[:2]
+    if order == b"II":
+        bo = "<"
+    elif order == b"MM":
+        bo = ">"
+    else:
+        raise ValueError(f"bad TIFF byte-order mark {order!r}")
+    (magic,) = struct.unpack_from(bo + "H", t, 2)
+    if magic != 42:
+        raise ValueError(f"bad TIFF magic {magic}")
+    (ifd0,) = struct.unpack_from(bo + "I", t, 4)
+    (n,) = struct.unpack_from(bo + "H", t, ifd0)
+    out: dict = {
+        "byte_order": order.decode("ascii"),
+        "n_entries": int(n),
+        "make": None,
+        "orientation": None,
+        "xres_num": None,
+        "xres_den": None,
+        "datetime": None,
+    }
+
+    def ascii_at(off: int, count: int) -> str:
+        raw = t[off : off + count]
+        return raw.split(b"\x00", 1)[0].decode("ascii")
+
+    for i in range(n):
+        base = ifd0 + 2 + 12 * i
+        tag, typ, count = struct.unpack_from(bo + "HHI", t, base)
+        width = _TIFF_TYPE_SIZES.get(typ)
+        if width is None:
+            continue
+        if width * count <= 4:
+            voff = base + 8  # value inline in the entry's 4-byte field
+        else:
+            (voff,) = struct.unpack_from(bo + "I", t, base + 8)
+        if tag == 0x010F and typ == 2:
+            out["make"] = ascii_at(voff, count)
+        elif tag == 0x0112 and typ == 3:
+            out["orientation"] = int(struct.unpack_from(bo + "H", t, voff)[0])
+        elif tag == 0x011A and typ == 5:
+            num, den = struct.unpack_from(bo + "II", t, voff)
+            out["xres_num"], out["xres_den"] = int(num), int(den)
+        elif tag == 0x0132 and typ == 2:
+            out["datetime"] = ascii_at(voff, count)
+    return out
+
+
+def synthetic_exif_blob(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """One real Exif APP1 byte stream per row, every field derived from
+    the id (the read-only-fixture pattern of synthetic_bmp_frame); odd
+    ids render big-endian MM so BOTH byte orders ship in every run."""
+    src = df.select(F.col(id_col).alias("doc_id"))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            content = [
+                encode_exif(
+                    make=f"CAM{int(i) % 10}",
+                    orientation=int(i) % 8 + 1,
+                    xres=(72 + int(i) % 4, 1 + int(i) % 3),
+                    datetime_str=f"2024:01:{int(i) % 28 + 1:02d} 12:00:00",
+                    big_endian=bool(int(i) % 2),
+                )
+                for i in pdf["doc_id"]
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].values, "content": content})
+
+    return src.mapInPandas(gen, schema="doc_id bigint, content binary")
+
+
+def decode_exif_features(
+    df: DataFrame, id_col: str = "doc_id", binary_col: str = "content"
+) -> DataFrame:
+    """mapInPandas over a binary column with the REAL Exif parser —
+    the same Arrow batch plumbing as decode_bmp_features."""
+    src = df.select(F.col(id_col).alias("doc_id"), F.col(binary_col).alias("content"))
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, c in zip(pdf["doc_id"], pdf["content"]):
+                d = decode_exif(bytes(c))
+                rows.append(
+                    (
+                        int(i),
+                        d["byte_order"],
+                        d["n_entries"],
+                        d["make"],
+                        d["orientation"],
+                        d["xres_num"],
+                        d["xres_den"],
+                        d["datetime"],
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "byte_order", "n_entries", "make",
+                    "orientation", "xres_num", "xres_den", "datetime",
+                ],
+            )
+
+    return src.mapInPandas(extract, schema=EXIF_SCHEMA)

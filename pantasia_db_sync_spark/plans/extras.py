@@ -5831,3 +5831,226 @@ def stats_logistic_irls(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(n, *(math.floor(v * 1000000 + 0.5) / 1000000 for v in b))],
         "n bigint, beta0 double, beta1 double, beta2 double",
     )
+
+
+@register(
+    "stats_theil_sen",
+    oracle="""
+    WITH p AS (
+      SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS x,
+             floor(avg(value) * 1000000 + 0.5) / 1000000 AS y
+      FROM events GROUP BY 1
+    ),
+    s AS (
+      SELECT (b.y - a.y) / (b.x - a.x) AS slope
+      FROM p a JOIN p b ON a.x < b.x
+    ),
+    m AS (SELECT quantile_cont(slope, 0.5) AS m FROM s)
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM p) AS n_points,
+           floor(m.m * 1000000 + 0.5) / 1000000 AS slope,
+           floor(quantile_cont(p.y - m.m * p.x, 0.5) * 1000000 + 0.5) / 1000000
+             AS intercept
+    FROM p, m
+    GROUP BY m.m
+    """,
+)
+def stats_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THEIL-SEN robust trend estimator — the median of all pairwise
+    slopes (then intercept = median(y - m*x)), the outlier-proof twin
+    of stats_linear_regression (up to ~29% contamination cannot move
+    it, vs a single bad day for OLS). The pair space is quadratic, so
+    the 100 TB shape AGGREGATES FIRST: one combinable groupBy reduces
+    the fact table to one (day, mean) point per bucket, and the
+    pairwise join runs over the D aggregated points (D(D-1)/2 pairs
+    for D days — hundreds, not trillions — via a broadcast
+    nested-loop that never touches the raw rows again). Daily means
+    are micro-rounded before the pair algebra so both engines feed
+    identical doubles into identical IEEE op sequences; the exact
+    interpolating median (percentile = DuckDB quantile_cont) finishes
+    the job."""
+    e = load_table(spark, sf_dir, "events")
+    p = e.groupBy(
+        F.floor(F.unix_timestamp("ts") / 86400).cast("bigint").alias("x")
+    ).agg(fround(F.avg("value"), 6).alias("y"))
+    a = p.select(F.col("x").alias("xa"), F.col("y").alias("ya"))
+    b = p.select(F.col("x").alias("xb"), F.col("y").alias("yb"))
+    slopes = a.join(F.broadcast(b), F.col("xa") < F.col("xb")).select(
+        ((F.col("yb") - F.col("ya")) / (F.col("xb") - F.col("xa"))).alias("slope")
+    )
+    m = slopes.agg(F.expr("percentile(slope, 0.5)").alias("m"))
+    return (
+        p.crossJoin(F.broadcast(m))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_points"),
+            fround(F.min("m"), 6).alias("slope"),
+            fround(F.expr("percentile(y - m * x, 0.5)"), 6).alias("intercept"),
+        )
+    )
+
+
+@register(
+    "events_seasonal_decompose",
+    oracle="""
+    WITH h AS (
+      SELECT date_trunc('hour', ts) AS bucket,
+             CAST(floor(avg(value) * 1000000 + 0.5) AS BIGINT) AS y_micro
+      FROM events GROUP BY 1
+    ),
+    t AS (
+      SELECT bucket, y_micro,
+             CAST(sum(y_micro) OVER w AS DOUBLE) / count(*) OVER w / 1000000
+               AS trend,
+             hour(bucket) AS hod
+      FROM h
+      WINDOW w AS (ORDER BY bucket ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)
+    ),
+    d AS (
+      SELECT bucket, hod, y_micro, trend,
+             CAST(floor((y_micro / 1000000.0 - trend) * 1000000 + 0.5) AS BIGINT)
+               AS detr_micro
+      FROM t
+    ),
+    s AS (
+      SELECT bucket, y_micro, trend,
+             CAST(sum(detr_micro) OVER (PARTITION BY hod) AS DOUBLE)
+               / count(*) OVER (PARTITION BY hod) / 1000000
+             - CAST(sum(detr_micro) OVER () AS DOUBLE)
+               / count(*) OVER () / 1000000 AS seasonal
+      FROM d
+    )
+    SELECT bucket,
+           y_micro / 1000000.0 AS y,
+           floor(trend * 1000000 + 0.5) / 1000000 AS trend,
+           floor(seasonal * 1000000 + 0.5) / 1000000 AS seasonal,
+           floor((y_micro / 1000000.0 - trend - seasonal) * 1000000 + 0.5)
+             / 1000000 AS residual
+    FROM s
+    """,
+)
+def events_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLASSICAL seasonal decomposition (the moving-average method of
+    statsmodels' seasonal_decompose — honestly NOT loess-based STL):
+    trend = centered 25-hour moving average, seasonal = per
+    hour-of-day mean of the detrended series re-centered to zero,
+    residual = remainder. Complements events_holt_winters (recursive
+    smoother) with the non-recursive decomposition every seasonality
+    audit starts from. Cross-engine exactness comes from the repo's
+    integer micro-unit discipline: hourly means and detrended values
+    are floored into BIGINT micro-units before any group/window sum,
+    so every aggregation is order-free integer arithmetic and the
+    float divisions run the same IEEE sequence in both engines. The
+    single ordered window runs over the HOURLY aggregate (720 rows
+    here, bounded by the calendar not the fact table); at 100 TB the
+    same plan partitions by series id."""
+    e = load_table(spark, sf_dir, "events")
+    h = e.groupBy(F.date_trunc("hour", F.col("ts")).alias("bucket")).agg(
+        F.floor(F.avg("value") * 1000000 + 0.5).cast("bigint").alias("y_micro")
+    )
+    w = Window.orderBy("bucket").rowsBetween(-12, 12)
+    t = h.select(
+        "bucket",
+        "y_micro",
+        (
+            (F.sum("y_micro").over(w).cast("double") / F.count(F.lit(1)).over(w))
+            / F.lit(1000000)
+        ).alias("trend"),
+        F.hour("bucket").alias("hod"),
+    )
+    d = t.withColumn(
+        "detr_micro",
+        F.floor((F.col("y_micro") / 1000000.0 - F.col("trend")) * 1000000 + 0.5)
+        .cast("bigint"),
+    )
+    wh = Window.partitionBy("hod")
+    wg = Window.partitionBy()
+    s = d.select(
+        "bucket",
+        "y_micro",
+        "trend",
+        (
+            (F.sum("detr_micro").over(wh).cast("double") / F.count(F.lit(1)).over(wh))
+            / F.lit(1000000)
+            - (F.sum("detr_micro").over(wg).cast("double") / F.count(F.lit(1)).over(wg))
+            / F.lit(1000000)
+        ).alias("seasonal"),
+    )
+    return s.select(
+        "bucket",
+        (F.col("y_micro") / 1000000.0).alias("y"),
+        fround(F.col("trend"), 6).alias("trend"),
+        fround(F.col("seasonal"), 6).alias("seasonal"),
+        fround(
+            F.col("y_micro") / 1000000.0 - F.col("trend") - F.col("seasonal"), 6
+        ).alias("residual"),
+    )
+
+
+@register(
+    "graph_harmonic_centrality",
+    oracle=f"""
+    WITH RECURSIVE e AS (
+      SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
+      FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+      WHERE a.l_orderkey % {_TRI_MOD} = 0 AND a.l_suppkey < b.l_suppkey
+    ),
+    sym AS (SELECT u AS a, v AS b FROM e UNION ALL SELECT v, u FROM e),
+    seeds AS (SELECT DISTINCT a AS s FROM sym ORDER BY a LIMIT 5),
+    r(s, node, d) AS (
+      SELECT s, s, 0 FROM seeds
+      UNION
+      SELECT r.s, sym.b, r.d + 1 FROM r JOIN sym ON sym.a = r.node WHERE r.d < 4
+    ),
+    best AS (SELECT s, node, min(d) AS d FROM r GROUP BY 1, 2)
+    SELECT s AS seed,
+           CAST(count(*) FILTER (WHERE d > 0) AS BIGINT) AS reached,
+           floor((CAST(count(*) FILTER (WHERE d = 1) AS DOUBLE)
+                  + count(*) FILTER (WHERE d = 2) / 2.0
+                  + count(*) FILTER (WHERE d = 3) / 3.0
+                  + count(*) FILTER (WHERE d = 4) / 4.0) * 1000000 + 0.5)
+             / 1000000 AS harmonic
+    FROM best GROUP BY 1
+    """,
+)
+def graph_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HARMONIC centrality (sum of 1/d over reachable nodes, the
+    disconnect-safe closeness variant) for the 5 lowest-id seeds of
+    the supplier co-purchase graph, exact to 4 hops — computed by ONE
+    multi-source BFS (operators/components.py multi_bfs_distances):
+    all seeds advance together with a composite (seed, node) label
+    key, so the round count stays |hops| regardless of seed count
+    instead of |seeds| sequential BFS chains. The finish is order-free
+    by construction: per-distance node COUNTS (integers) are folded as
+    c1 + c2/2 + c3/3 + c4/4 in one fixed IEEE order, never a float
+    sum over an arbitrary row order. Oracle: depth-capped recursive
+    CTE over the same seeds."""
+    from ..operators.components import multi_bfs_distances
+
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_orderkey") % _TRI_MOD == 0
+    )
+    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("v"))
+    e = a.join(b, "k").where(F.col("u") < F.col("v")).select("u", "v").distinct()
+    seeds = [
+        int(r[0])
+        for r in (
+            e.select(F.explode(F.array("u", "v")).alias("node"))
+            .distinct()
+            .orderBy("node")
+            .limit(5)
+            .collect()  # bounded scalar probe: 5 seed ids (the BFS-src pattern)
+        )
+    ]
+    dist = multi_bfs_distances(e, seeds=seeds, hops=4)
+
+    def c(k: int):
+        return F.sum(F.when(F.col("dist") == k, 1).otherwise(0))
+
+    return dist.groupBy(F.col("seed")).agg(
+        F.sum(F.when(F.col("dist") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("reached"),
+        fround(
+            c(1).cast("double") + c(2) / 2.0 + c(3) / 3.0 + c(4) / 4.0, 6
+        ).alias("harmonic"),
+    )

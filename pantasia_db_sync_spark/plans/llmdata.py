@@ -3385,3 +3385,106 @@ def quality_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("lp_u").cast("bigint") / F.lit(10000.0) / F.count(F.lit(1))
         ).alias("mean_logp"),
     )
+
+
+@register(
+    "text_code_detect",
+    oracle="""
+    WITH f AS (
+      SELECT doc_id,
+             len(string_split(text, chr(10))) AS n_lines,
+             len(list_filter(string_split(text, chr(10)),
+                             x -> x LIKE '  %' OR x LIKE chr(9) || '%'))
+               AS indent_lines,
+             len(regexp_extract_all(text, '[{}();=<>]')) AS sym_cnt,
+             len(regexp_extract_all(
+                 text,
+                 '\\b(def|class|return|import|function|const|var|lambda|elif|while)\\b'))
+               AS kw_hits,
+             length(text) AS n_chars_m
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(n_lines AS INTEGER) AS n_lines,
+           CAST(indent_lines AS INTEGER) AS indent_lines,
+           CAST(sym_cnt AS INTEGER) AS sym_cnt,
+           CAST(kw_hits AS INTEGER) AS kw_hits,
+           floor((CAST(indent_lines AS DOUBLE) / n_lines * 0.4
+                  + least(CAST(sym_cnt AS DOUBLE) / n_chars_m * 10.0, 1.0) * 0.4
+                  + least(CAST(kw_hits AS DOUBLE) / 10.0, 1.0) * 0.2)
+                 * 1000000 + 0.5) / 1000000 AS code_score,
+           (CAST(indent_lines AS DOUBLE) / n_lines * 0.4
+            + least(CAST(sym_cnt AS DOUBLE) / n_chars_m * 10.0, 1.0) * 0.4
+            + least(CAST(kw_hits AS DOUBLE) / 10.0, 1.0) * 0.2) >= 0.3 AS is_code
+    FROM f
+    """,
+)
+def text_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-vs-prose detection — the routing gate every LLM training mix
+    needs (code goes to a code-weighted bucket, prose to the text mix;
+    e.g. the Stack / RedPajama pipelines): indented-line fraction,
+    syntax-symbol density, and reserved-keyword hits folded into one
+    deterministic rule score. All three features are Catalyst built-ins
+    (split + higher-order filter, regexp_count) — zero Python in the
+    hot path, one map-only stage, trivially 100 TB-safe."""
+    d = load_table(spark, sf_dir, "documents")
+    lines = F.split(F.col("text"), "\n")
+    n_lines = F.size(lines)
+    indent = F.size(
+        F.filter(lines, lambda x: x.startswith("  ") | x.startswith("\t"))
+    )
+    sym = F.regexp_count(F.col("text"), F.lit(r"[{}();=<>]"))
+    kw = F.regexp_count(
+        F.col("text"),
+        F.lit(r"\b(def|class|return|import|function|const|var|lambda|elif|while)\b"),
+    )
+    nch = F.length("text")
+    score_raw = (
+        indent.cast("double") / n_lines * 0.4
+        + F.least(sym.cast("double") / nch * 10.0, F.lit(1.0)) * 0.4
+        + F.least(kw.cast("double") / 10.0, F.lit(1.0)) * 0.2
+    )
+    return d.select(
+        "doc_id",
+        n_lines.cast("int").alias("n_lines"),
+        indent.cast("int").alias("indent_lines"),
+        sym.cast("int").alias("sym_cnt"),
+        kw.cast("int").alias("kw_hits"),
+        fround(score_raw, 6).alias("code_score"),
+        (score_raw >= 0.3).alias("is_code"),
+    )
+
+
+@register(
+    "multimodal_exif_parse",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'II' ELSE 'MM' END AS byte_order,
+           CAST(4 AS INTEGER) AS n_entries,
+           'CAM' || CAST(doc_id % 10 AS VARCHAR) AS make,
+           CAST(doc_id % 8 + 1 AS INTEGER) AS orientation,
+           CAST(72 + doc_id % 4 AS BIGINT) AS xres_num,
+           CAST(1 + doc_id % 3 AS BIGINT) AS xres_den,
+           '2024:01:' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+             || ' 12:00:00' AS datetime
+    FROM documents WHERE doc_id < 300
+    """,
+)
+def multimodal_exif_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL typed-metadata parse for the image column: Exif APP1 / TIFF
+    6.0 byte streams rendered in-flight (operators/multimodal.py
+    encode_exif — odd ids big-endian MM, even ids II, so BOTH byte
+    orders ship in every run) and parsed back by decode_exif: byte-order
+    mark, magic 42, IFD0 walk, ASCII/SHORT/RATIONAL type dispatch, and
+    the inline-vs-offset value rule. Orientation/resolution/capture-time
+    gates run on metadata like this long before any pixel decode, so the
+    parse is map-only over the binary column — the same Arrow batch
+    plumbing as the five pixel codecs. The oracle predicts every field
+    from the id arithmetic; a hand-written spec-bytes fixture
+    (tests/test_properties.py) keeps encoder and parser from sharing a
+    hidden layout bug. Reference analogue: opaque image bytea columns
+    (app/db/postgres.py:144-145) with no metadata model at all."""
+    from ..operators.multimodal import decode_exif_features, synthetic_exif_blob
+
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    return decode_exif_features(synthetic_exif_blob(d), "doc_id", "content")

@@ -147,6 +147,18 @@ _ALLOWED_NESTED_LOOP = {
     # one-row m_edges aggregate crossed onto the per-community frame —
     # the events_gapfill in-plan scalar pattern (round 11)
     "graph_modularity",
+    # pairwise-slope join over the DAILY AGGREGATE frame (D points for
+    # D days — calendar-bounded, D(D-1)/2 pairs over ~30 rows here),
+    # plus the one-row median-slope aggregate crossed back on: the
+    # fact table contributes only one combinable groupBy pass
+    "stats_theil_sen",
+    # benchmark-set broadcast cross (eval suites are small by nature —
+    # the ann_bruteforce_topk rationale; the too-big-to-broadcast trade
+    # is corpus_semantic_dedup's cell-bucketed variant)
+    "corpus_decontaminate_semantic",
+    # the one-row (nr, nt) totals aggregate crossed onto the 256-row
+    # bucket-delta frame — the events_gapfill in-plan scalar pattern
+    "corpus_dsir_sample",
 }
 # Single-partition exchanges allowed only where the exchanged data is
 # metadata-scale (a handful of rows), never a full table:
@@ -240,6 +252,18 @@ _ALLOWED_SINGLE_PARTITION = {
     # scalar finish): each single partition receives one
     # partial-aggregate row per upstream partition, never event rows
     "events_funnel_conversion",
+    # median-slope / intercept finishes over the calendar-bounded
+    # daily-points frame (~30 rows) and its pair frame (~435 rows) —
+    # the stats_welch_ttest scalar-finish pattern
+    "stats_theil_sen",
+    # centered-MA + seasonal windows over the HOURLY aggregate frame —
+    # bounded by the calendar (720 rows/month), never event rows; the
+    # fact table contributes one combinable groupBy(hour) pass. At
+    # 100 TB the same plan partitions by series id (docstring note)
+    "events_seasonal_decompose",
+    # the one-row (nr, nt) corpus-totals aggregates feeding the DSIR
+    # bucket-delta cross — the corpus_temperature_mix scalar pattern
+    "corpus_dsir_sample",
 }
 
 

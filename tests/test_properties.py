@@ -2804,3 +2804,82 @@ def test_logistic_irls_matches_serial_replica(spark, n, seed, parts):
     want = python_replica_fit(rows, iters=3)
     assert n_got == n
     assert got == want, (got, want)
+
+
+# ---------------------------------------------------------------------------
+# Exif / TIFF metadata codec (operators/multimodal.py encode_exif/decode_exif)
+# ---------------------------------------------------------------------------
+
+def _spec_exif_ii() -> bytes:
+    """Hand-assembled little-endian Exif blob, INDEPENDENT of
+    encode_exif: inline ASCII Make (4 bytes, exercises the inline path
+    the encoder never emits), an unknown UNDEFINED-type tag the parser
+    must skip, and the out-of-line data area in REVERSED order
+    (DateTime before XResolution) so only true offset-following parses
+    it."""
+    import struct as _s
+
+    tiff = (
+        b"II" + _s.pack("<H", 42) + _s.pack("<I", 8)
+        + _s.pack("<H", 5)
+        + _s.pack("<HHI", 0x010F, 2, 4) + b"Zed\x00"
+        + _s.pack("<HHI", 0x0112, 3, 1) + _s.pack("<H", 6) + b"\x00\x00"
+        + _s.pack("<HHI", 0x011A, 5, 1) + _s.pack("<I", 94)
+        + _s.pack("<HHI", 0x0132, 2, 20) + _s.pack("<I", 74)
+        + _s.pack("<HHI", 0x9999, 7, 4) + b"\xde\xad\xbe\xef"
+        + _s.pack("<I", 0)
+        + b"2023:12:31 23:59:58\x00"
+        + _s.pack("<II", 300, 2)
+    )
+    return b"Exif\x00\x00" + tiff
+
+
+def test_exif_parser_reads_spec_bytes():
+    from pantasia_db_sync_spark.operators.multimodal import decode_exif
+
+    d = decode_exif(_spec_exif_ii())
+    assert d["byte_order"] == "II"
+    assert d["n_entries"] == 5
+    assert d["make"] == "Zed"  # inline ASCII value
+    assert d["orientation"] == 6
+    assert (d["xres_num"], d["xres_den"]) == (300, 2)
+    assert d["datetime"] == "2023:12:31 23:59:58"
+
+
+@settings(**SETTINGS)
+@given(
+    mk=st.integers(0, 9),
+    ori=st.integers(1, 8),
+    num=st.integers(1, 10**6),
+    den=st.integers(1, 10**4),
+    day=st.integers(1, 28),
+    big=st.booleans(),
+)
+def test_exif_roundtrip_both_endians(mk, ori, num, den, day, big):
+    from pantasia_db_sync_spark.operators.multimodal import (
+        decode_exif,
+        encode_exif,
+    )
+
+    dt = f"2024:01:{day:02d} 12:00:00"
+    d = decode_exif(
+        encode_exif(f"CAM{mk}", ori, (num, den), dt, big_endian=big)
+    )
+    assert d["byte_order"] == ("MM" if big else "II")
+    assert d["make"] == f"CAM{mk}"
+    assert d["orientation"] == ori
+    assert (d["xres_num"], d["xres_den"]) == (num, den)
+    assert d["datetime"] == dt
+
+
+def test_exif_parser_rejects_garbage():
+    import pytest as _pytest
+
+    from pantasia_db_sync_spark.operators.multimodal import decode_exif
+
+    with _pytest.raises(ValueError):
+        decode_exif(b"JFIF\x00\x00II*\x00")
+    with _pytest.raises(ValueError):
+        decode_exif(b"Exif\x00\x00XX\x2a\x00")  # bad byte-order mark
+    with _pytest.raises(ValueError):
+        decode_exif(b"Exif\x00\x00II\x2b\x00\x08\x00\x00\x00")  # magic != 42
