@@ -2056,10 +2056,28 @@ def quality_filter_verdict_model_q(spark: SparkSession, sf_dir: str) -> DataFram
 _CMS_W = 512
 _CMS_D = 4
 
+def cms_buckets(tok_col):
+    """(j, bucket) probe array for one token — the 4×512 Count-Min grid
+    coordinates under the portable md5 hash; shared by the batch query
+    and its streaming twin so the sketches are definitionally equal."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("j"),
+                portable_hash_mod(
+                    F.concat(F.lit(f"cms{j}:"), tok_col), _CMS_W
+                ).alias("bucket"),
+            )
+            for j in range(_CMS_D)
+        ]
+    )
 
-@register(
-    "text_cms_heavyhitters",
-    oracle=f"""
+
+# shared by text_cms_heavyhitters and its streaming twin
+# (plans/udf_surface.py stream_cms_heavyhitters): the sketch is
+# bit-identical under ANY batching (cell-wise integer merge), so both
+# registrations prove parity against this ONE oracle.
+_CMS_HH_SQL = f"""
     WITH rawtoks AS (
       SELECT unnest(string_split(trim(text), ' ')) AS tok FROM documents
     ),
@@ -2088,8 +2106,10 @@ _CMS_D = 4
     SELECT p.tok AS token, p.exact_cnt, min(s.c) AS cms_est
     FROM probe p JOIN sketch s ON s.j = p.j AND s.bucket = p.bucket
     GROUP BY 1, 2
-    """,
-)
+    """
+
+
+@register("text_cms_heavyhitters", oracle=_CMS_HH_SQL)
 def text_cms_heavyhitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-Min sketch heavy hitters: a 4×512 counter grid
     over the corpus token stream (portable md5 hashes, so the sketch is
@@ -2107,22 +2127,7 @@ def text_cms_heavyhitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = d.select(
         F.explode(tokens_col("text")).alias("tok")
     ).where(F.col("tok") != "")
-
-    def buckets(tok_col):
-        return F.array(
-            *[
-                F.struct(
-                    F.lit(j).alias("j"),
-                    (
-                        portable_hash_mod(
-                            F.concat(F.lit(f"cms{j}:"), tok_col), _CMS_W
-                        )
-                    ).alias("bucket"),
-                )
-                for j in range(_CMS_D)
-            ]
-        )
-
+    buckets = cms_buckets
     sketch = (
         toks.select(F.explode(buckets(F.col("tok"))).alias("b"))
         .groupBy("b.j", "b.bucket")

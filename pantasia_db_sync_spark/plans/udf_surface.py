@@ -1160,3 +1160,103 @@ def stream_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
     )
     return _run_stream_to_frame(spark, writer, name, d)
+
+
+def _cms_hh_oracle() -> str:
+    from .llmdata import _CMS_HH_SQL
+
+    return _CMS_HH_SQL
+
+
+@register("stream_cms_heavyhitters", oracle=_cms_hh_oracle())
+def stream_cms_heavyhitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming heavy hitters via MERGEABLE Count-Min sketches — the
+    stream_hll_distinct pattern with an EXACT merge: each micro-batch
+    (3 document slices, one per trigger) reduces to ≤ d×w = 2048
+    (j, bucket, count) cells, and cell-wise INTEGER addition is
+    associative and lossless, so the drained sketch is BIT-IDENTICAL
+    to the one-pass batch sketch no matter how the stream was sliced.
+    That claim is proven, not asserted: this query registers against
+    the SAME oracle as text_cms_heavyhitters (plans/llmdata.py
+    _CMS_HH_SQL), so the driver's hash compare certifies
+    streaming == batch == DuckDB every round. State per trigger is a
+    kilobytes-sized counter grid independent of stream length — the
+    100 TB streaming-top-k shape (exact streaming top-k would keep
+    |distinct tokens| state). The exact top-20 probe runs once on the
+    static table only to exhibit the ≥-exact error bound."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..functions.text import tokens_col
+    from .llmdata import cms_buckets
+
+    docs = load_table(spark, sf_dir, "documents")
+    work = tempfile.mkdtemp(prefix="stream_cms_")
+    src_dir = os.path.join(work, "src")
+    os.makedirs(src_dir)
+    for i in range(3):
+        part = os.path.join(work, f"slice{i}")
+        docs.where(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(part)
+        files = [f for f in os.listdir(part) if f.endswith(".parquet")]
+        shutil.move(
+            os.path.join(part, files[0]),
+            os.path.join(src_dir, f"documents-{i}.parquet"),
+        )
+
+    partials: list = []  # ≤ 2048 sketch cells per batch — bounded state
+
+    def merge(batch_df, batch_id: int) -> None:
+        toks = batch_df.select(
+            F.explode(tokens_col("text")).alias("tok")
+        ).where(F.col("tok") != "")
+        partials.extend(
+            toks.select(F.explode(cms_buckets(F.col("tok"))).alias("b"))
+            .groupBy("b.j", "b.bucket")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+            .collect()
+        )
+
+    q = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+        .writeStream.foreachBatch(merge)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError("stream_cms_heavyhitters did not finish within 300s")
+    shutil.rmtree(work, ignore_errors=True)
+
+    sketch = (
+        spark.createDataFrame(
+            [(int(r["j"]), int(r["bucket"]), int(r["c"])) for r in partials],
+            "j int, bucket bigint, c bigint",
+        )
+        .groupBy("j", "bucket")
+        .agg(F.sum("c").cast("bigint").alias("c"))
+    )
+    toks = docs.select(F.explode(tokens_col("text")).alias("tok")).where(
+        F.col("tok") != ""
+    )
+    exact = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_cnt"))
+        .orderBy(F.col("exact_cnt").desc(), F.col("tok").asc())
+        .limit(20)
+    )
+    probe = exact.select(
+        "tok", "exact_cnt", F.explode(cms_buckets(F.col("tok"))).alias("b")
+    ).select(
+        "tok", "exact_cnt", F.col("b.j").alias("j"), F.col("b.bucket").alias("bucket")
+    )
+    return (
+        probe.join(F.broadcast(sketch), ["j", "bucket"])
+        .groupBy("tok", "exact_cnt")
+        .agg(F.min("c").cast("bigint").alias("cms_est"))
+        .select(F.col("tok").alias("token"), "exact_cnt", "cms_est")
+    )
