@@ -6054,3 +6054,211 @@ def graph_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
             c(1).cast("double") + c(2) / 2.0 + c(3) / 3.0 + c(4) / 4.0, 6
         ).alias("harmonic"),
     )
+
+
+@register(
+    "stats_hill_tail_index",
+    oracle="""
+    WITH t AS (
+      SELECT value,
+             row_number() OVER (ORDER BY value DESC, event_id ASC) AS rn
+      FROM events WHERE value > 0
+    ),
+    f AS (SELECT value, rn FROM t WHERE rn <= 101),
+    x AS (SELECT f.*, min(value) OVER () AS xk FROM f),
+    h AS (
+      SELECT CAST(floor(ln(value / xk) * 1000000 + 0.5) AS BIGINT) AS term_u
+      FROM x WHERE rn <= 100
+    )
+    SELECT CAST(count(*) AS BIGINT) AS k,
+           floor(CAST(sum(term_u) AS DOUBLE) / count(*) / 1000000 * 1000000
+                 + 0.5) / 1000000 AS hill,
+           floor(1.0 / (CAST(sum(term_u) AS DOUBLE) / count(*) / 1000000)
+                 * 1000000 + 0.5) / 1000000 AS tail_alpha
+    FROM h
+    """,
+)
+def stats_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HILL ESTIMATOR of the power-law tail index over the event-value
+    distribution — the heavy-tail diagnostic (is this metric Pareto?
+    what alpha?) that capacity planning and loss modeling start from:
+    hill = (1/k) * sum(ln(x_(i) / x_(k+1))) over the top k = 100 order
+    statistics, alpha = 1/hill. The 100 TB shape: the ONLY full-table
+    work is a TakeOrdered top-101 (per-partition heaps + a 101-row
+    merge, no global sort); everything after operates on the bounded
+    101-row frame. Each log term is floored into integer micro-units
+    before summing (order-free — the logistic-IRLS discipline), and
+    the deterministic value/event_id tie-break pins the boundary row,
+    so both engines see the identical frame and identical sum."""
+    e = load_table(spark, sf_dir, "events").where(F.col("value") > 0)
+    t = e.select("value", "event_id").orderBy(
+        F.col("value").desc(), F.col("event_id").asc()
+    ).limit(101)
+    w = Window.orderBy(F.col("value").desc(), F.col("event_id").asc())
+    wfull = Window.orderBy(F.col("value").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    x = t.select(
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.min("value").over(wfull).alias("xk"),
+    )
+    h = x.where(F.col("rn") <= 100).select(
+        F.floor(F.log(F.col("value") / F.col("xk")) * 1000000 + 0.5)
+        .cast("bigint")
+        .alias("term_u")
+    )
+    mean_u = F.sum("term_u").cast("double") / F.count(F.lit(1)) / F.lit(1000000)
+    return h.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        fround(mean_u, 6).alias("hill"),
+        fround(F.lit(1.0) / mean_u, 6).alias("tail_alpha"),
+    )
+
+
+@register(
+    "events_kaplan_meier",
+    oracle="""
+    WITH u AS (
+      SELECT user_id,
+             min(ts) AS first_ts,
+             min(CASE WHEN event_type = 'error' THEN ts END) AS death_ts,
+             max(ts) AS last_ts
+      FROM events GROUP BY 1
+    ),
+    d AS (
+      SELECT user_id,
+             death_ts IS NOT NULL AS died,
+             CAST(floor(epoch(COALESCE(death_ts, last_ts)) / 86400)
+                  - floor(epoch(first_ts) / 86400) AS BIGINT) AS dur
+      FROM u
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n_users FROM d),
+    byday AS (
+      SELECT dur AS t_day,
+             CAST(count(*) AS BIGINT) AS leaving,
+             CAST(count(*) FILTER (WHERE died) AS BIGINT) AS deaths
+      FROM d GROUP BY 1
+    ),
+    km AS (
+      SELECT t_day, deaths,
+             n_users
+               - COALESCE(sum(leaving) OVER (ORDER BY t_day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS at_risk,
+             leaving
+      FROM byday, tot
+    ),
+    s AS (
+      SELECT t_day, at_risk, deaths,
+             sum(CASE WHEN deaths > 0 AND deaths < at_risk THEN
+                   CAST(floor(ln(1.0 - CAST(deaths AS DOUBLE) / at_risk)
+                              * 1000000000 + 0.5) AS BIGINT)
+                 ELSE 0 END)
+               OVER (ORDER BY t_day ROWS UNBOUNDED PRECEDING) AS logsum_n,
+             max(CASE WHEN deaths > 0 AND deaths >= at_risk THEN 1 ELSE 0 END)
+               OVER (ORDER BY t_day ROWS UNBOUNDED PRECEDING) AS hit_zero
+      FROM km
+    )
+    SELECT t_day, CAST(at_risk AS BIGINT) AS at_risk, deaths,
+           CASE WHEN hit_zero = 1 THEN 0.0
+                ELSE floor(exp(CAST(logsum_n AS DOUBLE) / 1000000000)
+                           * 1000000 + 0.5) / 1000000 END AS survival
+    FROM s WHERE deaths > 0
+    """,
+)
+def events_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KAPLAN-MEIER survival estimator — churn/retention's canonical
+    statistic, with CENSORING done right (users who never hit the
+    'error' terminal event are censored at their last activity, not
+    dropped): S(t) = prod over death-days <= t of (1 - d_i / n_i),
+    at-risk counts n_i derived from the per-day leaving counts by a
+    cumulative window. One combinable groupBy(user) pass reduces the
+    fact table to per-user (first, death, last) timestamps; everything
+    after runs on the CALENDAR-bounded per-day frame (<= 31 rows
+    here). The cumulative product is exp of a cumulative sum of
+    per-day log terms floored into integer NANO-units — order-free
+    integer windows, identical IEEE ln/exp in both engines — so the
+    survival curve is hash-exact cross-engine."""
+    e = load_table(spark, sf_dir, "events")
+    u = e.groupBy("user_id").agg(
+        F.min("ts").alias("first_ts"),
+        F.min(F.when(F.col("event_type") == "error", F.col("ts"))).alias(
+            "death_ts"
+        ),
+        F.max("ts").alias("last_ts"),
+    )
+    d = u.select(
+        F.col("death_ts").isNotNull().alias("died"),
+        (
+            F.floor(
+                F.unix_timestamp(F.coalesce("death_ts", "last_ts")) / 86400
+            )
+            - F.floor(F.unix_timestamp("first_ts") / 86400)
+        )
+        .cast("bigint")
+        .alias("dur"),
+    )
+    byday = d.groupBy(F.col("dur").alias("t_day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("leaving"),
+        F.sum(F.when(F.col("died"), 1).otherwise(0)).cast("bigint").alias(
+            "deaths"
+        ),
+    )
+    tot = d.agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+    wprev = Window.orderBy("t_day").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    wcum = Window.orderBy("t_day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    km = byday.crossJoin(F.broadcast(tot)).select(
+        "t_day",
+        "deaths",
+        "leaving",
+        (
+            F.col("n_users")
+            - F.coalesce(F.sum("leaving").over(wprev), F.lit(0))
+        ).alias("at_risk"),
+    )
+    s = km.select(
+        "t_day",
+        "at_risk",
+        "deaths",
+        F.sum(
+            F.when(
+                (F.col("deaths") > 0) & (F.col("deaths") < F.col("at_risk")),
+                F.floor(
+                    F.log(
+                        F.lit(1.0)
+                        - F.col("deaths").cast("double") / F.col("at_risk")
+                    )
+                    * 1000000000
+                    + 0.5
+                ).cast("bigint"),
+            ).otherwise(F.lit(0).cast("bigint"))
+        )
+        .over(wcum)
+        .alias("logsum_n"),
+        # the curve hits EXACTLY zero the first day everyone at risk
+        # dies; ln(0) is undefined (and Spark/DuckDB disagree on it),
+        # so that day and everything after pin survival to 0.0
+        F.max(
+            F.when(
+                (F.col("deaths") > 0) & (F.col("deaths") >= F.col("at_risk")),
+                1,
+            ).otherwise(0)
+        )
+        .over(wcum)
+        .alias("hit_zero"),
+    )
+    return s.where(F.col("deaths") > 0).select(
+        "t_day",
+        F.col("at_risk").cast("bigint").alias("at_risk"),
+        "deaths",
+        F.when(F.col("hit_zero") == 1, F.lit(0.0))
+        .otherwise(
+            fround(F.exp(F.col("logsum_n").cast("double") / 1000000000), 6)
+        )
+        .alias("survival"),
+    )

@@ -159,6 +159,9 @@ _ALLOWED_NESTED_LOOP = {
     # the one-row (nr, nt) totals aggregate crossed onto the 256-row
     # bucket-delta frame — the events_gapfill in-plan scalar pattern
     "corpus_dsir_sample",
+    # the one-row n_users total crossed onto the calendar-bounded
+    # per-day frame — the events_gapfill in-plan scalar pattern
+    "events_kaplan_meier",
 }
 # Single-partition exchanges allowed only where the exchanged data is
 # metadata-scale (a handful of rows), never a full table:
@@ -264,6 +267,15 @@ _ALLOWED_SINGLE_PARTITION = {
     # the one-row (nr, nt) corpus-totals aggregates feeding the DSIR
     # bucket-delta cross — the corpus_temperature_mix scalar pattern
     "corpus_dsir_sample",
+    # rank/min windows over the TakeOrdered top-101 frame — 101 rows
+    # BY CONSTRUCTION (the text_hybrid_search_rrf post-limit pattern);
+    # the full table contributes only the per-partition top-k heaps
+    "stats_hill_tail_index",
+    # cumulative at-risk / log-survival windows over the
+    # calendar-bounded per-day frame (<=31 rows) — the
+    # events_cumulative_distinct_users pattern; the fact table
+    # contributes one combinable groupBy(user) pass
+    "events_kaplan_meier",
 }
 
 
