@@ -114,6 +114,13 @@ HEADLINE = [
     "multimodal_decode_mixed",
     "multimodal_decode_jpeg_420",
     "events_holt_linear",
+    # round-12 session-2 operators (still additive): the multi-source
+    # BFS centrality, the heaviest new text op, and the two new
+    # calendar-bounded stats reductions
+    "graph_harmonic_centrality",
+    "text_code_detect",
+    "stats_theil_sen",
+    "events_seasonal_decompose",
 ]
 
 REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))

@@ -3493,3 +3493,73 @@ def multimodal_exif_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
     return decode_exif_features(synthetic_exif_blob(d), "doc_id", "content")
+
+
+@register(
+    "text_tokenizer_fertility",
+    oracle="""
+    WITH f AS (
+      SELECT lang,
+             len(list_filter(string_split(trim(text), ' '), x -> x <> ''))
+               AS n_toks,
+             octet_length(encode(text)) AS n_bytes,
+             length(text) AS n_chars_m
+      FROM documents
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+           CAST(sum(n_bytes) AS BIGINT) AS n_bytes,
+           floor(CAST(sum(n_bytes) AS DOUBLE) / sum(n_toks) * 1000000 + 0.5)
+             / 1000000 AS bytes_per_token,
+           floor(CAST(sum(n_chars_m) AS DOUBLE) / sum(n_toks) * 1000000 + 0.5)
+             / 1000000 AS chars_per_token,
+           floor(CAST(sum(n_toks) AS DOUBLE) / sum(n_bytes) * 100 * 1000000
+                 + 0.5) / 1000000 AS tokens_per_100_bytes
+    FROM f GROUP BY 1
+    """,
+)
+def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOKENIZER FERTILITY per language — the tokenizer-evaluation
+    metric (tokens per byte, bytes per token) that decides vocab
+    budgets and per-language compute costs before an LLM train: a
+    tokenizer that is 'fertile' on a language (many tokens per byte)
+    makes that language expensive and under-trained at a fixed token
+    budget. Whitespace tokenization is the baseline here (BPE
+    fertility is derivable by swapping in text_bpe_apply's output);
+    everything is an integer-sum groupBy over one map-only feature
+    pass — the canonical combinable one-shuffle shape, ratios divided
+    once per GROUP from exact integer sums."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.size(
+        F.filter(
+            F.split(F.trim(F.col("text")), " "), lambda x: x != ""
+        )
+    )
+    f = d.select(
+        "lang",
+        toks.alias("n_toks"),
+        F.octet_length(F.encode("text", "UTF-8")).alias("n_bytes"),
+        F.length("text").alias("n_chars_m"),
+    )
+    g = f.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_toks").cast("bigint").alias("n_tokens"),
+        F.sum("n_bytes").cast("bigint").alias("n_bytes"),
+        F.sum("n_chars_m").cast("bigint").alias("n_chars_sum"),
+    )
+    return g.select(
+        "lang",
+        "n_docs",
+        "n_tokens",
+        "n_bytes",
+        fround(F.col("n_bytes").cast("double") / F.col("n_tokens"), 6).alias(
+            "bytes_per_token"
+        ),
+        fround(
+            F.col("n_chars_sum").cast("double") / F.col("n_tokens"), 6
+        ).alias("chars_per_token"),
+        fround(
+            F.col("n_tokens").cast("double") / F.col("n_bytes") * 100, 6
+        ).alias("tokens_per_100_bytes"),
+    )

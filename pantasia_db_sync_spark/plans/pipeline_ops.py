@@ -644,3 +644,79 @@ def replay_idempotent(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference's IdIndex protects, app/db/id_index.py:22-25)."""
     e = load_table(spark, sf_dir, "events").select("event_id", "ts", "value")
     return e.unionByName(e).dropDuplicates(["event_id"])
+
+
+@register(
+    "store_snapshot_diff",
+    oracle="""
+    WITH v1 AS (
+      SELECT c_custkey AS k, c_acctbal AS v
+      FROM customer WHERE c_custkey % 4 <> 3
+    ),
+    v2 AS (
+      SELECT c_custkey AS k,
+             CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 100
+                  ELSE c_acctbal END AS v
+      FROM customer WHERE c_custkey % 11 <> 0
+    ),
+    j AS (
+      SELECT COALESCE(v1.k, v2.k) AS k,
+             CASE WHEN v1.k IS NULL THEN 'added'
+                  WHEN v2.k IS NULL THEN 'removed'
+                  WHEN v1.v IS DISTINCT FROM v2.v THEN 'changed' END AS ct
+      FROM v1 FULL OUTER JOIN v2 ON v1.k = v2.k
+    )
+    SELECT ct AS change_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(k) AS BIGINT) AS key_sum
+    FROM j WHERE ct IS NOT NULL GROUP BY 1
+    """,
+)
+def store_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10-ext — row-level DIFF BETWEEN TWO SNAPSHOTS through a real
+    TableStore (pipeline/store.py::diff — Iceberg's snapshot-compare /
+    Delta's table_changes audit surface, previously test-covered but
+    not oracle-paired): two dim versions land under snapshot tags, and
+    diff() classifies every key as added / removed / changed via two
+    O(1)-metadata time-travel reads + ONE full-outer equi-join with
+    null-safe struct equality — no row hashing, no driver state, so
+    the plan at 100 TB is one key-partitioned shuffle of the two
+    version frames. The update set is deterministic key-mod algebra
+    (drop k%11==0, add the k%4==3 cohort, shift balances of k%7==0 by
+    an exact +100), which the oracle replays as plain SQL over the
+    base table. Unchanged keys are dropped — the audit reads only
+    churn, never the table."""
+    import shutil
+    import tempfile
+
+    from ..pipeline.store import TableStore
+
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"), F.col("c_acctbal").alias("v")
+    )
+    v1 = c.where(F.pmod(F.col("k"), 4) != 3)
+    v2 = c.where(F.pmod(F.col("k"), 11) != 0).select(
+        "k",
+        F.when(F.pmod(F.col("k"), 7) == 0, F.col("v") + 100)
+        .otherwise(F.col("v"))
+        .alias("v"),
+    )
+    d = tempfile.mkdtemp(prefix="snapdiff_store_")
+    try:
+        store = TableStore(d)
+        store.repoint("dim", store.stage("dim", v1))
+        store.snapshot("t_a")
+        store.repoint("dim", store.stage("dim", v2))
+        store.snapshot("t_b")
+        out = (
+            store.diff(spark, "dim", "t_a", "t_b", ["k"])
+            .groupBy("change_type")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n"),
+                F.sum("k").cast("bigint").alias("key_sum"),
+            )
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

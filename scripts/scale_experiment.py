@@ -1185,6 +1185,124 @@ def r12b_main() -> None:
             _shutil.rmtree(work, ignore_errors=True)
 
 
+def r12c_main() -> None:
+    """Round-12 session-2 operator scale shapes. Usage:
+    python scripts/scale_experiment.py --r12c [replicas]
+
+    - multi-source BFS (graph_harmonic_centrality's core) vs the
+      naive |seeds| sequential bfs_distances chains on the SAME
+      edges: the composite-key loop should cost ~one chain, not five.
+    - events_seasonal_decompose / stats_theil_sen /
+      events_kaplan_meier at 1x -> Rx events: each reduces the fact
+      table with one combinable pass into a CALENDAR-bounded frame
+      (hours / days), so wall should track the scan, not the frame.
+    - multimodal_exif_parse at 1x -> Rx documents: map-only Arrow
+      batches, linear and embarrassingly parallel."""
+    import shutil as _shutil
+    import tempfile as _tempfile
+    import time as _time
+
+    from pantasia_db_sync_spark.operators.components import (
+        bfs_distances,
+        multi_bfs_distances,
+    )
+    from pantasia_db_sync_spark.plans import QUERIES
+
+    replicas = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    spark = get_spark(app_name="r12c-scale-experiment")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def run(label, fn):
+        fn()  # warm
+        t0 = _time.perf_counter()
+        fn()
+        dt = _time.perf_counter() - t0
+        print(f"{label:<58} {dt:7.2f}s", flush=True)
+        return dt
+
+    # --- multi-source BFS vs sequential chains (same graph, 5 seeds)
+    li = load_table(spark, BASE_SF, "lineitem").where(F.col("l_orderkey") % 10 == 0)
+    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("v"))
+    edges = (
+        a.join(b, "k").where(F.col("u") < F.col("v")).select("u", "v").distinct()
+    )
+    edges = edges.localCheckpoint(eager=True)  # freeze: both variants read it
+    seeds = [
+        int(r[0])
+        for r in edges.select(F.explode(F.array("u", "v")).alias("n"))
+        .distinct().orderBy("n").limit(5).collect()
+    ]
+
+    def seq_bfs():
+        outs = [
+            bfs_distances(edges, src=s0, hops=4).where(F.col("dist").isNotNull())
+            for s0 in seeds
+        ]
+        big = outs[0]
+        for o in outs[1:]:
+            big = big.unionByName(o)
+        return big.count()
+
+    run(f"sequential bfs_distances x{len(seeds)} seeds", seq_bfs)
+    run(
+        f"multi_bfs_distances ({len(seeds)} seeds, one chain)",
+        lambda: multi_bfs_distances(edges, seeds=seeds, hops=4).count(),
+    )
+
+    # --- calendar-bounded reductions at 1x -> Rx events
+    e = load_table(spark, BASE_SF, "events")
+    for r in (1, replicas):
+        work = _tempfile.mkdtemp(prefix=f"r12c_ev_{r}_")
+        try:
+            parts = [e]
+            for k in range(1, r):
+                parts.append(
+                    e.selectExpr(
+                        f"event_id + {k} * 100000000 AS event_id",
+                        "ts",
+                        f"user_id + {k} * 100000000 AS user_id",
+                        "event_type",
+                        f"value * {1 + k * 0.01} AS value",
+                        "props",
+                    )
+                )
+            big = parts[0]
+            for p2 in parts[1:]:
+                big = big.unionByName(p2)
+            big.repartition(32).write.mode("overwrite").parquet(
+                work + "/events.parquet"
+            )
+            n_ev = load_table(spark, work, "events").count()
+            for q in (
+                "events_seasonal_decompose",
+                "stats_theil_sen",
+                "events_kaplan_meier",
+            ):
+                run(f"x{r} {q} ({n_ev} events)",
+                    lambda q=q: QUERIES[q](spark, work)
+                    .write.format("noop").mode("overwrite").save())
+        finally:
+            _shutil.rmtree(work, ignore_errors=True)
+
+    # --- map-only EXIF parse at 1x -> Rx documents (operator driven
+    # directly so the registered query's doc_id<300 fixture cap does
+    # not mask the scale shape)
+    from pantasia_db_sync_spark.operators.multimodal import (
+        decode_exif_features,
+        synthetic_exif_blob,
+    )
+
+    for r in (1, replicas):
+        sf_dir = BASE_SF if r == 1 else build_corpus(spark, r)
+        docs = load_table(spark, sf_dir, "documents")
+        nd = docs.count()
+        run(f"x{r} exif encode+parse ({nd} docs, uncapped)",
+            lambda docs=docs: decode_exif_features(
+                synthetic_exif_blob(docs), "doc_id", "content"
+            ).write.format("noop").mode("overwrite").save())
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--skew":
         skew_main()
@@ -1208,5 +1326,7 @@ if __name__ == "__main__":
         r12_main()
     elif len(sys.argv) > 1 and sys.argv[1] == "--r12b":
         r12b_main()
+    elif len(sys.argv) > 1 and sys.argv[1] == "--r12c":
+        r12c_main()
     else:
         main()
