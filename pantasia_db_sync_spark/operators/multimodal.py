@@ -2344,3 +2344,103 @@ def decode_exif_features(
             )
 
     return src.mapInPandas(extract, schema=EXIF_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Image ENTROPY: the blank/low-information image gate over real rasters
+# ---------------------------------------------------------------------------
+
+ENTROPY_SCHEMA = (
+    "doc_id bigint, width int, height int, n_pixels int, entropy_nats double"
+)
+
+
+def encode_bmp_gradient(width: int, height: int) -> bytes:
+    """24-bit BMP whose pixel at raster index p (any traversal order —
+    the histogram is order-free) carries gray value p % 256 in all
+    three channels: a deterministic NON-solid fixture whose exact
+    histogram (and therefore entropy) is id-predictable."""
+    rows = []
+    p = 0
+    row_len = width * 3
+    pad = (4 - row_len % 4) % 4
+    for _ in range(height):
+        row = bytearray()
+        for _ in range(width):
+            v = p % 256
+            row += bytes((v, v, v))
+            p += 1
+        rows.append(bytes(row) + b"\x00" * pad)
+    raster = b"".join(reversed(rows))  # bottom-up storage
+    size = 54 + len(raster)
+    header = (
+        b"BM"
+        + struct.pack("<IHHI", size, 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0,
+                      len(raster), 2835, 2835, 0, 0)
+    )
+    return header + raster
+
+
+def bmp_entropy_features(
+    df: DataFrame, id_col: str = "doc_id", binary_col: str = "content"
+) -> DataFrame:
+    """Shannon entropy (nats) of the gray-value histogram of a REAL
+    decoded BMP raster — the blank/solid/low-information image gate
+    every multimodal ingest runs (entropy 0 = solid color, high
+    entropy = texture). Decodes with the same from-scratch BMP walk as
+    decode_bmp, then folds the histogram with the repo's integer
+    micro-unit discipline: each value's -p*ln(p) term is floored into
+    integer NANO-units and the per-image entropy is the order-free
+    integer sum, so the oracle can replay the identical arithmetic
+    per histogram value."""
+    src = df.select(F.col(id_col).alias("doc_id"), F.col(binary_col).alias("content"))
+
+    import math as _math
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, c in zip(pdf["doc_id"], pdf["content"]):
+                b = bytes(c)
+                w = struct.unpack_from("<i", b, 18)[0]
+                h = struct.unpack_from("<i", b, 22)[0]
+                off = struct.unpack_from("<I", b, 10)[0]
+                row_len = w * 3
+                pad = (4 - row_len % 4) % 4
+                counts = [0] * 256
+                pos = off
+                for _ in range(h):
+                    for x in range(w):
+                        counts[b[pos + 3 * x]] += 1  # blue == gray here
+                    pos += row_len + pad
+                n = w * h
+                term_sum = 0
+                for cnt in counts:
+                    if cnt:
+                        p = cnt / n
+                        term_sum += _math.floor(-p * _math.log(p) * 1e9 + 0.5)
+                rows.append((int(i), w, h, n, term_sum / 1e9))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "width", "height", "n_pixels", "entropy_nats"],
+            )
+
+    return src.mapInPandas(extract, schema=ENTROPY_SCHEMA)
+
+
+def synthetic_gradient_frame(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """One gradient BMP per row, dimensions from the id (the
+    synthetic_bmp_frame fixture pattern, but NON-solid rasters so the
+    entropy is nontrivial and still oracle-predictable)."""
+    src = df.select(F.col(id_col).alias("doc_id"))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            content = [
+                encode_bmp_gradient(int(i) % 21 + 1, int(i) % 13 + 1)
+                for i in pdf["doc_id"]
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].values, "content": content})
+
+    return src.mapInPandas(gen, schema="doc_id bigint, content binary")

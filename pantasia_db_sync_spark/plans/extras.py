@@ -6262,3 +6262,61 @@ def events_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("survival"),
     )
+
+
+@register(
+    "events_top_paths",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+             array_to_string(
+               list_slice(list(event_type ORDER BY ts, event_id), 1, 8),
+               '>') AS path
+      FROM events GROUP BY 1, 2
+    )
+    SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+    FROM s GROUP BY 1
+    ORDER BY n_sessions DESC, path ASC LIMIT 20
+    """,
+)
+def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOP EVENT PATHS — funnel path mining (which journeys do users
+    actually take?): per (user, day) session, the first 8 event types
+    in (ts, event_id) order join into a path string, and the top-20
+    paths surface with deterministic tie-breaks. ONE combinable
+    groupBy builds the per-session sequences (collect_list bounded by
+    the session's events, sorted in-plan by array_sort on the
+    (ts, event_id, type) struct — no window, no driver state), a
+    second counts paths, and the finish is a TakeOrdered — never a
+    global sort. The path alphabet is |event types|^8 but only
+    OBSERVED paths materialize, so the count frame is at most
+    |sessions| rows."""
+    e = load_table(spark, sf_dir, "events")
+    s = e.groupBy(
+        "user_id",
+        F.floor(F.unix_timestamp("ts") / 86400).cast("bigint").alias("day"),
+    ).agg(
+        F.array_join(
+            F.slice(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.col("ts"), F.col("event_id"), F.col("event_type")
+                            )
+                        )
+                    ),
+                    lambda st: st.getField("event_type"),
+                ),
+                1,
+                8,
+            ),
+            ">",
+        ).alias("path")
+    )
+    return (
+        s.groupBy("path")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_sessions"))
+        .orderBy(F.col("n_sessions").desc(), F.col("path").asc())
+        .limit(20)
+    )

