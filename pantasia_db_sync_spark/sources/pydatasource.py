@@ -152,16 +152,20 @@ class LedgerStreamReader(SimpleDataSourceStreamReader):
         return {"row": 0}
 
     def read(self, start: dict):
-        # lists, not generators: Spark's prefetch cache copy.copy()s
-        # the returned iterator when planning partitions, and
-        # generators are not copyable
+        # iter(list), not a generator and not a bare list: Spark's
+        # prefetch cache copy.copy()s the returned iterator when
+        # serving planInputPartitions (generators are not copyable),
+        # AND calls next() on it to validate an offset that did not
+        # advance (a bare list fails there with "'list' object is not
+        # an iterator" once the ledger quiesces). A list_iterator
+        # supports both.
         lo = int(start["row"])
         hi = min(lo + self.batch_rows, self.n_rows)
-        return [ledger_row(rid) for rid in range(lo, hi)], {"row": hi}
+        return iter([ledger_row(rid) for rid in range(lo, hi)]), {"row": hi}
 
     def readBetweenOffsets(self, start: dict, end: dict):
-        return [
-            ledger_row(rid) for rid in range(int(start["row"]), int(end["row"]))
-        ]
+        return iter(
+            [ledger_row(rid) for rid in range(int(start["row"]), int(end["row"]))]
+        )
 
 
