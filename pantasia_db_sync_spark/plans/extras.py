@@ -6283,33 +6283,37 @@ def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TOP EVENT PATHS — funnel path mining (which journeys do users
     actually take?): per (user, day) session, the first 8 event types
     in (ts, event_id) order join into a path string, and the top-20
-    paths surface with deterministic tie-breaks. ONE combinable
-    groupBy builds the per-session sequences (collect_list bounded by
-    the session's events, sorted in-plan by array_sort on the
-    (ts, event_id, type) struct — no window, no driver state), a
-    second counts paths, and the finish is a TakeOrdered — never a
-    global sort. The path alphabet is |event types|^8 but only
-    OBSERVED paths materialize, so the count frame is at most
-    |sessions| rows."""
-    e = load_table(spark, sf_dir, "events")
-    s = e.groupBy(
-        "user_id",
-        F.floor(F.unix_timestamp("ts") / 86400).cast("bigint").alias("day"),
-    ).agg(
+    paths surface with deterministic tie-breaks. A row_number window
+    keeps only each session's first 8 events BEFORE the collect_list,
+    so per-group aggregation state is bounded by the path length — a
+    bot user with millions of events/day cannot blow up a group — and
+    the window shares its (user, day) hash partitioning with the
+    groupBy, so the plan carries ONE exchange for both. The finish is
+    a TakeOrdered — never a global sort; only OBSERVED paths
+    materialize, so the count frame is at most |sessions| rows."""
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.floor(F.unix_timestamp("ts") / 86400).cast("bigint")
+    )
+    # hot-session bound: keep only each session's first 8 events BEFORE
+    # any collect_list, so per-group state is <= 8 rows even for a bot
+    # user with millions of events/day (the window shuffles on the SAME
+    # (user, day) key the groupBy needs, so the plan carries one
+    # exchange for both)
+    wsess = Window.partitionBy("user_id", "day").orderBy("ts", "event_id")
+    head = e.withColumn("rn", F.row_number().over(wsess)).where(
+        F.col("rn") <= 8
+    )
+    s = head.groupBy("user_id", "day").agg(
         F.array_join(
-            F.slice(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(
-                            F.struct(
-                                F.col("ts"), F.col("event_id"), F.col("event_type")
-                            )
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col("ts"), F.col("event_id"), F.col("event_type")
                         )
-                    ),
-                    lambda st: st.getField("event_type"),
+                    )
                 ),
-                1,
-                8,
+                lambda st: st.getField("event_type"),
             ),
             ">",
         ).alias("path")
@@ -6319,4 +6323,127 @@ def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_sessions"))
         .orderBy(F.col("n_sessions").desc(), F.col("path").asc())
         .limit(20)
+    )
+
+
+# SPRT constants as EXACT integer nano-units, shared verbatim by the
+# Spark plan and the oracle: per-event log-likelihood-ratio terms for
+# H1 p=0.3 vs H0 p=0.2 (purchase-rate test) and Wald's alpha=beta=0.05
+# decision boundaries ln(19) / -ln(19).
+_SPRT_L1 = 405465108       # floor(ln(0.3/0.2)*1e9+0.5)
+_SPRT_L0 = -133531393      # floor(ln(0.7/0.8)*1e9+0.5)
+_SPRT_A = 2944438979       # floor(ln(19)*1e9+0.5)
+_SPRT_B = -2944438979
+
+
+@register(
+    "stats_sprt_sequential",
+    oracle=f"""
+    WITH t AS (
+      SELECT user_id % 4 AS seg, ts, event_id,
+             CASE WHEN event_type = 'purchase' THEN {_SPRT_L1}
+                  ELSE {_SPRT_L0} END AS term_u
+      FROM events WHERE event_type IN ('click', 'purchase')
+    ),
+    c AS (
+      SELECT seg,
+             row_number() OVER (PARTITION BY seg ORDER BY ts, event_id) AS rn,
+             sum(term_u) OVER (PARTITION BY seg ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS cum
+      FROM t
+    ),
+    d AS (
+      SELECT seg, rn, cum,
+             CASE WHEN cum >= {_SPRT_A} THEN 'accept_h1'
+                  WHEN cum <= {_SPRT_B} THEN 'accept_h0' END AS dec
+      FROM c
+    ),
+    fc AS (SELECT seg, min(rn) AS crn FROM d WHERE dec IS NOT NULL GROUP BY 1),
+    fcd AS (
+      SELECT d.seg, d.rn, d.cum, d.dec
+      FROM d JOIN fc ON d.seg = fc.seg AND d.rn = fc.crn
+    ),
+    tot AS (SELECT seg, max(rn) AS n_total FROM c GROUP BY 1),
+    totc AS (
+      SELECT c.seg, c.cum AS final_cum, tot.n_total
+      FROM c JOIN tot ON c.seg = tot.seg AND c.rn = tot.n_total
+    )
+    SELECT totc.seg AS segment,
+           COALESCE(fcd.dec, 'continue') AS decision,
+           CAST(COALESCE(fcd.rn, totc.n_total) AS BIGINT) AS n_at_decision,
+           floor(CAST(COALESCE(fcd.cum, totc.final_cum) AS DOUBLE)
+                 / 1000000000 * 1000000 + 0.5) / 1000000 AS llr
+    FROM totc LEFT JOIN fcd ON totc.seg = fcd.seg
+    """,
+)
+def stats_sprt_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WALD'S SPRT — the sequential A/B test that stops the experiment
+    at the FIRST decisive evidence instead of a fixed horizon (the
+    always-valid-inference primitive modern experimentation platforms
+    run): per segment, each click/purchase event adds a two-valued
+    log-likelihood-ratio term (H1 purchase-rate 0.3 vs H0 0.2), and
+    the first crossing of Wald's ln(19) boundaries (alpha = beta =
+    0.05) fixes the decision and the sample size it needed; segments
+    that never cross report 'continue' at their horizon. The LLR terms
+    are two integer NANO-UNIT constants (shared verbatim with the
+    oracle), so every cumulative sum and boundary comparison is exact
+    integer arithmetic — no float tolerance anywhere. Sequential
+    monitoring is inherently ordered PER STREAM: the window partitions
+    by segment (the experiment key), which is the honest 100 TB shape
+    — each segment's scan is the price of sequential inference, and
+    production runs it incrementally per micro-batch."""
+    e = load_table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("click", "purchase")
+    )
+    t = e.select(
+        F.pmod(F.col("user_id"), 4).alias("seg"),
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "purchase", F.lit(_SPRT_L1))
+        .otherwise(F.lit(_SPRT_L0))
+        .cast("bigint")
+        .alias("term_u"),
+    )
+    w = Window.partitionBy("seg").orderBy("ts", "event_id")
+    c = t.select(
+        "seg",
+        F.row_number().over(w).alias("rn"),
+        F.sum("term_u")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("cum"),
+    )
+    d = c.withColumn(
+        "dec",
+        F.when(F.col("cum") >= _SPRT_A, "accept_h1").when(
+            F.col("cum") <= _SPRT_B, "accept_h0"
+        ),
+    )
+    fc = (
+        d.where(F.col("dec").isNotNull())
+        .groupBy("seg")
+        .agg(F.min("rn").alias("rn"))
+        .withColumnRenamed("seg", "cseg")
+    )
+    fcd = d.join(F.broadcast(fc), ["rn"]).where(
+        F.col("seg") == F.col("cseg")
+    ).select(F.col("seg").alias("fseg"), "rn", "cum", "dec")
+    tot = (
+        c.groupBy("seg")
+        .agg(F.max("rn").alias("rn"))
+        .withColumnRenamed("seg", "tseg")
+    )
+    totc = c.join(F.broadcast(tot), ["rn"]).where(
+        F.col("seg") == F.col("tseg")
+    ).select("seg", F.col("cum").alias("final_cum"), F.col("rn").alias("n_total"))
+    return totc.join(fcd, totc["seg"] == fcd["fseg"], "left").select(
+        totc["seg"].alias("segment"),
+        F.coalesce(F.col("dec"), F.lit("continue")).alias("decision"),
+        F.coalesce(F.col("rn"), F.col("n_total")).cast("bigint").alias(
+            "n_at_decision"
+        ),
+        fround(
+            F.coalesce(F.col("cum"), F.col("final_cum")).cast("double")
+            / 1000000000,
+            6,
+        ).alias("llr"),
     )
