@@ -6447,3 +6447,113 @@ def stats_sprt_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("llr"),
     )
+
+
+def _walk_sql(steps: int, n_seeds: int) -> str:
+    """DuckDB replay of graph_deterministic_walks: the hash-argmin
+    step unrolled as chained CTEs (aggregates are not allowed in a
+    recursive term), selecting each next hop by the SAME lexicographic
+    (hash, node) string key the Spark plan minimizes."""
+    hash_expr = (
+        "CAST(concat('0x', substr(md5("
+        "'walk' || CAST({t} AS VARCHAR) || ':' || CAST(a AS VARCHAR)"
+        " || ':' || CAST(b AS VARCHAR)"
+        "), 1, 15)) AS BIGINT)"
+    )
+    parts = [
+        f"""e AS (
+      SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
+      FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+      WHERE a.l_orderkey % {_TRI_MOD} = 0 AND a.l_suppkey < b.l_suppkey
+    )""",
+        "sym AS (SELECT u AS a, v AS b FROM e UNION ALL SELECT v, u FROM e)",
+        f"w0 AS (SELECT DISTINCT a AS s, a AS node FROM sym "
+        f"ORDER BY a LIMIT {n_seeds})",
+    ]
+    for t in range(1, steps + 1):
+        h = hash_expr.format(t=t)
+        parts.append(
+            f"""w{t} AS (
+      SELECT s,
+             CAST(substr(min(
+               lpad(CAST({h} AS VARCHAR), 20, '0') || ':'
+                 || lpad(CAST(b AS VARCHAR), 10, '0')
+             ), 22, 10) AS BIGINT) AS node
+      FROM w{t - 1} JOIN sym ON sym.a = w{t - 1}.node GROUP BY s
+    )"""
+        )
+    legs = " UNION ALL ".join(
+        f"SELECT s, {t} AS step, node FROM w{t}" for t in range(steps + 1)
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+    SELECT s AS seed, CAST(step AS INTEGER) AS step, node FROM ({legs})
+    """
+    )
+
+
+@register("graph_deterministic_walks", oracle=_walk_sql(steps=4, n_seeds=5))
+def graph_deterministic_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REPRODUCIBLE pseudo-random graph walks — the node2vec-style
+    sampling primitive (walk corpora feed graph embeddings and
+    neighborhood-mixing audits) made engine-portable by replacing RNG
+    with the repo's md5 hash: from each seed, step t moves to the
+    neighbor minimizing the lexicographic (hash('walk' t : cur : v),
+    v) key — statistically arbitrary like a seeded RNG, but BIT-EXACT
+    across engines, re-runs, and partitionings (a property no
+    rand()-based walk has; it is what makes walk corpora cacheable and
+    diffable). One equi-join + one combinable min per step, all seeds
+    advancing together (the multi_bfs_distances shape), so the cost is
+    |steps| rounds regardless of seed count. Emits the full (seed,
+    step, node) trajectory."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_orderkey") % _TRI_MOD == 0
+    )
+    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("v"))
+    e = a.join(b, "k").where(F.col("u") < F.col("v")).select("u", "v").distinct()
+    sym = e.select(F.col("u").alias("a"), F.col("v").alias("b")).unionAll(
+        e.select(F.col("v").alias("a"), F.col("u").alias("b"))
+    ).localCheckpoint(eager=False)
+    from ..functions.text import portable_hash60
+
+    cur = (
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .orderBy("node")
+        .limit(5)
+        .select(F.col("node").alias("s"), "node")
+        .localCheckpoint(eager=True)
+    )
+    legs = [cur.select("s", F.lit(0).cast("int").alias("step"), "node")]
+    for t in range(1, 5):
+        h = portable_hash60(
+            F.concat(
+                F.lit(f"walk{t}:"),
+                F.col("a").cast("string"),
+                F.lit(":"),
+                F.col("b").cast("string"),
+            )
+        )
+        key = F.concat(
+            F.lpad(h.cast("string"), 20, "0"),
+            F.lit(":"),
+            F.lpad(F.col("b").cast("string"), 10, "0"),
+        )
+        cur = (
+            cur.join(sym, cur["node"] == sym["a"])
+            .select("s", key.alias("k"))
+            .groupBy("s")
+            .agg(F.min("k").alias("k"))
+            .select(
+                "s", F.substring("k", 22, 10).cast("bigint").alias("node")
+            )
+            .localCheckpoint(eager=True)
+        )
+        legs.append(cur.select("s", F.lit(t).cast("int").alias("step"), "node"))
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out.select(F.col("s").alias("seed"), "step", "node")
