@@ -2914,3 +2914,50 @@ def test_gradient_bmp_spec_bytes_and_entropy():
         math.floor(-(1 / n) * math.log(1 / n) * 1e9 + 0.5) for _ in range(n)
     ) / 1e9
     assert abs(expect - math.log(n)) < 1e-6
+
+
+def test_multi_bfs_matches_serial_bfs(spark):
+    """multi_bfs_distances ≡ a serial per-seed BFS on adversarial
+    shapes: a path (deep), a star (wide), a disconnected pair, and a
+    triangle with a pendant — covering hop-cap truncation, unreachable
+    nodes, and seeds in different components."""
+    from collections import deque
+
+    from pantasia_db_sync_spark.operators.components import multi_bfs_distances
+
+    graphs = {
+        "path": [(0, 1), (1, 2), (2, 3), (3, 4), (4, 5), (5, 6)],
+        "star": [(0, i) for i in range(1, 8)],
+        "split": [(0, 1), (1, 2), (10, 11)],
+        "pendant": [(0, 1), (1, 2), (2, 0), (2, 3)],
+    }
+    hops = 4
+    for name, edges in graphs.items():
+        adj: dict = {}
+        for u, v in edges:
+            adj.setdefault(u, set()).add(v)
+            adj.setdefault(v, set()).add(u)
+        seeds = sorted(adj)[:3]
+
+        def serial(src):
+            dist = {src: 0}
+            q = deque([src])
+            while q:
+                u = q.popleft()
+                if dist[u] >= hops:
+                    continue
+                for w in adj[u]:
+                    if w not in dist:
+                        dist[w] = dist[u] + 1
+                        q.append(w)
+            return dist
+
+        want = {
+            (s, node, d) for s in seeds for node, d in serial(s).items()
+        }
+        edf = spark.createDataFrame(edges, "u int, v int")
+        got = {
+            (r["seed"], r["node"], r["dist"])
+            for r in multi_bfs_distances(edf, seeds=seeds, hops=hops).collect()
+        }
+        assert got == want, (name, got ^ want)
