@@ -156,6 +156,11 @@ _ALLOWED_NESTED_LOOP = {
     # the ann_bruteforce_topk rationale; the too-big-to-broadcast trade
     # is corpus_semantic_dedup's cell-bucketed variant)
     "corpus_decontaminate_semantic",
+    # binary quantization IS the cheap full scan (popcount-of-XOR per
+    # candidate, 32x less memory traffic than the float dot) — the
+    # ann_bruteforce_topk rationale; indexed paths are the IVF/LSH
+    # query family
+    "ann_binary_quantized_topk",
     # the one-row (nr, nt) totals aggregate crossed onto the 256-row
     # bucket-delta frame — the events_gapfill in-plan scalar pattern
     "corpus_dsir_sample",
