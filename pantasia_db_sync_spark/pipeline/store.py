@@ -984,6 +984,30 @@ class TableStore:
             ]
         return out
 
+    def describe_history(self, spark: SparkSession, table: str) -> DataFrame:
+        """Delta's ``DESCRIBE HISTORY`` for a fact table: one row per
+        visible (commit, operation) — operation 'append' for data dirs,
+        'delete' for tombstone dirs — with the row count read from the
+        commit MANIFEST (self-healing for pre-manifest dirs), so the
+        audit is O(#commit dirs) metadata and never opens a data page.
+        An upsert shows as its two halves at the same commit id (one
+        append + one delete), which is exactly what it is on disk.
+        Branch-aware through the same dir resolution as reads."""
+
+        def cid(d: str) -> int:
+            return int(os.path.basename(d).split("=", 1)[1])
+
+        rows = [
+            (cid(d), "append", int(self._read_manifest(d)["rows"]))
+            for d in self._committed_append_dirs(table)
+        ] + [
+            (cid(d), "delete", int(self._read_manifest(d)["rows"]))
+            for d in self._committed_delete_dirs(table)
+        ]
+        return spark.createDataFrame(
+            rows, "commit_id int, operation string, n_rows bigint"
+        )
+
     def facts_stats(self, table: str) -> dict | None:
         """Fold per-commit manifests: total rows + global min/max per
         column, without reading any fact data. O(#commit dirs)."""

@@ -720,3 +720,62 @@ def store_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+@register(
+    "store_describe_history",
+    oracle="""
+    SELECT 1 AS commit_id, 'append' AS operation,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM orders WHERE o_orderkey % 3 = 0
+    UNION ALL
+    SELECT 2, 'append', CAST(count(*) AS BIGINT)
+    FROM orders WHERE o_orderkey % 3 = 1
+    UNION ALL
+    SELECT 3, 'delete', CAST(count(DISTINCT o_orderkey) AS BIGINT)
+    FROM orders WHERE o_orderkey % 5 = 0
+    UNION ALL
+    SELECT 4, 'append', CAST(count(*) AS BIGINT)
+    FROM orders WHERE o_orderkey % 3 = 2 AND o_orderkey % 7 = 0
+    UNION ALL
+    SELECT 4, 'delete', CAST(count(DISTINCT o_orderkey) AS BIGINT)
+    FROM orders WHERE o_orderkey % 3 = 2 AND o_orderkey % 7 = 0
+    """,
+)
+def store_describe_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10-ext — DESCRIBE HISTORY through a real TableStore
+    (pipeline/store.py::describe_history): two appends, an
+    equality-delete, and an upsert land; the history audit reads ONE
+    row per (commit, operation) from the commit manifests — O(#commit
+    dirs) metadata, zero data pages (the upsert honestly shows as its
+    two on-disk halves at one commit id). The oracle replays every
+    count as key-mod algebra over orders, so manifest row counts are
+    themselves under the hash gate — a wrong manifest (the thing every
+    other metadata-skipping read trusts) fails parity here."""
+    import shutil
+    import tempfile
+
+    from ..pipeline.store import TableStore
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    d = tempfile.mkdtemp(prefix="hist_store_")
+    try:
+        store = TableStore(d)
+        store.append("facts", o.where(F.col("o_orderkey") % 3 == 0), commit_id=1)
+        store.commit_append("facts", 1)
+        store.append("facts", o.where(F.col("o_orderkey") % 3 == 1), commit_id=2)
+        store.commit_append("facts", 2)
+        store.delete_facts(
+            "facts", o.where(F.col("o_orderkey") % 5 == 0), commit_id=3
+        )
+        store.commit_append("facts", 3)
+        up = o.where(
+            (F.col("o_orderkey") % 3 == 2) & (F.col("o_orderkey") % 7 == 0)
+        )
+        store.upsert_facts("facts", up, key_cols=["o_orderkey"], commit_id=4)
+        store.commit_append("facts", 4)
+        out = store.describe_history(spark, "facts")
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
