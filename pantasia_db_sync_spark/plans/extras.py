@@ -6557,3 +6557,59 @@ def graph_deterministic_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     for leg in legs[1:]:
         out = out.unionByName(leg)
     return out.select(F.col("s").alias("seed"), "step", "node")
+
+
+_PROFILE_COLS = (
+    "l_orderkey",
+    "l_partkey",
+    "l_suppkey",
+    "l_linenumber",
+    "l_shipdate",
+)
+
+
+@register(
+    "dq_column_profile",
+    oracle=" UNION ALL ".join(
+        f"""
+    SELECT '{c}' AS col_name,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(*) - count({c}) AS BIGINT) AS n_null,
+           CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+           CAST(min({c}) AS VARCHAR) AS min_s,
+           CAST(max({c}) AS VARCHAR) AS max_s
+    FROM lineitem
+    """
+        for c in _PROFILE_COLS
+    ),
+)
+def dq_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COLUMN PROFILE — the table-profiling pass every data-quality /
+    catalog tool runs first (row count, null count, exact distinct
+    cardinality, min/max per column): ONE scan computes all per-column
+    aggregates side by side (count/min/max map-side combinable; the
+    exact distincts expand per Spark's expand-operator rewrite — the
+    price of exactness; the HLL twin is agg_approx_distinct), then an
+    in-plan unpivot emits one row per column. Profiled columns are the
+    integer/date subset so min/max stringification is engine-identical
+    (float formatting is not portable — that is a CONTRACT note, not a
+    limitation: profile floats via their stats columns instead)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    aggs = []
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.count(F.lit(1)).cast("bigint").alias(f"{c}__n"),
+            (F.count(F.lit(1)) - F.count(c)).cast("bigint").alias(f"{c}__nn"),
+            F.countDistinct(c).cast("bigint").alias(f"{c}__nd"),
+            F.min(c).cast("string").alias(f"{c}__mn"),
+            F.max(c).cast("string").alias(f"{c}__mx"),
+        ]
+    wide = li.agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', {c}__n, {c}__nn, {c}__nd, {c}__mn, {c}__mx"
+        for c in _PROFILE_COLS
+    )
+    return wide.selectExpr(
+        f"stack({len(_PROFILE_COLS)}, {stack}) AS "
+        "(col_name, n, n_null, n_distinct, min_s, max_s)"
+    )

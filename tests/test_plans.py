@@ -276,6 +276,11 @@ _ALLOWED_SINGLE_PARTITION = {
     # BY CONSTRUCTION (the text_hybrid_search_rrf post-limit pattern);
     # the full table contributes only the per-partition top-k heaps
     "stats_hill_tail_index",
+    # one-row profile finish: the single partition receives one
+    # partial-aggregate row per upstream partition (the TPC-H
+    # scalar-finish pattern; the expand-operator distinct passes
+    # happen map-side first)
+    "dq_column_profile",
     # cumulative at-risk / log-survival windows over the
     # calendar-bounded per-day frame (<=31 rows) — the
     # events_cumulative_distinct_users pattern; the fact table
