@@ -6613,3 +6613,224 @@ def dq_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"stack({len(_PROFILE_COLS)}, {stack}) AS "
         "(col_name, n, n_null, n_distinct, min_s, max_s)"
     )
+
+
+@register(
+    "events_diff_in_diff",
+    oracle="""
+    WITH x AS (
+      SELECT CASE WHEN user_id % 2 = 0 THEN 'treat' ELSE 'control' END AS grp,
+             CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN 'post'
+                  ELSE 'pre' END AS period,
+             value
+      FROM events WHERE event_type IN ('click', 'purchase')
+    ),
+    g AS (
+      SELECT grp, period,
+             CAST(count(*) AS BIGINT) AS n,
+             floor(avg(value) * 1000000 + 0.5) / 1000000 AS m,
+             floor(var_samp(value) * 1000000 + 0.5) / 1000000 AS v
+      FROM x GROUP BY 1, 2
+    ),
+    w AS (
+      SELECT
+        max(CASE WHEN grp = 'treat' AND period = 'pre' THEN m END) AS tp,
+        max(CASE WHEN grp = 'treat' AND period = 'post' THEN m END) AS tq,
+        max(CASE WHEN grp = 'control' AND period = 'pre' THEN m END) AS cp,
+        max(CASE WHEN grp = 'control' AND period = 'post' THEN m END) AS cq,
+        max(CASE WHEN grp = 'treat' AND period = 'pre' THEN v / n END) AS s_tp,
+        max(CASE WHEN grp = 'treat' AND period = 'post' THEN v / n END) AS s_tq,
+        max(CASE WHEN grp = 'control' AND period = 'pre' THEN v / n END) AS s_cp,
+        max(CASE WHEN grp = 'control' AND period = 'post' THEN v / n END) AS s_cq,
+        CAST(sum(n) AS BIGINT) AS n_total
+      FROM g
+    )
+    SELECT floor(((tq - tp) - (cq - cp)) * 1000000 + 0.5) / 1000000 AS did,
+           floor(sqrt(s_tp + s_tq + s_cp + s_cq) * 1000000 + 0.5) / 1000000
+             AS se,
+           n_total
+    FROM w
+    """,
+)
+def events_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIFFERENCE-IN-DIFFERENCES — the workhorse causal estimator for
+    a rollout you could not randomize (treatment = even user ids,
+    intervention at mid-month): DiD = (treat_post - treat_pre) -
+    (control_post - control_pre), with the classical independent-means
+    standard error sqrt(sum of v_i/n_i over the four cells). ONE
+    combinable aggregation pass reduces the fact table to the 2x2
+    cell-moment frame; the estimator is scalar algebra on four rows —
+    the stats_welch_ttest shape extended to the 2x2 design. Cell means
+    and variances are micro-rounded before the cross-cell algebra so
+    both engines run identical IEEE arithmetic."""
+    e = load_table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("click", "purchase")
+    )
+    x = e.select(
+        F.when(F.pmod(F.col("user_id"), 2) == 0, "treat")
+        .otherwise("control")
+        .alias("grp"),
+        F.when(F.col("ts") >= F.lit("2024-01-16").cast("timestamp"), "post")
+        .otherwise("pre")
+        .alias("period"),
+        "value",
+    )
+    g = x.groupBy("grp", "period").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        fround(F.avg("value"), 6).alias("m"),
+        fround(F.var_samp("value"), 6).alias("v"),
+    )
+    cells = [("treat", "pre", "tp"), ("treat", "post", "tq"),
+             ("control", "pre", "cp"), ("control", "post", "cq")]
+    w = g.agg(
+        *[
+            F.max(
+                F.when(
+                    (F.col("grp") == gr) & (F.col("period") == pe), F.col("m")
+                )
+            ).alias(al)
+            for gr, pe, al in cells
+        ],
+        *[
+            F.max(
+                F.when(
+                    (F.col("grp") == gr) & (F.col("period") == pe),
+                    F.col("v") / F.col("n"),
+                )
+            ).alias(f"s_{al}")
+            for gr, pe, al in cells
+        ],
+        F.sum("n").cast("bigint").alias("n_total"),
+    )
+    return w.select(
+        fround(
+            (F.col("tq") - F.col("tp")) - (F.col("cq") - F.col("cp")), 6
+        ).alias("did"),
+        fround(
+            F.sqrt(
+                F.col("s_tp") + F.col("s_tq") + F.col("s_cp") + F.col("s_cq")
+            ),
+            6,
+        ).alias("se"),
+        "n_total",
+    )
+
+
+@register(
+    "graph_assortativity",
+    oracle=f"""
+    WITH e AS (
+      SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
+      FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+      WHERE a.l_orderkey % {{TRI}} = 0 AND a.l_suppkey < b.l_suppkey
+    ),
+    sym AS (SELECT u AS a, v AS b FROM e UNION ALL SELECT v, u FROM e),
+    deg AS (SELECT a AS node, CAST(count(*) AS BIGINT) AS d FROM sym GROUP BY 1),
+    ed AS (
+      SELECT da.d AS x, db.d AS y
+      FROM sym JOIN deg da ON da.node = sym.a JOIN deg db ON db.node = sym.b
+    ),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(y * y) AS BIGINT) AS syy
+      FROM ed
+    )
+    SELECT n AS n_directed_edges,
+           floor((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                 / sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                        * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))
+                 * 1000000 + 0.5) / 1000000 AS assortativity
+    FROM m
+    """.replace("{TRI}", "10"),
+)
+def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DEGREE ASSORTATIVITY (Newman 2002) of the supplier co-purchase
+    graph — do hubs attach to hubs (r > 0, social-network shape) or to
+    leaves (r < 0, internet/hub-spoke shape)? Computed as the Pearson
+    correlation of endpoint degrees over DIRECTED edge instances: one
+    combinable degree count, one re-join of the (already aggregated)
+    degree table onto the edge list, and a single moment aggregation
+    whose sums are all EXACT INTEGERS — the correlation is one float
+    expression over six exact values, so no rounding discipline beyond
+    the final emit is needed. Every stage shuffles on a node id or
+    reduces combinably; nothing is quadratic."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_orderkey") % _TRI_MOD == 0
+    )
+    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("v"))
+    e = a.join(b, "k").where(F.col("u") < F.col("v")).select("u", "v").distinct()
+    sym = e.select(F.col("u").alias("a"), F.col("v").alias("b")).unionAll(
+        e.select(F.col("v").alias("a"), F.col("u").alias("b"))
+    )
+    deg = sym.groupBy(F.col("a").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("d")
+    )
+    ed = (
+        sym.join(deg.select(F.col("node").alias("a"), F.col("d").alias("x")), "a")
+        .join(deg.select(F.col("node").alias("b"), F.col("d").alias("y")), "b")
+        .select("x", "y")
+    )
+    m = ed.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+    )
+    num = m["n"].cast("double") * m["sxy"] - m["sx"].cast("double") * m["sy"]
+    den = F.sqrt(
+        (m["n"].cast("double") * m["sxx"] - m["sx"].cast("double") * m["sx"])
+        * (m["n"].cast("double") * m["syy"] - m["sy"].cast("double") * m["sy"])
+    )
+    return m.select(
+        F.col("n").alias("n_directed_edges"),
+        fround(num / den, 6).alias("assortativity"),
+    )
+
+
+@register(
+    "agg_mode_exact",
+    oracle="""
+    WITH c AS (
+      SELECT o_orderstatus, o_orderpriority, CAST(count(*) AS BIGINT) AS cnt
+      FROM orders GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT o_orderstatus, o_orderpriority, cnt,
+             row_number() OVER (PARTITION BY o_orderstatus
+                                ORDER BY cnt DESC, o_orderpriority ASC) AS rn
+      FROM c
+    )
+    SELECT o_orderstatus, o_orderpriority AS mode_value, cnt AS mode_count
+    FROM r WHERE rn = 1
+    """,
+)
+def agg_mode_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT MODE per group with a DETERMINISTIC tie-break (max count,
+    then lowest value) — the thing built-in mode() aggregates in both
+    engines refuse to promise on ties, which is exactly when a data
+    pipeline's output starts flapping between runs. Shape: one
+    combinable (group, value) count, then an argmax over the
+    aggregated frame via the repo's argmax window pattern — the
+    second stage sees |groups|x|values| rows, never the table."""
+    o = load_table(spark, sf_dir, "orders")
+    c = o.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("cnt").desc(), F.col("o_orderpriority").asc()
+    )
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "o_orderstatus",
+            F.col("o_orderpriority").alias("mode_value"),
+            F.col("cnt").alias("mode_count"),
+        )
+    )

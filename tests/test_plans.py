@@ -193,6 +193,10 @@ _ALLOWED_SINGLE_PARTITION = {
     # construction, the combinable fact-table pass happened upstream
     "stats_welch_ttest",
     "stats_chi2_independence",
+    # same shape: the 2x2 cell-moment frame (DiD) and the six-integer
+    # moment row (assortativity) — combinable fact passes upstream
+    "events_diff_in_diff",
+    "graph_assortativity",
     # cumulative window over the per-length counts frame — one row per
     # DISTINCT n_chars (bounded by max document length, not corpus
     # size); the full table joins the banded result via broadcast
