@@ -6834,3 +6834,80 @@ def agg_mode_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cnt").alias("mode_count"),
         )
     )
+
+
+@register(
+    "stats_winsorized_mean",
+    oracle="""
+    WITH b AS (
+      SELECT quantile_cont(value, 0.05) AS lo,
+             quantile_cont(value, 0.95) AS hi
+      FROM events
+    ),
+    c AS (
+      SELECT CAST(floor(least(greatest(value, lo), hi) * 1000000 + 0.5)
+                  AS BIGINT) AS w_u,
+             CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS raw_u,
+             (value >= lo AND value <= hi) AS inside
+      FROM events, b
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           (SELECT floor(lo * 1000000 + 0.5) / 1000000 FROM b) AS p05,
+           (SELECT floor(hi * 1000000 + 0.5) / 1000000 FROM b) AS p95,
+           floor(CAST(sum(raw_u) AS DOUBLE) / count(*) / 1000000 * 1000000
+                 + 0.5) / 1000000 AS mean_raw,
+           floor(CAST(sum(w_u) AS DOUBLE) / count(*) / 1000000 * 1000000
+                 + 0.5) / 1000000 AS mean_winsorized,
+           floor(CAST(sum(CASE WHEN inside THEN raw_u END) AS DOUBLE)
+                 / count(*) FILTER (WHERE inside) / 1000000 * 1000000
+                 + 0.5) / 1000000 AS mean_trimmed
+    FROM c
+    """,
+)
+def stats_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WINSORIZED and TRIMMED means — the robust location estimates a
+    metrics pipeline reports next to the raw mean when heavy tails or
+    bad sensors poison it (winsorize = clip at p5/p95, trim = drop
+    outside): the exact interpolating percentiles come from one
+    aggregation, broadcast back in-plan (the events_gapfill scalar
+    pattern — no driver collect), and every mean is an order-free
+    integer micro-unit sum. One extra pass over the fact table beyond
+    the percentile scan — the honest cost of exact percentiles (the
+    streaming-friendly approximate twin is agg_approx_quantile)."""
+    e = load_table(spark, sf_dir, "events")
+    b = e.agg(
+        F.expr("percentile(value, 0.05)").alias("lo"),
+        F.expr("percentile(value, 0.95)").alias("hi"),
+    )
+    c = e.crossJoin(F.broadcast(b)).select(
+        F.floor(
+            F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))
+            * 1000000
+            + 0.5
+        )
+        .cast("bigint")
+        .alias("w_u"),
+        F.floor(F.col("value") * 1000000 + 0.5).cast("bigint").alias("raw_u"),
+        ((F.col("value") >= F.col("lo")) & (F.col("value") <= F.col("hi"))).alias(
+            "inside"
+        ),
+        "lo",
+        "hi",
+    )
+    return c.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        fround(F.min("lo"), 6).alias("p05"),
+        fround(F.min("hi"), 6).alias("p95"),
+        fround(
+            F.sum("raw_u").cast("double") / F.count(F.lit(1)) / 1000000.0, 6
+        ).alias("mean_raw"),
+        fround(
+            F.sum("w_u").cast("double") / F.count(F.lit(1)) / 1000000.0, 6
+        ).alias("mean_winsorized"),
+        fround(
+            F.sum(F.when(F.col("inside"), F.col("raw_u"))).cast("double")
+            / F.count(F.when(F.col("inside"), F.lit(1)))
+            / 1000000.0,
+            6,
+        ).alias("mean_trimmed"),
+    )

@@ -3716,3 +3716,98 @@ def ann_binary_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= 5)
         .select("q_id", "cand_id", "hamming", "cos", "rank")
     )
+
+
+@register(
+    "text_vocab_drift",
+    oracle="""
+    WITH dt AS (
+      SELECT DISTINCT doc_id, doc_id % 2 = 0 AS cohort_a,
+             unnest(string_split(trim(text), ' ')) AS tok
+      FROM documents
+    ),
+    t AS (SELECT doc_id, cohort_a, tok FROM dt WHERE tok <> ''),
+    df AS (
+      SELECT tok,
+             CAST(count(DISTINCT CASE WHEN cohort_a THEN doc_id END)
+                  AS BIGINT) AS df_a,
+             CAST(count(DISTINCT CASE WHEN NOT cohort_a THEN doc_id END)
+                  AS BIGINT) AS df_b
+      FROM t GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(count(DISTINCT CASE WHEN doc_id % 2 = 0 THEN doc_id END)
+                  AS BIGINT) AS na,
+             CAST(count(DISTINCT CASE WHEN doc_id % 2 <> 0 THEN doc_id END)
+                  AS BIGINT) AS nb
+      FROM documents
+    ),
+    d AS (
+      SELECT tok, df_a, df_b,
+             floor(ln(((df_a + 1) * CAST(nb + 1 AS DOUBLE))
+                      / ((df_b + 1) * CAST(na + 1 AS DOUBLE)))
+                   * 1000000 + 0.5) / 1000000 AS drift
+      FROM df, tot
+      WHERE df_a + df_b >= 10
+    )
+    SELECT tok AS token, df_a, df_b, drift
+    FROM d
+    ORDER BY abs(drift) DESC, token ASC LIMIT 20
+    """,
+)
+def text_vocab_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VOCABULARY DRIFT between two corpus cohorts — the distribution-
+    shift alarm a training pipeline runs when a new crawl lands (which
+    tokens exploded or vanished vs the reference cohort?): per-token
+    document frequencies in each cohort, smoothed log-odds ratio
+    ln(((df_a+1)/(na+1)) / ((df_b+1)/(nb+1))), top-20 by |drift| with
+    deterministic tie-breaks on the ROUNDED drift. One distinct
+    (doc, token) explode feeds a combinable conditional-count groupBy;
+    the two cohort totals ride as a one-row broadcast (the in-plan
+    scalar pattern); the finish is a TakeOrdered. The df floor
+    (df_a + df_b >= 10) keeps rare-token noise out of the report —
+    the standard drift-report hygiene."""
+    d = load_table(spark, sf_dir, "documents")
+    t = (
+        d.select(
+            "doc_id",
+            (F.pmod(F.col("doc_id"), 2) == 0).alias("cohort_a"),
+            F.explode(tokens_col("text")).alias("tok"),
+        )
+        .where(F.col("tok") != "")
+        .distinct()
+    )
+    df = t.groupBy("tok").agg(
+        F.countDistinct(F.when(F.col("cohort_a"), F.col("doc_id")))
+        .cast("bigint")
+        .alias("df_a"),
+        F.countDistinct(F.when(~F.col("cohort_a"), F.col("doc_id")))
+        .cast("bigint")
+        .alias("df_b"),
+    )
+    tot = d.agg(
+        F.countDistinct(
+            F.when(F.pmod(F.col("doc_id"), 2) == 0, F.col("doc_id"))
+        )
+        .cast("bigint")
+        .alias("na"),
+        F.countDistinct(
+            F.when(F.pmod(F.col("doc_id"), 2) != 0, F.col("doc_id"))
+        )
+        .cast("bigint")
+        .alias("nb"),
+    )
+    drift = fround(
+        F.log(
+            ((F.col("df_a") + 1) * (F.col("nb") + 1).cast("double"))
+            / ((F.col("df_b") + 1) * (F.col("na") + 1).cast("double"))
+        ),
+        6,
+    )
+    return (
+        df.where(F.col("df_a") + F.col("df_b") >= 10)
+        .crossJoin(F.broadcast(tot))
+        .select(F.col("tok").alias("token"), "df_a", "df_b", drift.alias("drift"))
+        .orderBy(F.abs(F.col("drift")).desc(), F.col("token").asc())
+        .limit(20)
+    )

@@ -167,6 +167,12 @@ _ALLOWED_NESTED_LOOP = {
     # the one-row n_users total crossed onto the calendar-bounded
     # per-day frame — the events_gapfill in-plan scalar pattern
     "events_kaplan_meier",
+    # the one-row p5/p95 percentile aggregate crossed onto the fact
+    # table — the events_gapfill in-plan scalar pattern
+    "stats_winsorized_mean",
+    # the one-row cohort-totals aggregate crossed onto the per-token
+    # df frame — the corpus_temperature_mix scalar pattern
+    "text_vocab_drift",
 }
 # Single-partition exchanges allowed only where the exchanged data is
 # metadata-scale (a handful of rows), never a full table:
@@ -197,6 +203,10 @@ _ALLOWED_SINGLE_PARTITION = {
     # moment row (assortativity) — combinable fact passes upstream
     "events_diff_in_diff",
     "graph_assortativity",
+    # percentile + micro-unit-mean finishes: each single partition
+    # receives one partial-aggregate state per upstream partition
+    # (the tpch_q6-class scalar finish), never event rows
+    "stats_winsorized_mean",
     # cumulative window over the per-length counts frame — one row per
     # DISTINCT n_chars (bounded by max document length, not corpus
     # size); the full table joins the banded result via broadcast
@@ -241,6 +251,8 @@ _ALLOWED_SINGLE_PARTITION = {
     "text_bpe_apply",
     # the one-row totals aggregate feeding the temperature-mix cross
     "corpus_temperature_mix",
+    # the one-row cohort-totals aggregate feeding the drift cross
+    "text_vocab_drift",
     # skyline's cross-bucket prefix max: a global window over <=
     # n_buckets per-bucket maxima — bounded by construction (the
     # dense-ids-offsets pattern), never table rows
