@@ -6739,10 +6739,12 @@ def events_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM ed
     )
     SELECT n AS n_directed_edges,
-           floor((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+           CASE WHEN (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                     * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy) > 0
+                THEN floor((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
                  / sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
                         * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))
-                 * 1000000 + 0.5) / 1000000 AS assortativity
+                 * 1000000 + 0.5) / 1000000 END AS assortativity
     FROM m
     """.replace("{TRI}", "10"),
 )
@@ -6783,13 +6785,16 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
     )
     num = m["n"].cast("double") * m["sxy"] - m["sx"].cast("double") * m["sy"]
-    den = F.sqrt(
-        (m["n"].cast("double") * m["sxx"] - m["sx"].cast("double") * m["sx"])
-        * (m["n"].cast("double") * m["syy"] - m["sy"].cast("double") * m["sy"])
-    )
+    # a degree-REGULAR graph (every node the same degree — the sampled
+    # sf0.001 co-purchase graph is complete) has zero degree variance:
+    # r is mathematically undefined and ANSI mode rightly refuses the
+    # 0/0, so both engines emit NULL for that case explicitly
+    var2 = (
+        m["n"].cast("double") * m["sxx"] - m["sx"].cast("double") * m["sx"]
+    ) * (m["n"].cast("double") * m["syy"] - m["sy"].cast("double") * m["sy"])
     return m.select(
         F.col("n").alias("n_directed_edges"),
-        fround(num / den, 6).alias("assortativity"),
+        F.when(var2 > 0, fround(num / F.sqrt(var2), 6)).alias("assortativity"),
     )
 
 
