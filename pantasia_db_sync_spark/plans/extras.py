@@ -6916,3 +6916,135 @@ def stats_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("mean_trimmed"),
     )
+
+
+@register(
+    "graph_clustering_coefficient",
+    oracle=f"""
+    WITH e AS (
+      SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
+      FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+      WHERE a.l_orderkey % {{TRI}} = 0 AND a.l_suppkey < b.l_suppkey
+    ),
+    sym AS (SELECT u AS a, v AS b FROM e UNION ALL SELECT v, u FROM e),
+    deg AS (SELECT a AS node, CAST(count(*) AS BIGINT) AS d FROM sym GROUP BY 1),
+    wedge AS (
+      SELECT s1.a AS center, s1.b AS x, s2.b AS y
+      FROM sym s1 JOIN sym s2 ON s1.a = s2.a AND s1.b < s2.b
+    ),
+    tri AS (
+      SELECT w.center AS node, CAST(count(*) AS BIGINT) AS t
+      FROM wedge w JOIN e ON e.u = w.x AND e.v = w.y
+      GROUP BY 1
+    )
+    SELECT deg.node AS suppkey, deg.d AS degree,
+           CAST(COALESCE(tri.t, 0) AS BIGINT) AS triangles,
+           CASE WHEN deg.d >= 2 THEN
+             floor(2.0 * COALESCE(tri.t, 0) / (deg.d * (deg.d - 1))
+                   * 1000000 + 0.5) / 1000000 END AS clustering
+    FROM deg LEFT JOIN tri ON tri.node = deg.node
+    """.replace("{TRI}", "10"),
+)
+def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOCAL CLUSTERING COEFFICIENT per node — how much of each node's
+    neighborhood is itself connected (the community-tightness signal
+    next to the global triangle count): C(v) = 2*tri(v) / (d(v)(d(v)-1)),
+    NULL where degree < 2 leaves it undefined. Triangles per node come
+    from the standard wedge-close join (enumerate each node's ordered
+    neighbor pairs, close them against the canonical u<v edge list) —
+    every join is an equi-join on node ids, cost O(sum of d(v)^2)
+    wedges, the same budget the global triangle count pays; no
+    quadratic-in-nodes plan anywhere. The coefficient is one float
+    expression over exact integer counts."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_orderkey") % _TRI_MOD == 0
+    )
+    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("v"))
+    e = a.join(b, "k").where(F.col("u") < F.col("v")).select("u", "v").distinct()
+    e = e.localCheckpoint(eager=False)  # freeze: feeds sym twice + the close
+    sym = e.select(F.col("u").alias("a"), F.col("v").alias("b")).unionAll(
+        e.select(F.col("v").alias("a"), F.col("u").alias("b"))
+    )
+    deg = sym.groupBy(F.col("a").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("d")
+    )
+    s1 = sym.select(F.col("a").alias("center"), F.col("b").alias("x"))
+    s2 = sym.select(F.col("a").alias("center"), F.col("b").alias("y"))
+    wedge = s1.join(s2, "center").where(F.col("x") < F.col("y"))
+    tri = (
+        wedge.join(
+            e, (e["u"] == wedge["x"]) & (e["v"] == wedge["y"])
+        )
+        .groupBy("center")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("t"))
+        .select(F.col("center").alias("node"), "t")
+    )
+    j = deg.join(tri, "node", "left").select(
+        F.col("node").alias("suppkey"),
+        F.col("d").alias("degree"),
+        F.coalesce(F.col("t"), F.lit(0)).cast("bigint").alias("triangles"),
+        F.when(
+            F.col("d") >= 2,
+            fround(
+                2.0
+                * F.coalesce(F.col("t"), F.lit(0))
+                / (F.col("d") * (F.col("d") - 1)),
+                6,
+            ),
+        ).alias("clustering"),
+    )
+    return j
+
+
+@register(
+    "events_peak_detection",
+    oracle="""
+    WITH h AS (
+      SELECT date_trunc('hour', ts) AS bucket,
+             floor(avg(value) * 1000000 + 0.5) / 1000000 AS y
+      FROM events GROUP BY 1
+    ),
+    x AS (
+      SELECT bucket, y,
+             lag(y) OVER (ORDER BY bucket) AS yp,
+             lead(y) OVER (ORDER BY bucket) AS yn
+      FROM h
+    )
+    SELECT bucket, y
+    FROM x
+    WHERE yp IS NOT NULL AND yn IS NOT NULL AND y > yp AND y > yn
+    ORDER BY y DESC, bucket ASC LIMIT 15
+    """,
+)
+def events_peak_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOCAL-MAXIMA PEAK DETECTION on the hourly series — the alerting
+    primitive between raw thresholds (events_anomaly_zscore) and
+    changepoints (events_changepoint_cusum): an interior hour is a
+    peak when it strictly beats both neighbors; the top-15 by rounded
+    height surface with deterministic tie-breaks. One combinable
+    groupBy(hour) reduces the fact table to the calendar-bounded frame
+    (720 rows/month); the lag/lead window runs there, and the finish
+    is a TakeOrdered."""
+    e = load_table(spark, sf_dir, "events")
+    h = e.groupBy(F.date_trunc("hour", F.col("ts")).alias("bucket")).agg(
+        fround(F.avg("value"), 6).alias("y")
+    )
+    w = Window.orderBy("bucket")
+    x = h.select(
+        "bucket",
+        "y",
+        F.lag("y").over(w).alias("yp"),
+        F.lead("y").over(w).alias("yn"),
+    )
+    return (
+        x.where(
+            F.col("yp").isNotNull()
+            & F.col("yn").isNotNull()
+            & (F.col("y") > F.col("yp"))
+            & (F.col("y") > F.col("yn"))
+        )
+        .select("bucket", "y")
+        .orderBy(F.col("y").desc(), F.col("bucket").asc())
+        .limit(15)
+    )

@@ -207,6 +207,9 @@ _ALLOWED_SINGLE_PARTITION = {
     # receives one partial-aggregate state per upstream partition
     # (the tpch_q6-class scalar finish), never event rows
     "stats_winsorized_mean",
+    # lag/lead window over the HOURLY aggregate frame — calendar-
+    # bounded (720 rows/month), the events_seasonal_decompose pattern
+    "events_peak_detection",
     # cumulative window over the per-length counts frame — one row per
     # DISTINCT n_chars (bounded by max document length, not corpus
     # size); the full table joins the banded result via broadcast
