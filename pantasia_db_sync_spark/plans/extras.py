@@ -7048,3 +7048,76 @@ def events_peak_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("y").desc(), F.col("bucket").asc())
         .limit(15)
     )
+
+
+@register(
+    "stats_proportion_ztest",
+    oracle="""
+    WITH g AS (
+      SELECT user_id % 2 = 0 AS cohort_a,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT)
+               AS k
+      FROM events WHERE event_type IN ('click', 'purchase')
+      GROUP BY 1
+    ),
+    w AS (
+      SELECT max(CASE WHEN cohort_a THEN n END) AS n1,
+             max(CASE WHEN cohort_a THEN k END) AS k1,
+             max(CASE WHEN NOT cohort_a THEN n END) AS n2,
+             max(CASE WHEN NOT cohort_a THEN k END) AS k2
+      FROM g
+    )
+    SELECT n1, k1, n2, k2,
+           floor(CAST(k1 AS DOUBLE) / n1 * 1000000 + 0.5) / 1000000 AS p1,
+           floor(CAST(k2 AS DOUBLE) / n2 * 1000000 + 0.5) / 1000000 AS p2,
+           floor((CAST(k1 AS DOUBLE) / n1 - CAST(k2 AS DOUBLE) / n2)
+                 / sqrt((CAST(k1 + k2 AS DOUBLE) / (n1 + n2))
+                        * (1 - CAST(k1 + k2 AS DOUBLE) / (n1 + n2))
+                        * (1.0 / n1 + 1.0 / n2))
+                 * 100000 + 0.5) / 100000 AS z_stat
+    FROM w
+    """,
+)
+def stats_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO-PROPORTION Z-TEST — the conversion-rate A/B primitive
+    (purchase rate among engaged events, even- vs odd-id cohorts),
+    completing the testing family: means (stats_welch_ttest), ranks
+    (stats_mann_whitney), sequential (stats_sprt_sequential), and now
+    proportions, with the pooled-variance z statistic. ONE combinable
+    conditional-count pass reduces the fact table to four integers;
+    the statistic is a single float expression over exact counts in
+    one fixed IEEE order — the welch scalar-finish shape."""
+    e = load_table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("click", "purchase")
+    )
+    g = e.groupBy((F.pmod(F.col("user_id"), 2) == 0).alias("cohort_a")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("bigint")
+        .alias("k"),
+    )
+    w = g.agg(
+        F.max(F.when(F.col("cohort_a"), F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("cohort_a"), F.col("k"))).alias("k1"),
+        F.max(F.when(~F.col("cohort_a"), F.col("n"))).alias("n2"),
+        F.max(F.when(~F.col("cohort_a"), F.col("k"))).alias("k2"),
+    )
+    p1 = F.col("k1").cast("double") / F.col("n1")
+    p2 = F.col("k2").cast("double") / F.col("n2")
+    pp = (F.col("k1") + F.col("k2")).cast("double") / (F.col("n1") + F.col("n2"))
+    return w.select(
+        "n1",
+        "k1",
+        "n2",
+        "k2",
+        fround(p1, 6).alias("p1"),
+        fround(p2, 6).alias("p2"),
+        fround(
+            (p1 - p2)
+            / F.sqrt(
+                pp * (1 - pp) * (F.lit(1.0) / F.col("n1") + F.lit(1.0) / F.col("n2"))
+            ),
+            5,
+        ).alias("z_stat"),
+    )

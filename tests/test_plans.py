@@ -203,6 +203,9 @@ _ALLOWED_SINGLE_PARTITION = {
     # moment row (assortativity) — combinable fact passes upstream
     "events_diff_in_diff",
     "graph_assortativity",
+    # the two-row cohort-counts frame folding to four integers — the
+    # stats_welch_ttest scalar-finish pattern
+    "stats_proportion_ztest",
     # percentile + micro-unit-mean finishes: each single partition
     # receives one partial-aggregate state per upstream partition
     # (the tpch_q6-class scalar finish), never event rows
