@@ -459,15 +459,16 @@ def multi_bfs_distances(
     sym = edges.select(
         F.col(u_col).alias("a"), F.col(v_col).alias("b")
     ).unionAll(edges.select(F.col(v_col).alias("a"), F.col(u_col).alias("b")))
-    seed_lits = [F.lit(int(s)) for s in seeds]
+    # Seed the frontier directly from the seeds list (one (s, s, 0) row
+    # per distinct seed) rather than by filtering the graph's node set:
+    # a seed absent from the edge list still gets its (seed, seed, 0)
+    # row — it is a real vertex at distance 0 from itself — instead of
+    # being silently dropped from every downstream centrality.
+    spark = edges.sparkSession
     dist = (
-        sym.select(F.col("a").alias("node"))
-        .distinct()
-        .where(F.col("node").isin(*seed_lits))
-        .select(
-            F.col("node").alias("seed"),
-            "node",
-            F.lit(0).cast("int").alias("d"),
+        spark.createDataFrame(
+            [(int(s), int(s), 0) for s in dict.fromkeys(seeds)],
+            "seed bigint, node bigint, d int",
         )
         .localCheckpoint(eager=True)
     )

@@ -3406,7 +3406,7 @@ def quality_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
                  text,
                  '\\b(def|class|return|import|function|const|var|lambda|elif|while)\\b'))
                AS kw_hits,
-             length(text) AS n_chars_m
+             greatest(length(text), 1) AS n_chars_m
       FROM documents
     )
     SELECT doc_id,
@@ -3443,7 +3443,10 @@ def text_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("text"),
         F.lit(r"\b(def|class|return|import|function|const|var|lambda|elif|while)\b"),
     )
-    nch = F.length("text")
+    # empty-text guard: Spark (non-ANSI) x/0 -> NULL but DuckDB IEEE
+    # division -> inf/NaN, so clamp the denominator identically in both
+    # engines (the oracle uses greatest(length(text), 1) too).
+    nch = F.greatest(F.length("text"), F.lit(1))
     score_raw = (
         indent.cast("double") / n_lines * 0.4
         + F.least(sym.cast("double") / nch * 10.0, F.lit(1.0)) * 0.4

@@ -785,7 +785,8 @@ def store_describe_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     "store_tpch_refresh",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+           floor(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT))
+                 / 100.0 * 100 + 0.5) / 100 AS sum_qty,
            floor(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
                  / 100.0 * 100 + 0.5) / 100 AS sum_base_price,
            CAST(count(*) AS BIGINT) AS count_order
@@ -840,12 +841,14 @@ def store_tpch_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         store.commit_append("lineitem_f", 3)
         cur = store.read_facts(spark, "lineitem_f")
         cents = F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("bigint")
+        # integer centi-unit discipline (the sum_base_price shape), not a
+        # raw double->bigint cast: Spark CAST truncates, DuckDB rounds
+        # half-even, so a raw cast only agrees while quantities are whole.
+        qcents = F.floor(F.col("l_quantity") * 100 + 0.5).cast("bigint")
         out = (
             cur.groupBy("l_returnflag", "l_linestatus")
             .agg(
-                F.sum(F.col("l_quantity").cast("bigint"))
-                .cast("bigint")
-                .alias("sum_qty"),
+                fround(F.sum(qcents) / 100.0, 2).alias("sum_qty"),
                 fround(F.sum(cents) / 100.0, 2).alias("sum_base_price"),
                 F.count(F.lit(1)).cast("bigint").alias("count_order"),
             )

@@ -2961,3 +2961,20 @@ def test_multi_bfs_matches_serial_bfs(spark):
             for r in multi_bfs_distances(edf, seeds=seeds, hops=hops).collect()
         }
         assert got == want, (name, got ^ want)
+
+
+def test_multi_bfs_seed_absent_from_graph(spark):
+    """A seed id with no edges still yields its (seed, seed, 0) row —
+    the frontier is built from the seeds list, not by filtering the
+    graph's node set, so an isolated vertex is never silently dropped
+    from a downstream centrality (r12 ADVICE contract gap)."""
+    from pantasia_db_sync_spark.operators.components import multi_bfs_distances
+
+    edf = spark.createDataFrame([(0, 1), (1, 2)], "u int, v int")
+    got = {
+        (r["seed"], r["node"], r["dist"])
+        for r in multi_bfs_distances(edf, seeds=[0, 99, 99], hops=2).collect()
+    }
+    assert (99, 99, 0) in got  # absent seed: distance 0 to itself
+    assert {t for t in got if t[0] == 99} == {(99, 99, 0)}
+    assert {t for t in got if t[0] == 0} == {(0, 0, 0), (0, 1, 1), (0, 2, 2)}
