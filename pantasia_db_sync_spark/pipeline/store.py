@@ -24,6 +24,7 @@ import datetime as _dt
 import json
 import os
 import shutil
+import time as _time
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -319,7 +320,9 @@ class TableStore:
         return spark.read.parquet(self._resolve_version_dir(table, v))
 
     def stage(self, table: str, df: DataFrame) -> int:
-        """Write a new version directory without repointing."""
+        """Write a new version directory without repointing.
+        Single-writer contract: picks head+1 unfenced — concurrent
+        writers use ``write_version_occ``."""
         v = (self.current_version(table) or 0) + 1
         path = self._data_dir(table, v)
         if os.path.exists(path):
@@ -383,7 +386,15 @@ class TableStore:
         self.repoint(table, commit_id)
 
     def commit_many(self, staged: dict[str, tuple[int, DataFrame]]) -> None:
-        """Stage-then-flip: all writes land before any pointer moves."""
+        """Stage-then-flip: all writes land before any pointer moves.
+
+        SINGLE WRITER PER BRANCH: like ``stage``/``append`` with
+        explicit commit ids, this assumes one coordinated writer (the
+        sync daemon). Uncoordinated concurrent writers must go through
+        the optimistic-concurrency fence (``begin_commit`` /
+        ``append_occ`` / ``write_version_occ``) instead — two raw
+        ``commit_many`` calls racing on the same table can both stage
+        id N+1 and lose the first writer's flip."""
         for table, (version, _) in staged.items():
             self.repoint(table, version)
 
@@ -528,6 +539,133 @@ class TableStore:
 
     def commit_append(self, table: str, commit_id: int) -> None:
         self.repoint(table, commit_id)
+
+    # --- optimistic concurrency (writer fence) --------------------------------
+    # The explicit-commit-id APIs above (append/commit_append/stage/
+    # commit_many) assume a SINGLE WRITER PER BRANCH — the reference is
+    # a single daemon, and pipeline/sync.py drives exactly one writer.
+    # Two uncoordinated processes using them can both stage commit N+1
+    # and the second pointer flip silently discards the first (the
+    # classic lost update). The fence below is the Delta/Iceberg
+    # optimistic-concurrency answer on this store's layout: a writer
+    # CLAIMS the next commit id atomically (os.open(O_CREAT|O_EXCL) on
+    # claims/<id> — the POSIX mutual-exclusion primitive; on an object
+    # store this slot would be a conditional PUT) BEFORE staging any
+    # data, so at most one writer ever stages a given id; a loser
+    # re-reads the pointer and retries against the new head once the
+    # holder flips. Claims carry the holder's pid: a claim whose pid is
+    # dead (crash between claim and flip) is STOLEN by exactly one
+    # contender via the rename-then-recreate trick — os.replace of the
+    # stale file succeeds for one stealer only — which is precisely the
+    # crash-replay path (the dead writer's partial staged dir is
+    # re-staged under the same id). Same-host liveness via kill(pid, 0)
+    # is the documented scope of the pid check; cross-host deployments
+    # need a lease timestamp instead.
+
+    def _claims_dir(self, table: str) -> str:
+        return os.path.join(self._tdir(table), "claims")
+
+    def claim_commit(self, table: str, commit_id: int) -> bool:
+        """Atomically claim ``commit_id``: True iff this process now
+        holds the exclusive right to stage and flip that id. A claim
+        held by a dead process is stolen (one contender wins the
+        os.replace race; everyone else just retries)."""
+        d = self._claims_dir(table)
+        os.makedirs(d, exist_ok=True)
+        path = os.path.join(d, str(commit_id))
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.write(fd, str(os.getpid()).encode())
+            os.close(fd)
+            return True
+        except FileExistsError:
+            pass
+        # steal-if-dead: read the holder's pid; if that process is gone,
+        # rename the stale claim aside (exactly one stealer's os.replace
+        # sees the source file) and retry the exclusive create.
+        try:
+            with open(path) as f:
+                pid = int(f.read().strip() or "0")
+        except (FileNotFoundError, ValueError):
+            return False  # holder mid-write or already stolen: retry later
+        if pid <= 0:
+            # holder is between create and pid write — or died exactly
+            # there. Retry while the file is fresh; steal a pid-less
+            # claim that has sat empty well past any write latency.
+            try:
+                if _time.time() - os.path.getmtime(path) < 5.0:
+                    return False
+            except FileNotFoundError:
+                return False
+        else:
+            try:
+                os.kill(pid, 0)
+                return False  # holder alive
+            except ProcessLookupError:
+                pass  # holder dead: steal below
+            except PermissionError:
+                return False  # alive, different user
+        try:
+            os.replace(path, path + f".dead.{os.getpid()}")
+        except FileNotFoundError:
+            return False  # another stealer won
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.write(fd, str(os.getpid()).encode())
+            os.close(fd)
+            return True
+        except FileExistsError:
+            return False
+
+    def begin_commit(
+        self, table: str, timeout_sec: float = 120.0, poll_sec: float = 0.02
+    ) -> int:
+        """Claim the next commit id above the current head, spinning
+        while a live concurrent writer holds it (the holder's flip
+        advances the head; a dead holder's claim is stolen). Returns
+        the claimed id — the caller stages under it and flips with
+        ``commit_append``; no other writer can stage the same id."""
+        deadline = _time.monotonic() + timeout_sec
+        while True:
+            head = self.current_version(table) or 0
+            cid = head + 1
+            if self.claim_commit(table, cid):
+                return cid
+            if _time.monotonic() > deadline:
+                raise TimeoutError(
+                    f"begin_commit({table!r}): commit {cid} held by a live "
+                    f"writer for > {timeout_sec}s"
+                )
+            _time.sleep(poll_sec)
+
+    def append_occ(self, table: str, df: DataFrame, **kwargs) -> int:
+        """Concurrent-writer-safe append: claim → stage → flip. Returns
+        the commit id that landed. Unlike raw ``append`` +
+        ``commit_append`` (single-writer contract), any number of
+        processes may call this on the same table; each commit lands
+        under its own claimed id and NO staged commit is ever silently
+        discarded (tests/test_store_manifest.py two-writer race)."""
+        cid = self.begin_commit(table)
+        self.append(table, df, commit_id=cid, **kwargs)
+        self.commit_append(table, cid)
+        return cid
+
+    def write_version_occ(self, table: str, df: DataFrame) -> int:
+        """Concurrent-writer-safe versioned-table write (the ``stage``
+        + ``repoint`` pair under the fence). The staged directory is a
+        FULL snapshot, so a writer whose claim is based on head N-1
+        while a crashed claimant left N unflipped still produces a
+        correct table — read-modify-write callers that must see the
+        latest committed version re-derive ``df`` after
+        ``begin_commit`` returns."""
+        cid = self.begin_commit(table)
+        path = self._data_dir(table, cid)
+        if os.path.exists(path):
+            shutil.rmtree(path)  # dead claimant's partial stage
+        df.write.mode("overwrite").parquet(path)
+        self._write_manifest(path)
+        self.repoint(table, cid)
+        return cid
 
     # --- merge-on-read equality deletes ---------------------------------------
     # The Iceberg-v2 delete-file idea on this store's commit layout: a

@@ -1303,6 +1303,195 @@ def r12c_main() -> None:
             ).write.format("noop").mode("overwrite").save())
 
 
+def _hub_graph(spark, n_edges: int, hub_share: float = 0.2):
+    """Deterministic power-law graph with ONE max-degree hub owning
+    ``hub_share`` of all edges — the adversarial shape for every
+    per-node graph operator (social/web graphs look like this; the
+    uniform-ish co-purchase fixtures do not). Non-hub endpoints are
+    Zipf(1.3)-distributed over ~n_edges/5 nodes, so there is a whole
+    degree TAIL of secondary hubs, not just the one planted spike.
+    Returns (edges_df, n_nodes, hub_degree); edges are canonical
+    u < v, distinct, localCheckpoint'ed."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    n_nodes = max(n_edges // 5, 64)
+    hub_deg = int(n_edges * hub_share)
+    # hub = node 0; distinct neighbors 1..hub_deg
+    hub_u = np.zeros(hub_deg, dtype=np.int64)
+    hub_v = np.arange(1, hub_deg + 1, dtype=np.int64)
+    # power-law bulk: Zipf exponent 1.3, folded into the node range
+    m = n_edges - hub_deg
+    u = rng.zipf(1.3, size=2 * m) % n_nodes
+    v = rng.zipf(1.3, size=2 * m) % n_nodes
+    keep = u != v
+    u, v = u[keep][:m], v[keep][:m]
+    lo, hi = np.minimum(u, v), np.maximum(u, v)
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "u": np.concatenate([hub_u, lo]),
+            "v": np.concatenate([hub_v, hi]),
+        }
+    ).drop_duplicates()
+    edf = (
+        spark.createDataFrame(pdf)
+        .repartition(32)
+        .localCheckpoint(eager=True)
+    )
+    return edf, n_nodes, hub_deg
+
+
+def gskew_main() -> None:
+    """Adversarial-graph scale table for the WHOLE graph family (r12
+    judge items 1-2). Usage:
+    python scripts/scale_experiment.py --gskew [edges_1x] [grow]
+
+    Times every graph operator shape on a power-law graph with one hub
+    owning 20% of edges, at 1x and grow-x edge counts, including the
+    clustering-coefficient CLIFF DEMO: the retired symmetrized
+    wedge-per-center plan (Sigma d^2 through the hub's single join
+    key) vs the shipped degree-oriented compact-forward plan (hub
+    pivots zero wedges). Results recorded in README.md."""
+    import time as _time
+
+    from pantasia_db_sync_spark.operators.components import (
+        connected_components,
+        kcore,
+        multi_bfs_distances,
+        pagerank,
+    )
+    from pantasia_db_sync_spark.plans.extras import _per_node_triangles
+
+    n1 = int(sys.argv[2]) if len(sys.argv) > 2 else 30_000
+    grow = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+    spark = get_spark(app_name="gskew-scale-experiment")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def run(label, fn, budget_sec=900.0):
+        fn()  # warm
+        t0 = _time.perf_counter()
+        out = fn()
+        dt = _time.perf_counter() - t0
+        print(f"{label:<62} {dt:8.2f}s  (out={out})", flush=True)
+        return dt
+
+    def clustering_old(e):
+        """The RETIRED r12 plan, kept here only as the cliff exhibit:
+        symmetrized edges, wedges enumerated per CENTER via
+        s1.join(s2, 'center') — the hub funnels hub_deg^2/2 candidate
+        rows through one join key before the close."""
+        sym = e.select(F.col("u").alias("a"), F.col("v").alias("b")).unionAll(
+            e.select(F.col("v").alias("a"), F.col("u").alias("b"))
+        )
+        s1 = sym.select(F.col("a").alias("center"), F.col("b").alias("x"))
+        s2 = sym.select(F.col("a").alias("center"), F.col("b").alias("y"))
+        wedge = s1.join(s2, "center").where(F.col("x") < F.col("y"))
+        tri = (
+            wedge.join(e, (e["u"] == wedge["x"]) & (e["v"] == wedge["y"]))
+            .groupBy("center")
+            .agg(F.count(F.lit(1)).alias("t"))
+        )
+        return tri.count()
+
+    def clustering_new(e):
+        return _per_node_triangles(e).count()
+
+    scales = (1, 4, grow) if grow > 4 else (1, grow)
+    for scale in scales:
+        n_edges = n1 * scale
+        edf, n_nodes, hub_deg = _hub_graph(spark, n_edges)
+        ne = edf.count()
+        print(
+            f"\n-- x{scale}: {ne} edges, {n_nodes} nodes, hub degree "
+            f"{hub_deg} ({hub_deg * 100 // ne}% of edges)",
+            flush=True,
+        )
+        nodes = (
+            edf.select(F.col("u").alias("node"))
+            .unionAll(edf.select(F.col("v").alias("node")))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        seeds = [int(r[0]) for r in nodes.orderBy("node").limit(5).collect()]
+        run(
+            f"x{scale} clustering NEW (degree-oriented compact-forward)",
+            lambda e=edf: clustering_new(e),
+        )
+        if scale == 1 or hub_deg <= 40_000:
+            run(
+                f"x{scale} clustering OLD (symmetrized wedge-per-center)",
+                lambda e=edf: clustering_old(e),
+            )
+        else:
+            print(
+                f"x{scale} clustering OLD skipped: hub_deg^2/2 = "
+                f"{hub_deg * hub_deg // 2} wedge rows through ONE key",
+                flush=True,
+            )
+        run(
+            f"x{scale} pagerank rounds=3",
+            lambda e=edf: pagerank(e, rounds=3).count(),
+        )
+        run(
+            f"x{scale} kcore k=4 rounds=4",
+            lambda e=edf: kcore(e, k=4, rounds=4).count(),
+        )
+        run(
+            f"x{scale} connected_components",
+            lambda e=edf, nn=nodes: connected_components(
+                e, nn, src_col="u", dst_col="v"
+            ).count(),
+        )
+        run(
+            f"x{scale} multi_bfs 5 seeds hops=3",
+            lambda e=edf, s=seeds: multi_bfs_distances(
+                e, seeds=s, hops=3
+            ).count(),
+        )
+        # link prediction: candidate volume IS Sigma d(witness)^2 by
+        # semantics (one row per witnessed pair) — uncapped only while
+        # the hub keeps it bounded; the witness-degree cap is the
+        # 100 TB knob (same treatment as dedup's max_df).
+        und = edf.unionAll(
+            edf.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+
+        def linkpred(cap=None):
+            src = und
+            if cap is not None:
+                wdeg = und.groupBy("v").agg(F.count(F.lit(1)).alias("wd"))
+                src = und.join(
+                    wdeg.where(F.col("wd") <= cap).select("v"), "v"
+                )
+            x, y = src.alias("x"), src.alias("y")
+            cn = (
+                x.join(
+                    y,
+                    (F.col("x.v") == F.col("y.v"))
+                    & (F.col("x.u") < F.col("y.u")),
+                )
+                .groupBy(F.col("x.u").alias("a"), F.col("y.u").alias("b"))
+                .agg(F.count(F.lit(1)).alias("common"))
+            )
+            return cn.where(F.col("common") >= 2).count()
+
+        if hub_deg <= 10_000:
+            run(f"x{scale} link_prediction uncapped", lambda: linkpred())
+        else:
+            print(
+                f"x{scale} link_prediction uncapped skipped: output is "
+                f">= hub_deg^2/2 = {hub_deg * hub_deg // 2} pairs by "
+                "semantics",
+                flush=True,
+            )
+        run(
+            f"x{scale} link_prediction witness-degree cap 1000",
+            lambda: linkpred(cap=1000),
+        )
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--skew":
         skew_main()
@@ -1328,5 +1517,7 @@ if __name__ == "__main__":
         r12b_main()
     elif len(sys.argv) > 1 and sys.argv[1] == "--r12c":
         r12c_main()
+    elif len(sys.argv) > 1 and sys.argv[1] == "--gskew":
+        gskew_main()
     else:
         main()
