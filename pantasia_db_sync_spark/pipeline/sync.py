@@ -722,3 +722,44 @@ class SyncEngine:
                         self.spark, t, cluster_by=self.cluster_facts_by
                     )
         return out
+
+    def run_daemon(
+        self,
+        shutdown: "GracefulShutdown",
+        poll_seconds: float = 10.0,
+        max_polls: int | None = None,
+        on_idle=None,
+    ) -> list[dict[str, int]]:
+        """The reference's daemon loop (/root/reference/app/main.py:43-57):
+        poll the source tip forever; when it advances, extend the period
+        list and sync the new periods; when it has not, back off
+        ``poll_seconds`` (the reference's "Pause 10 seconds so that
+        Postgres doesn't get spammed") and poll again. ``shutdown`` is
+        the reference's GracefulKiller: a SIGINT/SIGTERM arriving
+        mid-period lets the in-flight period's transactional commit
+        finish, then exits the loop — the next ``run_daemon`` resumes
+        from the data-derived tips (G1/G6/G7 chained).
+
+        ``on_idle`` (optional) fires once per no-new-tip poll — a
+        metrics/backoff hook; ``max_polls`` bounds the loop for tests
+        (the production daemon runs unbounded)."""
+        import time as _t
+
+        stats: list[dict[str, int]] = []
+        old_tip = None
+        polls = 0
+        while not shutdown.stop_requested:
+            if max_polls is not None and polls >= max_polls:
+                break
+            polls += 1
+            tip = self.cardano_tip()
+            if tip is not None and tip != old_tip:
+                stats.extend(self.run_sync(shutdown=shutdown))
+                old_tip = tip
+            else:
+                if on_idle is not None:
+                    on_idle()
+                if shutdown.stop_requested:
+                    break
+                _t.sleep(poll_seconds)
+        return stats
