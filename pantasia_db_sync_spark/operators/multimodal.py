@@ -31,10 +31,11 @@ DECODE_SCHEMA = "doc_id bigint, byte_len int, width int, height int, n_frames in
 
 def real_image_decode(content: bytes) -> dict:
     """Dispatch a binary image payload to the matching REAL pure-Python
-    decoder by magic bytes — BMP, PNG, GIF, or JPEG (round 11: the
-    from-scratch baseline-JPEG decoder closed this function's former
-    NotImplementedError gate). Unknown formats still raise — honest
-    partial support, never a silent guess."""
+    decoder by magic bytes — BMP, PNG, GIF, or JPEG (baseline SOF0 and,
+    since round 13, progressive SOF2 — decode_jpeg dispatches on the
+    SOF marker, so the dominant wild still-image formats are all
+    covered; the remaining honest gate is video/MP4). Unknown formats
+    still raise — honest partial support, never a silent guess."""
     if content[:2] == b"BM":
         return decode_bmp(content)
     if content[:8] == b"\x89PNG\r\n\x1a\n":
@@ -1577,10 +1578,14 @@ def synthetic_animated_gif(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 # from-scratch baseline-JPEG decoder — marker walk, DQT/DHT parse,
 # canonical-Huffman entropy decode with byte unstuffing, DC prediction,
 # dequantize, de-zigzag, naive IDCT, crop — plus the paired encoder the
-# in-flight fixtures use. Supported profile: SOF0, 8-bit precision,
-# sampling factors 1..2 (4:4:4 / 4:2:2 / 4:4:0 / 4:2:0 — the round-12
-# §A.2 MCU walk), no restart markers; anything else raises ValueError
-# (honest partial support, the decode_bmp discipline).
+# in-flight fixtures use. Supported profiles: SOF0 baseline and (round
+# 13) SOF2 PROGRESSIVE — spectral selection + successive approximation
+# per T.81 §G: DC first/refine scans (interleaved or not), per-component
+# AC band scans with EOBn runs and refinement correction bits,
+# accumulated into a coefficient store and reconstructed at EOI. Both at
+# 8-bit precision, sampling factors 1..2 (4:4:4 / 4:2:2 / 4:4:0 / 4:2:0
+# — the round-12 §A.2 MCU walk), no restart markers; anything else
+# raises ValueError (honest partial support, the decode_bmp discipline).
 #
 # Exactness contract the registered query leans on: with all-ones quant
 # tables a SOLID image is DC-only, DC = 8*(v-128) is an exact float,
@@ -1703,6 +1708,98 @@ def encode_jpeg_gray(width: int, height: int, gray: int) -> bytes:
     return bytes(out)
 
 
+def _eobrun_segment(nblocks: int, eob_codes: dict) -> bytes:
+    """Entropy bits for an all-zero AC band over ``nblocks`` blocks as
+    EOBn runs (T.81 §G.1.2.2): chunks of up to 32767 blocks, each one
+    EOBn symbol (run length category in the high nibble) plus that many
+    extra bits — so every progressive fixture exercises the decoder's
+    r>0 EOB-run path, not just single EOBs."""
+    w = _BitWriter()
+    n = nblocks
+    while n > 0:
+        chunk = min(n, 32767)
+        rbits = chunk.bit_length() - 1
+        code, ln = eob_codes[rbits << 4]
+        w.put(code, ln)
+        if rbits:
+            w.put(chunk - (1 << rbits), rbits)
+        n -= chunk
+    return w.flush()
+
+
+#: AC Huffman symbols for the progressive encoder's all-zero bands:
+#: EOBn run-length symbols (r << 4) for r = 0..14, all at code length 8.
+_EOB_SYMS = [r << 4 for r in range(15)]
+_EOB_CODES = {sym: (i, 8) for i, sym in enumerate(sorted(_EOB_SYMS))}
+
+
+def encode_jpeg_gray_progressive(width: int, height: int, gray: int) -> bytes:
+    """Render a SOLID-gray PROGRESSIVE JPEG (SOF2, 1 component,
+    all-ones quant table) with the canonical four-scan script:
+
+    1. DC first        (Ss=0, Se=0, Ah=0, Al=1) — coarse DC, point
+       transform 1 (arithmetic shift, T.81 §G.1.2.1);
+    2. AC first 1..63  (Ah=0, Al=1) — all-zero band sent as EOBn runs;
+    3. DC refinement   (Ah=1, Al=0) — one raw bit per block;
+    4. AC refinement 1..63 (Ah=1, Al=0) — EOBn runs again.
+
+    Solid blocks are DC-only with DC = 8*(gray-128) exactly, and
+    (DC >> 1) << 1 | (DC & 1) == DC for any sign, so the four scans
+    reassemble the exact coefficient — the decoded mean is the id-
+    predictable bit-for-bit fixture, same contract as the baseline
+    twin."""
+    if not (0 < width and 0 < height and 0 <= gray <= 255):
+        raise ValueError("bad solid-JPEG parameters")
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes([1] * 64)
+    out += (
+        b"\xff\xc2"  # SOF2: progressive DCT
+        + struct.pack(">H", 11)
+        + b"\x08"
+        + struct.pack(">HH", height, width)
+        + b"\x01"
+        + bytes([1, 0x11, 0])
+    )
+    out += _dht_segment(0, 0, _DC_SYMS, 4)
+    out += _dht_segment(1, 0, sorted(_EOB_SYMS), 8)
+    nblocks = ((width + 7) // 8) * ((height + 7) // 8)
+    dc = round(8.0 * (gray - 128))
+
+    def sos(ss: int, se: int, ah: int, al: int) -> bytes:
+        return (
+            b"\xff\xda"
+            + struct.pack(">H", 8)
+            + b"\x01"
+            + bytes([1, 0x00, ss, se, (ah << 4) | al])
+        )
+
+    # scan 1: DC first at Al=1 — codes (dc >> 1) as ordinary DC diffs
+    w = _BitWriter()
+    hi = dc >> 1
+    pred = 0
+    for _ in range(nblocks):
+        diff = hi - pred
+        pred = hi
+        t = _category(diff)
+        code, ln = _DC_CODES[t]
+        w.put(code, ln)
+        if t:
+            bits = diff if diff > 0 else diff + (1 << t) - 1
+            w.put(bits & ((1 << t) - 1), t)
+    out += sos(0, 0, 0, 1) + w.flush()
+    # scan 2: AC first, band 1..63 — all zero, pure EOBn runs
+    out += sos(1, 63, 0, 1) + _eobrun_segment(nblocks, _EOB_CODES)
+    # scan 3: DC refinement — the low DC bit, one raw bit per block
+    w = _BitWriter()
+    for _ in range(nblocks):
+        w.put(dc & 1, 1)
+    out += sos(0, 0, 1, 0) + w.flush()
+    # scan 4: AC refinement, band 1..63 — zero history, EOBn runs
+    out += sos(1, 63, 1, 0) + _eobrun_segment(nblocks, _EOB_CODES)
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
 class _BitReader:
     """Entropy-segment bit reader with 0xFF00 unstuffing; stops at any
     real marker (a 0xFF followed by non-zero)."""
@@ -1804,13 +1901,20 @@ def decode_jpeg(content: bytes) -> dict:
     htables: dict[tuple, dict] = {}
     comps: list[dict] = []
     width = height = 0
-    while pos + 4 <= len(content):
+    prog: dict | None = None  # progressive (SOF2) accumulation state
+    while pos + 2 <= len(content):
         if content[pos] != 0xFF:
             raise ValueError("marker expected")
         marker = content[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI
+            if prog is not None and prog["nscans"] > 0:
+                return _reconstruct_progressive(
+                    width, height, comps, prog, qtables
+                )
             raise ValueError("no scan data before EOI")
+        if pos + 2 > len(content):
+            raise ValueError("truncated segment")
         seglen = struct.unpack_from(">H", content, pos)[0]
         if pos + seglen > len(content):
             raise ValueError("truncated segment")
@@ -1823,7 +1927,7 @@ def decode_jpeg(content: bytes) -> dict:
                     raise ValueError("16-bit quant tables unsupported")
                 qtables[tq] = list(body[i + 1 : i + 65])
                 i += 65
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
             if body[0] != 8:
                 raise ValueError("only 8-bit precision supported")
             height, width = struct.unpack_from(">HH", body, 1)
@@ -1836,9 +1940,47 @@ def decode_jpeg(content: bytes) -> dict:
                         "sampling factors above 2 unsupported"
                     )  # covers 4:4:4 / 4:2:2 / 4:4:0 / 4:2:0
                 comps.append({"id": cid, "tq": tq, "h": h, "v": v})
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+            if marker == 0xC2:
+                # progressive: padded per-component block grids + a
+                # zigzag-order coefficient store scans accumulate into
+                if len(comps) == 1:
+                    factors = [(1, 1)]
+                    hmax = vmax = 1
+                else:
+                    factors = [(c["h"], c["v"]) for c in comps]
+                    hmax = max(h for h, _ in factors)
+                    vmax = max(v for _, v in factors)
+                mcux = (width + 8 * hmax - 1) // (8 * hmax)
+                mcuy = (height + 8 * vmax - 1) // (8 * vmax)
+                meta, coefs = [], []
+                for h, v in factors:
+                    cw = (width * h + hmax - 1) // hmax
+                    ch = (height * v + vmax - 1) // vmax
+                    bw, bh = mcux * h, mcuy * v
+                    meta.append(
+                        {
+                            "h": h,
+                            "v": v,
+                            "bw": bw,
+                            "bh": bh,
+                            "cw": cw,
+                            "ch": ch,
+                            "cbw": (cw + 7) // 8,
+                            "cbh": (ch + 7) // 8,
+                        }
+                    )
+                    coefs.append([[0] * 64 for _ in range(bw * bh)])
+                prog = {
+                    "meta": meta,
+                    "coefs": coefs,
+                    "mcux": mcux,
+                    "mcuy": mcuy,
+                    "htables": htables,
+                    "nscans": 0,
+                }
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
-            raise ValueError("only baseline SOF0 supported")
+            raise ValueError("only SOF0 baseline / SOF2 progressive supported")
         elif marker == 0xC4:  # DHT
             i = 0
             while i < len(body):
@@ -1853,6 +1995,27 @@ def decode_jpeg(content: bytes) -> dict:
                 raise ValueError("restart intervals unsupported")
         elif marker == 0xDA:  # SOS
             ns = body[0]
+            if prog is not None:
+                scan_p = []
+                for c in range(ns):
+                    cid, tt = body[1 + 2 * c], body[2 + 2 * c]
+                    ci = next(
+                        i for i, x in enumerate(comps) if x["id"] == cid
+                    )
+                    scan_p.append((ci, tt >> 4, tt & 0xF))
+                ss, se, ahal = body[1 + 2 * ns : 4 + 2 * ns]
+                pos = _decode_progressive_scan(
+                    content,
+                    pos + seglen,
+                    scan_p,
+                    ss,
+                    se,
+                    ahal >> 4,
+                    ahal & 0xF,
+                    prog,
+                )
+                prog["nscans"] += 1
+                continue
             scan = []
             for c in range(ns):
                 cid, tt = body[1 + 2 * c], body[2 + 2 * c]
@@ -1892,6 +2055,218 @@ def _decode_block(r, dct, act, q, pred_ci: int) -> tuple[list, int]:
     for i in range(64):
         coef[_ZIGZAG[i]] = zz[i] * q[i]
     return _idct_block(coef), pred_ci
+
+
+def _ac_first_block(r, act, zz, ss, se, al, eobrun) -> int:
+    """Progressive AC first scan (Ah=0) for ONE block's band Ss..Se
+    (T.81 §G.1.2.2): run/size pairs place new coefficients scaled by
+    << Al; an EOBn symbol (size 0, run < 15) starts an EOB run of
+    (1 << run) + extra-bits blocks INCLUDING this one. Returns the
+    remaining EOB-run count (blocks still to skip)."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = _huff_decode(r, act)
+        run, size = rs >> 4, rs & 0xF
+        if size == 0:
+            if run == 15:  # ZRL: sixteen zeros
+                k += 16
+                continue
+            eobrun = (1 << run) - 1
+            if run:
+                eobrun += r.bits(run)
+            break
+        k += run
+        if k > se:
+            raise ValueError("AC coefficient outside the spectral band")
+        zz[k] = _extend(r.bits(size), size) << al
+        k += 1
+    return eobrun
+
+
+def _ac_refine_block(r, act, zz, ss, se, al, eobrun) -> int:
+    """Progressive AC refinement (Ah=Al+1) for ONE block's band
+    (T.81 §G.1.2.3): already-nonzero coefficients each receive a
+    correction bit (magnitude grows toward the sign when the bit is 1
+    and the Al bit is still clear); run/size pairs insert NEWLY nonzero
+    coefficients of magnitude 1<<Al after skipping ``run`` zero-history
+    positions; EOBn runs cover whole blocks whose remaining band gets
+    corrections only. Returns the remaining EOB-run count."""
+    plus = 1 << al
+    minus = -1 << al
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = _huff_decode(r, act)
+            run, size = rs >> 4, rs & 0xF
+            val = 0
+            if size == 0:
+                if run < 15:
+                    eobrun = 1 << run
+                    if run:
+                        eobrun += r.bits(run)
+                    break  # rest of this block in the EOB section below
+                # run == 15: skip 16 zero-history coefficients
+            else:
+                if size != 1:
+                    raise ValueError("refinement scan with size != 1")
+                val = plus if r.bit() else minus
+            while k <= se:
+                c = zz[k]
+                if c != 0:
+                    if r.bit() and (c & plus) == 0:
+                        zz[k] = c + (plus if c >= 0 else minus)
+                else:
+                    if run == 0:
+                        break
+                    run -= 1
+                k += 1
+            if val != 0:
+                if k > se:
+                    raise ValueError("refinement insert outside the band")
+                zz[k] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            c = zz[k]
+            if c != 0:
+                if r.bit() and (c & plus) == 0:
+                    zz[k] = c + (plus if c >= 0 else minus)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _decode_progressive_scan(content, pos, scan, ss, se, ah, al, prog) -> int:
+    """Decode one progressive SOS into the accumulated coefficient
+    store and return the stream position of the next marker.
+
+    ``scan`` holds (comp_index, td, ta) triples; ``prog`` carries the
+    per-component padded block grids and zigzag-order coefficient
+    arrays. DC scans (Ss=0) may be interleaved (MCU walk, §A.2) or
+    single-component (§A.2.2, the component's OWN block grid); AC
+    scans are single-component by spec."""
+    r = _BitReader(content, pos)
+    htables = prog["htables"]
+    meta = prog["meta"]
+    coefs = prog["coefs"]
+    if ss == 0:
+        if se != 0:
+            raise ValueError("DC progressive scan must have Se = 0")
+        dct_for = {}
+        if ah == 0:
+            for ci, td, _ in scan:
+                t = htables.get((0, td))
+                if t is None:
+                    raise ValueError("scan references undefined DC table")
+                dct_for[ci] = t
+        pred = {ci: 0 for ci, _, _ in scan}
+
+        def dc_unit(ci: int, idx: int) -> None:
+            zz = coefs[ci][idx]
+            if ah == 0:
+                t = _huff_decode(r, dct_for[ci])
+                pred[ci] += _extend(r.bits(t), t) if t else 0
+                zz[0] = pred[ci] << al
+            else:
+                zz[0] |= r.bit() << al
+
+        if len(scan) > 1:  # interleaved MCU walk
+            for mcu in range(prog["mcux"] * prog["mcuy"]):
+                mx, my = mcu % prog["mcux"], mcu // prog["mcux"]
+                for ci, _, _ in scan:
+                    h, v, bw = meta[ci]["h"], meta[ci]["v"], meta[ci]["bw"]
+                    for vy in range(v):
+                        for hx in range(h):
+                            dc_unit(ci, (my * v + vy) * bw + (mx * h + hx))
+        else:  # non-interleaved: the component's own block grid
+            ci = scan[0][0]
+            cbw, cbh, bw = meta[ci]["cbw"], meta[ci]["cbh"], meta[ci]["bw"]
+            for by in range(cbh):
+                for bx in range(cbw):
+                    dc_unit(ci, by * bw + bx)
+    else:
+        if len(scan) != 1:
+            raise ValueError("AC progressive scan must be single-component")
+        ci, _, ta = scan[0]
+        act = htables.get((1, ta))
+        if act is None:
+            raise ValueError("scan references undefined AC table")
+        cbw, cbh, bw = meta[ci]["cbw"], meta[ci]["cbh"], meta[ci]["bw"]
+        eobrun = 0
+        fn = _ac_first_block if ah == 0 else _ac_refine_block
+        for by in range(cbh):
+            for bx in range(cbw):
+                eobrun = fn(r, act, coefs[ci][by * bw + bx], ss, se, al, eobrun)
+    # skip to the next marker (partial final byte + stuffing included)
+    pos = r.pos
+    while pos + 1 < len(content) and not (
+        content[pos] == 0xFF and content[pos + 1] != 0x00
+    ):
+        pos += 1
+    return pos
+
+
+def _reconstruct_progressive(width, height, comps, prog, qtables) -> dict:
+    """EOI hit: dequantize + de-zigzag + IDCT the accumulated
+    coefficient store and emit the same output contract as the
+    baseline `_decode_scan` (per-component means over the CROPPED
+    component rasters, §A.1.1 subsampled dims)."""
+    meta = prog["meta"]
+    means = []
+    planes, strides, comp_dims = [], [], []
+    for ci, comp in enumerate(comps):
+        q = qtables.get(comp["tq"])
+        if q is None:
+            raise ValueError("component references undefined quant table")
+        m = meta[ci]
+        bw, bh = m["bw"], m["bh"]
+        stride = bw * 8
+        plane = [0.0] * (stride * bh * 8)
+        for by in range(bh):
+            for bx in range(bw):
+                zz = prog["coefs"][ci][by * bw + bx]
+                coef = [0] * 64
+                for i in range(64):
+                    coef[_ZIGZAG[i]] = zz[i] * q[i]
+                px = _idct_block(coef)
+                ox, oy = bx * 8, by * 8
+                for y in range(8):
+                    base = (oy + y) * stride + ox
+                    row = px[y * 8 : y * 8 + 8]
+                    for x in range(8):
+                        val = row[x] + 128.0
+                        plane[base + x] = (
+                            0.0 if val < 0 else (255.0 if val > 255 else val)
+                        )
+        cw, ch = m["cw"], m["ch"]
+        tot = 0.0
+        for y in range(ch):
+            tot += sum(plane[y * stride : y * stride + cw])
+        means.append(tot / (cw * ch))
+        planes.append(plane)
+        strides.append(stride)
+        comp_dims.append((cw, ch))
+    out = {
+        "width": width,
+        "height": height,
+        "channels": len(comps),
+        "progressive": True,
+        "planes": planes,
+        "plane_stride": strides[0],
+        "plane_strides": strides,
+        "comp_dims": comp_dims,
+    }
+    if len(comps) == 1:
+        out["mean_gray"] = means[0]
+    else:
+        out["mean_y"], out["mean_cb"], out["mean_cr"] = (
+            means[0],
+            means[1],
+            means[2],
+        )
+    return out
 
 
 def _decode_scan(content, pos, width, height, scan, qtables, htables) -> dict:
@@ -1999,12 +2374,35 @@ def synthetic_jpeg_frame(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return src.mapInPandas(gen, schema="doc_id bigint, content binary")
 
 
+def synthetic_jpeg_progressive_frame(
+    df: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Real encoded bytes for the PROGRESSIVE JPEG path: one solid-gray
+    SOF2 stream per row (the four-scan DC/AC first+refine script, EOBn
+    runs included), dims/level from the same id arithmetic as the
+    baseline twin — widths 1..21, heights 1..13, gray (id*11)%256."""
+    src = df.select(F.col(id_col).alias("doc_id"))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            content = [
+                encode_jpeg_gray_progressive(
+                    int(i) % 21 + 1, int(i) % 13 + 1, (int(i) * 11) % 256
+                )
+                for i in pdf["doc_id"]
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].values, "content": content})
+
+    return src.mapInPandas(gen, schema="doc_id bigint, content binary")
+
+
 def decode_jpeg_features(
     df: DataFrame, id_col: str = "doc_id", binary_col: str = "content"
 ) -> DataFrame:
-    """mapInPandas over a binary column with the REAL JPEG decoder —
-    Arrow-batched, embarrassingly parallel, same shape as the BMP/PNG
-    twins."""
+    """mapInPandas over a binary column with the REAL JPEG decoder
+    (baseline SOF0 and progressive SOF2 alike — decode_jpeg dispatches
+    on the SOF marker) — Arrow-batched, embarrassingly parallel, same
+    shape as the BMP/PNG twins."""
     src = df.select(F.col(id_col).alias("doc_id"), F.col(binary_col).alias("content"))
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

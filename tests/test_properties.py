@@ -877,8 +877,9 @@ def test_jpeg_three_component_interleaved_solid():
 
 
 def test_jpeg_rejects_unsupported_profiles():
-    """Progressive (SOF2), subsampled, and truncated streams raise
-    ValueError — honest partial support, never a silent wrong decode."""
+    """Malformed-progressive, extended-sequential (SOF1),
+    over-subsampled, and truncated streams raise ValueError — honest
+    partial support, never a silent wrong decode."""
     import struct as _struct
 
     import pytest
@@ -889,8 +890,14 @@ def test_jpeg_rejects_unsupported_profiles():
     )
 
     good = encode_jpeg_gray(8, 8, 10)
-    with pytest.raises(ValueError, match="baseline"):
+    # SOF2 is a REAL profile since round 13 — but a baseline scan
+    # script under an SOF2 header is malformed (full-band DC scan) and
+    # must still raise, never silently misdecode
+    with pytest.raises(ValueError, match="Se = 0"):
         decode_jpeg(good.replace(b"\xff\xc0", b"\xff\xc2", 1))
+    # extended-sequential (SOF1) stays honestly unsupported
+    with pytest.raises(ValueError, match="SOF0"):
+        decode_jpeg(good.replace(b"\xff\xc0", b"\xff\xc1", 1))
     with pytest.raises(ValueError):
         decode_jpeg(good[:-20])
     with pytest.raises(ValueError, match="not a JPEG"):
@@ -2978,3 +2985,220 @@ def test_multi_bfs_seed_absent_from_graph(spark):
     assert (99, 99, 0) in got  # absent seed: distance 0 to itself
     assert {t for t in got if t[0] == 99} == {(99, 99, 0)}
     assert {t for t in got if t[0] == 0} == {(0, 0, 0), (0, 1, 1), (0, 2, 2)}
+
+
+def test_jpeg_progressive_solid_roundtrip_bit_exact():
+    """encode_jpeg_gray_progressive -> decode_jpeg is BIT-EXACT for
+    solid images across partial edge blocks and multi-block rasters
+    (the four-scan DC-first / AC-first / DC-refine / AC-refine script,
+    EOBn runs with r > 0 included for every raster above 1 block), and
+    agrees exactly with the baseline twin of the same pixels."""
+    from pantasia_db_sync_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg_gray,
+        encode_jpeg_gray_progressive,
+    )
+
+    for w, h, g in [(1, 1, 0), (8, 8, 255), (21, 13, 137), (100, 40, 77)]:
+        d = decode_jpeg(encode_jpeg_gray_progressive(w, h, g))
+        assert (d["width"], d["height"], d["channels"]) == (w, h, 1)
+        assert d["progressive"] is True
+        assert d["mean_gray"] == float(g), (w, h, g, d["mean_gray"])
+        db = decode_jpeg(encode_jpeg_gray(w, h, g))
+        assert db["mean_gray"] == d["mean_gray"]
+
+
+def test_jpeg_progressive_spec_bytes_matches_baseline_pixels():
+    """HAND-ASSEMBLED two-block progressive stream vs a hand-assembled
+    BASELINE stream carrying the same final coefficients: planes must
+    be IDENTICAL floats. Pins the parts the solid fixtures cannot see:
+    spectral-band AC-first coding at Al=1, refinement correction bits
+    on nonzero-history coefficients, a NEWLY-nonzero insert during
+    refinement (run skip over zero-history positions), an EOB run
+    closing a refinement block, per-block DC successive approximation
+    with negative DC, and the non-interleaved block raster."""
+    import struct as _struct
+
+    from pantasia_db_sync_spark.operators.multimodal import (
+        _AC_CODES,
+        _AC_SYMS,
+        _BitWriter,
+        _DC_CODES,
+        _DC_SYMS,
+        _EOB_CODES,
+        _EOB_SYMS,
+        _dht_segment,
+        decode_jpeg,
+    )
+
+    # final coefficients (zigzag order), 16x8 image = 2 blocks
+    # block 0: DC=24, zz1=+5, zz3=-1 ; block 1: DC=-17, zz2=+3
+    def header(sof_marker: bytes) -> bytearray:
+        out = bytearray(b"\xff\xd8")
+        out += b"\xff\xdb" + _struct.pack(">H", 67) + b"\x00" + bytes([1] * 64)
+        out += (
+            sof_marker + _struct.pack(">H", 11) + b"\x08"
+            + _struct.pack(">HH", 8, 16) + b"\x01" + bytes([1, 0x11, 0])
+        )
+        out += _dht_segment(0, 0, _DC_SYMS, 4)
+        return out
+
+    def put_dc_diff(w, diff):
+        t = abs(diff).bit_length()
+        code, ln = _DC_CODES[t]
+        w.put(code, ln)
+        if t:
+            bits = diff if diff > 0 else diff + (1 << t) - 1
+            w.put(bits & ((1 << t) - 1), t)
+
+    def sos1(ss, se, ah, al) -> bytes:
+        return b"\xff\xda" + _struct.pack(">H", 8) + b"\x01" + bytes(
+            [1, 0x00, ss, se, (ah << 4) | al]
+        )
+
+    # --- baseline reference stream -------------------------------------
+    base = header(b"\xff\xc0")
+    base += _dht_segment(1, 0, sorted(_AC_SYMS), 8)
+    base += sos1(0, 63, 0, 0)
+    w = _BitWriter()
+    put_dc_diff(w, 24)                      # block 0 DC
+    code, ln = _AC_CODES[0x03]              # run 0, size 3 -> +5
+    w.put(code, ln); w.put(5, 3)
+    code, ln = _AC_CODES[0x11]              # run 1, size 1 -> skip zz2, -1
+    w.put(code, ln); w.put(0, 1)            # negative: complement bits
+    code, ln = _AC_CODES[0x00]; w.put(code, ln)   # EOB
+    put_dc_diff(w, -17 - 24)                # block 1 DC diff
+    code, ln = _AC_CODES[0x12]              # run 1, size 2 -> skip zz1, +3
+    w.put(code, ln); w.put(3, 2)
+    code, ln = _AC_CODES[0x00]; w.put(code, ln)   # EOB
+    base += w.flush() + b"\xff\xd9"
+    db = decode_jpeg(bytes(base))
+
+    # --- progressive stream, same final coefficients --------------------
+    # AC table: EOBn symbols + (run, size=1) inserts + (run, size) firsts
+    ac_syms = sorted(set(_EOB_SYMS) | {0x01, 0x11, 0x12, 0x02})
+    ac_codes = {sym: (i, 8) for i, sym in enumerate(ac_syms)}
+    prog = header(b"\xff\xc2")
+    prog += _dht_segment(1, 0, ac_syms, 8)
+    # scan 1: DC first, Al=1 — sends dc >> 1 per block as diffs
+    prog += sos1(0, 0, 0, 1)
+    w = _BitWriter()
+    put_dc_diff(w, 24 >> 1)                 # block 0: 12
+    put_dc_diff(w, (-17 >> 1) - (24 >> 1))  # block 1: -9 - 12
+    prog += w.flush()
+    # scan 2: AC first, band 1..63, Al=1 — sends magnitude >> 1
+    prog += sos1(1, 63, 0, 1)
+    w = _BitWriter()
+    code, ln = ac_codes[0x02]               # block 0: zz1 = +5>>1 = 2
+    w.put(code, ln); w.put(2, 2)
+    code, ln = ac_codes[0x00]; w.put(code, ln)    # EOB (zz3's |-1| < 2)
+    code, ln = ac_codes[0x11]               # block 1: skip zz1, zz2 = +3>>1
+    w.put(code, ln); w.put(1, 1)
+    code, ln = ac_codes[0x00]; w.put(code, ln)    # EOB
+    prog += w.flush()
+    # scan 3: DC refine, Al=0 — raw low bits: 24&1=0, -17&1=1
+    prog += sos1(0, 0, 1, 0)
+    w = _BitWriter()
+    w.put(0, 1); w.put(1, 1)
+    prog += w.flush()
+    # scan 4: AC refine, band 1..63, Al=0
+    prog += sos1(1, 63, 1, 0)
+    w = _BitWriter()
+    # block 0: insert -1 after skipping ONE zero-history coeff (zz2);
+    # on the way, zz1 (history 4) takes correction bit 1 -> 5
+    code, ln = ac_codes[0x11]
+    w.put(code, ln)
+    w.put(0, 1)        # sign bit of the new coefficient: 0 -> -(1<<0)
+    w.put(1, 1)        # correction bit for zz1: 4 -> 5
+    code, ln = ac_codes[0x00]; w.put(code, ln)  # EOB closes block 0
+    # block 1: pure EOB run; zz2 (history 2) corrects 2 -> 3 inside it
+    code, ln = ac_codes[0x00]; w.put(code, ln)
+    w.put(1, 1)        # correction bit for zz2
+    prog += w.flush() + b"\xff\xd9"
+    dp = decode_jpeg(bytes(prog))
+
+    assert dp["progressive"] is True
+    assert (dp["width"], dp["height"]) == (16, 8)
+    assert dp["planes"][0] == db["planes"][0]  # EXACT float equality
+    assert dp["mean_gray"] == db["mean_gray"]
+
+
+def test_jpeg_progressive_three_component_interleaved_dc():
+    """Progressive COLOR: hand-assembled 3-component stream whose DC
+    first scan is INTERLEAVED (one MCU walk, per-component predictors,
+    §G + §A.2) and whose AC scans are per-component (spec: Ss>0 scans
+    are non-interleaved). Solid R=G=B=v -> Y=v, Cb=Cr=128 under BT.601,
+    so chroma DCs are zero and all three plane means are exact."""
+    import struct as _struct
+
+    from pantasia_db_sync_spark.operators.multimodal import (
+        _BitWriter,
+        _DC_CODES,
+        _DC_SYMS,
+        _EOB_CODES,
+        _EOB_SYMS,
+        _dht_segment,
+        _eobrun_segment,
+        decode_jpeg,
+    )
+
+    v = 200
+    dc_y = round(8.0 * (v - 128))
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + _struct.pack(">H", 67) + b"\x00" + bytes([1] * 64)
+    out += (
+        b"\xff\xc2" + _struct.pack(">H", 17) + b"\x08"
+        + _struct.pack(">HH", 10, 12) + b"\x03"
+        + bytes([1, 0x11, 0]) + bytes([2, 0x11, 0]) + bytes([3, 0x11, 0])
+    )
+    out += _dht_segment(0, 0, _DC_SYMS, 4)
+    out += _dht_segment(1, 0, sorted(_EOB_SYMS), 8)
+
+    def put_dc_diff(w, diff):
+        t = abs(diff).bit_length()
+        code, ln = _DC_CODES[t]
+        w.put(code, ln)
+        if t:
+            bits = diff if diff > 0 else diff + (1 << t) - 1
+            w.put(bits & ((1 << t) - 1), t)
+
+    # scan 1: interleaved DC first (Al=1) over 2x2 MCUs, 3 components
+    out += b"\xff\xda" + _struct.pack(">H", 12) + b"\x03" + bytes(
+        [1, 0x00, 2, 0x00, 3, 0x00, 0, 0, 0x01]
+    )
+    w = _BitWriter()
+    preds = [0, 0, 0]
+    dcs_hi = [dc_y >> 1, 0, 0]
+    for _ in range(4):
+        for ci in range(3):
+            put_dc_diff(w, dcs_hi[ci] - preds[ci])
+            preds[ci] = dcs_hi[ci]
+    out += w.flush()
+    # per-component AC first scans (all-zero band as one EOBn run)
+    for cid in (1, 2, 3):
+        out += b"\xff\xda" + _struct.pack(">H", 8) + b"\x01" + bytes(
+            [cid, 0x00, 1, 63, 0x01]
+        )
+        out += _eobrun_segment(4, _EOB_CODES)
+    # scan: interleaved DC refine (Ah=1, Al=0) — raw bits
+    out += b"\xff\xda" + _struct.pack(">H", 12) + b"\x03" + bytes(
+        [1, 0x00, 2, 0x00, 3, 0x00, 0, 0, 0x10]
+    )
+    w = _BitWriter()
+    for _ in range(4):
+        for ci, dc in enumerate((dc_y, 0, 0)):
+            w.put(dc & 1, 1)
+    out += w.flush()
+    # per-component AC refinement scans (zero history: EOBn runs)
+    for cid in (1, 2, 3):
+        out += b"\xff\xda" + _struct.pack(">H", 8) + b"\x01" + bytes(
+            [cid, 0x00, 1, 63, 0x10]
+        )
+        out += _eobrun_segment(4, _EOB_CODES)
+    out += b"\xff\xd9"
+
+    d = decode_jpeg(bytes(out))
+    assert (d["width"], d["height"], d["channels"]) == (12, 10, 3)
+    assert d["progressive"] is True
+    assert d["mean_y"] == float(v)
+    assert d["mean_cb"] == 128.0 and d["mean_cr"] == 128.0
