@@ -483,3 +483,90 @@ def multi_bfs_distances(
             .localCheckpoint(eager=True)
         )
     return dist.select("seed", "node", F.col("d").alias("dist"))
+
+
+def _oriented_triangles(e: DataFrame) -> DataFrame:
+    """(x, y, z): each triangle of the canonical (u < v, distinct)
+    undirected edge list exactly once, enumerated under the
+    (degree, id) total order — the compact-forward orientation shared
+    with the triangle/clustering plans (plans/extras.py): the
+    max-degree hub has out-degree 0 and pivots zero wedges, so wedge
+    volume is arboricity-bounded instead of Sigma d(hub)^2."""
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    j = e.join(du, "u").join(dv, "v")
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    o = j.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("a"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("b"),
+    ).localCheckpoint(eager=False)
+    e1 = o.select("a", "b")
+    e2 = o.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    closing = o.select("a", F.col("b").alias("c"))
+    return e1.join(e2, "b").join(closing, ["a", "c"]).select("a", "b", "c")
+
+
+def ktruss(
+    edges: DataFrame,
+    k: int,
+    rounds: int = 3,
+    u_col: str = "u",
+    v_col: str = "v",
+) -> DataFrame:
+    """(u, v, support): the edges surviving ``rounds`` of k-TRUSS
+    peeling — repeatedly delete every edge in fewer than k-2 triangles
+    — with their triangle support in the surviving subgraph. The truss
+    is the EDGE-cohesion ladder above the k-core's node degrees: a hub
+    touching many stringy neighbors survives any degree filter but its
+    spokes sit in no triangles and die in truss round 1, so trusses
+    isolate genuinely dense communities (Cohen 2008).
+
+    Per round: one degree-oriented triangle enumeration
+    (`_oriented_triangles` — arboricity-bounded wedges, no hot-key
+    funnel), one explode of each triangle to its three canonical
+    edges, one combinable (u, v) support count, and a filter; the
+    shrinking edge list is localCheckpoint'ed per round (the
+    components-loop lineage hygiene). The round cap is the
+    engine-portable contract (the registered query's oracle replays
+    exactly those rounds as chained CTE stages, the kcore pairing); a
+    round that deletes nothing has converged and equals the fixpoint.
+    """
+    e = (
+        edges.select(
+            F.least(u_col, v_col).alias("u"),
+            F.greatest(u_col, v_col).alias("v"),
+        )
+        .where(F.col("u") < F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    sup = None
+    for _ in range(rounds):
+        tri = _oriented_triangles(e)
+        corners = (
+            tri.select(F.col("a").alias("u"), F.col("b").alias("v"))
+            .unionAll(tri.select(F.col("b").alias("u"), F.col("c").alias("v")))
+            .unionAll(tri.select(F.col("a").alias("u"), F.col("c").alias("v")))
+            .select(
+                F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
+            )
+        )
+        sup = corners.groupBy("u", "v").agg(
+            F.count(F.lit(1)).cast("bigint").alias("support")
+        )
+        e = (
+            sup.where(F.col("support") >= k - 2)
+            .select("u", "v")
+            .localCheckpoint(eager=True)
+        )
+    if sup is None:
+        raise ValueError("ktruss: rounds must be >= 1")
+    return sup.where(F.col("support") >= k - 2).select("u", "v", "support")

@@ -2274,6 +2274,86 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ktruss_sql(k: int, rounds: int) -> str:
+    """DuckDB replay of operators/components.py::ktruss — each peeling
+    round as chained CTE stages: id-oriented triangle enumeration of
+    the current edge set, explode to the three canonical edges,
+    support count, filter. Edge supports are orientation-invariant, so
+    this matches the Spark plan's degree-oriented enumeration exactly."""
+    parts = [
+        f"""e0 AS (
+      SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
+      FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+      WHERE a.l_orderkey % {_TRI_MOD} = 0 AND a.l_suppkey < b.l_suppkey
+    )"""
+    ]
+    for r in range(1, rounds + 1):
+        prev = f"e{r - 1}"
+        parts.append(
+            f"""t{r} AS (
+      SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      FROM {prev} e1 JOIN {prev} e2 ON e2.u = e1.v
+      JOIN {prev} e3 ON e3.u = e1.u AND e3.v = e2.v
+    )"""
+        )
+        parts.append(
+            f"""s{r} AS (
+      SELECT u, v, CAST(count(*) AS BIGINT) AS support FROM (
+        SELECT a AS u, b AS v FROM t{r}
+        UNION ALL SELECT b, c FROM t{r}
+        UNION ALL SELECT a, c FROM t{r}
+      ) GROUP BY 1, 2
+    )"""
+        )
+        parts.append(
+            f"e{r} AS (SELECT u, v FROM s{r} WHERE support >= {k - 2})"
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+    SELECT u AS suppkey_u, v AS suppkey_v, support
+    FROM s{rounds} WHERE support >= {k - 2}
+    """
+    )
+
+
+@register("graph_ktruss", oracle=_ktruss_sql(k=78, rounds=2))
+def graph_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """78-TRUSS of the supplier co-purchase graph after 2 peeling
+    rounds (operators/components.py::ktruss): repeatedly delete every
+    EDGE in fewer than 76 triangles — the edge-cohesion ladder above
+    graph_kcore's node degrees (Cohen 2008). A hub touching stringy
+    neighbors survives any degree filter but its spokes sit in no
+    triangles and die in truss round 1; trusses isolate the genuinely
+    dense community. The fixture cascade is real: 4,405 edges -> 3,045
+    after round 1 -> 338 after round 2 (still moving at the cap, so
+    the round-capped contract is exercised; sf0.001's sampled graph is
+    near-complete with support 8 everywhere, so both engines agree on
+    the empty truss there — same k-vs-density behavior as kcore's
+    k=78).
+
+    Scale shape per round: one DEGREE-ORIENTED triangle enumeration
+    (arboricity-bounded wedges, hub pivots zero — the --gskew-measured
+    compact-forward plan), one 3x explode, one combinable (u, v)
+    count, one filter; the shrinking edge list localCheckpoint'ed per
+    round. The oracle replays exactly those rounds as chained CTE
+    stages (supports are orientation-invariant), the kcore pairing."""
+    from ..operators.components import ktruss
+
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_orderkey") % _TRI_MOD == 0
+    )
+    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("v"))
+    e = a.join(b, "k").where(F.col("u") < F.col("v")).select("u", "v").distinct()
+    return ktruss(e, k=78, rounds=2).select(
+        F.col("u").alias("suppkey_u"),
+        F.col("v").alias("suppkey_v"),
+        "support",
+    )
+
+
 def _pagerank_micro_sql(rounds: int) -> str:
     """DuckDB replay of operators/components.py::pagerank — the
     integer micro-unit rounds as chained CTE stages over the

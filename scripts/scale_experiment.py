@@ -1303,6 +1303,213 @@ def r12c_main() -> None:
             ).write.format("noop").mode("overwrite").save())
 
 
+def r13_main() -> None:
+    """Round-13 straggler scale shapes (r12 verdict item 6). Usage:
+    python scripts/scale_experiment.py --r13 [replicas]
+
+    - events_peak_detection at 1x -> Rx events: the hourly groupBy
+      reduces the fact table to the calendar-bounded frame; wall
+      should track the scan.
+    - store_tpch_refresh shape at 1x -> Rx lineitem history: RF1
+      append, RF2 tombstone, and the merged Q1 read each timed —
+      refresh cost must track the DELTA, the read the history.
+    - stream_cms_heavyhitters state across 100 triggers: per-trigger
+      sketch cells are bounded by d*w = 2048 and the RUNNING MERGED
+      sketch stays <= 2048 cells flat, independent of trigger count.
+    """
+    import shutil as _shutil
+    import tempfile as _tempfile
+    import time as _time
+
+    from pantasia_db_sync_spark.plans import QUERIES
+
+    replicas = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    spark = get_spark(app_name="r13-scale-experiment")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def run(label, fn):
+        fn()  # warm
+        t0 = _time.perf_counter()
+        fn()
+        dt = _time.perf_counter() - t0
+        print(f"{label:<62} {dt:8.2f}s", flush=True)
+        return dt
+
+    # --- events_peak_detection at 1x -> Rx events
+    e = load_table(spark, BASE_SF, "events")
+    for r in (1, replicas):
+        work = _tempfile.mkdtemp(prefix=f"r13_ev_{r}_")
+        try:
+            parts = [e]
+            for k in range(1, r):
+                parts.append(
+                    e.selectExpr(
+                        f"event_id + {k} * 100000000 AS event_id",
+                        "ts",
+                        f"user_id + {k} * 100000000 AS user_id",
+                        "event_type",
+                        f"value * {1 + k * 0.01} AS value",
+                        "props",
+                    )
+                )
+            big = parts[0]
+            for p2 in parts[1:]:
+                big = big.unionByName(p2)
+            big.repartition(32).write.mode("overwrite").parquet(
+                work + "/events.parquet"
+            )
+            n_ev = load_table(spark, work, "events").count()
+            run(
+                f"x{r} events_peak_detection ({n_ev} events)",
+                lambda: QUERIES["events_peak_detection"](spark, work)
+                .write.format("noop")
+                .mode("overwrite")
+                .save(),
+            )
+        finally:
+            _shutil.rmtree(work, ignore_errors=True)
+
+    # --- store_tpch_refresh shape at 1x -> Rx lineitem history:
+    # RF1 append / RF2 tombstone / merged Q1 read timed separately so
+    # the refresh's O(delta) vs the read's O(history) is visible
+    from pantasia_db_sync_spark.pipeline.store import TableStore
+
+    li1 = load_table(spark, BASE_SF, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
+        "l_returnflag", "l_linestatus",
+    )
+    for r in (1, replicas):
+        parts = [li1]
+        for k in range(1, r):
+            parts.append(
+                li1.selectExpr(
+                    f"l_orderkey + {k} * 100000000 AS l_orderkey",
+                    "l_linenumber", "l_quantity", "l_extendedprice",
+                    "l_returnflag", "l_linestatus",
+                )
+            )
+        li = parts[0]
+        for p2 in parts[1:]:
+            li = li.unionByName(p2)
+        li = li.localCheckpoint(eager=True)
+        n_li = li.count()
+        d = _tempfile.mkdtemp(prefix=f"r13_rf_{r}_")
+        try:
+            store = TableStore(d)
+            base = li.where(F.col("l_orderkey") % 4 < 3)
+            store.append("lineitem_f", base, commit_id=1)
+            store.commit_append("lineitem_f", 1)
+            rf1 = li.where(F.col("l_orderkey") % 4 == 3).localCheckpoint(
+                eager=True
+            )
+            run(
+                f"x{r} RF1 append ({n_li} hist rows, delta={rf1.count()})",
+                lambda rf1=rf1, store=store: (
+                    store.append("lineitem_f", rf1, commit_id=2),
+                    store.commit_append("lineitem_f", 2),
+                ),
+            )
+            keys = (
+                li.where(F.col("l_orderkey") % 10 == 0)
+                .select("l_orderkey")
+                .localCheckpoint(eager=True)
+            )
+            run(
+                f"x{r} RF2 tombstone (delete keys={keys.count()})",
+                lambda keys=keys, store=store: (
+                    store.delete_facts("lineitem_f", keys, commit_id=3),
+                    store.commit_append("lineitem_f", 3),
+                ),
+            )
+            cents = F.floor(F.col("l_extendedprice") * 100 + 0.5).cast(
+                "bigint"
+            )
+            run(
+                f"x{r} merged Q1 read over refreshed history",
+                lambda store=store, cents=cents: store.read_facts(
+                    spark, "lineitem_f"
+                )
+                .groupBy("l_returnflag", "l_linestatus")
+                .agg(
+                    F.sum(cents).alias("s"),
+                    F.count(F.lit(1)).alias("n"),
+                )
+                .write.format("noop")
+                .mode("overwrite")
+                .save(),
+            )
+        finally:
+            _shutil.rmtree(d, ignore_errors=True)
+
+    # --- stream_cms_heavyhitters state across 100 triggers
+    from pantasia_db_sync_spark.functions.text import tokens_col
+    from pantasia_db_sync_spark.plans.llmdata import cms_buckets
+
+    docs = load_table(spark, BASE_SF, "documents")
+    n_triggers = 100
+    work = _tempfile.mkdtemp(prefix="r13_cms_")
+    src_dir = os.path.join(work, "src")
+    os.makedirs(src_dir)
+    sliced = docs.withColumn(
+        "slice", (F.col("doc_id") % n_triggers).cast("int")
+    )
+    sliced.repartition(1).write.partitionBy("slice").mode(
+        "overwrite"
+    ).parquet(os.path.join(work, "parts"))
+    import glob as _glob
+
+    for i, f in enumerate(
+        sorted(_glob.glob(os.path.join(work, "parts", "slice=*", "*.parquet")))
+    ):
+        _shutil.copy(f, os.path.join(src_dir, f"documents-{i:03d}.parquet"))
+
+    merged: dict = {}  # (j, bucket) -> count — the RUNNING sketch
+    per_trigger_cells: list = []
+
+    def merge(batch_df, batch_id: int) -> None:
+        toks = batch_df.select(
+            F.explode(tokens_col("text")).alias("tok")
+        ).where(F.col("tok") != "")
+        rows = (
+            toks.select(F.explode(cms_buckets(F.col("tok"))).alias("b"))
+            .groupBy("b.j", "b.bucket")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+            .collect()
+        )
+        per_trigger_cells.append(len(rows))
+        for row in rows:
+            k = (int(row["j"]), int(row["bucket"]))
+            merged[k] = merged.get(k, 0) + int(row["c"])
+
+    read_schema = docs.drop("slice").schema if "slice" in docs.columns else docs.schema
+    t0 = _time.perf_counter()
+    q = (
+        spark.readStream.schema(read_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+        .writeStream.foreachBatch(merge)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(1200):
+        q.stop()
+        raise RuntimeError("cms stream did not finish")
+    dt = _time.perf_counter() - t0
+    _shutil.rmtree(work, ignore_errors=True)
+    print(
+        f"cms 100-trigger stream: {dt:8.2f}s total "
+        f"({dt / max(1, len(per_trigger_cells)):.3f}s/trigger, "
+        f"{len(per_trigger_cells)} triggers)",
+        flush=True,
+    )
+    print(
+        f"cms state: per-trigger cells min={min(per_trigger_cells)} "
+        f"max={max(per_trigger_cells)} (bound d*w=2048); RUNNING merged "
+        f"sketch={len(merged)} cells — FLAT, independent of trigger count",
+        flush=True,
+    )
+
+
 def _hub_graph(spark, n_edges: int, hub_share: float = 0.2):
     """Deterministic power-law graph with ONE max-degree hub owning
     ``hub_share`` of all edges — the adversarial shape for every
@@ -1519,5 +1726,7 @@ if __name__ == "__main__":
         r12c_main()
     elif len(sys.argv) > 1 and sys.argv[1] == "--gskew":
         gskew_main()
+    elif len(sys.argv) > 1 and sys.argv[1] == "--r13":
+        r13_main()
     else:
         main()
