@@ -7274,3 +7274,257 @@ def stats_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
             5,
         ).alias("z_stat"),
     )
+
+
+@register(
+    "stats_anova_f",
+    oracle="""
+    WITH g AS (
+      SELECT event_type,
+             CAST(count(*) AS DOUBLE) AS n,
+             avg(value) AS m,
+             var_samp(value) AS v
+      FROM events GROUP BY 1
+    ),
+    t AS (
+      SELECT sum(n) AS n_tot, sum(n * m) / sum(n) AS gm,
+             CAST(count(*) AS DOUBLE) AS k
+      FROM g
+    ),
+    s AS (
+      SELECT k, n_tot,
+             sum(n * (m - gm) * (m - gm)) AS ssb,
+             sum((n - 1) * v) AS ssw
+      FROM g, t GROUP BY 1, 2
+    )
+    SELECT CAST(k AS BIGINT) AS k_groups,
+           CAST(n_tot AS BIGINT) AS n_total,
+           floor(ssb / (k - 1) * 1000000 + 0.5) / 1000000 AS ms_between,
+           floor(ssw / (n_tot - k) * 1000000 + 0.5) / 1000000 AS ms_within,
+           floor((ssb / (k - 1)) / (ssw / (n_tot - k)) * 100000 + 0.5)
+             / 100000 AS f_stat
+    FROM s
+    """,
+)
+def stats_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE-WAY ANOVA F-test across the event-type cohorts — the k-group
+    generalization of stats_welch_ttest (is ANY cohort's mean value
+    different?): F = MS_between / MS_within from per-group (n, mean,
+    sample variance). The 100 TB shape is the Welch shape: ONE
+    combinable aggregation pass to a k-row frame (k = |event types|),
+    then scalar algebra on the tiny frame — grand mean as the
+    n-weighted mean of group means, SSB = sum n_g(m_g - gm)^2,
+    SSW = sum (n_g - 1) v_g. No second pass over the facts."""
+    e = load_table(spark, sf_dir, "events")
+    g = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.avg("value").alias("m"),
+        F.var_samp("value").alias("v"),
+    )
+    t = g.agg(
+        F.sum("n").alias("n_tot"),
+        (F.sum(F.col("n") * F.col("m")) / F.sum("n")).alias("gm"),
+        F.count(F.lit(1)).cast("double").alias("k"),
+    )
+    s = g.crossJoin(F.broadcast(t)).groupBy("k", "n_tot").agg(
+        F.sum(
+            F.col("n") * (F.col("m") - F.col("gm")) * (F.col("m") - F.col("gm"))
+        ).alias("ssb"),
+        F.sum((F.col("n") - 1) * F.col("v")).alias("ssw"),
+    )
+    msb = F.col("ssb") / (F.col("k") - 1)
+    msw = F.col("ssw") / (F.col("n_tot") - F.col("k"))
+    return s.select(
+        F.col("k").cast("bigint").alias("k_groups"),
+        F.col("n_tot").cast("bigint").alias("n_total"),
+        fround(msb, 6).alias("ms_between"),
+        fround(msw, 6).alias("ms_within"),
+        fround(msb / msw, 5).alias("f_stat"),
+    )
+
+
+@register(
+    "stats_fdr_bh",
+    oracle="""
+    WITH g AS (
+      SELECT event_type,
+             CAST(count(*) AS DOUBLE) AS n,
+             avg(value) AS m,
+             var_samp(value) AS v
+      FROM events GROUP BY 1
+    ),
+    t AS (
+      SELECT sum(n) AS n_tot, sum(n * m) AS sm, sum((n - 1) * v) AS sv,
+             sum(n * m * m) AS smm
+      FROM g
+    ),
+    z AS (
+      SELECT event_type, n, m,
+             (sm - n * m) / (n_tot - n) AS m_rest,
+             floor(abs(m - (sm - n * m) / (n_tot - n))
+                   / sqrt(v / n
+                          + ((sv + smm - (sm - n * m) * (sm - n * m)
+                                / (n_tot - n) - n * m * m - (n - 1) * v)
+                             / (n_tot - n - 1)) / (n_tot - n))
+                   * 100000 + 0.5) / 100000 AS z_abs
+      FROM g, t
+    ),
+    p AS (
+      SELECT event_type, z_abs,
+             floor(2.0 / (1.0 + exp(1.702 * z_abs)) * 1000000 + 0.5)
+               / 1000000 AS p_val
+      FROM z
+    ),
+    r AS (
+      SELECT event_type, z_abs, p_val,
+             CAST(row_number() OVER (ORDER BY p_val, event_type) AS BIGINT)
+               AS rnk,
+             CAST(count(*) OVER () AS BIGINT) AS m_tests
+      FROM p
+    ),
+    thr AS (
+      SELECT max(CASE WHEN p_val <= 0.10 * rnk / m_tests THEN p_val END)
+               AS p_star
+      FROM r
+    )
+    SELECT event_type, z_abs, p_val, rnk,
+           floor(0.10 * rnk / m_tests * 1000000 + 0.5) / 1000000 AS bh_cutoff,
+           COALESCE(p_val <= p_star, FALSE) AS rejected
+    FROM r, thr
+    """,
+)
+def stats_fdr_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BENJAMINI-HOCHBERG FDR control at q=0.10 over the family of
+    per-cohort two-sample z-tests (each event type's mean value vs the
+    REST of the corpus) — the multiple-comparisons step every metrics
+    platform needs once it runs one test per segment: sort p ascending,
+    find the largest rank i with p_(i) <= q*i/m, reject everything at
+    or below it (the STEP-UP rule — rejected is p <= p*, not the
+    per-row threshold test).
+
+    Engine discipline: the rest-of-corpus mean/variance come from the
+    SAME single k-row aggregate (complement algebra on total sums — no
+    second pass), |z| is floored to 5dp BEFORE the p transform so both
+    engines exponentiate the identical double, and p uses the logistic
+    approximation of the normal CDF 2/(1+exp(1.702|z|)) — a documented
+    approximation, deterministic and engine-portable, which is what BH
+    needs (it is rank + threshold logic, not tail-probability
+    precision). All ranking happens on the k-row frame."""
+    e = load_table(spark, sf_dir, "events")
+    g = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.avg("value").alias("m"),
+        F.var_samp("value").alias("v"),
+    )
+    t = g.agg(
+        F.sum("n").alias("n_tot"),
+        F.sum(F.col("n") * F.col("m")).alias("sm"),
+        F.sum((F.col("n") - 1) * F.col("v")).alias("sv"),
+        F.sum(F.col("n") * F.col("m") * F.col("m")).alias("smm"),
+    )
+    z = g.crossJoin(F.broadcast(t))
+    n, m = F.col("n"), F.col("m")
+    n_rest = F.col("n_tot") - n
+    m_rest = (F.col("sm") - n * m) / n_rest
+    # rest-of-corpus sample variance from total sums (complement
+    # algebra): sum of squares of the rest = total SS - group SS
+    ss_rest = (
+        F.col("sv")
+        + F.col("smm")
+        - m_rest * m_rest * n_rest
+        - n * m * m
+        - (n - 1) * F.col("v")
+    )
+    v_rest = ss_rest / (n_rest - 1)
+    z_abs = fround(
+        F.abs(m - m_rest) / F.sqrt(F.col("v") / n + v_rest / n_rest), 5
+    )
+    p = z.select(
+        "event_type",
+        z_abs.alias("z_abs"),
+        fround(2.0 / (1.0 + F.exp(1.702 * z_abs)), 6).alias("p_val"),
+    )
+    w = Window.orderBy("p_val", "event_type")
+    r = p.select(
+        "event_type",
+        "z_abs",
+        "p_val",
+        F.row_number().over(w).cast("bigint").alias("rnk"),
+        F.count(F.lit(1)).over(Window.partitionBy()).cast("bigint").alias(
+            "m_tests"
+        ),
+    )
+    thr = r.agg(
+        F.max(
+            F.when(
+                F.col("p_val") <= 0.10 * F.col("rnk") / F.col("m_tests"),
+                F.col("p_val"),
+            )
+        ).alias("p_star")
+    )
+    return r.crossJoin(F.broadcast(thr)).select(
+        "event_type",
+        "z_abs",
+        "p_val",
+        "rnk",
+        fround(0.10 * F.col("rnk") / F.col("m_tests"), 6).alias("bh_cutoff"),
+        F.coalesce(F.col("p_val") <= F.col("p_star"), F.lit(False)).alias(
+            "rejected"
+        ),
+    )
+
+
+@register(
+    "events_cusum_changepoint",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(floor(avg(value) * 1000000 + 0.5) AS BIGINT) AS m_u
+      FROM events GROUP BY 1
+    ),
+    t AS (SELECT CAST(floor(avg(m_u) + 0.5) AS BIGINT) AS mu_u FROM d),
+    c AS (
+      SELECT day, m_u,
+             CAST(sum(m_u - mu_u) OVER (ORDER BY day) AS BIGINT) AS cusum_u
+      FROM d, t
+    ),
+    mx AS (SELECT max(abs(cusum_u)) AS amax FROM c)
+    SELECT day,
+           CAST(m_u AS DOUBLE) / 1000000 AS day_mean,
+           CAST(cusum_u AS DOUBLE) / 1000000 AS cusum,
+           abs(cusum_u) = amax AS is_changepoint
+    FROM c, mx
+    """,
+)
+def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM CHANGEPOINT detection over the daily mean event value —
+    the classic mean-shift locator (Page 1954 / Pettitt-style argmax
+    variant): cumulative sum of deviations from the overall mean peaks
+    in magnitude AT the shift day. Integer micro-unit discipline end to
+    end: each day's mean is floored to a micro-unit BIGINT first, the
+    reference level is the rounded mean of those integers, and the
+    cusum is an INTEGER prefix sum over the day-ordered frame — exact
+    in both engines, no float summation order anywhere (the
+    events_holt_linear discipline). One combinable groupBy(day)
+    reduces the fact table to the calendar-bounded frame; every window
+    runs on ~30 rows."""
+    e = load_table(spark, sf_dir, "events")
+    d = e.groupBy(F.to_date(F.col("ts")).alias("day")).agg(
+        F.floor(F.avg("value") * 1000000 + 0.5).cast("bigint").alias("m_u")
+    )
+    t = d.agg(F.floor(F.avg("m_u") + 0.5).cast("bigint").alias("mu_u"))
+    c = d.crossJoin(F.broadcast(t)).select(
+        "day",
+        "m_u",
+        F.sum(F.col("m_u") - F.col("mu_u"))
+        .over(Window.orderBy("day"))
+        .cast("bigint")
+        .alias("cusum_u"),
+    )
+    mx = c.agg(F.max(F.abs(F.col("cusum_u"))).alias("amax"))
+    return c.crossJoin(F.broadcast(mx)).select(
+        "day",
+        (F.col("m_u").cast("double") / 1000000).alias("day_mean"),
+        (F.col("cusum_u").cast("double") / 1000000).alias("cusum"),
+        (F.abs(F.col("cusum_u")) == F.col("amax")).alias("is_changepoint"),
+    )
