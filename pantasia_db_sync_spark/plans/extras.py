@@ -7472,59 +7472,3 @@ def stats_fdr_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rejected"
         ),
     )
-
-
-@register(
-    "events_cusum_changepoint",
-    oracle="""
-    WITH d AS (
-      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
-             CAST(floor(avg(value) * 1000000 + 0.5) AS BIGINT) AS m_u
-      FROM events GROUP BY 1
-    ),
-    t AS (SELECT CAST(floor(avg(m_u) + 0.5) AS BIGINT) AS mu_u FROM d),
-    c AS (
-      SELECT day, m_u,
-             CAST(sum(m_u - mu_u) OVER (ORDER BY day) AS BIGINT) AS cusum_u
-      FROM d, t
-    ),
-    mx AS (SELECT max(abs(cusum_u)) AS amax FROM c)
-    SELECT day,
-           CAST(m_u AS DOUBLE) / 1000000 AS day_mean,
-           CAST(cusum_u AS DOUBLE) / 1000000 AS cusum,
-           abs(cusum_u) = amax AS is_changepoint
-    FROM c, mx
-    """,
-)
-def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CUSUM CHANGEPOINT detection over the daily mean event value —
-    the classic mean-shift locator (Page 1954 / Pettitt-style argmax
-    variant): cumulative sum of deviations from the overall mean peaks
-    in magnitude AT the shift day. Integer micro-unit discipline end to
-    end: each day's mean is floored to a micro-unit BIGINT first, the
-    reference level is the rounded mean of those integers, and the
-    cusum is an INTEGER prefix sum over the day-ordered frame — exact
-    in both engines, no float summation order anywhere (the
-    events_holt_linear discipline). One combinable groupBy(day)
-    reduces the fact table to the calendar-bounded frame; every window
-    runs on ~30 rows."""
-    e = load_table(spark, sf_dir, "events")
-    d = e.groupBy(F.to_date(F.col("ts")).alias("day")).agg(
-        F.floor(F.avg("value") * 1000000 + 0.5).cast("bigint").alias("m_u")
-    )
-    t = d.agg(F.floor(F.avg("m_u") + 0.5).cast("bigint").alias("mu_u"))
-    c = d.crossJoin(F.broadcast(t)).select(
-        "day",
-        "m_u",
-        F.sum(F.col("m_u") - F.col("mu_u"))
-        .over(Window.orderBy("day"))
-        .cast("bigint")
-        .alias("cusum_u"),
-    )
-    mx = c.agg(F.max(F.abs(F.col("cusum_u"))).alias("amax"))
-    return c.crossJoin(F.broadcast(mx)).select(
-        "day",
-        (F.col("m_u").cast("double") / 1000000).alias("day_mean"),
-        (F.col("cusum_u").cast("double") / 1000000).alias("cusum"),
-        (F.abs(F.col("cusum_u")) == F.col("amax")).alias("is_changepoint"),
-    )

@@ -174,12 +174,10 @@ _ALLOWED_NESTED_LOOP = {
     # df frame — the corpus_temperature_mix scalar pattern
     "text_vocab_drift",
     # one-row grand-mean / totals / threshold aggregates crossed onto
-    # the k-row per-group moments frame (ANOVA / BH) and the <=31-row
-    # per-day frame (CUSUM) — the events_gapfill in-plan scalar
-    # pattern; the fact table contributes one combinable pass each
+    # the k-row per-group moments frame — the events_gapfill in-plan
+    # scalar pattern; the fact table contributes one combinable pass
     "stats_anova_f",
     "stats_fdr_bh",
-    "events_cusum_changepoint",
 }
 # Single-partition exchanges allowed only where the exchanged data is
 # metadata-scale (a handful of rows), never a full table:
@@ -322,9 +320,6 @@ _ALLOWED_SINGLE_PARTITION = {
     # BH step-up ranking over the SAME k-row frame (one p-value per
     # event type) — rank/threshold windows on metadata-scale rows only
     "stats_fdr_bh",
-    # integer cusum window over the calendar-bounded per-day frame
-    # (<=31 rows) — the events_kaplan_meier pattern
-    "events_cusum_changepoint",
 }
 
 
