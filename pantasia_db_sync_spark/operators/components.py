@@ -570,3 +570,72 @@ def ktruss(
     if sup is None:
         raise ValueError("ktruss: rounds must be >= 1")
     return sup.where(F.col("support") >= k - 2).select("u", "v", "support")
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    seed: int,
+    rounds: int = 4,
+    u_col: str = "u",
+    v_col: str = "v",
+    micro: int = 1_000_000,
+    damp_num: int = 85,
+    damp_den: int = 100,
+) -> DataFrame:
+    """(node, rank_micro): round-capped PERSONALIZED PageRank — all
+    restart mass returns to ``seed`` instead of spreading uniformly, so
+    rank measures proximity TO THE SEED (the similar-items / local-
+    community primitive behind who-to-follow and related-docs ranking;
+    Jeh & Widom 2003). Same integer micro-unit discipline as
+    ``pagerank``: every step is int64 floor division, bit-identical
+    across engines and partitionings.
+
+    The 100 TB property pagerank lacks: the rank frame is SPARSE —
+    round t holds only nodes within t hops of the seed with nonzero
+    floored rank, so per-round cost is |local neighborhood| x degree,
+    never |graph| (zero-rank rows are dropped each round, and the
+    registered query's oracle replays the identical sparse frames)."""
+    sym = (
+        edges.select(F.col(u_col).alias("a"), F.col(v_col).alias("b"))
+        .unionAll(edges.select(F.col(v_col).alias("a"), F.col(u_col).alias("b")))
+        .localCheckpoint(eager=True)
+    )
+    deg = sym.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+    spark = edges.sparkSession
+    r = spark.createDataFrame(
+        [(int(seed), int(micro))], "a bigint, r bigint"
+    ).localCheckpoint(eager=True)
+    restart = (micro * (damp_den - damp_num)) // damp_den
+    for _ in range(rounds):
+        contrib = (
+            r.join(sym, "a")
+            .join(deg, "a")
+            .select(
+                F.col("b").alias("node"),
+                F.floor(
+                    (damp_num * F.col("r")) / (damp_den * F.col("deg"))
+                )
+                .cast("bigint")
+                .alias("c"),
+            )
+        )
+        seeded = contrib.unionByName(
+            spark.createDataFrame(
+                [(int(seed), 0)], "node bigint, c bigint"
+            )
+        )
+        r = (
+            seeded.groupBy("node")
+            .agg(
+                (
+                    F.sum("c")
+                    + F.when(F.col("node") == int(seed), restart).otherwise(0)
+                )
+                .cast("bigint")
+                .alias("r")
+            )
+            .where(F.col("r") > 0)
+            .select(F.col("node").alias("a"), "r")
+            .localCheckpoint(eager=True)
+        )
+    return r.select(F.col("a").alias("node"), F.col("r").alias("rank_micro"))

@@ -7472,3 +7472,203 @@ def stats_fdr_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rejected"
         ),
     )
+
+
+def _ppr_sql(rounds: int) -> str:
+    """DuckDB replay of operators/components.py::personalized_pagerank
+    — the SPARSE integer micro-unit rounds as chained CTE stages (only
+    nonzero-rank nodes survive each stage, exactly like the Spark
+    frame), restart mass pinned to the min-id seed node."""
+    parts = [
+        f"""e AS (
+      SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
+      FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+      WHERE a.l_orderkey % {_TRI_MOD} = 0 AND a.l_suppkey < b.l_suppkey
+    )""",
+        "sym AS (SELECT u AS a, v AS b FROM e UNION ALL SELECT v, u FROM e)",
+        "deg AS (SELECT a, count(*) AS deg FROM sym GROUP BY a)",
+        "seed AS (SELECT min(u) AS s FROM e)",
+        "p0 AS (SELECT s AS a, CAST(1000000 AS BIGINT) AS r FROM seed)",
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"""p{i} AS (
+      SELECT a, CAST(sum(c)
+               + CASE WHEN a = (SELECT s FROM seed) THEN 150000 ELSE 0 END
+               AS BIGINT) AS r
+      FROM (
+        SELECT s.b AS a, (85 * p.r) // (100 * d.deg) AS c
+        FROM sym s JOIN p{i - 1} p ON p.a = s.a JOIN deg d ON d.a = s.a
+        UNION ALL SELECT s AS a, 0 AS c FROM seed
+      ) GROUP BY a
+      HAVING sum(c) + CASE WHEN a = (SELECT s FROM seed)
+                           THEN 150000 ELSE 0 END > 0
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\n    SELECT a AS suppkey, r AS rank_micro FROM p{rounds}"
+    )
+
+
+@register("graph_personalized_pagerank", oracle=_ppr_sql(rounds=4))
+def graph_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERSONALIZED PageRank from the min-id supplier (Jeh & Widom
+    2003) — rank as proximity to ONE seed, the related-items / local-
+    community primitive global pagerank cannot express (its restart
+    mass spreads uniformly). Four integer micro-unit rounds
+    (operators/components.py::personalized_pagerank): damping 85/100,
+    all 15% restart mass back to the seed, floor-divided shares — every
+    stage int64-exact, so the chained-CTE oracle is hash-equal, not a
+    tolerance check.
+
+    The 100 TB property global pagerank lacks: the rank frame is
+    SPARSE — round t holds only nodes within t hops of the seed that
+    retain nonzero floored rank, so per-round cost is |seed
+    neighborhood| x degree, never |graph| (the oracle replays the
+    identical sparse frames via HAVING r > 0)."""
+    from ..operators.components import personalized_pagerank
+
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_orderkey") % _TRI_MOD == 0
+    )
+    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("v"))
+    e = a.join(b, "k").where(F.col("u") < F.col("v")).select("u", "v").distinct()
+    seed = e.agg(F.min("u")).collect()[0][0]  # scalar probe (BFS-src pattern)
+    return personalized_pagerank(e, seed=int(seed), rounds=4).select(
+        F.col("node").alias("suppkey"), "rank_micro"
+    )
+
+
+@register(
+    "stats_bootstrap_ci",
+    oracle="""
+    WITH v AS (
+      SELECT event_id,
+             CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS v_u
+      FROM events
+    ),
+    w AS (
+      SELECT b.b, v.v_u,
+             CASE
+               WHEN h < 368000 THEN 0
+               WHEN h < 736000 THEN 1
+               WHEN h < 920000 THEN 2
+               ELSE 3
+             END AS w
+      FROM v CROSS JOIN range(1, 21) AS b(b),
+           LATERAL (SELECT CAST(concat('0x', substr(md5(
+                      'boot' || CAST(b.b AS VARCHAR) || ':'
+                        || CAST(v.event_id AS VARCHAR)
+                    ), 1, 15)) AS BIGINT) % 1000000 AS h)
+    ),
+    m AS (
+      SELECT b, CAST(sum(w * v_u) AS BIGINT) AS s,
+             CAST(sum(w) AS BIGINT) AS n
+      FROM w GROUP BY b
+    ),
+    means AS (
+      SELECT b,
+             floor(CAST(s AS DOUBLE) / n + 0.5) / 1000000.0 AS mean_b,
+             row_number() OVER (
+               ORDER BY floor(CAST(s AS DOUBLE) / n + 0.5), b
+             ) AS rk
+      FROM m
+    ),
+    full_m AS (
+      SELECT floor(CAST(sum(v_u) AS DOUBLE) / count(*) + 0.5) / 1000000.0
+               AS mean_full,
+             CAST(count(*) AS BIGINT) AS n_rows
+      FROM v
+    )
+    SELECT n_rows,
+           CAST(20 AS BIGINT) AS n_resamples,
+           mean_full,
+           max(CASE WHEN rk = 2 THEN mean_b END) AS ci_lo,
+           max(CASE WHEN rk = 19 THEN mean_b END) AS ci_hi
+    FROM means, full_m
+    GROUP BY n_rows, mean_full
+    """,
+)
+def stats_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POISSON BOOTSTRAP confidence interval for the mean event value —
+    the distribution-free CI every metrics platform reaches for when
+    normality fails, in the single-pass streaming form (Chamandy et
+    al., Google 2012): instead of materializing B resamples, each row
+    gets a per-resample replication WEIGHT ~ Poisson(1), so all B=20
+    resample means come out of ONE scan with a 20x map-side explode and
+    a 20-group combinable aggregate — no shuffle of the fact table, no
+    driver-side loop.
+
+    Engine discipline: the Poisson(1) draw is the repo's DETERMINISTIC
+    md5 portable hash ('boot{b}:{event_id}' -> [0, 1e6)) quantized to
+    the Poisson pmf steps (0.368/0.736/0.920 — a documented 4-bucket
+    approximation, identical in both engines, which is what a CI needs:
+    reproducible resamples, not cryptographic fidelity); values ride as
+    integer micro-units so each resample sum is int64-exact, and the CI
+    bounds are the 2nd / 19th ORDER STATISTICS of the 20 means (the
+    5%-95% percentile bootstrap at B=20) — rank logic on a 20-row
+    frame, no float quantile interpolation to diverge."""
+    from ..functions.text import portable_hash60
+
+    e = load_table(spark, sf_dir, "events")
+    v = e.select(
+        "event_id",
+        F.floor(F.col("value") * 1000000 + 0.5).cast("bigint").alias("v_u"),
+    )
+    b = v.select(
+        "event_id",
+        "v_u",
+        F.explode(F.sequence(F.lit(1), F.lit(20))).alias("b"),
+    )
+    h = portable_hash60(
+        F.concat(
+            F.lit("boot"),
+            F.col("b").cast("string"),
+            F.lit(":"),
+            F.col("event_id").cast("string"),
+        )
+    ) % 1000000
+    w = b.select(
+        "b",
+        "v_u",
+        F.when(h < 368000, 0)
+        .when(h < 736000, 1)
+        .when(h < 920000, 2)
+        .otherwise(3)
+        .alias("w"),
+    )
+    m = w.groupBy("b").agg(
+        F.sum(F.col("w") * F.col("v_u")).cast("bigint").alias("s"),
+        F.sum("w").cast("bigint").alias("n"),
+    )
+    mean_u = F.floor(F.col("s").cast("double") / F.col("n") + 0.5)
+    means = m.select(
+        "b",
+        (mean_u / 1000000.0).alias("mean_b"),
+        F.row_number().over(Window.orderBy(mean_u, "b")).alias("rk"),
+    )
+    full_m = v.agg(
+        (
+            F.floor(F.sum("v_u").cast("double") / F.count(F.lit(1)) + 0.5)
+            / 1000000.0
+        ).alias("mean_full"),
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+    )
+    return (
+        means.crossJoin(F.broadcast(full_m))
+        .groupBy("n_rows", "mean_full")
+        .agg(
+            F.max(F.when(F.col("rk") == 2, F.col("mean_b"))).alias("ci_lo"),
+            F.max(F.when(F.col("rk") == 19, F.col("mean_b"))).alias("ci_hi"),
+        )
+        .select(
+            "n_rows",
+            F.lit(20).cast("bigint").alias("n_resamples"),
+            "mean_full",
+            "ci_lo",
+            "ci_hi",
+        )
+    )

@@ -178,6 +178,9 @@ _ALLOWED_NESTED_LOOP = {
     # scalar pattern; the fact table contributes one combinable pass
     "stats_anova_f",
     "stats_fdr_bh",
+    # the one-row full-mean aggregate crossed onto the B=20 resample-
+    # means frame — the events_gapfill in-plan scalar pattern
+    "stats_bootstrap_ci",
 }
 # Single-partition exchanges allowed only where the exchanged data is
 # metadata-scale (a handful of rows), never a full table:
@@ -320,6 +323,10 @@ _ALLOWED_SINGLE_PARTITION = {
     # BH step-up ranking over the SAME k-row frame (one p-value per
     # event type) — rank/threshold windows on metadata-scale rows only
     "stats_fdr_bh",
+    # order-statistic window over the B=20 resample-means frame —
+    # 20 rows by construction; the fact table contributes the 20x
+    # exploded combinable aggregate only
+    "stats_bootstrap_ci",
 }
 
 
