@@ -121,6 +121,16 @@ HEADLINE = [
     "text_code_detect",
     "stats_theil_sen",
     "events_seasonal_decompose",
+    # round-13 additions (still additive — suite total not comparable
+    # to rounds <= 12): the degree-oriented triangle family twins, the
+    # truss/PPR graph extensions, the progressive-JPEG decode path,
+    # the OCC commit round trip, and the one-pass bootstrap
+    "graph_clustering_coefficient",
+    "graph_ktruss",
+    "graph_personalized_pagerank",
+    "multimodal_decode_jpeg_progressive",
+    "store_occ_commits",
+    "stats_bootstrap_ci",
 ]
 
 REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
