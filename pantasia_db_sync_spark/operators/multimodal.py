@@ -2842,3 +2842,239 @@ def synthetic_gradient_frame(df: DataFrame, id_col: str = "doc_id") -> DataFrame
             yield pd.DataFrame({"doc_id": pdf["doc_id"].values, "content": content})
 
     return src.mapInPandas(gen, schema="doc_id bigint, content binary")
+
+
+# ---------------------------------------------------------------------------
+# MP4 / ISO-BMFF (ISO/IEC 14496-12): METADATA parser — the container
+# walk a video ingest runs long before any codec work (duration,
+# timescale, track layout, display dimensions gate sampling budgets
+# and filtering). Pixel/sample DECODE (H.264 etc.) stays an honest
+# NotImplementedError — this is the Exif-for-video twin: real box
+# grammar, real fixed-point math, typed metadata out of opaque bytes.
+# ---------------------------------------------------------------------------
+
+_MP4_CONTAINERS = {b"moov", b"trak", b"mdia", b"minf", b"stbl", b"edts"}
+
+
+def _box(typ: bytes, payload: bytes, large: bool = False) -> bytes:
+    """One ISO-BMFF box. ``large=True`` writes the size==1 + 64-bit
+    largesize header form (§4.2) — the >4 GiB-file layout, used by the
+    fixtures so the parser's largesize path is exercised every run."""
+    if large:
+        return (
+            struct.pack(">I", 1) + typ + struct.pack(">Q", len(payload) + 16)
+            + payload
+        )
+    return struct.pack(">I", len(payload) + 8) + typ + payload
+
+
+def encode_mp4_meta(
+    duration_ms: int,
+    width: int,
+    height: int,
+    with_audio: bool,
+    timescale: int = 1000,
+) -> bytes:
+    """Render a minimal-but-well-formed MP4 metadata skeleton: ftyp +
+    moov(mvhd, video trak(tkhd, mdia(mdhd, hdlr)) [, audio trak]) +
+    an mdat stub. Width/height land in tkhd as 16.16 fixed point; the
+    video trak box uses the 64-bit largesize header; an unknown 'skip'
+    box is planted inside moov so the parser's skip-unknown path is
+    exercised on every fixture."""
+    if not (0 < timescale and 0 <= duration_ms and 0 < width and 0 < height):
+        raise ValueError("bad mp4 parameters")
+    dur = (duration_ms * timescale) // 1000
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 0x200) + b"isomiso2mp41")
+    mvhd = _box(
+        b"mvhd",
+        struct.pack(">B3x", 0)                    # version 0, flags
+        + struct.pack(">II", 3_600_000_000, 3_600_000_000)  # times
+        + struct.pack(">II", timescale, dur)
+        + struct.pack(">i", 0x00010000)           # rate 1.0
+        + struct.pack(">h", 0x0100)               # volume 1.0
+        + b"\x00" * 10                            # reserved
+        + struct.pack(
+            ">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000
+        )                                         # identity matrix
+        + b"\x00" * 24                            # pre_defined
+        + struct.pack(">I", 3),                   # next_track_ID
+    )
+
+    def trak(track_id: int, handler: bytes, w: int, h: int) -> bytes:
+        tkhd = _box(
+            b"tkhd",
+            struct.pack(">B3b", 0, 0, 0, 7)
+            + struct.pack(">II", 3_600_000_000, 3_600_000_000)
+            + struct.pack(">I", track_id)
+            + b"\x00" * 4
+            + struct.pack(">I", dur)
+            + b"\x00" * 8
+            + struct.pack(">hhhh", 0, 0, 0 if handler == b"vide" else 0x0100, 0)
+            + struct.pack(
+                ">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000
+            )
+            + struct.pack(">II", w << 16, h << 16),   # 16.16 fixed point
+        )
+        mdhd = _box(
+            b"mdhd",
+            struct.pack(">B3x", 0)
+            + struct.pack(">II", 3_600_000_000, 3_600_000_000)
+            + struct.pack(">II", timescale, dur)
+            + struct.pack(">HH", 0x55C4, 0),      # language 'und', quality
+        )
+        hdlr = _box(
+            b"hdlr",
+            struct.pack(">B3x", 0) + b"\x00" * 4 + handler + b"\x00" * 12
+            + b"\x00",
+        )
+        mdia = _box(b"mdia", mdhd + hdlr)
+        # video trak uses the 64-bit largesize header form
+        return _box(b"trak", tkhd + mdia, large=(handler == b"vide"))
+
+    traks = trak(1, b"vide", width, height)
+    if with_audio:
+        traks += trak(2, b"soun", 0, 0)
+    skip = _box(b"skip", b"opaque-padding")      # unknown-box skip path
+    moov = _box(b"moov", mvhd + skip + traks)
+    mdat = _box(b"mdat", b"\x00" * 8)            # stub payload
+    return ftyp + moov + mdat
+
+
+def decode_mp4_meta(content: bytes) -> dict:
+    """Parse the ISO-BMFF box tree (generic walk: 32-bit sizes, the
+    size==1 / 64-bit largesize form, size==0 box-extends-to-EOF,
+    recursion into container boxes, unknown boxes skipped by size) and
+    extract the movie metadata: major brand, movie timescale +
+    duration, track count, per-track handler, and the video track's
+    display width/height from tkhd's 16.16 fixed point. Raises on
+    malformed structure — never a silent guess."""
+    if len(content) < 8:
+        raise ValueError("not an MP4 stream")
+
+    out: dict = {
+        "major_brand": None,
+        "timescale": None,
+        "duration_ms": None,
+        "n_tracks": 0,
+        "video_width": None,
+        "video_height": None,
+        "handlers": [],
+    }
+
+    def walk(lo: int, hi: int, depth: int) -> None:
+        pos = lo
+        while pos < hi:
+            if pos + 8 > hi:
+                raise ValueError("truncated box header")
+            size = struct.unpack_from(">I", content, pos)[0]
+            typ = content[pos + 4 : pos + 8]
+            body = pos + 8
+            if size == 1:
+                if pos + 16 > hi:
+                    raise ValueError("truncated largesize header")
+                size = struct.unpack_from(">Q", content, pos + 8)[0]
+                body = pos + 16
+            elif size == 0:
+                size = hi - pos  # box extends to end of enclosing box
+            end = pos + size
+            if size < 8 or end > hi:
+                raise ValueError(f"bad box size {size} for {typ!r}")
+            if typ == b"ftyp":
+                out["major_brand"] = content[body : body + 4].decode("ascii")
+            elif typ == b"mvhd":
+                ver = content[body]
+                if ver == 1:
+                    ts, dur = struct.unpack_from(">IQ", content, body + 20)
+                else:
+                    ts, dur = struct.unpack_from(">II", content, body + 12)
+                out["timescale"] = ts
+                out["duration_ms"] = (dur * 1000) // ts
+            elif typ == b"trak":
+                out["n_tracks"] += 1
+                walk(body, end, depth + 1)
+            elif typ == b"tkhd":
+                ver = content[body]
+                # verflags(4) + times(8/16) + track(4) + rsvd(4) + dur(4/8)
+                off = body + (24 if ver == 0 else 36)  # through duration
+                w16, h16 = struct.unpack_from(">II", content, off + 52)
+                if w16 and h16:
+                    out["video_width"] = w16 >> 16
+                    out["video_height"] = h16 >> 16
+            elif typ == b"hdlr":
+                out["handlers"].append(
+                    content[body + 8 : body + 12].decode("ascii")
+                )
+            elif typ in _MP4_CONTAINERS:
+                walk(body, end, depth + 1)
+            pos = end
+
+    walk(0, len(content), 0)
+    if out["major_brand"] is None or out["timescale"] is None:
+        raise ValueError("missing ftyp/mvhd — not a playable MP4")
+    out["handlers"] = ",".join(out["handlers"])
+    return out
+
+
+MP4_SCHEMA = (
+    "doc_id bigint, major_brand string, timescale int, duration_ms bigint, "
+    "n_tracks int, video_width int, video_height int, handlers string"
+)
+
+
+def synthetic_mp4_frame(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """One MP4 metadata skeleton per row, every field from id
+    arithmetic: duration (id%97+1)*500 ms, width (id%32+1)*16,
+    height (id%18+1)*16, audio track iff id is even."""
+    src = df.select(F.col(id_col).alias("doc_id"))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            content = [
+                encode_mp4_meta(
+                    (int(i) % 97 + 1) * 500,
+                    (int(i) % 32 + 1) * 16,
+                    (int(i) % 18 + 1) * 16,
+                    int(i) % 2 == 0,
+                )
+                for i in pdf["doc_id"]
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].values, "content": content})
+
+    return src.mapInPandas(gen, schema="doc_id bigint, content binary")
+
+
+def decode_mp4_features(
+    df: DataFrame, id_col: str = "doc_id", binary_col: str = "content"
+) -> DataFrame:
+    """mapInPandas over a binary column with the real ISO-BMFF walk —
+    Arrow-batched, zero shuffle, the Exif/codec plumbing shape."""
+    src = df.select(
+        F.col(id_col).alias("doc_id"), F.col(binary_col).alias("content")
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, content in zip(pdf["doc_id"], pdf["content"]):
+                d = decode_mp4_meta(bytes(content))
+                rows.append(
+                    (
+                        int(i),
+                        d["major_brand"],
+                        d["timescale"],
+                        d["duration_ms"],
+                        d["n_tracks"],
+                        d["video_width"],
+                        d["video_height"],
+                        d["handlers"],
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "major_brand", "timescale", "duration_ms",
+                    "n_tracks", "video_width", "video_height", "handlers",
+                ],
+            )
+
+    return src.mapInPandas(gen, schema=MP4_SCHEMA)

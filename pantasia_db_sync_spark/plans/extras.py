@@ -7672,3 +7672,174 @@ def stats_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ci_hi",
         )
     )
+
+
+@register(
+    "events_ab_cuped",
+    oracle="""
+    WITH u AS (
+      SELECT user_id, user_id % 2 AS cohort,
+             CAST(sum(CASE WHEN extract(day FROM ts) <= 15
+                  THEN CAST(floor(value * 1000000 + 0.5) AS BIGINT) END)
+                  AS BIGINT) AS pre_su,
+             CAST(count(CASE WHEN extract(day FROM ts) <= 15 THEN 1 END)
+                  AS BIGINT) AS pre_n,
+             CAST(sum(CASE WHEN extract(day FROM ts) > 15
+                  THEN CAST(floor(value * 1000000 + 0.5) AS BIGINT) END)
+                  AS BIGINT) AS post_su,
+             CAST(count(CASE WHEN extract(day FROM ts) > 15 THEN 1 END)
+                  AS BIGINT) AS post_n
+      FROM events GROUP BY 1, 2
+    ),
+    p AS (
+      SELECT cohort,
+             CAST(floor(CAST(pre_su AS DOUBLE) / pre_n / 1000 + 0.5)
+                  AS BIGINT) AS x,
+             CAST(floor(CAST(post_su AS DOUBLE) / post_n / 1000 + 0.5)
+                  AS BIGINT) AS y
+      FROM u WHERE pre_n > 0 AND post_n > 0
+    ),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(x * x) AS BIGINT) AS sxx
+      FROM p
+    ),
+    th AS (
+      SELECT n, sx, sy,
+             floor((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                   / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                   * 1000000 + 0.5) / 1000000 AS theta
+      FROM m
+    ),
+    c AS (
+      SELECT cohort, CAST(count(*) AS BIGINT) AS n_users,
+             CAST(sum(y) AS BIGINT) AS csy, CAST(sum(x) AS BIGINT) AS csx,
+             CAST(sum(y * y) AS BIGINT) AS csyy,
+             CAST(sum(x * y) AS BIGINT) AS csxy,
+             CAST(sum(x * x) AS BIGINT) AS csxx
+      FROM p GROUP BY 1
+    )
+    SELECT cohort, n_users,
+           floor(CAST(csy AS DOUBLE) / n_users + 0.5) / 1000 AS mean_post,
+           floor((CAST(csy AS DOUBLE) / n_users
+                  - theta * (CAST(csx AS DOUBLE) / n_users
+                             - CAST(sx AS DOUBLE) / n)) + 0.5) / 1000
+             AS mean_adjusted,
+           theta,
+           floor((csyy - CAST(csy AS DOUBLE) * csy / n_users)
+                 / (n_users - 1) / 1000000 + 0.5) / 1000 AS var_post,
+           floor(((csyy - 2 * theta * csxy + theta * theta * csxx)
+                  - (CAST(csy AS DOUBLE) - theta * csx)
+                    * (CAST(csy AS DOUBLE) - theta * csx) / n_users)
+                 / (n_users - 1) / 1000000 + 0.5) / 1000 AS var_adjusted
+    FROM c, th
+    """,
+)
+def events_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction (Deng et al., WSDM 2013) — the modern
+    A/B-testing workhorse the Welch/z/SPRT family was missing: each
+    user's POST-period metric is adjusted by their PRE-period metric
+    (y_adj = y - theta (x - mean x), theta = cov(x,y)/var(x) POOLED
+    across cohorts), shrinking variance by the squared pre/post
+    correlation without biasing the treatment contrast. Cohort =
+    user_id parity; pre/post split at day 15 of the fixture month;
+    only users observed in BOTH periods enter.
+
+    Engine discipline: per-row values floor to micro-unit ints (exact
+    per-user sums), per-user period means floor to MILLI-unit ints —
+    small enough that every cross-moment sum (x*y <= ~2.5e9 per user)
+    stays int64-exact across any partitioning — and theta/variances
+    are scalar float expressions over those exact integer moments,
+    rounded once. Shape: ONE groupBy(user) pass over the facts, then
+    cohort/pooled moments over the user frame (combinable), then
+    scalar algebra — the stats_welch_ttest pattern one level up."""
+    e = load_table(spark, sf_dir, "events")
+    v_u = F.floor(F.col("value") * 1000000 + 0.5).cast("bigint")
+    is_pre = F.dayofmonth("ts") <= 15
+    u = e.groupBy(
+        "user_id", (F.col("user_id") % 2).alias("cohort")
+    ).agg(
+        F.sum(F.when(is_pre, v_u)).cast("bigint").alias("pre_su"),
+        F.count(F.when(is_pre, F.lit(1))).cast("bigint").alias("pre_n"),
+        F.sum(F.when(~is_pre, v_u)).cast("bigint").alias("post_su"),
+        F.count(F.when(~is_pre, F.lit(1))).cast("bigint").alias("post_n"),
+    )
+    p = u.where((F.col("pre_n") > 0) & (F.col("post_n") > 0)).select(
+        "cohort",
+        F.floor(
+            F.col("pre_su").cast("double") / F.col("pre_n") / 1000 + 0.5
+        )
+        .cast("bigint")
+        .alias("x"),
+        F.floor(
+            F.col("post_su").cast("double") / F.col("post_n") / 1000 + 0.5
+        )
+        .cast("bigint")
+        .alias("y"),
+    )
+    m = p.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+    )
+    th = m.select(
+        "n",
+        "sx",
+        fround(
+            (F.col("n").cast("double") * F.col("sxy")
+             - F.col("sx").cast("double") * F.col("sy"))
+            / (F.col("n").cast("double") * F.col("sxx")
+               - F.col("sx").cast("double") * F.col("sx")),
+            6,
+        ).alias("theta"),
+    )
+    c = p.groupBy("cohort").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum("y").cast("bigint").alias("csy"),
+        F.sum("x").cast("bigint").alias("csx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("csyy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("csxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("csxx"),
+    )
+    j = c.crossJoin(F.broadcast(th))
+    mean_y = F.col("csy").cast("double") / F.col("n_users")
+    mean_x = F.col("csx").cast("double") / F.col("n_users")
+    gm_x = F.col("sx").cast("double") / F.col("n")
+    adj_sum = F.col("csy").cast("double") - F.col("theta") * F.col("csx")
+    ss_adj = (
+        F.col("csyy")
+        - 2 * F.col("theta") * F.col("csxy")
+        + F.col("theta") * F.col("theta") * F.col("csxx")
+    )
+    return j.select(
+        "cohort",
+        "n_users",
+        (F.floor(mean_y + 0.5) / 1000).alias("mean_post"),
+        (
+            F.floor(mean_y - F.col("theta") * (mean_x - gm_x) + 0.5) / 1000
+        ).alias("mean_adjusted"),
+        "theta",
+        (
+            F.floor(
+                (F.col("csyy") - F.col("csy").cast("double") * F.col("csy")
+                 / F.col("n_users"))
+                / (F.col("n_users") - 1)
+                / 1000000
+                + 0.5
+            )
+            / 1000
+        ).alias("var_post"),
+        (
+            F.floor(
+                (ss_adj - adj_sum * adj_sum / F.col("n_users"))
+                / (F.col("n_users") - 1)
+                / 1000000
+                + 0.5
+            )
+            / 1000
+        ).alias("var_adjusted"),
+    )

@@ -3871,3 +3871,42 @@ def text_vocab_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.abs(F.col("drift")).desc(), F.col("token").asc())
         .limit(20)
     )
+
+
+@register(
+    "multimodal_mp4_meta",
+    oracle="""
+    SELECT doc_id,
+           'isom' AS major_brand,
+           CAST(1000 AS INTEGER) AS timescale,
+           CAST((doc_id % 97 + 1) * 500 AS BIGINT) AS duration_ms,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 1 END AS INTEGER)
+             AS n_tracks,
+           CAST((doc_id % 32 + 1) * 16 AS INTEGER) AS video_width,
+           CAST((doc_id % 18 + 1) * 16 AS INTEGER) AS video_height,
+           CASE WHEN doc_id % 2 = 0 THEN 'vide,soun' ELSE 'vide' END
+             AS handlers
+    FROM documents WHERE doc_id < 300
+    """,
+)
+def multimodal_mp4_meta_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VIDEO-CONTAINER metadata parse — the ISO-BMFF / MP4 box walk
+    (ISO/IEC 14496-12; operators/multimodal.py decode_mp4_meta) that a
+    video ingest runs long before any codec work: duration, movie
+    timescale, track layout, per-track handler, and display dimensions
+    from tkhd's 16.16 fixed point gate sampling budgets and filtering.
+    The Exif-for-video twin: fixtures are real box trees rendered
+    in-flight by encode_mp4_meta — the video trak ships under the
+    size==1 / 64-bit LARGESIZE header and moov plants an unknown
+    'skip' box, so the parser's largesize and skip-unknown paths are
+    exercised on EVERY row, and every output field is id-predictable.
+    Sample/pixel DECODE (H.264 etc.) remains the one honest
+    NotImplementedError in the image dispatcher — this closes the
+    metadata half of the MP4 gate, the part a data pipeline actually
+    needs. Same Arrow-batched mapInPandas plumbing as the five image
+    codecs; map-only, zero shuffle. Reference analogue: opaque media
+    bytea columns (app/db/postgres.py:144-145)."""
+    from ..operators.multimodal import decode_mp4_features, synthetic_mp4_frame
+
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    return decode_mp4_features(synthetic_mp4_frame(d), "doc_id", "content")

@@ -181,6 +181,9 @@ _ALLOWED_NESTED_LOOP = {
     # the one-row full-mean aggregate crossed onto the B=20 resample-
     # means frame — the events_gapfill in-plan scalar pattern
     "stats_bootstrap_ci",
+    # the one-row pooled-theta aggregate crossed onto the 2-row cohort
+    # moments frame — the events_gapfill in-plan scalar pattern
+    "events_ab_cuped",
 }
 # Single-partition exchanges allowed only where the exchanged data is
 # metadata-scale (a handful of rows), never a full table:

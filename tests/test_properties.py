@@ -3202,3 +3202,70 @@ def test_jpeg_progressive_three_component_interleaved_dc():
     assert d["progressive"] is True
     assert d["mean_y"] == float(v)
     assert d["mean_cb"] == 128.0 and d["mean_cr"] == 128.0
+
+
+def test_mp4_box_walk_spec_bytes():
+    """HAND-ASSEMBLED ISO-BMFF stream pinning the box grammar
+    independently of encode_mp4_meta's composition: a version-1 mvhd
+    (64-bit times/duration — the encoder only writes version 0), a
+    size==0 final box (extends to EOF), an unknown top-level box
+    skipped by size, and a largesize trak. Also: malformed sizes and
+    a missing mvhd must raise."""
+    import struct as _struct
+
+    import pytest
+
+    from pantasia_db_sync_spark.operators.multimodal import (
+        _box,
+        decode_mp4_meta,
+    )
+
+    # version-1 mvhd: verflags + u64 times + u32 timescale + u64 dur
+    mvhd_v1 = _box(
+        b"mvhd",
+        _struct.pack(">B3x", 1)
+        + _struct.pack(">QQ", 5, 6)
+        + _struct.pack(">I", 90000)          # timescale 90 kHz
+        + _struct.pack(">Q", 270000)         # duration = 3000 ms
+        + b"\x00" * 80,
+    )
+    tkhd = _box(
+        b"tkhd",
+        _struct.pack(">B3b", 0, 0, 0, 7)
+        + _struct.pack(">II", 0, 0)
+        + _struct.pack(">I", 1)
+        + b"\x00" * 4
+        + _struct.pack(">I", 270000)
+        + b"\x00" * 8
+        + _struct.pack(">hhhh", 0, 0, 0, 0)
+        + _struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + _struct.pack(">II", 640 << 16, 360 << 16),
+    )
+    hdlr = _box(
+        b"hdlr",
+        _struct.pack(">B3x", 0) + b"\x00" * 4 + b"vide" + b"\x00" * 13,
+    )
+    trak = _box(b"trak", tkhd + _box(b"mdia", hdlr), large=True)
+    unknown = _box(b"zzzz", b"junk-to-skip")
+    # final mdat with size==0: extends to end of file
+    mdat0 = _struct.pack(">I", 0) + b"mdat" + b"\x00" * 5
+    stream = (
+        _box(b"ftyp", b"mp42" + _struct.pack(">I", 0) + b"mp42isom")
+        + unknown
+        + _box(b"moov", mvhd_v1 + trak)
+        + mdat0
+    )
+    d = decode_mp4_meta(stream)
+    assert d["major_brand"] == "mp42"
+    assert d["timescale"] == 90000
+    assert d["duration_ms"] == 3000   # (270000 * 1000) // 90000
+    assert d["n_tracks"] == 1
+    assert (d["video_width"], d["video_height"]) == (640, 360)
+    assert d["handlers"] == "vide"
+
+    with pytest.raises(ValueError, match="bad box size"):
+        decode_mp4_meta(_struct.pack(">I", 5) + b"ftyp" + b"\x00" * 20)
+    with pytest.raises(ValueError, match="not a playable MP4"):
+        decode_mp4_meta(_box(b"free", b"\x00" * 16))
+    with pytest.raises(ValueError, match="not an MP4"):
+        decode_mp4_meta(b"\x00\x00")
