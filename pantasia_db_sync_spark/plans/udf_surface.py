@@ -1260,3 +1260,56 @@ def stream_cms_heavyhitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("c").cast("bigint").alias("cms_est"))
         .select(F.col("tok").alias("token"), "exact_cnt", "cms_est")
     )
+
+
+@register(
+    "stream_sliding_window",
+    oracle="""
+    WITH w AS (
+      SELECT CAST(floor(epoch(ts) / 3600) * 3600 - k.k * 3600 AS BIGINT)
+               AS w_start
+      FROM events, (VALUES (0), (1)) AS k(k)
+    )
+    SELECT CAST(TIMESTAMP '1970-01-01 00:00:00' + to_seconds(w_start)
+                AS TIMESTAMP) AS period_start,
+           CAST(TIMESTAMP '1970-01-01 00:00:00' + to_seconds(w_start + 7200)
+                AS TIMESTAMP) AS period_end,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM w GROUP BY 1, 2
+    """,
+)
+def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLIDING event-time windows as a real Structured Streaming run —
+    the overlapping-window mode tumbling/session already cover the
+    other two corners of: 120-minute windows sliding every 60, so each
+    event lands in exactly TWO windows (the moving-average /
+    rate-monitoring shape). File-source stream → watermarked sliding
+    window → complete-mode memory sink; complete mode retains every
+    window so the sink equals the batch semantics, and the oracle
+    replays the window assignment arithmetic directly (each event
+    cross-joined onto its size/slide = 2 window starts). State at
+    scale: watermark bounds the open-window set exactly like the
+    tumbling twin — sliding multiplies state by size/slide, not by
+    stream length."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from ..streaming import events_stream
+    from ..streaming.sync_stream import sliding_window_counts
+
+    d = tempfile.mkdtemp(prefix="stream_sw_")
+    shutil.copy(
+        os.path.join(sf_dir, "events.parquet"), os.path.join(d, "events-0.parquet")
+    )
+    name = "ssw_" + uuid.uuid4().hex[:8]
+    writer = (
+        sliding_window_counts(events_stream(spark, d))
+        .writeStream.format("memory")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+    )
+    return _run_stream_to_frame(spark, writer, name, d).select(
+        "period_start", "period_end", "n_events"
+    )
