@@ -639,3 +639,111 @@ def personalized_pagerank(
             .localCheckpoint(eager=True)
         )
     return r.select(F.col("a").alias("node"), F.col("r").alias("rank_micro"))
+
+
+def brandes_dependency(
+    edges: DataFrame,
+    seed: int,
+    hops: int = 3,
+    micro: int = 1_000_000,
+    u_col: str = "u",
+    v_col: str = "v",
+) -> DataFrame:
+    """(node, dist, sigma, delta_micro): the Brandes (2001)
+    single-source betweenness CONTRIBUTION from ``seed``, hop-capped —
+    forward BFS accumulating shortest-path counts sigma, then the
+    backward dependency pass delta(v) = sum over successors w of
+    sigma(v)/sigma(w) * (1 + delta(w)). Summing delta over sampled
+    seeds is the standard approximate betweenness estimator
+    (Brandes–Pich 2007); one seed's pass is the building block.
+
+    Engine-portable integer discipline: the backward accumulation is
+    FLOORED per term — delta_micro(v) = sum_w (sigma(v) * (micro +
+    delta_micro(w))) // sigma(w) — so every level is an int64 sum of
+    int64 terms, order-free across partitions and engines (the
+    pagerank_micro discipline applied to dependency mass; a float
+    Brandes would drift in the last ulps with neighbor order). sigma
+    itself is exact by construction (integer path counts).
+
+    Shape per level, both passes: one equi-join of the level frontier
+    against the symmetric edge list + one combinable groupBy — the
+    multi_bfs/pagerank loop; frontiers are localCheckpoint'ed. Work is
+    O(edges within ``hops`` of the seed) per pass, never |graph|."""
+    spark = edges.sparkSession
+    sym = (
+        edges.select(F.col(u_col).alias("a"), F.col(v_col).alias("b"))
+        .unionAll(edges.select(F.col(v_col).alias("a"), F.col(u_col).alias("b")))
+        .localCheckpoint(eager=True)
+    )
+    # forward: per-level frontiers carrying exact path counts sigma
+    levels = [
+        spark.createDataFrame(
+            [(int(seed), 1)], "node bigint, sigma bigint"
+        ).localCheckpoint(eager=True)
+    ]
+    seen = levels[0].select("node").localCheckpoint(eager=True)
+    for _ in range(hops):
+        nxt = (
+            levels[-1]
+            .join(sym, levels[-1]["node"] == sym["a"])
+            .groupBy(F.col("b").alias("node"))
+            .agg(F.sum("sigma").cast("bigint").alias("sigma"))
+            .join(seen, "node", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        levels.append(nxt)
+        seen = seen.unionByName(nxt.select("node")).localCheckpoint(eager=True)
+    # backward: floored integer dependency accumulation
+    deltas: list[DataFrame] = [None] * len(levels)
+    deltas[-1] = levels[-1].select(
+        "node", F.lit(0).cast("bigint").alias("delta_micro")
+    )
+    for t in range(len(levels) - 2, -1, -1):
+        succ = levels[t + 1].join(deltas[t + 1], "node").select(
+            F.col("node").alias("w"),
+            F.col("sigma").alias("sigma_w"),
+            "delta_micro",
+        )
+        # per-term INTEGER division (Spark `div` == DuckDB `//` on
+        # positives) — int64-exact regardless of magnitude, no double
+        # rounding anywhere in the accumulation
+        contrib = (
+            levels[t]
+            .join(sym, levels[t]["node"] == sym["a"])
+            .join(succ, sym["b"] == succ["w"])
+            .select(
+                "node",
+                F.expr(
+                    f"(sigma * ({micro} + delta_micro)) div sigma_w"
+                )
+                .cast("bigint")
+                .alias("term"),
+            )
+        )
+        deltas[t] = (
+            levels[t]
+            .select("node")
+            .join(
+                contrib.groupBy("node").agg(
+                    F.sum("term").cast("bigint").alias("delta_micro")
+                ),
+                "node",
+                "left",
+            )
+            .select(
+                "node",
+                F.coalesce("delta_micro", F.lit(0))
+                .cast("bigint")
+                .alias("delta_micro"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    out = None
+    for t, (lv, dl) in enumerate(zip(levels, deltas)):
+        leg = lv.join(dl, "node").select(
+            "node", F.lit(t).cast("int").alias("dist"), "sigma", "delta_micro"
+        )
+        out = leg if out is None else out.unionByName(leg)
+    return out

@@ -7843,3 +7843,100 @@ def events_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1000
         ).alias("var_adjusted"),
     )
+
+
+def _brandes_sql(hops: int, micro: int = 1_000_000) -> str:
+    """DuckDB replay of operators/components.py::brandes_dependency —
+    forward path-count levels and the floored-integer backward
+    dependency pass as chained CTE stages ( `//` mirrors Spark's `div`
+    on the all-positive terms)."""
+    parts = [
+        f"""e AS (
+      SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
+      FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+      WHERE a.l_orderkey % {_TRI_MOD} = 0 AND a.l_suppkey < b.l_suppkey
+    )""",
+        "sym AS (SELECT u AS a, v AS b FROM e UNION ALL SELECT v, u FROM e)",
+        "seed AS (SELECT min(u) AS s FROM e)",
+        "f0 AS (SELECT s AS node, CAST(1 AS BIGINT) AS sigma FROM seed)",
+    ]
+    for t in range(1, hops + 1):
+        prev_seen = " UNION ALL ".join(
+            f"SELECT node FROM f{i}" for i in range(t)
+        )
+        parts.append(
+            f"""f{t} AS (
+      SELECT sym.b AS node, CAST(sum(f{t - 1}.sigma) AS BIGINT) AS sigma
+      FROM f{t - 1} JOIN sym ON sym.a = f{t - 1}.node
+      WHERE sym.b NOT IN ({prev_seen})
+      GROUP BY 1
+    )"""
+        )
+    parts.append(
+        f"d{hops} AS (SELECT node, CAST(0 AS BIGINT) AS delta FROM f{hops})"
+    )
+    for t in range(hops - 1, -1, -1):
+        parts.append(
+            f"""c{t} AS (
+      SELECT f{t}.node,
+             CAST(sum((f{t}.sigma * ({micro} + d{t + 1}.delta))
+                      // f{t + 1}.sigma) AS BIGINT) AS delta
+      FROM f{t}
+      JOIN sym ON sym.a = f{t}.node
+      JOIN f{t + 1} ON f{t + 1}.node = sym.b
+      JOIN d{t + 1} ON d{t + 1}.node = sym.b
+      GROUP BY 1
+    )"""
+        )
+        parts.append(
+            f"""d{t} AS (
+      SELECT f{t}.node, CAST(COALESCE(c{t}.delta, 0) AS BIGINT) AS delta
+      FROM f{t} LEFT JOIN c{t} ON c{t}.node = f{t}.node
+    )"""
+        )
+    legs = " UNION ALL ".join(
+        f"SELECT f{t}.node, {t} AS dist, f{t}.sigma, d{t}.delta"
+        f" FROM f{t} JOIN d{t} ON d{t}.node = f{t}.node"
+        for t in range(hops + 1)
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+    SELECT node AS suppkey, CAST(dist AS INTEGER) AS dist, sigma,
+           delta AS delta_micro
+    FROM ({legs})
+    """
+    )
+
+
+@register("graph_betweenness_seed", oracle=_brandes_sql(hops=3))
+def graph_betweenness_seed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BRANDES BETWEENNESS dependency from one seed (the min-id
+    supplier), hop-capped at 3 — the per-source building block of
+    sampled betweenness centrality (Brandes 2001; Brandes–Pich 2007:
+    averaging delta over k sampled sources estimates betweenness
+    without the all-pairs cost, which is the ONLY betweenness anyone
+    runs at 100 TB). Forward BFS accumulates EXACT integer
+    shortest-path counts sigma per level; the backward pass folds
+    dependency mass down the BFS DAG with per-term INTEGER floor
+    division (delta_micro(v) = sum_w (sigma_v * (1e6 + delta_w)) //
+    sigma_w — Spark `div` == DuckDB `//` on positives), so every level
+    is an order-free int64 sum: the oracle is hash-equal, not a
+    tolerance check. Per level both directions: one frontier equi-join
+    + one combinable groupBy (the multi_bfs/pagerank shape), work
+    O(edges within hops of the seed). Emits (node, dist, sigma,
+    delta_micro) — the full per-source profile, so k-seed estimators
+    compose by summing delta over runs."""
+    from ..operators.components import brandes_dependency
+
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_orderkey") % _TRI_MOD == 0
+    )
+    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("v"))
+    e = a.join(b, "k").where(F.col("u") < F.col("v")).select("u", "v").distinct()
+    seed = e.agg(F.min("u")).collect()[0][0]  # scalar probe (BFS-src pattern)
+    return brandes_dependency(e, seed=int(seed), hops=3).select(
+        F.col("node").alias("suppkey"), "dist", "sigma", "delta_micro"
+    )

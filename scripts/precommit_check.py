@@ -26,7 +26,7 @@ import os
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-FLOOR = 336
+FLOOR = 337
 
 
 def main() -> int:
