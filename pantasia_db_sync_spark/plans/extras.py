@@ -7940,3 +7940,122 @@ def graph_betweenness_seed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brandes_dependency(e, seed=int(seed), hops=3).select(
         F.col("node").alias("suppkey"), "dist", "sigma", "delta_micro"
     )
+
+
+def _hits_sql(rounds: int, micro: int = 1_000_000) -> str:
+    """DuckDB replay of graph_hits_micro: integer micro-unit HITS
+    rounds over the bipartite purchase graph as chained CTEs, with the
+    sum-normalization as scalar subqueries and `//` mirroring Spark's
+    `div` on the all-positive scores."""
+    parts = [
+        f"""e AS (
+      SELECT DISTINCT o.o_custkey AS c, l.l_suppkey + {_PR_OFFSET} AS s
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      WHERE o.o_orderkey % 10 = 0
+    )""",
+        f"a0 AS (SELECT DISTINCT s AS node, CAST({micro} AS BIGINT) AS a FROM e)",
+    ]
+    for k in range(1, rounds + 1):
+        parts.append(
+            f"""hraw{k} AS (
+      SELECT e.c AS node, CAST(sum(a.a) AS BIGINT) AS h
+      FROM e JOIN a{k - 1} a ON a.node = e.s GROUP BY 1
+    )"""
+        )
+        parts.append(
+            f"""h{k} AS (
+      SELECT node,
+             CAST(h * {micro} // (SELECT sum(h) FROM hraw{k}) AS BIGINT) AS h
+      FROM hraw{k}
+    )"""
+        )
+        parts.append(
+            f"""araw{k} AS (
+      SELECT e.s AS node, CAST(sum(h.h) AS BIGINT) AS a
+      FROM e JOIN h{k} h ON h.node = e.c GROUP BY 1
+    )"""
+        )
+        parts.append(
+            f"""a{k} AS (
+      SELECT node,
+             CAST(a * {micro} // (SELECT sum(a) FROM araw{k}) AS BIGINT) AS a
+      FROM araw{k}
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+    SELECT 'hub' AS side, node, h AS score_micro FROM h{rounds}
+    UNION ALL
+    SELECT 'authority', node, a FROM a{rounds}
+    """
+    )
+
+
+@register("graph_hits_micro", oracle=_hits_sql(rounds=2))
+def graph_hits_micro(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg 1999) over the bipartite
+    customer -> supplier purchase graph — the centrality pair PageRank
+    cannot express on a bipartite graph (every customer is pure hub,
+    every supplier pure authority; HITS ranks them JOINTLY: a good
+    customer buys from good suppliers and vice versa). Two mutual-
+    reinforcement rounds in INTEGER MICRO-UNITS with sum-normalization
+    per half-step (score * 1e6 div sum — Spark `div` == DuckDB `//` on
+    positives), so every value is int64-exact and the chained-CTE
+    oracle is hash-equal, no tolerance.
+
+    Shape per half-round: one equi-join of scores onto the frozen edge
+    list + one combinable groupBy + a one-row sum broadcast-crossed
+    back on (the events_gapfill in-plan scalar pattern) — the pagerank
+    loop with a normalization cross."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    e = (
+        o.where(F.col("o_orderkey") % 10 == 0)
+        .join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.col("o_custkey").alias("c"),
+            (F.col("l_suppkey") + _PR_OFFSET).alias("s"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)  # freeze: 2 joins per round
+    )
+    micro = 1_000_000
+    a = e.select(F.col("s").alias("node")).distinct().select(
+        "node", F.lit(micro).cast("bigint").alias("score")
+    )
+    h = None
+    for _ in range(2):
+        hraw = (
+            e.join(a.withColumnRenamed("node", "s"), "s")
+            .groupBy(F.col("c").alias("node"))
+            .agg(F.sum("score").cast("bigint").alias("raw"))
+        )
+        hsum = hraw.agg(F.sum("raw").alias("tot"))
+        h = hraw.crossJoin(F.broadcast(hsum)).select(
+            "node",
+            F.expr(f"CAST(raw * {micro} div tot AS BIGINT)").alias("score"),
+        )
+        araw = (
+            e.join(h.withColumnRenamed("node", "c"), "c")
+            .groupBy(F.col("s").alias("node"))
+            .agg(F.sum("score").cast("bigint").alias("raw"))
+        )
+        asum = araw.agg(F.sum("raw").alias("tot"))
+        a = araw.crossJoin(F.broadcast(asum)).select(
+            "node",
+            F.expr(f"CAST(raw * {micro} div tot AS BIGINT)").alias("score"),
+        )
+    return (
+        h.select(
+            F.lit("hub").alias("side"), "node", F.col("score").alias("score_micro")
+        )
+        .unionByName(
+            a.select(
+                F.lit("authority").alias("side"),
+                "node",
+                F.col("score").alias("score_micro"),
+            )
+        )
+    )

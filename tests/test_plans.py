@@ -184,6 +184,9 @@ _ALLOWED_NESTED_LOOP = {
     # the one-row pooled-theta aggregate crossed onto the 2-row cohort
     # moments frame — the events_gapfill in-plan scalar pattern
     "events_ab_cuped",
+    # one-row normalization sums crossed onto the per-node score frames
+    # each HITS half-round — the events_gapfill in-plan scalar pattern
+    "graph_hits_micro",
 }
 # Single-partition exchanges allowed only where the exchanged data is
 # metadata-scale (a handful of rows), never a full table:
