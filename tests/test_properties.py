@@ -3269,3 +3269,133 @@ def test_mp4_box_walk_spec_bytes():
         decode_mp4_meta(_box(b"free", b"\x00" * 16))
     with pytest.raises(ValueError, match="not an MP4"):
         decode_mp4_meta(b"\x00\x00")
+
+
+def test_ktruss_matches_serial_peeling(spark):
+    """ktruss ≡ a serial per-round truss peel on adversarial shapes: a
+    clique (nothing peels at low k), a clique + pendant spokes (spokes
+    die round 1), two triangles sharing an edge, and a triangle-free
+    star (everything dies)."""
+    from itertools import combinations
+
+    from pantasia_db_sync_spark.operators.components import ktruss
+
+    def serial(edges, k, rounds):
+        es = {tuple(sorted(e)) for e in edges}
+        sup = {}
+        for _ in range(rounds):
+            adj = {}
+            for u, v in es:
+                adj.setdefault(u, set()).add(v)
+                adj.setdefault(v, set()).add(u)
+            sup = {}
+            for u, v in es:
+                sup[(u, v)] = len(adj[u] & adj[v])
+            es = {e for e, s in sup.items() if s >= k - 2}
+        return {e: s for e, s in sup.items() if s >= k - 2}
+
+    k5 = list(combinations(range(5), 2))
+    graphs = {
+        "clique5": k5,
+        "clique+spokes": k5 + [(0, 10), (1, 11), (2, 12)],
+        "bowtie": [(0, 1), (1, 2), (0, 2), (1, 3), (2, 3)],
+        "star": [(0, i) for i in range(1, 6)],
+    }
+    for name, edges in graphs.items():
+        for k in (3, 4, 5):
+            want = serial(edges, k, rounds=2)
+            edf = spark.createDataFrame(edges, "u int, v int")
+            got = {
+                (r["u"], r["v"]): r["support"]
+                for r in ktruss(edf, k=k, rounds=2).collect()
+            }
+            assert got == want, (name, k, got, want)
+
+
+def test_personalized_pagerank_matches_serial(spark):
+    """personalized_pagerank ≡ a serial integer replica (floor-divided
+    shares, restart at the seed, sparse zero-drop) on a path, a star
+    centered on the seed, and a star NOT containing the seed's mass."""
+    from pantasia_db_sync_spark.operators.components import personalized_pagerank
+
+    def serial(edges, seed, rounds, micro=1_000_000):
+        adj = {}
+        for u, v in edges:
+            adj.setdefault(u, []).append(v)
+            adj.setdefault(v, []).append(u)
+        deg = {n: len(vs) for n, vs in adj.items()}
+        r = {seed: micro}
+        for _ in range(rounds):
+            nxt = {}
+            for u, ru in r.items():
+                share = (85 * ru) // (100 * deg[u])
+                for w in adj[u]:
+                    nxt[w] = nxt.get(w, 0) + share
+            nxt[seed] = nxt.get(seed, 0) + 150000
+            r = {n: x for n, x in nxt.items() if x > 0}
+        return r
+
+    graphs = {
+        "path": ([(0, 1), (1, 2), (2, 3)], 0),
+        "star-seeded": ([(5, i) for i in range(4)], 5),
+        "star-offside": ([(5, i) for i in range(4)] + [(0, 9)], 9),
+    }
+    for name, (edges, seed) in graphs.items():
+        want = serial(edges, seed, rounds=4)
+        edf = spark.createDataFrame(edges, "u int, v int")
+        got = {
+            r["node"]: r["rank_micro"]
+            for r in personalized_pagerank(edf, seed=seed, rounds=4).collect()
+        }
+        assert got == want, (name, got, want)
+
+
+def test_brandes_dependency_matches_serial(spark):
+    """brandes_dependency ≡ a serial floored Brandes on shapes with
+    real path multiplicity: a diamond (two shortest paths meet), a
+    ladder, and a broom (hub funnels all deep mass)."""
+    from collections import deque
+
+    from pantasia_db_sync_spark.operators.components import brandes_dependency
+
+    def serial(edges, seed, hops, micro=1_000_000):
+        adj = {}
+        for u, v in edges:
+            adj.setdefault(u, set()).add(v)
+            adj.setdefault(v, set()).add(u)
+        dist = {seed: 0}
+        sigma = {seed: 1}
+        q = deque([seed])
+        order = [seed]
+        while q:
+            u = q.popleft()
+            if dist[u] >= hops:
+                continue
+            for w in sorted(adj[u]):
+                if w not in dist:
+                    dist[w] = dist[u] + 1
+                    sigma[w] = 0
+                    q.append(w)
+                    order.append(w)
+                if dist[w] == dist[u] + 1:
+                    sigma[w] += sigma[u]
+        delta = {n: 0 for n in dist}
+        for u in reversed(order):
+            for w in adj[u]:
+                if w in dist and dist[w] == dist[u] + 1:
+                    delta[u] += (sigma[u] * (micro + delta[w])) // sigma[w]
+        return {n: (dist[n], sigma[n], delta[n]) for n in dist}
+
+    graphs = {
+        "diamond": [(0, 1), (0, 2), (1, 3), (2, 3), (3, 4)],
+        "ladder": [(0, 1), (0, 2), (1, 3), (2, 4), (3, 5), (4, 5)],
+        "broom": [(0, 1), (1, 2), (2, 3), (2, 4), (2, 5)],
+    }
+    for name, edges in graphs.items():
+        want = serial(edges, seed=0, hops=3)
+        edf = spark.createDataFrame(edges, "u int, v int")
+        got = {
+            r["node"]: (r["dist"], r["sigma"], r["delta_micro"])
+            for r in brandes_dependency(edf, seed=0, hops=3).collect()
+        }
+        assert got == want, (name, got, want)
