@@ -1657,6 +1657,26 @@ def gskew_main() -> None:
                 e, seeds=s, hops=3
             ).count(),
         )
+        from pantasia_db_sync_spark.operators.components import (
+            brandes_dependency,
+            ktruss,
+            personalized_pagerank,
+        )
+
+        run(
+            f"x{scale} ktruss k=4 rounds=2 (degree-oriented supports)",
+            lambda e=edf: ktruss(e, k=4, rounds=2).count(),
+        )
+        run(
+            f"x{scale} personalized_pagerank 4 rounds (sparse, hub seed)",
+            lambda e=edf: personalized_pagerank(
+                e, seed=0, rounds=4
+            ).count(),
+        )
+        run(
+            f"x{scale} brandes_dependency hops=3 (hub seed)",
+            lambda e=edf: brandes_dependency(e, seed=0, hops=3).count(),
+        )
         # link prediction: candidate volume IS Sigma d(witness)^2 by
         # semantics (one row per witnessed pair) — uncapped only while
         # the hub keeps it bounded; the witness-degree cap is the
