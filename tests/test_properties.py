@@ -3399,3 +3399,64 @@ def test_brandes_dependency_matches_serial(spark):
             for r in brandes_dependency(edf, seed=0, hops=3).collect()
         }
         assert got == want, (name, got, want)
+
+
+def test_hits_micro_matches_serial(spark):
+    """graph_hits_micro's integer rounds ≡ a serial replica on a
+    bipartite graph with asymmetric degrees (one customer dominating,
+    one supplier shared by all) — pins the half-step order
+    (hub-from-authority first), the sum normalization, and the floor
+    division."""
+    from pantasia_db_sync_spark.plans.extras import _PR_OFFSET  # noqa: F401
+
+    # serial replica of two rounds over explicit bipartite edges
+    edges = [(1, 101), (1, 102), (1, 103), (2, 101), (3, 101), (3, 104)]
+    micro = 1_000_000
+
+    def serial(rounds=2):
+        sup = sorted({s for _, s in edges})
+        a = {s: micro for s in sup}
+        h = {}
+        for _ in range(rounds):
+            h = {}
+            for c, s in edges:
+                h[c] = h.get(c, 0) + a[s]
+            tot = sum(h.values())
+            h = {c: (v * micro) // tot for c, v in h.items()}
+            a = {}
+            for c, s in edges:
+                a[s] = a.get(s, 0) + h[c]
+            tot = sum(a.values())
+            a = {s: (v * micro) // tot for s, v in a.items()}
+        return h, a
+
+    # drive the same arithmetic through the Spark shape used by the
+    # registered query (score join + groupBy + one-row sum cross)
+    from pyspark.sql import functions as F
+
+    e = spark.createDataFrame(edges, "c int, s int").localCheckpoint(eager=True)
+    a = e.select(F.col("s").alias("node")).distinct().select(
+        "node", F.lit(micro).cast("bigint").alias("score")
+    )
+    h = None
+    for _ in range(2):
+        hraw = (
+            e.join(a.withColumnRenamed("node", "s"), "s")
+            .groupBy(F.col("c").alias("node"))
+            .agg(F.sum("score").cast("bigint").alias("raw"))
+        )
+        h = hraw.crossJoin(F.broadcast(hraw.agg(F.sum("raw").alias("tot")))).select(
+            "node", F.expr(f"CAST(raw * {micro} div tot AS BIGINT)").alias("score")
+        )
+        araw = (
+            e.join(h.withColumnRenamed("node", "c"), "c")
+            .groupBy(F.col("s").alias("node"))
+            .agg(F.sum("score").cast("bigint").alias("raw"))
+        )
+        a = araw.crossJoin(F.broadcast(araw.agg(F.sum("raw").alias("tot")))).select(
+            "node", F.expr(f"CAST(raw * {micro} div tot AS BIGINT)").alias("score")
+        )
+    want_h, want_a = serial()
+    got_h = {r["node"]: r["score"] for r in h.collect()}
+    got_a = {r["node"]: r["score"] for r in a.collect()}
+    assert got_h == want_h and got_a == want_a, (got_h, want_h, got_a, want_a)
