@@ -559,8 +559,17 @@ def ktruss(
                 F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
             )
         )
-        sup = corners.groupBy("u", "v").agg(
+        tri_sup = corners.groupBy("u", "v").agg(
             F.count(F.lit(1)).cast("bigint").alias("support")
+        )
+        # left-join back onto the surviving edge list: a triangle-free
+        # edge has support 0, which the k <= 2 truss (support >= k-2
+        # <= 0) must KEEP — dropping it would make ktruss(k=2) empty
+        # instead of the whole graph (round-13 review finding)
+        sup = e.join(tri_sup, ["u", "v"], "left").select(
+            "u",
+            "v",
+            F.coalesce("support", F.lit(0)).cast("bigint").alias("support"),
         )
         e = (
             sup.where(F.col("support") >= k - 2)

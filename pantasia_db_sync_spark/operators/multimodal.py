@@ -2057,6 +2057,52 @@ def _decode_block(r, dct, act, q, pred_ci: int) -> tuple[list, int]:
     return _idct_block(coef), pred_ci
 
 
+def _place_block(plane, stride, ox, oy, px) -> None:
+    """Level-shift (+128), clamp to [0, 255], and write one decoded 8x8
+    block into the component plane — shared by the baseline MCU walk
+    and the progressive EOI reconstruction."""
+    for y in range(8):
+        base = (oy + y) * stride + ox
+        row = px[y * 8 : y * 8 + 8]
+        for x in range(8):
+            val = row[x] + 128.0
+            plane[base + x] = 0.0 if val < 0 else (255.0 if val > 255 else val)
+
+
+def _planes_result(
+    width, height, planes, strides, comp_dims, progressive=False
+) -> dict:
+    """Per-component means over the CROPPED rasters (§A.1.1 subsampled
+    dims) + the shared output contract — one implementation for the
+    baseline and progressive paths."""
+    means = []
+    for plane, stride, (cw, ch) in zip(planes, strides, comp_dims):
+        tot = 0.0
+        for y in range(ch):
+            tot += sum(plane[y * stride : y * stride + cw])
+        means.append(tot / (cw * ch))
+    out = {
+        "width": width,
+        "height": height,
+        "channels": len(planes),
+        "planes": planes,
+        "plane_stride": strides[0],
+        "plane_strides": strides,
+        "comp_dims": comp_dims,
+    }
+    if progressive:
+        out["progressive"] = True
+    if len(planes) == 1:
+        out["mean_gray"] = means[0]
+    else:
+        out["mean_y"], out["mean_cb"], out["mean_cr"] = (
+            means[0],
+            means[1],
+            means[2],
+        )
+    return out
+
+
 def _ac_first_block(r, act, zz, ss, se, al, eobrun) -> int:
     """Progressive AC first scan (Ah=0) for ONE block's band Ss..Se
     (T.81 §G.1.2.2): run/size pairs place new coefficients scaled by
@@ -2214,7 +2260,6 @@ def _reconstruct_progressive(width, height, comps, prog, qtables) -> dict:
     baseline `_decode_scan` (per-component means over the CROPPED
     component rasters, §A.1.1 subsampled dims)."""
     meta = prog["meta"]
-    means = []
     planes, strides, comp_dims = [], [], []
     for ci, comp in enumerate(comps):
         q = qtables.get(comp["tq"])
@@ -2230,43 +2275,13 @@ def _reconstruct_progressive(width, height, comps, prog, qtables) -> dict:
                 coef = [0] * 64
                 for i in range(64):
                     coef[_ZIGZAG[i]] = zz[i] * q[i]
-                px = _idct_block(coef)
-                ox, oy = bx * 8, by * 8
-                for y in range(8):
-                    base = (oy + y) * stride + ox
-                    row = px[y * 8 : y * 8 + 8]
-                    for x in range(8):
-                        val = row[x] + 128.0
-                        plane[base + x] = (
-                            0.0 if val < 0 else (255.0 if val > 255 else val)
-                        )
-        cw, ch = m["cw"], m["ch"]
-        tot = 0.0
-        for y in range(ch):
-            tot += sum(plane[y * stride : y * stride + cw])
-        means.append(tot / (cw * ch))
+                _place_block(plane, stride, bx * 8, by * 8, _idct_block(coef))
         planes.append(plane)
         strides.append(stride)
-        comp_dims.append((cw, ch))
-    out = {
-        "width": width,
-        "height": height,
-        "channels": len(comps),
-        "progressive": True,
-        "planes": planes,
-        "plane_stride": strides[0],
-        "plane_strides": strides,
-        "comp_dims": comp_dims,
-    }
-    if len(comps) == 1:
-        out["mean_gray"] = means[0]
-    else:
-        out["mean_y"], out["mean_cb"], out["mean_cr"] = (
-            means[0],
-            means[1],
-            means[2],
-        )
-    return out
+        comp_dims.append((m["cw"], m["ch"]))
+    return _planes_result(
+        width, height, planes, strides, comp_dims, progressive=True
+    )
 
 
 def _decode_scan(content, pos, width, height, scan, qtables, htables) -> dict:
@@ -2314,39 +2329,10 @@ def _decode_scan(content, pos, width, height, scan, qtables, htables) -> dict:
             for vy in range(v):
                 for hx in range(h):
                     px, pred[ci] = _decode_block(r, dct, act, q, pred[ci])
-                    ox = (mx * h + hx) * 8
-                    oy = (my * v + vy) * 8
-                    for y in range(8):
-                        base = (oy + y) * stride + ox
-                        row = px[y * 8 : y * 8 + 8]
-                        for x in range(8):
-                            val = row[x] + 128.0
-                            plane[base + x] = (
-                                0.0 if val < 0 else (255.0 if val > 255 else val)
-                            )
-    means = []
-    for ci, plane in enumerate(planes):
-        cw, ch = comp_dims[ci]
-        stride = strides[ci]
-        tot = 0.0
-        for y in range(ch):
-            tot += sum(plane[y * stride : y * stride + cw])
-        means.append(tot / (cw * ch))
-    out = {
-        "width": width,
-        "height": height,
-        "channels": len(scan),
-        "planes": planes,
-        "plane_stride": strides[0],
-        "plane_strides": strides,
-        "comp_dims": comp_dims,
-    }
-    if len(scan) == 1:
-        out["mean_gray"] = means[0]
-    else:
-        y_m, cb_m, cr_m = means[0], means[1], means[2]
-        out["mean_y"], out["mean_cb"], out["mean_cr"] = y_m, cb_m, cr_m
-    return out
+                    _place_block(
+                        plane, stride, (mx * h + hx) * 8, (my * v + vy) * 8, px
+                    )
+    return _planes_result(width, height, planes, strides, comp_dims)
 
 
 JPEG_SCHEMA = (
@@ -2987,6 +2973,8 @@ def decode_mp4_meta(content: bytes) -> dict:
                     ts, dur = struct.unpack_from(">IQ", content, body + 20)
                 else:
                     ts, dur = struct.unpack_from(">II", content, body + 12)
+                if ts == 0:
+                    raise ValueError("mvhd timescale 0")
                 out["timescale"] = ts
                 out["duration_ms"] = (dur * 1000) // ts
             elif typ == b"trak":
@@ -3008,7 +2996,14 @@ def decode_mp4_meta(content: bytes) -> dict:
                 walk(body, end, depth + 1)
             pos = end
 
-    walk(0, len(content), 0)
+    try:
+        walk(0, len(content), 0)
+    except (struct.error, IndexError) as exc:
+        # truncated fixed-layout body inside a well-sized box: surface
+        # as the module's documented malformed-stream error, so corpus
+        # scans catching ValueError skip the row instead of crashing
+        # the whole Arrow batch
+        raise ValueError(f"malformed box body: {exc}") from exc
     if out["major_brand"] is None or out["timescale"] is None:
         raise ValueError("missing ftyp/mvhd — not a playable MP4")
     out["handlers"] = ",".join(out["handlers"])

@@ -554,68 +554,72 @@ class TableStore:
     # data, so at most one writer ever stages a given id; a loser
     # re-reads the pointer and retries against the new head once the
     # holder flips. Claims carry the holder's pid: a claim whose pid is
-    # dead (crash between claim and flip) is STOLEN by exactly one
-    # contender via the rename-then-recreate trick — os.replace of the
-    # stale file succeeds for one stealer only — which is precisely the
-    # crash-replay path (the dead writer's partial staged dir is
-    # re-staged under the same id). Same-host liveness via kill(pid, 0)
-    # is the documented scope of the pid check; cross-host deployments
-    # need a lease timestamp instead.
+    # dead (crash between claim and flip) is STOLEN — under a per-table
+    # flock so exactly one contender can steal (the kernel releases
+    # flock on process death, so the fence itself cannot wedge) — which
+    # is precisely the crash-replay path (the dead writer's partial
+    # staged dir is re-staged under the same id). A dead pid whose
+    # commit ALREADY flipped (committed-then-exited) is NOT re-staged:
+    # begin_commit re-verifies head < cid after every successful claim.
+    # Same-host liveness via kill(pid, 0) is the documented scope of
+    # the pid check; cross-host deployments need a lease timestamp
+    # instead.
 
     def _claims_dir(self, table: str) -> str:
         return os.path.join(self._tdir(table), "claims")
 
-    def claim_commit(self, table: str, commit_id: int) -> bool:
-        """Atomically claim ``commit_id``: True iff this process now
-        holds the exclusive right to stage and flip that id. A claim
-        held by a dead process is stolen (one contender wins the
-        os.replace race; everyone else just retries)."""
+    def _claims_lock(self, table: str) -> int:
+        """flock-ed fd guarding the claim/steal critical section of one
+        table. flock is the right primitive here: the kernel releases
+        it when the holding process dies, so — unlike a lock FILE — a
+        crashed stealer can never wedge the fence, and the steal path
+        needs no recursive stale-lock handling. Caller closes the fd
+        (closing releases the lock)."""
+        import fcntl
+
         d = self._claims_dir(table)
         os.makedirs(d, exist_ok=True)
-        path = os.path.join(d, str(commit_id))
+        fd = os.open(os.path.join(d, "_LOCK"), os.O_CREAT | os.O_RDWR)
+        fcntl.flock(fd, fcntl.LOCK_EX)
+        return fd
+
+    def claim_commit(self, table: str, commit_id: int) -> bool:
+        """Atomically claim ``commit_id``: True iff this process now
+        holds the exclusive right to stage and flip that id. The check
+        / steal-if-holder-dead / create sequence runs under a per-table
+        flock, so exactly one contender can ever steal a dead holder's
+        claim — a bare os.replace race would let two stealers both
+        'win' (the second replace succeeds against the first stealer's
+        FRESH claim), recreating the lost update the fence exists to
+        prevent."""
+        path = os.path.join(self._claims_dir(table), str(commit_id))
+        lock = self._claims_lock(table)
         try:
-            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            os.write(fd, str(os.getpid()).encode())
-            os.close(fd)
-            return True
-        except FileExistsError:
-            pass
-        # steal-if-dead: read the holder's pid; if that process is gone,
-        # rename the stale claim aside (exactly one stealer's os.replace
-        # sees the source file) and retry the exclusive create.
-        try:
-            with open(path) as f:
-                pid = int(f.read().strip() or "0")
-        except (FileNotFoundError, ValueError):
-            return False  # holder mid-write or already stolen: retry later
-        if pid <= 0:
-            # holder is between create and pid write — or died exactly
-            # there. Retry while the file is fresh; steal a pid-less
-            # claim that has sat empty well past any write latency.
             try:
-                if _time.time() - os.path.getmtime(path) < 5.0:
-                    return False
+                with open(path) as f:
+                    pid = int(f.read().strip() or "0")
             except FileNotFoundError:
-                return False
-        else:
-            try:
-                os.kill(pid, 0)
-                return False  # holder alive
-            except ProcessLookupError:
-                pass  # holder dead: steal below
-            except PermissionError:
-                return False  # alive, different user
-        try:
-            os.replace(path, path + f".dead.{os.getpid()}")
-        except FileNotFoundError:
-            return False  # another stealer won
-        try:
+                pid = None
+            except ValueError:
+                pid = 0
+            if pid is not None:
+                if pid > 0:
+                    try:
+                        os.kill(pid, 0)
+                        return False  # holder alive
+                    except ProcessLookupError:
+                        pass  # holder dead: steal below (we hold the lock)
+                    except PermissionError:
+                        return False  # alive, different user
+                else:
+                    return False  # unreadable claim: retry later
+                os.replace(path, path + ".dead")
             fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
             os.write(fd, str(os.getpid()).encode())
             os.close(fd)
             return True
-        except FileExistsError:
-            return False
+        finally:
+            os.close(lock)  # releases the flock
 
     def begin_commit(
         self, table: str, timeout_sec: float = 120.0, poll_sec: float = 0.02
@@ -624,13 +628,24 @@ class TableStore:
         while a live concurrent writer holds it (the holder's flip
         advances the head; a dead holder's claim is stolen). Returns
         the claimed id — the caller stages under it and flips with
-        ``commit_append``; no other writer can stage the same id."""
+        ``commit_append``; no other writer can stage the same id.
+
+        A successful claim is RE-VERIFIED against the pointer before
+        being returned: a claim file whose holder committed and then
+        exited looks exactly like a crashed holder's (dead pid), but
+        its commit id is ALREADY DURABLE — stealing it and re-staging
+        would overwrite committed data and could move the pointer
+        backward. If the head has reached the claimed id, the claim is
+        abandoned and the loop re-reads the new head."""
         deadline = _time.monotonic() + timeout_sec
         while True:
             head = self.current_version(table) or 0
             cid = head + 1
             if self.claim_commit(table, cid):
-                return cid
+                if (self.current_version(table) or 0) < cid:
+                    return cid
+                # the previous holder committed cid and exited between
+                # our head read and the claim — cid is durable, move on
             if _time.monotonic() > deadline:
                 raise TimeoutError(
                     f"begin_commit({table!r}): commit {cid} held by a live "

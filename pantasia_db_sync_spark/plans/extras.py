@@ -1788,58 +1788,24 @@ def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
 _TRI_MOD = 10  # sample 1-in-10 orders: bounds co-purchase clique fan-out
 
 
-def _orient_by_degree(e: DataFrame):
-    """Orient each undirected edge {u, v} from its lower-(degree, id)
-    endpoint to its higher one — the compact-forward / Chiba–Nishizeki
-    orientation. Under any TOTAL order on nodes each triangle is an
-    acyclic path a→b→c closed by a→c and is generated exactly once by
-    the wedge join; per-corner triangle counts are ORIENTATION-
-    INVARIANT, so the plan may pick the order that bounds the work
-    while the oracle enumerates under plain id order and still agrees.
-    Degree order is the one that survives skew: wedges pivot on the
-    middle node b costing in(b)×out(b), and the max-degree hub has
-    out-degree 0 (every neighbor orders below it), so a hub owning 20%%
-    of all edges contributes ZERO wedge pivots — total wedge volume is
-    bounded by arboricity instead of max degree. Measured against the
-    symmetrized wedge-per-center plan in
-    ``scripts/scale_experiment.py --gskew``.
-
-    Returns ``(oriented, deg)``: the oriented edge list (a, b) and the
-    per-node degree table (node, d) — one combinable count plus two
-    equi-joins of the edge list against it.
-    """
-    deg = (
-        e.select(F.col("u").alias("node"))
-        .unionAll(e.select(F.col("v").alias("node")))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
-    )
-    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
-    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
-    j = e.join(du, "u").join(dv, "v")
-    u_first = (F.col("du") < F.col("dv")) | (
-        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
-    )
-    oriented = j.select(
-        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("a"),
-        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("b"),
-    )
-    return oriented, deg
-
-
 def _per_node_triangles(e: DataFrame) -> DataFrame:
     """(node, t): per-node triangle counts over the undirected edge
     list ``e`` (u < v, distinct), via the degree-oriented compact-
     forward wedge join — each triangle generated once, exploded to its
-    3 corners, re-aggregated. See `_orient_by_degree` for why this is
-    the skew-safe shape."""
-    o, _ = _orient_by_degree(e)
-    o = o.localCheckpoint(eager=False)  # freeze: feeds 3 join legs
-    e1 = o.select(F.col("a"), F.col("b"))
-    e2 = o.select(F.col("a").alias("b"), F.col("b").alias("c"))
-    wedges = e1.join(e2, "b")
-    closing = o.select(F.col("a"), F.col("b").alias("c"))
-    tri = wedges.join(closing, ["a", "c"])
+    3 corners, re-aggregated. The orientation + wedge join is the ONE
+    shared implementation in operators/components.py
+    ``_oriented_triangles`` (also the truss peeler's per-round core):
+    under any total node order each triangle is an acyclic path a→b→c
+    closed by a→c, per-corner counts are ORIENTATION-INVARIANT (so the
+    id-ordered oracles still agree), and (degree, id) order is the one
+    that survives skew — wedges pivot on the middle node at
+    in(b)×out(b) cost and the max-degree hub has out-degree 0, so
+    wedge volume is arboricity-bounded (Chiba–Nishizeki). Measured
+    against the retired symmetrized wedge-per-center plan in
+    ``scripts/scale_experiment.py --gskew``."""
+    from ..operators.components import _oriented_triangles
+
+    tri = _oriented_triangles(e)
     corners = (
         tri.select(F.col("a").alias("node"))
         .unionAll(tri.select(F.col("b").alias("node")))
@@ -1889,7 +1855,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded by arboricity per Chiba–Nishizeki, the max-degree hub
     pivots ZERO wedges) while the oracle enumerates under plain id
     order — same corner counts either way. See
-    `_orient_by_degree` / `scripts/scale_experiment.py --gskew` for the
+    `_per_node_triangles` / `scripts/scale_experiment.py --gskew` for the
     hub-graph measurement."""
     li = load_table(spark, sf_dir, "lineitem").where(
         F.col("l_orderkey") % _TRI_MOD == 0

@@ -1481,7 +1481,9 @@ def r13_main() -> None:
             k = (int(row["j"]), int(row["bucket"]))
             merged[k] = merged.get(k, 0) + int(row["c"])
 
-    read_schema = docs.drop("slice").schema if "slice" in docs.columns else docs.schema
+    # partitionBy-written part files omit the partition column, so the
+    # copied slice files carry exactly the documents schema
+    read_schema = docs.schema
     t0 = _time.perf_counter()
     q = (
         spark.readStream.schema(read_schema)

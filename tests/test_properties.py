@@ -3302,7 +3302,9 @@ def test_ktruss_matches_serial_peeling(spark):
         "star": [(0, i) for i in range(1, 6)],
     }
     for name, edges in graphs.items():
-        for k in (3, 4, 5):
+        # k=2 keeps triangle-free edges (support >= 0 — the whole
+        # graph); higher k peels (round-13 review finding)
+        for k in (2, 3, 4, 5):
             want = serial(edges, k, rounds=2)
             edf = spark.createDataFrame(edges, "u int, v int")
             got = {
@@ -3460,3 +3462,32 @@ def test_hits_micro_matches_serial(spark):
     got_h = {r["node"]: r["score"] for r in h.collect()}
     got_a = {r["node"]: r["score"] for r in a.collect()}
     assert got_h == want_h and got_a == want_a, (got_h, want_h, got_a, want_a)
+
+
+def test_mp4_malformed_bodies_raise_valueerror(spark=None):
+    """Malformed box BODIES (not just headers) surface as ValueError —
+    never struct.error / ZeroDivisionError leaking out of the walk
+    (round-13 review finding): zero timescale, truncated mvhd body
+    inside a well-sized enclosing box."""
+    import struct as _struct
+
+    import pytest
+
+    from pantasia_db_sync_spark.operators.multimodal import (
+        _box,
+        decode_mp4_meta,
+    )
+
+    ftyp = _box(b"ftyp", b"isom" + _struct.pack(">I", 0) + b"isom")
+    # timescale 0
+    mvhd0 = _box(
+        b"mvhd",
+        _struct.pack(">B3x", 0) + _struct.pack(">II", 0, 0)
+        + _struct.pack(">II", 0, 100) + b"\x00" * 80,
+    )
+    with pytest.raises(ValueError, match="timescale 0"):
+        decode_mp4_meta(ftyp + _box(b"moov", mvhd0))
+    # mvhd body shorter than the version-0 fixed layout
+    mvhd_short = _box(b"mvhd", _struct.pack(">B3x", 0) + b"\x00" * 4)
+    with pytest.raises(ValueError, match="malformed box body"):
+        decode_mp4_meta(ftyp + _box(b"moov", mvhd_short))

@@ -1891,3 +1891,35 @@ def test_occ_append_concurrent_threads(spark, tmp_path):
         (r.writer, r.seq) for r in st.read_facts(spark, "t").collect()
     )
     assert got == [(w, s) for w in (1, 2) for s in range(3)]
+
+
+def test_occ_does_not_restage_committed_claim_of_exited_writer(tmp_path):
+    """A claim file whose holder COMMITTED and then exited looks like a
+    crashed holder's (dead pid) — but its commit is durable. begin_commit
+    must abandon the stolen claim when the head already covers it and
+    hand out the NEXT id, never re-staging (and never moving the
+    pointer backward). Regression for the round-13 review finding."""
+    import subprocess
+    import sys as _sys
+
+    st = TableStore(str(tmp_path / "occ4"))
+    # simulate writer B: committed id 1 with a data marker, claim file
+    # left behind with a now-dead pid, pointer at 1
+    d = st.append_dir("t", 1)
+    os.makedirs(d, exist_ok=True)
+    with open(os.path.join(d, "WRITER"), "w") as f:
+        f.write("B:durable")
+    st.commit_append("t", 1)
+    dead = subprocess.run(
+        [_sys.executable, "-c", "import os; print(os.getpid())"],
+        capture_output=True, text=True, check=True,
+    )
+    os.makedirs(st._claims_dir("t"), exist_ok=True)
+    with open(os.path.join(st._claims_dir("t"), "1"), "w") as f:
+        f.write(dead.stdout.strip())
+
+    cid = st.begin_commit("t", timeout_sec=10.0)
+    assert cid == 2, "must skip the committed id, not re-stage it"
+    assert st.current_version("t") == 1  # pointer untouched
+    with open(os.path.join(st.append_dir("t", 1), "WRITER")) as f:
+        assert f.read() == "B:durable"  # durable data never overwritten
