@@ -333,6 +333,14 @@ _ALLOWED_SINGLE_PARTITION = {
     # 20 rows by construction; the fact table contributes the 20x
     # exploded combinable aggregate only
     "stats_bootstrap_ci",
+    # one-row pooled-theta / totals finishes over the per-user moments
+    # frame — the stats_welch_ttest scalar-finish pattern (each single
+    # partition receives one partial-aggregate row per upstream
+    # partition, never user rows)
+    "events_ab_cuped",
+    # one-row normalization-sum finishes per HITS half-round — same
+    # partial-aggregate-rows-only shape
+    "graph_hits_micro",
 }
 
 
