@@ -611,8 +611,13 @@ class TableStore:
                         pass  # holder dead: steal below (we hold the lock)
                     except PermissionError:
                         return False  # alive, different user
-                else:
-                    return False  # unreadable claim: retry later
+                # pid == 0 (empty/unparseable claim): claims are created
+                # AND read under this same per-table flock, so a claim can
+                # never be observed mid-write — an unreadable claim means
+                # its writer died between O_CREAT|O_EXCL and the pid write.
+                # Treat it as dead and steal; returning False here would
+                # wedge every writer on the table forever (no live pid can
+                # ever release it).
                 os.replace(path, path + ".dead")
             fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
             os.write(fd, str(os.getpid()).encode())
@@ -620,6 +625,22 @@ class TableStore:
             return True
         finally:
             os.close(lock)  # releases the flock
+
+    def release_claim(self, table: str, commit_id: int) -> None:
+        """Release a claim this process holds but will never flip (the
+        staging attempt failed). Runs under the same per-table flock as
+        claim/steal so a concurrent contender never observes a
+        half-released claim. Idempotent: releasing a claim that was
+        already stolen or never existed is a no-op."""
+        path = os.path.join(self._claims_dir(table), str(commit_id))
+        lock = self._claims_lock(table)
+        try:
+            try:
+                os.unlink(path)
+            except FileNotFoundError:
+                pass
+        finally:
+            os.close(lock)
 
     def begin_commit(
         self, table: str, timeout_sec: float = 120.0, poll_sec: float = 0.02
@@ -659,10 +680,20 @@ class TableStore:
         ``commit_append`` (single-writer contract), any number of
         processes may call this on the same table; each commit lands
         under its own claimed id and NO staged commit is ever silently
-        discarded (tests/test_store_manifest.py two-writer race)."""
+        discarded (tests/test_store_manifest.py two-writer race).
+
+        If staging raises after the claim (CHECK-constraint rollback,
+        a failed write), the claim is RELEASED before re-raising: a
+        claim holding a live pid but no forthcoming flip would make
+        every subsequent begin_commit on the table spin to TimeoutError
+        for the rest of this process's lifetime."""
         cid = self.begin_commit(table)
-        self.append(table, df, commit_id=cid, **kwargs)
-        self.commit_append(table, cid)
+        try:
+            self.append(table, df, commit_id=cid, **kwargs)
+            self.commit_append(table, cid)
+        except BaseException:
+            self.release_claim(table, cid)
+            raise
         return cid
 
     def write_version_occ(self, table: str, df: DataFrame) -> int:
@@ -672,15 +703,79 @@ class TableStore:
         while a crashed claimant left N unflipped still produces a
         correct table — read-modify-write callers that must see the
         latest committed version re-derive ``df`` after
-        ``begin_commit`` returns."""
+        ``begin_commit`` returns. Releases the claim if staging fails
+        (same abandoned-claim hazard as ``append_occ``)."""
         cid = self.begin_commit(table)
-        path = self._data_dir(table, cid)
-        if os.path.exists(path):
-            shutil.rmtree(path)  # dead claimant's partial stage
-        df.write.mode("overwrite").parquet(path)
-        self._write_manifest(path)
-        self.repoint(table, cid)
+        try:
+            path = self._data_dir(table, cid)
+            if os.path.exists(path):
+                shutil.rmtree(path)  # dead claimant's partial stage
+            df.write.mode("overwrite").parquet(path)
+            self._write_manifest(path)
+            self.repoint(table, cid)
+        except BaseException:
+            self.release_claim(table, cid)
+            raise
         return cid
+
+    def begin_commit_many(
+        self,
+        tables,
+        timeout_sec: float = 120.0,
+        poll_sec: float = 0.02,
+    ) -> dict[str, int]:
+        """Claim the next commit id on EVERY table, acquiring claims in
+        sorted-table-name order so two multi-table writers whose table
+        sets overlap can never deadlock (both walk the shared tables in
+        the same global order; whoever claims the first shared table
+        first finishes it before the other can proceed past it). If any
+        claim times out, every already-held claim is released before
+        re-raising — a partial claim set must not wedge other writers."""
+        cids: dict[str, int] = {}
+        try:
+            for t in sorted(set(tables)):
+                cids[t] = self.begin_commit(
+                    t, timeout_sec=timeout_sec, poll_sec=poll_sec
+                )
+        except BaseException:
+            for t, cid in cids.items():
+                self.release_claim(t, cid)
+            raise
+        return cids
+
+    def commit_many_occ(
+        self, stagers: dict, timeout_sec: float = 120.0
+    ) -> dict[str, int]:
+        """Concurrent-writer-safe multi-table commit — the OCC twin of
+        ``commit_many`` (which is documented SINGLE WRITER and can lose
+        a flip when e.g. a compactor races the sync daemon).
+
+        ``stagers`` maps table -> callable(commit_id) that stages that
+        table's data under the claimed id (an append dir or a versioned
+        ``stage``). All ids are claimed up front in deterministic order
+        (``begin_commit_many``), THEN all tables stage, THEN all
+        pointers flip — so no other writer can stage any of the claimed
+        ids and no staged commit is ever silently discarded. A failure
+        anywhere before the flips releases every claim (abandoned
+        claims would otherwise brick the tables for this process's
+        lifetime). Crash DURABILITY across the multi-table flip loop is
+        the same as ``commit_many``'s: pointers flip one table at a
+        time, and the sync checkpoint written after the flips is what
+        makes replay idempotent (module docstring)."""
+        cids = self.begin_commit_many(stagers.keys(), timeout_sec=timeout_sec)
+        flipped: set[str] = set()
+        try:
+            for t in sorted(stagers):
+                stagers[t](cids[t])
+            for t in sorted(stagers):
+                self.repoint(t, cids[t])
+                flipped.add(t)
+        except BaseException:
+            for t, cid in cids.items():
+                if t not in flipped:
+                    self.release_claim(t, cid)
+            raise
+        return cids
 
     # --- merge-on-read equality deletes ---------------------------------------
     # The Iceberg-v2 delete-file idea on this store's commit layout: a

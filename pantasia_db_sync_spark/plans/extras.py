@@ -2263,12 +2263,20 @@ def _ktruss_sql(k: int, rounds: int) -> str:
     )"""
         )
         parts.append(
+            # LEFT JOIN back onto e{r-1} so triangle-free edges keep
+            # support 0 instead of vanishing — mirrors the Spark
+            # operator's k<=2 contract (operators/components.py, the
+            # COALESCE'd left join that keeps support-0 edges when
+            # k-2 <= 0); the count-only form silently dropped them.
             f"""s{r} AS (
-      SELECT u, v, CAST(count(*) AS BIGINT) AS support FROM (
-        SELECT a AS u, b AS v FROM t{r}
-        UNION ALL SELECT b, c FROM t{r}
-        UNION ALL SELECT a, c FROM t{r}
-      ) GROUP BY 1, 2
+      SELECT p.u, p.v, CAST(COALESCE(c.support, 0) AS BIGINT) AS support
+      FROM {prev} p LEFT JOIN (
+        SELECT u, v, count(*) AS support FROM (
+          SELECT a AS u, b AS v FROM t{r}
+          UNION ALL SELECT b, c FROM t{r}
+          UNION ALL SELECT a, c FROM t{r}
+        ) GROUP BY 1, 2
+      ) c ON c.u = p.u AND c.v = p.v
     )"""
         )
         parts.append(
@@ -7393,11 +7401,16 @@ def stats_fdr_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_rest = F.col("n_tot") - n
     m_rest = (F.col("sm") - n * m) / n_rest
     # rest-of-corpus sample variance from total sums (complement
-    # algebra): sum of squares of the rest = total SS - group SS
+    # algebra): sum of squares of the rest = total SS - group SS.
+    # The mean-square term is written (sm - n*m)^2 / n_rest — the SAME
+    # operation order as the oracle SQL — not m_rest^2 * n_rest, whose
+    # different rounding in the last ulps could flip the 5dp floor on
+    # z_abs (identical-expression discipline).
+    sm_rest = F.col("sm") - n * m
     ss_rest = (
         F.col("sv")
         + F.col("smm")
-        - m_rest * m_rest * n_rest
+        - sm_rest * sm_rest / n_rest
         - n * m * m
         - (n - 1) * F.col("v")
     )
