@@ -1923,3 +1923,108 @@ def test_occ_does_not_restage_committed_claim_of_exited_writer(tmp_path):
     assert st.current_version("t") == 1  # pointer untouched
     with open(os.path.join(st.append_dir("t", 1), "WRITER")) as f:
         assert f.read() == "B:durable"  # durable data never overwritten
+
+
+def test_occ_unreadable_claim_is_stolen(tmp_path):
+    """An EMPTY claim file (writer died between the O_CREAT|O_EXCL open
+    and the pid write) must be stolen, not spun on: claims are created
+    and read under the same per-table flock, so an unreadable claim can
+    never be observed mid-write — it is always a corpse. Regression for
+    the round-13 review finding (pid=0 used to return False forever,
+    wedging every writer on the table)."""
+    st = TableStore(str(tmp_path / "occ5"))
+    os.makedirs(st._claims_dir("t"), exist_ok=True)
+    with open(os.path.join(st._claims_dir("t"), "1"), "w"):
+        pass  # zero-byte claim
+    cid = st.begin_commit("t", timeout_sec=10.0)
+    assert cid == 1  # stolen immediately, no timeout
+
+
+def test_occ_claim_released_on_staging_failure(spark, tmp_path):
+    """append_occ whose STAGING fails (CHECK-constraint rollback) must
+    release its claim before re-raising: the claim holds this process's
+    live pid, so an abandoned claim would make every later begin_commit
+    on the table spin to TimeoutError for the process lifetime.
+    Regression for the round-13 review finding."""
+    st = TableStore(str(tmp_path / "occ6"))
+    st.set_check_constraint("t", "pos", "x > 0")
+    bad = spark.createDataFrame([(-1,)], "x int")
+    with pytest.raises(ValueError, match="CHECK"):
+        st.append_occ("t", bad)
+    # the failed claim must be gone: a good append lands at once
+    good = spark.createDataFrame([(7,)], "x int")
+    assert st.append_occ("t", good) == 1
+    assert st.current_version("t") == 1
+    assert [r.x for r in st.read_facts(spark, "t").collect()] == [7]
+
+
+def _occ_multi_writer(base: str, wid: int, n: int, tables: tuple) -> None:
+    """Module-level so the spawn context can pickle it. Stages a marker
+    file per table per commit through commit_many_occ — the
+    daemon-vs-compactor shape (two uncoordinated multi-table writers
+    whose table sets overlap)."""
+    import random
+    import time
+
+    from pantasia_db_sync_spark.pipeline.store import TableStore
+
+    st = TableStore(base)
+    rng = random.Random(wid)
+    for seq in range(n):
+        def mk(table):
+            def stage(cid, table=table):
+                d = st.append_dir(table, cid)
+                os.makedirs(d, exist_ok=True)
+                marker = os.path.join(d, "WRITER")
+                assert not os.path.exists(marker), (
+                    f"{table} commit {cid} already staged by another "
+                    "writer — multi-table claim fence broken"
+                )
+                with open(marker, "w") as f:
+                    f.write(f"{wid}:{seq}")
+                time.sleep(rng.uniform(0.0, 0.005))
+            return stage
+
+        st.commit_many_occ({t: mk(t) for t in tables})
+
+
+def test_occ_multi_table_two_process_race(tmp_path):
+    """Two OS processes race commit_many_occ over the SAME two tables,
+    passing the table sets in OPPOSITE dict orders (the classic
+    deadlock shape — the fence must claim in a global sorted order so
+    neither writer can hold A-waiting-B while the other holds
+    B-waiting-A). 12 multi-table commits each: every pointer ends at
+    24, every staged marker survives on BOTH tables, no staged commit
+    is lost, and no interleaving deadlocks (a deadlock shows up as the
+    join timeout). This is the commit_many single-writer gap from the
+    round-13 verdict, closed."""
+    import multiprocessing as mp
+
+    base = str(tmp_path / "occ_multi")
+    ctx = mp.get_context("spawn")
+    n_each = 12
+    procs = [
+        ctx.Process(
+            target=_occ_multi_writer,
+            args=(base, 1, n_each, ("facts", "dims")),
+        ),
+        ctx.Process(
+            target=_occ_multi_writer,
+            args=(base, 2, n_each, ("dims", "facts")),
+        ),
+    ]
+    for p in procs:
+        p.start()
+    for p in procs:
+        p.join(timeout=120)
+        assert p.exitcode == 0, f"writer crashed (exitcode {p.exitcode})"
+
+    st = TableStore(base)
+    total = 2 * n_each
+    for table in ("facts", "dims"):
+        assert st.current_version(table) == total
+        seen = set()
+        for cid in range(1, total + 1):
+            with open(os.path.join(st.append_dir(table, cid), "WRITER")) as f:
+                seen.add(f.read())
+        assert len(seen) == total, f"{table}: a staged commit was lost"
