@@ -1,8 +1,17 @@
 """Benchmark harness — headline queries at $SPARK_GRAFT_SF_DIR.
 
-Prints ONE JSON line:
-  {"metric": "...", "value": <total_sec>, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": <sf>}
+Prints TWO JSON lines:
+  1. the full payload {"metric": "...", "value": <total_sec>, "unit":
+     "sec", "queries": {name: sec, ...}, "queries_spread": ...,
+     "queries_cal": ..., "sf": <sf>} — also written to
+     ``bench_full.json`` in the CWD, because a >2000-char stdout line
+     gets truncated to an unparseable tail in the recorded artifact
+     (rounds 12-13 both landed as ``"parsed": null``);
+  2. a COMPACT summary as the FINAL line (<1.5 KB: suite wall,
+     calibration stats, sync throughput, top-5 by calibration-
+     normalized wall and by normalized delta vs the previous
+     ``bench_full.json``) — small enough to survive any tail
+     truncation and be parsed mechanically.
 
 Timing discipline (round-5 change): each suite query gets one unrecorded
 warm-up pass, then REPS (default 3) recorded passes; the reported number
@@ -11,6 +20,15 @@ is the MEDIAN and the per-query min/max spread rides in
 4: 18/18 queries "slower" with zero code changes) is distinguishable
 from a real regression. Each pass materializes through the noop sink
 (full plan execution, all columns, no disk).
+
+Per-query calibration (round-14 change, VERDICT r13 item 1): the
+synthetic host-speed probe runs immediately BEFORE each headline query
+— not once per suite — and rides in ``queries_cal``, so a query whose
+wall moved between rounds can be attributed mechanically: if
+wall/cal is flat, the host moved; if wall/cal moved, the plan did.
+One probe per suite could not distinguish these (the r13
+``text_bpe_train`` 2.07x flag rested on narrative for exactly this
+reason), because the sandbox host speed oscillates WITHIN a suite run.
 
 The sync pipeline runs REPS full batch syncs at scale 1 (median) and one
 at 10x; the dedup family gets a 10x-corpus datapoint (built by
@@ -131,6 +149,9 @@ HEADLINE = [
     "multimodal_decode_jpeg_progressive",
     "store_occ_commits",
     "stats_bootstrap_ci",
+    # round-14 additions (still additive — suite total not comparable
+    # to rounds <= 13): the K-seed Brandes estimator
+    "graph_betweenness_sampled",
 ]
 
 REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
@@ -186,6 +207,18 @@ def main() -> None:
         file=sys.stderr,
     )
 
+    # Previous full payload (if committed) — the baseline for the
+    # normalized round-over-round deltas in the summary line.
+    prev_queries: dict = {}
+    prev_cal: dict = {}
+    try:
+        with open("bench_full.json") as f:
+            prev = json.load(f)
+        prev_queries = prev.get("queries", {}) or {}
+        prev_cal = prev.get("queries_cal", {}) or {}
+    except (OSError, ValueError):
+        pass
+
     def jvm_gc() -> None:
         # Long local[*] sessions age measurably (accumulated listener /
         # broadcast / shuffle state pushes GC into later queries —
@@ -196,8 +229,13 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
+    qcal: dict[str, float] = {}
     for name in HEADLINE:
         jvm_gc()
+        # interleaved host-speed probe: one run, immediately before the
+        # query's measured reps, so each (cal, wall) pair shares the
+        # same host-load window
+        qcal[name] = round(timed(calibration_work), 3)
         runs = sorted(
             timed(lambda: materialize(QUERIES[name](spark, sf_dir)))
             for _ in range(REPS)
@@ -206,7 +244,8 @@ def main() -> None:
         spread[name] = [round(runs[0], 3), round(runs[-1], 3)]
         print(
             f"# {name}: median {timings[name]:.3f}s "
-            f"(min {runs[0]:.3f} / max {runs[-1]:.3f}, n={REPS})",
+            f"(min {runs[0]:.3f} / max {runs[-1]:.3f}, n={REPS}, "
+            f"cal {qcal[name]:.3f}s, norm {timings[name] / qcal[name]:.2f})",
             file=sys.stderr,
         )
 
@@ -317,25 +356,69 @@ def main() -> None:
     total = round(sum(timings.values()), 3)
     timings["sync_pipeline"] = sync_wall
     spread["sync_pipeline"] = sync_spread
+    cal_vals = sorted(qcal.values())
+    payload = {
+        "metric": "headline_suite_wall_time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "queries_spread": spread,
+        "queries_cal": qcal,
+        "reps": REPS,
+        "sf": sf,
+        "calibration_sec": calibration_sec,
+        "loadavg_1m": loadavg_1m,
+        "sync_pipeline_sec": sync_wall,
+        "sync_pipeline_records_per_sec": sync_rps,
+        "sync_pipeline_scale": sync_scale,
+        "sync_pipeline_10x_sec": sync10_wall,
+        "sync_pipeline_10x_records_per_sec": sync10_rps,
+        "sync_pipeline_10x_spread": sync10_spread,
+        "dedup_10x_sec": dedup10 or None,
+    }
+    print(json.dumps(payload))
+    try:
+        with open("bench_full.json", "w") as f:
+            json.dump(payload, f, indent=1, sort_keys=True)
+    except OSError:
+        pass  # read-only CWD: the stdout line above still has everything
+
+    # normalized views: wall / same-window calibration — flat norm with
+    # a moved wall = host; moved norm = plan
+    norm = {n: round(timings[n] / qcal[n], 2) for n in qcal}
+    top_norm = dict(sorted(norm.items(), key=lambda kv: -kv[1])[:5])
+    norm_delta = {}
+    for n in qcal:
+        pw, pc = prev_queries.get(n), prev_cal.get(n)
+        if pw and pc:
+            norm_delta[n] = round(norm[n] / (pw / pc), 2)
+    top_delta = dict(sorted(norm_delta.items(), key=lambda kv: -kv[1])[:5])
+    # FINAL line: compact (<1.5 KB) so it survives a 2000-char tail
+    # truncation of the recorded artifact and parses mechanically
     print(
         json.dumps(
             {
                 "metric": "headline_suite_wall_time",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
-                "queries_spread": spread,
-                "reps": REPS,
                 "sf": sf,
+                "reps": REPS,
+                "summary": True,
+                "n_queries": len(qcal),
                 "calibration_sec": calibration_sec,
+                "queries_cal_min": cal_vals[0] if cal_vals else None,
+                "queries_cal_med": (
+                    round(statistics.median(cal_vals), 3) if cal_vals else None
+                ),
+                "queries_cal_max": cal_vals[-1] if cal_vals else None,
                 "loadavg_1m": loadavg_1m,
                 "sync_pipeline_sec": sync_wall,
                 "sync_pipeline_records_per_sec": sync_rps,
-                "sync_pipeline_scale": sync_scale,
                 "sync_pipeline_10x_sec": sync10_wall,
                 "sync_pipeline_10x_records_per_sec": sync10_rps,
-                "sync_pipeline_10x_spread": sync10_spread,
-                "dedup_10x_sec": dedup10 or None,
+                "top5_wall_over_cal": top_norm,
+                "top5_norm_delta_vs_prev": top_delta or None,
+                "full_payload": "bench_full.json",
             }
         )
     )

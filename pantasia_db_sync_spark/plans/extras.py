@@ -7921,6 +7921,130 @@ def graph_betweenness_seed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _brandes_multi_sql(hops: int, n_seeds: int, micro: int = 1_000_000) -> str:
+    """DuckDB replay of components.py::brandes_dependency_multi — the
+    composite (seed, node) forward/backward Brandes passes as chained
+    CTE stages; seeds are the ``n_seeds`` smallest node ids (the same
+    deterministic probe the Spark query collects)."""
+    parts = [
+        f"""e AS (
+      SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
+      FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+      WHERE a.l_orderkey % {_TRI_MOD} = 0 AND a.l_suppkey < b.l_suppkey
+    )""",
+        "sym AS (SELECT u AS a, v AS b FROM e UNION ALL SELECT v, u FROM e)",
+        "nodes AS (SELECT DISTINCT a AS n FROM sym)",
+        f"seeds AS (SELECT n AS s FROM nodes ORDER BY n LIMIT {n_seeds})",
+        "f0 AS (SELECT s AS seed, s AS node, CAST(1 AS BIGINT) AS sigma"
+        " FROM seeds)",
+    ]
+    for t in range(1, hops + 1):
+        prev_seen = " UNION ALL ".join(
+            f"SELECT seed, node FROM f{i}" for i in range(t)
+        )
+        parts.append(
+            f"""f{t} AS (
+      SELECT f.seed, sym.b AS node, CAST(sum(f.sigma) AS BIGINT) AS sigma
+      FROM f{t - 1} f JOIN sym ON sym.a = f.node
+      WHERE NOT EXISTS (
+        SELECT 1 FROM ({prev_seen}) p
+        WHERE p.seed = f.seed AND p.node = sym.b)
+      GROUP BY 1, 2
+    )"""
+        )
+    parts.append(
+        f"d{hops} AS (SELECT seed, node, CAST(0 AS BIGINT) AS delta"
+        f" FROM f{hops})"
+    )
+    for t in range(hops - 1, -1, -1):
+        parts.append(
+            f"""c{t} AS (
+      SELECT f.seed, f.node,
+             CAST(sum((f.sigma * ({micro} + d.delta)) // fn.sigma)
+                  AS BIGINT) AS delta
+      FROM f{t} f
+      JOIN sym ON sym.a = f.node
+      JOIN f{t + 1} fn ON fn.seed = f.seed AND fn.node = sym.b
+      JOIN d{t + 1} d ON d.seed = f.seed AND d.node = sym.b
+      GROUP BY 1, 2
+    )"""
+        )
+        parts.append(
+            f"""d{t} AS (
+      SELECT f.seed, f.node, CAST(COALESCE(c.delta, 0) AS BIGINT) AS delta
+      FROM f{t} f
+      LEFT JOIN c{t} c ON c.seed = f.seed AND c.node = f.node
+    )"""
+        )
+    legs = " UNION ALL ".join(
+        f"SELECT f{t}.seed, f{t}.node, d{t}.delta FROM f{t}"
+        f" JOIN d{t} ON d{t}.seed = f{t}.seed AND d{t}.node = f{t}.node"
+        for t in range(1, hops + 1)
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+    SELECT node AS suppkey, CAST(sum(delta) AS BIGINT) AS bc_micro,
+           CAST(count(*) AS BIGINT) AS n_seeds
+    FROM ({legs})
+    GROUP BY 1
+    """
+    )
+
+
+@register(
+    "graph_betweenness_sampled", oracle=_brandes_multi_sql(hops=3, n_seeds=4)
+)
+def graph_betweenness_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAMPLED BETWEENNESS CENTRALITY (Brandes–Pich 2007): sum the
+    Brandes dependency delta over K=4 sampled source seeds — the only
+    betweenness formulation anyone runs at 100 TB (exact Brandes is one
+    SSSP per NODE). Seeds here are the 4 smallest node ids, a
+    deterministic oracle-replayable choice; production would sample
+    uniformly and rescale by |V|/K (a constant factor that does not
+    change the ranking this estimator exists to produce).
+
+    The inner loop is ONE chained multi-seed pass with a composite
+    (seed, node) key (operators/components.py::brandes_dependency_multi)
+    — not K sequential single-seed chains (the multi_bfs_distances
+    move, measured there at 4.6x for K=6): per level both directions,
+    one frontier-vs-edges equi-join + one combinable groupBy(seed,
+    node), with the seed dimension riding the SAME node-keyed shuffle.
+    Every accumulation is the floored-int64 discipline of
+    graph_betweenness_seed, so the K-seed sum is order-free and the
+    oracle hash-equal. The seed rows themselves (dist 0) are excluded:
+    a source's own dependency is not part of its betweenness. Emits
+    (suppkey, bc_micro, n_seeds) — n_seeds counts how many sampled
+    sources reach the node, the coverage diagnostic a sampled
+    estimator owes its caller."""
+    from ..operators.components import brandes_dependency_multi
+
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_orderkey") % _TRI_MOD == 0
+    )
+    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("v"))
+    e = a.join(b, "k").where(F.col("u") < F.col("v")).select("u", "v").distinct()
+    nodes = (
+        e.select(F.col("u").alias("n"))
+        .unionAll(e.select(F.col("v").alias("n")))
+        .distinct()
+        .orderBy("n")
+        .limit(4)
+    )
+    seeds = [int(r.n) for r in nodes.collect()]  # 4-row seed probe
+    res = brandes_dependency_multi(e, seeds, hops=3)
+    return (
+        res.where(F.col("dist") > 0)
+        .groupBy(F.col("node").alias("suppkey"))
+        .agg(
+            F.sum("delta_micro").cast("bigint").alias("bc_micro"),
+            F.count(F.lit(1)).cast("bigint").alias("n_seeds"),
+        )
+    )
+
+
 def _hits_sql(rounds: int, micro: int = 1_000_000) -> str:
     """DuckDB replay of graph_hits_micro: integer micro-unit HITS
     rounds over the bipartite purchase graph as chained CTEs, with the
