@@ -150,8 +150,10 @@ HEADLINE = [
     "store_occ_commits",
     "stats_bootstrap_ci",
     # round-14 additions (still additive — suite total not comparable
-    # to rounds <= 13): the K-seed Brandes estimator
+    # to rounds <= 13): the K-seed Brandes estimator and the
+    # container-to-pixels MJPEG sample decode
     "graph_betweenness_sampled",
+    "multimodal_mp4_mjpeg_frames",
 ]
 
 REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))

@@ -2834,9 +2834,11 @@ def synthetic_gradient_frame(df: DataFrame, id_col: str = "doc_id") -> DataFrame
 # MP4 / ISO-BMFF (ISO/IEC 14496-12): METADATA parser — the container
 # walk a video ingest runs long before any codec work (duration,
 # timescale, track layout, display dimensions gate sampling budgets
-# and filtering). Pixel/sample DECODE (H.264 etc.) stays an honest
-# NotImplementedError — this is the Exif-for-video twin: real box
-# grammar, real fixed-point math, typed metadata out of opaque bytes.
+# and filtering). Sample DECODE: MJPEG ('jpeg' sample entries) decodes
+# end-to-end through decode_mp4_samples further below (round 14);
+# H.264/HEVC bitstreams stay the one honest NotImplementedError.
+# This is the Exif-for-video twin: real box grammar, real fixed-point
+# math, typed metadata out of opaque bytes.
 # ---------------------------------------------------------------------------
 
 _MP4_CONTAINERS = {b"moov", b"trak", b"mdia", b"minf", b"stbl", b"edts"}
@@ -3073,3 +3075,324 @@ def decode_mp4_features(
             )
 
     return src.mapInPandas(gen, schema=MP4_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# MJPEG-in-MP4 SAMPLE DECODE — closes the video gate honestly by
+# composing the two newest codecs: the ISO-BMFF walker above supplies
+# the sample tables (stsd format, stts timing, stsc chunk map, stsz
+# sizes, stco offsets — ISO/IEC 14496-12 §8.5-8.7), and each extracted
+# sample is REAL baseline-JPEG bytes fed to this module's own T.81
+# decoder. H.264 (avc1/avc3) remains the one honest
+# NotImplementedError — a bitstream codec, not container plumbing.
+# Reference analogue: none (the reference daemon never touches media);
+# this is the training-data-pipeline extension surface (frame
+# sampling for vision corpora).
+# ---------------------------------------------------------------------------
+
+_MP4_AVC_FORMATS = {"avc1", "avc3", "hev1", "hvc1"}
+
+
+def encode_mp4_mjpeg(
+    width: int,
+    height: int,
+    grays: list[int],
+    timescale: int = 1000,
+    frame_ms: int = 40,
+) -> bytes:
+    """Render a playable-layout MJPEG-in-MP4: ftyp + mdat holding one
+    REAL solid-gray baseline JPEG per frame (encode_jpeg_gray) + moov
+    whose video trak carries the FULL sample-table chain — stsd with a
+    'jpeg' VisualSampleEntry, stts (uniform ``frame_ms`` deltas), stsc
+    (one sample per chunk), stsz (true per-sample byte sizes), stco
+    (absolute file offsets into mdat). mdat precedes moov so chunk
+    offsets are exact at write time — the progressive-download layout
+    inverted, chosen because offsets then need no fixup pass."""
+    if not grays:
+        raise ValueError("mjpeg mp4 needs at least one frame")
+    samples = [encode_jpeg_gray(width, height, g) for g in grays]
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 0x200) + b"isomiso2mp41")
+    mdat = _box(b"mdat", b"".join(samples))
+    offsets = []
+    pos = len(ftyp) + 8  # first sample starts after the mdat header
+    for s in samples:
+        offsets.append(pos)
+        pos += len(s)
+    n = len(samples)
+    dur = n * (frame_ms * timescale) // 1000
+    mvhd = _box(
+        b"mvhd",
+        struct.pack(">B3x", 0)
+        + struct.pack(">II", 3_600_000_000, 3_600_000_000)
+        + struct.pack(">II", timescale, dur)
+        + struct.pack(">i", 0x00010000)
+        + struct.pack(">h", 0x0100)
+        + b"\x00" * 10
+        + struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + b"\x00" * 24
+        + struct.pack(">I", 2),
+    )
+    tkhd = _box(
+        b"tkhd",
+        struct.pack(">B3b", 0, 0, 0, 7)
+        + struct.pack(">II", 3_600_000_000, 3_600_000_000)
+        + struct.pack(">I", 1)
+        + b"\x00" * 4
+        + struct.pack(">I", dur)
+        + b"\x00" * 8
+        + struct.pack(">hhhh", 0, 0, 0, 0)
+        + struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + struct.pack(">II", width << 16, height << 16),
+    )
+    mdhd = _box(
+        b"mdhd",
+        struct.pack(">B3x", 0)
+        + struct.pack(">II", 3_600_000_000, 3_600_000_000)
+        + struct.pack(">II", timescale, dur)
+        + struct.pack(">HH", 0x55C4, 0),
+    )
+    hdlr = _box(
+        b"hdlr",
+        struct.pack(">B3x", 0) + b"\x00" * 4 + b"vide" + b"\x00" * 12 + b"\x00",
+    )
+    entry = _box(
+        b"jpeg",
+        b"\x00" * 6
+        + struct.pack(">H", 1)                    # data_reference_index
+        + b"\x00" * 16                            # pre_defined / reserved
+        + struct.pack(">HH", width, height)
+        + struct.pack(">II", 0x00480000, 0x00480000)  # 72 dpi
+        + b"\x00" * 4
+        + struct.pack(">H", 1)                    # frame_count
+        + bytes(32)                               # compressorname
+        + struct.pack(">H", 24)                   # depth
+        + struct.pack(">h", -1),                  # pre_defined
+    )
+    stsd = _box(b"stsd", struct.pack(">B3xI", 0, 1) + entry)
+    stts = _box(
+        b"stts",
+        struct.pack(">B3xI", 0, 1)
+        + struct.pack(">II", n, (frame_ms * timescale) // 1000),
+    )
+    stsc = _box(b"stsc", struct.pack(">B3xI", 0, 1) + struct.pack(">III", 1, 1, 1))
+    stsz = _box(
+        b"stsz",
+        struct.pack(">B3xII", 0, 0, n)
+        + b"".join(struct.pack(">I", len(s)) for s in samples),
+    )
+    stco = _box(
+        b"stco",
+        struct.pack(">B3xI", 0, n)
+        + b"".join(struct.pack(">I", o) for o in offsets),
+    )
+    stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
+    vmhd = _box(b"vmhd", struct.pack(">B3b", 0, 0, 0, 1) + b"\x00" * 8)
+    dref = _box(
+        b"dref",
+        struct.pack(">B3xI", 0, 1) + _box(b"url ", struct.pack(">B3b", 0, 0, 0, 1)),
+    )
+    minf = _box(b"minf", vmhd + _box(b"dinf", dref) + stbl)
+    mdia = _box(b"mdia", mdhd + hdlr + minf)
+    trak = _box(b"trak", tkhd + mdia)
+    moov = _box(b"moov", mvhd + trak)
+    return ftyp + mdat + moov
+
+
+def decode_mp4_samples(content: bytes) -> list[dict]:
+    """Extract and DECODE the video samples of an MP4: walk the box
+    tree to the sample tables (stsd/stts/stsc/stsz/stco), resolve each
+    sample's absolute byte range via the stsc chunk map (the general
+    first_chunk run-length form, not a per-file shortcut), then decode
+    per the stsd format — 'jpeg' (MJPEG) through this module's own
+    baseline-JPEG decoder. AVC/HEVC sample entries raise
+    NotImplementedError: the container now parses end-to-end and the
+    ONLY remaining video gate is the H.264 bitstream itself. Returns
+    one dict per frame: frame_idx, duration_ms, sample_bytes, width,
+    height, mean_gray."""
+    fmt: list = [None]
+    sizes: list = []
+    offsets: list = []
+    stsc_entries: list = []
+    stts_entries: list = []
+    timescale: list = [None]
+
+    def walk(lo: int, hi: int) -> None:
+        pos = lo
+        while pos < hi:
+            if pos + 8 > hi:
+                raise ValueError("truncated box header")
+            size = struct.unpack_from(">I", content, pos)[0]
+            typ = content[pos + 4 : pos + 8]
+            body = pos + 8
+            if size == 1:
+                size = struct.unpack_from(">Q", content, pos + 8)[0]
+                body = pos + 16
+            elif size == 0:
+                size = hi - pos
+            end = pos + size
+            if size < 8 or end > hi:
+                raise ValueError(f"bad box size {size} for {typ!r}")
+            if typ == b"mdhd":
+                ver = content[body]
+                ts = struct.unpack_from(
+                    ">I", content, body + (12 if ver == 0 else 20)
+                )[0]
+                timescale[0] = ts
+            elif typ == b"stsd":
+                n_entries = struct.unpack_from(">I", content, body + 4)[0]
+                if n_entries >= 1:
+                    fmt[0] = content[body + 12 : body + 16].decode(
+                        "ascii", "replace"
+                    )
+            elif typ == b"stts":
+                n_entries = struct.unpack_from(">I", content, body + 4)[0]
+                for i in range(n_entries):
+                    cnt, delta = struct.unpack_from(
+                        ">II", content, body + 8 + 8 * i
+                    )
+                    stts_entries.append((cnt, delta))
+            elif typ == b"stsc":
+                n_entries = struct.unpack_from(">I", content, body + 4)[0]
+                for i in range(n_entries):
+                    stsc_entries.append(
+                        struct.unpack_from(">III", content, body + 8 + 12 * i)
+                    )
+            elif typ == b"stsz":
+                fixed, cnt = struct.unpack_from(">II", content, body + 4)
+                if fixed:
+                    sizes.extend([fixed] * cnt)
+                else:
+                    for i in range(cnt):
+                        sizes.append(
+                            struct.unpack_from(">I", content, body + 12 + 4 * i)[0]
+                        )
+            elif typ == b"stco":
+                cnt = struct.unpack_from(">I", content, body + 4)[0]
+                for i in range(cnt):
+                    offsets.append(
+                        struct.unpack_from(">I", content, body + 8 + 4 * i)[0]
+                    )
+            elif typ in _MP4_CONTAINERS:
+                walk(body, end)
+            pos = end
+
+    try:
+        walk(0, len(content))
+    except (struct.error, IndexError) as exc:
+        raise ValueError(f"malformed box body: {exc}") from exc
+    if fmt[0] is None or not sizes or not offsets or not stsc_entries:
+        raise ValueError("missing sample tables — no decodable track")
+    if fmt[0] in _MP4_AVC_FORMATS:
+        raise NotImplementedError(
+            f"{fmt[0]} sample decode (H.264/HEVC bitstream) unsupported; "
+            "MJPEG ('jpeg') samples decode"
+        )
+    if fmt[0] != "jpeg":
+        raise ValueError(f"unknown sample format {fmt[0]!r}")
+    # stsc chunk map -> per-sample (offset, size): entry i applies from
+    # its first_chunk until the next entry's first_chunk (§8.7.4)
+    ranges: list[tuple[int, int]] = []
+    si = 0
+    for i, (first, per_chunk, _sdi) in enumerate(stsc_entries):
+        last = (
+            stsc_entries[i + 1][0] - 1
+            if i + 1 < len(stsc_entries)
+            else len(offsets)
+        )
+        for chunk in range(first, last + 1):
+            base = offsets[chunk - 1]
+            for _ in range(per_chunk):
+                if si >= len(sizes):
+                    break
+                ranges.append((base, sizes[si]))
+                base += sizes[si]
+                si += 1
+    # per-sample durations from stts run lengths
+    durs: list[int] = []
+    for cnt, delta in stts_entries:
+        durs.extend([delta] * cnt)
+    ts = timescale[0] or 1000
+    frames = []
+    for idx, (off, sz) in enumerate(ranges):
+        if off + sz > len(content):
+            raise ValueError(f"sample {idx} range beyond EOF")
+        d = decode_jpeg(bytes(content[off : off + sz]))
+        frames.append(
+            {
+                "frame_idx": idx,
+                "duration_ms": (durs[idx] * 1000) // ts if idx < len(durs) else None,
+                "sample_bytes": sz,
+                "width": d["width"],
+                "height": d["height"],
+                "mean_gray": float(d["mean_gray"]),
+            }
+        )
+    return frames
+
+
+def synthetic_mjpeg_mp4_frame(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """One MJPEG-in-MP4 per row, every field from id arithmetic:
+    doc_id%3+2 frames, frame dims (id%21+1) x (id%13+1) — the same
+    partial-edge-block coverage as the still-JPEG fixtures — and frame
+    k's gray level (id*11 + 29*k) % 256."""
+    src = df.select(F.col(id_col).alias("doc_id"))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            content = [
+                encode_mp4_mjpeg(
+                    int(i) % 21 + 1,
+                    int(i) % 13 + 1,
+                    [
+                        (int(i) * 11 + 29 * k) % 256
+                        for k in range(int(i) % 3 + 2)
+                    ],
+                )
+                for i in pdf["doc_id"]
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].values, "content": content})
+
+    return src.mapInPandas(gen, schema="doc_id bigint, content binary")
+
+
+MP4_FRAMES_SCHEMA = (
+    "doc_id bigint, frame_idx int, width int, height int, "
+    "mean_gray double, sample_bytes int"
+)
+
+
+def decode_mp4_frame_features(
+    df: DataFrame, id_col: str = "doc_id", binary_col: str = "content"
+) -> DataFrame:
+    """mapInPandas over a binary column with the full container-to-
+    pixels chain (decode_mp4_samples): Arrow-batched, zero shuffle, one
+    output row per decoded frame — the video twin of the animated-GIF
+    frame extractor."""
+    src = df.select(
+        F.col(id_col).alias("doc_id"), F.col(binary_col).alias("content")
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, content in zip(pdf["doc_id"], pdf["content"]):
+                for fr in decode_mp4_samples(bytes(content)):
+                    rows.append(
+                        (
+                            int(i),
+                            fr["frame_idx"],
+                            fr["width"],
+                            fr["height"],
+                            fr["mean_gray"],
+                            fr["sample_bytes"],
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "frame_idx", "width", "height",
+                    "mean_gray", "sample_bytes",
+                ],
+            )
+
+    return src.mapInPandas(gen, schema=MP4_FRAMES_SCHEMA)

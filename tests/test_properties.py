@@ -3491,3 +3491,103 @@ def test_mp4_malformed_bodies_raise_valueerror(spark=None):
     mvhd_short = _box(b"mvhd", _struct.pack(">B3x", 0) + b"\x00" * 4)
     with pytest.raises(ValueError, match="malformed box body"):
         decode_mp4_meta(ftyp + _box(b"moov", mvhd_short))
+
+
+def test_mp4_mjpeg_sample_decode_roundtrip():
+    """MJPEG-in-MP4: the sample-table chain (stsd/stts/stsc/stsz/stco)
+    resolves every frame's byte range and each sample decodes through
+    the repo's own baseline-JPEG machinery to the EXACT encoded gray —
+    including partial edge blocks (non-multiple-of-8 dims) and
+    variable-size samples (different grays entropy-code to different
+    lengths)."""
+    from pantasia_db_sync_spark.operators.multimodal import (
+        decode_mp4_meta,
+        decode_mp4_samples,
+        encode_mp4_mjpeg,
+    )
+
+    for i in (0, 1, 7, 20, 254, 1233):
+        w, h = i % 21 + 1, i % 13 + 1
+        grays = [(i * 11 + 29 * k) % 256 for k in range(i % 3 + 2)]
+        frames = decode_mp4_samples(encode_mp4_mjpeg(w, h, grays))
+        assert [f["mean_gray"] for f in frames] == [float(g) for g in grays]
+        assert all(f["width"] == w and f["height"] == h for f in frames)
+        assert all(f["duration_ms"] == 40 for f in frames)
+        assert [f["frame_idx"] for f in frames] == list(range(len(grays)))
+
+
+def test_mp4_mjpeg_blob_also_parses_as_metadata():
+    """The MJPEG fixture is a well-formed container: the metadata
+    walker (decode_mp4_meta) reads the same blob's brand, track count,
+    handler, and tkhd 16.16 display dims."""
+    from pantasia_db_sync_spark.operators.multimodal import (
+        decode_mp4_meta,
+        encode_mp4_mjpeg,
+    )
+
+    meta = decode_mp4_meta(encode_mp4_mjpeg(20, 12, [5, 105, 205]))
+    assert meta["major_brand"] == "isom"
+    assert meta["n_tracks"] == 1
+    assert meta["handlers"] == "vide"
+    assert (meta["video_width"], meta["video_height"]) == (20, 12)
+    assert meta["duration_ms"] == 120  # 3 frames x 40 ms
+
+
+def test_mp4_avc_sample_entry_raises_not_implemented():
+    """An avc1 sample entry must hit the ONE remaining honest video
+    gate — the H.264 bitstream — not a silent wrong decode."""
+    import pytest
+
+    from pantasia_db_sync_spark.operators.multimodal import (
+        decode_mp4_samples,
+        encode_mp4_mjpeg,
+    )
+
+    blob = encode_mp4_mjpeg(16, 16, [100])
+    idx = blob.rindex(b"jpeg")  # the stsd sample-entry fourcc (in moov)
+    with pytest.raises(NotImplementedError, match="avc1"):
+        decode_mp4_samples(blob[:idx] + b"avc1" + blob[idx + 4 :])
+
+
+def test_mp4_mjpeg_multi_sample_chunks():
+    """The stsc resolver handles the GENERAL chunk map, not just
+    one-sample-per-chunk: hand-rebuild the fixture's sample tables into
+    a single chunk holding all samples and re-decode — same frames."""
+    import struct as _s
+
+    from pantasia_db_sync_spark.operators.multimodal import (
+        decode_mp4_samples,
+        encode_mp4_mjpeg,
+    )
+
+    blob = bytearray(encode_mp4_mjpeg(9, 9, [10, 60, 110]))
+
+    def find_box(typ: bytes) -> int:
+        i = blob.index(typ) - 4
+        return i
+
+    # rewrite stsc: entry_count 1, (first_chunk 1, samples_per_chunk 3, sdi 1)
+    p = find_box(b"stsc")
+    size = _s.unpack_from(">I", blob, p)[0]
+    assert size == 8 + 8 + 12
+    _s.pack_into(">III", blob, p + 16, 1, 3, 1)
+    # rewrite stco to a single offset (the first sample's)
+    p = find_box(b"stco")
+    size = _s.unpack_from(">I", blob, p)[0]
+    first_off = _s.unpack_from(">I", blob, p + 16)[0]
+    new_stco = (
+        _s.pack(">I", 8 + 8 + 4)
+        + b"stco"
+        + _s.pack(">B3xI", 0, 1)
+        + _s.pack(">I", first_off)
+    )
+    old_end = p + size
+    new_blob = bytes(blob[:p]) + new_stco + bytes(blob[old_end:])
+    # shrink the enclosing stbl/minf/mdia/trak/moov sizes by the delta
+    delta = size - len(new_stco)
+    out = bytearray(new_blob)
+    for typ in (b"stbl", b"minf", b"mdia", b"trak", b"moov"):
+        q = out.index(typ) - 4
+        _s.pack_into(">I", out, q, _s.unpack_from(">I", out, q)[0] - delta)
+    frames = decode_mp4_samples(bytes(out))
+    assert [f["mean_gray"] for f in frames] == [10.0, 60.0, 110.0]
