@@ -154,6 +154,7 @@ HEADLINE = [
     # container-to-pixels MJPEG sample decode
     "graph_betweenness_sampled",
     "multimodal_mp4_mjpeg_frames",
+    "graph_hyperanf_diameter",
 ]
 
 REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))

@@ -876,3 +876,57 @@ def brandes_dependency_multi(
         )
         out = leg if out is None else out.unionByName(leg)
     return out
+
+
+def hyperanf_rounds(
+    edges: DataFrame,
+    rounds: int = 3,
+    u_col: str = "u",
+    v_col: str = "v",
+) -> DataFrame:
+    """(t, est_pairs): the HyperANF neighborhood function estimate
+    (Boldi–Rosa–Vigna 2011) for t = 0..rounds — est_pairs(t) ~ the
+    number of (u, v) pairs with dist(u, v) <= t, from which distance
+    distribution and EFFECTIVE DIAMETER (smallest t reaching 90% of
+    all reachable pairs) fall out in O(rounds) combinable passes.
+
+    The 100 TB move: each node carries an HLL SKETCH of its t-ball
+    (Spark's Datasketches hll_sketch_agg); a round unions each node's
+    sketch with its neighbors' (hll_union_agg — mergeable, fixed-size,
+    order-free), so the per-round cost is ONE equi-join of the sketch
+    frame onto the symmetric edge list + one combinable groupBy(node),
+    state O(|V|) sketch bytes — where the exact computation would carry
+    O(|V|^2) pair state (the exact multi-BFS this repo uses as the
+    fixture-scale audit). N(t) folds to one scalar per round via
+    hll_sketch_estimate. Sketch frames are localCheckpoint'ed per
+    round (the components-loop lineage hygiene)."""
+    sym = (
+        edges.select(F.col(u_col).alias("a"), F.col(v_col).alias("b"))
+        .unionAll(edges.select(F.col(v_col).alias("a"), F.col(u_col).alias("b")))
+        .localCheckpoint(eager=True)
+    )
+    nodes = sym.select(F.col("a").alias("node")).distinct()
+    sk = (
+        nodes.groupBy("node")
+        .agg(F.expr("hll_sketch_agg(node)").alias("sk"))
+        .localCheckpoint(eager=True)
+    )
+
+    def est_frame(t: int, frame: DataFrame) -> DataFrame:
+        return frame.agg(
+            F.sum(F.expr("hll_sketch_estimate(sk)")).alias("est_pairs")
+        ).select(F.lit(t).cast("int").alias("t"), "est_pairs")
+
+    out = est_frame(0, sk)
+    for t in range(1, rounds + 1):
+        contrib = sym.join(sk, sym["a"] == sk["node"]).select(
+            F.col("b").alias("node"), "sk"
+        )
+        sk = (
+            sk.unionByName(contrib)
+            .groupBy("node")
+            .agg(F.expr("hll_union_agg(sk)").alias("sk"))
+            .localCheckpoint(eager=True)
+        )
+        out = out.unionByName(est_frame(t, sk))
+    return out

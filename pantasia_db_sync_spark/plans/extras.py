@@ -8045,6 +8045,127 @@ def graph_betweenness_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _hyperanf_sql(rounds: int) -> str:
+    """DuckDB replay of the EXACT side of graph_hyperanf_diameter —
+    all-pairs ball growth as chained distinct-union CTE stages (p{t} =
+    p{t-1} ∪ neighbors(p{t-1})), with the 90%-threshold predicate in
+    integer arithmetic; the HLL estimate column is engine-specific and
+    rides as the tolerance boolean (the agg_hll_merge pattern)."""
+    parts = [
+        f"""e AS (
+      SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
+      FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+      WHERE a.l_orderkey % {_TRI_MOD} = 0 AND a.l_suppkey < b.l_suppkey
+    )""",
+        "sym AS (SELECT u AS a, v AS b FROM e UNION ALL SELECT v, u FROM e)",
+        "nodes AS (SELECT DISTINCT a AS n FROM sym)",
+        "p0 AS (SELECT n AS seed, n AS node FROM nodes)",
+    ]
+    for t in range(1, rounds + 1):
+        parts.append(
+            f"""p{t} AS (
+      SELECT seed, node FROM p{t - 1}
+      UNION
+      SELECT p.seed, sym.b FROM p{t - 1} p JOIN sym ON sym.a = p.node
+    )"""
+        )
+    counts = " UNION ALL ".join(
+        f"SELECT {t} AS t, count(*) AS n FROM p{t}" for t in range(rounds + 1)
+    )
+    parts.append(f"c AS ({counts})")
+    parts.append(f"tot AS (SELECT n AS total FROM c WHERE t = {rounds})")
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + """
+    SELECT CAST(c.t AS INTEGER) AS t, CAST(c.n AS BIGINT) AS n_pairs_exact,
+           (c.n * 10 >= 9 * tot.total) AS reaches_90pct,
+           TRUE AS est_within_5pct
+    FROM c, tot
+    """
+    )
+
+
+@register("graph_hyperanf_diameter", oracle=_hyperanf_sql(rounds=3))
+def graph_hyperanf_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HYPERANF neighborhood function + EFFECTIVE DIAMETER
+    (Boldi–Rosa–Vigna 2011): per round every node unions its t-ball
+    HLL sketch with its neighbors' (operators/components.py::
+    hyperanf_rounds — Spark's mergeable Datasketches hll_sketch_agg /
+    hll_union_agg), so N(t) ≈ #pairs within distance t comes out of
+    O(rounds) combinable passes with O(|V|) sketch state — the ONLY
+    way anyone computes distance distributions at 100 TB (exact
+    all-pairs state is O(|V|^2)). The effective diameter is the
+    smallest t whose ball covers 90% of all reachable pairs
+    (reaches_90pct flips TRUE), here in integer arithmetic
+    (n*10 >= 9*total) so the threshold is engine-portable.
+
+    Correctness pairing (the agg_hll_merge pattern): the HLL estimate
+    is engine-specific, so the EXACT N(t) — an inline all-pairs
+    frontier growth, affordable at fixture scale and the audit a
+    sketch deployment runs on samples — is the hash-compared column,
+    and the sketch rides as the est_within_5pct tolerance boolean.
+    Production at 100 TB drops the exact audit and keeps the sketch
+    loop (docstring of hyperanf_rounds has the per-round shape)."""
+    from ..operators.components import hyperanf_rounds
+
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_orderkey") % _TRI_MOD == 0
+    )
+    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("v"))
+    e = a.join(b, "k").where(F.col("u") < F.col("v")).select("u", "v").distinct()
+    rounds = 3
+    est = hyperanf_rounds(e, rounds=rounds)
+    # exact audit: all-pairs frontier growth (seed = every node), the
+    # multi_bfs composite-key loop with a DataFrame seed frame — no
+    # driver-side node collect
+    sym = (
+        e.select(F.col("u").alias("a"), F.col("v").alias("b"))
+        .unionAll(e.select(F.col("v").alias("a"), F.col("u").alias("b")))
+        .localCheckpoint(eager=True)
+    )
+    nodes = sym.select(F.col("a").alias("node")).distinct()
+    dist = nodes.select(
+        F.col("node").alias("seed"), "node", F.lit(0).cast("int").alias("d")
+    ).localCheckpoint(eager=True)
+    for _ in range(rounds):
+        cand = dist.join(sym, dist["node"] == sym["a"]).select(
+            "seed", F.col("b").alias("node"), (F.col("d") + 1).cast("int").alias("d")
+        )
+        dist = (
+            dist.unionByName(cand)
+            .groupBy("seed", "node")
+            .agg(F.min("d").cast("int").alias("d"))
+            .localCheckpoint(eager=True)
+        )
+    exact = (
+        dist.select(
+            F.explode(F.sequence(F.col("d"), F.lit(rounds))).alias("t")
+        )
+        .groupBy(F.col("t").cast("int").alias("t"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs_exact"))
+    )
+    total = exact.where(F.col("t") == rounds).select(
+        F.col("n_pairs_exact").alias("total")
+    )
+    return (
+        exact.join(est, "t")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "t",
+            "n_pairs_exact",
+            (F.col("n_pairs_exact") * 10 >= 9 * F.col("total")).alias(
+                "reaches_90pct"
+            ),
+            (
+                F.abs(F.col("est_pairs") - F.col("n_pairs_exact"))
+                <= 0.05 * F.col("n_pairs_exact")
+            ).alias("est_within_5pct"),
+        )
+    )
+
+
 def _hits_sql(rounds: int, micro: int = 1_000_000) -> str:
     """DuckDB replay of graph_hits_micro: integer micro-unit HITS
     rounds over the bipartite purchase graph as chained CTEs, with the

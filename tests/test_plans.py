@@ -187,6 +187,10 @@ _ALLOWED_NESTED_LOOP = {
     # one-row normalization sums crossed onto the per-node score frames
     # each HITS half-round — the events_gapfill in-plan scalar pattern
     "graph_hits_micro",
+    # the one-row total-pairs aggregate crossed onto the (rounds+1)-row
+    # neighborhood-function frame — the events_gapfill in-plan scalar
+    # pattern (round 14)
+    "graph_hyperanf_diameter",
 }
 # Single-partition exchanges allowed only where the exchanged data is
 # metadata-scale (a handful of rows), never a full table:
@@ -341,6 +345,11 @@ _ALLOWED_SINGLE_PARTITION = {
     # one-row normalization-sum finishes per HITS half-round — same
     # partial-aggregate-rows-only shape
     "graph_hits_micro",
+    # one-row sum-of-HLL-estimates finish per HyperANF round (each
+    # single partition receives one partial-aggregate row per upstream
+    # partition — the scalar-finish pattern); the per-node sketch
+    # frames themselves stay hash-partitioned
+    "graph_hyperanf_diameter",
 }
 
 
