@@ -192,173 +192,127 @@ _ALLOWED_NESTED_LOOP = {
     # pattern (round 14)
     "graph_hyperanf_diameter",
 }
-# Single-partition exchanges allowed only where the exchanged data is
-# metadata-scale (a handful of rows), never a full table:
-_ALLOWED_SINGLE_PARTITION = {
-    "agg_approx_distinct",  # final merge of HLL sketches → 1 row
-    "agg_theta_set_ops",    # final merge of two theta sketches → 1 row
-    "period_windows",       # period boundary list (one row per period)
-    "sink_tip",             # max(tx_time) watermark → 1 row
-    # dense-id offsets: cumulative-count window over the per-bucket
-    # counts frame — ≤num_partitions rows BY CONSTRUCTION (one per
-    # bucket), broadcast back to the data. Full data passes through a
-    # single partition ONLY when parquet footer row counts prove the
-    # input is below _TARGET_ROWS_PER_BUCKET (the adaptive small-input
-    # collapse, operators/surrogate.py); bigger inputs fan out.
+# Single-partition exchanges: verified STRUCTURALLY (round-14 change,
+# VERDICT r13 item 4). The old gate was a 51-name whitelist with
+# hand-written justifications -- a list that rots: a future fact-table
+# sort could hide behind an old entry. Now every single-partition
+# exchange in EVERY query's plan must prove from the plan tree itself
+# that its input is metadata-scale: walking down from the exchange,
+# every path must hit an AGGREGATE (partial aggregates emit <=
+# #partitions rows; final aggregates re-shuffled to one partition are
+# the scalar/k-group finishes) or a LIMIT/TakeOrdered before reaching
+# any scan. Pass-through operators (Project/Filter/Window/joins of
+# bounded inputs/...) propagate the requirement to their children, so
+# a whitelisted-by-name query whose exchange ever starts receiving raw
+# fact rows FAILS the gate the moment the plan changes.
+_PLAN_TREE_ART = " :+-"
+
+# subtree heads that PROVE bounded output (aggregation or limit
+# happened, or the rows are literals / a previously-gated exchange)
+_BOUNDED_HEADS = (
+    "HashAggregate", "SortAggregate", "ObjectHashAggregate",
+    "TakeOrderedAndProject", "GlobalLimit", "LocalLimit", "CollectLimit",
+    "LocalTableScan", "ReusedExchange", "Subquery", "ReusedSubquery",
+)
+# row-count-preserving (or bounded-multiplying) operators: bounded iff
+# ALL children are bounded
+_PASSTHROUGH_HEADS = (
+    "Project", "Filter", "Sort", "Window", "WindowGroupLimit", "Expand",
+    "Generate", "SerializeFromObject", "DeserializeToObject", "Coalesce",
+    "InputAdapter", "WholeStageCodegen", "Exchange", "AQEShuffleRead",
+    "ShuffleQueryStage", "BroadcastExchange", "Union", "BroadcastHashJoin",
+    "SortMergeJoin", "ShuffledHashJoin", "BroadcastNestedLoopJoin",
+    "CartesianProduct", "AdaptiveSparkPlan", "ResultQueryStage",
+    "ColumnarToRow", "ArrowEvalPython", "BatchEvalPython", "MapInPandas",
+    "FlatMapGroupsInPandas",
+)
+
+# TRUE exceptions the plan tree cannot prove: justification is a
+# runtime invariant, documented per entry
+_SINGLE_PARTITION_STATIC_EXCEPTIONS = {
+    # adaptive small-input collapse: full data passes through a single
+    # partition ONLY when parquet footer row counts prove the input is
+    # below _TARGET_ROWS_PER_BUCKET (operators/surrogate.py); bigger
+    # inputs fan out. The footer check is a runtime gate, invisible to
+    # the static plan -- property-pinned in test_properties.py instead.
     "window_dense_ids",
-    "dim_upsert_new_keys",
-    # the one-row broadcast aggregates feeding the crosses above
-    # (count(nodes) / min-max bounds) — 1 row by construction
-    "events_gapfill",
-    "graph_pagerank",
-    # scalar-statistic finishes: the single-partition agg input is the
-    # per-group moments frame (|event types| rows) / the contingency
-    # table (|types| x |segments| rows) — metadata-scale by
-    # construction, the combinable fact-table pass happened upstream
-    "stats_welch_ttest",
-    "stats_chi2_independence",
-    # same shape: the 2x2 cell-moment frame (DiD) and the six-integer
-    # moment row (assortativity) — combinable fact passes upstream
-    "events_diff_in_diff",
-    "graph_assortativity",
-    # the two-row cohort-counts frame folding to four integers — the
-    # stats_welch_ttest scalar-finish pattern
-    "stats_proportion_ztest",
-    # percentile + micro-unit-mean finishes: each single partition
-    # receives one partial-aggregate state per upstream partition
-    # (the tpch_q6-class scalar finish), never event rows
-    "stats_winsorized_mean",
-    # lag/lead window over the HOURLY aggregate frame — calendar-
-    # bounded (720 rows/month), the events_seasonal_decompose pattern
-    "events_peak_detection",
-    # cumulative window over the per-length counts frame — one row per
-    # DISTINCT n_chars (bounded by max document length, not corpus
-    # size); the full table joins the banded result via broadcast
-    "corpus_percentile_bands",
-    # cumulative backlog over the per-MONTH frame — bounded by the
-    # calendar; fact tables contribute only combinable count passes
-    "orders_open_backlog",
-    # cumulative sum over the per-DAY first-seen frame — bounded by the
-    # calendar (<=366 rows/year); the fact table contributes only a
-    # combinable groupBy(user).min(date) pass
-    "events_cumulative_distinct_users",
-    # global expectation-suite aggregate: the single partition carries
-    # ONE row of check counters (the combinable scan happened map-side)
-    "dq_expectations",
-    # scalar corr() finish over the calendar-bounded daily-pairs frame
-    "events_autocorrelation",
-    # TPC-H scalar finishes: the single partition carries one
-    # partial-aggregate row per upstream partition (map-side combine
-    # happened first), never table rows
-    "tpch_q6_forecast_revenue",
-    "tpch_q14_promo_revenue",
-    "tpch_q17_small_quantity_revenue",
-    "tpch_q19_disjunctive_revenue",
-    # the one-row threshold aggregate feeding q22's broadcast cross
-    "tpch_q22_global_sales_opportunity",
-    # grid-bounds one-row aggregate (the events_gapfill scalar) — the
-    # cumulative CDF itself runs per-partition via with_prefix_sums
-    "events_interpolate_linear",
-    # KS finishes: the (n1, n2) totals row and the max-gap row are
-    # 1-row aggregates; per-partition offset totals are ≤ #partitions
-    # rows (operators/prefix.py) — the dense-ids-offsets pattern
-    "stats_ks_two_sample",
-    # rank-sum finishes: one-row two_r1 / totals aggregates; offsets
-    # are ≤ #partitions rows (operators/prefix.py)
-    "stats_mann_whitney",
-    # RRF fusion: row_number windows + full-outer join over the two
-    # TOP-20 frames — ≤20 rows by construction (post-limit), never data
-    "text_hybrid_search_rrf",
-    # BPE-apply finish: the single partition carries one partial-agg
-    # row per upstream partition over the vocab frame (map-side combine
-    # first) — the tpch_q6-class scalar finish
-    "text_bpe_apply",
-    # the one-row totals aggregate feeding the temperature-mix cross
-    "corpus_temperature_mix",
-    # the one-row cohort-totals aggregate feeding the drift cross
-    "text_vocab_drift",
-    # skyline's cross-bucket prefix max: a global window over <=
-    # n_buckets per-bucket maxima — bounded by construction (the
-    # dense-ids-offsets pattern), never table rows
-    "skyline_parts",
-    # scalar KL finish over the vocabulary-bounded joined-counts frame
-    "corpus_kl_divergence",
-    # 32 conditional means in ONE combinable pass over orders; the
-    # single partition receives one partial-aggregate row per upstream
-    # partition (the TPC-H scalar-finish pattern)
-    "stats_subsample_ci",
-    # the one-row vocab-count aggregate feeding the broadcast cross
-    "text_bigram_lm_score",
-    # the one-row total / max aggregates feeding q11's and q15's
-    # broadcast crosses — 1 row by construction
-    "tpch_q11_important_stock",
-    "tpch_q15_top_supplier",
-    # the one-row m_edges aggregate feeding the modularity cross — the
-    # q22/q11 pattern (round 11)
-    "graph_modularity",
-    # three 1-row per-step user-count finishes (the tpch_q6-class
-    # scalar finish): each single partition receives one
-    # partial-aggregate row per upstream partition, never event rows
-    "events_funnel_conversion",
-    # median-slope / intercept finishes over the calendar-bounded
-    # daily-points frame (~30 rows) and its pair frame (~435 rows) —
-    # the stats_welch_ttest scalar-finish pattern
-    "stats_theil_sen",
-    # centered-MA + seasonal windows over the HOURLY aggregate frame —
-    # bounded by the calendar (720 rows/month), never event rows; the
-    # fact table contributes one combinable groupBy(hour) pass. At
-    # 100 TB the same plan partitions by series id (docstring note)
-    "events_seasonal_decompose",
-    # the one-row (nr, nt) corpus-totals aggregates feeding the DSIR
-    # bucket-delta cross — the corpus_temperature_mix scalar pattern
-    "corpus_dsir_sample",
-    # rank/min windows over the TakeOrdered top-101 frame — 101 rows
-    # BY CONSTRUCTION (the text_hybrid_search_rrf post-limit pattern);
-    # the full table contributes only the per-partition top-k heaps
-    "stats_hill_tail_index",
-    # one-row profile finish: the single partition receives one
-    # partial-aggregate row per upstream partition (the TPC-H
-    # scalar-finish pattern; the expand-operator distinct passes
-    # happen map-side first)
-    "dq_column_profile",
-    # cumulative at-risk / log-survival windows over the
-    # calendar-bounded per-day frame (<=31 rows) — the
-    # events_cumulative_distinct_users pattern; the fact table
-    # contributes one combinable groupBy(user) pass
-    "events_kaplan_meier",
-    # scalar ANOVA finish over the k-row per-group moments frame
-    # (|event types| rows) — the stats_welch_ttest pattern; the fact
-    # table contributes ONE combinable moments pass
-    "stats_anova_f",
-    # BH step-up ranking over the SAME k-row frame (one p-value per
-    # event type) — rank/threshold windows on metadata-scale rows only
-    "stats_fdr_bh",
-    # order-statistic window over the B=20 resample-means frame —
-    # 20 rows by construction; the fact table contributes the 20x
-    # exploded combinable aggregate only
-    "stats_bootstrap_ci",
-    # one-row pooled-theta / totals finishes over the per-user moments
-    # frame — the stats_welch_ttest scalar-finish pattern (each single
-    # partition receives one partial-aggregate row per upstream
-    # partition, never user rows)
-    "events_ab_cuped",
-    # one-row normalization-sum finishes per HITS half-round — same
-    # partial-aggregate-rows-only shape
-    "graph_hits_micro",
-    # one-row sum-of-HLL-estimates finish per HyperANF round (each
-    # single partition receives one partial-aggregate row per upstream
-    # partition — the scalar-finish pattern); the per-node sketch
-    # frames themselves stay hash-partitioned
-    "graph_hyperanf_diameter",
 }
+
+
+def _parse_plan_tree(plan: str) -> list:
+    """(indent, head) per operator line of a Spark plan string; tree
+    art stripped, AQE section headers ('== Initial Plan ==') skipped."""
+    lines = []
+    for raw in plan.splitlines():
+        if not raw.strip() or raw.lstrip().startswith("=="):
+            continue
+        i = 0
+        while i < len(raw) and raw[i] in _PLAN_TREE_ART:
+            i += 1
+        if i < len(raw):
+            lines.append((i, raw[i:]))
+    return lines
+
+
+def _tree_children(lines: list, i: int) -> list:
+    """Indices of the IMMEDIATE children of node i (the minimal-indent
+    lines inside its subtree)."""
+    ind = lines[i][0]
+    sub = []
+    j = i + 1
+    while j < len(lines) and lines[j][0] > ind:
+        sub.append(j)
+        j += 1
+    if not sub:
+        return []
+    m = min(lines[j][0] for j in sub)
+    return [j for j in sub if lines[j][0] == m]
+
+
+def _subtree_bounded(lines: list, i: int, depth: int = 0) -> bool:
+    """True iff the subtree rooted at line i provably emits
+    metadata-scale rows (every path from the root hits an aggregate or
+    limit before any scan)."""
+    if depth > 80:
+        return False
+    head = lines[i][1].lstrip("*(0123456789) ")
+    if head.startswith(_BOUNDED_HEADS):
+        return True
+    if head.startswith(_PASSTHROUGH_HEADS):
+        ch = _tree_children(lines, i)
+        return bool(ch) and all(
+            _subtree_bounded(lines, c, depth + 1) for c in ch
+        )
+    return False  # a scan (or unknown operator) reached the exchange
+
+
+def _unbounded_single_partition_inputs(plan: str) -> list:
+    """The inputs of every single-partition exchange that the plan tree
+    cannot prove bounded -- empty for a scale-clean plan."""
+    lines = _parse_plan_tree(plan)
+    bad = []
+    for i, (_ind, head) in enumerate(lines):
+        if "Exchange SinglePartition" in head:
+            ch = _tree_children(lines, i)
+            if not ch:
+                bad.append("exchange with no visible child")
+            elif not all(_subtree_bounded(lines, c) for c in ch):
+                bad.append(lines[ch[0]][1][:100])
+    return bad
 
 
 def test_every_query_plan_free_of_scale_smells(spark, sf_dir):
     """Blanket gate over the ENTIRE registry: no query may plan a
-    BroadcastNestedLoopJoin, CartesianProduct, or single-partition
-    exchange unless it is on the justified whitelist above. Catches any
-    future query that quietly introduces an O(n²) join or a global
-    funnel.
+    BroadcastNestedLoopJoin / CartesianProduct unless it is on the
+    justified whitelist above, and EVERY single-partition exchange —
+    in every query, whitelist or not — must prove STRUCTURALLY from
+    the plan tree that its input is metadata-scale (an aggregate or
+    limit on every path above any scan; see
+    _unbounded_single_partition_inputs). Catches any future query that
+    quietly introduces an O(n²) join or a global funnel, and —
+    round-14 hardening — a previously-fine query whose single-
+    partition exchange starts receiving raw fact rows after a plan
+    change, which the old name whitelist could not see.
 
     Known blind spot: operators that eagerly localCheckpoint
     (with_dense_ids strategy="checkpoint", connected_components,
@@ -367,8 +321,9 @@ def test_every_query_plan_free_of_scale_smells(spark, sf_dir):
     lineage is not visible here — covered instead by dedicated property
     tests and the pipeline e2e suite. with_dense_ids strategy="sample"
     (the window_dense_ids registry query) has no such truncation: its
-    whole plan is inspected here, including the whitelisted
-    bounded-size offsets exchange."""
+    whole plan is inspected here; it is the one STATIC exception (its
+    small-input collapse is gated by parquet footer row counts at
+    runtime, invisible to the plan tree)."""
     from pantasia_db_sync_spark.plans import QUERIES
 
     offenders = {}
@@ -378,9 +333,13 @@ def test_every_query_plan_free_of_scale_smells(spark, sf_dir):
         if "BroadcastNestedLoopJoin" in plan or "CartesianProduct" in plan:
             if name not in _ALLOWED_NESTED_LOOP:
                 smells.append("nested-loop/cartesian join")
-        if "Exchange SinglePartition" in plan:
-            if name not in _ALLOWED_SINGLE_PARTITION:
-                smells.append("single-partition exchange")
+        if (
+            "Exchange SinglePartition" in plan
+            and name not in _SINGLE_PARTITION_STATIC_EXCEPTIONS
+        ):
+            bad = _unbounded_single_partition_inputs(plan)
+            if bad:
+                smells.append(f"unbounded single-partition input: {bad}")
         if smells:
             offenders[name] = smells
     assert not offenders, offenders
