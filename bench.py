@@ -155,6 +155,7 @@ HEADLINE = [
     "graph_betweenness_sampled",
     "multimodal_mp4_mjpeg_frames",
     "graph_hyperanf_diameter",
+    "store_occ_multi_commits",
 ]
 
 REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))

@@ -922,3 +922,89 @@ def store_occ_commits(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+@register(
+    "store_occ_multi_commits",
+    oracle="""
+    SELECT t.tbl, w.writer, s.seq,
+           CAST(w.writer * 100 + s.seq AS BIGINT) AS val,
+           CAST(6 AS BIGINT) AS n_commits
+    FROM (VALUES ('dims'), ('facts')) AS t(tbl),
+         (VALUES (1), (2)) AS w(writer),
+         (VALUES (0), (1), (2)) AS s(seq)
+    """,
+)
+def store_occ_multi_commits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTI-TABLE optimistic concurrency through the writer fence
+    (pipeline/store.py begin_commit_many/commit_many_occ — the round-14
+    closure of the r13 'commit_many is single-writer' gap): TWO
+    concurrent writers race three two-table commits each onto the SAME
+    (facts, dims) pair, passing their table sets in OPPOSITE orders —
+    the classic deadlock shape, which the fence defuses by claiming in
+    a global sorted-table-name order. Every commit claims BOTH tables'
+    next ids before staging either, so the daemon-vs-compactor race
+    can neither lose a staged flip nor interleave into deadlock. The
+    oracle is the full (table, writer, seq) cross plus the per-table
+    commit count: a lost update fails rows AND hash; a deadlock fails
+    as the join timeout. The two-PROCESS variant with marker files
+    runs in tests/test_store_manifest.py
+    (test_occ_multi_table_two_process_race); this entry makes the
+    multi-table fence a driver-gated feature. Reference analogue: the
+    per-period conn.commit() (app/main.py:379) is single-writer by
+    construction — this is the Delta/Iceberg-style extension."""
+    import shutil
+    import tempfile
+    import threading
+
+    from ..pipeline.store import TableStore
+
+    d = tempfile.mkdtemp(prefix="occ_multi_store_")
+    try:
+        store = TableStore(d)
+        errs: list = []
+
+        def writer(wid: int, order: tuple) -> None:
+            try:
+                for seq in range(3):
+                    def stage(table):
+                        def _s(cid, table=table):
+                            store.append(
+                                table,
+                                spark.createDataFrame(
+                                    [(wid, seq, wid * 100 + seq)],
+                                    "writer int, seq int, val bigint",
+                                ),
+                                commit_id=cid,
+                            )
+                        return _s
+
+                    store.commit_many_occ({t: stage(t) for t in order})
+            except Exception as exc:  # pragma: no cover - surfaced below
+                errs.append(exc)
+
+        ts = [
+            threading.Thread(target=writer, args=(1, ("facts", "dims"))),
+            threading.Thread(target=writer, args=(2, ("dims", "facts"))),
+        ]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join(timeout=300)
+        if errs:
+            raise RuntimeError(f"OCC multi-table writer failed: {errs[0]!r}")
+        out = None
+        for tbl in ("dims", "facts"):
+            n = store.current_version(tbl)
+            leg = store.read_facts(spark, tbl).select(
+                F.lit(tbl).alias("tbl"),
+                "writer",
+                "seq",
+                "val",
+                F.lit(n).cast("bigint").alias("n_commits"),
+            )
+            out = leg if out is None else out.unionByName(leg)
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

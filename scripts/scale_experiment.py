@@ -1512,6 +1512,239 @@ def r13_main() -> None:
     )
 
 
+def r14_main() -> None:
+    """Round-14 scale shapes (VERDICT r13 item 7 + the round's new
+    operators). Usage:
+    python scripts/scale_experiment.py --r14 [replicas]
+
+    - brandes_dependency_multi K=5 seeds (HUB INCLUDED) on the planted-
+      hub graph at 1x/10x edges, plus the K-sequential-chains
+      comparison at 1x — quantifying the composite-key chaining win the
+      registered graph_betweenness_sampled rides on.
+    - hyperanf_rounds rounds=3 on the same hub graph at 1x/10x: the
+      sketch loop's wall must track |E|, state O(|V|) sketches.
+    - multimodal_mp4_mjpeg_frames decode at 1x -> Rx documents:
+      map-only Arrow batches, expect linear.
+    - r13 session-2 ops measured 1x -> Rx: events_ab_cuped (events),
+      multimodal_mp4_meta (documents), graph_hits_micro
+      (orders+lineitem replicas = disjoint bipartite copies).
+    - stream_sliding_window state across 100 triggers: per-trigger
+      stateOperators numRowsTotal must stay bounded by the
+      watermark-open window set, independent of trigger count.
+    """
+    import glob as _glob
+    import shutil as _shutil
+    import tempfile as _tempfile
+    import time as _time
+
+    from pantasia_db_sync_spark.operators.components import (
+        brandes_dependency,
+        brandes_dependency_multi,
+        hyperanf_rounds,
+    )
+
+    replicas = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    spark = get_spark(app_name="r14-scale-experiment")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def run(label, fn):
+        fn()  # warm
+        t0 = _time.perf_counter()
+        out = fn()
+        dt = _time.perf_counter() - t0
+        print(f"{label:<62} {dt:8.2f}s  (out={out})", flush=True)
+        return dt
+
+    # --- hub-graph rows: multi-seed Brandes (hub among seeds) + HyperANF
+    n1 = 30_000
+    for scale in (1, replicas):
+        edf, n_nodes, hub_deg = _hub_graph(spark, n1 * scale)
+        ne = edf.count()
+        print(
+            f"\n-- x{scale}: {ne} edges, hub degree {hub_deg} "
+            f"({hub_deg * 100 // ne}% of edges)",
+            flush=True,
+        )
+        seeds = [0, 1, 2, 3, 4]  # node 0 IS the hub
+        run(
+            f"x{scale} brandes_multi K=5 seeds hops=3 (hub among seeds)",
+            lambda e=edf, s=seeds: brandes_dependency_multi(
+                e, seeds=s, hops=3
+            ).count(),
+        )
+        if scale == 1:
+            run(
+                "x1  brandes K=5 SEQUENTIAL single-seed chains (baseline)",
+                lambda e=edf, s=seeds: sum(
+                    brandes_dependency(e, seed=x, hops=3).count() for x in s
+                ),
+            )
+        run(
+            f"x{scale} hyperanf rounds=3 (HLL t-ball sketches)",
+            lambda e=edf: hyperanf_rounds(e, rounds=3).count(),
+        )
+
+    # --- replicated-table rows: r13 session-2 ops + the MJPEG decode
+    def replicate_events(r: int) -> str:
+        work = _tempfile.mkdtemp(prefix=f"r14_ev_{r}_")
+        e = load_table(spark, BASE_SF, "events")
+        parts = [e]
+        for k in range(1, r):
+            parts.append(
+                e.selectExpr(
+                    f"event_id + {k} * 100000000 AS event_id",
+                    "ts",
+                    f"user_id + {k} * 100000000 AS user_id",
+                    "event_type",
+                    f"value * {1 + k * 0.01} AS value",
+                    "props",
+                )
+            )
+        big = parts[0]
+        for p2 in parts[1:]:
+            big = big.unionByName(p2)
+        big.repartition(32).write.mode("overwrite").parquet(
+            work + "/events.parquet"
+        )
+        return work
+
+    def replicate_docs(r: int) -> str:
+        work = _tempfile.mkdtemp(prefix=f"r14_doc_{r}_")
+        d = load_table(spark, BASE_SF, "documents")
+        parts = [d] + [
+            d.withColumn("doc_id", F.col("doc_id") + F.lit(k * 100_000_000))
+            for k in range(1, r)
+        ]
+        big = parts[0]
+        for p2 in parts[1:]:
+            big = big.unionByName(p2)
+        big.repartition(32).write.mode("overwrite").parquet(
+            work + "/documents.parquet"
+        )
+        return work
+
+    def replicate_bipartite(r: int) -> str:
+        work = _tempfile.mkdtemp(prefix=f"r14_bi_{r}_")
+        o = load_table(spark, BASE_SF, "orders")
+        li = load_table(spark, BASE_SF, "lineitem")
+        op = [o] + [
+            o.withColumn("o_orderkey", F.col("o_orderkey") + k * 100_000_000)
+            .withColumn("o_custkey", F.col("o_custkey") + k * 100_000_000)
+            for k in range(1, r)
+        ]
+        lp = [li] + [
+            li.withColumn("l_orderkey", F.col("l_orderkey") + k * 100_000_000)
+            .withColumn("l_suppkey", F.col("l_suppkey") + k * 1_000_000)
+            for k in range(1, r)
+        ]
+        bo, bl = op[0], lp[0]
+        for p2 in op[1:]:
+            bo = bo.unionByName(p2)
+        for p2 in lp[1:]:
+            bl = bl.unionByName(p2)
+        bo.repartition(8).write.mode("overwrite").parquet(work + "/orders.parquet")
+        bl.repartition(32).write.mode("overwrite").parquet(
+            work + "/lineitem.parquet"
+        )
+        return work
+
+    def noopq(name, sf_dir):
+        return (
+            QUERIES[name](spark, sf_dir)
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+
+    for r in (1, replicas):
+        work = BASE_SF if r == 1 else replicate_events(r)
+        try:
+            run(
+                f"x{r} events_ab_cuped",
+                lambda w=work: noopq("events_ab_cuped", w),
+            )
+        finally:
+            if r != 1:
+                _shutil.rmtree(work, ignore_errors=True)
+    for r in (1, replicas):
+        work = BASE_SF if r == 1 else replicate_docs(r)
+        try:
+            run(
+                f"x{r} multimodal_mp4_meta",
+                lambda w=work: noopq("multimodal_mp4_meta", w),
+            )
+            run(
+                f"x{r} multimodal_mp4_mjpeg_frames",
+                lambda w=work: noopq("multimodal_mp4_mjpeg_frames", w),
+            )
+        finally:
+            if r != 1:
+                _shutil.rmtree(work, ignore_errors=True)
+    for r in (1, replicas):
+        work = BASE_SF if r == 1 else replicate_bipartite(r)
+        try:
+            run(
+                f"x{r} graph_hits_micro",
+                lambda w=work: noopq("graph_hits_micro", w),
+            )
+        finally:
+            if r != 1:
+                _shutil.rmtree(work, ignore_errors=True)
+
+    # --- stream_sliding_window state across 100 triggers
+    from pantasia_db_sync_spark.streaming import events_stream
+    from pantasia_db_sync_spark.streaming.sync_stream import (
+        sliding_window_counts,
+    )
+
+    e = load_table(spark, BASE_SF, "events")
+    n_triggers = 100
+    work = _tempfile.mkdtemp(prefix="r14_ssw_")
+    src_dir = os.path.join(work, "src")
+    os.makedirs(src_dir)
+    sliced = e.withColumn("slice", (F.col("event_id") % n_triggers).cast("int"))
+    sliced.repartition(1).write.partitionBy("slice").mode("overwrite").parquet(
+        os.path.join(work, "parts")
+    )
+    for i, f in enumerate(
+        sorted(_glob.glob(os.path.join(work, "parts", "slice=*", "*.parquet")))
+    ):
+        _shutil.copy(f, os.path.join(src_dir, f"events-{i:03d}.parquet"))
+    q = (
+        sliding_window_counts(
+            events_stream(spark, src_dir, max_files_per_trigger=1)
+        )
+        .writeStream.format("noop")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    t0 = _time.perf_counter()
+    if not q.awaitTermination(1200):
+        q.stop()
+        raise RuntimeError("sliding-window stream did not finish")
+    dt = _time.perf_counter() - t0
+    state_rows = [
+        p["stateOperators"][0]["numRowsTotal"]
+        for p in (q.recentProgress or [])
+        if p.get("stateOperators")
+    ]
+    _shutil.rmtree(work, ignore_errors=True)
+    print(
+        f"sliding-window 100-trigger stream: {dt:8.2f}s total, "
+        f"{len(state_rows)} progress snapshots",
+        flush=True,
+    )
+    if state_rows:
+        print(
+            f"sliding-window state rows: first={state_rows[0]} "
+            f"max={max(state_rows)} final={state_rows[-1]} — bounded by "
+            "the watermark-open window set (fixture spans a fixed time "
+            "range), NOT by trigger count",
+            flush=True,
+        )
+
+
 def _hub_graph(spark, n_edges: int, hub_share: float = 0.2):
     """Deterministic power-law graph with ONE max-degree hub owning
     ``hub_share`` of all edges — the adversarial shape for every
@@ -1748,6 +1981,8 @@ if __name__ == "__main__":
         r12c_main()
     elif len(sys.argv) > 1 and sys.argv[1] == "--gskew":
         gskew_main()
+    elif len(sys.argv) > 1 and sys.argv[1] == "--r14":
+        r14_main()
     elif len(sys.argv) > 1 and sys.argv[1] == "--r13":
         r13_main()
     else:
