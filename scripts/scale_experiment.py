@@ -1609,12 +1609,14 @@ def r14_main() -> None:
         return work
 
     def replicate_docs(r: int) -> str:
+        # doc_id is kept UNCHANGED across replicas: the mp4 queries cap
+        # their fixture at doc_id < 300, so shifted ids would scale the
+        # scan but not the DECODE — duplicated ids scale the decode
+        # work itself r-fold, which is the map-only linearity claim
+        # under test (the decoders never require unique ids)
         work = _tempfile.mkdtemp(prefix=f"r14_doc_{r}_")
         d = load_table(spark, BASE_SF, "documents")
-        parts = [d] + [
-            d.withColumn("doc_id", F.col("doc_id") + F.lit(k * 100_000_000))
-            for k in range(1, r)
-        ]
+        parts = [d for _ in range(r)]
         big = parts[0]
         for p2 in parts[1:]:
             big = big.unionByName(p2)
