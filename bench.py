@@ -156,6 +156,7 @@ HEADLINE = [
     "multimodal_mp4_mjpeg_frames",
     "graph_hyperanf_diameter",
     "store_occ_multi_commits",
+    "graph_hyperball_harmonic",
 ]
 
 REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))

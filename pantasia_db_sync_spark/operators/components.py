@@ -930,3 +930,56 @@ def hyperanf_rounds(
         )
         out = out.unionByName(est_frame(t, sk))
     return out
+
+
+def hyperball_harmonic(
+    edges: DataFrame,
+    rounds: int = 3,
+    u_col: str = "u",
+    v_col: str = "v",
+) -> DataFrame:
+    """(node, harmonic_est): PER-NODE harmonic centrality estimates
+    from the HyperANF ball series — the HyperBall algorithm (Boldi &
+    Vigna 2013): with |B_t(v)| the HLL-estimated size of v's t-ball,
+    the count of nodes at distance EXACTLY t is |B_t|-|B_{t-1}| and
+    harmonic(v) ~ sum_t (|B_t|-|B_{t-1}|)/t, folded in one fixed IEEE
+    order. Exact per-node harmonic needs one BFS per node (all-pairs);
+    this gets every node's estimate from the SAME O(rounds) sketch
+    loop as the neighborhood function — per round one equi-join of the
+    sketch frame onto the edges + one combinable groupBy(node), state
+    O(|V|) fixed-size sketches. The per-round ball sizes land as
+    columns of one node-keyed frame (rounds node-keyed equi-joins, no
+    widening shuffle)."""
+    sym = (
+        edges.select(F.col(u_col).alias("a"), F.col(v_col).alias("b"))
+        .unionAll(edges.select(F.col(v_col).alias("a"), F.col(u_col).alias("b")))
+        .localCheckpoint(eager=True)
+    )
+    nodes = sym.select(F.col("a").alias("node")).distinct()
+    sk = (
+        nodes.groupBy("node")
+        .agg(F.expr("hll_sketch_agg(node)").alias("sk"))
+        .localCheckpoint(eager=True)
+    )
+    balls = sk.select(
+        "node", F.expr("hll_sketch_estimate(sk)").alias("e0")
+    )
+    for t in range(1, rounds + 1):
+        contrib = sym.join(sk, sym["a"] == sk["node"]).select(
+            F.col("b").alias("node"), "sk"
+        )
+        sk = (
+            sk.unionByName(contrib)
+            .groupBy("node")
+            .agg(F.expr("hll_union_agg(sk)").alias("sk"))
+            .localCheckpoint(eager=True)
+        )
+        balls = balls.join(
+            sk.select("node", F.expr("hll_sketch_estimate(sk)").alias(f"e{t}")),
+            "node",
+        )
+    est = None
+    for t in range(1, rounds + 1):
+        term = (F.col(f"e{t}") - F.col(f"e{t - 1}")) / float(t)
+        est = term if est is None else est + term
+    return balls.select("node", est.alias("harmonic_est"))

@@ -8166,6 +8166,100 @@ def graph_hyperanf_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "graph_hyperball_harmonic",
+    oracle=f"""
+    WITH RECURSIVE e AS (
+      SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
+      FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+      WHERE a.l_orderkey % {_TRI_MOD} = 0 AND a.l_suppkey < b.l_suppkey
+    ),
+    sym AS (SELECT u AS a, v AS b FROM e UNION ALL SELECT v, u FROM e),
+    nodes AS (SELECT DISTINCT a AS n FROM sym),
+    r(s, node, d) AS (
+      SELECT n, n, 0 FROM nodes
+      UNION
+      SELECT r.s, sym.b, r.d + 1 FROM r JOIN sym ON sym.a = r.node
+      WHERE r.d < 3
+    ),
+    best AS (SELECT s, node, min(d) AS d FROM r GROUP BY 1, 2)
+    SELECT s AS suppkey,
+           CAST(count(*) FILTER (WHERE d > 0) AS BIGINT) AS reached,
+           floor((CAST(count(*) FILTER (WHERE d = 1) AS DOUBLE)
+                  + count(*) FILTER (WHERE d = 2) / 2.0
+                  + count(*) FILTER (WHERE d = 3) / 3.0) * 1000000 + 0.5)
+             / 1000000 AS harmonic,
+           TRUE AS est_within_10pct
+    FROM best GROUP BY 1
+    """,
+)
+def graph_hyperball_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-NODE harmonic centrality for EVERY node at once via
+    HyperBall (Boldi & Vigna 2013; operators/components.py::
+    hyperball_harmonic): the t-ball HLL series gives each node's
+    count-at-distance-t as |B_t|-|B_{t-1}|, so ALL nodes' harmonic
+    estimates come out of ONE O(rounds) sketch loop —
+    graph_harmonic_centrality's exact multi-BFS covers 5 seeds for the
+    same round count; exact ALL-nodes harmonic is one BFS per node,
+    which no one runs at 100 TB. Correctness pairing (the
+    agg_hll_merge / graph_hyperanf_diameter pattern): the exact
+    per-node harmonic — all-pairs frontier growth, affordable at
+    fixture scale — is the hash-compared column, and the sketch
+    estimate rides as a per-node 10% tolerance boolean. The exact
+    finish reuses the order-free per-distance-counts fold (c1 + c2/2 +
+    c3/3 in one fixed IEEE order)."""
+    from ..operators.components import hyperball_harmonic
+
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_orderkey") % _TRI_MOD == 0
+    )
+    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("v"))
+    e = a.join(b, "k").where(F.col("u") < F.col("v")).select("u", "v").distinct()
+    rounds = 3
+    est = hyperball_harmonic(e, rounds=rounds)
+    sym = (
+        e.select(F.col("u").alias("a"), F.col("v").alias("b"))
+        .unionAll(e.select(F.col("v").alias("a"), F.col("u").alias("b")))
+        .localCheckpoint(eager=True)
+    )
+    nodes = sym.select(F.col("a").alias("node")).distinct()
+    dist = nodes.select(
+        F.col("node").alias("seed"), "node", F.lit(0).cast("int").alias("d")
+    ).localCheckpoint(eager=True)
+    for _ in range(rounds):
+        cand = dist.join(sym, dist["node"] == sym["a"]).select(
+            "seed", F.col("b").alias("node"), (F.col("d") + 1).cast("int").alias("d")
+        )
+        dist = (
+            dist.unionByName(cand)
+            .groupBy("seed", "node")
+            .agg(F.min("d").cast("int").alias("d"))
+            .localCheckpoint(eager=True)
+        )
+
+    def c(k: int):
+        return F.sum(F.when(F.col("d") == k, 1).otherwise(0))
+
+    exact = dist.groupBy(F.col("seed").alias("node")).agg(
+        F.sum(F.when(F.col("d") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("reached"),
+        fround(
+            c(1).cast("double") + c(2) / 2.0 + c(3) / 3.0, 6
+        ).alias("harmonic"),
+    )
+    return exact.join(est, "node").select(
+        F.col("node").alias("suppkey"),
+        "reached",
+        "harmonic",
+        (
+            F.abs(F.col("harmonic_est") - F.col("harmonic"))
+            <= 0.10 * F.col("harmonic")
+        ).alias("est_within_10pct"),
+    )
+
+
 def _hits_sql(rounds: int, micro: int = 1_000_000) -> str:
     """DuckDB replay of graph_hits_micro: integer micro-unit HITS
     rounds over the bipartite purchase graph as chained CTEs, with the
