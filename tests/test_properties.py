@@ -3591,3 +3591,65 @@ def test_mp4_mjpeg_multi_sample_chunks():
         _s.pack_into(">I", out, q, _s.unpack_from(">I", out, q)[0] - delta)
     frames = decode_mp4_samples(bytes(out))
     assert [f["mean_gray"] for f in frames] == [10.0, 60.0, 110.0]
+
+
+def test_brandes_multi_equals_single_seed_runs(spark):
+    """brandes_dependency_multi over K seeds must equal the UNION of K
+    single-seed brandes_dependency runs row-for-row — the composite-key
+    chaining is a scheduling change, never a semantics change. Graph: a
+    broom (path 0-1-2 fanning to leaves 3,4,5 at node 2) plus a
+    detached triangle (10,11,12), so seeds see asymmetric frontiers,
+    multiple shortest paths, and unreachable regions."""
+    from pantasia_db_sync_spark.operators.components import (
+        brandes_dependency,
+        brandes_dependency_multi,
+    )
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (2, 4), (2, 5), (10, 11), (11, 12), (10, 12)],
+        "u bigint, v bigint",
+    )
+    seeds = [0, 2, 10]
+    multi = sorted(
+        tuple(r)
+        for r in brandes_dependency_multi(edges, seeds, hops=3).collect()
+    )
+    single = sorted(
+        (s,) + tuple(r)
+        for s in seeds
+        for r in brandes_dependency(edges, seed=s, hops=3).collect()
+    )
+    assert multi == single
+
+
+def test_hyperanf_and_hyperball_exact_on_tiny_graph(spark):
+    """At tiny cardinalities the Datasketches HLL is exact, so the
+    sketch loops must reproduce the true ball sizes: hyperanf_rounds'
+    N(t) equals the exact pair counts and hyperball_harmonic equals the
+    exact per-node harmonic on a 5-node path graph (whose balls and
+    distances are hand-computable)."""
+    from pantasia_db_sync_spark.operators.components import (
+        hyperanf_rounds,
+        hyperball_harmonic,
+    )
+
+    # path 0-1-2-3-4
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4)], "u bigint, v bigint"
+    )
+    anf = {int(r.t): round(float(r.est_pairs)) for r in hyperanf_rounds(
+        edges, rounds=3
+    ).collect()}
+    # exact pair counts within distance t on the 5-path:
+    # t=0: 5 self-pairs; t=1: +2 per edge = 13; t=2: +2*3 = 19; t=3: +2*2 = 23
+    assert anf == {0: 5, 1: 13, 2: 19, 3: 23}
+    hb = {
+        int(r.node): round(float(r.harmonic_est), 6)
+        for r in hyperball_harmonic(edges, rounds=3).collect()
+    }
+    # node 0: d(1)=1, d(2)=2, d(3)=3 -> 1 + 1/2 + 1/3
+    assert hb[0] == round(1 + 0.5 + 1 / 3, 6)
+    # node 2 (center): two at d=1, two at d=2 -> 2 + 1
+    assert hb[2] == 3.0
+    # node 1: neighbors 0,2 at 1; 3 at 2; 4 at 3 -> 2 + 0.5 + 1/3
+    assert hb[1] == round(2 + 0.5 + 1 / 3, 6)
