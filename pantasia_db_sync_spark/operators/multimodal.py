@@ -34,8 +34,10 @@ def real_image_decode(content: bytes) -> dict:
     decoder by magic bytes — BMP, PNG, GIF, or JPEG (baseline SOF0 and,
     since round 13, progressive SOF2 — decode_jpeg dispatches on the
     SOF marker, so the dominant wild still-image formats are all
-    covered; the remaining honest gate is video/MP4). Unknown formats
-    still raise — honest partial support, never a silent guess."""
+    covered; MP4 metadata AND MJPEG sample decode land via
+    decode_mp4_meta/decode_mp4_samples below, so the one remaining
+    honest gate is the H.264/HEVC bitstream). Unknown formats still
+    raise — honest partial support, never a silent guess."""
     if content[:2] == b"BM":
         return decode_bmp(content)
     if content[:8] == b"\x89PNG\r\n\x1a\n":
