@@ -8052,10 +8052,17 @@ def _hyperanf_sql(rounds: int) -> str:
     integer arithmetic; the HLL estimate column is engine-specific and
     rides as the tolerance boolean (the agg_hll_merge pattern)."""
     parts = [
+        # the l_suppkey < 200 cap BOUNDS |V| at every sf: the exact
+        # all-pairs audit this oracle replays is O(|V|^2) BY NATURE
+        # (that is the point of the sketch), so the fixture pins the
+        # audit's graph size the same way the multimodal fixtures pin
+        # doc_id < 300 — at the driver's sf0.01 every suppkey is < 200
+        # already, so this changes nothing there
         f"""e AS (
       SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
       FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
       WHERE a.l_orderkey % {_TRI_MOD} = 0 AND a.l_suppkey < b.l_suppkey
+        AND b.l_suppkey < 200
     )""",
         "sym AS (SELECT u AS a, v AS b FROM e UNION ALL SELECT v, u FROM e)",
         "nodes AS (SELECT DISTINCT a AS n FROM sym)",
@@ -8109,8 +8116,12 @@ def graph_hyperanf_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
     loop (docstring of hyperanf_rounds has the per-round shape)."""
     from ..operators.components import hyperanf_rounds
 
+    # l_suppkey < 200 bounds |V| at every sf: the EXACT audit below is
+    # O(|V|^2) by nature (that is what the sketch exists to avoid), so
+    # the fixture pins the audit graph's size — the multimodal
+    # doc_id < 300 pattern; a no-op at the driver's sf0.01
     li = load_table(spark, sf_dir, "lineitem").where(
-        F.col("l_orderkey") % _TRI_MOD == 0
+        (F.col("l_orderkey") % _TRI_MOD == 0) & (F.col("l_suppkey") < 200)
     )
     a = li.select(F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("u"))
     b = li.select(F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("v"))
@@ -8173,6 +8184,7 @@ def graph_hyperanf_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
       FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
       WHERE a.l_orderkey % {_TRI_MOD} = 0 AND a.l_suppkey < b.l_suppkey
+        AND b.l_suppkey < 200
     ),
     sym AS (SELECT u AS a, v AS b FROM e UNION ALL SELECT v, u FROM e),
     nodes AS (SELECT DISTINCT a AS n FROM sym),
@@ -8210,8 +8222,12 @@ def graph_hyperball_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
     c3/3 in one fixed IEEE order)."""
     from ..operators.components import hyperball_harmonic
 
+    # l_suppkey < 200 bounds |V| at every sf: the EXACT audit below is
+    # O(|V|^2) by nature (that is what the sketch exists to avoid), so
+    # the fixture pins the audit graph's size — the multimodal
+    # doc_id < 300 pattern; a no-op at the driver's sf0.01
     li = load_table(spark, sf_dir, "lineitem").where(
-        F.col("l_orderkey") % _TRI_MOD == 0
+        (F.col("l_orderkey") % _TRI_MOD == 0) & (F.col("l_suppkey") < 200)
     )
     a = li.select(F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("u"))
     b = li.select(F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("v"))
