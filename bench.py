@@ -157,6 +157,7 @@ HEADLINE = [
     "graph_hyperanf_diameter",
     "store_occ_multi_commits",
     "graph_hyperball_harmonic",
+    "text_winnowing_matches",
 ]
 
 REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))

@@ -3951,3 +3951,98 @@ def multimodal_mp4_mjpeg_frames_q(spark: SparkSession, sf_dir: str) -> DataFrame
     return decode_mp4_frame_features(
         synthetic_mjpeg_mp4_frame(d), "doc_id", "content"
     ).select("doc_id", "frame_idx", "width", "height", "mean_gray")
+
+
+@register(
+    "text_winnowing_matches",
+    oracle=f"""
+    WITH toks AS ({_SQL_TOKS}),
+    kg AS (
+      SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+             {_PORTABLE_HASH.format(col="t[i] || ' ' || t[i+1] || ' ' || t[i+2]")}
+               % {HASH_PRIME} AS h,
+             CAST(len(t) - 2 AS BIGINT) AS n_kg
+      FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)
+      WHERE len(t) >= 3
+    ),
+    sel AS (
+      SELECT DISTINCT doc_id, h FROM (
+        SELECT q.doc_id, p.h,
+               row_number() OVER (
+                 PARTITION BY q.doc_id, q.pos
+                 ORDER BY p.h ASC, p.pos DESC
+               ) AS rn
+        FROM kg q
+        JOIN kg p ON p.doc_id = q.doc_id
+                 AND p.pos BETWEEN q.pos AND q.pos + 3
+        WHERE q.pos <= q.n_kg - 4
+      ) WHERE rn = 1
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(count(*) AS BIGINT) AS shared_fps
+    FROM sel a JOIN sel b ON a.h = b.h AND a.doc_id < b.doc_id
+    GROUP BY 1, 2 HAVING count(*) >= 2
+    """,
+)
+def text_winnowing_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WINNOWING document fingerprinting (Schleimer–Wilkerson–Aiken
+    2003 — the MOSS algorithm): hash every POSITIONAL 3-gram shingle,
+    slide a w=4 window over the hash sequence, and select each
+    window's minimum (rightmost on ties) — the guarantee is that any
+    shared run of >= k+w-1 = 6 tokens between two documents shares at
+    least one SELECTED fingerprint, while storing only ~2/(w+1) of all
+    shingle hashes. Output: document pairs sharing >= 2 winnowed
+    fingerprints with the shared count — the plagiarism/boilerplate
+    detector that complements MinHash (which estimates WHOLE-document
+    similarity and can miss one long verbatim passage inside two
+    otherwise-different documents).
+
+    Engine discipline: the rightmost-minimum selection is ONE window
+    pass — max over the frame of the struct (PRIME - h, pos), whose
+    lexicographic order makes min-hash-then-rightmost-pos a single
+    combinable argmax (no nested window aggregates); hashes are the
+    portable md5-prefix so the oracle replays them bit-for-bit. Scale
+    shape: the winnow window partitions BY DOCUMENT (never a global
+    window); the match join is the inverted-index equi-join on the
+    selected hash — the dedup_ngram_jaccard skeleton, with winnowing
+    itself already thinning the index ~2.5x; a df cap on hot
+    fingerprints is the same documented knob as ngram's max_df."""
+    d = load_table(spark, sf_dir, "documents")
+    from ..operators.dedup import _shingle_parts
+
+    toks, sh = _shingle_parts(d, "doc_id", "text", 3)
+    kg = toks.select(
+        "doc_id",
+        F.size(sh).cast("bigint").alias("n_kg"),
+        F.posexplode(sh).alias("pos", "s"),
+    ).select(
+        "doc_id",
+        "n_kg",
+        F.col("pos").cast("bigint").alias("pos"),
+        portable_hash_mod("s").alias("h"),
+    )
+    win = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, 3)
+    picked = kg.select(
+        "doc_id",
+        "pos",
+        "n_kg",
+        F.max(
+            F.struct(
+                (F.lit(HASH_PRIME) - F.col("h")).alias("neg"),
+                F.col("pos").alias("p"),
+                F.col("h").alias("hh"),
+            )
+        )
+        .over(win)
+        .alias("sel"),
+    ).where(F.col("pos") <= F.col("n_kg") - 4)
+    sel = picked.select("doc_id", F.col("sel.hh").alias("h")).distinct()
+    a = sel.select(F.col("doc_id").alias("id_a"), "h")
+    b = sel.select(F.col("doc_id").alias("id_b"), "h")
+    return (
+        a.join(b, "h")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("shared_fps"))
+        .where(F.col("shared_fps") >= 2)
+    )
