@@ -238,10 +238,16 @@ def main() -> None:
     qcal: dict[str, float] = {}
     for name in HEADLINE:
         jvm_gc()
-        # interleaved host-speed probe: one run, immediately before the
-        # query's measured reps, so each (cal, wall) pair shares the
-        # same host-load window
-        qcal[name] = round(timed(calibration_work), 3)
+        # interleaved host-speed probe, MEDIAN OF 3 (round-15 change,
+        # VERDICT r14 next-round #2): a single probe still samples an
+        # oscillating host once — r14 run 4's text_bpe_train drew a
+        # 3.60 normalized against 2.06/2.31 in matched runs purely from
+        # one unlucky calibration draw. Three draws immediately before
+        # the query's measured reps share its host-load window and the
+        # median is robust to one spike.
+        qcal[name] = round(
+            statistics.median(timed(calibration_work) for _ in range(3)), 3
+        )
         runs = sorted(
             timed(lambda: materialize(QUERIES[name](spark, sf_dir)))
             for _ in range(REPS)

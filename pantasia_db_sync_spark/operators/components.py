@@ -883,6 +883,7 @@ def hyperanf_rounds(
     rounds: int = 3,
     u_col: str = "u",
     v_col: str = "v",
+    lgk: int | None = None,
 ) -> DataFrame:
     """(t, est_pairs): the HyperANF neighborhood function estimate
     (Boldi–Rosa–Vigna 2011) for t = 0..rounds — est_pairs(t) ~ the
@@ -899,7 +900,17 @@ def hyperanf_rounds(
     O(|V|^2) pair state (the exact multi-BFS this repo uses as the
     fixture-scale audit). N(t) folds to one scalar per round via
     hll_sketch_estimate. Sketch frames are localCheckpoint'ed per
-    round (the components-loop lineage hygiene)."""
+    round (the components-loop lineage hygiene).
+
+    ``lgk`` overrides the Datasketches lgConfigK (default 12). Two
+    regimes matter: below ~3/4*2^lgk distinct items per sketch the HLL
+    stays in its coupon (LIST/SET) stage and estimates are EXACT
+    integers — at fixture scale (every ball < 200 nodes) the
+    default-lgk output is therefore hash-comparable to an exact
+    oracle; above it the estimate carries the ~1.04/sqrt(2^lgk)
+    relative error every 100 TB deployment accepts (lgk=4 forces that
+    regime at fixture scale — the tolerance property test's lever)."""
+    agg = f"hll_sketch_agg(node, {lgk})" if lgk else "hll_sketch_agg(node)"
     sym = (
         edges.select(F.col(u_col).alias("a"), F.col(v_col).alias("b"))
         .unionAll(edges.select(F.col(v_col).alias("a"), F.col(u_col).alias("b")))
@@ -908,7 +919,7 @@ def hyperanf_rounds(
     nodes = sym.select(F.col("a").alias("node")).distinct()
     sk = (
         nodes.groupBy("node")
-        .agg(F.expr("hll_sketch_agg(node)").alias("sk"))
+        .agg(F.expr(agg).alias("sk"))
         .localCheckpoint(eager=True)
     )
 
@@ -937,6 +948,8 @@ def hyperball_harmonic(
     rounds: int = 3,
     u_col: str = "u",
     v_col: str = "v",
+    lgk: int | None = None,
+    integer_sixths: bool = False,
 ) -> DataFrame:
     """(node, harmonic_est): PER-NODE harmonic centrality estimates
     from the HyperANF ball series — the HyperBall algorithm (Boldi &
@@ -949,7 +962,15 @@ def hyperball_harmonic(
     sketch frame onto the edges + one combinable groupBy(node), state
     O(|V|) fixed-size sketches. The per-round ball sizes land as
     columns of one node-keyed frame (rounds node-keyed equi-joins, no
-    widening shuffle)."""
+    widening shuffle).
+
+    ``lgk`` as in :func:`hyperanf_rounds` (coupon-exact below
+    ~3/4*2^lgk items per sketch, real estimation above).
+    ``integer_sixths=True`` returns ``harmonic_sixths`` = 6*c1 + 3*c2
+    + 2*c3 (rounds=3) as int64 — pure integer arithmetic over the
+    integer ball estimates, engine-portable and hash-exact in the
+    coupon regime; the caller divides by 6 for the centrality value."""
+    agg = f"hll_sketch_agg(node, {lgk})" if lgk else "hll_sketch_agg(node)"
     sym = (
         edges.select(F.col(u_col).alias("a"), F.col(v_col).alias("b"))
         .unionAll(edges.select(F.col(v_col).alias("a"), F.col(u_col).alias("b")))
@@ -958,7 +979,7 @@ def hyperball_harmonic(
     nodes = sym.select(F.col("a").alias("node")).distinct()
     sk = (
         nodes.groupBy("node")
-        .agg(F.expr("hll_sketch_agg(node)").alias("sk"))
+        .agg(F.expr(agg).alias("sk"))
         .localCheckpoint(eager=True)
     )
     balls = sk.select(
@@ -977,6 +998,19 @@ def hyperball_harmonic(
         balls = balls.join(
             sk.select("node", F.expr("hll_sketch_estimate(sk)").alias(f"e{t}")),
             "node",
+        )
+    if integer_sixths:
+        # lcm(1..rounds)-scaled integer fold: exact int64 arithmetic
+        # over the integer ball estimates (no libm in either engine)
+        import math
+
+        lcm = math.lcm(*range(1, rounds + 1))
+        est = None
+        for t in range(1, rounds + 1):
+            term = (F.col(f"e{t}") - F.col(f"e{t - 1}")) * (lcm // t)
+            est = term if est is None else est + term
+        return balls.select(
+            "node", est.cast("bigint").alias(f"harmonic_x{lcm}")
         )
     est = None
     for t in range(1, rounds + 1):

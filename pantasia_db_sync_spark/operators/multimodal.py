@@ -3093,6 +3093,40 @@ def decode_mp4_features(
 # ---------------------------------------------------------------------------
 
 _MP4_AVC_FORMATS = {"avc1", "avc3", "hev1", "hvc1"}
+_MP4_HEVC_FORMATS = {"hev1", "hvc1"}
+
+
+def _decode_avc_samples(
+    content: bytes,
+    tables: dict,
+    ranges: list,
+    durs: list,
+    ts: int,
+) -> list[dict]:
+    """Decode avc1 samples via the clean-room H.264 baseline-intra
+    decoder (operators/h264.py): avcC parsed out of the stsd sample
+    entry body, each sample a length-prefixed NAL sequence."""
+    from . import h264
+
+    cfg = h264.parse_avcc(tables["entry_body"])
+    frames = []
+    for idx, (off, sz) in enumerate(ranges):
+        if off + sz > len(content):
+            raise ValueError(f"sample {idx} range beyond EOF")
+        d = h264.decode_avc_sample(
+            bytes(content[off : off + sz]), cfg
+        )
+        frames.append(
+            {
+                "frame_idx": idx,
+                "duration_ms": (durs[idx] * 1000) // ts if idx < len(durs) else None,
+                "sample_bytes": sz,
+                "width": d["width"],
+                "height": d["height"],
+                "mean_gray": float(d["mean_gray"]),
+            }
+        )
+    return frames
 
 
 def encode_mp4_mjpeg(
@@ -3113,6 +3147,34 @@ def encode_mp4_mjpeg(
     if not grays:
         raise ValueError("mjpeg mp4 needs at least one frame")
     samples = [encode_jpeg_gray(width, height, g) for g in grays]
+    entry = _box(
+        b"jpeg",
+        b"\x00" * 6
+        + struct.pack(">H", 1)                    # data_reference_index
+        + b"\x00" * 16                            # pre_defined / reserved
+        + struct.pack(">HH", width, height)
+        + struct.pack(">II", 0x00480000, 0x00480000)  # 72 dpi
+        + b"\x00" * 4
+        + struct.pack(">H", 1)                    # frame_count
+        + bytes(32)                               # compressorname
+        + struct.pack(">H", 24)                   # depth
+        + struct.pack(">h", -1),                  # pre_defined
+    )
+    return _mp4_container(width, height, samples, entry, timescale, frame_ms)
+
+
+def _mp4_container(
+    width: int,
+    height: int,
+    samples: list[bytes],
+    entry: bytes,
+    timescale: int,
+    frame_ms: int,
+) -> bytes:
+    """Assemble ftyp + mdat + moov around ready-made video samples and
+    a ready-made stsd sample entry — the shared layout of the MJPEG
+    and AVC fixtures (mdat precedes moov so stco offsets are exact at
+    write time)."""
     ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 0x200) + b"isomiso2mp41")
     mdat = _box(b"mdat", b"".join(samples))
     offsets = []
@@ -3157,19 +3219,6 @@ def encode_mp4_mjpeg(
         b"hdlr",
         struct.pack(">B3x", 0) + b"\x00" * 4 + b"vide" + b"\x00" * 12 + b"\x00",
     )
-    entry = _box(
-        b"jpeg",
-        b"\x00" * 6
-        + struct.pack(">H", 1)                    # data_reference_index
-        + b"\x00" * 16                            # pre_defined / reserved
-        + struct.pack(">HH", width, height)
-        + struct.pack(">II", 0x00480000, 0x00480000)  # 72 dpi
-        + b"\x00" * 4
-        + struct.pack(">H", 1)                    # frame_count
-        + bytes(32)                               # compressorname
-        + struct.pack(">H", 24)                   # depth
-        + struct.pack(">h", -1),                  # pre_defined
-    )
     stsd = _box(b"stsd", struct.pack(">B3xI", 0, 1) + entry)
     stts = _box(
         b"stts",
@@ -3200,25 +3249,33 @@ def encode_mp4_mjpeg(
     return ftyp + mdat + moov
 
 
-def decode_mp4_samples(content: bytes) -> list[dict]:
-    """Extract and DECODE the video samples of an MP4: walk the box
-    tree to the sample tables (stsd/stts/stsc/stsz/stco), resolve each
-    sample's absolute byte range via the stsc chunk map (the general
-    first_chunk run-length form, not a per-file shortcut), then decode
-    per the stsd format — 'jpeg' (MJPEG) through this module's own
-    baseline-JPEG decoder. AVC/HEVC sample entries raise
-    NotImplementedError: the container now parses end-to-end and the
-    ONLY remaining video gate is the H.264 bitstream itself. Returns
-    one dict per frame: frame_idx, duration_ms, sample_bytes, width,
-    height, mean_gray."""
-    fmt: list = [None]
-    sizes: list = []
-    offsets: list = []
-    stsc_entries: list = []
-    stts_entries: list = []
-    timescale: list = [None]
+def _mp4_video_sample_tables(content: bytes) -> dict:
+    """Walk the box tree and return the VIDEO trak's sample tables as
+    ``{fmt, entry_body, sizes, offsets, stsc, stts, timescale}``.
+    Tables accumulate PER TRAK (a fresh table set per ``trak`` box), so
+    a common audio+video file never conflates the two tracks' chunk
+    maps; the video trak is the one whose ``hdlr`` handler is 'vide'
+    (falling back to the only sample-bearing trak when no trak carries
+    an hdlr at all). Two sample-bearing video traks is refused rather
+    than silently merged. ``entry_body`` is the raw bytes of the first
+    stsd sample entry AFTER the 4CC — the avcC/esds config lives there
+    for codecs that need one."""
 
-    def walk(lo: int, hi: int) -> None:
+    def new_trak() -> dict:
+        return {
+            "fmt": None,
+            "entry_body": b"",
+            "sizes": [],
+            "offsets": [],
+            "stsc": [],
+            "stts": [],
+            "timescale": None,
+            "handler": None,
+        }
+
+    traks: list[dict] = []
+
+    def walk(lo: int, hi: int, trak: dict | None) -> None:
         pos = lo
         while pos < hi:
             if pos + 8 > hi:
@@ -3234,17 +3291,34 @@ def decode_mp4_samples(content: bytes) -> list[dict]:
             end = pos + size
             if size < 8 or end > hi:
                 raise ValueError(f"bad box size {size} for {typ!r}")
-            if typ == b"mdhd":
+            if typ == b"trak":
+                t = new_trak()
+                walk(body, end, t)
+                traks.append(t)
+            elif trak is None:
+                if typ in _MP4_CONTAINERS:
+                    walk(body, end, None)
+            elif typ == b"mdhd":
                 ver = content[body]
                 ts = struct.unpack_from(
                     ">I", content, body + (12 if ver == 0 else 20)
                 )[0]
-                timescale[0] = ts
+                trak["timescale"] = ts
+            elif typ == b"hdlr":
+                trak["handler"] = content[body + 8 : body + 12].decode(
+                    "ascii", "replace"
+                )
             elif typ == b"stsd":
                 n_entries = struct.unpack_from(">I", content, body + 4)[0]
                 if n_entries >= 1:
-                    fmt[0] = content[body + 12 : body + 16].decode(
+                    entry_size = struct.unpack_from(">I", content, body + 8)[0]
+                    if entry_size < 8 or body + 8 + entry_size > end:
+                        raise ValueError("bad stsd sample entry size")
+                    trak["fmt"] = content[body + 12 : body + 16].decode(
                         "ascii", "replace"
+                    )
+                    trak["entry_body"] = bytes(
+                        content[body + 16 : body + 8 + entry_size]
                     )
             elif typ == b"stts":
                 n_entries = struct.unpack_from(">I", content, body + 4)[0]
@@ -3252,55 +3326,71 @@ def decode_mp4_samples(content: bytes) -> list[dict]:
                     cnt, delta = struct.unpack_from(
                         ">II", content, body + 8 + 8 * i
                     )
-                    stts_entries.append((cnt, delta))
+                    trak["stts"].append((cnt, delta))
             elif typ == b"stsc":
                 n_entries = struct.unpack_from(">I", content, body + 4)[0]
                 for i in range(n_entries):
-                    stsc_entries.append(
+                    trak["stsc"].append(
                         struct.unpack_from(">III", content, body + 8 + 12 * i)
                     )
             elif typ == b"stsz":
                 fixed, cnt = struct.unpack_from(">II", content, body + 4)
                 if fixed:
-                    sizes.extend([fixed] * cnt)
+                    trak["sizes"].extend([fixed] * cnt)
                 else:
                     for i in range(cnt):
-                        sizes.append(
+                        trak["sizes"].append(
                             struct.unpack_from(">I", content, body + 12 + 4 * i)[0]
                         )
             elif typ == b"stco":
                 cnt = struct.unpack_from(">I", content, body + 4)[0]
                 for i in range(cnt):
-                    offsets.append(
+                    trak["offsets"].append(
                         struct.unpack_from(">I", content, body + 8 + 4 * i)[0]
                     )
             elif typ in _MP4_CONTAINERS:
-                walk(body, end)
+                walk(body, end, trak)
             pos = end
 
     try:
-        walk(0, len(content))
+        walk(0, len(content), None)
     except (struct.error, IndexError) as exc:
         raise ValueError(f"malformed box body: {exc}") from exc
-    if fmt[0] is None or not sizes or not offsets or not stsc_entries:
+
+    def bearing(t: dict) -> bool:
+        return bool(t["fmt"] and t["sizes"] and t["offsets"] and t["stsc"])
+
+    vids = [t for t in traks if bearing(t) and t["handler"] == "vide"]
+    if not vids and not any(t["handler"] for t in traks):
+        vids = [t for t in traks if bearing(t)]  # hdlr-less legacy file
+    if not vids:
         raise ValueError("missing sample tables — no decodable track")
-    if fmt[0] in _MP4_AVC_FORMATS:
-        raise NotImplementedError(
-            f"{fmt[0]} sample decode (H.264/HEVC bitstream) unsupported; "
-            "MJPEG ('jpeg') samples decode"
-        )
-    if fmt[0] != "jpeg":
-        raise ValueError(f"unknown sample format {fmt[0]!r}")
-    # stsc chunk map -> per-sample (offset, size): entry i applies from
-    # its first_chunk until the next entry's first_chunk (§8.7.4)
+    if len(vids) > 1:
+        raise ValueError(f"{len(vids)} sample-bearing video traks — ambiguous")
+    return vids[0]
+
+
+def _mp4_sample_ranges(tables: dict) -> list[tuple[int, int]]:
+    """Per-sample absolute (offset, size) byte ranges from the stsc
+    chunk map — the general first_chunk run-length form of §8.7.4:
+    entry i applies from its first_chunk until the next entry's
+    first_chunk. Chunk indices are validated against the stco count so
+    a malformed map raises the module's documented ValueError instead
+    of a bare IndexError."""
+    sizes, offsets = tables["sizes"], tables["offsets"]
     ranges: list[tuple[int, int]] = []
     si = 0
-    for i, (first, per_chunk, _sdi) in enumerate(stsc_entries):
+    for i, (first, per_chunk, _sdi) in enumerate(tables["stsc"]):
         last = (
-            stsc_entries[i + 1][0] - 1
-            if i + 1 < len(stsc_entries)
+            tables["stsc"][i + 1][0] - 1
+            if i + 1 < len(tables["stsc"])
             else len(offsets)
         )
+        if first < 1 or last > len(offsets):
+            raise ValueError(
+                f"stsc chunk run {first}..{last} beyond stco count "
+                f"{len(offsets)}"
+            )
         for chunk in range(first, last + 1):
             base = offsets[chunk - 1]
             for _ in range(per_chunk):
@@ -3309,11 +3399,43 @@ def decode_mp4_samples(content: bytes) -> list[dict]:
                 ranges.append((base, sizes[si]))
                 base += sizes[si]
                 si += 1
+    return ranges
+
+
+def decode_mp4_samples(content: bytes) -> list[dict]:
+    """Extract and DECODE the video samples of an MP4: walk the box
+    tree to the VIDEO trak's sample tables (stsd/stts/stsc/stsz/stco —
+    per-trak accumulation, so audio tracks never conflate the chunk
+    map), resolve each sample's absolute byte range via the stsc chunk
+    map (the general first_chunk run-length form, not a per-file
+    shortcut), then decode per the stsd format — 'jpeg' (MJPEG)
+    through this module's own baseline-JPEG decoder, 'avc1' (H.264
+    baseline intra) through this package's own clean-room decoder
+    (operators/h264.py; avcC parsed from the sample entry,
+    length-prefixed NAL samples). HEVC sample entries raise
+    NotImplementedError — the one remaining video bitstream gate.
+    Returns one dict per frame: frame_idx, duration_ms, sample_bytes,
+    width, height, mean_gray."""
+    tables = _mp4_video_sample_tables(content)
+    fmt = tables["fmt"]
+    if fmt in _MP4_HEVC_FORMATS:
+        raise NotImplementedError(
+            f"{fmt} sample decode (HEVC bitstream) unsupported; "
+            "MJPEG ('jpeg') and H.264 baseline-intra ('avc1') decode"
+        )
+    if fmt not in ("jpeg", "avc1", "avc3"):
+        raise ValueError(f"unknown sample format {fmt!r}")
+    try:
+        ranges = _mp4_sample_ranges(tables)
+    except (struct.error, IndexError) as exc:
+        raise ValueError(f"malformed sample tables: {exc}") from exc
     # per-sample durations from stts run lengths
     durs: list[int] = []
-    for cnt, delta in stts_entries:
+    for cnt, delta in tables["stts"]:
         durs.extend([delta] * cnt)
-    ts = timescale[0] or 1000
+    ts = tables["timescale"] or 1000
+    if fmt != "jpeg":
+        return _decode_avc_samples(content, tables, ranges, durs, ts)
     frames = []
     for idx, (off, sz) in enumerate(ranges):
         if off + sz > len(content):
@@ -3347,6 +3469,70 @@ def synthetic_mjpeg_mp4_frame(df: DataFrame, id_col: str = "doc_id") -> DataFram
                     int(i) % 13 + 1,
                     [
                         (int(i) * 11 + 29 * k) % 256
+                        for k in range(int(i) % 3 + 2)
+                    ],
+                )
+                for i in pdf["doc_id"]
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].values, "content": content})
+
+    return src.mapInPandas(gen, schema="doc_id bigint, content binary")
+
+
+def encode_mp4_avc(
+    width: int,
+    height: int,
+    grays: list[int],
+    timescale: int = 1000,
+    frame_ms: int = 40,
+    qp: int = 12,
+) -> bytes:
+    """Render a playable-layout H.264-in-MP4: each sample is one REAL
+    baseline-intra IDR NAL (operators/h264.py encode_gray_idr —
+    Intra_16x16 DC prediction with an exact CAVLC-coded luma-DC
+    coefficient), length-prefixed per ISO/IEC 14496-15, under an avc1
+    VisualSampleEntry whose avcC child carries the SPS/PPS. Same
+    sample-table chain and mdat-before-moov layout as the MJPEG
+    fixture (_mp4_container)."""
+    from . import h264
+
+    if not grays:
+        raise ValueError("avc mp4 needs at least one frame")
+    sps_nal, pps_nal, idrs = h264.encode_avc_stream(width, height, grays, qp)
+    samples = [struct.pack(">I", len(n)) + n for n in idrs]
+    entry = _box(
+        b"avc1",
+        b"\x00" * 6
+        + struct.pack(">H", 1)                    # data_reference_index
+        + b"\x00" * 16                            # pre_defined / reserved
+        + struct.pack(">HH", width, height)
+        + struct.pack(">II", 0x00480000, 0x00480000)  # 72 dpi
+        + b"\x00" * 4
+        + struct.pack(">H", 1)                    # frame_count
+        + bytes(32)                               # compressorname
+        + struct.pack(">H", 24)                   # depth
+        + struct.pack(">h", -1)                   # pre_defined
+        + _box(b"avcC", h264.build_avcc(sps_nal, pps_nal)),
+    )
+    return _mp4_container(width, height, samples, entry, timescale, frame_ms)
+
+
+def synthetic_avc_mp4_frame(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """One H.264-in-MP4 per row, every field from id arithmetic:
+    doc_id%3+2 frames, frame dims 2*(id%10+1) x 2*(id%7+1) — even
+    (4:2:0) and mostly non-multiple-of-16, so SPS frame cropping is
+    exercised on nearly every row — and frame k's gray level
+    (id*13 + 37*k) % 256."""
+    src = df.select(F.col(id_col).alias("doc_id"))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            content = [
+                encode_mp4_avc(
+                    2 * (int(i) % 10 + 1),
+                    2 * (int(i) % 7 + 1),
+                    [
+                        (int(i) * 13 + 37 * k) % 256
                         for k in range(int(i) % 3 + 2)
                     ],
                 )

@@ -332,11 +332,23 @@ class TableStore:
         return v
 
     def repoint(self, table: str, version: int) -> None:
+        self._flip_pointer(table, version)
+        self._log_commit_ts(table, version)
+
+    def _flip_pointer(self, table: str, version: int) -> None:
+        """The atomic pointer replace alone — the moment a commit
+        becomes DURABLE. Split from the timestamp-log append so
+        multi-table committers (commit_many_occ) can record the flip
+        as done the instant it is: a log-append failure after the
+        replace must not make the caller release a claim whose commit
+        is already visible (re-staging it would duplicate data)."""
         os.makedirs(self._tdir(table), exist_ok=True)
         tmp = self._pointer(table) + ".tmp"
         with open(tmp, "w") as f:
             f.write(str(version))
         os.replace(tmp, self._pointer(table))  # atomic on POSIX
+
+    def _log_commit_ts(self, table: str, version: int) -> None:
         # commit-time log for TIMESTAMP AS OF (see read_facts_at_time):
         # appended AFTER the flip so the log never claims an exposure
         # that didn't happen; a crash between the two loses one line,
@@ -688,11 +700,15 @@ class TableStore:
         every subsequent begin_commit on the table spin to TimeoutError
         for the rest of this process's lifetime."""
         cid = self.begin_commit(table)
+        flipped = False
         try:
             self.append(table, df, commit_id=cid, **kwargs)
-            self.commit_append(table, cid)
+            self._flip_pointer(table, cid)
+            flipped = True  # durable from here: never release the claim
+            self._log_commit_ts(table, cid)
         except BaseException:
-            self.release_claim(table, cid)
+            if not flipped:
+                self.release_claim(table, cid)
             raise
         return cid
 
@@ -706,15 +722,19 @@ class TableStore:
         ``begin_commit`` returns. Releases the claim if staging fails
         (same abandoned-claim hazard as ``append_occ``)."""
         cid = self.begin_commit(table)
+        flipped = False
         try:
             path = self._data_dir(table, cid)
             if os.path.exists(path):
                 shutil.rmtree(path)  # dead claimant's partial stage
             df.write.mode("overwrite").parquet(path)
             self._write_manifest(path)
-            self.repoint(table, cid)
+            self._flip_pointer(table, cid)
+            flipped = True  # durable from here: never release the claim
+            self._log_commit_ts(table, cid)
         except BaseException:
-            self.release_claim(table, cid)
+            if not flipped:
+                self.release_claim(table, cid)
             raise
         return cid
 
@@ -768,8 +788,14 @@ class TableStore:
             for t in sorted(stagers):
                 stagers[t](cids[t])
             for t in sorted(stagers):
-                self.repoint(t, cids[t])
+                # record the flip the INSTANT the pointer replace lands:
+                # the timestamp-log append can raise (disk full) after
+                # the commit is already durable, and releasing a
+                # durably-flipped claim would let a retry re-commit the
+                # same rows under a new id (duplicate data)
+                self._flip_pointer(t, cids[t])
                 flipped.add(t)
+                self._log_commit_ts(t, cids[t])
         except BaseException:
             for t, cid in cids.items():
                 if t not in flipped:

@@ -3954,6 +3954,48 @@ def multimodal_mp4_mjpeg_frames_q(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @register(
+    "multimodal_mp4_avc_frames",
+    oracle="""
+    SELECT d.doc_id,
+           CAST(s.k AS INTEGER) AS frame_idx,
+           CAST(2 * (d.doc_id % 10 + 1) AS INTEGER) AS width,
+           CAST(2 * (d.doc_id % 7 + 1) AS INTEGER) AS height,
+           CAST((d.doc_id * 13 + 37 * s.k) % 256 AS DOUBLE) AS mean_gray
+    FROM (SELECT doc_id FROM documents WHERE doc_id < 300) d
+    JOIN range(0, 4) s(k) ON s.k <= d.doc_id % 3 + 1
+    """,
+)
+def multimodal_mp4_avc_frames_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H.264 SAMPLE DECODE — the round-14 "one remaining video gate"
+    closed for the intra/baseline case, still with zero native libs:
+    avc1 sample entries now decode through the package's own
+    clean-room H.264 decoder (operators/h264.py — Annex-B and avcC
+    NAL framing with emulation-prevention removal, SPS/PPS/slice
+    exp-Golomb parse, CAVLC entropy decode, Intra_16x16 + chroma
+    prediction, the 4x4 integer inverse transform and DC Hadamard
+    ladders, frame cropping, I_PCM). Fixtures are playable-layout
+    H.264-in-MP4 files rendered in-flight (encode_mp4_avc): doc_id%3+2
+    IDR frames of 2*(id%10+1) x 2*(id%7+1) solid grays — mostly
+    non-multiple-of-16, so SPS cropping is exercised per row — whose
+    single exact luma-DC CAVLC coefficient makes every frame's
+    mean_gray id-predictable BIT-FOR-BIT (pixel-exactness for all 256
+    grays pinned in tests/test_properties.py). The honest gates left:
+    HEVC, CABAC, inter frames, Intra_4x4 (NotImplementedError each).
+    Arrow-batched mapInPandas, map-only, zero shuffle — the
+    vision-corpus frame-sampling shape at 100 TB. Reference analogue:
+    none (extension)."""
+    from ..operators.multimodal import (
+        decode_mp4_frame_features,
+        synthetic_avc_mp4_frame,
+    )
+
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    return decode_mp4_frame_features(
+        synthetic_avc_mp4_frame(d), "doc_id", "content"
+    ).select("doc_id", "frame_idx", "width", "height", "mean_gray")
+
+
+@register(
     "text_winnowing_matches",
     oracle=f"""
     WITH toks AS ({_SQL_TOKS}),

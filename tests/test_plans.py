@@ -214,15 +214,25 @@ _BOUNDED_HEADS = (
     "TakeOrderedAndProject", "GlobalLimit", "LocalLimit", "CollectLimit",
     "LocalTableScan", "ReusedExchange", "Subquery", "ReusedSubquery",
 )
-# row-count-preserving (or bounded-multiplying) operators: bounded iff
-# ALL children are bounded
+# row-count-preserving operators: bounded iff ALL children are bounded.
+# Row-MULTIPLYING heads (Generate/explode, CartesianProduct,
+# BroadcastNestedLoopJoin) are deliberately NOT here (round-15
+# hardening, VERDICT r14 ADVICE): an explode of a bounded aggregate's
+# array column can be arbitrarily larger than its input, so treating
+# them as pass-through would let a single-partition exchange above one
+# be "proved" metadata-scale when it is not. Equi-joins stay: their
+# output is bounded by |left| x |right| only through matching keys of
+# two bounded inputs — the k-group-scale finishes this gate exists to
+# admit. A query that legitimately funnels a multiplied-but-tiny frame
+# must take a _SINGLE_PARTITION_STATIC_EXCEPTIONS entry with a written
+# justification instead.
 _PASSTHROUGH_HEADS = (
     "Project", "Filter", "Sort", "Window", "WindowGroupLimit", "Expand",
-    "Generate", "SerializeFromObject", "DeserializeToObject", "Coalesce",
+    "SerializeFromObject", "DeserializeToObject", "Coalesce",
     "InputAdapter", "WholeStageCodegen", "Exchange", "AQEShuffleRead",
     "ShuffleQueryStage", "BroadcastExchange", "Union", "BroadcastHashJoin",
-    "SortMergeJoin", "ShuffledHashJoin", "BroadcastNestedLoopJoin",
-    "CartesianProduct", "AdaptiveSparkPlan", "ResultQueryStage",
+    "SortMergeJoin", "ShuffledHashJoin",
+    "AdaptiveSparkPlan", "ResultQueryStage",
     "ColumnarToRow", "ArrowEvalPython", "BatchEvalPython", "MapInPandas",
     "FlatMapGroupsInPandas",
 )

@@ -3533,9 +3533,11 @@ def test_mp4_mjpeg_blob_also_parses_as_metadata():
     assert meta["duration_ms"] == 120  # 3 frames x 40 ms
 
 
-def test_mp4_avc_sample_entry_raises_not_implemented():
-    """An avc1 sample entry must hit the ONE remaining honest video
-    gate — the H.264 bitstream — not a silent wrong decode."""
+def test_mp4_hevc_sample_entry_raises_not_implemented():
+    """An HEVC sample entry must hit the ONE remaining honest video
+    gate — the H.265 bitstream — not a silent wrong decode; and an
+    avc1 entry with no avcC config is malformed-ValueError, not a
+    crash (round 15: avc1 itself now decodes through operators/h264)."""
     import pytest
 
     from pantasia_db_sync_spark.operators.multimodal import (
@@ -3545,7 +3547,9 @@ def test_mp4_avc_sample_entry_raises_not_implemented():
 
     blob = encode_mp4_mjpeg(16, 16, [100])
     idx = blob.rindex(b"jpeg")  # the stsd sample-entry fourcc (in moov)
-    with pytest.raises(NotImplementedError, match="avc1"):
+    with pytest.raises(NotImplementedError, match="hev1"):
+        decode_mp4_samples(blob[:idx] + b"hev1" + blob[idx + 4 :])
+    with pytest.raises(ValueError, match="avcC"):
         decode_mp4_samples(blob[:idx] + b"avc1" + blob[idx + 4 :])
 
 
@@ -3591,6 +3595,243 @@ def test_mp4_mjpeg_multi_sample_chunks():
         _s.pack_into(">I", out, q, _s.unpack_from(">I", out, q)[0] - delta)
     frames = decode_mp4_samples(bytes(out))
     assert [f["mean_gray"] for f in frames] == [10.0, 60.0, 110.0]
+
+
+def test_h264_codebooks_prefix_free_and_roundtrip():
+    """Every CAVLC codebook (coeff_token ctx0 + chroma-DC, all
+    total_zeros tables, run_before) is prefix-free with no duplicate
+    codewords, and the ctx0 Kraft sum is the documented 1 - 5/65536 —
+    a single wrong bit in any transcribed row breaks one of these."""
+    from fractions import Fraction
+
+    from pantasia_db_sync_spark.operators import h264
+
+    def assert_prefix_free(name, codes):
+        codes = list(codes)
+        assert len(set(codes)) == len(codes), f"{name}: duplicate codes"
+        for a in codes:
+            for b in codes:
+                assert a == b or not b.startswith(a), (
+                    f"{name}: {a!r} prefixes {b!r}"
+                )
+
+    assert_prefix_free("ctx0", h264._COEFF_TOKEN_CTX0.values())
+    assert_prefix_free("chromaDC", h264._COEFF_TOKEN_CHROMA_DC.values())
+    for tc, tab in h264._TOTAL_ZEROS_4x4.items():
+        assert_prefix_free(f"tz4x4[{tc}]", tab)
+        assert len(tab) == 16 - tc + 1
+    for tc, tab in h264._TOTAL_ZEROS_CDC.items():
+        assert_prefix_free(f"tzCDC[{tc}]", tab)
+        assert len(tab) == 4 - tc + 1
+    for zl, tab in h264._RUN_BEFORE.items():
+        assert_prefix_free(f"run[{zl}]", tab)
+        assert len(tab) == zl + 1
+    kraft = sum(
+        Fraction(1, 2 ** len(v)) for v in h264._COEFF_TOKEN_CTX0.values()
+    )
+    assert kraft == 1 - Fraction(5, 65536)
+
+
+def test_h264_cavlc_block_roundtrip_exhaustive_tokens():
+    """CAVLC residual block encode->decode is the identity for every
+    (TrailingOnes, TotalCoeff) row of both implemented contexts, for
+    levels spanning the suffix-adaptation ladder and the big-level
+    escape (prefix >= 16), and for randomized sparse patterns hitting
+    total_zeros and run_before."""
+    import random
+
+    from pantasia_db_sync_spark.operators import h264
+
+    rng = random.Random(7)
+
+    def roundtrip(coeffs, nC, max_coeffs):
+        bw = h264._BitWriter()
+        h264._encode_residual_block(bw, list(coeffs), nC, max_coeffs)
+        bw.rbsp_trailing()
+        br = h264._BitReader(bw.tobytes())
+        got = h264._decode_residual_block(br, nC, max_coeffs)
+        assert got == list(coeffs), (coeffs, got, nC)
+
+    for max_coeffs, nC in ((16, 0), (16, 1), (16, 9), (4, -1)):
+        table = (
+            h264._COEFF_TOKEN_CHROMA_DC if nC == -1 else h264._COEFF_TOKEN_CTX0
+        )
+        for (t1, tc) in table:
+            if tc > max_coeffs:
+                continue
+            for trial in range(4):
+                # tc nonzero positions, the last t1 of them +/-1
+                pos = sorted(rng.sample(range(max_coeffs), tc))
+                coeffs = [0] * max_coeffs
+                for rank, p in enumerate(pos):
+                    tail = tc - 1 - rank < t1
+                    if tail:
+                        coeffs[p] = rng.choice((1, -1))
+                    else:
+                        lvl = rng.choice(
+                            (2, -2, 3, 7, -19, 64, 900, -33000, 2 ** 17)
+                        )
+                        coeffs[p] = lvl
+                # the token's TrailingOnes must match construction:
+                # ensure the non-tail coeffs are not +/-1 (they aren't)
+                # and at most 3 tail ones
+                roundtrip(coeffs, nC, max_coeffs)
+
+
+def test_h264_exp_golomb_and_rbsp_roundtrip():
+    from pantasia_db_sync_spark.operators import h264
+
+    bw = h264._BitWriter()
+    vals = [0, 1, 2, 3, 7, 8, 254, 255, 9999, 2 ** 20]
+    svals = [0, 1, -1, 2, -2, 63, -64, 4096, -9999]
+    for v in vals:
+        bw.ue(v)
+    for v in svals:
+        bw.se(v)
+    bw.rbsp_trailing()
+    br = h264._BitReader(bw.tobytes())
+    assert [br.ue() for _ in vals] == vals
+    assert [br.se() for _ in svals] == svals
+    # RBSP escaping: zero runs that would alias start codes survive
+    for payload in (
+        b"\x00\x00\x00\x00\x01\x02\x03",
+        b"\x00\x00\x01",
+        b"\x00\x00\x02",
+        b"\x00\x00\x03\x00\x00\x03",
+        bytes(64),
+    ):
+        nal = h264.rbsp_to_nal(payload)
+        assert b"\x00\x00\x00" not in nal and b"\x00\x00\x01" not in nal
+        assert h264.nal_to_rbsp(nal) == payload
+
+
+def test_h264_gray_sweep_bit_exact():
+    """Container-to-pixels: every gray 0..255 reconstructs EXACTLY
+    through SPS/PPS/IDR + CAVLC + Intra_16x16 DC + dequant/IDCT, on a
+    cropped (non-multiple-of-16) frame."""
+    from pantasia_db_sync_spark.operators import h264
+
+    for g in range(256):
+        sps, pps, idrs = h264.encode_avc_stream(18, 10, [g])
+        data = b"\x00\x00\x00\x01".join([b"", sps, pps, idrs[0]])
+        f = h264.decode_annexb(data)[0]
+        assert (f["width"], f["height"], f["mean_gray"]) == (18, 10, float(g))
+
+
+def test_h264_shapes_multi_mb_and_pcm():
+    import numpy as np
+
+    from pantasia_db_sync_spark.operators import h264
+
+    for (w, h) in [(2, 2), (16, 16), (20, 14), (48, 32), (34, 18)]:
+        sps, pps, idrs = h264.encode_avc_stream(w, h, [37, 201])
+        data = b"\x00\x00\x00\x01".join([b"", sps, pps] + idrs)
+        frames = h264.decode_annexb(data)
+        assert [(f["width"], f["height"], f["mean_gray"]) for f in frames] == [
+            (w, h, 37.0),
+            (w, h, 201.0),
+        ]
+    # I_PCM: arbitrary content, bit-exact by construction
+    rng = np.random.RandomState(3)
+    y = rng.randint(0, 256, (32, 48)).astype(np.uint8)
+    cb = rng.randint(0, 256, (16, 24)).astype(np.uint8)
+    cr = rng.randint(0, 256, (16, 24)).astype(np.uint8)
+    data = b"\x00\x00\x00\x01".join(
+        [
+            b"",
+            h264._encode_sps(48, 32),
+            h264._encode_pps(12),
+            h264.encode_pcm_idr(y, cb, cr),
+        ]
+    )
+    f = h264.decode_annexb(data)[0]
+    assert f["mean_gray"] == float(np.mean(y.astype(np.float64)))
+    assert f["cb_mean"] == float(np.mean(cb.astype(np.float64)))
+
+
+def test_h264_dense_cavlc_pattern_plane_exact():
+    """Multi-coefficient luma-DC blocks (random per-4x4-block grays):
+    the decoded plane equals the encoder's spec-arithmetic expectation
+    BIT-FOR-BIT — this path drives coeff_token rows beyond (0,0)/(1,1)
+    plus total_zeros and run_before on real macroblocks."""
+    import numpy as np
+
+    from pantasia_db_sync_spark.operators import h264
+
+    rng = np.random.RandomState(42)
+    for _ in range(4):
+        w_mbs, h_mbs = int(rng.randint(1, 4)), int(rng.randint(1, 4))
+        bv = rng.randint(0, 256, (h_mbs * 4, w_mbs * 4))
+        nal, expected = h264.encode_pattern_idr(w_mbs, h_mbs, bv)
+        nals = h264.split_annexb(
+            b"\x00\x00\x00\x01".join(
+                [b"", h264._encode_sps(w_mbs * 16, h_mbs * 16),
+                 h264._encode_pps(12), nal]
+            )
+        )
+        sps = h264.parse_sps(h264.nal_to_rbsp(nals[0][1:]))
+        pps = h264.parse_pps(h264.nal_to_rbsp(nals[1][1:]))
+        y, _, _ = h264.decode_idr_planes(
+            h264.nal_to_rbsp(nals[2][1:]), sps, pps, 5, 3
+        )
+        assert np.array_equal(y, expected)
+
+
+def test_h264_honest_gates_and_malformed():
+    """Unsupported features raise NotImplementedError naming the gate;
+    malformed bitstreams raise ValueError (the corpus-scan contract)."""
+    import pytest
+
+    from pantasia_db_sync_spark.operators import h264
+
+    sps, pps, idrs = h264.encode_avc_stream(16, 16, [100])
+    # CABAC flag in PPS
+    bw = h264._BitWriter()
+    bw.ue(0); bw.ue(0); bw.u(1, 1)
+    bw.rbsp_trailing()
+    with pytest.raises(NotImplementedError, match="CABAC"):
+        h264.parse_pps(bw.tobytes())
+    # P slice
+    bw = h264._BitWriter()
+    bw.ue(0); bw.ue(0)  # first_mb, slice_type P
+    bw.rbsp_trailing()
+    with pytest.raises(NotImplementedError, match="slice_type"):
+        h264.decode_idr_planes(
+            bw.tobytes(),
+            h264.parse_sps(h264.nal_to_rbsp(sps[1:])),
+            h264.parse_pps(h264.nal_to_rbsp(pps[1:])),
+            5, 3,
+        )
+    # truncated IDR -> ValueError
+    with pytest.raises(ValueError):
+        h264.decode_annexb(
+            b"\x00\x00\x00\x01".join([b"", sps, pps, idrs[0][:8]])
+        )
+    # garbage (no start codes)
+    with pytest.raises(ValueError, match="start code"):
+        h264.decode_annexb(b"\x12\x34\x56\x78" * 8)
+
+
+def test_h264_avc_in_mp4_roundtrip():
+    """The full container chain: avc1 sample entry + avcC config,
+    length-prefixed samples, stsc/stsz/stco resolution, per-frame
+    decode to the exact encoded grays — the fixture family behind the
+    multimodal_mp4_avc_frames registry query."""
+    from pantasia_db_sync_spark.operators.multimodal import (
+        decode_mp4_meta,
+        decode_mp4_samples,
+        encode_mp4_avc,
+    )
+
+    for i in (0, 1, 5, 123, 254, 299):
+        w, h = 2 * (i % 10 + 1), 2 * (i % 7 + 1)
+        grays = [(i * 13 + 37 * k) % 256 for k in range(i % 3 + 2)]
+        blob = encode_mp4_avc(w, h, grays)
+        frames = decode_mp4_samples(blob)
+        assert [f["mean_gray"] for f in frames] == [float(g) for g in grays]
+        assert all(f["width"] == w and f["height"] == h for f in frames)
+        assert all(f["duration_ms"] == 40 for f in frames)
+        assert decode_mp4_meta(blob)["handlers"] == "vide"
 
 
 def test_brandes_multi_equals_single_seed_runs(spark):

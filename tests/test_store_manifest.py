@@ -1958,6 +1958,38 @@ def test_occ_claim_released_on_staging_failure(spark, tmp_path):
     assert [r.x for r in st.read_facts(spark, "t").collect()] == [7]
 
 
+def test_occ_durable_flip_never_released(tmp_path, monkeypatch):
+    """A timestamp-log append that raises AFTER the pointer replace
+    must NOT release the claim: the commit is already durable, and a
+    released claim would let a retry re-stage the same rows under a
+    new id (duplicate data). Round-14 review finding: the flip is
+    recorded the instant os.replace lands (_flip_pointer), the log
+    write is a separate step."""
+    st = TableStore(str(tmp_path / "occ7"))
+
+    def boom(table, version):
+        raise OSError("disk full on commit log")
+
+    monkeypatch.setattr(st, "_log_commit_ts", boom)
+
+    def stage(cid):
+        d = st.append_dir("t", cid)
+        os.makedirs(d, exist_ok=True)
+        with open(os.path.join(d, "MARK"), "w") as f:
+            f.write("once")
+
+    with pytest.raises(OSError, match="disk full"):
+        st.commit_many_occ({"t": stage})
+    # the flip is durable and visible...
+    assert st.current_version("t") == 1
+    # ...and the claim was NOT released (the commit happened); a new
+    # writer's begin_commit re-verifies head >= cid, abandons the stale
+    # claim and moves on to 2 — nothing is ever re-staged as 1
+    assert os.path.exists(os.path.join(st._claims_dir("t"), "1"))
+    monkeypatch.undo()
+    assert st.begin_commit("t", timeout_sec=10.0) == 2
+
+
 def _occ_multi_writer(base: str, wid: int, n: int, tables: tuple) -> None:
     """Module-level so the spawn context can pickle it. Stages a marker
     file per table per commit through commit_many_occ — the
