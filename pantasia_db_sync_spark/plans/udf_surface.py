@@ -556,6 +556,122 @@ def stream_decontaminate_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_stream_to_frame(spark, writer, name, d)
 
 
+@register(
+    "stream_winnowing_hits",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(trim(text), ' ') AS t
+      FROM documents WHERE text IS NOT NULL
+    ),
+    kg AS (
+      SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+             CAST(concat('0x', substr(md5(
+               t[i] || ' ' || t[i+1] || ' ' || t[i+2]), 1, 15)) AS BIGINT)
+               % 2147483647 AS h,
+             CAST(len(t) - 2 AS BIGINT) AS n_kg
+      FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)
+      WHERE len(t) >= 3
+    ),
+    sel AS (
+      SELECT DISTINCT doc_id, h FROM (
+        SELECT q.doc_id, p.h,
+               row_number() OVER (
+                 PARTITION BY q.doc_id, q.pos
+                 ORDER BY p.h ASC, p.pos DESC
+               ) AS rn
+        FROM kg q
+        JOIN kg p ON p.doc_id = q.doc_id
+                 AND p.pos BETWEEN q.pos AND q.pos + 3
+        WHERE q.pos <= q.n_kg - 4
+      ) WHERE rn = 1
+    ),
+    ref AS (SELECT DISTINCT h FROM sel WHERE doc_id % 50 = 0)
+    SELECT s.doc_id, s.h
+    FROM sel s JOIN ref USING (h)
+    WHERE s.doc_id % 50 <> 0
+    """,
+)
+def stream_winnowing_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VERBATIM-PASSAGE detection AT THE DOOR (round-15, VERDICT r14
+    next-round #7) — the streaming twin of text_winnowing_matches: a
+    STREAM of incoming documents has its winnowed MOSS fingerprints
+    (k=3 shingles, w=4 windows, min-hash-rightmost selection) checked
+    against the static fingerprint index of a reference corpus
+    (doc_id % 50 == 0), emitting every (doc_id, fingerprint) hit —
+    the stream_near_dedup / stream_decontaminate_hits sibling for the
+    newest dedup modality. The winnowing guarantee carries over: any
+    shared token run >= k+w-1 = 6 against the reference set fires at
+    least one hit, while the index stores only ~2/(w+1) of shingles.
+
+    Two implementations meet here, deliberately: the STATIC side uses
+    the batch window-argmax formulation (partitionBy(doc) — fine on a
+    batch frame), the STREAM side the Arrow-batched per-row
+    mapInPandas (operators/dedup.py winnow_fingerprints_pandas) —
+    per-doc windows need no cross-row state, which is what makes the
+    filter legal in STATELESS append mode at ingest wire speed (the
+    one shuffle-free map + one broadcast semi-join). Registry parity
+    vs the DuckDB oracle therefore re-proves the two winnowing
+    implementations bit-identical every round. No max_df cap on the
+    index: the semi-join has no d-squared pair blowup; a boilerplate
+    fingerprint just flags the docs that genuinely contain it."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from ..functions.text import HASH_PRIME, portable_hash_mod
+    from ..operators.dedup import _shingle_parts, winnow_fingerprints_pandas
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    ref = docs.where(F.col("text").isNotNull() & (F.col("doc_id") % 50 == 0))
+    toks, sh = _shingle_parts(ref, "doc_id", "text", 3)
+    kg = toks.select("doc_id", F.posexplode(sh).alias("pos", "s")).select(
+        "doc_id",
+        F.col("pos").cast("bigint").alias("pos"),
+        portable_hash_mod("s").alias("h"),
+    )
+    win = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, 3)
+    ref_fps = (
+        kg.select(
+            F.count(F.lit(1)).over(win).alias("wn"),
+            F.max(
+                F.struct(
+                    (F.lit(HASH_PRIME) - F.col("h")).alias("neg"),
+                    F.col("pos").alias("p"),
+                    F.col("h").alias("hh"),
+                )
+            )
+            .over(win)
+            .alias("sel"),
+        )
+        .where(F.col("wn") == 4)
+        .select(F.col("sel.hh").alias("h"))
+        .distinct()
+    )
+
+    d = tempfile.mkdtemp(prefix="stream_winnow_")
+    shutil.copy(
+        os.path.join(sf_dir, "documents.parquet"),
+        os.path.join(d, "documents-0.parquet"),
+    )
+    incoming = (
+        spark.readStream.schema(docs.schema)
+        .parquet(d)
+        .where(F.col("text").isNotNull() & (F.col("doc_id") % 50 != 0))
+    )
+    hits = winnow_fingerprints_pandas(incoming, "doc_id", "text").join(
+        F.broadcast(ref_fps), "h", "left_semi"
+    ).select("doc_id", "h")
+    name = "swh_" + uuid.uuid4().hex[:8]
+    writer = (
+        hits.writeStream.format("memory")
+        .outputMode("append")
+        .trigger(availableNow=True)
+    )
+    return _run_stream_to_frame(spark, writer, name, d)
+
+
 def _pq_codes_oracle() -> str:
     from .llmdata import _pq_sql
 

@@ -215,17 +215,22 @@ _BOUNDED_HEADS = (
     "LocalTableScan", "ReusedExchange", "Subquery", "ReusedSubquery",
 )
 # row-count-preserving operators: bounded iff ALL children are bounded.
-# Row-MULTIPLYING heads (Generate/explode, CartesianProduct,
-# BroadcastNestedLoopJoin) are deliberately NOT here (round-15
-# hardening, VERDICT r14 ADVICE): an explode of a bounded aggregate's
+# Row-MULTIPLYING heads are deliberately NOT here (round-15 hardening,
+# VERDICT r14 ADVICE): an explode (Generate) of a bounded aggregate's
 # array column can be arbitrarily larger than its input, so treating
-# them as pass-through would let a single-partition exchange above one
-# be "proved" metadata-scale when it is not. Equi-joins stay: their
-# output is bounded by |left| x |right| only through matching keys of
+# it as pass-through would let a single-partition exchange above one
+# be "proved" metadata-scale when it is not — Generate is now simply
+# unbounded. Cross joins (CartesianProduct /
+# BroadcastNestedLoopJoin) get a SHARPER structural rule instead
+# (_cross_join_bounded): bounded iff all children are bounded AND one
+# side provably emits exactly ONE row (a keys=[] aggregate under pure
+# pass-throughs) — the in-plan scalar-cross pattern (events_gapfill /
+# events_kaplan_meier / stats_fdr_bh) multiplies by exactly 1, while a
+# genuine k x m cross of two bounded frames stays unbounded. Equi-joins
+# stay pass-through: their output is bounded by the matching keys of
 # two bounded inputs — the k-group-scale finishes this gate exists to
-# admit. A query that legitimately funnels a multiplied-but-tiny frame
-# must take a _SINGLE_PARTITION_STATIC_EXCEPTIONS entry with a written
-# justification instead.
+# admit. Anything else must take a _SINGLE_PARTITION_STATIC_EXCEPTIONS
+# entry with a written justification.
 _PASSTHROUGH_HEADS = (
     "Project", "Filter", "Sort", "Window", "WindowGroupLimit", "Expand",
     "SerializeFromObject", "DeserializeToObject", "Coalesce",
@@ -279,15 +284,52 @@ def _tree_children(lines: list, i: int) -> list:
     return [j for j in sub if lines[j][0] == m]
 
 
+_CROSS_JOIN_HEADS = ("BroadcastNestedLoopJoin", "CartesianProduct")
+
+# pure single-child wrappers a scalar proof may descend through
+_SCALAR_WRAPPERS = (
+    "Project", "Filter", "BroadcastExchange", "Exchange", "AQEShuffleRead",
+    "ShuffleQueryStage", "WholeStageCodegen", "InputAdapter",
+    "ColumnarToRow", "AdaptiveSparkPlan", "ResultQueryStage", "Subquery",
+    "ReusedExchange", "Coalesce", "Sort",
+)
+
+
+def _subtree_is_scalar(lines: list, i: int, depth: int = 0) -> bool:
+    """True iff the subtree at line i provably emits EXACTLY ONE row:
+    a grand aggregate (keys=[]) reached through pure single-child
+    wrappers."""
+    if depth > 80:
+        return False
+    raw = lines[i][1]
+    head = raw.lstrip("*(0123456789) ")
+    if head.startswith(
+        ("HashAggregate", "SortAggregate", "ObjectHashAggregate")
+    ) and "keys=[]" in raw:
+        return True
+    if head.startswith(_SCALAR_WRAPPERS):
+        ch = _tree_children(lines, i)
+        return len(ch) == 1 and _subtree_is_scalar(lines, ch[0], depth + 1)
+    return False
+
+
 def _subtree_bounded(lines: list, i: int, depth: int = 0) -> bool:
     """True iff the subtree rooted at line i provably emits
     metadata-scale rows (every path from the root hits an aggregate or
-    limit before any scan)."""
+    limit before any scan; cross joins additionally prove a one-row
+    side)."""
     if depth > 80:
         return False
     head = lines[i][1].lstrip("*(0123456789) ")
     if head.startswith(_BOUNDED_HEADS):
         return True
+    if head.startswith(_CROSS_JOIN_HEADS):
+        ch = _tree_children(lines, i)
+        return (
+            bool(ch)
+            and all(_subtree_bounded(lines, c, depth + 1) for c in ch)
+            and any(_subtree_is_scalar(lines, c) for c in ch)
+        )
     if head.startswith(_PASSTHROUGH_HEADS):
         ch = _tree_children(lines, i)
         return bool(ch) and all(

