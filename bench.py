@@ -158,6 +158,15 @@ HEADLINE = [
     "store_occ_multi_commits",
     "graph_hyperball_harmonic",
     "text_winnowing_matches",
+    # round-15 additions (still additive — suite total not comparable
+    # to rounds <= 14): the H.264 container-to-pixels chain, the
+    # sketch-only production forms of the two neighborhood functions,
+    # the radius-2 FastSS blocking, and the streaming winnowing filter
+    "multimodal_mp4_avc_frames",
+    "graph_hyperanf_nf_sketch",
+    "graph_hyperball_harmonic_sketch",
+    "dedup_levenshtein2_names",
+    "stream_winnowing_hits",
 ]
 
 REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))

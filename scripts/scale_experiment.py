@@ -1956,8 +1956,64 @@ def gskew_main() -> None:
         )
 
 
+def sync100_main() -> None:
+    """Round-15 100x sync-pipeline scale probe (VERDICT r14 next-round
+    #4): python scripts/scale_experiment.py --sync100 [max_scale]
+
+    Runs the FULL batch sync (fixtures -> extraction -> dims ->
+    upserts -> store commits) at scales 1, 10 and 100 (~40k, ~400k,
+    ~3.9M records) over fresh fixture dirs, timing the sync alone.
+    10x is measured every round by bench.py; this exposes any stage
+    whose cost only goes superlinear PAST 10x — the usual suspects
+    being the surrogate-id offset collect, the argmax window, and
+    commit fan-in. Expect rec/s to RISE with scale while per-job
+    overhead amortizes, then flatten; a falling 100x rec/s would mark
+    the superlinear stage this probe exists to catch."""
+    import tempfile
+    import time as _time
+
+    from pantasia_db_sync_spark.pipeline import fixtures
+    from pantasia_db_sync_spark.pipeline.store import TableStore
+    from pantasia_db_sync_spark.pipeline.sync import SyncEngine
+
+    max_scale = float(sys.argv[2]) if len(sys.argv) > 2 else 100.0
+    spark = get_spark()
+    spark.sparkContext.setLogLevel("ERROR")
+    print("| scale | records | wall (s) | rec/s |")
+    print("|---|---|---|---|")
+    scale = 1.0
+    while scale <= max_scale:
+        reps = 2 if scale <= 10 else 1
+        walls = []
+        n_records = 0
+        with tempfile.TemporaryDirectory() as src:
+            fixtures.generate(src, scale=scale, seed=42)
+            for _ in range(reps):
+                spark.sparkContext._jvm.System.gc()
+                with tempfile.TemporaryDirectory() as sink:
+                    engine = SyncEngine(
+                        spark,
+                        src,
+                        TableStore(sink),
+                        time_interval_minutes=10**6,
+                    )
+                    t0 = _time.perf_counter()
+                    stats = engine.run_sync()
+                    walls.append(_time.perf_counter() - t0)
+                    n_records = sum(s["records"] for s in stats)
+        wall = min(walls)
+        print(
+            f"| {scale:g}x | {n_records} | {wall:.1f} "
+            f"| {n_records / wall:.0f} |",
+            flush=True,
+        )
+        scale *= 10
+
+
 if __name__ == "__main__":
-    if len(sys.argv) > 1 and sys.argv[1] == "--skew":
+    if len(sys.argv) > 1 and sys.argv[1] == "--sync100":
+        sync100_main()
+    elif len(sys.argv) > 1 and sys.argv[1] == "--skew":
         skew_main()
     elif len(sys.argv) > 1 and sys.argv[1] == "--r7":
         r7_main()
