@@ -163,6 +163,7 @@ HEADLINE = [
     # sketch-only production forms of the two neighborhood functions,
     # the radius-2 FastSS blocking, and the streaming winnowing filter
     "multimodal_mp4_avc_frames",
+    "multimodal_mp4_avc_i4x4_frames",
     "graph_hyperanf_nf_sketch",
     "graph_hyperball_harmonic_sketch",
     "dedup_levenshtein2_names",

@@ -12,14 +12,18 @@ Scope (the honest gate, narrowed from "no H.264 at all" in round 14):
   spec's exact dequantization ladders, frame cropping, and both NAL
   framings (Annex-B start codes and MP4/avcC length-prefixed) with
   emulation-prevention removal.
+* DECODES (round-15 second pass): I_NxN / Intra_4x4 macroblocks —
+  all nine per-4x4 prediction modes, the 8.3.1.1 most-probable-mode
+  derivation, the Table 9-4 me(v) coded_block_pattern, per-8x8-group
+  residual gating with full-block 8.5.12.1 dequant.
 * RAISES NotImplementedError (each a deliberate, documented gate):
   CABAC (PPS entropy_coding_mode_flag=1), inter prediction (P/B
-  slices), Intra_4x4 / Intra_8x8 luma modes, multi-slice pictures,
-  FMO/ASO, interlace (frame_mbs_only_flag=0), in-loop deblocking
-  (streams must signal disable_deblocking_filter_idc=1), and the
-  CAVLC coeff_token contexts for 2 <= nC < 8 (dense-neighbor blocks;
-  the primary 0 <= nC < 2 context, the chroma-DC context and the
-  nC >= 8 fixed-length form are implemented).
+  slices), Intra_8x8 / the 8x8 transform (High profile), multi-slice
+  pictures, FMO/ASO, interlace (frame_mbs_only_flag=0), in-loop
+  deblocking (streams must signal disable_deblocking_filter_idc=1),
+  and the CAVLC coeff_token contexts for 2 <= nC < 8 (dense-neighbor
+  blocks; the primary 0 <= nC < 2 context, the chroma-DC context and
+  the nC >= 8 fixed-length form are implemented).
 * RAISES ValueError: malformed bitstreams (the module-wide contract
   decode_mp4_samples relies on — a corrupt row skips, the Arrow batch
   survives).
@@ -675,6 +679,17 @@ def parse_pps(rbsp: bytes) -> dict:
     deblock_ctrl = br.u(1)
     br.u(1)  # constrained_intra_pred
     redundant = br.u(1)
+    if br.more_rbsp_data():  # PPS extension (High profile)
+        if br.u(1):  # transform_8x8_mode_flag
+            raise NotImplementedError(
+                "8x8 transform (PPS transform_8x8_mode_flag=1)"
+            )
+        if br.u(1):  # pic_scaling_matrix_present_flag
+            raise NotImplementedError("PPS scaling matrices")
+        if br.se() != chroma_qp_off:  # second_chroma_qp_index_offset
+            raise NotImplementedError(
+                "independent Cr QP offset (second_chroma_qp_index_offset)"
+            )
     return {
         "pps_id": pps_id,
         "sps_id": sps_id,
@@ -807,6 +822,186 @@ def _pred_chroma(
 
 
 # ---------------------------------------------------------------------------
+# Intra_4x4 (8.3.1): per-4x4-block prediction, all nine modes, plus
+# the coded_block_pattern me(v) mapping (Table 9-4, intra column).
+# ---------------------------------------------------------------------------
+
+# codeNum -> CBP for Intra_4x4 / Intra_8x8 macroblocks (Table 9-4).
+# Pinned a PERMUTATION of 0..47 by tests; the short codes (the CBPs
+# real intra streams emit constantly: 47/31/15/0 and the per-8x8
+# singles) are the extensively-published head of the table.
+_CBP_INTRA_FROM_CODE = [
+    47, 31, 15, 0, 23, 27, 29, 30, 7, 11, 13, 14,
+    39, 43, 45, 46, 16, 3, 5, 10, 12, 19, 21, 26,
+    28, 35, 37, 42, 44, 1, 2, 4, 8, 17, 18, 20,
+    24, 6, 9, 22, 25, 32, 33, 34, 36, 40, 38, 41,
+]
+_CBP_INTRA_TO_CODE = {v: i for i, v in enumerate(_CBP_INTRA_FROM_CODE)}
+
+
+def _pred_4x4(
+    mode: int,
+    plane: np.ndarray,
+    x0: int,
+    y0: int,
+    left: bool,
+    top: bool,
+    top_left: bool,
+    top_right: bool,
+) -> np.ndarray:
+    """Intra_4x4 sample prediction (8.3.1.2.1-9), all nine modes, on
+    the reconstructed plane at absolute (x0, y0). When the top-right
+    samples are unavailable but the top row is, they substitute the
+    rightmost top sample (8.3.1.2)."""
+    p = plane.astype(np.int64)
+    # neighbor vectors: t[0..7] = p[x0..x0+7, y0-1], l[0..3], tl
+    t = np.zeros(8, dtype=np.int64)
+    lv = np.zeros(4, dtype=np.int64)
+    tl = 0
+    if top:
+        t[0:4] = p[y0 - 1, x0 : x0 + 4]
+        if top_right:
+            t[4:8] = p[y0 - 1, x0 + 4 : x0 + 8]
+        else:
+            t[4:8] = t[3]
+    if left:
+        lv[:] = p[y0 : y0 + 4, x0 - 1]
+    if top_left:
+        tl = int(p[y0 - 1, x0 - 1])
+    out = np.empty((4, 4), dtype=np.int64)
+    if mode == 0:  # Vertical
+        if not top:
+            raise ValueError("Intra_4x4 Vertical without top")
+        out[:] = t[0:4]
+        return out
+    if mode == 1:  # Horizontal
+        if not left:
+            raise ValueError("Intra_4x4 Horizontal without left")
+        out[:] = lv.reshape(4, 1)
+        return out
+    if mode == 2:  # DC
+        if top and left:
+            dc = (int(t[0:4].sum()) + int(lv.sum()) + 4) >> 3
+        elif left:
+            dc = (int(lv.sum()) + 2) >> 2
+        elif top:
+            dc = (int(t[0:4].sum()) + 2) >> 2
+        else:
+            dc = 128
+        out[:] = dc
+        return out
+    if mode == 3:  # Diagonal-Down-Left
+        if not top:
+            raise ValueError("Intra_4x4 DDL without top")
+        for y in range(4):
+            for x in range(4):
+                if x == 3 and y == 3:
+                    out[y, x] = (t[6] + 3 * t[7] + 2) >> 2
+                else:
+                    out[y, x] = (
+                        t[x + y] + 2 * t[x + y + 1] + t[x + y + 2] + 2
+                    ) >> 2
+        return out
+    if mode == 4:  # Diagonal-Down-Right
+        if not (top and left and top_left):
+            raise ValueError("Intra_4x4 DDR without full top-left context")
+        for y in range(4):
+            for x in range(4):
+                if x > y:
+                    v = [tl if i < 0 else int(t[i]) for i in
+                         (x - y - 2, x - y - 1, x - y)]
+                    out[y, x] = (v[0] + 2 * v[1] + v[2] + 2) >> 2
+                elif x < y:
+                    v = [tl if i < 0 else int(lv[i]) for i in
+                         (y - x - 2, y - x - 1, y - x)]
+                    out[y, x] = (v[0] + 2 * v[1] + v[2] + 2) >> 2
+                else:
+                    out[y, x] = (int(t[0]) + 2 * tl + int(lv[0]) + 2) >> 2
+        return out
+    if mode == 5:  # Vertical-Right
+        if not (top and left and top_left):
+            raise ValueError("Intra_4x4 VR without full top-left context")
+        for y in range(4):
+            for x in range(4):
+                z = 2 * x - y
+                if z >= 0 and z % 2 == 0:
+                    i = x - (y >> 1)
+                    a = tl if i - 1 < 0 else int(t[i - 1])
+                    b = int(t[i]) if i >= 0 else tl
+                    out[y, x] = (a + b + 1) >> 1
+                elif z >= 0:
+                    i = x - (y >> 1)
+                    v = [tl if j < 0 else int(t[j]) for j in (i - 2, i - 1, i)]
+                    out[y, x] = (v[0] + 2 * v[1] + v[2] + 2) >> 2
+                elif z == -1:
+                    out[y, x] = (int(lv[0]) + 2 * tl + int(t[0]) + 2) >> 2
+                else:
+                    out[y, x] = (
+                        int(lv[y - 2 * x - 1])
+                        + 2 * int(lv[y - 2 * x - 2])
+                        + (tl if y - 2 * x - 3 < 0 else int(lv[y - 2 * x - 3]))
+                        + 2
+                    ) >> 2
+        return out
+    if mode == 6:  # Horizontal-Down
+        if not (top and left and top_left):
+            raise ValueError("Intra_4x4 HD without full top-left context")
+        for y in range(4):
+            for x in range(4):
+                z = 2 * y - x
+                if z >= 0 and z % 2 == 0:
+                    i = y - (x >> 1)
+                    a = tl if i - 1 < 0 else int(lv[i - 1])
+                    b = int(lv[i]) if i >= 0 else tl
+                    out[y, x] = (a + b + 1) >> 1
+                elif z >= 0:
+                    i = y - (x >> 1)
+                    v = [tl if j < 0 else int(lv[j]) for j in (i - 2, i - 1, i)]
+                    out[y, x] = (v[0] + 2 * v[1] + v[2] + 2) >> 2
+                elif z == -1:
+                    out[y, x] = (int(lv[0]) + 2 * tl + int(t[0]) + 2) >> 2
+                else:
+                    out[y, x] = (
+                        int(t[x - 2 * y - 1])
+                        + 2 * int(t[x - 2 * y - 2])
+                        + (tl if x - 2 * y - 3 < 0 else int(t[x - 2 * y - 3]))
+                        + 2
+                    ) >> 2
+        return out
+    if mode == 7:  # Vertical-Left
+        if not top:
+            raise ValueError("Intra_4x4 VL without top")
+        for y in range(4):
+            for x in range(4):
+                i = x + (y >> 1)
+                if y % 2 == 0:
+                    out[y, x] = (t[i] + t[i + 1] + 1) >> 1
+                else:
+                    out[y, x] = (t[i] + 2 * t[i + 1] + t[i + 2] + 2) >> 2
+        return out
+    if mode == 8:  # Horizontal-Up
+        if not left:
+            raise ValueError("Intra_4x4 HU without left")
+        for y in range(4):
+            for x in range(4):
+                z = x + 2 * y
+                if z > 5:
+                    out[y, x] = int(lv[3])
+                elif z == 5:
+                    out[y, x] = (int(lv[2]) + 3 * int(lv[3]) + 2) >> 2
+                elif z % 2 == 0:
+                    i = y + (x >> 1)
+                    out[y, x] = (int(lv[i]) + int(lv[i + 1]) + 1) >> 1
+                else:
+                    i = y + (x >> 1)
+                    out[y, x] = (
+                        int(lv[i]) + 2 * int(lv[i + 1]) + int(lv[i + 2]) + 2
+                    ) >> 2
+        return out
+    raise ValueError(f"bad Intra_4x4 prediction mode {mode}")
+
+
+# ---------------------------------------------------------------------------
 # slice decode (I slices, CAVLC)
 # ---------------------------------------------------------------------------
 
@@ -889,6 +1084,53 @@ def decode_idr_planes(
     cr_plane = np.zeros((h_mbs * 8, w_mbs * 8), dtype=np.uint8)
     luma_tc = np.zeros((h_mbs * 4, w_mbs * 4), dtype=np.int64)
     chroma_tc = np.zeros((2, h_mbs * 2, w_mbs * 2), dtype=np.int64)
+    # per-4x4 Intra_4x4 prediction modes for the 8.3.1.1 most-probable-
+    # mode derivation; non-I4x4 (Intra_16x16 / I_PCM) macroblocks count
+    # as DC (2), which is the array default
+    i4_modes = np.full((h_mbs * 4, w_mbs * 4), 2, dtype=np.int64)
+    # z-indices whose above-right in-MB neighbor is decoded LATER in
+    # z-order (6.4.12.2): their top-right samples are unavailable
+    _TR_UNAVAIL_Z = {3, 7, 11, 13, 15}
+
+    def decode_chroma(chroma_mode, cbp_chroma, qpc, mbx, mby, left_ok, top_ok):
+        cx0, cy0 = mbx * 8, mby * 8
+        for ci, plane in ((0, cb_plane), (1, cr_plane)):
+            predc = _pred_chroma(
+                chroma_mode, plane, cx0, cy0, left_ok, top_ok
+            )
+            if cbp_chroma > 0:
+                dcc_scan = _decode_residual_block(br, -1, 4)
+                dcc = np.array(
+                    [[dcc_scan[0], dcc_scan[1]], [dcc_scan[2], dcc_scan[3]]],
+                    dtype=np.int64,
+                )
+                h2 = np.array([[1, 1], [1, -1]], dtype=np.int64)
+                dcc = _dequant_chroma_dc(h2 @ dcc @ h2, qpc)
+            else:
+                dcc = np.zeros((2, 2), dtype=np.int64)
+            reconc = predc.copy()
+            for by in range(2):
+                for bx in range(2):
+                    if cbp_chroma == 2:
+                        nc = _nc_from_neighbors(
+                            chroma_tc[ci],
+                            mbx * 2 + bx,
+                            mby * 2 + by,
+                            left_ok,
+                            top_ok,
+                        )
+                        ac_scan = _decode_residual_block(br, nc, 15)
+                        chroma_tc[ci, mby * 2 + by, mbx * 2 + bx] = sum(
+                            1 for c in ac_scan if c
+                        )
+                        d = _dequant_ac(_scan_to_block(ac_scan, start=1), qpc)
+                    else:
+                        chroma_tc[ci, mby * 2 + by, mbx * 2 + bx] = 0
+                        d = np.zeros((4, 4), dtype=np.int64)
+                    d[0, 0] = dcc[by, bx]
+                    r = (_inverse_core_4x4(d) + 32) >> 6
+                    reconc[by * 4 : by * 4 + 4, bx * 4 : bx * 4 + 4] += r
+            plane[cy0 : cy0 + 8, cx0 : cx0 + 8] = np.clip(reconc, 0, 255)
 
     for mb in range(w_mbs * h_mbs):
         mbx, mby = mb % w_mbs, mb // w_mbs
@@ -896,8 +1138,67 @@ def decode_idr_planes(
         x0, y0 = mbx * 16, mby * 16
         cx0, cy0 = mbx * 8, mby * 8
         mb_type = br.ue()
-        if mb_type == 0:
-            raise NotImplementedError("Intra_4x4 / Intra_8x8 macroblocks")
+        if mb_type == 0:  # I_NxN == Intra_4x4 (no 8x8 transform flag
+            # in baseline: PPS transform_8x8_mode is High-profile-only)
+            modes = []
+            for idx in range(16):
+                bx, by = _z_luma(idx)
+                gx, gy = mbx * 4 + bx, mby * 4 + by
+                # 8.3.1.1: each unavailable/non-I4x4 side defaults to
+                # DC (2) INDEPENDENTLY, then the MPM is the min
+                ma = int(i4_modes[gy, gx - 1]) if gx > 0 else 2
+                mb_ = int(i4_modes[gy - 1, gx]) if gy > 0 else 2
+                pred_mode = min(ma, mb_)
+                if br.u(1):  # prev_intra4x4_pred_mode_flag
+                    mode = pred_mode
+                else:
+                    rem = br.u(3)
+                    mode = rem if rem < pred_mode else rem + 1
+                i4_modes[gy, gx] = mode
+                modes.append(mode)
+            chroma_mode = br.ue()
+            code = br.ue()
+            if code >= 48:
+                raise ValueError(f"bad intra coded_block_pattern code {code}")
+            cbp = _CBP_INTRA_FROM_CODE[code]
+            cbp_luma, cbp_chroma = cbp & 15, cbp >> 4
+            if cbp:
+                qp = (qp + br.se() + 52) % 52
+            qpc = _chroma_qp(qp, pps["chroma_qp_off"])
+            w_pix = w_mbs * 16
+            for idx in range(16):
+                bx, by = _z_luma(idx)
+                x, y = x0 + 4 * bx, y0 + 4 * by
+                s_left = x > 0
+                s_top = y > 0
+                s_tl = s_left and s_top
+                if not s_top:
+                    s_tr = False
+                elif by == 0:
+                    s_tr = (x + 4) < w_pix and top_ok
+                else:
+                    s_tr = idx not in _TR_UNAVAIL_Z and (x + 4) < w_pix
+                pred = _pred_4x4(
+                    modes[idx], y_plane, x, y, s_left, s_top, s_tl, s_tr
+                )
+                if cbp_luma & (1 << (idx // 4)):
+                    nc = _nc_from_neighbors(
+                        luma_tc, mbx * 4 + bx, mby * 4 + by, left_ok, top_ok
+                    )
+                    scan = _decode_residual_block(br, nc, 16)
+                    luma_tc[mby * 4 + by, mbx * 4 + bx] = sum(
+                        1 for c in scan if c
+                    )
+                    d = _dequant_ac(_scan_to_block(scan), qp)
+                    r = (_inverse_core_4x4(d) + 32) >> 6
+                else:
+                    luma_tc[mby * 4 + by, mbx * 4 + bx] = 0
+                    r = 0
+                y_plane[y : y + 4, x : x + 4] = np.clip(pred + r, 0, 255)
+            decode_chroma(
+                chroma_mode, cbp_chroma, qpc, mbx, mby, left_ok, top_ok
+            )
+            continue
         if mb_type == 25:  # I_PCM (7.3.5, 7.4.5)
             br.byte_align()
             pcm = np.frombuffer(
@@ -947,45 +1248,7 @@ def decode_idr_planes(
             r = (_inverse_core_4x4(d) + 32) >> 6
             recon[by * 4 : by * 4 + 4, bx * 4 : bx * 4 + 4] += r
         y_plane[y0 : y0 + 16, x0 : x0 + 16] = np.clip(recon, 0, 255)
-
-        # --- chroma ---
-        for ci, plane in ((0, cb_plane), (1, cr_plane)):
-            predc = _pred_chroma(
-                chroma_mode, plane, cx0, cy0, left_ok, top_ok
-            )
-            if cbp_chroma > 0:
-                dcc_scan = _decode_residual_block(br, -1, 4)
-                dcc = np.array(
-                    [[dcc_scan[0], dcc_scan[1]], [dcc_scan[2], dcc_scan[3]]],
-                    dtype=np.int64,
-                )
-                h2 = np.array([[1, 1], [1, -1]], dtype=np.int64)
-                dcc = _dequant_chroma_dc(h2 @ dcc @ h2, qpc)
-            else:
-                dcc = np.zeros((2, 2), dtype=np.int64)
-            reconc = predc.copy()
-            for by in range(2):
-                for bx in range(2):
-                    if cbp_chroma == 2:
-                        nc = _nc_from_neighbors(
-                            chroma_tc[ci],
-                            mbx * 2 + bx,
-                            mby * 2 + by,
-                            left_ok,
-                            top_ok,
-                        )
-                        ac_scan = _decode_residual_block(br, nc, 15)
-                        chroma_tc[ci, mby * 2 + by, mbx * 2 + bx] = sum(
-                            1 for c in ac_scan if c
-                        )
-                        d = _dequant_ac(_scan_to_block(ac_scan, start=1), qpc)
-                    else:
-                        chroma_tc[ci, mby * 2 + by, mbx * 2 + bx] = 0
-                        d = np.zeros((4, 4), dtype=np.int64)
-                    d[0, 0] = dcc[by, bx]
-                    r = (_inverse_core_4x4(d) + 32) >> 6
-                    reconc[by * 4 : by * 4 + 4, bx * 4 : bx * 4 + 4] += r
-            plane[cy0 : cy0 + 8, cx0 : cx0 + 8] = np.clip(reconc, 0, 255)
+        decode_chroma(chroma_mode, cbp_chroma, qpc, mbx, mby, left_ok, top_ok)
 
     return y_plane, cb_plane, cr_plane
 
@@ -1295,6 +1558,102 @@ def encode_gray_idr(
         else:
             r = 0
         recon[y0 : y0 + 16, x0 : x0 + 16] = np.clip(pred + r, 0, 255)
+    bw.rbsp_trailing()
+    return b"\x65" + rbsp_to_nal(bw.tobytes())
+
+
+def encode_i4x4_idr(
+    width: int,
+    height: int,
+    gray: int,
+    qp: int = 12,
+    per_block: np.ndarray | None = None,
+) -> bytes:
+    """One IDR NAL of pure I_NxN (Intra_4x4) macroblocks, every 4x4
+    block DC-mode with a DC-only residual chosen EXACT through the
+    8.5.12.1 full-block dequant (position-class 0 scaling — unlike
+    Intra_16x16 there is no separate Hadamard DC plane). ``per_block``
+    optionally gives one target gray per 4x4 block ((h_mbs*4, w_mbs*4)
+    raster): neighbor-dependent DC prediction then makes interior
+    blocks carry real nonzero CAVLC levels with live nC bookkeeping.
+    Exercises: the prev_intra4x4_pred_mode most-probable-mode
+    derivation, the Table 9-4 me(v) coded_block_pattern, per-8x8-group
+    residual gating, and per-4x4 sequential reconstruction."""
+    w_mbs = (width + 15) // 16
+    h_mbs = (height + 15) // 16
+    if per_block is None:
+        per_block = np.full((h_mbs * 4, w_mbs * 4), gray, dtype=np.int64)
+    per_block = np.asarray(per_block, dtype=np.int64)
+    qp6 = qp // 6
+    ls = _LS_V[qp % 6][0]
+
+    def recon_r(level: int) -> int:
+        # DC-only full-4x4 block: d00 = (level*ls) << qp6 (8.5.12.1),
+        # constant through the inverse core, then (d+32)>>6
+        return (((level * ls) << qp6) + 32) >> 6
+
+    def level_for(residual: int) -> int:
+        if residual == 0:
+            return 0
+        est = round(residual * 64 / (ls << qp6))
+        for delta in range(0, 4000):
+            for cand in (est - delta, est + delta):
+                if recon_r(cand) == residual:
+                    return cand
+        raise ValueError(f"no exact I4x4 DC level for {residual} at qp {qp}")
+
+    bw = _BitWriter()
+    bw.ue(0)
+    bw.ue(7)
+    bw.ue(0)
+    bw.u(4, 0)
+    bw.ue(0)
+    bw.u(1, 0)
+    bw.u(1, 0)
+    bw.se(0)
+    bw.ue(1)
+    recon = np.zeros((h_mbs * 16, w_mbs * 16), dtype=np.int64)
+    luma_tc = np.zeros((h_mbs * 4, w_mbs * 4), dtype=np.int64)
+    for mb in range(w_mbs * h_mbs):
+        mbx, mby = mb % w_mbs, mb // w_mbs
+        x0, y0 = mbx * 16, mby * 16
+        left_ok, top_ok = mbx > 0, mby > 0
+        # first pass: per-block levels via the decoder's own recon walk
+        levels = [0] * 16
+        blocks = []
+        for idx in range(16):
+            bx, by = _z_luma(idx)
+            x, y = x0 + 4 * bx, y0 + 4 * by
+            pred = _pred_4x4(2, recon, x, y, x > 0, y > 0, False, False)
+            target = int(per_block[mby * 4 + by, mbx * 4 + bx])
+            lvl = level_for(target - int(pred[0, 0]))
+            levels[idx] = lvl
+            r = recon_r(lvl) if lvl else 0
+            recon[y : y + 4, x : x + 4] = np.clip(pred + r, 0, 255)
+            blocks.append((bx, by))
+        cbp_luma = 0
+        for idx in range(16):
+            if levels[idx]:
+                cbp_luma |= 1 << (idx // 4)
+        cbp = cbp_luma  # chroma untouched (gray)
+        bw.ue(0)  # mb_type I_NxN
+        for idx in range(16):
+            bw.u(1, 1)  # prev_intra4x4_pred_mode_flag: all DC == MPM
+        bw.ue(0)  # intra_chroma_pred_mode DC
+        bw.ue(_CBP_INTRA_TO_CODE[cbp])
+        if cbp:
+            bw.se(0)  # mb_qp_delta
+        for idx in range(16):
+            if not (cbp_luma & (1 << (idx // 4))):
+                continue
+            bx, by = blocks[idx]
+            nc = _nc_from_neighbors(
+                luma_tc, mbx * 4 + bx, mby * 4 + by, left_ok, top_ok
+            )
+            scan = [0] * 16
+            scan[0] = levels[idx]
+            _encode_residual_block(bw, scan, nc, 16)
+            luma_tc[mby * 4 + by, mbx * 4 + bx] = 1 if levels[idx] else 0
     bw.rbsp_trailing()
     return b"\x65" + rbsp_to_nal(bw.tobytes())
 

@@ -3486,19 +3486,31 @@ def encode_mp4_avc(
     timescale: int = 1000,
     frame_ms: int = 40,
     qp: int = 12,
+    coding: str = "i16x16",
 ) -> bytes:
     """Render a playable-layout H.264-in-MP4: each sample is one REAL
-    baseline-intra IDR NAL (operators/h264.py encode_gray_idr —
-    Intra_16x16 DC prediction with an exact CAVLC-coded luma-DC
-    coefficient), length-prefixed per ISO/IEC 14496-15, under an avc1
-    VisualSampleEntry whose avcC child carries the SPS/PPS. Same
-    sample-table chain and mdat-before-moov layout as the MJPEG
-    fixture (_mp4_container)."""
+    baseline-intra IDR NAL, length-prefixed per ISO/IEC 14496-15,
+    under an avc1 VisualSampleEntry whose avcC child carries the
+    SPS/PPS. ``coding`` picks the macroblock family: 'i16x16'
+    (operators/h264.py encode_gray_idr — Intra_16x16 DC prediction,
+    Hadamard DC plane) or 'i4x4' (encode_i4x4_idr — I_NxN with
+    per-4x4 DC prediction, the Table 9-4 me(v) CBP and
+    most-probable-mode parsing). Same sample-table chain and
+    mdat-before-moov layout as the MJPEG fixture (_mp4_container)."""
     from . import h264
 
     if not grays:
         raise ValueError("avc mp4 needs at least one frame")
-    sps_nal, pps_nal, idrs = h264.encode_avc_stream(width, height, grays, qp)
+    if coding == "i16x16":
+        sps_nal, pps_nal, idrs = h264.encode_avc_stream(
+            width, height, grays, qp
+        )
+    elif coding == "i4x4":
+        sps_nal = h264._encode_sps(width, height)
+        pps_nal = h264._encode_pps(qp)
+        idrs = [h264.encode_i4x4_idr(width, height, g, qp) for g in grays]
+    else:
+        raise ValueError(f"unknown coding {coding!r}")
     samples = [struct.pack(">I", len(n)) + n for n in idrs]
     entry = _box(
         b"avc1",
@@ -3517,27 +3529,29 @@ def encode_mp4_avc(
     return _mp4_container(width, height, samples, entry, timescale, frame_ms)
 
 
-def synthetic_avc_mp4_frame(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def synthetic_avc_mp4_frame(
+    df: DataFrame, id_col: str = "doc_id", coding: str = "i16x16"
+) -> DataFrame:
     """One H.264-in-MP4 per row, every field from id arithmetic:
-    doc_id%3+2 frames, frame dims 2*(id%10+1) x 2*(id%7+1) — even
-    (4:2:0) and mostly non-multiple-of-16, so SPS frame cropping is
-    exercised on nearly every row — and frame k's gray level
-    (id*13 + 37*k) % 256."""
+    doc_id%3+2 frames; for i16x16 coding frame dims 2*(id%10+1) x
+    2*(id%7+1) and gray (id*13 + 37*k) % 256; for i4x4 coding dims
+    2*(id%9+1) x 2*(id%6+1) and gray (id*17 + 53*k) % 256 — even
+    (4:2:0) and mostly non-multiple-of-16 either way, so SPS frame
+    cropping is exercised on nearly every row."""
     src = df.select(F.col(id_col).alias("doc_id"))
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            content = [
-                encode_mp4_avc(
-                    2 * (int(i) % 10 + 1),
-                    2 * (int(i) % 7 + 1),
-                    [
-                        (int(i) * 13 + 37 * k) % 256
-                        for k in range(int(i) % 3 + 2)
-                    ],
-                )
-                for i in pdf["doc_id"]
-            ]
+            content = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                if coding == "i4x4":
+                    w, h = 2 * (i % 9 + 1), 2 * (i % 6 + 1)
+                    grays = [(i * 17 + 53 * k) % 256 for k in range(i % 3 + 2)]
+                else:
+                    w, h = 2 * (i % 10 + 1), 2 * (i % 7 + 1)
+                    grays = [(i * 13 + 37 * k) % 256 for k in range(i % 3 + 2)]
+                content.append(encode_mp4_avc(w, h, grays, coding=coding))
             yield pd.DataFrame({"doc_id": pdf["doc_id"].values, "content": content})
 
     return src.mapInPandas(gen, schema="doc_id bigint, content binary")

@@ -3996,6 +3996,45 @@ def multimodal_mp4_avc_frames_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_mp4_avc_i4x4_frames",
+    oracle="""
+    SELECT d.doc_id,
+           CAST(s.k AS INTEGER) AS frame_idx,
+           CAST(2 * (d.doc_id % 9 + 1) AS INTEGER) AS width,
+           CAST(2 * (d.doc_id % 6 + 1) AS INTEGER) AS height,
+           CAST((d.doc_id * 17 + 53 * s.k) % 256 AS DOUBLE) AS mean_gray
+    FROM (SELECT doc_id FROM documents WHERE doc_id < 300) d
+    JOIN range(0, 4) s(k) ON s.k <= d.doc_id % 3 + 1
+    """,
+)
+def multimodal_mp4_avc_i4x4_frames_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """H.264 I_NxN (Intra_4x4) SAMPLE DECODE — the OTHER intra
+    macroblock family, completing baseline-intra coverage alongside
+    multimodal_mp4_avc_frames' Intra_16x16: per-4x4-block prediction
+    (all nine spec modes implemented; fixtures ride DC with live
+    most-probable-mode parsing), the Table 9-4 mapped-exp-Golomb
+    coded_block_pattern, per-8x8-group residual gating, and per-block
+    sequential reconstruction with real CAVLC nC neighbor bookkeeping
+    (operators/h264.py encode_i4x4_idr / decode_idr_planes). Fixtures:
+    doc_id%3+2 IDR frames of 2*(id%9+1) x 2*(id%6+1) solid grays,
+    mean_gray id-predictable BIT-FOR-BIT (per-block-random exactness
+    pinned in tests). Remaining honest gates: HEVC, CABAC, inter.
+    Arrow-batched mapInPandas, map-only, zero shuffle. Reference
+    analogue: none (extension)."""
+    from ..operators.multimodal import (
+        decode_mp4_frame_features,
+        synthetic_avc_mp4_frame,
+    )
+
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    return decode_mp4_frame_features(
+        synthetic_avc_mp4_frame(d, coding="i4x4"), "doc_id", "content"
+    ).select("doc_id", "frame_idx", "width", "height", "mean_gray")
+
+
+@register(
     "text_winnowing_matches",
     oracle=f"""
     WITH toks AS ({_SQL_TOKS}),

@@ -26,7 +26,7 @@ import os
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-FLOOR = 345
+FLOOR = 351
 
 
 def main() -> int:

@@ -3812,6 +3812,142 @@ def test_h264_honest_gates_and_malformed():
         h264.decode_annexb(b"\x12\x34\x56\x78" * 8)
 
 
+def test_h264_i4x4_gray_and_per_block_exact():
+    """I_NxN (Intra_4x4) macroblocks: solid grays reconstruct exactly
+    through per-4x4 DC prediction + the Table 9-4 me(v) CBP (cropped
+    frame included), and per-block-random targets reconstruct
+    BIT-EXACTLY (the encoder's exact-level search through the
+    8.5.12.1 full-block dequant) — which drives the CBP groups, the
+    most-probable-mode flags and live nC bookkeeping on every MB."""
+    import numpy as np
+
+    from pantasia_db_sync_spark.operators import h264
+
+    assert sorted(h264._CBP_INTRA_FROM_CODE) == list(range(48))
+    for g in (0, 1, 127, 128, 200, 255):
+        data = b"\x00\x00\x00\x01".join(
+            [b"", h264._encode_sps(18, 10), h264._encode_pps(12),
+             h264.encode_i4x4_idr(18, 10, g)]
+        )
+        f = h264.decode_annexb(data)[0]
+        assert (f["width"], f["height"], f["mean_gray"]) == (18, 10, float(g))
+    rng = np.random.RandomState(5)
+    for _ in range(3):
+        w_mbs, h_mbs = int(rng.randint(1, 4)), int(rng.randint(1, 4))
+        bv = rng.randint(0, 256, (h_mbs * 4, w_mbs * 4))
+        nals = h264.split_annexb(
+            b"\x00\x00\x00\x01".join(
+                [b"", h264._encode_sps(w_mbs * 16, h_mbs * 16),
+                 h264._encode_pps(12),
+                 h264.encode_i4x4_idr(w_mbs * 16, h_mbs * 16, 0, per_block=bv)]
+            )
+        )
+        sps = h264.parse_sps(h264.nal_to_rbsp(nals[0][1:]))
+        pps = h264.parse_pps(h264.nal_to_rbsp(nals[1][1:]))
+        y, _, _ = h264.decode_idr_planes(
+            h264.nal_to_rbsp(nals[2][1:]), sps, pps, 5, 3
+        )
+        exp = np.repeat(np.repeat(bv, 4, axis=0), 4, axis=1)
+        assert np.array_equal(y.astype(int), exp)
+
+
+def test_h264_intra4x4_prediction_modes():
+    """The nine Intra_4x4 prediction modes against analytically-exact
+    expectations: constant neighborhoods predict the constant (all
+    modes); even-slope linear ramps continue EXACTLY through the
+    spec's (a+2b+c+2)>>2 / (a+b+1)>>1 filters (DDL along x+y, V down
+    columns, H across rows, HU saturating to the last left sample);
+    and the top-right substitution rule (unavailable -> replicate
+    p[3,-1]) changes DDL's right corner accordingly."""
+    import numpy as np
+
+    from pantasia_db_sync_spark.operators import h264
+
+    plane = np.full((12, 12), 77, dtype=np.uint8)
+    for mode in range(9):
+        out = h264._pred_4x4(mode, plane, 4, 4, True, True, True, True)
+        assert (out == 77).all(), mode
+
+    # linear top ramp t[k] = 10 + 2k (b=2 even -> exact filters)
+    plane = np.zeros((8, 16), dtype=np.int64)
+    plane[3, :] = [10 + 2 * k for k in range(16)]
+    # x0=4: t[j] = plane[3, 4+j] = 18 + 2j
+    out = h264._pred_4x4(3, plane, 4, 4, False, True, False, True)  # DDL
+    for y in range(4):
+        for x in range(4):
+            assert out[y, x] == 18 + 2 * (x + y + 1), (x, y, out)
+    out = h264._pred_4x4(0, plane, 4, 4, False, True, False, False)  # V
+    assert (out == np.array([18, 20, 22, 24])).all()
+    # top-right substitution: without TR, t[4..7] = t[3] = 24
+    out = h264._pred_4x4(3, plane, 4, 4, False, True, False, False)
+    assert out[3, 3] == (24 + 3 * 24 + 2) >> 2 == 24
+    # left ramp for H / HU: l[i] = 50 + 4i
+    plane2 = np.zeros((12, 8), dtype=np.int64)
+    plane2[4:8, 3] = [50 + 4 * i for i in range(4)]
+    out = h264._pred_4x4(1, plane2, 4, 4, True, False, False, False)  # H
+    assert (out[:, 0] == np.array([50, 54, 58, 62])).all()
+    out = h264._pred_4x4(8, plane2, 4, 4, True, False, False, False)  # HU
+    # z = x + 2y > 5 saturates to l[3] = 62; z even interpolates
+    assert out[3, 3] == 62 and out[0, 0] == (50 + 54 + 1) >> 1
+
+
+def test_h264_i4x4_mode_parse_vertical_over_pcm():
+    """A hand-written bitstream exercising the NON-most-probable-mode
+    path: an I_PCM macroblock holding a column gradient, then below it
+    an I_NxN macroblock whose 16 blocks each code rem=0 -> Vertical
+    (MPM is DC=2 since all neighbor modes default to 2). With cbp=0
+    the decoded second MB must replicate the PCM macroblock's bottom
+    row down every column."""
+    import numpy as np
+
+    from pantasia_db_sync_spark.operators import h264
+
+    y = np.tile(np.arange(16, dtype=np.uint8) * 3 + 17, (16, 1))
+    cb = np.full((8, 8), 128, dtype=np.uint8)
+    bw = h264._BitWriter()
+    bw.ue(0); bw.ue(7); bw.ue(0); bw.u(4, 0); bw.ue(0)
+    bw.u(1, 0); bw.u(1, 0); bw.se(0); bw.ue(1)
+    # MB0: I_PCM
+    bw.ue(25)
+    while len(bw.bits) % 8:
+        bw.u(1, 0)
+    for v in y.reshape(-1):
+        bw.u(8, int(v))
+    for v in list(cb.reshape(-1)) + list(cb.reshape(-1)):
+        bw.u(8, int(v))
+    # MB1 (below): I_NxN, every block Vertical (mode 0), cbp 0. The
+    # most-probable mode EVOLVES as earlier blocks take mode 0 (MPM =
+    # min(left, top) with non-I4x4 neighbors counting as DC=2), so the
+    # encoder side of this test tracks it: once MPM becomes 0 the flag
+    # path encodes Vertical, otherwise rem=0 (< MPM) does.
+    bw.ue(0)
+    grid = {}
+    for idx in range(16):
+        quad, sub = divmod(idx, 4)
+        bx = (quad % 2) * 2 + sub % 2
+        by = (quad // 2) * 2 + sub // 2
+        ma = grid.get((bx - 1, by), 2)
+        mb_ = grid.get((bx, by - 1), 2)
+        mpm = min(ma, mb_)
+        if mpm == 0:
+            bw.u(1, 1)  # prev flag: take the MPM (Vertical)
+        else:
+            bw.u(1, 0)
+            bw.u(3, 0)  # rem 0 < MPM -> mode 0 (Vertical)
+        grid[(bx, by)] = 0
+    bw.ue(0)  # chroma DC
+    bw.ue(h264._CBP_INTRA_TO_CODE[0])
+    bw.rbsp_trailing()
+    nal = b"\x65" + h264.rbsp_to_nal(bw.tobytes())
+    sps = h264.parse_sps(h264.nal_to_rbsp(h264._encode_sps(16, 32)[1:]))
+    pps = h264.parse_pps(h264.nal_to_rbsp(h264._encode_pps(12)[1:]))
+    dec_y, _, _ = h264.decode_idr_planes(
+        h264.nal_to_rbsp(nal[1:]), sps, pps, 5, 3
+    )
+    assert np.array_equal(dec_y[:16], y)
+    assert np.array_equal(dec_y[16:], np.tile(y[15], (16, 1)))
+
+
 def test_h264_avc_in_mp4_roundtrip():
     """The full container chain: avc1 sample entry + avcC config,
     length-prefixed samples, stsc/stsz/stco resolution, per-frame
