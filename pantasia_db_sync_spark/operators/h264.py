@@ -1352,11 +1352,12 @@ def _frame_dict(y: np.ndarray) -> dict:
 
 
 def decode_avc_sample(sample: bytes, cfg: dict) -> dict:
-    """Decode ONE MP4 avc1 sample (length-prefixed NAL units) to its
-    frame: in-sample SPS/PPS updates are honored; exactly one coded
-    slice is expected per sample (one frame)."""
+    """Decode ONE MP4 avc1/avc3 sample (length-prefixed NAL units) to
+    its frame. In-sample SPS/PPS updates are honored and PERSIST into
+    ``cfg`` — the avc3 in-band-parameter-set contract, where only the
+    first sync sample carries them. Exactly one coded slice is
+    expected per sample (one frame)."""
     ls = cfg["length_size"]
-    local = {"sps": cfg["sps"], "pps": cfg["pps"]}
     pos = 0
     frame = None
     while pos + ls <= len(sample):
@@ -1366,7 +1367,7 @@ def decode_avc_sample(sample: bytes, cfg: dict) -> dict:
             raise ValueError("bad NAL length prefix in avc1 sample")
         nal = sample[pos : pos + ln]
         pos += ln
-        frame = _decode_one_nal(nal, local) or frame
+        frame = _decode_one_nal(nal, cfg) or frame
     if frame is None:
         raise ValueError("avc1 sample contains no coded slice")
     return frame

@@ -3108,7 +3108,15 @@ def _decode_avc_samples(
     entry body, each sample a length-prefixed NAL sequence."""
     from . import h264
 
-    cfg = h264.parse_avcc(tables["entry_body"])
+    try:
+        cfg = h264.parse_avcc(tables["entry_body"])
+    except ValueError:
+        if tables["fmt"] != "avc3":
+            raise
+        # avc3 sample entries may omit avcC: parameter sets ride
+        # IN-BAND (ISO/IEC 14496-15 §5.4.1); decode_avc_sample picks
+        # them up from the sample's own SPS/PPS NALs
+        cfg = {"sps": None, "pps": None, "length_size": 4}
     frames = []
     for idx, (off, sz) in enumerate(ranges):
         if off + sz > len(content):

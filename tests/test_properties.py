@@ -3948,6 +3948,35 @@ def test_h264_i4x4_mode_parse_vertical_over_pcm():
     assert np.array_equal(dec_y[16:], np.tile(y[15], (16, 1)))
 
 
+def test_h264_avc3_inband_parameter_sets():
+    """avc3 sample entries (no avcC child): SPS/PPS ride IN-BAND in
+    the first sync sample and must PERSIST across samples — the second
+    sample carries only its IDR NAL."""
+    import struct as _s
+
+    from pantasia_db_sync_spark.operators import h264
+    from pantasia_db_sync_spark.operators.multimodal import (
+        _box,
+        _mp4_container,
+        decode_mp4_samples,
+    )
+
+    sps, pps, idrs = h264.encode_avc_stream(20, 12, [44, 199])
+    lp = lambda n: _s.pack(">I", len(n)) + n
+    samples = [lp(sps) + lp(pps) + lp(idrs[0]), lp(idrs[1])]
+    entry = _box(
+        b"avc3",
+        b"\x00" * 6 + _s.pack(">H", 1) + b"\x00" * 16
+        + _s.pack(">HH", 20, 12)
+        + _s.pack(">II", 0x00480000, 0x00480000) + b"\x00" * 4
+        + _s.pack(">H", 1) + bytes(32) + _s.pack(">H", 24)
+        + _s.pack(">h", -1),  # NO avcC child
+    )
+    blob = _mp4_container(20, 12, samples, entry, 1000, 40)
+    frames = decode_mp4_samples(blob)
+    assert [f["mean_gray"] for f in frames] == [44.0, 199.0]
+
+
 def test_h264_avc_in_mp4_roundtrip():
     """The full container chain: avc1 sample entry + avcC config,
     length-prefixed samples, stsc/stsz/stco resolution, per-frame
