@@ -3948,6 +3948,106 @@ def test_h264_i4x4_mode_parse_vertical_over_pcm():
     assert np.array_equal(dec_y[16:], np.tile(y[15], (16, 1)))
 
 
+def test_h264_qp_sweep_and_mb_qp_delta():
+    """Exact solid-gray reconstruction across the whole QP ladder —
+    both luma-DC dequant branches (qP < 36 rounding-add form and the
+    qP >= 36 pure-shift form) — and a hand-written nonzero mb_qp_delta
+    (the decoder's (qp + delta + 52) % 52 wrap feeding the level
+    chosen for the POST-delta qp)."""
+    from pantasia_db_sync_spark.operators import h264
+
+    for qp in (0, 5, 12, 23, 30, 36, 40, 47, 51):
+        for g in (0, 77, 255):
+            sps, pps, idrs = h264.encode_avc_stream(16, 16, [g], qp=qp)
+            data = b"\x00\x00\x00\x01".join([b"", sps, pps, idrs[0]])
+            f = h264.decode_annexb(data)[0]
+            assert f["mean_gray"] == float(g), (qp, g, f)
+    # mb_qp_delta: PPS init qp 20, MB codes delta -3 -> effective 17
+    bw = h264._BitWriter()
+    bw.ue(0); bw.ue(7); bw.ue(0); bw.u(4, 0); bw.ue(0)
+    bw.u(1, 0); bw.u(1, 0); bw.se(0); bw.ue(1)
+    bw.ue(3)   # Intra_16x16 DC, cbp 0/0
+    bw.ue(0)   # chroma DC
+    bw.se(-3)  # mb_qp_delta
+    lvl = h264._dc_level_for_residual(90 - 128, 17)
+    scan = [0] * 16
+    scan[0] = lvl
+    h264._encode_residual_block(bw, scan, 0, 16)
+    bw.rbsp_trailing()
+    nal = b"\x65" + h264.rbsp_to_nal(bw.tobytes())
+    sps = h264.parse_sps(h264.nal_to_rbsp(h264._encode_sps(16, 16)[1:]))
+    pps = h264.parse_pps(h264.nal_to_rbsp(h264._encode_pps(20)[1:]))
+    y, _, _ = h264.decode_idr_planes(h264.nal_to_rbsp(nal[1:]), sps, pps, 5, 3)
+    assert (y == 90).all()
+
+
+def test_h264_intra16x16_ac_and_chroma_residual_paths():
+    """The two residual paths the gray fixtures never drive: an
+    Intra_16x16 macroblock with CBP luma 15 carrying ONE AC
+    coefficient (mb_type 15; a (0,1)-frequency residual must decode to
+    the hand-derived column pattern +2,+1,-1,-2 around the DC
+    prediction), and CBP chroma 1 carrying a Cb DC coefficient
+    (mb_type 7; all four chroma quadrants shift by the same
+    hand-derived +4 while Cr stays flat)."""
+    import numpy as np
+
+    from pantasia_db_sync_spark.operators import h264
+
+    sps = h264.parse_sps(h264.nal_to_rbsp(h264._encode_sps(16, 16)[1:]))
+    pps = h264.parse_pps(h264.nal_to_rbsp(h264._encode_pps(12)[1:]))
+
+    # --- AC path: mb_type 15 = Intra_16x16, DC pred, cbpC 0, cbpL 15
+    bw = h264._BitWriter()
+    bw.ue(0); bw.ue(7); bw.ue(0); bw.u(4, 0); bw.ue(0)
+    bw.u(1, 0); bw.u(1, 0); bw.se(0); bw.ue(1)
+    bw.ue(15)
+    bw.ue(0)   # chroma DC
+    bw.se(0)   # mb_qp_delta
+    h264._encode_residual_block(bw, [0] * 16, 0, 16)  # luma DC: empty
+    luma_tc = np.zeros((4, 4), dtype=np.int64)
+    for idx in range(16):
+        bx, by = h264._z_luma(idx)
+        nc = h264._nc_from_neighbors(luma_tc, bx, by, False, False)
+        ac = [0] * 15
+        if idx == 0:
+            ac[0] = 3  # scan position 1 -> raster (0,1), class-2 LS
+        h264._encode_residual_block(bw, ac, nc, 15)
+        luma_tc[by, bx] = 1 if idx == 0 else 0
+    bw.rbsp_trailing()
+    nal = b"\x65" + h264.rbsp_to_nal(bw.tobytes())
+    y, cb, cr = h264.decode_idr_planes(
+        h264.nal_to_rbsp(nal[1:]), sps, pps, 5, 3
+    )
+    # V = 3 * LS(12%6=0, class2=13) << 2 = 156; horizontal butterfly of
+    # (0,V,0,0) -> f = (V, V/2, -V/2, -V); vertical pass replicates row
+    # 0 down columns; r = (f+32)>>6 = (2, 1, -1, -2); pred is DC 128
+    exp0 = np.tile(np.array([130, 129, 127, 126]), (4, 1))
+    assert np.array_equal(y[0:4, 0:4].astype(int), exp0)
+    assert (y[:, 4:] == 128).all() and (y[4:, :] == 128).all()
+
+    # --- chroma path: mb_type 7 = Intra_16x16, DC pred, cbpC 1, cbpL 0
+    bw = h264._BitWriter()
+    bw.ue(0); bw.ue(7); bw.ue(0); bw.u(4, 0); bw.ue(0)
+    bw.u(1, 0); bw.u(1, 0); bw.se(0); bw.ue(1)
+    bw.ue(7)
+    bw.ue(0)
+    bw.se(0)
+    h264._encode_residual_block(bw, [0] * 16, 0, 16)  # luma DC empty
+    cbdc = [0] * 4
+    cbdc[0] = 200  # Cb DC: f=200 all quadrants; ((200*10)<<2)>>5 = 250
+    h264._encode_residual_block(bw, cbdc, -1, 4)
+    h264._encode_residual_block(bw, [0] * 4, -1, 4)  # Cr DC empty
+    bw.rbsp_trailing()
+    nal = b"\x65" + h264.rbsp_to_nal(bw.tobytes())
+    y, cb, cr = h264.decode_idr_planes(
+        h264.nal_to_rbsp(nal[1:]), sps, pps, 5, 3
+    )
+    # r = (250+32)>>6 = 4 on every chroma sample
+    assert (y == 128).all()
+    assert (cb == 132).all()
+    assert (cr == 128).all()
+
+
 def test_h264_avc3_inband_parameter_sets():
     """avc3 sample entries (no avcC child): SPS/PPS ride IN-BAND in
     the first sync sample and must PERSIST across samples — the second
