@@ -1956,6 +1956,148 @@ def gskew_main() -> None:
         )
 
 
+def r15_main() -> None:
+    """Round-15 scale shapes for the new operators. Usage:
+    python scripts/scale_experiment.py --r15 [replicas]
+
+    - H.264 container->pixels (both MB families) at 1x -> Rx
+      documents: Arrow-batched map-only decode, expect linear walls.
+    - FastSS radius-2 on synthetic zero-padded serial names at
+      1x -> Rx: the templated-key hot-bucket shape the operator
+      docstring analyzes — candidates grow with the TRUE pair count
+      (serials are pairwise close), the blocking itself stays an
+      equi-join.
+    - Winnowing ingest filter (the stream_winnowing_hits plan as its
+      batch-equivalent frame: per-row mapInPandas fingerprints +
+      broadcast semi-join) over build_corpus replicas: expect linear
+      with corpus size, zero shuffle on the stream side.
+    - Sketch-only HyperANF/HyperBall (the graph_hyperanf_nf_sketch /
+      graph_hyperball_harmonic_sketch plans) on the planted-hub graph
+      at 1x/Rx edges: O(rounds) passes, O(|V|) sketch state.
+    """
+    import time as _time
+
+    import pyspark.sql.functions as _F
+
+    from pantasia_db_sync_spark.functions.text import (
+        HASH_PRIME,
+        portable_hash_mod,
+    )
+    from pantasia_db_sync_spark.operators.components import (
+        hyperanf_rounds,
+        hyperball_harmonic,
+    )
+    from pantasia_db_sync_spark.operators.dedup import (
+        _shingle_parts,
+        levenshtein_pairs_fastss,
+        winnow_fingerprints_pandas,
+    )
+    from pantasia_db_sync_spark.operators.multimodal import (
+        decode_mp4_frame_features,
+        synthetic_avc_mp4_frame,
+    )
+
+    replicas = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    spark = get_spark(app_name="r15-scale-experiment")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def run(label, fn):
+        fn()  # warm
+        t0 = _time.perf_counter()
+        out = fn()
+        dt = _time.perf_counter() - t0
+        print(f"{label:<62} {dt:8.2f}s  (out={out})", flush=True)
+        return dt
+
+    # --- H.264 decode throughput (map-only) ---
+    for scale in (1, replicas):
+        n_docs = 300 * scale
+        ids = spark.range(n_docs).select(_F.col("id").alias("doc_id"))
+        for coding in ("i16x16", "i4x4"):
+            run(
+                f"x{scale} avc {coding} container->pixels ({n_docs} docs)",
+                lambda d=ids, c=coding: decode_mp4_frame_features(
+                    synthetic_avc_mp4_frame(d, coding=c), "doc_id", "content"
+                ).count(),
+            )
+
+    # --- FastSS radius-2 on templated serials ---
+    for scale in (1, replicas):
+        n = 1_500 * scale
+        names = spark.range(n).select(
+            _F.col("id").alias("nid"),
+            _F.format_string("User#%09d", _F.col("id")).alias("name"),
+        )
+        run(
+            f"x{scale} fastss radius-2 ({n} serial names)",
+            lambda d=names: levenshtein_pairs_fastss(
+                d, "nid", "name", max_dist=2
+            ).count(),
+        )
+
+    # --- winnowing ingest filter over corpus replicas ---
+    for scale in (1, replicas):
+        sf = build_corpus(spark, scale) if scale > 1 else BASE_SF
+        docs = load_table(spark, sf, "documents")
+        ref = docs.where(
+            _F.col("text").isNotNull() & (_F.col("doc_id") % 50 == 0)
+        )
+        toks, sh = _shingle_parts(ref, "doc_id", "text", 3)
+        from pyspark.sql import Window as _W
+
+        kg = toks.select(
+            "doc_id", _F.posexplode(sh).alias("pos", "s")
+        ).select(
+            "doc_id",
+            _F.col("pos").cast("bigint").alias("pos"),
+            portable_hash_mod("s").alias("h"),
+        )
+        win = _W.partitionBy("doc_id").orderBy("pos").rowsBetween(0, 3)
+        ref_fps = (
+            kg.select(
+                _F.count(_F.lit(1)).over(win).alias("wn"),
+                _F.max(
+                    _F.struct(
+                        (_F.lit(HASH_PRIME) - _F.col("h")).alias("neg"),
+                        _F.col("pos").alias("p"),
+                        _F.col("h").alias("hh"),
+                    )
+                ).over(win).alias("sel"),
+            )
+            .where(_F.col("wn") == 4)
+            .select(_F.col("sel.hh").alias("h"))
+            .distinct()
+        )
+        incoming = docs.where(
+            _F.col("text").isNotNull() & (_F.col("doc_id") % 50 != 0)
+        )
+        run(
+            f"x{scale} winnowing ingest filter ({incoming.count()} docs)",
+            lambda i=incoming, r=ref_fps: winnow_fingerprints_pandas(
+                i, "doc_id", "text"
+            )
+            .join(_F.broadcast(r), "h", "left_semi")
+            .count(),
+        )
+
+    # --- sketch-only neighborhood functions on the planted-hub graph
+    n1 = 30_000
+    for scale in (1, replicas):
+        edf, n_nodes, hub_deg = _hub_graph(spark, n1 * scale)
+        ne = edf.count()
+        print(f"\n-- x{scale}: {ne} edges, hub degree {hub_deg}", flush=True)
+        run(
+            f"x{scale} hyperanf_rounds rounds=3 (sketch only)",
+            lambda e=edf: hyperanf_rounds(e, rounds=3).count(),
+        )
+        run(
+            f"x{scale} hyperball_harmonic sixths (sketch only)",
+            lambda e=edf: hyperball_harmonic(
+                e, rounds=3, integer_sixths=True
+            ).count(),
+        )
+
+
 def sync100_main() -> None:
     """Round-15 100x sync-pipeline scale probe (VERDICT r14 next-round
     #4): python scripts/scale_experiment.py --sync100 [max_scale]
@@ -2011,7 +2153,9 @@ def sync100_main() -> None:
 
 
 if __name__ == "__main__":
-    if len(sys.argv) > 1 and sys.argv[1] == "--sync100":
+    if len(sys.argv) > 1 and sys.argv[1] == "--r15":
+        r15_main()
+    elif len(sys.argv) > 1 and sys.argv[1] == "--sync100":
         sync100_main()
     elif len(sys.argv) > 1 and sys.argv[1] == "--skew":
         skew_main()
