@@ -431,9 +431,10 @@ def levenshtein_pairs_fastss(
     1.59M distinct (id, variant) index rows (array_distinct collapses
     the many identical deletions a zero run produces), max variant
     bucket 555 (two tail digits deleted from a dense serial range),
-    Σd² = 65M candidate rows pre-distinct — 13.5s on local[32] for
-    4.08M TRUE radius-2 pairs, i.e. dominated by genuinely-close
-    serials, not blocking waste. The lesson stands: radius-2 on
+    Σd² = 65M candidate rows pre-distinct, 17.4M distinct candidate
+    pairs — 8.1s on local[32] for 4.08M TRUE radius-2 pairs (13.5s
+    first draft; the three optimizations are annotated inline below),
+    i.e. dominated by genuinely-close serials, not blocking waste. The lesson stands: radius-2 on
     templated keys is where you reach for sorted-neighborhood or a
     prefix-blocked variant first; on natural-language names the
     buckets are alphabet-bounded. k ≥ 3 (O(L³) variants per string)
@@ -478,24 +479,44 @@ def levenshtein_pairs_fastss(
             ),
         ).otherwise(F.array().cast("array<string>"))
         variants = F.array_union(variants, del2)
-    idx = base.select(
-        "__id", F.col("__s"), F.explode(variants).alias("__v")
-    )
-    a = idx.select(
-        F.col("__id").alias("id_a"), F.col("__s").alias("__sa"), "__v"
-    )
-    b = idx.select(
-        F.col("__id").alias("id_b"), F.col("__s").alias("__sb"), "__v"
-    )
-    return (
+    # candidates carry BARE ID PAIRS through the heavy dedup shuffle:
+    # a close pair shares up to ~L variants at k=2 (every 2-deletion
+    # superset of an ed-1 pair's differing position collides), so the
+    # pre-distinct candidate stream is ~L x the pair count — dropping
+    # the two strings from those rows shrinks the distinct's shuffle
+    # bytes ~4x. Strings re-attach to the ~pair-count-sized survivors
+    # with two id-keyed joins before the exact verify. Measured at
+    # sf0.1 (templated names, 4.08M true pairs): 13.5s first draft ->
+    # 9.8s (bare-id distinct) -> 9.3s (thresholded levenshtein) ->
+    # 8.1s (index checkpointed once, below).
+    # materialize the variant index ONCE: both self-join sides read it,
+    # and the k=2 neighborhood expression (L^2/2 substr+concat chains
+    # per string) is the single most expensive projection in the plan —
+    # without the checkpoint Catalyst re-inlines it into each side
+    # (the index build measures 4.7s standalone at sf0.1; running it
+    # once instead of twice took the end-to-end wall 9.3s -> 8.1s)
+    idx = base.select("__id", F.explode(variants).alias("__v"))
+    if max_dist > 1:
+        idx = idx.localCheckpoint(eager=True)
+    a = idx.select(F.col("__id").alias("id_a"), "__v")
+    b = idx.select(F.col("__id").alias("id_b"), "__v")
+    pairs = (
         a.join(b.hint("shuffle_hash"), "__v")
         .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "__sa", "__sb")
+        .select("id_a", "id_b")
         .distinct()
-        .where(F.levenshtein("__sa", "__sb") <= max_dist)
-        .select(
-            "id_a", "id_b", F.levenshtein("__sa", "__sb").alias("dist")
-        )
+    )
+    sa = base.select(F.col("__id").alias("id_a"), F.col("__s").alias("__sa"))
+    sb = base.select(F.col("__id").alias("id_b"), F.col("__s").alias("__sb"))
+    # thresholded levenshtein: the banded O(L*k) DP with early exit
+    # (returns -1 past the threshold) — ~3x cheaper per verify than
+    # the full O(L^2) form at k=2 on 18-char names
+    dist = F.expr(f"levenshtein(__sa, __sb, {int(max_dist)})")
+    return (
+        pairs.join(sa.hint("shuffle_hash"), "id_a")
+        .join(sb.hint("shuffle_hash"), "id_b")
+        .select("id_a", "id_b", dist.alias("dist"))
+        .where(F.col("dist") >= 0)
     )
 
 
