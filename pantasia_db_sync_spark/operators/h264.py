@@ -563,8 +563,16 @@ def _inverse_core_4x4(d: np.ndarray) -> np.ndarray:
 
 
 def _dequant_luma_dc(f: np.ndarray, qp: int) -> np.ndarray:
-    """8.5.10 (8-bit): scale the inverse-Hadamard'd luma DC."""
-    ls = _LS_V[qp % 6][0]
+    """8.5.10 (8-bit): scale the inverse-Hadamard'd luma DC.
+
+    LevelScale4x4(m, 0, 0) = weightScale(0,0) * normAdjust(m, 0) with
+    flat scaling lists, i.e. 16 * _LS_V[m][0] — the x16 pairs with the
+    FRExt shift amounts used here.  Bit-identical to the pre-FRExt
+    2003-edition ladder (qp>=12: f*V << (qp/6-2); else rounding-add
+    >> (2-qp/6)) for every qp; tests pin both editions against each
+    other so the absolute scale (DC contribution = 4x an equal AC
+    level) can't silently drift again."""
+    ls = 16 * _LS_V[qp % 6][0]
     qp6 = qp // 6
     f = f.astype(np.int64)
     if qp >= 36:
@@ -573,8 +581,9 @@ def _dequant_luma_dc(f: np.ndarray, qp: int) -> np.ndarray:
 
 
 def _dequant_chroma_dc(f: np.ndarray, qpc: int) -> np.ndarray:
-    """8.5.11 (4:2:0, 8-bit)."""
-    ls = _LS_V[qpc % 6][0]
+    """8.5.11 (4:2:0, 8-bit): LevelScale includes the x16 weightScale,
+    paired with the FRExt >>5 (equals the 2003 V-only form >>1)."""
+    ls = 16 * _LS_V[qpc % 6][0]
     return ((f.astype(np.int64) * ls) << (qpc // 6)) >> 5
 
 
@@ -1367,7 +1376,15 @@ def decode_avc_sample(sample: bytes, cfg: dict) -> dict:
             raise ValueError("bad NAL length prefix in avc1 sample")
         nal = sample[pos : pos + ln]
         pos += ln
-        frame = _decode_one_nal(nal, cfg) or frame
+        d = _decode_one_nal(nal, cfg)
+        if d is not None:
+            if frame is not None:
+                raise NotImplementedError(
+                    "multiple coded slices in one avc1 sample (multi-"
+                    "slice pictures are not supported; one frame per "
+                    "sample is the documented contract)"
+                )
+            frame = d
     if frame is None:
         raise ValueError("avc1 sample contains no coded slice")
     return frame
@@ -1478,14 +1495,19 @@ def _encode_pps(qp: int) -> bytes:
     return b"\x68" + rbsp_to_nal(bw.tobytes())
 
 
-def _dc_level_for_residual(residual: int, qp: int) -> int:
+def _dc_level_for_residual(
+    residual: int, qp: int, nearest: bool = False
+) -> int:
     """The single Intra16x16 luma-DC level whose decode reproduces
     ``residual`` on every pixel of the MB (constant block): search
     around the analytic estimate, verifying through the EXACT decoder
-    dequant + inverse-transform arithmetic."""
+    dequant + inverse-transform arithmetic.  At coarse qp (>= 30 with
+    the conformant x16 LevelScale) the dequant step exceeds one gray
+    level so some residuals have no exact level — ``nearest=True``
+    returns the closest representable one instead of raising."""
     if residual == 0:
         return 0
-    ls = _LS_V[qp % 6][0]
+    ls = 16 * _LS_V[qp % 6][0]
     qp6 = qp // 6
 
     def recon(level: int) -> int:
@@ -1500,16 +1522,29 @@ def _dc_level_for_residual(residual: int, qp: int) -> int:
     est = round(residual * 64 * (1 << (6 - qp6 if qp < 36 else 0)) / ls)
     if qp >= 36:
         est = round(residual * 64 / (ls << (qp6 - 6)))
-    for delta in range(0, 4000):
+    best, best_err = 0, abs(residual)
+    # the analytic estimate is within a few levels of optimal; recon is
+    # monotone in level, so a short scan around it finds the nearest
+    for delta in range(0, 64 if nearest else 4000):
         for cand in (est - delta, est + delta):
-            if recon(cand) == residual:
+            err = abs(recon(cand) - residual)
+            if err == 0:
                 return cand
+            if err < best_err:
+                best, best_err = cand, err
+    if nearest:
+        return best
     raise ValueError(f"no exact DC level for residual {residual} at qp {qp}")
 
 
 def encode_gray_idr(
-    width: int, height: int, gray: int, qp: int = 12, per_mb: list | None = None
-) -> bytes:
+    width: int,
+    height: int,
+    gray: int,
+    qp: int = 12,
+    per_mb: list | None = None,
+    return_plane: bool = False,
+):
     """One IDR NAL: every MB Intra_16x16 DC-mode with a single exact
     luma-DC coefficient. ``per_mb`` optionally gives one gray per MB
     (raster order) — neighbor prediction then makes most MBs carry a
@@ -1540,7 +1575,9 @@ def encode_gray_idr(
         pred = _pred_16x16(2, recon, x0, y0, left_ok, top_ok)
         target = grays[mb]
         residual = int(target) - int(pred[0, 0])
-        level = _dc_level_for_residual(residual, qp)
+        # exact at fine qp; nearest representable at coarse qp where
+        # the conformant dequant step exceeds one gray level
+        level = _dc_level_for_residual(residual, qp, nearest=True)
         bw.ue(3)  # mb_type: Intra_16x16, DC pred, cbp 0/0
         bw.ue(0)  # intra_chroma_pred_mode: DC
         bw.se(0)  # mb_qp_delta
@@ -1549,7 +1586,7 @@ def encode_gray_idr(
         _encode_residual_block(bw, scan, 0, 16)  # nC always 0 here (AC=0)
         # track reconstruction
         if level:
-            ls = _LS_V[qp % 6][0]
+            ls = 16 * _LS_V[qp % 6][0]
             qp6 = qp // 6
             if qp >= 36:
                 dc = (level * ls) << (qp6 - 6)
@@ -1560,7 +1597,10 @@ def encode_gray_idr(
             r = 0
         recon[y0 : y0 + 16, x0 : x0 + 16] = np.clip(pred + r, 0, 255)
     bw.rbsp_trailing()
-    return b"\x65" + rbsp_to_nal(bw.tobytes())
+    nal = b"\x65" + rbsp_to_nal(bw.tobytes())
+    if return_plane:
+        return nal, recon[:height, :width].astype(np.uint8)
+    return nal
 
 
 def encode_i4x4_idr(
@@ -1681,7 +1721,7 @@ def encode_pattern_idr(
     bw.se(0)
     bw.ue(1)
     qp6 = qp // 6
-    ls = _LS_V[qp % 6][0]
+    ls = 16 * _LS_V[qp % 6][0]  # LevelScale with the x16 weightScale
     scale = 4 * (1 << (6 - qp6)) / ls if qp < 36 else 4 / (ls << (qp6 - 6))
     recon = np.zeros((h_mbs * 16, w_mbs * 16), dtype=np.int64)
     for mb in range(w_mbs * h_mbs):

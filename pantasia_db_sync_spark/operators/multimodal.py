@@ -3178,6 +3178,7 @@ def _mp4_container(
     entry: bytes,
     timescale: int,
     frame_ms: int,
+    use_co64: bool = False,
 ) -> bytes:
     """Assemble ftyp + mdat + moov around ready-made video samples and
     a ready-made stsd sample entry — the shared layout of the MJPEG
@@ -3239,11 +3240,18 @@ def _mp4_container(
         struct.pack(">B3xII", 0, 0, n)
         + b"".join(struct.pack(">I", len(s)) for s in samples),
     )
-    stco = _box(
-        b"stco",
-        struct.pack(">B3xI", 0, n)
-        + b"".join(struct.pack(">I", o) for o in offsets),
-    )
+    if use_co64:  # 64-bit chunk offsets, the >4 GiB container form
+        stco = _box(
+            b"co64",
+            struct.pack(">B3xI", 0, n)
+            + b"".join(struct.pack(">Q", o) for o in offsets),
+        )
+    else:
+        stco = _box(
+            b"stco",
+            struct.pack(">B3xI", 0, n)
+            + b"".join(struct.pack(">I", o) for o in offsets),
+        )
     stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
     vmhd = _box(b"vmhd", struct.pack(">B3b", 0, 0, 0, 1) + b"\x00" * 8)
     dref = _box(
@@ -3355,6 +3363,14 @@ def _mp4_video_sample_tables(content: bytes) -> dict:
                 for i in range(cnt):
                     trak["offsets"].append(
                         struct.unpack_from(">I", content, body + 8 + 4 * i)[0]
+                    )
+            elif typ == b"co64":
+                # 64-bit chunk offsets — the >4 GiB form large vision-
+                # corpus MP4s actually use (ISO/IEC 14496-12 §8.7.5)
+                cnt = struct.unpack_from(">I", content, body + 4)[0]
+                for i in range(cnt):
+                    trak["offsets"].append(
+                        struct.unpack_from(">Q", content, body + 8 + 8 * i)[0]
                     )
             elif typ in _MP4_CONTAINERS:
                 walk(body, end, trak)

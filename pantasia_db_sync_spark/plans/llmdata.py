@@ -3980,7 +3980,8 @@ def multimodal_mp4_avc_frames_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     single exact luma-DC CAVLC coefficient makes every frame's
     mean_gray id-predictable BIT-FOR-BIT (pixel-exactness for all 256
     grays pinned in tests/test_properties.py). The honest gates left:
-    HEVC, CABAC, inter frames, Intra_4x4 (NotImplementedError each).
+    HEVC, CABAC, inter frames (NotImplementedError each); Intra_4x4
+    decodes since round 15 (see multimodal_mp4_avc_i4x4_frames).
     Arrow-batched mapInPandas, map-only, zero shuffle — the
     vision-corpus frame-sampling shape at 100 TB. Reference analogue:
     none (extension)."""

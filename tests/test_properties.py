@@ -3948,20 +3948,98 @@ def test_h264_i4x4_mode_parse_vertical_over_pcm():
     assert np.array_equal(dec_y[16:], np.tile(y[15], (16, 1)))
 
 
+def test_h264_dequant_absolute_scale_conformance():
+    """Pin the ABSOLUTE dequantization scale, not just self
+    round-trip (round-15 ADVICE: encoder+decoder sharing one wrong
+    scale is invisible to round-trip tests). No external H.264
+    encoder exists in this container, so the pin is the strongest
+    available substitute: (a) the pre-FRExt 2003-edition ladders for
+    luma DC (8.5.10: qp>=12 pure shift by qp/6-2, else rounding-add
+    >> (2-qp/6)) and chroma DC (8.5.11: << qp/6 then >> 1), written
+    HERE independently with the V-only normAdjust table, must agree
+    bit-for-bit with the decoder's FRExt-form implementation for
+    every qp 0..51 and a signed sweep of levels; (b) both spec
+    editions fix the DC:AC dequant ratio at 4:1 (luma) and 2:1
+    (chroma DC) for an equal level at the (0,0) position — asserted
+    across the full qp ladder; (c) hand-computed absolute values are
+    pinned as constants."""
+    import numpy as np
+
+    from pantasia_db_sync_spark.operators import h264
+
+    V = [10, 11, 13, 14, 16, 18]  # normAdjust(m, class 0) — Table 8-15
+    levels = np.array([-4000, -257, -16, -3, -1, 0, 1, 2, 5, 17, 255,
+                       813, 4095], dtype=np.int64)
+    for qp in range(52):
+        m, qp6 = qp % 6, qp // 6
+        # 2003-edition luma DC (V-only LevelScale)
+        if qp >= 12:
+            exp_luma = (levels * V[m]) << (qp6 - 2)
+        else:
+            exp_luma = (levels * V[m] + (1 << (1 - qp6))) >> (2 - qp6)
+        got_luma = h264._dequant_luma_dc(levels.copy(), qp)
+        assert np.array_equal(got_luma, exp_luma), f"luma DC qp={qp}"
+        # 2003-edition chroma DC
+        exp_chroma = ((levels * V[m]) << qp6) >> 1
+        got_chroma = h264._dequant_chroma_dc(levels.copy(), qp)
+        assert np.array_equal(got_chroma, exp_chroma), f"chroma DC qp={qp}"
+        # DC:AC ratios — AC at raster (0,0) is position-class 0
+        one = np.ones((4, 4), dtype=np.int64)
+        ac00 = int(h264._dequant_ac(one, qp)[0, 0])
+        dc = int(h264._dequant_luma_dc(np.array([1], dtype=np.int64), qp)[0])
+        cdc = int(h264._dequant_chroma_dc(np.array([1], dtype=np.int64), qp)[0])
+        # rounding makes low-qp DC inexact by < 1 output unit
+        assert abs(dc - ac00 / 4) <= 1, (qp, dc, ac00)
+        assert abs(cdc - ac00 / 2) <= 1, (qp, cdc, ac00)
+    # hand-computed absolute pins (LevelScale = 16*V with FRExt shifts)
+    dq = lambda lv, qp: int(
+        h264._dequant_luma_dc(np.array([lv], dtype=np.int64), qp)[0]
+    )
+    assert dq(1, 0) == 3       # (160 + 32) >> 6
+    assert dq(1, 12) == 10     # (160 + 8) >> 4  (== V[0] << 0)
+    assert dq(1, 36) == 160    # (1*160) << (6-6) (== V[0] << 4)
+    assert dq(1, 51) == 896    # (1*224) << 2    (== V[3] << 6)
+    cq = lambda lv, qp: int(
+        h264._dequant_chroma_dc(np.array([lv], dtype=np.int64), qp)[0]
+    )
+    assert cq(1, 12) == 20     # ((160) << 2) >> 5 (== V[0] << 2 >> 1)
+    # fixture-encoder sanity: the DC level for the max gray step at
+    # qp 12 lands at ~813 (16x-inflated pre-fix levels were ~13000)
+    assert 810 <= h264._dc_level_for_residual(127, 12) <= 815
+
+
 def test_h264_qp_sweep_and_mb_qp_delta():
     """Exact solid-gray reconstruction across the whole QP ladder —
     both luma-DC dequant branches (qP < 36 rounding-add form and the
     qP >= 36 pure-shift form) — and a hand-written nonzero mb_qp_delta
     (the decoder's (qp + delta + 52) % 52 wrap feeding the level
     chosen for the POST-delta qp)."""
+    import numpy as np
+
     from pantasia_db_sync_spark.operators import h264
 
     for qp in (0, 5, 12, 23, 30, 36, 40, 47, 51):
+        step = h264._dequant_luma_dc(
+            np.array([1], dtype=np.int64), qp
+        )[0] / 64.0  # gray units per DC level at this qp
         for g in (0, 77, 255):
             sps, pps, idrs = h264.encode_avc_stream(16, 16, [g], qp=qp)
             data = b"\x00\x00\x00\x01".join([b"", sps, pps, idrs[0]])
             f = h264.decode_annexb(data)[0]
-            assert f["mean_gray"] == float(g), (qp, g, f)
+            if step <= 1.0:  # every residual exactly representable
+                assert f["mean_gray"] == float(g), (qp, g, f)
+            else:  # coarse qp: nearest level, and decode must be
+                # bit-exact vs the encoder's tracked reconstruction
+                nal, plane = h264.encode_gray_idr(
+                    16, 16, g, qp=qp, return_plane=True
+                )
+                sps_d = h264.parse_sps(h264.nal_to_rbsp(sps[1:]))
+                pps_d = h264.parse_pps(h264.nal_to_rbsp(pps[1:]))
+                y, _, _ = h264.decode_idr_planes(
+                    h264.nal_to_rbsp(nal[1:]), sps_d, pps_d, 5, 3
+                )
+                assert np.array_equal(y, plane), (qp, g)
+                assert abs(f["mean_gray"] - g) <= step / 2 + 1, (qp, g, f)
     # mb_qp_delta: PPS init qp 20, MB codes delta -3 -> effective 17
     bw = h264._BitWriter()
     bw.ue(0); bw.ue(7); bw.ue(0); bw.u(4, 0); bw.ue(0)
@@ -4034,7 +4112,7 @@ def test_h264_intra16x16_ac_and_chroma_residual_paths():
     bw.se(0)
     h264._encode_residual_block(bw, [0] * 16, 0, 16)  # luma DC empty
     cbdc = [0] * 4
-    cbdc[0] = 200  # Cb DC: f=200 all quadrants; ((200*10)<<2)>>5 = 250
+    cbdc[0] = 12  # Cb DC: f=12 all quadrants; ((12*160)<<2)>>5 = 240
     h264._encode_residual_block(bw, cbdc, -1, 4)
     h264._encode_residual_block(bw, [0] * 4, -1, 4)  # Cr DC empty
     bw.rbsp_trailing()
@@ -4042,7 +4120,7 @@ def test_h264_intra16x16_ac_and_chroma_residual_paths():
     y, cb, cr = h264.decode_idr_planes(
         h264.nal_to_rbsp(nal[1:]), sps, pps, 5, 3
     )
-    # r = (250+32)>>6 = 4 on every chroma sample
+    # r = (240+32)>>6 = 4 on every chroma sample
     assert (y == 128).all()
     assert (cb == 132).all()
     assert (cr == 128).all()
@@ -4075,6 +4153,44 @@ def test_h264_avc3_inband_parameter_sets():
     blob = _mp4_container(20, 12, samples, entry, 1000, 40)
     frames = decode_mp4_samples(blob)
     assert [f["mean_gray"] for f in frames] == [44.0, 199.0]
+
+
+def test_h264_mp4_co64_offsets_and_multislice_contract():
+    """Round-15 ADVICE items: (a) co64 64-bit chunk offsets (the
+    >4 GiB container form) resolve samples identically to stco;
+    (b) a sample carrying TWO coded slices is rejected loudly
+    (NotImplementedError) instead of silently returning the last
+    slice's stats."""
+    import struct as _s
+
+    import pytest as _pt
+
+    from pantasia_db_sync_spark.operators import h264
+    from pantasia_db_sync_spark.operators.multimodal import (
+        _box,
+        _mp4_container,
+        decode_mp4_samples,
+    )
+
+    sps, pps, idrs = h264.encode_avc_stream(20, 12, [44, 199])
+    lp = lambda n: _s.pack(">I", len(n)) + n
+    samples = [lp(sps) + lp(pps) + lp(idrs[0]), lp(idrs[1])]
+    entry = _box(
+        b"avc3",
+        b"\x00" * 6 + _s.pack(">H", 1) + b"\x00" * 16
+        + _s.pack(">HH", 20, 12)
+        + _s.pack(">II", 0x00480000, 0x00480000) + b"\x00" * 4
+        + _s.pack(">H", 1) + bytes(32) + _s.pack(">H", 24)
+        + _s.pack(">h", -1),
+    )
+    blob = _mp4_container(20, 12, samples, entry, 1000, 40, use_co64=True)
+    frames = decode_mp4_samples(blob)
+    assert [f["mean_gray"] for f in frames] == [44.0, 199.0]
+    # multi-slice sample: two IDR NALs in ONE sample must be rejected
+    bad = [lp(sps) + lp(pps) + lp(idrs[0]) + lp(idrs[1])]
+    blob2 = _mp4_container(20, 12, bad, entry, 1000, 40)
+    with _pt.raises(NotImplementedError, match="multiple coded slices"):
+        decode_mp4_samples(blob2)
 
 
 def test_h264_avc_in_mp4_roundtrip():
