@@ -16,14 +16,15 @@ Scope (the honest gate, narrowed from "no H.264 at all" in round 14):
   all nine per-4x4 prediction modes, the 8.3.1.1 most-probable-mode
   derivation, the Table 9-4 me(v) coded_block_pattern, per-8x8-group
   residual gating with full-block 8.5.12.1 dequant.
+* DECODES (round-16 third pass): all four CAVLC coeff_token contexts
+  — 0 <= nC < 2, 2 <= nC < 4, 4 <= nC < 8 (dense textured
+  neighbors), chroma-DC, and the nC >= 8 fixed-length form — so
+  multi-coefficient blocks with live nC bookkeeping parse end to end.
 * RAISES NotImplementedError (each a deliberate, documented gate):
   CABAC (PPS entropy_coding_mode_flag=1), inter prediction (P/B
   slices), Intra_8x8 / the 8x8 transform (High profile), multi-slice
   pictures, FMO/ASO, interlace (frame_mbs_only_flag=0), in-loop
-  deblocking (streams must signal disable_deblocking_filter_idc=1),
-  and the CAVLC coeff_token contexts for 2 <= nC < 8 (dense-neighbor
-  blocks; the primary 0 <= nC < 2 context, the chroma-DC context and
-  the nC >= 8 fixed-length form are implemented).
+  deblocking (streams must signal disable_deblocking_filter_idc=1).
 * RAISES ValueError: malformed bitstreams (the module-wide contract
   decode_mp4_samples relies on — a corrupt row skips, the Arrow batch
   survives).
@@ -179,11 +180,11 @@ class _BitWriter:
 # ---------------------------------------------------------------------------
 # CAVLC codebooks (Tables 9-5, 9-7/9-8, 9-9(a), 9-10) — transcribed
 # from the public spec. Key: (trailing_ones, total_coeff) -> bitstring.
-# Context 0 covers 0 <= nC < 2 (the sparse-neighbor context every
-# fixture and most real intra streams hit); CTX_CHROMA_DC is the
-# nC == -1 table for 4:2:0 chroma DC (maxNumCoeff 4). The 2 <= nC < 8
-# contexts are a documented NotImplementedError gate (module
-# docstring); nC >= 8 is the algorithmic 6-bit fixed-length form.
+# All four coeff_token contexts decode: ctx0 (0 <= nC < 2, the
+# sparse-neighbor context), ctx1 (2 <= nC < 4) and ctx2 (4 <= nC < 8,
+# dense textured neighbors — round 16), CTX_CHROMA_DC (nC == -1,
+# 4:2:0 chroma DC, maxNumCoeff 4); nC >= 8 is the algorithmic 6-bit
+# fixed-length form.
 # ---------------------------------------------------------------------------
 
 _COEFF_TOKEN_CTX0 = {
@@ -226,6 +227,76 @@ _COEFF_TOKEN_CTX0 = {
 # neighbors average < 2 coefficients) is reconstructed and pinned
 # prefix-free + roundtrip-consistent by tests, with Kraft sum
 # 1 - 5/65536.
+
+# Table 9-5, 2 <= nC < 4 column (round 16): transcribed via the
+# (length, value) form the reference-software tables publish — the
+# same transcription reproduces the repo's independently-sourced ctx0
+# above on all 62 entries, pinning the source. Prefix-freeness +
+# Kraft sum pinned by tests alongside exhaustive encode/decode
+# round-trips.
+_COEFF_TOKEN_CTX1 = {
+    (0, 0): "11",
+    (0, 1): "001011", (1, 1): "10",
+    (0, 2): "000111", (1, 2): "00111", (2, 2): "011",
+    (0, 3): "0000111", (1, 3): "001010", (2, 3): "001001", (3, 3): "0101",
+    (0, 4): "00000111", (1, 4): "000110", (2, 4): "000101", (3, 4): "0100",
+    (0, 5): "00000100", (1, 5): "0000110", (2, 5): "0000101",
+    (3, 5): "00110",
+    (0, 6): "000000111", (1, 6): "00000110", (2, 6): "00000101",
+    (3, 6): "001000",
+    (0, 7): "00000001111", (1, 7): "000000110", (2, 7): "000000101",
+    (3, 7): "000100",
+    (0, 8): "00000001011", (1, 8): "00000001110", (2, 8): "00000001101",
+    (3, 8): "0000100",
+    (0, 9): "000000001111", (1, 9): "00000001010", (2, 9): "00000001001",
+    (3, 9): "000000100",
+    (0, 10): "000000001011", (1, 10): "000000001110",
+    (2, 10): "000000001101", (3, 10): "00000001100",
+    (0, 11): "000000001000", (1, 11): "000000001010",
+    (2, 11): "000000001001", (3, 11): "00000001000",
+    (0, 12): "0000000001111", (1, 12): "0000000001110",
+    (2, 12): "0000000001101", (3, 12): "000000001100",
+    (0, 13): "0000000001011", (1, 13): "0000000001010",
+    (2, 13): "0000000001001", (3, 13): "0000000001100",
+    (0, 14): "0000000000111", (1, 14): "00000000001011",
+    (2, 14): "0000000000110", (3, 14): "0000000001000",
+    (0, 15): "00000000001001", (1, 15): "00000000001000",
+    (2, 15): "00000000001010", (3, 15): "0000000000001",
+    (0, 16): "00000000000111", (1, 16): "00000000000110",
+    (2, 16): "00000000000101", (3, 16): "00000000000100",
+}
+
+# Table 9-5, 4 <= nC < 8 column: same transcription route. The
+# assembled code is prefix-free with Kraft sum exactly 1 - 1/1024
+# (the single unused 10-bit leaf 0000000000) — pinned by tests.
+_COEFF_TOKEN_CTX2 = {
+    (0, 0): "1111",
+    (0, 1): "001111", (1, 1): "1110",
+    (0, 2): "001011", (1, 2): "01111", (2, 2): "1101",
+    (0, 3): "001000", (1, 3): "01100", (2, 3): "01110", (3, 3): "1100",
+    (0, 4): "0001111", (1, 4): "01010", (2, 4): "01011", (3, 4): "1011",
+    (0, 5): "0001011", (1, 5): "01000", (2, 5): "01001", (3, 5): "1010",
+    (0, 6): "0001001", (1, 6): "001110", (2, 6): "001101", (3, 6): "1001",
+    (0, 7): "0001000", (1, 7): "001010", (2, 7): "001001", (3, 7): "1000",
+    (0, 8): "00001111", (1, 8): "0001110", (2, 8): "0001101",
+    (3, 8): "01101",
+    (0, 9): "00001011", (1, 9): "00001110", (2, 9): "0001010",
+    (3, 9): "001100",
+    (0, 10): "000001111", (1, 10): "00001010", (2, 10): "00001101",
+    (3, 10): "0001100",
+    (0, 11): "000001011", (1, 11): "000001110", (2, 11): "00001001",
+    (3, 11): "00001100",
+    (0, 12): "000001000", (1, 12): "000001010", (2, 12): "000001101",
+    (3, 12): "00001000",
+    (0, 13): "0000001101", (1, 13): "000000111", (2, 13): "000001001",
+    (3, 13): "000001100",
+    (0, 14): "0000001001", (1, 14): "0000001100", (2, 14): "0000001011",
+    (3, 14): "0000001010",
+    (0, 15): "0000000101", (1, 15): "0000001000", (2, 15): "0000000111",
+    (3, 15): "0000000110",
+    (0, 16): "0000000001", (1, 16): "0000000100", (2, 16): "0000000011",
+    (3, 16): "0000000010",
+}
 
 _COEFF_TOKEN_CHROMA_DC = {
     (0, 0): "01",
@@ -289,6 +360,8 @@ def _invert(table: dict) -> dict:
 
 
 _CT0_DEC = _invert(_COEFF_TOKEN_CTX0)
+_CT1_DEC = _invert(_COEFF_TOKEN_CTX1)
+_CT2_DEC = _invert(_COEFF_TOKEN_CTX2)
 _CTC_DEC = _invert(_COEFF_TOKEN_CHROMA_DC)
 
 
@@ -306,11 +379,10 @@ def _read_coeff_token(br: _BitReader, nC: int) -> tuple[int, int]:
         return _read_vlc(br, _CTC_DEC, "chroma-DC coeff_token")
     if nC < 2:
         return _read_vlc(br, _CT0_DEC, "coeff_token")
+    if nC < 4:
+        return _read_vlc(br, _CT1_DEC, "coeff_token(2<=nC<4)")
     if nC < 8:
-        raise NotImplementedError(
-            f"CAVLC coeff_token context for nC={nC} (2 <= nC < 8: "
-            "dense-neighbor blocks) not implemented"
-        )
+        return _read_vlc(br, _CT2_DEC, "coeff_token(4<=nC<8)")
     # nC >= 8: 6-bit fixed-length (9.2.1): (0,0) is 000011, else
     # code = 4*(TotalCoeff-1) + TrailingOnes
     code = br.u(6)
@@ -324,10 +396,12 @@ def _write_coeff_token(bw: _BitWriter, nC: int, t1: int, tc: int) -> None:
         bw.put_str(_COEFF_TOKEN_CHROMA_DC[(t1, tc)])
     elif nC < 2:
         bw.put_str(_COEFF_TOKEN_CTX0[(t1, tc)])
-    elif nC >= 8:
-        bw.u(6, 3 if tc == 0 else 4 * (tc - 1) + t1)
+    elif nC < 4:
+        bw.put_str(_COEFF_TOKEN_CTX1[(t1, tc)])
+    elif nC < 8:
+        bw.put_str(_COEFF_TOKEN_CTX2[(t1, tc)])
     else:
-        raise NotImplementedError(f"coeff_token encode for nC={nC}")
+        bw.u(6, 3 if tc == 0 else 4 * (tc - 1) + t1)
 
 
 def _decode_residual_block(
@@ -1357,6 +1431,9 @@ def _frame_dict(y: np.ndarray) -> dict:
         "width": int(w),
         "height": int(h),
         "mean_gray": float(np.mean(y.astype(np.float64))),
+        # the cropped luma plane itself, for pixel-exact downstream
+        # checks (scalar-only consumers ignore this key)
+        "y": y,
     }
 
 
@@ -1697,6 +1774,91 @@ def encode_i4x4_idr(
             luma_tc[mby * 4 + by, mbx * 4 + bx] = 1 if levels[idx] else 0
     bw.rbsp_trailing()
     return b"\x65" + rbsp_to_nal(bw.tobytes())
+
+
+# Scan-order 4x4 residual level patterns for the textured I_NxN
+# fixture: TotalCoeff sweeps 1..16 (so neighbor nC crosses every
+# coeff_token context boundary: 2, 4, 8), zero runs exercise
+# total_zeros + run_before (incl. the zeros_left > 6 escape), and the
+# larger magnitudes walk the level_prefix/suffix ladder.
+_TEXTURE_PATTERNS: list[list[int]] = [
+    [2],                                              # tc 1
+    [3, 1],                                           # tc 2, one T1
+    [1, -1, 1],                                       # tc 3, all T1
+    [2, 0, -1, 1, 1],                                 # tc 4 + gap
+    [-4, 2, 1, 0, 0, 1, -1],                          # tc 5
+    [2, -2, 0, 1, 1, 0, 0, -1, 1],                    # tc 6
+    [3, 1, -2, 1, 1, 0, 1, -1, 1, 1],                 # tc 8
+    [1, 2, -1, 1, -1, 1, 0, 1, -1, 1, 1, 0, 1],       # tc 10
+    [1, -1, 2, 1, -1, 1, 1, -1, 1, 1, -1, 1, 1, -1, 1, 1],  # tc 16
+    [0, 0, 0, 0, 0, 3, 0, 0, 0, 0, 0, 0, 0, 1],       # run_before > 6
+    [-9],                                             # suffix ladder
+    [20, 1],                                          # bigger level
+    [0, 1, 0, 0, -1, 0, 0, 0, 1],                     # scattered T1s
+]
+
+
+def encode_textured_i4x4_idr(
+    width: int, height: int, seed: int, qp: int = 12
+) -> tuple[bytes, np.ndarray, set]:
+    """One IDR NAL of I_NxN macroblocks where EVERY 4x4 block carries
+    a multi-coefficient CAVLC residual drawn deterministically from
+    ``_TEXTURE_PATTERNS`` by (seed, block) — neighbor total_coeff
+    bookkeeping then drives coeff_token through ALL FOUR contexts
+    (0<=nC<2, 2<=nC<4, 4<=nC<8 — the round-16 Table 9-5 columns —
+    and the nC>=8 fixed-length form). Returns (nal, expected luma
+    plane computed through the decoder's exact 8.5.12.1 dequant +
+    inverse-core arithmetic, set of context labels exercised)."""
+    w_mbs = (width + 15) // 16
+    h_mbs = (height + 15) // 16
+    bw = _BitWriter()
+    bw.ue(0)
+    bw.ue(7)
+    bw.ue(0)
+    bw.u(4, 0)
+    bw.ue(0)
+    bw.u(1, 0)
+    bw.u(1, 0)
+    bw.se(0)
+    bw.ue(1)
+    recon = np.zeros((h_mbs * 16, w_mbs * 16), dtype=np.int64)
+    luma_tc = np.zeros((h_mbs * 4, w_mbs * 4), dtype=np.int64)
+    ctxs: set = set()
+    for mb in range(w_mbs * h_mbs):
+        mbx, mby = mb % w_mbs, mb // w_mbs
+        x0, y0 = mbx * 16, mby * 16
+        left_ok, top_ok = mbx > 0, mby > 0
+        bw.ue(0)  # mb_type I_NxN
+        for idx in range(16):
+            bw.u(1, 1)  # prev_intra4x4_pred_mode_flag: all DC == MPM
+        bw.ue(0)  # intra_chroma_pred_mode DC
+        bw.ue(_CBP_INTRA_TO_CODE[15])  # all four luma 8x8 groups coded
+        bw.se(0)  # mb_qp_delta
+        for idx in range(16):
+            bx, by = _z_luma(idx)
+            x, y = x0 + 4 * bx, y0 + 4 * by
+            pat = _TEXTURE_PATTERNS[
+                (seed * 31 + mb * 7 + idx * 3) % len(_TEXTURE_PATTERNS)
+            ]
+            scan = list(pat) + [0] * (16 - len(pat))
+            nc = _nc_from_neighbors(
+                luma_tc, mbx * 4 + bx, mby * 4 + by, left_ok, top_ok
+            )
+            ctxs.add(
+                "flc" if nc >= 8 else
+                "ctx2" if nc >= 4 else
+                "ctx1" if nc >= 2 else "ctx0"
+            )
+            _encode_residual_block(bw, scan, nc, 16)
+            luma_tc[mby * 4 + by, mbx * 4 + bx] = sum(1 for c in scan if c)
+            # reconstruction through the decoder's exact arithmetic
+            pred = _pred_4x4(2, recon, x, y, x > 0, y > 0, False, False)
+            d = _dequant_ac(_scan_to_block(scan), qp)
+            r = (_inverse_core_4x4(d) + 32) >> 6
+            recon[y : y + 4, x : x + 4] = np.clip(pred + r, 0, 255)
+    bw.rbsp_trailing()
+    nal = b"\x65" + rbsp_to_nal(bw.tobytes())
+    return nal, recon[:height, :width].astype(np.uint8), ctxs
 
 
 def encode_pattern_idr(

@@ -3132,6 +3132,8 @@ def _decode_avc_samples(
                 "width": d["width"],
                 "height": d["height"],
                 "mean_gray": float(d["mean_gray"]),
+                # decoded luma plane for pixel-exact downstream checks
+                "y": d["y"],
             }
         )
     return frames
@@ -3533,6 +3535,16 @@ def encode_mp4_avc(
         sps_nal = h264._encode_sps(width, height)
         pps_nal = h264._encode_pps(qp)
         idrs = [h264.encode_i4x4_idr(width, height, g, qp) for g in grays]
+    elif coding == "textured":
+        # ``grays`` doubles as the per-frame pattern seeds: every 4x4
+        # block carries a multi-coefficient CAVLC residual, driving
+        # coeff_token through all four nC contexts (round 16)
+        sps_nal = h264._encode_sps(width, height)
+        pps_nal = h264._encode_pps(qp)
+        idrs = [
+            h264.encode_textured_i4x4_idr(width, height, g, qp)[0]
+            for g in grays
+        ]
     else:
         raise ValueError(f"unknown coding {coding!r}")
     samples = [struct.pack(">I", len(n)) + n for n in idrs]
@@ -3569,16 +3581,83 @@ def synthetic_avc_mp4_frame(
             content = []
             for i in pdf["doc_id"]:
                 i = int(i)
-                if coding == "i4x4":
-                    w, h = 2 * (i % 9 + 1), 2 * (i % 6 + 1)
-                    grays = [(i * 17 + 53 * k) % 256 for k in range(i % 3 + 2)]
-                else:
-                    w, h = 2 * (i % 10 + 1), 2 * (i % 7 + 1)
-                    grays = [(i * 13 + 37 * k) % 256 for k in range(i % 3 + 2)]
+                w, h, grays = _avc_fixture_params(i, coding)
                 content.append(encode_mp4_avc(w, h, grays, coding=coding))
             yield pd.DataFrame({"doc_id": pdf["doc_id"].values, "content": content})
 
     return src.mapInPandas(gen, schema="doc_id bigint, content binary")
+
+
+def _avc_fixture_params(i: int, coding: str) -> tuple[int, int, list[int]]:
+    """The id-arithmetic fixture geometry shared by the generator and
+    (for textured coding) the pixel-exactness checker."""
+    if coding == "i4x4":
+        return (
+            2 * (i % 9 + 1),
+            2 * (i % 6 + 1),
+            [(i * 17 + 53 * k) % 256 for k in range(i % 3 + 2)],
+        )
+    if coding == "textured":
+        # multi-MB often (up to 2x2 MBs), pattern seed per frame
+        return (
+            2 * (i % 12 + 1),
+            2 * (i % 9 + 1),
+            [i * 11 + k for k in range(i % 3 + 2)],
+        )
+    return (
+        2 * (i % 10 + 1),
+        2 * (i % 7 + 1),
+        [(i * 13 + 37 * k) % 256 for k in range(i % 3 + 2)],
+    )
+
+
+def check_mp4_avc_textured(
+    df: DataFrame, id_col: str = "doc_id", binary_col: str = "content"
+) -> DataFrame:
+    """Pixel-exactness audit of the textured-AVC chain: decode every
+    sample through the FULL container->CAVLC->pixels path
+    (decode_mp4_samples) and count mismatching luma pixels against
+    the plane the fixture encoder tracked through the decoder's spec
+    arithmetic (operators/h264.py encode_textured_i4x4_idr). A wrong
+    Table 9-5 code in ANY exercised context desynchronizes the CAVLC
+    parse, so mismatch_px == 0 per frame is a real end-to-end gate on
+    the round-16 2<=nC<8 coeff_token columns. Arrow-batched
+    mapInPandas, map-only, zero shuffle."""
+    from . import h264
+
+    src = df.select(
+        F.col(id_col).alias("doc_id"), F.col(binary_col).alias("content")
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, content in zip(pdf["doc_id"], pdf["content"]):
+                i = int(i)
+                w, h, seeds = _avc_fixture_params(i, "textured")
+                for k, fr in enumerate(decode_mp4_samples(bytes(content))):
+                    _, expected, _ = h264.encode_textured_i4x4_idr(
+                        w, h, seeds[k]
+                    )
+                    mismatch = int(np.count_nonzero(fr["y"] != expected))
+                    rows.append(
+                        (i, fr["frame_idx"], fr["width"], fr["height"],
+                         mismatch)
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "frame_idx", "width", "height", "mismatch_px",
+                ],
+            )
+
+    return src.mapInPandas(
+        gen,
+        schema=(
+            "doc_id bigint, frame_idx int, width int, height int, "
+            "mismatch_px int"
+        ),
+    )
 
 
 MP4_FRAMES_SCHEMA = (

@@ -4036,6 +4036,49 @@ def multimodal_mp4_avc_i4x4_frames_q(
 
 
 @register(
+    "multimodal_mp4_avc_textured_frames",
+    oracle="""
+    SELECT d.doc_id,
+           CAST(s.k AS INTEGER) AS frame_idx,
+           CAST(2 * (d.doc_id % 12 + 1) AS INTEGER) AS width,
+           CAST(2 * (d.doc_id % 9 + 1) AS INTEGER) AS height,
+           CAST(0 AS INTEGER) AS mismatch_px
+    FROM (SELECT doc_id FROM documents WHERE doc_id < 300) d
+    JOIN range(0, 4) s(k) ON s.k <= d.doc_id % 3 + 1
+    """,
+)
+def multimodal_mp4_avc_textured_frames_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TEXTURED H.264 CAVLC DECODE (round 16) — every 4x4 block of
+    every I_NxN macroblock carries a multi-coefficient residual, so
+    neighbor total_coeff bookkeeping drives coeff_token through ALL
+    FOUR contexts: the round-16 Table 9-5 columns for 2<=nC<4 and
+    4<=nC<8 (prefix-free, Kraft sums pinned in tests), plus 0<=nC<2
+    and the nC>=8 fixed-length form; zero runs exercise total_zeros /
+    run_before incl. the zeros_left>6 escape, larger levels the
+    level_prefix suffix ladder. The query decodes each frame through
+    the full container->pixels chain and counts luma pixels differing
+    from the encoder-tracked expected plane — a single wrong VLC code
+    desynchronizes the parse, so mismatch_px == 0 per frame is the
+    gate (operators/h264.py encode_textured_i4x4_idr,
+    operators/multimodal.py check_mp4_avc_textured). Fixtures:
+    doc_id%3+2 frames of 2*(id%12+1) x 2*(id%9+1), multi-MB with
+    cropping on most rows. Remaining honest gates: HEVC, CABAC,
+    inter, deblocking-enabled streams. Arrow-batched mapInPandas,
+    map-only, zero shuffle. Reference analogue: none (extension)."""
+    from ..operators.multimodal import (
+        check_mp4_avc_textured,
+        synthetic_avc_mp4_frame,
+    )
+
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    return check_mp4_avc_textured(
+        synthetic_avc_mp4_frame(d, coding="textured"), "doc_id", "content"
+    )
+
+
+@register(
     "text_winnowing_matches",
     oracle=f"""
     WITH toks AS ({_SQL_TOKS}),

@@ -3616,7 +3616,31 @@ def test_h264_codebooks_prefix_free_and_roundtrip():
                 )
 
     assert_prefix_free("ctx0", h264._COEFF_TOKEN_CTX0.values())
+    assert_prefix_free("ctx1", h264._COEFF_TOKEN_CTX1.values())
+    assert_prefix_free("ctx2", h264._COEFF_TOKEN_CTX2.values())
     assert_prefix_free("chromaDC", h264._COEFF_TOKEN_CHROMA_DC.values())
+    # all 62 (t1, tc) rows present in every full-block context
+    expect_keys = {(0, 0)} | {
+        (t1, tc) for tc in range(1, 17) for t1 in range(min(3, tc) + 1)
+    }
+    assert set(h264._COEFF_TOKEN_CTX1) == expect_keys
+    assert set(h264._COEFF_TOKEN_CTX2) == expect_keys
+    # Kraft structure pins: ctx1 leaves two 14-bit leaves unused,
+    # ctx2 exactly one 10-bit leaf (0000000000), chroma-DC is complete
+    kraft1 = sum(
+        Fraction(1, 2 ** len(v)) for v in h264._COEFF_TOKEN_CTX1.values()
+    )
+    assert kraft1 == 1 - Fraction(1, 8192)
+    kraft2 = sum(
+        Fraction(1, 2 ** len(v)) for v in h264._COEFF_TOKEN_CTX2.values()
+    )
+    assert kraft2 == 1 - Fraction(1, 1024)
+    assert "0000000000" not in set(h264._COEFF_TOKEN_CTX2.values())
+    kraftc = sum(
+        Fraction(1, 2 ** len(v))
+        for v in h264._COEFF_TOKEN_CHROMA_DC.values()
+    )
+    assert kraftc == 1
     for tc, tab in h264._TOTAL_ZEROS_4x4.items():
         assert_prefix_free(f"tz4x4[{tc}]", tab)
         assert len(tab) == 16 - tc + 1
@@ -3634,10 +3658,12 @@ def test_h264_codebooks_prefix_free_and_roundtrip():
 
 def test_h264_cavlc_block_roundtrip_exhaustive_tokens():
     """CAVLC residual block encode->decode is the identity for every
-    (TrailingOnes, TotalCoeff) row of both implemented contexts, for
-    levels spanning the suffix-adaptation ladder and the big-level
-    escape (prefix >= 16), and for randomized sparse patterns hitting
-    total_zeros and run_before."""
+    (TrailingOnes, TotalCoeff) row of ALL FOUR coeff_token contexts
+    (ctx0, the round-16 ctx1/ctx2 dense-neighbor columns, chroma-DC)
+    plus the nC>=8 fixed-length form, for levels spanning the
+    suffix-adaptation ladder and the big-level escape (prefix >= 16),
+    and for randomized sparse patterns hitting total_zeros and
+    run_before."""
     import random
 
     from pantasia_db_sync_spark.operators import h264
@@ -3652,9 +3678,15 @@ def test_h264_cavlc_block_roundtrip_exhaustive_tokens():
         got = h264._decode_residual_block(br, nC, max_coeffs)
         assert got == list(coeffs), (coeffs, got, nC)
 
-    for max_coeffs, nC in ((16, 0), (16, 1), (16, 9), (4, -1)):
+    for max_coeffs, nC in (
+        (16, 0), (16, 1), (16, 2), (16, 3), (16, 4), (16, 7), (16, 9),
+        (4, -1),
+    ):
         table = (
-            h264._COEFF_TOKEN_CHROMA_DC if nC == -1 else h264._COEFF_TOKEN_CTX0
+            h264._COEFF_TOKEN_CHROMA_DC if nC == -1 else
+            h264._COEFF_TOKEN_CTX2 if 4 <= nC < 8 else
+            h264._COEFF_TOKEN_CTX1 if 2 <= nC < 4 else
+            h264._COEFF_TOKEN_CTX0
         )
         for (t1, tc) in table:
             if tc > max_coeffs:
@@ -4153,6 +4185,48 @@ def test_h264_avc3_inband_parameter_sets():
     blob = _mp4_container(20, 12, samples, entry, 1000, 40)
     frames = decode_mp4_samples(blob)
     assert [f["mean_gray"] for f in frames] == [44.0, 199.0]
+
+
+def test_h264_textured_all_coeff_token_contexts_bit_exact():
+    """The round-16 textured I_NxN fixture: every 4x4 block carries a
+    multi-coefficient CAVLC residual, neighbor bookkeeping drives
+    coeff_token through ALL FOUR contexts (asserted, not assumed),
+    and the decoded luma plane is BIT-EXACT against the encoder's
+    spec-arithmetic expectation across seeds, geometries (multi-MB,
+    cropped) and the MP4 container chain."""
+    import numpy as np
+
+    from pantasia_db_sync_spark.operators import h264
+    from pantasia_db_sync_spark.operators.multimodal import (
+        decode_mp4_samples,
+        encode_mp4_avc,
+    )
+
+    allctx = set()
+    for seed in range(6):
+        for (w, h) in ((16, 16), (48, 32), (20, 12), (34, 22)):
+            nal, plane, ctxs = h264.encode_textured_i4x4_idr(w, h, seed)
+            allctx |= ctxs
+            sps = h264.parse_sps(
+                h264.nal_to_rbsp(h264._encode_sps(w, h)[1:])
+            )
+            pps = h264.parse_pps(h264.nal_to_rbsp(h264._encode_pps(12)[1:]))
+            y, cb, cr = h264.decode_idr_planes(
+                h264.nal_to_rbsp(nal[1:]), sps, pps, 5, 3
+            )
+            y2, _, _ = h264._crop_planes(y, cb, cr, sps)
+            assert np.array_equal(y2, plane), (seed, w, h)
+    assert allctx == {"ctx0", "ctx1", "ctx2", "flc"}
+    # the container chain end to end (the registry-query shape)
+    for i in (3, 77, 123):
+        w, h = 2 * (i % 12 + 1), 2 * (i % 9 + 1)
+        seeds = [i * 11 + k for k in range(i % 3 + 2)]
+        blob = encode_mp4_avc(w, h, seeds, coding="textured")
+        frames = decode_mp4_samples(blob)
+        assert len(frames) == len(seeds)
+        for k, fr in enumerate(frames):
+            _, expected, _ = h264.encode_textured_i4x4_idr(w, h, seeds[k])
+            assert np.array_equal(fr["y"], expected), (i, k)
 
 
 def test_h264_mp4_co64_offsets_and_multislice_contract():
