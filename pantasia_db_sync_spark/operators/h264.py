@@ -19,12 +19,15 @@ Scope (the honest gate, narrowed from "no H.264 at all" in round 14):
 * DECODES (round-16 third pass): all four CAVLC coeff_token contexts
   — 0 <= nC < 2, 2 <= nC < 4, 4 <= nC < 8 (dense textured
   neighbors), chroma-DC, and the nC >= 8 fixed-length form — so
-  multi-coefficient blocks with live nC bookkeeping parse end to end.
+  multi-coefficient blocks with live nC bookkeeping parse end to end;
+  and the clause 8.7 IN-LOOP DEBLOCKING FILTER (bS 4/3 intra edges,
+  Tables 8-16/8-17, strong/weak luma + chroma shapes, per-MB QP
+  averaging, slice alpha/beta offsets), so conformant streams that do
+  NOT signal disable_deblocking_filter_idc=1 decode bit-exact.
 * RAISES NotImplementedError (each a deliberate, documented gate):
   CABAC (PPS entropy_coding_mode_flag=1), inter prediction (P/B
   slices), Intra_8x8 / the 8x8 transform (High profile), multi-slice
-  pictures, FMO/ASO, interlace (frame_mbs_only_flag=0), in-loop
-  deblocking (streams must signal disable_deblocking_filter_idc=1).
+  pictures, FMO/ASO, interlace (frame_mbs_only_flag=0).
 * RAISES ValueError: malformed bitstreams (the module-wide contract
   decode_mp4_samples relies on — a corrupt row skips, the Arrow batch
   survives).
@@ -687,6 +690,213 @@ def _block_to_scan(blk: np.ndarray, start: int = 0) -> list[int]:
 
 
 # ---------------------------------------------------------------------------
+# in-loop deblocking filter (8.7) — I-slice scope: every macroblock is
+# intra, so boundary strength is 4 on macroblock edges and 3 on
+# internal 4x4 edges; the generic bS derivation's inter clauses never
+# apply.  Tables 8-16 (alpha, beta) and 8-17 (tc0) indexed 0..51.
+# ---------------------------------------------------------------------------
+
+_DEBLOCK_ALPHA = [0] * 16 + [
+    4, 4, 5, 6, 7, 8, 9, 10, 12, 13, 15, 17, 20, 22, 25, 28, 32, 36,
+    40, 45, 50, 56, 63, 71, 80, 90, 101, 113, 127, 144, 162, 182, 203,
+    226, 255, 255,
+]
+_DEBLOCK_BETA = [0] * 16 + [
+    2, 2, 2, 3, 3, 3, 3, 4, 4, 4, 6, 6, 7, 7, 8, 8, 9, 9, 10, 10, 11,
+    11, 12, 12, 13, 13, 14, 14, 15, 15, 16, 16, 17, 17, 18, 18,
+]
+# tc0 rows for bS 1, 2, 3
+_DEBLOCK_TC0 = [
+    [0] * 16 + [0, 0, 0, 0, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 2, 2, 2, 3,
+                3, 3, 4, 4, 5, 6, 6, 7, 8, 9, 10, 11, 13, 14, 16, 18,
+                20, 23],
+    [0] * 16 + [0, 0, 1, 1, 1, 1, 1, 1, 1, 1, 2, 2, 2, 2, 3, 3, 3, 4,
+                4, 5, 5, 6, 7, 8, 8, 9, 11, 12, 13, 15, 17, 19, 21,
+                23, 25, 27],
+    [0] * 16 + [1, 1, 1, 1, 1, 1, 1, 1, 2, 2, 2, 2, 3, 3, 3, 4, 4, 5,
+                6, 6, 7, 8, 9, 10, 11, 13, 14, 16, 18, 20, 23, 25, 27,
+                30, 33, 36],
+]
+
+
+def _deblock_edge(
+    p: np.ndarray, q: np.ndarray, bs: int, index_a: int, index_b: int,
+    is_luma: bool,
+) -> None:
+    """Filter ONE edge in place (8.7.2.3/8.7.2.4).  ``p``/``q`` are
+    (4, N) int64 views — row i holds sample p_i / q_i for each of the
+    N lines crossing the edge — so writes land in the plane."""
+    alpha = _DEBLOCK_ALPHA[index_a]
+    beta = _DEBLOCK_BETA[index_b]
+    p0, p1, p2, p3 = p[0], p[1], p[2], p[3]
+    q0, q1, q2, q3 = q[0], q[1], q[2], q[3]
+    filt = (
+        (np.abs(p0 - q0) < alpha)
+        & (np.abs(p1 - p0) < beta)
+        & (np.abs(q1 - q0) < beta)
+    )
+    if not filt.any():
+        return
+    if bs == 4:
+        if is_luma:
+            strong = np.abs(p0 - q0) < ((alpha >> 2) + 2)
+            sp = filt & strong & (np.abs(p2 - p0) < beta)
+            sq = filt & strong & (np.abs(q2 - q0) < beta)
+            p0n = np.where(
+                sp, (p2 + 2 * p1 + 2 * p0 + 2 * q0 + q1 + 4) >> 3,
+                np.where(filt, (2 * p1 + p0 + q1 + 2) >> 2, p0),
+            )
+            p1n = np.where(sp, (p2 + p1 + p0 + q0 + 2) >> 2, p1)
+            p2n = np.where(
+                sp, (2 * p3 + 3 * p2 + p1 + p0 + q0 + 4) >> 3, p2
+            )
+            q0n = np.where(
+                sq, (q2 + 2 * q1 + 2 * q0 + 2 * p0 + p1 + 4) >> 3,
+                np.where(filt, (2 * q1 + q0 + p1 + 2) >> 2, q0),
+            )
+            q1n = np.where(sq, (q2 + q1 + q0 + p0 + 2) >> 2, q1)
+            q2n = np.where(
+                sq, (2 * q3 + 3 * q2 + q1 + q0 + p0 + 4) >> 3, q2
+            )
+            p[0], p[1], p[2] = p0n, p1n, p2n
+            q[0], q[1], q[2] = q0n, q1n, q2n
+        else:  # chroma bS=4: p0/q0 only, no strong/weak split
+            p[0] = np.where(filt, (2 * p1 + p0 + q1 + 2) >> 2, p0)
+            q[0] = np.where(filt, (2 * q1 + q0 + p1 + 2) >> 2, q0)
+        return
+    tc0 = _DEBLOCK_TC0[bs - 1][index_a]
+    if is_luma:
+        ap = np.abs(p2 - p0) < beta
+        aq = np.abs(q2 - q0) < beta
+        tc = tc0 + ap.astype(np.int64) + aq.astype(np.int64)
+    else:
+        ap = aq = None
+        tc = np.full(p0.shape, tc0 + 1, dtype=np.int64)
+    delta = np.clip((((q0 - p0) << 2) + (p1 - q1) + 4) >> 3, -tc, tc)
+    p0n = np.where(filt, np.clip(p0 + delta, 0, 255), p0)
+    q0n = np.where(filt, np.clip(q0 - delta, 0, 255), q0)
+    if is_luma:
+        # p1/q1 nudged toward the p2/q2-side average, Clip3 by tc0
+        # (8-360/8-361; no Clip1 needed — movement is toward an
+        # in-range target and Clip3 only shortens it)
+        dp1 = np.clip(
+            (p2 + ((p0 + q0 + 1) >> 1) - (p1 << 1)) >> 1, -tc0, tc0
+        )
+        dq1 = np.clip(
+            (q2 + ((p0 + q0 + 1) >> 1) - (q1 << 1)) >> 1, -tc0, tc0
+        )
+        p[1] = np.where(filt & ap, p1 + dp1, p1)
+        q[1] = np.where(filt & aq, q1 + dq1, q1)
+    p[0], q[0] = p0n, q0n
+
+
+def _edge_views(
+    plane: np.ndarray, x: int, y: int, n: int, vertical: bool
+) -> tuple[np.ndarray, np.ndarray]:
+    """(p, q) stacks of the 4 samples each side of the edge at
+    (x, y) spanning ``n`` lines. Copies in, caller writes back."""
+    if vertical:
+        p = np.stack([plane[y : y + n, x - 1 - i] for i in range(4)])
+        q = np.stack([plane[y : y + n, x + i] for i in range(4)])
+    else:
+        p = np.stack([plane[y - 1 - i, x : x + n] for i in range(4)])
+        q = np.stack([plane[y + i, x : x + n] for i in range(4)])
+    return p, q
+
+
+def _edge_writeback(
+    plane: np.ndarray, x: int, y: int, n: int, vertical: bool,
+    p: np.ndarray, q: np.ndarray,
+) -> None:
+    if vertical:
+        for i in range(3):
+            plane[y : y + n, x - 1 - i] = p[i]
+            plane[y : y + n, x + i] = q[i]
+    else:
+        for i in range(3):
+            plane[y - 1 - i, x : x + n] = p[i]
+            plane[y + i, x : x + n] = q[i]
+
+
+def _deblock_frame(
+    y: np.ndarray, cb: np.ndarray, cr: np.ndarray, qp_map: np.ndarray,
+    chroma_qp_off: int, off_a: int, off_b: int,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """8.7 for an all-intra picture: macroblocks in raster order, each
+    filtering its vertical edges left-to-right then horizontal edges
+    top-to-bottom, on samples already modified by earlier edges.
+    ``qp_map`` is the per-MB luma QP (I_PCM counts as 0)."""
+    h_mbs, w_mbs = qp_map.shape
+    yp = y.astype(np.int64)
+    cbp = cb.astype(np.int64)
+    crp = cr.astype(np.int64)
+
+    def do_edge(plane, x0, y0, e, vertical, bs, qp_p, qp_q, is_luma, n):
+        qpav = (qp_p + qp_q + 1) >> 1
+        index_a = min(51, max(0, qpav + off_a))
+        index_b = min(51, max(0, qpav + off_b))
+        if vertical:
+            ex, ey = x0 + e, y0
+        else:
+            ex, ey = x0, y0 + e
+        p, q = _edge_views(plane, ex, ey, n, vertical)
+        _deblock_edge(p, q, bs, index_a, index_b, is_luma)
+        _edge_writeback(plane, ex, ey, n, vertical, p, q)
+
+    for mby in range(h_mbs):
+        for mbx in range(w_mbs):
+            qp = int(qp_map[mby, mbx])
+            qpc = _chroma_qp(qp, chroma_qp_off)
+            # --- vertical edges (left MB edge + internal) ---
+            for e in (0, 4, 8, 12):
+                if e == 0 and mbx == 0:
+                    continue
+                bs = 4 if e == 0 else 3
+                qp_p = int(qp_map[mby, mbx - 1]) if e == 0 else qp
+                do_edge(
+                    yp, mbx * 16, mby * 16, e, True, bs, qp_p, qp, True, 16
+                )
+            for e in (0, 4):
+                if e == 0 and mbx == 0:
+                    continue
+                bs = 4 if e == 0 else 3
+                qp_p = (
+                    _chroma_qp(int(qp_map[mby, mbx - 1]), chroma_qp_off)
+                    if e == 0 else qpc
+                )
+                for plane in (cbp, crp):
+                    do_edge(
+                        plane, mbx * 8, mby * 8, e, True, bs, qp_p, qpc,
+                        False, 8,
+                    )
+            # --- horizontal edges (top MB edge + internal) ---
+            for e in (0, 4, 8, 12):
+                if e == 0 and mby == 0:
+                    continue
+                bs = 4 if e == 0 else 3
+                qp_p = int(qp_map[mby - 1, mbx]) if e == 0 else qp
+                do_edge(
+                    yp, mbx * 16, mby * 16, e, False, bs, qp_p, qp, True, 16
+                )
+            for e in (0, 4):
+                if e == 0 and mby == 0:
+                    continue
+                bs = 4 if e == 0 else 3
+                qp_p = (
+                    _chroma_qp(int(qp_map[mby - 1, mbx]), chroma_qp_off)
+                    if e == 0 else qpc
+                )
+                for plane in (cbp, crp):
+                    do_edge(
+                        plane, mbx * 8, mby * 8, e, False, bs, qp_p, qpc,
+                        False, 8,
+                    )
+    return (
+        yp.astype(np.uint8), cbp.astype(np.uint8), crp.astype(np.uint8)
+    )
+
+
+# ---------------------------------------------------------------------------
 # parameter sets & slice header (7.3)
 # ---------------------------------------------------------------------------
 
@@ -1147,19 +1357,21 @@ def decode_idr_planes(
             if br.u(1):
                 raise NotImplementedError("adaptive ref pic marking")
     qp = pps["init_qp"] + br.se()
+    # deblocking control (7.3.3 + 8.7, round 16): idc 0 filters every
+    # edge, 1 disables, 2 skips slice-boundary edges — identical to 0
+    # for the single-slice pictures this decoder accepts. A PPS
+    # without deblocking_filter_control_present_flag means idc 0 with
+    # zero offsets.
+    deblock_idc, off_a, off_b = 0, 0, 0
     if pps["deblock_ctrl"]:
-        idc = br.ue()
-        if idc != 1:
-            raise NotImplementedError(
-                "in-loop deblocking filter (disable_deblocking_filter_idc "
-                f"= {idc}; this decoder requires 1)"
+        deblock_idc = br.ue()
+        if deblock_idc > 2:
+            raise ValueError(
+                f"bad disable_deblocking_filter_idc {deblock_idc}"
             )
-        # idc == 1: no alpha/beta offsets follow
-    else:
-        raise NotImplementedError(
-            "in-loop deblocking filter (PPS lacks "
-            "deblocking_filter_control_present_flag)"
-        )
+        if deblock_idc != 1:
+            off_a = 2 * br.se()  # slice_alpha_c0_offset_div2
+            off_b = 2 * br.se()  # slice_beta_offset_div2
 
     w_mbs, h_mbs = sps["width_mbs"], sps["height_mbs"]
     y_plane = np.zeros((h_mbs * 16, w_mbs * 16), dtype=np.uint8)
@@ -1171,6 +1383,8 @@ def decode_idr_planes(
     # mode derivation; non-I4x4 (Intra_16x16 / I_PCM) macroblocks count
     # as DC (2), which is the array default
     i4_modes = np.full((h_mbs * 4, w_mbs * 4), 2, dtype=np.int64)
+    # per-MB luma QP for the deblocking filter (I_PCM counts as 0)
+    qp_map = np.zeros((h_mbs, w_mbs), dtype=np.int64)
     # z-indices whose above-right in-MB neighbor is decoded LATER in
     # z-order (6.4.12.2): their top-right samples are unavailable
     _TR_UNAVAIL_Z = {3, 7, 11, 13, 15}
@@ -1248,6 +1462,7 @@ def decode_idr_planes(
             if cbp:
                 qp = (qp + br.se() + 52) % 52
             qpc = _chroma_qp(qp, pps["chroma_qp_off"])
+            qp_map[mby, mbx] = qp
             w_pix = w_mbs * 16
             for idx in range(16):
                 bx, by = _z_luma(idx)
@@ -1292,6 +1507,7 @@ def decode_idr_planes(
             cr_plane[cy0 : cy0 + 8, cx0 : cx0 + 8] = pcm[320:].reshape(8, 8)
             luma_tc[mby * 4 : mby * 4 + 4, mbx * 4 : mbx * 4 + 4] = 16
             chroma_tc[:, mby * 2 : mby * 2 + 2, mbx * 2 : mbx * 2 + 2] = 16
+            qp_map[mby, mbx] = 0  # I_PCM deblocks at QP 0 (8.7)
             continue
         if mb_type > 25:
             raise ValueError(f"bad I-slice mb_type {mb_type}")
@@ -1303,6 +1519,7 @@ def decode_idr_planes(
         chroma_mode = br.ue()
         qp = (qp + br.se() + 52) % 52  # mb_qp_delta (7.4.5)
         qpc = _chroma_qp(qp, pps["chroma_qp_off"])
+        qp_map[mby, mbx] = qp
 
         # --- luma ---
         pred = _pred_16x16(pred_mode, y_plane, x0, y0, left_ok, top_ok)
@@ -1333,6 +1550,11 @@ def decode_idr_planes(
         y_plane[y0 : y0 + 16, x0 : x0 + 16] = np.clip(recon, 0, 255)
         decode_chroma(chroma_mode, cbp_chroma, qpc, mbx, mby, left_ok, top_ok)
 
+    if deblock_idc != 1:
+        return _deblock_frame(
+            y_plane, cb_plane, cr_plane, qp_map,
+            pps["chroma_qp_off"], off_a, off_b,
+        )
     return y_plane, cb_plane, cr_plane
 
 
@@ -1799,7 +2021,8 @@ _TEXTURE_PATTERNS: list[list[int]] = [
 
 
 def encode_textured_i4x4_idr(
-    width: int, height: int, seed: int, qp: int = 12
+    width: int, height: int, seed: int, qp: int = 12,
+    deblock: bool = False,
 ) -> tuple[bytes, np.ndarray, set]:
     """One IDR NAL of I_NxN macroblocks where EVERY 4x4 block carries
     a multi-coefficient CAVLC residual drawn deterministically from
@@ -1808,7 +2031,10 @@ def encode_textured_i4x4_idr(
     (0<=nC<2, 2<=nC<4, 4<=nC<8 — the round-16 Table 9-5 columns —
     and the nC>=8 fixed-length form). Returns (nal, expected luma
     plane computed through the decoder's exact 8.5.12.1 dequant +
-    inverse-core arithmetic, set of context labels exercised)."""
+    inverse-core arithmetic, set of context labels exercised).
+    ``deblock=True`` signals disable_deblocking_filter_idc=0 so the
+    decoder runs the 8.7 in-loop filter (round 16); the expected
+    plane is then the filtered reconstruction."""
     w_mbs = (width + 15) // 16
     h_mbs = (height + 15) // 16
     bw = _BitWriter()
@@ -1820,7 +2046,12 @@ def encode_textured_i4x4_idr(
     bw.u(1, 0)
     bw.u(1, 0)
     bw.se(0)
-    bw.ue(1)
+    if deblock:
+        bw.ue(0)   # disable_deblocking_filter_idc = 0: filter on
+        bw.se(0)   # slice_alpha_c0_offset_div2
+        bw.se(0)   # slice_beta_offset_div2
+    else:
+        bw.ue(1)
     recon = np.zeros((h_mbs * 16, w_mbs * 16), dtype=np.int64)
     luma_tc = np.zeros((h_mbs * 4, w_mbs * 4), dtype=np.int64)
     ctxs: set = set()
@@ -1858,7 +2089,14 @@ def encode_textured_i4x4_idr(
             recon[y : y + 4, x : x + 4] = np.clip(pred + r, 0, 255)
     bw.rbsp_trailing()
     nal = b"\x65" + rbsp_to_nal(bw.tobytes())
-    return nal, recon[:height, :width].astype(np.uint8), ctxs
+    plane = recon.astype(np.uint8)
+    if deblock:
+        flat = np.full((h_mbs * 8, w_mbs * 8), 128, dtype=np.uint8)
+        plane, _, _ = _deblock_frame(
+            plane, flat, flat.copy(),
+            np.full((h_mbs, w_mbs), qp, dtype=np.int64), 0, 0, 0,
+        )
+    return nal, plane[:height, :width], ctxs
 
 
 def encode_pattern_idr(

@@ -3535,14 +3535,21 @@ def encode_mp4_avc(
         sps_nal = h264._encode_sps(width, height)
         pps_nal = h264._encode_pps(qp)
         idrs = [h264.encode_i4x4_idr(width, height, g, qp) for g in grays]
-    elif coding == "textured":
+    elif coding in ("textured", "deblocked"):
         # ``grays`` doubles as the per-frame pattern seeds: every 4x4
         # block carries a multi-coefficient CAVLC residual, driving
-        # coeff_token through all four nC contexts (round 16)
+        # coeff_token through all four nC contexts (round 16).
+        # 'deblocked' additionally signals idc=0 at qp 30 so the 8.7
+        # in-loop filter runs (alpha/beta are zero below index 16, so
+        # the fixture must sit in the active-QP band).
+        if coding == "deblocked":
+            qp = 30
         sps_nal = h264._encode_sps(width, height)
         pps_nal = h264._encode_pps(qp)
         idrs = [
-            h264.encode_textured_i4x4_idr(width, height, g, qp)[0]
+            h264.encode_textured_i4x4_idr(
+                width, height, g, qp, deblock=(coding == "deblocked")
+            )[0]
             for g in grays
         ]
     else:
@@ -3604,6 +3611,13 @@ def _avc_fixture_params(i: int, coding: str) -> tuple[int, int, list[int]]:
             2 * (i % 9 + 1),
             [i * 11 + k for k in range(i % 3 + 2)],
         )
+    if coding == "deblocked":
+        # >= 2 MBs across on most rows so bS=4 MB edges fire
+        return (
+            2 * (i % 14 + 4),
+            2 * (i % 10 + 2),
+            [i * 7 + k for k in range(i % 3 + 2)],
+        )
     return (
         2 * (i % 10 + 1),
         2 * (i % 7 + 1),
@@ -3612,7 +3626,10 @@ def _avc_fixture_params(i: int, coding: str) -> tuple[int, int, list[int]]:
 
 
 def check_mp4_avc_textured(
-    df: DataFrame, id_col: str = "doc_id", binary_col: str = "content"
+    df: DataFrame,
+    id_col: str = "doc_id",
+    binary_col: str = "content",
+    coding: str = "textured",
 ) -> DataFrame:
     """Pixel-exactness audit of the textured-AVC chain: decode every
     sample through the FULL container->CAVLC->pixels path
@@ -3634,10 +3651,11 @@ def check_mp4_avc_textured(
             rows = []
             for i, content in zip(pdf["doc_id"], pdf["content"]):
                 i = int(i)
-                w, h, seeds = _avc_fixture_params(i, "textured")
+                w, h, seeds = _avc_fixture_params(i, coding)
+                qp, debl = (30, True) if coding == "deblocked" else (12, False)
                 for k, fr in enumerate(decode_mp4_samples(bytes(content))):
                     _, expected, _ = h264.encode_textured_i4x4_idr(
-                        w, h, seeds[k]
+                        w, h, seeds[k], qp, deblock=debl
                     )
                     mismatch = int(np.count_nonzero(fr["y"] != expected))
                     rows.append(

@@ -4079,6 +4079,52 @@ def multimodal_mp4_avc_textured_frames_q(
 
 
 @register(
+    "multimodal_mp4_avc_deblocked_frames",
+    oracle="""
+    SELECT d.doc_id,
+           CAST(s.k AS INTEGER) AS frame_idx,
+           CAST(2 * (d.doc_id % 14 + 4) AS INTEGER) AS width,
+           CAST(2 * (d.doc_id % 10 + 2) AS INTEGER) AS height,
+           CAST(0 AS INTEGER) AS mismatch_px
+    FROM (SELECT doc_id FROM documents WHERE doc_id < 300) d
+    JOIN range(0, 4) s(k) ON s.k <= d.doc_id % 3 + 1
+    """,
+)
+def multimodal_mp4_avc_deblocked_frames_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """IN-LOOP DEBLOCKING DECODE (round 16, clause 8.7) — conformant
+    streams that do NOT signal disable_deblocking_filter_idc=1 now
+    decode instead of raising: boundary-strength 4 macroblock edges
+    and bS=3 internal 4x4 edges, the Table 8-16 alpha/beta gates and
+    Table 8-17 tc0 clipping, strong/weak bS=4 luma split, the
+    chroma p0/q0-only shape, per-MB QP averaging across edges, and
+    the spec's MB-raster vertical-then-horizontal edge order on
+    already-filtered samples (operators/h264.py _deblock_frame).
+    Fixtures: textured multi-coefficient I_NxN frames at qp 30 (the
+    filter is a conformant no-op below index 16, so the fixture sits
+    in the active band; every frame verifiably changes pixels vs the
+    unfiltered reconstruction — pinned in tests, alongside
+    hand-derived edge vectors). mismatch_px counts decoded-vs-expected
+    luma differences through the full container chain; 0 is the gate.
+    Remaining honest gates: HEVC, CABAC, inter. Arrow-batched
+    mapInPandas, map-only, zero shuffle. Reference analogue: none
+    (extension)."""
+    from ..operators.multimodal import (
+        check_mp4_avc_textured,
+        synthetic_avc_mp4_frame,
+    )
+
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    return check_mp4_avc_textured(
+        synthetic_avc_mp4_frame(d, coding="deblocked"),
+        "doc_id",
+        "content",
+        coding="deblocked",
+    )
+
+
+@register(
     "text_winnowing_matches",
     oracle=f"""
     WITH toks AS ({_SQL_TOKS}),

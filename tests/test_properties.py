@@ -4229,6 +4229,106 @@ def test_h264_textured_all_coeff_token_contexts_bit_exact():
             assert np.array_equal(fr["y"], expected), (i, k)
 
 
+def test_h264_deblocking_edge_vectors_hand_derived():
+    """Clause 8.7 core filter arithmetic against HAND-DERIVED vectors
+    (independent of the implementation): bS=4 strong and weak luma
+    shapes, bS=3 tc-clipped deltas with the p1/q1 nudge, the chroma
+    p0/q0-only form, and the alpha gate. index 32: alpha=32, beta=9,
+    tc0(bS=3)=4."""
+    import numpy as np
+
+    from pantasia_db_sync_spark.operators import h264
+
+    def edge(pvals, qvals, bs, idx_a, idx_b, luma):
+        p = np.array([[v] for v in pvals], dtype=np.int64)
+        q = np.array([[v] for v in qvals], dtype=np.int64)
+        h264._deblock_edge(p, q, bs, idx_a, idx_b, luma)
+        return [int(v[0]) for v in p], [int(v[0]) for v in q]
+
+    # bS=4 weak (|p0-q0|=20 >= (32>>2)+2=10): only p0/q0 move
+    p, q = edge([60, 60, 60, 60], [80, 80, 80, 80], 4, 32, 32, True)
+    # p0' = (2*60 + 60 + 80 + 2) >> 2 = 65 ; q0' = (2*80 + 80 + 60 + 2) >> 2 = 75
+    assert p == [65, 60, 60, 60] and q == [75, 80, 80, 80]
+    # bS=4 strong (step 4 < 10, ap/aq true): 3 samples each side
+    p, q = edge([60, 60, 60, 60], [64, 64, 64, 64], 4, 32, 32, True)
+    # p0' = (60+120+120+128+64+4)>>3 = 62 ; p1' = (60+60+60+64+2)>>2 = 61
+    # p2' = (120+180+60+60+64+4)>>3 = 61
+    # q0' = (64+128+128+120+60+4)>>3 = 63 ; q1' = (64+64+64+60+2)>>2 = 63
+    # q2' = (128+192+64+64+60+4)>>3 = 64
+    assert p == [62, 61, 61, 60] and q == [63, 63, 64, 64]
+    # alpha gate: |p0-q0| = 40 >= alpha 32 -> untouched
+    p, q = edge([60, 60, 60, 60], [100, 100, 100, 100], 4, 32, 32, True)
+    assert p == [60, 60, 60, 60] and q == [100, 100, 100, 100]
+    # bS=3: tc0=4, ap=aq=1 -> tc=6; delta = ((8<<2) + (60-68) + 4)>>3 = 3
+    # p1' = 60 + clip((60 + ((60+68+1)>>1) - 120)>>1, +-4) = 62
+    # q1' = 68 + clip((68 + 64 - 136)>>1, +-4) = 66
+    p, q = edge([60, 60, 60, 60], [68, 68, 68, 68], 3, 32, 32, True)
+    assert p == [63, 62, 60, 60] and q == [65, 66, 68, 68]
+    # chroma bS=4: p0/q0 only, no strong/weak split
+    p, q = edge([60, 60, 60, 60], [80, 80, 80, 80], 4, 32, 32, False)
+    assert p == [65, 60, 60, 60] and q == [75, 80, 80, 80]
+    # chroma bS=3: tc = tc0+1 = 5; delta = clip(3, +-5) = 3; p1 untouched
+    p, q = edge([60, 60, 60, 60], [68, 68, 68, 68], 3, 32, 32, False)
+    assert p == [63, 60, 60, 60] and q == [65, 68, 68, 68]
+    # flat content is invariant under the whole frame filter
+    y = np.full((32, 32), 77, dtype=np.uint8)
+    c = np.full((16, 16), 128, dtype=np.uint8)
+    qpm = np.full((2, 2), 30, dtype=np.int64)
+    y2, cb2, cr2 = h264._deblock_frame(y, c, c.copy(), qpm, 0, 0, 0)
+    assert (y2 == 77).all() and (cb2 == 128).all() and (cr2 == 128).all()
+
+
+def test_h264_deblocking_enabled_streams_bit_exact():
+    """Streams signaling disable_deblocking_filter_idc=0 (and a PPS
+    with no deblocking-control flag at all) now DECODE, with the 8.7
+    filter demonstrably changing pixels at active QP, bit-exact
+    against the encoder-tracked filtered plane, through the MP4
+    container chain too."""
+    import numpy as np
+
+    from pantasia_db_sync_spark.operators import h264
+    from pantasia_db_sync_spark.operators.multimodal import (
+        decode_mp4_samples,
+        encode_mp4_avc,
+    )
+
+    changed = 0
+    for seed in range(4):
+        for (w, h) in ((32, 16), (48, 32), (34, 22)):
+            for qp in (24, 30, 36):
+                nal, plane, _ = h264.encode_textured_i4x4_idr(
+                    w, h, seed, qp=qp, deblock=True
+                )
+                sps = h264.parse_sps(
+                    h264.nal_to_rbsp(h264._encode_sps(w, h)[1:])
+                )
+                pps = h264.parse_pps(
+                    h264.nal_to_rbsp(h264._encode_pps(qp)[1:])
+                )
+                y, cb, cr = h264.decode_idr_planes(
+                    h264.nal_to_rbsp(nal[1:]), sps, pps, 5, 3
+                )
+                y2, _, _ = h264._crop_planes(y, cb, cr, sps)
+                assert np.array_equal(y2, plane), (seed, w, h, qp)
+                _, raw, _ = h264.encode_textured_i4x4_idr(
+                    w, h, seed, qp=qp, deblock=False
+                )
+                changed += int(not np.array_equal(raw, plane))
+    assert changed == 36  # the filter moved pixels in EVERY frame
+    # container chain at the registry-fixture geometry
+    for i in (5, 88, 131):
+        w, h = 2 * (i % 14 + 4), 2 * (i % 10 + 2)
+        seeds = [i * 7 + k for k in range(i % 3 + 2)]
+        blob = encode_mp4_avc(w, h, seeds, coding="deblocked")
+        frames = decode_mp4_samples(blob)
+        assert len(frames) == len(seeds)
+        for k, fr in enumerate(frames):
+            _, expected, _ = h264.encode_textured_i4x4_idr(
+                w, h, seeds[k], 30, deblock=True
+            )
+            assert np.array_equal(fr["y"], expected), (i, k)
+
+
 def test_h264_mp4_co64_offsets_and_multislice_contract():
     """Round-15 ADVICE items: (a) co64 64-bit chunk offsets (the
     >4 GiB container form) resolve samples identically to stco;
