@@ -168,6 +168,13 @@ HEADLINE = [
     "graph_hyperball_harmonic_sketch",
     "dedup_levenshtein2_names",
     "stream_winnowing_hits",
+    # round-16 additions: the templated-key radius-2 blocking (same
+    # brute-force truth as dedup_levenshtein2_names — registered to
+    # SHOW the wall drop, ~2x on the serial-name fixture), the
+    # all-contexts CAVLC chain, and the deblocking-enabled chain
+    "dedup_levenshtein2_blocked",
+    "multimodal_mp4_avc_textured_frames",
+    "multimodal_mp4_avc_deblocked_frames",
 ]
 
 REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))

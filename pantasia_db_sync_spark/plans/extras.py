@@ -1757,6 +1757,42 @@ def dedup_levenshtein2_names(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_levenshtein2_blocked",
+    # SAME brute-force radius-2 ground truth as dedup_levenshtein2_names:
+    # parity proves the prefix-core blocking complete too (round-16,
+    # VERDICT r15 next-round #2)
+    oracle="""
+    SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+           CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS dist
+    FROM customer a JOIN customer b
+      ON a.c_custkey < b.c_custkey
+     AND levenshtein(a.c_name, b.c_name) <= 2
+    """,
+)
+def dedup_levenshtein2_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius-2 fuzzy match via TEMPLATED-KEY blocking (round 16) —
+    the alternative the FastSS operator docstring prescribes for
+    corpora sharing long templates: strip the corpus-wide longest
+    common prefix/suffix (lcp(min,max) trick, one scalar aggregate;
+    exact by the common-affix lemma) and run the deletion-neighborhood
+    join on the short differing CORES (operators/dedup.py
+    levenshtein_pairs_prefix_core). On the 'Customer#'+9-digit fixture
+    this cuts the variant index from O(L²/2)=172 18-char variants per
+    row to 46 nine-char ones; the candidate pair set — and therefore
+    the ANSWER — is identical, re-proved complete against the same
+    brute-force cross-join oracle as dedup_levenshtein2_names. FastSS
+    on full strings stays the natural-language path; this entry is the
+    serial-number path. Reference analogue: none (entity-resolution
+    extension)."""
+    from ..operators.dedup import levenshtein_pairs_prefix_core
+
+    c = load_table(spark, sf_dir, "customer")
+    return levenshtein_pairs_prefix_core(
+        c, "c_custkey", "c_name", max_dist=2
+    ).select("id_a", "id_b", F.col("dist").cast("int").alias("dist"))
+
+
+@register(
     "dedup_sorted_neighborhood",
     oracle="""
     WITH r AS (

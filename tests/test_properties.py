@@ -1607,6 +1607,66 @@ def test_gif_decode_rejects_truncated_local_color_table():
         decode_gif(head + img + b"\x01\x02\x03\x04")
 
 
+def test_levenshtein_prefix_core_equals_bruteforce(spark):
+    """The round-16 templated-key blocking (strip the corpus-wide
+    common prefix/suffix, verify-early FastSS on the cores) equals
+    brute force at radius 2 — on a templated fixture WITH a shared
+    suffix too (both affixes stripped), including ins/del edits that
+    shift the core, and on a template-free corpus (fallback path =
+    plain FastSS)."""
+    import random as _random
+
+    from pyspark.sql import functions as F
+
+    from pantasia_db_sync_spark.operators.dedup import (
+        levenshtein_pairs_prefix_core,
+    )
+
+    rng = _random.Random(97)
+    digits = "0123456789"
+    cores = {"".join(rng.choice(digits) for _ in range(rng.randint(4, 7)))
+             for _ in range(40)}
+    extra = set()
+    for s in list(cores):
+        i = rng.randrange(len(s))
+        extra.add(s[:i] + s[i + 1:])            # deletion
+        extra.add(s[:i] + rng.choice(digits) + s[i:])  # insertion
+        extra.add(s[:i] + rng.choice(digits) + s[i + 1:])  # sub
+    strings = sorted("ITEM#" + c + "-END" for c in cores | extra)
+    df = spark.createDataFrame(list(enumerate(strings)), ["id", "s"])
+
+    def brute(d):
+        a = d.select(F.col("id").alias("ia"), F.col("s").alias("sa"))
+        b = d.select(F.col("id").alias("ib"), F.col("s").alias("sb"))
+        return {
+            (r["ia"], r["ib"], r["d"])
+            for r in a.crossJoin(b)
+            .where(F.col("ia") < F.col("ib"))
+            .select("ia", "ib", F.levenshtein("sa", "sb").alias("d"))
+            .where(F.col("d") <= 2)
+            .collect()
+        }
+
+    got = {
+        (r["id_a"], r["id_b"], r["dist"])
+        for r in levenshtein_pairs_prefix_core(
+            df, "id", "s", max_dist=2
+        ).collect()
+    }
+    assert got == brute(df) and got  # non-vacuous
+    # template-free corpus: the fallback path must ALSO be exact
+    rows2 = [(i, "".join(rng.choice("abcdefgh") for _ in range(6)))
+             for i in range(60)]
+    df2 = spark.createDataFrame(rows2, ["id", "s"]).dropDuplicates(["s"])
+    got2 = {
+        (r["id_a"], r["id_b"], r["dist"])
+        for r in levenshtein_pairs_prefix_core(
+            df2, "id", "s", max_dist=2
+        ).collect()
+    }
+    assert got2 == brute(df2)
+
+
 def test_levenshtein_fastss_equals_bruteforce_with_indels(spark):
     """The customer-name fixture only exercises SUBSTITUTIONS (fixed-
     width ids); FastSS completeness must also hold for insertions and
