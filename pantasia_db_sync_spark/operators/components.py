@@ -886,6 +886,7 @@ def betweenness_sampled_uniform(
     micro: int = 1_000_000,
     u_col: str = "u",
     v_col: str = "v",
+    seed_order: str = "xxhash64",
 ) -> DataFrame:
     """PRODUCTION-FORM sampled betweenness (Brandes–Pich 2007): K
     source seeds drawn UNIFORMLY (deterministic given ``seed`` — nodes
@@ -912,7 +913,14 @@ def betweenness_sampled_uniform(
     Same integer discipline and per-level shape as
     brandes_dependency_multi (one composite-key chain, not K
     sequential ones); the only extra cost is the K-row seed probe and
-    one |V| count scalar."""
+    one |V| count scalar.
+
+    ``seed_order`` picks the deterministic uniform stand-in:
+    'xxhash64' (default, JVM-native) or 'portable' (round 16 — the
+    md5-based portable_hash60 of ``node || ':' || seed``, byte-
+    identical in DuckDB, so the registered graph_betweenness_uniform
+    entry's oracle REPLAYS the exact seed draw instead of settling
+    for a rows-only check; both orders are equally uniform)."""
     spark = edges.sparkSession
     nodes = (
         edges.select(F.col(u_col).alias("n"))
@@ -922,11 +930,19 @@ def betweenness_sampled_uniform(
     )
     n_nodes = nodes.count()  # scalar probe
     k = min(k, n_nodes)
+    if seed_order == "portable":
+        from ..functions.text import portable_hash60
+
+        order = portable_hash60(
+            F.concat(F.col("n").cast("string"), F.lit(f":{seed}"))
+        )
+    elif seed_order == "xxhash64":
+        order = F.xxhash64(F.col("n"), F.lit(seed))
+    else:
+        raise ValueError(f"unknown seed_order {seed_order!r}")
     seeds = [
         int(r.n)
-        for r in nodes.orderBy(
-            F.xxhash64(F.col("n"), F.lit(seed)), F.col("n")
-        )
+        for r in nodes.orderBy(order, F.col("n"))
         .limit(k)
         .collect()  # K-row seed probe
     ]
