@@ -175,6 +175,7 @@ HEADLINE = [
     "dedup_levenshtein2_blocked",
     "multimodal_mp4_avc_textured_frames",
     "multimodal_mp4_avc_deblocked_frames",
+    "multimodal_mp4_avc_ipp_frames",
 ]
 
 REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))

@@ -20,14 +20,24 @@ Scope (the honest gate, narrowed from "no H.264 at all" in round 14):
   — 0 <= nC < 2, 2 <= nC < 4, 4 <= nC < 8 (dense textured
   neighbors), chroma-DC, and the nC >= 8 fixed-length form — so
   multi-coefficient blocks with live nC bookkeeping parse end to end;
-  and the clause 8.7 IN-LOOP DEBLOCKING FILTER (bS 4/3 intra edges,
+  the clause 8.7 IN-LOOP DEBLOCKING FILTER (all strengths 4/3/2/1/0,
   Tables 8-16/8-17, strong/weak luma + chroma shapes, per-MB QP
   averaging, slice alpha/beta offsets), so conformant streams that do
-  NOT signal disable_deblocking_filter_idc=1 decode bit-exact.
+  NOT signal disable_deblocking_filter_idc=1 decode bit-exact; and
+  SINGLE-REFERENCE P SLICES (clause 8.4) — P_Skip runs, P_L0_16x16,
+  16x8/8x16 partitions, intra islands, the 6-tap half-pel +
+  quarter-pel averaging luma interpolation, 1/8-pel bilinear chroma,
+  the 8.4.1.3 median mv prediction, and the Table 9-4 inter CBP
+  column — the IPPP GOP shape real baseline streams use.
 * RAISES NotImplementedError (each a deliberate, documented gate):
-  CABAC (PPS entropy_coding_mode_flag=1), inter prediction (P/B
-  slices), Intra_8x8 / the 8x8 transform (High profile), multi-slice
-  pictures, FMO/ASO, interlace (frame_mbs_only_flag=0).
+  CABAC (PPS entropy_coding_mode_flag=1 — its ~400 context-init
+  pairs have no faithfully-reproducible public-memory source in this
+  environment; a self-consistent-but-wrong table set would pass
+  round-trip tests and silently corrupt real streams, so the gate
+  stays honest), B slices, P_8x8 sub-partitions, multiple reference
+  frames / list modification / weighted prediction, Intra_8x8 / the
+  8x8 transform (High profile), multi-slice pictures, FMO/ASO,
+  interlace (frame_mbs_only_flag=0).
 * RAISES ValueError: malformed bitstreams (the module-wide contract
   decode_mp4_samples relies on — a corrupt row skips, the Arrow batch
   survives).
@@ -690,10 +700,190 @@ def _block_to_scan(blk: np.ndarray, start: int = 0) -> list[int]:
 
 
 # ---------------------------------------------------------------------------
-# in-loop deblocking filter (8.7) — I-slice scope: every macroblock is
-# intra, so boundary strength is 4 on macroblock edges and 3 on
-# internal 4x4 edges; the generic bS derivation's inter clauses never
-# apply.  Tables 8-16 (alpha, beta) and 8-17 (tc0) indexed 0..51.
+# inter prediction (8.4) — round 16: P slices with ONE reference
+# frame (the previously decoded picture).  Fully algorithmic: the
+# 6-tap (1,-5,20,20,-5,1) luma half-pel filter, quarter-pel
+# averaging, chroma 1/8-pel bilinear, and the 8.4.1.3 median motion
+# vector prediction — no new VLC tables beyond the Table 9-4 inter
+# CBP column.
+# ---------------------------------------------------------------------------
+
+
+def _interp_luma_block(
+    ref: np.ndarray, x0: int, y0: int, bw: int, bh: int,
+    mvx: int, mvy: int,
+) -> np.ndarray:
+    """8.4.2.2.1: the quarter-pel luma prediction block at (x0, y0)
+    size (bw, bh) with quarter-pel motion vector (mvx, mvy), reference
+    extended by edge replication (coordinate clamping)."""
+    xi, yi = x0 + (mvx >> 2), y0 + (mvy >> 2)
+    xf, yf = mvx & 3, mvy & 3
+    h, w = ref.shape
+    rows = np.clip(np.arange(yi - 2, yi + bh + 3), 0, h - 1)
+    cols = np.clip(np.arange(xi - 2, xi + bw + 3), 0, w - 1)
+    win = ref[np.ix_(rows, cols)].astype(np.int64)  # (bh+5, bw+5)
+    G = win[2 : 2 + bh, 2 : 2 + bw]
+    if xf == 0 and yf == 0:
+        return G
+    clip = lambda a: np.clip(a, 0, 255)
+    # b1: horizontal 6-tap, un-rounded; aligned so b1[:, c] sits half a
+    # sample right of win[:, 2 + c]
+    b1 = (
+        win[:, 0:-5] - 5 * win[:, 1:-4] + 20 * win[:, 2:-3]
+        + 20 * win[:, 3:-2] - 5 * win[:, 4:-1] + win[:, 5:]
+    )
+    # h1: vertical 6-tap, un-rounded; h1[r, :] half a sample below
+    # win[2 + r, :]
+    h1 = (
+        win[0:-5, :] - 5 * win[1:-4, :] + 20 * win[2:-3, :]
+        + 20 * win[3:-2, :] - 5 * win[4:-1, :] + win[5:, :]
+    )
+    b = clip((b1[2 : 2 + bh, :] + 16) >> 5)          # (bh, bw) at (2,0)
+    hh = clip((h1[:, 2 : 2 + bw] + 16) >> 5)         # (bh, bw) at (0,2)
+    # j: 6-tap across the un-rounded h1 columns (equivalently b1 rows)
+    j1 = (
+        h1[:, 0:-5] - 5 * h1[:, 1:-4] + 20 * h1[:, 2:-3]
+        + 20 * h1[:, 3:-2] - 5 * h1[:, 4:-1] + h1[:, 5:]
+    )
+    j = clip((j1 + 512) >> 10)                       # (bh, bw) at (2,2)
+    H_ = win[2 : 2 + bh, 3 : 3 + bw]                 # integer right
+    M = win[3 : 3 + bh, 2 : 2 + bw]                  # integer below
+    m = clip((h1[:, 3 : 3 + bw] + 16) >> 5)          # half-vert, col+1
+    s = clip((b1[3 : 3 + bh, :] + 16) >> 5)          # half-horz, row+1
+    avg = lambda a, c: (a + c + 1) >> 1
+    table = {
+        (1, 0): avg(G, b), (2, 0): b, (3, 0): avg(H_, b),
+        (0, 1): avg(G, hh), (1, 1): avg(b, hh), (2, 1): avg(b, j),
+        (3, 1): avg(b, m),
+        (0, 2): hh, (1, 2): avg(hh, j), (2, 2): j, (3, 2): avg(j, m),
+        (0, 3): avg(M, hh), (1, 3): avg(hh, s), (2, 3): avg(j, s),
+        (3, 3): avg(m, s),
+    }
+    return table[(xf, yf)]
+
+
+def _interp_chroma_block(
+    ref: np.ndarray, x0: int, y0: int, bw: int, bh: int,
+    mvx: int, mvy: int,
+) -> np.ndarray:
+    """8.4.2.2.2: 1/8-pel bilinear chroma prediction (4:2:0 — the
+    luma quarter-pel vector IS the chroma eighth-pel vector)."""
+    xi, yi = x0 + (mvx >> 3), y0 + (mvy >> 3)
+    xf, yf = mvx & 7, mvy & 7
+    h, w = ref.shape
+    rows = np.clip(np.arange(yi, yi + bh + 1), 0, h - 1)
+    cols = np.clip(np.arange(xi, xi + bw + 1), 0, w - 1)
+    win = ref[np.ix_(rows, cols)].astype(np.int64)
+    A = win[:bh, :bw]
+    B = win[:bh, 1 : bw + 1]
+    C = win[1 : bh + 1, :bw]
+    D = win[1 : bh + 1, 1 : bw + 1]
+    return (
+        (8 - xf) * (8 - yf) * A + xf * (8 - yf) * B
+        + (8 - xf) * yf * C + xf * yf * D + 32
+    ) >> 6
+
+
+# ref4 grid conventions: -2 = unavailable (outside the picture or not
+# yet decoded), -1 = intra (AVAILABLE but with no motion — 8.4.1.3.2
+# assigns it mv (0,0), refIdx -1, and it does NOT trigger the C -> D
+# substitution), >= 0 = inter reference index.
+_REF_UNAVAIL = -2
+_REF_INTRA = -1
+
+
+def _is_unavail(ref4: np.ndarray, gx: int, gy: int) -> bool:
+    h4, w4 = ref4.shape
+    return (
+        gx < 0 or gy < 0 or gx >= w4 or gy >= h4
+        or int(ref4[gy, gx]) == _REF_UNAVAIL
+    )
+
+
+def _neighbor_mv(
+    mv4: np.ndarray, ref4: np.ndarray, gx: int, gy: int
+) -> tuple[int, int, int]:
+    """(mvx, mvy, ref) of the 4x4 block at grid (gx, gy); unavailable
+    AND intra neighbors both yield (0, 0, -1) here (8.4.1.3.2) — the
+    C -> D substitution distinguishes them via _is_unavail."""
+    if _is_unavail(ref4, gx, gy) or int(ref4[gy, gx]) == _REF_INTRA:
+        return 0, 0, -1
+    return int(mv4[0, gy, gx]), int(mv4[1, gy, gx]), int(ref4[gy, gx])
+
+
+def _mvp_median(
+    mv4: np.ndarray, ref4: np.ndarray,
+    gx: int, gy: int, pw4: int, ph4: int,
+    ref_idx: int = 0, part_hint: str | None = None,
+) -> tuple[int, int]:
+    """8.4.1.3: median motion-vector prediction for the partition
+    whose top-left 4x4 grid cell is (gx, gy), width ``pw4`` in 4x4
+    units. ``part_hint`` 'top'/'bottom' (16x8) or 'left'/'right'
+    (8x16) applies the directional shortcuts of 8.4.1.3."""
+    ax, ay, ar = _neighbor_mv(mv4, ref4, gx - 1, gy)
+    bx, by, br_ = _neighbor_mv(mv4, ref4, gx, gy - 1)
+    c_unavail = _is_unavail(ref4, gx + pw4, gy - 1)
+    if c_unavail:  # C -> D (above-left) on TRUE unavailability only
+        cx, cy, cr = _neighbor_mv(mv4, ref4, gx - 1, gy - 1)
+    else:
+        cx, cy, cr = _neighbor_mv(mv4, ref4, gx + pw4, gy - 1)
+    if part_hint == "top" and br_ == ref_idx:
+        return bx, by
+    if part_hint in ("bottom", "left") and ar == ref_idx:
+        return ax, ay
+    if part_hint == "right" and cr == ref_idx:
+        return cx, cy
+    # B, C and D all unavailable (top picture row): mvp = mvA
+    if (
+        _is_unavail(ref4, gx, gy - 1)
+        and _is_unavail(ref4, gx + pw4, gy - 1)
+        and _is_unavail(ref4, gx - 1, gy - 1)
+    ):
+        return ax, ay
+    matches = [m for m in ((ax, ay, ar), (bx, by, br_), (cx, cy, cr))
+               if m[2] == ref_idx]
+    if len(matches) == 1:
+        return matches[0][0], matches[0][1]
+    mx = int(np.median([ax, bx, cx]))
+    my = int(np.median([ay, by, cy]))
+    return mx, my
+
+
+def _mv_skip(
+    mv4: np.ndarray, ref4: np.ndarray, gx: int, gy: int
+) -> tuple[int, int]:
+    """8.4.1.1: the P_Skip motion vector — (0,0) when either the left
+    or top neighbor is unavailable or is a zero-motion refIdx-0
+    block; otherwise the 16x16 median prediction."""
+    ax, ay, ar = _neighbor_mv(mv4, ref4, gx - 1, gy)
+    bx, by, br_ = _neighbor_mv(mv4, ref4, gx, gy - 1)
+    if _is_unavail(ref4, gx - 1, gy) or _is_unavail(ref4, gx, gy - 1):
+        return 0, 0
+    if ar == 0 and ax == 0 and ay == 0:
+        return 0, 0
+    if br_ == 0 and bx == 0 and by == 0:
+        return 0, 0
+    return _mvp_median(mv4, ref4, gx, gy, 4, 4)
+
+
+# Table 9-4, coded_block_pattern me(v) mapping — INTER column
+# (codeNum -> cbp); verified a permutation of 0..47 by tests alongside
+# fixture round-trips across the cbp range.
+_CBP_INTER_FROM_CODE = [
+    0, 16, 1, 2, 4, 8, 32, 3, 5, 10, 12, 15, 47, 7, 11, 13, 14, 6, 9,
+    31, 35, 37, 42, 44, 33, 34, 36, 40, 39, 43, 45, 46, 17, 18, 20,
+    24, 19, 21, 26, 28, 23, 27, 29, 30, 22, 25, 38, 41,
+]
+_CBP_INTER_TO_CODE = {v: i for i, v in enumerate(_CBP_INTER_FROM_CODE)}
+
+
+# ---------------------------------------------------------------------------
+# in-loop deblocking filter (8.7) — Tables 8-16 (alpha, beta) and
+# 8-17 (tc0) indexed 0..51.  For all-intra pictures boundary strength
+# is 4 on macroblock edges and 3 on internal 4x4 edges; P slices
+# (round 16) add the inter strengths: 2 when either side has coded
+# coefficients, 1 on a >= 1-sample (4 quarter-pel units) motion
+# difference or reference change, 0 otherwise (edge skipped).
 # ---------------------------------------------------------------------------
 
 _DEBLOCK_ALPHA = [0] * 16 + [
@@ -720,61 +910,46 @@ _DEBLOCK_TC0 = [
 
 
 def _deblock_edge(
-    p: np.ndarray, q: np.ndarray, bs: int, index_a: int, index_b: int,
+    p: np.ndarray, q: np.ndarray, bs, index_a: int, index_b: int,
     is_luma: bool,
 ) -> None:
     """Filter ONE edge in place (8.7.2.3/8.7.2.4).  ``p``/``q`` are
-    (4, N) int64 views — row i holds sample p_i / q_i for each of the
-    N lines crossing the edge — so writes land in the plane."""
+    (4, N) int64 stacks — row i holds sample p_i / q_i for each of
+    the N lines crossing the edge.  ``bs`` is a scalar or a per-line
+    array (P-slice edges mix strengths per 4x4 segment)."""
     alpha = _DEBLOCK_ALPHA[index_a]
     beta = _DEBLOCK_BETA[index_b]
     p0, p1, p2, p3 = p[0], p[1], p[2], p[3]
     q0, q1, q2, q3 = q[0], q[1], q[2], q[3]
+    bs = np.broadcast_to(np.asarray(bs, dtype=np.int64), p0.shape)
     filt = (
         (np.abs(p0 - q0) < alpha)
         & (np.abs(p1 - p0) < beta)
         & (np.abs(q1 - q0) < beta)
+        & (bs > 0)
     )
     if not filt.any():
         return
-    if bs == 4:
-        if is_luma:
-            strong = np.abs(p0 - q0) < ((alpha >> 2) + 2)
-            sp = filt & strong & (np.abs(p2 - p0) < beta)
-            sq = filt & strong & (np.abs(q2 - q0) < beta)
-            p0n = np.where(
-                sp, (p2 + 2 * p1 + 2 * p0 + 2 * q0 + q1 + 4) >> 3,
-                np.where(filt, (2 * p1 + p0 + q1 + 2) >> 2, p0),
-            )
-            p1n = np.where(sp, (p2 + p1 + p0 + q0 + 2) >> 2, p1)
-            p2n = np.where(
-                sp, (2 * p3 + 3 * p2 + p1 + p0 + q0 + 4) >> 3, p2
-            )
-            q0n = np.where(
-                sq, (q2 + 2 * q1 + 2 * q0 + 2 * p0 + p1 + 4) >> 3,
-                np.where(filt, (2 * q1 + q0 + p1 + 2) >> 2, q0),
-            )
-            q1n = np.where(sq, (q2 + q1 + q0 + p0 + 2) >> 2, q1)
-            q2n = np.where(
-                sq, (2 * q3 + 3 * q2 + q1 + q0 + p0 + 4) >> 3, q2
-            )
-            p[0], p[1], p[2] = p0n, p1n, p2n
-            q[0], q[1], q[2] = q0n, q1n, q2n
-        else:  # chroma bS=4: p0/q0 only, no strong/weak split
-            p[0] = np.where(filt, (2 * p1 + p0 + q1 + 2) >> 2, p0)
-            q[0] = np.where(filt, (2 * q1 + q0 + p1 + 2) >> 2, q0)
-        return
-    tc0 = _DEBLOCK_TC0[bs - 1][index_a]
+    is4 = bs == 4
+    lt4 = filt & ~is4
+    ap = np.abs(p2 - p0) < beta
+    aq = np.abs(q2 - q0) < beta
+    # --- bS < 4: tc-clipped delta (tc0 looked up per line) ---
+    tc0_by_bs = np.array(
+        [0]
+        + [_DEBLOCK_TC0[b - 1][index_a] for b in (1, 2, 3)]
+        + [0],
+        dtype=np.int64,
+    )
+    tc0 = tc0_by_bs[np.clip(bs, 0, 4)]
     if is_luma:
-        ap = np.abs(p2 - p0) < beta
-        aq = np.abs(q2 - q0) < beta
         tc = tc0 + ap.astype(np.int64) + aq.astype(np.int64)
     else:
-        ap = aq = None
-        tc = np.full(p0.shape, tc0 + 1, dtype=np.int64)
+        tc = tc0 + 1
     delta = np.clip((((q0 - p0) << 2) + (p1 - q1) + 4) >> 3, -tc, tc)
-    p0n = np.where(filt, np.clip(p0 + delta, 0, 255), p0)
-    q0n = np.where(filt, np.clip(q0 - delta, 0, 255), q0)
+    p0n = np.where(lt4, np.clip(p0 + delta, 0, 255), p0)
+    q0n = np.where(lt4, np.clip(q0 - delta, 0, 255), q0)
+    p1n, p2n, q1n, q2n = p1, p2, q1, q2
     if is_luma:
         # p1/q1 nudged toward the p2/q2-side average, Clip3 by tc0
         # (8-360/8-361; no Clip1 needed — movement is toward an
@@ -785,9 +960,36 @@ def _deblock_edge(
         dq1 = np.clip(
             (q2 + ((p0 + q0 + 1) >> 1) - (q1 << 1)) >> 1, -tc0, tc0
         )
-        p[1] = np.where(filt & ap, p1 + dp1, p1)
-        q[1] = np.where(filt & aq, q1 + dq1, q1)
-    p[0], q[0] = p0n, q0n
+        p1n = np.where(lt4 & ap, p1 + dp1, p1)
+        q1n = np.where(lt4 & aq, q1 + dq1, q1)
+    # --- bS == 4 ---
+    if is4.any():
+        f4 = filt & is4
+        if is_luma:
+            strong = np.abs(p0 - q0) < ((alpha >> 2) + 2)
+            sp = f4 & strong & ap
+            sq = f4 & strong & aq
+            p0n = np.where(
+                sp, (p2 + 2 * p1 + 2 * p0 + 2 * q0 + q1 + 4) >> 3,
+                np.where(f4, (2 * p1 + p0 + q1 + 2) >> 2, p0n),
+            )
+            p1n = np.where(sp, (p2 + p1 + p0 + q0 + 2) >> 2, p1n)
+            p2n = np.where(
+                sp, (2 * p3 + 3 * p2 + p1 + p0 + q0 + 4) >> 3, p2n
+            )
+            q0n = np.where(
+                sq, (q2 + 2 * q1 + 2 * q0 + 2 * p0 + p1 + 4) >> 3,
+                np.where(f4, (2 * q1 + q0 + p1 + 2) >> 2, q0n),
+            )
+            q1n = np.where(sq, (q2 + q1 + q0 + p0 + 2) >> 2, q1n)
+            q2n = np.where(
+                sq, (2 * q3 + 3 * q2 + q1 + q0 + p0 + 4) >> 3, q2n
+            )
+        else:  # chroma bS=4: p0/q0 only, no strong/weak split
+            p0n = np.where(f4, (2 * p1 + p0 + q1 + 2) >> 2, p0n)
+            q0n = np.where(f4, (2 * q1 + q0 + p1 + 2) >> 2, q0n)
+    p[0], p[1], p[2] = p0n, p1n, p2n
+    q[0], q[1], q[2] = q0n, q1n, q2n
 
 
 def _edge_views(
@@ -818,14 +1020,64 @@ def _edge_writeback(
             plane[y + i, x : x + n] = q[i]
 
 
+def _deblock_bs_grids(
+    ref4: np.ndarray,
+    luma_tc: np.ndarray,
+    mv4: np.ndarray,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-4x4 boundary-strength grids (8.7.2.1, frame coding):
+    ``bs_v[gy, gx]`` is the strength of the vertical edge on the LEFT
+    of block (gy, gx); ``bs_h`` the edge ABOVE it.  4: either side
+    intra on a MB edge; 3: either side intra, internal; 2: either
+    side with coded coefficients; 1: reference change or a motion
+    difference >= 4 quarter-pel units in either component; 0: none."""
+    h4, w4 = ref4.shape
+    intra = ref4 == _REF_INTRA
+
+    def grid(p_sl, q_sl, mb_edge_mask):
+        ip, iq = intra[p_sl], intra[q_sl]
+        either_intra = ip | iq
+        coded = (luma_tc[p_sl] > 0) | (luma_tc[q_sl] > 0)
+        refdiff = ref4[p_sl] != ref4[q_sl]
+        mvdiff = (
+            (np.abs(mv4[0][p_sl] - mv4[0][q_sl]) >= 4)
+            | (np.abs(mv4[1][p_sl] - mv4[1][q_sl]) >= 4)
+        )
+        return np.where(
+            either_intra,
+            np.where(mb_edge_mask, 4, 3),
+            np.where(coded, 2, np.where(refdiff | mvdiff, 1, 0)),
+        )
+
+    bs_v = np.zeros((h4, w4), dtype=np.int64)
+    cols = np.arange(1, w4)
+    bs_v[:, 1:] = grid(
+        (slice(None), slice(0, w4 - 1)),
+        (slice(None), slice(1, w4)),
+        (cols % 4 == 0)[None, :],
+    )
+    bs_h = np.zeros((h4, w4), dtype=np.int64)
+    rows = np.arange(1, h4)
+    bs_h[1:, :] = grid(
+        (slice(0, h4 - 1), slice(None)),
+        (slice(1, h4), slice(None)),
+        (rows % 4 == 0)[:, None],
+    )
+    return bs_v, bs_h
+
+
 def _deblock_frame(
     y: np.ndarray, cb: np.ndarray, cr: np.ndarray, qp_map: np.ndarray,
     chroma_qp_off: int, off_a: int, off_b: int,
+    bs_v: np.ndarray | None = None, bs_h: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """8.7 for an all-intra picture: macroblocks in raster order, each
-    filtering its vertical edges left-to-right then horizontal edges
-    top-to-bottom, on samples already modified by earlier edges.
-    ``qp_map`` is the per-MB luma QP (I_PCM counts as 0)."""
+    """8.7: macroblocks in raster order, each filtering its vertical
+    edges left-to-right then horizontal edges top-to-bottom, on
+    samples already modified by earlier edges.  ``qp_map`` is the
+    per-MB luma QP (I_PCM counts as 0).  ``bs_v``/``bs_h`` are the
+    per-4x4 strength grids (_deblock_bs_grids); None means the
+    all-intra constants (4 on MB edges, 3 internal).  Chroma edges
+    take the co-located luma block's strength per 2-line pair."""
     h_mbs, w_mbs = qp_map.shape
     yp = y.astype(np.int64)
     cbp = cb.astype(np.int64)
@@ -843,6 +1095,23 @@ def _deblock_frame(
         _deblock_edge(p, q, bs, index_a, index_b, is_luma)
         _edge_writeback(plane, ex, ey, n, vertical, p, q)
 
+    def luma_bs(mbx, mby, e, vertical):
+        if bs_v is None:
+            return 4 if e == 0 else 3
+        gx, gy = mbx * 4, mby * 4
+        if vertical:
+            return np.repeat(bs_v[gy : gy + 4, gx + e // 4], 4)
+        return np.repeat(bs_h[gy + e // 4, gx : gx + 4], 4)
+
+    def chroma_bs(mbx, mby, e, vertical):
+        # chroma line yc maps to luma line 2*yc -> luma block yc // 2
+        if bs_v is None:
+            return 4 if e == 0 else 3
+        gx, gy = mbx * 4, mby * 4
+        if vertical:
+            return np.repeat(bs_v[gy : gy + 4, gx + e // 2], 2)
+        return np.repeat(bs_h[gy + e // 2, gx : gx + 4], 2)
+
     for mby in range(h_mbs):
         for mbx in range(w_mbs):
             qp = int(qp_map[mby, mbx])
@@ -851,44 +1120,44 @@ def _deblock_frame(
             for e in (0, 4, 8, 12):
                 if e == 0 and mbx == 0:
                     continue
-                bs = 4 if e == 0 else 3
                 qp_p = int(qp_map[mby, mbx - 1]) if e == 0 else qp
                 do_edge(
-                    yp, mbx * 16, mby * 16, e, True, bs, qp_p, qp, True, 16
+                    yp, mbx * 16, mby * 16, e, True,
+                    luma_bs(mbx, mby, e, True), qp_p, qp, True, 16,
                 )
             for e in (0, 4):
                 if e == 0 and mbx == 0:
                     continue
-                bs = 4 if e == 0 else 3
                 qp_p = (
                     _chroma_qp(int(qp_map[mby, mbx - 1]), chroma_qp_off)
                     if e == 0 else qpc
                 )
                 for plane in (cbp, crp):
                     do_edge(
-                        plane, mbx * 8, mby * 8, e, True, bs, qp_p, qpc,
+                        plane, mbx * 8, mby * 8, e, True,
+                        chroma_bs(mbx, mby, e, True), qp_p, qpc,
                         False, 8,
                     )
             # --- horizontal edges (top MB edge + internal) ---
             for e in (0, 4, 8, 12):
                 if e == 0 and mby == 0:
                     continue
-                bs = 4 if e == 0 else 3
                 qp_p = int(qp_map[mby - 1, mbx]) if e == 0 else qp
                 do_edge(
-                    yp, mbx * 16, mby * 16, e, False, bs, qp_p, qp, True, 16
+                    yp, mbx * 16, mby * 16, e, False,
+                    luma_bs(mbx, mby, e, False), qp_p, qp, True, 16,
                 )
             for e in (0, 4):
                 if e == 0 and mby == 0:
                     continue
-                bs = 4 if e == 0 else 3
                 qp_p = (
                     _chroma_qp(int(qp_map[mby - 1, mbx]), chroma_qp_off)
                     if e == 0 else qpc
                 )
                 for plane in (cbp, crp):
                     do_edge(
-                        plane, mbx * 8, mby * 8, e, False, bs, qp_p, qpc,
+                        plane, mbx * 8, mby * 8, e, False,
+                        chroma_bs(mbx, mby, e, False), qp_p, qpc,
                         False, 8,
                     )
     return (
@@ -964,7 +1233,7 @@ def parse_pps(rbsp: bytes) -> dict:
         raise NotImplementedError("FMO (num_slice_groups > 1)")
     br.ue()  # num_ref_idx_l0_default_active_minus1
     br.ue()  # num_ref_idx_l1_default_active_minus1
-    br.u(1)  # weighted_pred
+    weighted_pred = br.u(1)
     br.u(2)  # weighted_bipred_idc
     init_qp = br.se() + 26
     br.se()  # pic_init_qs
@@ -991,6 +1260,7 @@ def parse_pps(rbsp: bytes) -> dict:
         "chroma_qp_off": chroma_qp_off,
         "deblock_ctrl": deblock_ctrl,
         "redundant": redundant,
+        "weighted_pred": weighted_pred,
     }
 
 
@@ -1326,18 +1596,26 @@ def _nc_from_neighbors(
 
 
 def decode_idr_planes(
-    slice_rbsp: bytes, sps: dict, pps: dict, nal_type: int, nal_ref_idc: int
+    slice_rbsp: bytes, sps: dict, pps: dict, nal_type: int,
+    nal_ref_idc: int, ref_planes: tuple | None = None,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Decode one I/IDR slice covering the whole picture; returns
-    uncropped (Y, Cb, Cr) uint8 planes."""
+    """Decode one I/IDR or (round 16) single-reference P slice
+    covering the whole picture; returns uncropped (Y, Cb, Cr) uint8
+    planes.  ``ref_planes`` is the previously decoded picture's
+    uncropped plane triple (the in-loop, post-deblocking output),
+    required for P slices."""
     br = _BitReader(slice_rbsp)
     if br.ue() != 0:
         raise NotImplementedError("multi-slice pictures (first_mb != 0)")
     slice_type = br.ue()
-    if slice_type % 5 != 2:
+    st = slice_type % 5
+    if st not in (0, 2):
         raise NotImplementedError(
-            f"slice_type {slice_type} (only I slices decode)"
+            f"slice_type {slice_type} (I and single-ref P slices decode)"
         )
+    is_p = st == 0
+    if is_p and ref_planes is None:
+        raise ValueError("P slice without a decoded reference picture")
     if br.ue() != pps["pps_id"]:
         raise ValueError("slice references unknown PPS")
     br.u(sps["log2_max_frame_num"])  # frame_num
@@ -1349,6 +1627,17 @@ def decode_idr_planes(
             br.se()
     if pps["redundant"]:
         br.ue()
+    if is_p:
+        if br.u(1):  # num_ref_idx_active_override_flag
+            if br.ue() != 0:
+                raise NotImplementedError(
+                    "multiple reference frames "
+                    "(num_ref_idx_l0_active_minus1 > 0)"
+                )
+        if br.u(1):  # ref_pic_list_modification_flag_l0
+            raise NotImplementedError("reference picture list modification")
+        if pps["weighted_pred"]:
+            raise NotImplementedError("weighted prediction (P slices)")
     if nal_ref_idc:
         if nal_type == 5:
             br.u(1)  # no_output_of_prior_pics
@@ -1385,16 +1674,29 @@ def decode_idr_planes(
     i4_modes = np.full((h_mbs * 4, w_mbs * 4), 2, dtype=np.int64)
     # per-MB luma QP for the deblocking filter (I_PCM counts as 0)
     qp_map = np.zeros((h_mbs, w_mbs), dtype=np.int64)
+    # per-4x4 motion state for P slices: ref index (-2 undecoded,
+    # -1 intra, 0 the single reference) and quarter-pel mv
+    ref4 = np.full((h_mbs * 4, w_mbs * 4), _REF_UNAVAIL, dtype=np.int64)
+    mv4 = np.zeros((2, h_mbs * 4, w_mbs * 4), dtype=np.int64)
+    ref_y = ref_cb = ref_cr = None
+    if ref_planes is not None:
+        ref_y, ref_cb, ref_cr = (p.astype(np.int64) for p in ref_planes)
     # z-indices whose above-right in-MB neighbor is decoded LATER in
     # z-order (6.4.12.2): their top-right samples are unavailable
     _TR_UNAVAIL_Z = {3, 7, 11, 13, 15}
 
-    def decode_chroma(chroma_mode, cbp_chroma, qpc, mbx, mby, left_ok, top_ok):
+    def decode_chroma(
+        chroma_mode, cbp_chroma, qpc, mbx, mby, left_ok, top_ok,
+        pred_mc=None,
+    ):
         cx0, cy0 = mbx * 8, mby * 8
         for ci, plane in ((0, cb_plane), (1, cr_plane)):
-            predc = _pred_chroma(
-                chroma_mode, plane, cx0, cy0, left_ok, top_ok
-            )
+            if pred_mc is not None:  # inter MB: motion-compensated pred
+                predc = pred_mc[ci]
+            else:
+                predc = _pred_chroma(
+                    chroma_mode, plane, cx0, cy0, left_ok, top_ok
+                )
             if cbp_chroma > 0:
                 dcc_scan = _decode_residual_block(br, -1, 4)
                 dcc = np.array(
@@ -1429,12 +1731,125 @@ def decode_idr_planes(
                     reconc[by * 4 : by * 4 + 4, bx * 4 : bx * 4 + 4] += r
             plane[cy0 : cy0 + 8, cx0 : cx0 + 8] = np.clip(reconc, 0, 255)
 
-    for mb in range(w_mbs * h_mbs):
+    def mc_luma_parts(mbx, mby, parts):
+        """Motion-compensate the luma 16x16 prediction from partition
+        list [(gx_off4, gy_off4, pw4, ph4, mvx, mvy)] (4x4 units)."""
+        pred = np.zeros((16, 16), dtype=np.int64)
+        for gx_o, gy_o, pw4, ph4, mvx, mvy in parts:
+            pred[
+                gy_o * 4 : (gy_o + ph4) * 4, gx_o * 4 : (gx_o + pw4) * 4
+            ] = _interp_luma_block(
+                ref_y, mbx * 16 + gx_o * 4, mby * 16 + gy_o * 4,
+                pw4 * 4, ph4 * 4, mvx, mvy,
+            )
+        return pred
+
+    def mc_chroma_parts(mbx, mby, parts):
+        preds = []
+        for refc in (ref_cb, ref_cr):
+            pc = np.zeros((8, 8), dtype=np.int64)
+            for gx_o, gy_o, pw4, ph4, mvx, mvy in parts:
+                pc[
+                    gy_o * 2 : (gy_o + ph4) * 2, gx_o * 2 : (gx_o + pw4) * 2
+                ] = _interp_chroma_block(
+                    refc, mbx * 8 + gx_o * 2, mby * 8 + gy_o * 2,
+                    pw4 * 2, ph4 * 2, mvx, mvy,
+                )
+            preds.append(pc)
+        return preds
+
+    def set_motion(mbx, mby, gx_o, gy_o, pw4, ph4, mvx, mvy):
+        gy, gx = mby * 4 + gy_o, mbx * 4 + gx_o
+        ref4[gy : gy + ph4, gx : gx + pw4] = 0
+        mv4[0, gy : gy + ph4, gx : gx + pw4] = mvx
+        mv4[1, gy : gy + ph4, gx : gx + pw4] = mvy
+
+    def decode_skip_mb(mb):
+        mbx, mby = mb % w_mbs, mb // w_mbs
+        mvx, mvy = _mv_skip(mv4, ref4, mbx * 4, mby * 4)
+        part = [(0, 0, 4, 4, mvx, mvy)]
+        y_plane[mby * 16 : mby * 16 + 16, mbx * 16 : mbx * 16 + 16] = (
+            np.clip(mc_luma_parts(mbx, mby, part), 0, 255)
+        )
+        pcb, pcr = mc_chroma_parts(mbx, mby, part)
+        cb_plane[mby * 8 : mby * 8 + 8, mbx * 8 : mbx * 8 + 8] = np.clip(
+            pcb, 0, 255
+        )
+        cr_plane[mby * 8 : mby * 8 + 8, mbx * 8 : mbx * 8 + 8] = np.clip(
+            pcr, 0, 255
+        )
+        set_motion(mbx, mby, 0, 0, 4, 4, mvx, mvy)
+        luma_tc[mby * 4 : mby * 4 + 4, mbx * 4 : mbx * 4 + 4] = 0
+        chroma_tc[:, mby * 2 : mby * 2 + 2, mbx * 2 : mbx * 2 + 2] = 0
+        qp_map[mby, mbx] = qp
+
+    def decode_inter_mb(mb, p_type):
+        nonlocal qp
+        mbx, mby = mb % w_mbs, mb // w_mbs
+        left_ok, top_ok = mbx > 0, mby > 0
+        x0, y0 = mbx * 16, mby * 16
+        if p_type >= 3:
+            raise NotImplementedError(
+                "P_8x8 macroblock sub-partitions (sub_mb_type)"
+            )
+        # partition geometry in 4x4 units + the 8.4.1.3 mvp hints
+        geo = {
+            0: [(0, 0, 4, 4, None)],
+            1: [(0, 0, 4, 2, "top"), (0, 2, 4, 2, "bottom")],
+            2: [(0, 0, 2, 4, "left"), (2, 0, 2, 4, "right")],
+        }[p_type]
+        # single reference: ref_idx_l0 fields are absent (te() with
+        # max 0); all mvds parse first (7.3.5.1 loop order)
+        mvds = [(br.se(), br.se()) for _ in geo]
+        parts = []
+        for (gx_o, gy_o, pw4, ph4, hint), (mdx, mdy) in zip(geo, mvds):
+            mvpx, mvpy = _mvp_median(
+                mv4, ref4, mbx * 4 + gx_o, mby * 4 + gy_o, pw4, ph4,
+                part_hint=hint,
+            )
+            mvx, mvy = mvpx + mdx, mvpy + mdy
+            set_motion(mbx, mby, gx_o, gy_o, pw4, ph4, mvx, mvy)
+            parts.append((gx_o, gy_o, pw4, ph4, mvx, mvy))
+        pred = mc_luma_parts(mbx, mby, parts)
+        code = br.ue()
+        if code >= 48:
+            raise ValueError(f"bad inter coded_block_pattern code {code}")
+        cbp = _CBP_INTER_FROM_CODE[code]
+        cbp_luma, cbp_chroma = cbp & 15, cbp >> 4
+        if cbp:
+            qp = (qp + br.se() + 52) % 52
+        qpc = _chroma_qp(qp, pps["chroma_qp_off"])
+        qp_map[mby, mbx] = qp
+        recon = pred
+        for idx in range(16):
+            bx, by = _z_luma(idx)
+            if cbp_luma & (1 << (idx // 4)):
+                nc = _nc_from_neighbors(
+                    luma_tc, mbx * 4 + bx, mby * 4 + by, left_ok, top_ok
+                )
+                scan = _decode_residual_block(br, nc, 16)
+                luma_tc[mby * 4 + by, mbx * 4 + bx] = sum(
+                    1 for c in scan if c
+                )
+                d = _dequant_ac(_scan_to_block(scan), qp)
+                r = (_inverse_core_4x4(d) + 32) >> 6
+                recon[by * 4 : by * 4 + 4, bx * 4 : bx * 4 + 4] += r
+            else:
+                luma_tc[mby * 4 + by, mbx * 4 + bx] = 0
+        y_plane[y0 : y0 + 16, x0 : x0 + 16] = np.clip(recon, 0, 255)
+        decode_chroma(
+            0, cbp_chroma, qpc, mbx, mby, left_ok, top_ok,
+            pred_mc=mc_chroma_parts(mbx, mby, parts),
+        )
+
+    def decode_macroblock(mb, mb_type):
+        nonlocal qp
         mbx, mby = mb % w_mbs, mb // w_mbs
         left_ok, top_ok = mbx > 0, mby > 0
         x0, y0 = mbx * 16, mby * 16
         cx0, cy0 = mbx * 8, mby * 8
-        mb_type = br.ue()
+        # every intra path marks its 4x4 cells _REF_INTRA up front
+        ref4[mby * 4 : mby * 4 + 4, mbx * 4 : mbx * 4 + 4] = _REF_INTRA
         if mb_type == 0:  # I_NxN == Intra_4x4 (no 8x8 transform flag
             # in baseline: PPS transform_8x8_mode is High-profile-only)
             modes = []
@@ -1496,7 +1911,7 @@ def decode_idr_planes(
             decode_chroma(
                 chroma_mode, cbp_chroma, qpc, mbx, mby, left_ok, top_ok
             )
-            continue
+            return
         if mb_type == 25:  # I_PCM (7.3.5, 7.4.5)
             br.byte_align()
             pcm = np.frombuffer(
@@ -1508,7 +1923,7 @@ def decode_idr_planes(
             luma_tc[mby * 4 : mby * 4 + 4, mbx * 4 : mbx * 4 + 4] = 16
             chroma_tc[:, mby * 2 : mby * 2 + 2, mbx * 2 : mbx * 2 + 2] = 16
             qp_map[mby, mbx] = 0  # I_PCM deblocks at QP 0 (8.7)
-            continue
+            return
         if mb_type > 25:
             raise ValueError(f"bad I-slice mb_type {mb_type}")
         # Intra_16x16 (Table 7-11): mb_type 1..24
@@ -1550,10 +1965,39 @@ def decode_idr_planes(
         y_plane[y0 : y0 + 16, x0 : x0 + 16] = np.clip(recon, 0, 255)
         decode_chroma(chroma_mode, cbp_chroma, qpc, mbx, mby, left_ok, top_ok)
 
+    total = w_mbs * h_mbs
+    if is_p:
+        # slice_data for P (7.3.4, CAVLC): runs of P_Skip macroblocks
+        # interleave with coded ones; a trailing run may end the slice
+        mb_addr = 0
+        while mb_addr < total:
+            skip_run = br.ue()
+            if mb_addr + skip_run > total:
+                raise ValueError("mb_skip_run overruns the picture")
+            for _ in range(skip_run):
+                decode_skip_mb(mb_addr)
+                mb_addr += 1
+            if mb_addr >= total or not br.more_rbsp_data():
+                break
+            raw = br.ue()
+            if raw < 5:
+                decode_inter_mb(mb_addr, raw)
+            else:
+                decode_macroblock(mb_addr, raw - 5)  # intra in P
+            mb_addr += 1
+        if mb_addr != total:
+            raise ValueError("P slice ended before covering the picture")
+    else:
+        for mb in range(total):
+            decode_macroblock(mb, br.ue())
+
     if deblock_idc != 1:
+        bs_v = bs_h = None
+        if is_p:  # inter strengths need the per-4x4 motion state
+            bs_v, bs_h = _deblock_bs_grids(ref4, luma_tc, mv4)
         return _deblock_frame(
             y_plane, cb_plane, cr_plane, qp_map,
-            pps["chroma_qp_off"], off_a, off_b,
+            pps["chroma_qp_off"], off_a, off_b, bs_v, bs_h,
         )
     return y_plane, cb_plane, cr_plane
 
@@ -1708,8 +2152,12 @@ def _decode_one_nal(nal: bytes, cfg: dict) -> dict | None:
     if typ in (1, 5):
         if cfg.get("sps") is None or cfg.get("pps") is None:
             raise ValueError("coded slice before SPS/PPS")
-        y, cb, cr = decode_idr_planes(rbsp, cfg["sps"], cfg["pps"], typ, ref_idc)
-        y, cb, cr = _crop_planes(y, cb, cr, cfg["sps"])
+        yu, cbu, cru = decode_idr_planes(
+            rbsp, cfg["sps"], cfg["pps"], typ, ref_idc, cfg.get("ref")
+        )
+        if ref_idc:  # reference pictures feed the NEXT P slice
+            cfg["ref"] = (yu, cbu, cru)
+        y, cb, cr = _crop_planes(yu, cbu, cru, cfg["sps"])
         d = _frame_dict(y)
         d["cb_mean"] = float(np.mean(cb.astype(np.float64)))
         d["cr_mean"] = float(np.mean(cr.astype(np.float64)))
@@ -2097,6 +2545,237 @@ def encode_textured_i4x4_idr(
             np.full((h_mbs, w_mbs), qp, dtype=np.int64), 0, 0, 0,
         )
     return nal, plane[:height, :width], ctxs
+
+
+def encode_p_frame(
+    ref_planes: tuple,
+    frame_num: int,
+    seed: int,
+    qp: int = 12,
+    deblock: bool = False,
+) -> tuple[bytes, tuple]:
+    """One single-reference P slice NAL exercising every implemented
+    inter shape: P_Skip runs, P_L0_16x16 (with and without CAVLC
+    residual), P_L0_L0_16x8 and P_L0_L0_8x16 partitions with distinct
+    motion vectors (integer, half- and quarter-pel), and an
+    Intra_16x16 island (mb_type offset +5 inside P slices).  Motion
+    vector differences are written against the decoder's own 8.4.1.3
+    median prediction; reconstruction is tracked through the decoder's
+    exact interpolation/residual/deblocking arithmetic. Returns
+    (nal, next_ref_planes)."""
+    ref_y, ref_cb, ref_cr = (p.astype(np.int64) for p in ref_planes)
+    h16, w16 = ref_y.shape
+    w_mbs, h_mbs = w16 // 16, h16 // 16
+    bw = _BitWriter()
+    bw.ue(0)                      # first_mb_in_slice
+    bw.ue(0)                      # slice_type: P
+    bw.ue(0)                      # pps_id
+    bw.u(4, frame_num % 16)       # frame_num
+    bw.u(1, 0)                    # num_ref_idx_active_override_flag
+    bw.u(1, 0)                    # ref_pic_list_modification_flag_l0
+    bw.u(1, 0)                    # adaptive_ref_pic_marking_mode_flag
+    bw.se(0)                      # slice_qp_delta
+    if deblock:
+        bw.ue(0)
+        bw.se(0)
+        bw.se(0)
+    else:
+        bw.ue(1)
+    y = np.zeros_like(ref_y)
+    cb = np.full_like(ref_cb, 0)
+    cr = np.full_like(ref_cr, 0)
+    luma_tc = np.zeros((h_mbs * 4, w_mbs * 4), dtype=np.int64)
+    ref4 = np.full((h_mbs * 4, w_mbs * 4), _REF_UNAVAIL, dtype=np.int64)
+    mv4 = np.zeros((2, h_mbs * 4, w_mbs * 4), dtype=np.int64)
+    qp_map = np.full((h_mbs, w_mbs), qp, dtype=np.int64)
+    modes = ["skip", "mv16", "mv16r", "p16x8", "p8x16", "intra"]
+    skip_run = 0
+
+    def mc_into(mbx, mby, parts):
+        x0, y0 = mbx * 16, mby * 16
+        pred = np.zeros((16, 16), dtype=np.int64)
+        for gx_o, gy_o, pw4, ph4, mvx, mvy in parts:
+            pred[gy_o * 4 : (gy_o + ph4) * 4, gx_o * 4 : (gx_o + pw4) * 4] = (
+                _interp_luma_block(
+                    ref_y, x0 + gx_o * 4, y0 + gy_o * 4,
+                    pw4 * 4, ph4 * 4, mvx, mvy,
+                )
+            )
+            for refc, plane in ((ref_cb, cb), (ref_cr, cr)):
+                plane[
+                    mby * 8 + gy_o * 2 : mby * 8 + (gy_o + ph4) * 2,
+                    mbx * 8 + gx_o * 2 : mbx * 8 + (gx_o + pw4) * 2,
+                ] = np.clip(
+                    _interp_chroma_block(
+                        refc, mbx * 8 + gx_o * 2, mby * 8 + gy_o * 2,
+                        pw4 * 2, ph4 * 2, mvx, mvy,
+                    ),
+                    0, 255,
+                )
+            gy, gx = mby * 4 + gy_o, mbx * 4 + gx_o
+            ref4[gy : gy + ph4, gx : gx + pw4] = 0
+            mv4[0, gy : gy + ph4, gx : gx + pw4] = mvx
+            mv4[1, gy : gy + ph4, gx : gx + pw4] = mvy
+        return pred
+
+    for mb in range(w_mbs * h_mbs):
+        mbx, mby = mb % w_mbs, mb // w_mbs
+        x0, y0 = mbx * 16, mby * 16
+        mode = modes[(seed * 13 + frame_num * 5 + mb * 7) % len(modes)]
+        if mode == "skip":
+            mvx, mvy = _mv_skip(mv4, ref4, mbx * 4, mby * 4)
+            pred = mc_into(mbx, mby, [(0, 0, 4, 4, mvx, mvy)])
+            y[y0 : y0 + 16, x0 : x0 + 16] = np.clip(pred, 0, 255)
+            luma_tc[mby * 4 : mby * 4 + 4, mbx * 4 : mbx * 4 + 4] = 0
+            skip_run += 1
+            continue
+        bw.ue(skip_run)
+        skip_run = 0
+        if mode == "intra":
+            # Intra_16x16 DC, cbp 0/0 (raw type 3) -> P mb_type 5 + 3
+            pred = _pred_16x16(2, y, x0, y0, mbx > 0, mby > 0)
+            target = (seed * 29 + frame_num * 53 + mb * 31) % 256
+            lvl = _dc_level_for_residual(
+                int(target) - int(pred[0, 0]), qp, nearest=True
+            )
+            bw.ue(5 + 3)
+            bw.ue(0)      # intra_chroma_pred_mode DC -- chroma pred
+            bw.se(0)      # mb_qp_delta
+            scan = [0] * 16
+            scan[0] = lvl
+            nc = _nc_from_neighbors(
+                luma_tc, mbx * 4, mby * 4, mbx > 0, mby > 0
+            )
+            _encode_residual_block(bw, scan, nc, 16)
+            ls = 16 * _LS_V[qp % 6][0]
+            qp6 = qp // 6
+            if qp >= 36:
+                dc = (lvl * ls) << (qp6 - 6)
+            else:
+                dc = (lvl * ls + (1 << (5 - qp6))) >> (6 - qp6)
+            r = (dc + 32) >> 6 if lvl else 0
+            y[y0 : y0 + 16, x0 : x0 + 16] = np.clip(pred + r, 0, 255)
+            # intra chroma DC prediction (chroma mode 0) from the
+            # CURRENT frame
+            for ci, plane in ((0, cb), (1, cr)):
+                predc = _pred_chroma(
+                    0, plane, mbx * 8, mby * 8, mbx > 0, mby > 0
+                )
+                plane[
+                    mby * 8 : mby * 8 + 8, mbx * 8 : mbx * 8 + 8
+                ] = np.clip(predc, 0, 255)
+            ref4[mby * 4 : mby * 4 + 4, mbx * 4 : mbx * 4 + 4] = _REF_INTRA
+            luma_tc[mby * 4 : mby * 4 + 4, mbx * 4 : mbx * 4 + 4] = 0
+            luma_tc[mby * 4, mbx * 4] = 0  # DC plane carries the level
+            continue
+        # inter shapes: geometry + deterministic quarter-pel mvds
+        base = seed * 7 + frame_num * 11 + mb * 3
+        if mode in ("mv16", "mv16r"):
+            geo = [(0, 0, 4, 4, None)]
+            mvds = [((base % 13) - 6, ((base * 5) % 11) - 5)]
+            p_type = 0
+        elif mode == "p16x8":
+            geo = [(0, 0, 4, 2, "top"), (0, 2, 4, 2, "bottom")]
+            mvds = [
+                ((base % 9) - 4, ((base * 3) % 9) - 4),
+                (((base * 7) % 9) - 4, ((base * 11) % 9) - 4),
+            ]
+            p_type = 1
+        else:  # p8x16
+            geo = [(0, 0, 2, 4, "left"), (2, 0, 2, 4, "right")]
+            mvds = [
+                ((base % 7) - 3, ((base * 3) % 7) - 3),
+                (((base * 5) % 7) - 3, ((base * 9) % 7) - 3),
+            ]
+            p_type = 2
+        bw.ue(p_type)
+        for mdx, mdy in mvds:
+            bw.se(mdx)
+            bw.se(mdy)
+        parts = []
+        for (gx_o, gy_o, pw4, ph4, hint), (mdx, mdy) in zip(geo, mvds):
+            mvpx, mvpy = _mvp_median(
+                mv4, ref4, mbx * 4 + gx_o, mby * 4 + gy_o, pw4, ph4,
+                part_hint=hint,
+            )
+            mvx, mvy = mvpx + mdx, mvpy + mdy
+            # register this partition's motion BEFORE predicting the
+            # next one — the decoder's second partition sees it
+            gy, gx = mby * 4 + gy_o, mbx * 4 + gx_o
+            ref4[gy : gy + ph4, gx : gx + pw4] = 0
+            mv4[0, gy : gy + ph4, gx : gx + pw4] = mvx
+            mv4[1, gy : gy + ph4, gx : gx + pw4] = mvy
+            parts.append((gx_o, gy_o, pw4, ph4, mvx, mvy))
+        pred = mc_into(mbx, mby, parts)
+        if mode == "mv16r":
+            cbp_luma = 15
+            bw.ue(_CBP_INTER_TO_CODE[15])
+            bw.se(0)  # mb_qp_delta
+            for idx in range(16):
+                bx2, by2 = _z_luma(idx)
+                pat = _TEXTURE_PATTERNS[
+                    (base + idx) % len(_TEXTURE_PATTERNS)
+                ]
+                scan = list(pat) + [0] * (16 - len(pat))
+                nc = _nc_from_neighbors(
+                    luma_tc, mbx * 4 + bx2, mby * 4 + by2, mbx > 0, mby > 0
+                )
+                _encode_residual_block(bw, scan, nc, 16)
+                luma_tc[mby * 4 + by2, mbx * 4 + bx2] = sum(
+                    1 for c in scan if c
+                )
+                d = _dequant_ac(_scan_to_block(scan), qp)
+                r = (_inverse_core_4x4(d) + 32) >> 6
+                pred[by2 * 4 : by2 * 4 + 4, bx2 * 4 : bx2 * 4 + 4] += r
+        else:
+            bw.ue(_CBP_INTER_TO_CODE[0])
+            luma_tc[mby * 4 : mby * 4 + 4, mbx * 4 : mbx * 4 + 4] = 0
+        y[y0 : y0 + 16, x0 : x0 + 16] = np.clip(pred, 0, 255)
+    if skip_run:
+        bw.ue(skip_run)
+    bw.rbsp_trailing()
+    nal = b"\x41" + rbsp_to_nal(bw.tobytes())  # non-IDR slice, ref_idc 2
+    if deblock:
+        bs_v, bs_h = _deblock_bs_grids(ref4, luma_tc, mv4)
+        y8, cb8, cr8 = _deblock_frame(
+            y.astype(np.uint8), cb.astype(np.uint8), cr.astype(np.uint8),
+            qp_map, 0, 0, 0, bs_v, bs_h,
+        )
+    else:
+        y8, cb8, cr8 = (
+            y.astype(np.uint8), cb.astype(np.uint8), cr.astype(np.uint8)
+        )
+    return nal, (y8, cb8, cr8)
+
+
+def encode_ipp_stream(
+    width: int,
+    height: int,
+    seed: int,
+    n_frames: int,
+    qp: int = 12,
+    deblock: bool = False,
+) -> tuple[bytes, bytes, list[bytes], list[np.ndarray]]:
+    """An IPPP... group: textured I frame then ``n_frames - 1`` P
+    frames (encode_p_frame).  Returns (sps, pps, nal list, expected
+    CROPPED luma plane per frame) — expectations tracked through the
+    decoder's exact arithmetic, reference chain included."""
+    sps = _encode_sps(width, height)
+    pps = _encode_pps(qp)
+    w_mbs, h_mbs = (width + 15) // 16, (height + 15) // 16
+    i_nal, i_plane, _ = encode_textured_i4x4_idr(
+        width, height, seed, qp, deblock=deblock
+    )
+    # rebuild the UNCROPPED reference the decoder keeps
+    sps_d = parse_sps(nal_to_rbsp(sps[1:]))
+    pps_d = parse_pps(nal_to_rbsp(pps[1:]))
+    ref = decode_idr_planes(nal_to_rbsp(i_nal[1:]), sps_d, pps_d, 5, 3)
+    nals, planes = [i_nal], [i_plane]
+    for k in range(1, n_frames):
+        nal, ref = encode_p_frame(ref, k, seed, qp, deblock=deblock)
+        nals.append(nal)
+        planes.append(ref[0][:height, :width].copy())
+    return sps, pps, nals, planes
 
 
 def encode_pattern_idr(

@@ -3552,6 +3552,14 @@ def encode_mp4_avc(
             )[0]
             for g in grays
         ]
+    elif coding == "ipp":
+        # IPPP group (round 16): grays[0] is the pattern seed,
+        # len(grays) the frame count; textured IDR then single-ref P
+        # frames with skips/partitions/residual/intra islands, in-loop
+        # deblocking ON at qp 30 (inter boundary strengths 2/1/0)
+        sps_nal, pps_nal, idrs, _ = h264.encode_ipp_stream(
+            width, height, int(grays[0]), len(grays), qp=30, deblock=True
+        )
     else:
         raise ValueError(f"unknown coding {coding!r}")
     samples = [struct.pack(">I", len(n)) + n for n in idrs]
@@ -3618,6 +3626,13 @@ def _avc_fixture_params(i: int, coding: str) -> tuple[int, int, list[int]]:
             2 * (i % 10 + 2),
             [i * 7 + k for k in range(i % 3 + 2)],
         )
+    if coding == "ipp":
+        # grays[0] = pattern seed; len = frame count (1 IDR + >= 1 P)
+        return (
+            2 * (i % 13 + 3),
+            2 * (i % 8 + 2),
+            [i * 19 + k for k in range(i % 3 + 2)],
+        )
     return (
         2 * (i % 10 + 1),
         2 * (i % 7 + 1),
@@ -3653,10 +3668,18 @@ def check_mp4_avc_textured(
                 i = int(i)
                 w, h, seeds = _avc_fixture_params(i, coding)
                 qp, debl = (30, True) if coding == "deblocked" else (12, False)
+                ipp_planes = None
+                if coding == "ipp":
+                    ipp_planes = h264.encode_ipp_stream(
+                        w, h, int(seeds[0]), len(seeds), qp=30, deblock=True
+                    )[3]
                 for k, fr in enumerate(decode_mp4_samples(bytes(content))):
-                    _, expected, _ = h264.encode_textured_i4x4_idr(
-                        w, h, seeds[k], qp, deblock=debl
-                    )
+                    if ipp_planes is not None:
+                        expected = ipp_planes[k]
+                    else:
+                        _, expected, _ = h264.encode_textured_i4x4_idr(
+                            w, h, seeds[k], qp, deblock=debl
+                        )
                     mismatch = int(np.count_nonzero(fr["y"] != expected))
                     rows.append(
                         (i, fr["frame_idx"], fr["width"], fr["height"],

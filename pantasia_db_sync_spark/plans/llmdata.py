@@ -4125,6 +4125,54 @@ def multimodal_mp4_avc_deblocked_frames_q(
 
 
 @register(
+    "multimodal_mp4_avc_ipp_frames",
+    oracle="""
+    SELECT d.doc_id,
+           CAST(s.k AS INTEGER) AS frame_idx,
+           CAST(2 * (d.doc_id % 13 + 3) AS INTEGER) AS width,
+           CAST(2 * (d.doc_id % 8 + 2) AS INTEGER) AS height,
+           CAST(0 AS INTEGER) AS mismatch_px
+    FROM (SELECT doc_id FROM documents WHERE doc_id < 300) d
+    JOIN range(0, 4) s(k) ON s.k <= d.doc_id % 3 + 1
+    """,
+)
+def multimodal_mp4_avc_ipp_frames_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """INTER (P-SLICE) DECODE (round 16, clause 8.4) — the IPPP
+    group every real-world baseline stream ships: a textured IDR then
+    single-reference P frames mixing P_Skip runs, P_L0_16x16 with and
+    without CAVLC residual, 16x8 / 8x16 partitions with distinct
+    quarter-pel motion vectors, and Intra_16x16 islands (mb_type+5).
+    Covers the fully-algorithmic inter pipeline: 6-tap
+    (1,-5,20,20,-5,1) half-pel + quarter-pel averaging luma
+    interpolation with edge replication, 1/8-pel bilinear chroma, the
+    8.4.1.3 median motion-vector prediction with 16x8/8x16
+    directional shortcuts and the P_Skip zero-motion rule, the Table
+    9-4 INTER coded_block_pattern column, reference-frame chaining
+    across samples, and in-loop deblocking with the inter boundary
+    strengths (2 on coded blocks, 1 on >= 1-sample motion jumps, 0
+    skipped) at qp 30. mismatch_px counts decoded-vs-expected luma
+    differences through the full container chain; 0 is the gate
+    (operators/h264.py encode_ipp_stream / decode_idr_planes P path).
+    Remaining honest gates: HEVC, CABAC, B slices, P_8x8,
+    multi-reference. Arrow-batched mapInPandas, map-only, zero
+    shuffle. Reference analogue: none (extension)."""
+    from ..operators.multimodal import (
+        check_mp4_avc_textured,
+        synthetic_avc_mp4_frame,
+    )
+
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    return check_mp4_avc_textured(
+        synthetic_avc_mp4_frame(d, coding="ipp"),
+        "doc_id",
+        "content",
+        coding="ipp",
+    )
+
+
+@register(
     "text_winnowing_matches",
     oracle=f"""
     WITH toks AS ({_SQL_TOKS}),

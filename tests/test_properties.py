@@ -3883,9 +3883,10 @@ def test_h264_honest_gates_and_malformed():
     bw.rbsp_trailing()
     with pytest.raises(NotImplementedError, match="CABAC"):
         h264.parse_pps(bw.tobytes())
-    # P slice
+    # B slice is still a gate; P without a reference picture is a
+    # loud ValueError (round 16: single-ref P slices DECODE)
     bw = h264._BitWriter()
-    bw.ue(0); bw.ue(0)  # first_mb, slice_type P
+    bw.ue(0); bw.ue(1)  # first_mb, slice_type B
     bw.rbsp_trailing()
     with pytest.raises(NotImplementedError, match="slice_type"):
         h264.decode_idr_planes(
@@ -3893,6 +3894,16 @@ def test_h264_honest_gates_and_malformed():
             h264.parse_sps(h264.nal_to_rbsp(sps[1:])),
             h264.parse_pps(h264.nal_to_rbsp(pps[1:])),
             5, 3,
+        )
+    bw = h264._BitWriter()
+    bw.ue(0); bw.ue(0)  # first_mb, slice_type P
+    bw.rbsp_trailing()
+    with pytest.raises(ValueError, match="reference"):
+        h264.decode_idr_planes(
+            bw.tobytes(),
+            h264.parse_sps(h264.nal_to_rbsp(sps[1:])),
+            h264.parse_pps(h264.nal_to_rbsp(pps[1:])),
+            1, 2,
         )
     # truncated IDR -> ValueError
     with pytest.raises(ValueError):
@@ -4387,6 +4398,144 @@ def test_h264_deblocking_enabled_streams_bit_exact():
                 w, h, seeds[k], 30, deblock=True
             )
             assert np.array_equal(fr["y"], expected), (i, k)
+
+
+def test_h264_inter_interpolation_hand_vectors():
+    """Clause 8.4.2.2 sample interpolation against HAND-DERIVED
+    values: the 6-tap (1,-5,20,20,-5,1) half-pel on a linear ramp and
+    a step edge, quarter-pel averaging, the chroma 1/8-pel bilinear
+    formula, constant-plane invariance at every fractional position,
+    and edge replication for out-of-picture motion."""
+    import numpy as np
+
+    from pantasia_db_sync_spark.operators import h264
+
+    ramp = np.tile(np.arange(0, 160, 10, dtype=np.uint8), (8, 1))
+    # G at (2,2)=20, H=30; b1 = 0-50+400+600-200+50 = 800 -> (816)>>5=25
+    b = h264._interp_luma_block(ramp, 2, 2, 1, 1, 2, 0)
+    assert int(b[0, 0]) == 25
+    # quarter a = (G + b + 1) >> 1 = (20 + 25 + 1) >> 1 = 23
+    a = h264._interp_luma_block(ramp, 2, 2, 1, 1, 1, 0)
+    assert int(a[0, 0]) == 23
+    # quarter c = (H + b + 1) >> 1 = (30 + 25 + 1) >> 1 = 28
+    c = h264._interp_luma_block(ramp, 2, 2, 1, 1, 3, 0)
+    assert int(c[0, 0]) == 28
+    # step edge: E..J = 0,0,0,100,100,100 -> b1 = 2000-500+100 = 1600
+    # -> (1616)>>5 = 50
+    step = np.tile(
+        np.array([0, 0, 0, 100, 100, 100, 100, 100], dtype=np.uint8),
+        (8, 1),
+    )
+    b = h264._interp_luma_block(step, 2, 2, 1, 1, 2, 0)
+    assert int(b[0, 0]) == 50
+    # constant plane: every (xf, yf) returns the constant
+    flat = np.full((16, 16), 77, dtype=np.uint8)
+    for mvx in range(4):
+        for mvy in range(4):
+            out = h264._interp_luma_block(flat, 4, 4, 4, 4, mvx, mvy)
+            assert (out == 77).all(), (mvx, mvy)
+    # edge replication: mv far outside the picture clamps
+    out = h264._interp_luma_block(flat, 0, 0, 4, 4, -400, -400)
+    assert (out == 77).all()
+    # chroma bilinear: A=0 B=80 C=40 D=120 at xf=3, yf=5 ->
+    # (15*0 + 9*80 + 25*40 + 15*120 + 32) >> 6 = 3552 >> 6 = 55
+    cref = np.array([[0, 80], [40, 120]], dtype=np.uint8)
+    cc = h264._interp_chroma_block(cref, 0, 0, 1, 1, 3, 5)
+    assert int(cc[0, 0]) == 55
+    # inter CBP column is a permutation of 0..47
+    assert sorted(h264._CBP_INTER_FROM_CODE) == list(range(48))
+
+
+def test_h264_mv_prediction_hand_cases():
+    """8.4.1.3 median mv prediction: hand-built neighbor grids pin
+    the median, the exactly-one-matching-reference shortcut, the
+    top-row mvA fallback, the 16x8/8x16 directional hints, and the
+    P_Skip zero-motion rule."""
+    import numpy as np
+
+    from pantasia_db_sync_spark.operators import h264
+
+    def grid(entries, w4=12, h4=8):
+        ref4 = np.full((h4, w4), h264._REF_UNAVAIL, dtype=np.int64)
+        mv4 = np.zeros((2, h4, w4), dtype=np.int64)
+        for (gx, gy), (mvx, mvy, r) in entries.items():
+            ref4[gy, gx] = r
+            mv4[0, gy, gx] = mvx
+            mv4[1, gy, gx] = mvy
+        return mv4, ref4
+
+    # median of three inter neighbors: A=(4,0) B=(0,4) C=(8,8)
+    mv4, ref4 = grid({
+        (3, 4): (4, 0, 0), (4, 3): (0, 4, 0), (8, 3): (8, 8, 0),
+    })
+    assert h264._mvp_median(mv4, ref4, 4, 4, 4, 4) == (4, 4)
+    # exactly one neighbor with the matching reference: its mv wins
+    mv4, ref4 = grid({
+        (3, 4): (6, 2, 0), (4, 3): (9, 9, -1), (8, 3): (7, 7, -1),
+    })
+    assert h264._mvp_median(mv4, ref4, 4, 4, 4, 4) == (6, 2)
+    # top picture row: B, C, D unavailable -> mvA verbatim
+    mv4, ref4 = grid({(3, 0): (3, 1, 0)})
+    assert h264._mvp_median(mv4, ref4, 4, 0, 4, 4) == (3, 1)
+    # 16x8 'top' hint: B matches -> mvB even though median differs
+    mv4, ref4 = grid({
+        (3, 4): (9, 9, 0), (4, 3): (1, 2, 0), (8, 3): (5, 5, 0),
+    })
+    assert h264._mvp_median(
+        mv4, ref4, 4, 4, 4, 2, part_hint="top"
+    ) == (1, 2)
+    # P_Skip: zero-motion refIdx-0 top neighbor forces (0,0)
+    mv4, ref4 = grid({
+        (3, 4): (9, 9, 0), (4, 3): (0, 0, 0), (8, 3): (5, 5, 0),
+    })
+    assert h264._mv_skip(mv4, ref4, 4, 4) == (0, 0)
+    # P_Skip with real motion on both sides: the median applies
+    mv4, ref4 = grid({
+        (3, 4): (4, 4, 0), (4, 3): (2, 6, 0), (8, 3): (6, 2, 0),
+    })
+    assert h264._mv_skip(mv4, ref4, 4, 4) == (4, 4)
+
+
+def test_h264_p_slices_ipp_bit_exact():
+    """Single-reference P slices (round 16): IPPP groups mixing
+    P_Skip runs, P_L0_16x16 +/- residual, 16x8/8x16 partitions and
+    intra islands decode BIT-EXACT against the encoder-tracked
+    expected planes — with in-loop deblocking both off and on (the
+    inter boundary strengths 2/1/0) — through raw Annex-B and the
+    full MP4 container chain with cross-sample reference chaining."""
+    import numpy as np
+
+    from pantasia_db_sync_spark.operators import h264
+    from pantasia_db_sync_spark.operators.multimodal import (
+        decode_mp4_samples,
+        encode_mp4_avc,
+    )
+
+    for seed in range(3):
+        for (w, h) in ((32, 32), (48, 32), (34, 22)):
+            for deblock, qp in ((False, 12), (True, 30)):
+                sps, pps, nals, planes = h264.encode_ipp_stream(
+                    w, h, seed, 4, qp=qp, deblock=deblock
+                )
+                data = b"\x00\x00\x00\x01".join([b""] + [sps, pps] + nals)
+                frames = h264.decode_annexb(data)
+                assert len(frames) == 4
+                for k, fr in enumerate(frames):
+                    assert np.array_equal(fr["y"], planes[k]), (
+                        seed, w, h, deblock, k
+                    )
+    # container chain at the registry-fixture geometry
+    for i in (4, 61, 137):
+        w, h = 2 * (i % 13 + 3), 2 * (i % 8 + 2)
+        seeds = [i * 19 + k for k in range(i % 3 + 2)]
+        blob = encode_mp4_avc(w, h, seeds, coding="ipp")
+        frames = decode_mp4_samples(blob)
+        assert len(frames) == len(seeds)
+        expected = h264.encode_ipp_stream(
+            w, h, seeds[0], len(seeds), qp=30, deblock=True
+        )[3]
+        for k, fr in enumerate(frames):
+            assert np.array_equal(fr["y"], expected[k]), (i, k)
 
 
 def test_h264_mp4_co64_offsets_and_multislice_contract():
