@@ -25,7 +25,8 @@ Scope (the honest gate, narrowed from "no H.264 at all" in round 14):
   averaging, slice alpha/beta offsets), so conformant streams that do
   NOT signal disable_deblocking_filter_idc=1 decode bit-exact; and
   SINGLE-REFERENCE P SLICES (clause 8.4) — P_Skip runs, P_L0_16x16,
-  16x8/8x16 partitions, intra islands, the 6-tap half-pel +
+  16x8/8x16 partitions, P_8x8 sub-partitions (all four Table 7-17
+  shapes down to 4x4), intra islands, the 6-tap half-pel +
   quarter-pel averaging luma interpolation, 1/8-pel bilinear chroma,
   the 8.4.1.3 median mv prediction, and the Table 9-4 inter CBP
   column — the IPPP GOP shape real baseline streams use.
@@ -34,7 +35,7 @@ Scope (the honest gate, narrowed from "no H.264 at all" in round 14):
   pairs have no faithfully-reproducible public-memory source in this
   environment; a self-consistent-but-wrong table set would pass
   round-trip tests and silently corrupt real streams, so the gate
-  stays honest), B slices, P_8x8 sub-partitions, multiple reference
+  stays honest), B slices, multiple reference
   frames / list modification / weighted prediction, Intra_8x8 / the
   8x8 transform (High profile), multi-slice pictures, FMO/ASO,
   interlace (frame_mbs_only_flag=0).
@@ -1788,18 +1789,35 @@ def decode_idr_planes(
         mbx, mby = mb % w_mbs, mb // w_mbs
         left_ok, top_ok = mbx > 0, mby > 0
         x0, y0 = mbx * 16, mby * 16
-        if p_type >= 3:
-            raise NotImplementedError(
-                "P_8x8 macroblock sub-partitions (sub_mb_type)"
-            )
-        # partition geometry in 4x4 units + the 8.4.1.3 mvp hints
-        geo = {
-            0: [(0, 0, 4, 4, None)],
-            1: [(0, 0, 4, 2, "top"), (0, 2, 4, 2, "bottom")],
-            2: [(0, 0, 2, 4, "left"), (2, 0, 2, 4, "right")],
-        }[p_type]
+        if p_type > 4:
+            raise ValueError(f"bad P mb_type {p_type}")
+        if p_type in (3, 4):  # P_8x8 / P_8x8ref0 (Table 7-17)
+            subs = [br.ue() for _ in range(4)]
+            if any(s > 3 for s in subs):
+                raise ValueError(f"bad P sub_mb_type in {subs}")
+            geo = []
+            for i8, s in enumerate(subs):
+                ox, oy = (i8 % 2) * 2, (i8 // 2) * 2
+                shapes = {
+                    0: [(0, 0, 2, 2)],
+                    1: [(0, 0, 2, 1), (0, 1, 2, 1)],  # two 8x4
+                    2: [(0, 0, 1, 2), (1, 0, 1, 2)],  # two 4x8
+                    3: [(0, 0, 1, 1), (1, 0, 1, 1),
+                        (0, 1, 1, 1), (1, 1, 1, 1)],  # four 4x4
+                }[s]
+                geo.extend(
+                    (ox + sx, oy + sy, pw, ph, None)
+                    for sx, sy, pw, ph in shapes
+                )
+        else:
+            # partition geometry in 4x4 units + the 8.4.1.3 mvp hints
+            geo = {
+                0: [(0, 0, 4, 4, None)],
+                1: [(0, 0, 4, 2, "top"), (0, 2, 4, 2, "bottom")],
+                2: [(0, 0, 2, 4, "left"), (2, 0, 2, 4, "right")],
+            }[p_type]
         # single reference: ref_idx_l0 fields are absent (te() with
-        # max 0); all mvds parse first (7.3.5.1 loop order)
+        # max 0); all mvds parse first (7.3.5.1/7.3.5.2 loop order)
         mvds = [(br.se(), br.se()) for _ in geo]
         parts = []
         for (gx_o, gy_o, pw4, ph4, hint), (mdx, mdy) in zip(geo, mvds):
@@ -2588,7 +2606,7 @@ def encode_p_frame(
     ref4 = np.full((h_mbs * 4, w_mbs * 4), _REF_UNAVAIL, dtype=np.int64)
     mv4 = np.zeros((2, h_mbs * 4, w_mbs * 4), dtype=np.int64)
     qp_map = np.full((h_mbs, w_mbs), qp, dtype=np.int64)
-    modes = ["skip", "mv16", "mv16r", "p16x8", "p8x16", "intra"]
+    modes = ["skip", "mv16", "mv16r", "p16x8", "p8x16", "p8x8", "intra"]
     skip_run = 0
 
     def mc_into(mbx, mby, parts):
@@ -2681,14 +2699,38 @@ def encode_p_frame(
                 (((base * 7) % 9) - 4, ((base * 11) % 9) - 4),
             ]
             p_type = 1
-        else:  # p8x16
+        elif mode == "p8x16":
             geo = [(0, 0, 2, 4, "left"), (2, 0, 2, 4, "right")]
             mvds = [
                 ((base % 7) - 3, ((base * 3) % 7) - 3),
                 (((base * 5) % 7) - 3, ((base * 9) % 7) - 3),
             ]
             p_type = 2
+        else:  # p8x8: four sub_mb_types cycling all Table 7-17 shapes
+            subs = [(base + i) % 4 for i in range(4)]
+            geo = []
+            for i8, s in enumerate(subs):
+                ox, oy = (i8 % 2) * 2, (i8 // 2) * 2
+                shapes = {
+                    0: [(0, 0, 2, 2)],
+                    1: [(0, 0, 2, 1), (0, 1, 2, 1)],
+                    2: [(0, 0, 1, 2), (1, 0, 1, 2)],
+                    3: [(0, 0, 1, 1), (1, 0, 1, 1),
+                        (0, 1, 1, 1), (1, 1, 1, 1)],
+                }[s]
+                geo.extend(
+                    (ox + sx, oy + sy, pw, ph, None)
+                    for sx, sy, pw, ph in shapes
+                )
+            mvds = [
+                (((base * (3 + i)) % 7) - 3, ((base * (5 + i)) % 5) - 2)
+                for i in range(len(geo))
+            ]
+            p_type = 3
         bw.ue(p_type)
+        if p_type == 3:
+            for s in subs:
+                bw.ue(s)
         for mdx, mdy in mvds:
             bw.se(mdx)
             bw.se(mdy)

@@ -4142,8 +4142,10 @@ def multimodal_mp4_avc_ipp_frames_q(
     """INTER (P-SLICE) DECODE (round 16, clause 8.4) — the IPPP
     group every real-world baseline stream ships: a textured IDR then
     single-reference P frames mixing P_Skip runs, P_L0_16x16 with and
-    without CAVLC residual, 16x8 / 8x16 partitions with distinct
-    quarter-pel motion vectors, and Intra_16x16 islands (mb_type+5).
+    without CAVLC residual, 16x8 / 8x16 partitions and P_8x8
+    sub-partitions (all four Table 7-17 shapes down to 4x4) with
+    distinct quarter-pel motion vectors, and Intra_16x16 islands
+    (mb_type+5).
     Covers the fully-algorithmic inter pipeline: 6-tap
     (1,-5,20,20,-5,1) half-pel + quarter-pel averaging luma
     interpolation with edge replication, 1/8-pel bilinear chroma, the
@@ -4155,9 +4157,9 @@ def multimodal_mp4_avc_ipp_frames_q(
     skipped) at qp 30. mismatch_px counts decoded-vs-expected luma
     differences through the full container chain; 0 is the gate
     (operators/h264.py encode_ipp_stream / decode_idr_planes P path).
-    Remaining honest gates: HEVC, CABAC, B slices, P_8x8,
-    multi-reference. Arrow-batched mapInPandas, map-only, zero
-    shuffle. Reference analogue: none (extension)."""
+    Remaining honest gates: HEVC, CABAC, B slices, multi-reference.
+    Arrow-batched mapInPandas, map-only, zero shuffle. Reference
+    analogue: none (extension)."""
     from ..operators.multimodal import (
         check_mp4_avc_textured,
         synthetic_avc_mp4_frame,
