@@ -176,6 +176,7 @@ HEADLINE = [
     "multimodal_mp4_avc_textured_frames",
     "multimodal_mp4_avc_deblocked_frames",
     "multimodal_mp4_avc_ipp_frames",
+    "multimodal_mp4_avc_multislice_frames",
 ]
 
 REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))

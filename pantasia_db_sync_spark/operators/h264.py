@@ -29,7 +29,11 @@ Scope (the honest gate, narrowed from "no H.264 at all" in round 14):
   shapes down to 4x4), intra islands, the 6-tap half-pel +
   quarter-pel averaging luma interpolation, 1/8-pel bilinear chroma,
   the 8.4.1.3 median mv prediction, and the Table 9-4 inter CBP
-  column — the IPPP GOP shape real baseline streams use.
+  column — the IPPP GOP shape real baseline streams use; and
+  MULTI-SLICE PICTURES — contiguous raster slices with the 6.4.8
+  other-slice availability cut for intra prediction / nC / motion
+  prediction, per-slice deblocking parameters, and the idc-2
+  slice-boundary edge skip.
 * RAISES NotImplementedError (each a deliberate, documented gate):
   CABAC (PPS entropy_coding_mode_flag=1 — its ~400 context-init
   pairs have no faithfully-reproducible public-memory source in this
@@ -37,8 +41,8 @@ Scope (the honest gate, narrowed from "no H.264 at all" in round 14):
   round-trip tests and silently corrupt real streams, so the gate
   stays honest), B slices, multiple reference
   frames / list modification / weighted prediction, Intra_8x8 / the
-  8x8 transform (High profile), multi-slice pictures, FMO/ASO,
-  interlace (frame_mbs_only_flag=0).
+  8x8 transform (High profile), FMO/ASO (non-contiguous slice
+  groups), interlace (frame_mbs_only_flag=0).
 * RAISES ValueError: malformed bitstreams (the module-wide contract
   decode_mp4_samples relies on — a corrupt row skips, the Arrow batch
   survives).
@@ -793,21 +797,29 @@ _REF_UNAVAIL = -2
 _REF_INTRA = -1
 
 
-def _is_unavail(ref4: np.ndarray, gx: int, gy: int) -> bool:
+def _is_unavail(
+    ref4: np.ndarray, gx: int, gy: int, min_mb: int = 0
+) -> bool:
     h4, w4 = ref4.shape
-    return (
-        gx < 0 or gy < 0 or gx >= w4 or gy >= h4
-        or int(ref4[gy, gx]) == _REF_UNAVAIL
-    )
+    if gx < 0 or gy < 0 or gx >= w4 or gy >= h4:
+        return True
+    if int(ref4[gy, gx]) == _REF_UNAVAIL:
+        return True
+    # 6.4.8: macroblocks before the current slice's first_mb belong
+    # to another slice and are unavailable for prediction
+    return (gy // 4) * (w4 // 4) + (gx // 4) < min_mb
 
 
 def _neighbor_mv(
-    mv4: np.ndarray, ref4: np.ndarray, gx: int, gy: int
+    mv4: np.ndarray, ref4: np.ndarray, gx: int, gy: int, min_mb: int = 0
 ) -> tuple[int, int, int]:
     """(mvx, mvy, ref) of the 4x4 block at grid (gx, gy); unavailable
     AND intra neighbors both yield (0, 0, -1) here (8.4.1.3.2) — the
     C -> D substitution distinguishes them via _is_unavail."""
-    if _is_unavail(ref4, gx, gy) or int(ref4[gy, gx]) == _REF_INTRA:
+    if (
+        _is_unavail(ref4, gx, gy, min_mb)
+        or int(ref4[gy, gx]) == _REF_INTRA
+    ):
         return 0, 0, -1
     return int(mv4[0, gy, gx]), int(mv4[1, gy, gx]), int(ref4[gy, gx])
 
@@ -815,30 +827,32 @@ def _neighbor_mv(
 def _mvp_median(
     mv4: np.ndarray, ref4: np.ndarray,
     gx: int, gy: int, pw4: int, ph4: int,
-    ref_idx: int = 0, part_hint: str | None = None,
+    ref_idx: int = 0, part_hint: str | None = None, min_mb: int = 0,
 ) -> tuple[int, int]:
     """8.4.1.3: median motion-vector prediction for the partition
     whose top-left 4x4 grid cell is (gx, gy), width ``pw4`` in 4x4
     units. ``part_hint`` 'top'/'bottom' (16x8) or 'left'/'right'
-    (8x16) applies the directional shortcuts of 8.4.1.3."""
-    ax, ay, ar = _neighbor_mv(mv4, ref4, gx - 1, gy)
-    bx, by, br_ = _neighbor_mv(mv4, ref4, gx, gy - 1)
-    c_unavail = _is_unavail(ref4, gx + pw4, gy - 1)
+    (8x16) applies the directional shortcuts of 8.4.1.3; ``min_mb``
+    is the current slice's first macroblock (other-slice neighbors
+    are unavailable)."""
+    ax, ay, ar = _neighbor_mv(mv4, ref4, gx - 1, gy, min_mb)
+    bx, by, br_ = _neighbor_mv(mv4, ref4, gx, gy - 1, min_mb)
+    c_unavail = _is_unavail(ref4, gx + pw4, gy - 1, min_mb)
     if c_unavail:  # C -> D (above-left) on TRUE unavailability only
-        cx, cy, cr = _neighbor_mv(mv4, ref4, gx - 1, gy - 1)
+        cx, cy, cr = _neighbor_mv(mv4, ref4, gx - 1, gy - 1, min_mb)
     else:
-        cx, cy, cr = _neighbor_mv(mv4, ref4, gx + pw4, gy - 1)
+        cx, cy, cr = _neighbor_mv(mv4, ref4, gx + pw4, gy - 1, min_mb)
     if part_hint == "top" and br_ == ref_idx:
         return bx, by
     if part_hint in ("bottom", "left") and ar == ref_idx:
         return ax, ay
     if part_hint == "right" and cr == ref_idx:
         return cx, cy
-    # B, C and D all unavailable (top picture row): mvp = mvA
+    # B, C and D all unavailable (top slice row): mvp = mvA
     if (
-        _is_unavail(ref4, gx, gy - 1)
-        and _is_unavail(ref4, gx + pw4, gy - 1)
-        and _is_unavail(ref4, gx - 1, gy - 1)
+        _is_unavail(ref4, gx, gy - 1, min_mb)
+        and _is_unavail(ref4, gx + pw4, gy - 1, min_mb)
+        and _is_unavail(ref4, gx - 1, gy - 1, min_mb)
     ):
         return ax, ay
     matches = [m for m in ((ax, ay, ar), (bx, by, br_), (cx, cy, cr))
@@ -851,20 +865,23 @@ def _mvp_median(
 
 
 def _mv_skip(
-    mv4: np.ndarray, ref4: np.ndarray, gx: int, gy: int
+    mv4: np.ndarray, ref4: np.ndarray, gx: int, gy: int, min_mb: int = 0
 ) -> tuple[int, int]:
     """8.4.1.1: the P_Skip motion vector — (0,0) when either the left
     or top neighbor is unavailable or is a zero-motion refIdx-0
     block; otherwise the 16x16 median prediction."""
-    ax, ay, ar = _neighbor_mv(mv4, ref4, gx - 1, gy)
-    bx, by, br_ = _neighbor_mv(mv4, ref4, gx, gy - 1)
-    if _is_unavail(ref4, gx - 1, gy) or _is_unavail(ref4, gx, gy - 1):
+    ax, ay, ar = _neighbor_mv(mv4, ref4, gx - 1, gy, min_mb)
+    bx, by, br_ = _neighbor_mv(mv4, ref4, gx, gy - 1, min_mb)
+    if (
+        _is_unavail(ref4, gx - 1, gy, min_mb)
+        or _is_unavail(ref4, gx, gy - 1, min_mb)
+    ):
         return 0, 0
     if ar == 0 and ax == 0 and ay == 0:
         return 0, 0
     if br_ == 0 and bx == 0 and by == 0:
         return 0, 0
-    return _mvp_median(mv4, ref4, gx, gy, 4, 4)
+    return _mvp_median(mv4, ref4, gx, gy, 4, 4, min_mb=min_mb)
 
 
 # Table 9-4, coded_block_pattern me(v) mapping — INTER column
@@ -1071,6 +1088,8 @@ def _deblock_frame(
     y: np.ndarray, cb: np.ndarray, cr: np.ndarray, qp_map: np.ndarray,
     chroma_qp_off: int, off_a: int, off_b: int,
     bs_v: np.ndarray | None = None, bs_h: np.ndarray | None = None,
+    slice_map: np.ndarray | None = None,
+    slice_params: list | None = None,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """8.7: macroblocks in raster order, each filtering its vertical
     edges left-to-right then horizontal edges top-to-bottom, on
@@ -1078,13 +1097,20 @@ def _deblock_frame(
     per-MB luma QP (I_PCM counts as 0).  ``bs_v``/``bs_h`` are the
     per-4x4 strength grids (_deblock_bs_grids); None means the
     all-intra constants (4 on MB edges, 3 internal).  Chroma edges
-    take the co-located luma block's strength per 2-line pair."""
+    take the co-located luma block's strength per 2-line pair.
+    Multi-slice pictures pass ``slice_map`` + ``slice_params``: each
+    macroblock filters with ITS slice's (idc, offA, offB); idc 1
+    skips the macroblock's edges, idc 2 skips edges whose other side
+    lies in a different slice."""
     h_mbs, w_mbs = qp_map.shape
     yp = y.astype(np.int64)
     cbp = cb.astype(np.int64)
     crp = cr.astype(np.int64)
 
-    def do_edge(plane, x0, y0, e, vertical, bs, qp_p, qp_q, is_luma, n):
+    def do_edge(
+        plane, x0, y0, e, vertical, bs, qp_p, qp_q, is_luma, n,
+        off_a=off_a, off_b=off_b,
+    ):
         qpav = (qp_p + qp_q + 1) >> 1
         index_a = min(51, max(0, qpav + off_a))
         index_b = min(51, max(0, qpav + off_b))
@@ -1115,19 +1141,33 @@ def _deblock_frame(
 
     for mby in range(h_mbs):
         for mbx in range(w_mbs):
+            if slice_params is not None:
+                idc, oa, ob = slice_params[int(slice_map[mby, mbx])]
+                if idc == 1:  # this MB's slice disabled the filter
+                    continue
+            else:
+                idc, oa, ob = 0, off_a, off_b
+
+            def cross_ok(nx, ny):
+                # idc 2: no filtering across slice boundaries
+                if slice_map is None or idc != 2:
+                    return True
+                return slice_map[ny, nx] == slice_map[mby, mbx]
+
             qp = int(qp_map[mby, mbx])
             qpc = _chroma_qp(qp, chroma_qp_off)
             # --- vertical edges (left MB edge + internal) ---
             for e in (0, 4, 8, 12):
-                if e == 0 and mbx == 0:
+                if e == 0 and (mbx == 0 or not cross_ok(mbx - 1, mby)):
                     continue
                 qp_p = int(qp_map[mby, mbx - 1]) if e == 0 else qp
                 do_edge(
                     yp, mbx * 16, mby * 16, e, True,
                     luma_bs(mbx, mby, e, True), qp_p, qp, True, 16,
+                    off_a=oa, off_b=ob,
                 )
             for e in (0, 4):
-                if e == 0 and mbx == 0:
+                if e == 0 and (mbx == 0 or not cross_ok(mbx - 1, mby)):
                     continue
                 qp_p = (
                     _chroma_qp(int(qp_map[mby, mbx - 1]), chroma_qp_off)
@@ -1137,19 +1177,20 @@ def _deblock_frame(
                     do_edge(
                         plane, mbx * 8, mby * 8, e, True,
                         chroma_bs(mbx, mby, e, True), qp_p, qpc,
-                        False, 8,
+                        False, 8, off_a=oa, off_b=ob,
                     )
             # --- horizontal edges (top MB edge + internal) ---
             for e in (0, 4, 8, 12):
-                if e == 0 and mby == 0:
+                if e == 0 and (mby == 0 or not cross_ok(mbx, mby - 1)):
                     continue
                 qp_p = int(qp_map[mby - 1, mbx]) if e == 0 else qp
                 do_edge(
                     yp, mbx * 16, mby * 16, e, False,
                     luma_bs(mbx, mby, e, False), qp_p, qp, True, 16,
+                    off_a=oa, off_b=ob,
                 )
             for e in (0, 4):
-                if e == 0 and mby == 0:
+                if e == 0 and (mby == 0 or not cross_ok(mbx, mby - 1)):
                     continue
                 qp_p = (
                     _chroma_qp(int(qp_map[mby - 1, mbx]), chroma_qp_off)
@@ -1159,7 +1200,7 @@ def _deblock_frame(
                     do_edge(
                         plane, mbx * 8, mby * 8, e, False,
                         chroma_bs(mbx, mby, e, False), qp_p, qpc,
-                        False, 8,
+                        False, 8, off_a=oa, off_b=ob,
                     )
     return (
         yp.astype(np.uint8), cbp.astype(np.uint8), crp.astype(np.uint8)
@@ -1596,25 +1637,89 @@ def _nc_from_neighbors(
     return 0
 
 
+def _new_picture_state(sps: dict) -> dict:
+    """Fresh decoded-picture state shared by the slices of one
+    picture (round 16: multi-slice support)."""
+    w_mbs, h_mbs = sps["width_mbs"], sps["height_mbs"]
+    return {
+        "y": np.zeros((h_mbs * 16, w_mbs * 16), dtype=np.uint8),
+        "cb": np.zeros((h_mbs * 8, w_mbs * 8), dtype=np.uint8),
+        "cr": np.zeros((h_mbs * 8, w_mbs * 8), dtype=np.uint8),
+        "luma_tc": np.zeros((h_mbs * 4, w_mbs * 4), dtype=np.int64),
+        "chroma_tc": np.zeros((2, h_mbs * 2, w_mbs * 2), dtype=np.int64),
+        # per-4x4 Intra_4x4 modes for 8.3.1.1 MPM; non-I4x4 counts DC
+        "i4_modes": np.full((h_mbs * 4, w_mbs * 4), 2, dtype=np.int64),
+        # per-MB luma QP for deblocking (I_PCM counts as 0)
+        "qp_map": np.zeros((h_mbs, w_mbs), dtype=np.int64),
+        # per-4x4 motion state: ref (-2 undecoded, -1 intra, 0 inter)
+        "ref4": np.full(
+            (h_mbs * 4, w_mbs * 4), _REF_UNAVAIL, dtype=np.int64
+        ),
+        "mv4": np.zeros((2, h_mbs * 4, w_mbs * 4), dtype=np.int64),
+        # slice index per MB (-1 undecoded) + per-slice deblock params
+        "slice_map": np.full((h_mbs, w_mbs), -1, dtype=np.int64),
+        "slice_params": [],   # (deblock_idc, off_a, off_b) per slice
+        "next_mb": 0,         # raster cursor: slices must be contiguous
+        "any_p": False,
+    }
+
+
 def decode_idr_planes(
     slice_rbsp: bytes, sps: dict, pps: dict, nal_type: int,
     nal_ref_idc: int, ref_planes: tuple | None = None,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Decode one I/IDR or (round 16) single-reference P slice
-    covering the whole picture; returns uncropped (Y, Cb, Cr) uint8
-    planes.  ``ref_planes`` is the previously decoded picture's
-    uncropped plane triple (the in-loop, post-deblocking output),
-    required for P slices."""
+    """Decode a SINGLE-slice I/IDR or single-reference P picture;
+    returns uncropped (Y, Cb, Cr) uint8 planes.  ``ref_planes`` is
+    the previously decoded picture's uncropped plane triple (the
+    in-loop, post-deblocking output), required for P slices.
+    Multi-slice pictures go through decode_picture_slices."""
+    st = _new_picture_state(sps)
+    decode_slice_into(st, slice_rbsp, sps, pps, nal_type, nal_ref_idc,
+                      ref_planes)
+    if st["next_mb"] != sps["width_mbs"] * sps["height_mbs"]:
+        raise ValueError("slice ended before covering the picture")
+    return _finalize_picture(st, pps)
+
+
+def decode_picture_slices(
+    slice_rbsps: list, sps: dict, pps: dict, nal_type: int,
+    nal_ref_idc: int, ref_planes: tuple | None = None,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Decode one picture coded as one or more slices (round 16):
+    each slice covers a contiguous raster run of macroblocks starting
+    at its first_mb_in_slice; intra prediction, CAVLC nC and motion
+    prediction treat other-slice neighbors as unavailable (6.4.8),
+    and deblocking honors each macroblock's own slice's
+    disable_deblocking_filter_idc / alpha/beta offsets, with idc 2
+    skipping slice-boundary edges."""
+    st = _new_picture_state(sps)
+    for rbsp in slice_rbsps:
+        decode_slice_into(st, rbsp, sps, pps, nal_type, nal_ref_idc,
+                          ref_planes)
+    if st["next_mb"] != sps["width_mbs"] * sps["height_mbs"]:
+        raise ValueError("slices do not cover the whole picture")
+    return _finalize_picture(st, pps)
+
+
+def decode_slice_into(
+    st: dict, slice_rbsp: bytes, sps: dict, pps: dict, nal_type: int,
+    nal_ref_idc: int, ref_planes: tuple | None = None,
+) -> None:
+    """Parse and decode ONE slice into picture state ``st``."""
     br = _BitReader(slice_rbsp)
-    if br.ue() != 0:
-        raise NotImplementedError("multi-slice pictures (first_mb != 0)")
+    first_mb = br.ue()
+    if first_mb != st["next_mb"]:
+        raise ValueError(
+            f"slice first_mb {first_mb} != expected {st['next_mb']} "
+            "(slices must tile the picture in raster order)"
+        )
     slice_type = br.ue()
-    st = slice_type % 5
-    if st not in (0, 2):
+    st_kind = slice_type % 5
+    if st_kind not in (0, 2):
         raise NotImplementedError(
             f"slice_type {slice_type} (I and single-ref P slices decode)"
         )
-    is_p = st == 0
+    is_p = st_kind == 0
     if is_p and ref_planes is None:
         raise ValueError("P slice without a decoded reference picture")
     if br.ue() != pps["pps_id"]:
@@ -1664,24 +1769,23 @@ def decode_idr_planes(
             off_b = 2 * br.se()  # slice_beta_offset_div2
 
     w_mbs, h_mbs = sps["width_mbs"], sps["height_mbs"]
-    y_plane = np.zeros((h_mbs * 16, w_mbs * 16), dtype=np.uint8)
-    cb_plane = np.zeros((h_mbs * 8, w_mbs * 8), dtype=np.uint8)
-    cr_plane = np.zeros((h_mbs * 8, w_mbs * 8), dtype=np.uint8)
-    luma_tc = np.zeros((h_mbs * 4, w_mbs * 4), dtype=np.int64)
-    chroma_tc = np.zeros((2, h_mbs * 2, w_mbs * 2), dtype=np.int64)
-    # per-4x4 Intra_4x4 prediction modes for the 8.3.1.1 most-probable-
-    # mode derivation; non-I4x4 (Intra_16x16 / I_PCM) macroblocks count
-    # as DC (2), which is the array default
-    i4_modes = np.full((h_mbs * 4, w_mbs * 4), 2, dtype=np.int64)
-    # per-MB luma QP for the deblocking filter (I_PCM counts as 0)
-    qp_map = np.zeros((h_mbs, w_mbs), dtype=np.int64)
-    # per-4x4 motion state for P slices: ref index (-2 undecoded,
-    # -1 intra, 0 the single reference) and quarter-pel mv
-    ref4 = np.full((h_mbs * 4, w_mbs * 4), _REF_UNAVAIL, dtype=np.int64)
-    mv4 = np.zeros((2, h_mbs * 4, w_mbs * 4), dtype=np.int64)
+    y_plane, cb_plane, cr_plane = st["y"], st["cb"], st["cr"]
+    luma_tc, chroma_tc = st["luma_tc"], st["chroma_tc"]
+    i4_modes, qp_map = st["i4_modes"], st["qp_map"]
+    ref4, mv4, slice_map = st["ref4"], st["mv4"], st["slice_map"]
+    cur_slice = len(st["slice_params"])
+    st["slice_params"].append((deblock_idc, off_a, off_b))
+    st["any_p"] = st["any_p"] or is_p
     ref_y = ref_cb = ref_cr = None
     if ref_planes is not None:
         ref_y, ref_cb, ref_cr = (p.astype(np.int64) for p in ref_planes)
+
+    def mb_avail(mbx, mby):
+        """6.4.8: a neighbor macroblock is available only inside the
+        picture AND in the CURRENT slice."""
+        if mbx < 0 or mby < 0 or mbx >= w_mbs or mby >= h_mbs:
+            return False
+        return int(slice_map[mby, mbx]) == cur_slice
     # z-indices whose above-right in-MB neighbor is decoded LATER in
     # z-order (6.4.12.2): their top-right samples are unavailable
     _TR_UNAVAIL_Z = {3, 7, 11, 13, 15}
@@ -1767,7 +1871,7 @@ def decode_idr_planes(
 
     def decode_skip_mb(mb):
         mbx, mby = mb % w_mbs, mb // w_mbs
-        mvx, mvy = _mv_skip(mv4, ref4, mbx * 4, mby * 4)
+        mvx, mvy = _mv_skip(mv4, ref4, mbx * 4, mby * 4, min_mb=first_mb)
         part = [(0, 0, 4, 4, mvx, mvy)]
         y_plane[mby * 16 : mby * 16 + 16, mbx * 16 : mbx * 16 + 16] = (
             np.clip(mc_luma_parts(mbx, mby, part), 0, 255)
@@ -1783,11 +1887,14 @@ def decode_idr_planes(
         luma_tc[mby * 4 : mby * 4 + 4, mbx * 4 : mbx * 4 + 4] = 0
         chroma_tc[:, mby * 2 : mby * 2 + 2, mbx * 2 : mbx * 2 + 2] = 0
         qp_map[mby, mbx] = qp
+        slice_map[mby, mbx] = cur_slice
 
     def decode_inter_mb(mb, p_type):
         nonlocal qp
         mbx, mby = mb % w_mbs, mb // w_mbs
-        left_ok, top_ok = mbx > 0, mby > 0
+        left_ok = mb_avail(mbx - 1, mby)
+        top_ok = mb_avail(mbx, mby - 1)
+        slice_map[mby, mbx] = cur_slice
         x0, y0 = mbx * 16, mby * 16
         if p_type > 4:
             raise ValueError(f"bad P mb_type {p_type}")
@@ -1823,7 +1930,7 @@ def decode_idr_planes(
         for (gx_o, gy_o, pw4, ph4, hint), (mdx, mdy) in zip(geo, mvds):
             mvpx, mvpy = _mvp_median(
                 mv4, ref4, mbx * 4 + gx_o, mby * 4 + gy_o, pw4, ph4,
-                part_hint=hint,
+                part_hint=hint, min_mb=first_mb,
             )
             mvx, mvy = mvpx + mdx, mvpy + mdy
             set_motion(mbx, mby, gx_o, gy_o, pw4, ph4, mvx, mvy)
@@ -1863,7 +1970,9 @@ def decode_idr_planes(
     def decode_macroblock(mb, mb_type):
         nonlocal qp
         mbx, mby = mb % w_mbs, mb // w_mbs
-        left_ok, top_ok = mbx > 0, mby > 0
+        left_ok = mb_avail(mbx - 1, mby)
+        top_ok = mb_avail(mbx, mby - 1)
+        slice_map[mby, mbx] = cur_slice
         x0, y0 = mbx * 16, mby * 16
         cx0, cy0 = mbx * 8, mby * 8
         # every intra path marks its 4x4 cells _REF_INTRA up front
@@ -1875,9 +1984,17 @@ def decode_idr_planes(
                 bx, by = _z_luma(idx)
                 gx, gy = mbx * 4 + bx, mby * 4 + by
                 # 8.3.1.1: each unavailable/non-I4x4 side defaults to
-                # DC (2) INDEPENDENTLY, then the MPM is the min
-                ma = int(i4_modes[gy, gx - 1]) if gx > 0 else 2
-                mb_ = int(i4_modes[gy - 1, gx]) if gy > 0 else 2
+                # DC (2) INDEPENDENTLY, then the MPM is the min;
+                # blocks across a MB edge need that MB available
+                # (same slice — 6.4.8)
+                ma = (
+                    int(i4_modes[gy, gx - 1])
+                    if (bx > 0 or left_ok) else 2
+                )
+                mb_ = (
+                    int(i4_modes[gy - 1, gx])
+                    if (by > 0 or top_ok) else 2
+                )
                 pred_mode = min(ma, mb_)
                 if br.u(1):  # prev_intra4x4_pred_mode_flag
                     mode = pred_mode
@@ -1900,13 +2017,24 @@ def decode_idr_planes(
             for idx in range(16):
                 bx, by = _z_luma(idx)
                 x, y = x0 + 4 * bx, y0 + 4 * by
-                s_left = x > 0
-                s_top = y > 0
-                s_tl = s_left and s_top
+                s_left = bx > 0 or left_ok
+                s_top = by > 0 or top_ok
+                if bx > 0 and by > 0:
+                    s_tl = True
+                elif by > 0:  # bx == 0: top-left sample in left MB
+                    s_tl = left_ok
+                elif bx > 0:  # by == 0: in top MB
+                    s_tl = top_ok
+                else:         # MB corner: the top-left MB
+                    s_tl = mb_avail(mbx - 1, mby - 1)
                 if not s_top:
                     s_tr = False
                 elif by == 0:
-                    s_tr = (x + 4) < w_pix and top_ok
+                    # above-right sample lives in the top (bx < 3) or
+                    # top-right (bx == 3) macroblock
+                    s_tr = (
+                        mb_avail(mbx + 1, mby - 1) if bx == 3 else top_ok
+                    )
                 else:
                     s_tr = idx not in _TR_UNAVAIL_Z and (x + 4) < w_pix
                 pred = _pred_4x4(
@@ -1984,10 +2112,10 @@ def decode_idr_planes(
         decode_chroma(chroma_mode, cbp_chroma, qpc, mbx, mby, left_ok, top_ok)
 
     total = w_mbs * h_mbs
+    mb_addr = first_mb
     if is_p:
         # slice_data for P (7.3.4, CAVLC): runs of P_Skip macroblocks
         # interleave with coded ones; a trailing run may end the slice
-        mb_addr = 0
         while mb_addr < total:
             skip_run = br.ue()
             if mb_addr + skip_run > total:
@@ -2003,21 +2131,46 @@ def decode_idr_planes(
             else:
                 decode_macroblock(mb_addr, raw - 5)  # intra in P
             mb_addr += 1
-        if mb_addr != total:
-            raise ValueError("P slice ended before covering the picture")
     else:
-        for mb in range(total):
-            decode_macroblock(mb, br.ue())
+        # I slice_data: macroblocks until the slice's data ends
+        while mb_addr < total:
+            decode_macroblock(mb_addr, br.ue())
+            mb_addr += 1
+            if not br.more_rbsp_data():
+                break
+    if mb_addr == first_mb:
+        raise ValueError("slice decodes zero macroblocks")
+    st["next_mb"] = mb_addr
 
-    if deblock_idc != 1:
-        bs_v = bs_h = None
-        if is_p:  # inter strengths need the per-4x4 motion state
-            bs_v, bs_h = _deblock_bs_grids(ref4, luma_tc, mv4)
+
+def _finalize_picture(
+    st: dict, pps: dict
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Run the in-loop deblocking filter over the completed picture,
+    honoring each macroblock's OWN slice's idc and alpha/beta offsets
+    (idc 2 skips slice-boundary edges)."""
+    y_plane, cb_plane, cr_plane = st["y"], st["cb"], st["cr"]
+    params = st["slice_params"]
+    if all(p[0] == 1 for p in params):  # every slice disabled it
+        return y_plane, cb_plane, cr_plane
+    bs_v = bs_h = None
+    if st["any_p"]:  # inter strengths need the per-4x4 motion state
+        bs_v, bs_h = _deblock_bs_grids(
+            st["ref4"], st["luma_tc"], st["mv4"]
+        )
+    if len(params) == 1:
+        idc, off_a, off_b = params[0]
+        if idc == 1:
+            return y_plane, cb_plane, cr_plane
         return _deblock_frame(
-            y_plane, cb_plane, cr_plane, qp_map,
+            y_plane, cb_plane, cr_plane, st["qp_map"],
             pps["chroma_qp_off"], off_a, off_b, bs_v, bs_h,
         )
-    return y_plane, cb_plane, cr_plane
+    return _deblock_frame(
+        y_plane, cb_plane, cr_plane, st["qp_map"],
+        pps["chroma_qp_off"], 0, 0, bs_v, bs_h,
+        slice_map=st["slice_map"], slice_params=params,
+    )
 
 
 def _crop_planes(
@@ -2121,37 +2274,10 @@ def _frame_dict(y: np.ndarray) -> dict:
     }
 
 
-def decode_avc_sample(sample: bytes, cfg: dict) -> dict:
-    """Decode ONE MP4 avc1/avc3 sample (length-prefixed NAL units) to
-    its frame. In-sample SPS/PPS updates are honored and PERSIST into
-    ``cfg`` — the avc3 in-band-parameter-set contract, where only the
-    first sync sample carries them. Exactly one coded slice is
-    expected per sample (one frame)."""
-    ls = cfg["length_size"]
-    pos = 0
-    frame = None
-    while pos + ls <= len(sample):
-        ln = int.from_bytes(sample[pos : pos + ls], "big")
-        pos += ls
-        if ln == 0 or pos + ln > len(sample):
-            raise ValueError("bad NAL length prefix in avc1 sample")
-        nal = sample[pos : pos + ln]
-        pos += ln
-        d = _decode_one_nal(nal, cfg)
-        if d is not None:
-            if frame is not None:
-                raise NotImplementedError(
-                    "multiple coded slices in one avc1 sample (multi-"
-                    "slice pictures are not supported; one frame per "
-                    "sample is the documented contract)"
-                )
-            frame = d
-    if frame is None:
-        raise ValueError("avc1 sample contains no coded slice")
-    return frame
-
-
-def _decode_one_nal(nal: bytes, cfg: dict) -> dict | None:
+def _classify_nal(nal: bytes, cfg: dict):
+    """Validate a NAL header; parameter-set / SEI NALs are consumed
+    into ``cfg`` and return None; coded-slice NALs return
+    (rbsp, typ, ref_idc, first_mb)."""
     if not nal:
         raise ValueError("empty NAL unit")
     if nal[0] & 0x80:
@@ -2168,30 +2294,90 @@ def _decode_one_nal(nal: bytes, cfg: dict) -> dict | None:
     if typ in (6, 9, 10, 11, 12):  # SEI / AUD / end markers / filler
         return None
     if typ in (1, 5):
-        if cfg.get("sps") is None or cfg.get("pps") is None:
-            raise ValueError("coded slice before SPS/PPS")
-        yu, cbu, cru = decode_idr_planes(
-            rbsp, cfg["sps"], cfg["pps"], typ, ref_idc, cfg.get("ref")
-        )
-        if ref_idc:  # reference pictures feed the NEXT P slice
-            cfg["ref"] = (yu, cbu, cru)
-        y, cb, cr = _crop_planes(yu, cbu, cru, cfg["sps"])
-        d = _frame_dict(y)
-        d["cb_mean"] = float(np.mean(cb.astype(np.float64)))
-        d["cr_mean"] = float(np.mean(cr.astype(np.float64)))
-        return d
+        return rbsp, typ, ref_idc, _BitReader(rbsp).ue()
     raise ValueError(f"unsupported NAL unit type {typ}")
 
 
+def _decode_picture_group(slices: list, cfg: dict) -> dict:
+    """Decode the accumulated slices of ONE picture into a frame
+    dict, updating the reference state in ``cfg``."""
+    if cfg.get("sps") is None or cfg.get("pps") is None:
+        raise ValueError("coded slice before SPS/PPS")
+    typ, ref_idc = slices[0][1], slices[0][2]
+    if any(s[1] != typ for s in slices):
+        raise ValueError("mixed NAL types within one picture")
+    yu, cbu, cru = decode_picture_slices(
+        [s[0] for s in slices], cfg["sps"], cfg["pps"], typ, ref_idc,
+        cfg.get("ref"),
+    )
+    if ref_idc:  # reference pictures feed the NEXT P slice
+        cfg["ref"] = (yu, cbu, cru)
+    y, cb, cr = _crop_planes(yu, cbu, cru, cfg["sps"])
+    d = _frame_dict(y)
+    d["cb_mean"] = float(np.mean(cb.astype(np.float64)))
+    d["cr_mean"] = float(np.mean(cr.astype(np.float64)))
+    d["n_slices"] = len(slices)
+    return d
+
+
+def decode_avc_sample(sample: bytes, cfg: dict) -> dict:
+    """Decode ONE MP4 avc1/avc3 sample (length-prefixed NAL units) to
+    its frame. In-sample SPS/PPS updates are honored and PERSIST into
+    ``cfg`` — the avc3 in-band-parameter-set contract, where only the
+    first sync sample carries them. The sample's coded-slice NALs
+    must form exactly ONE picture (round 16: several slices tiling
+    the picture are fine; a SECOND picture starting in the same
+    sample is rejected loudly)."""
+    ls = cfg["length_size"]
+    pos = 0
+    slices: list = []
+    while pos + ls <= len(sample):
+        ln = int.from_bytes(sample[pos : pos + ls], "big")
+        pos += ls
+        if ln == 0 or pos + ln > len(sample):
+            raise ValueError("bad NAL length prefix in avc1 sample")
+        nal = sample[pos : pos + ln]
+        pos += ln
+        info = _classify_nal(nal, cfg)
+        if info is not None:
+            if info[3] == 0 and slices:
+                raise NotImplementedError(
+                    "multiple coded slices starting a new picture in "
+                    "one avc1 sample (one frame per sample is the "
+                    "documented contract)"
+                )
+            slices.append(info)
+    if not slices:
+        raise ValueError("avc1 sample contains no coded slice")
+    return _decode_picture_group(slices, cfg)
+
+
+def _decode_one_nal(nal: bytes, cfg: dict) -> dict | None:
+    """Single-NAL convenience: parameter sets return None; a coded
+    slice NAL must be a complete (single-slice) picture."""
+    info = _classify_nal(nal, cfg)
+    if info is None:
+        return None
+    return _decode_picture_group([info], cfg)
+
+
 def decode_annexb(data: bytes) -> list[dict]:
-    """Decode a raw Annex-B H.264 elementary stream (intra-only);
-    returns one frame dict per coded slice."""
+    """Decode a raw Annex-B H.264 elementary stream; returns one
+    frame dict per coded PICTURE (a picture is one or more slices —
+    a slice with first_mb_in_slice 0 starts the next picture)."""
     cfg: dict = {"sps": None, "pps": None}
     frames = []
+    pending: list = []
     for nal in split_annexb(data):
-        d = _decode_one_nal(nal, cfg)
-        if d is not None:
-            frames.append(d)
+        info = _classify_nal(nal, cfg)
+        if info is None:
+            continue
+        if info[3] == 0 and pending:
+            frames.append(_decode_picture_group(pending, cfg))
+            pending = []
+        pending.append(info)
+    if pending:
+        frames.append(_decode_picture_group(pending, cfg))
     return frames
 
 
@@ -2501,68 +2687,112 @@ def encode_textured_i4x4_idr(
     ``deblock=True`` signals disable_deblocking_filter_idc=0 so the
     decoder runs the 8.7 in-loop filter (round 16); the expected
     plane is then the filtered reconstruction."""
+    nals, plane, ctxs = encode_textured_multislice_idr(
+        width, height, seed, 1, qp, deblock_idc=(0 if deblock else 1)
+    )
+    return nals[0], plane, ctxs
+
+
+def encode_textured_multislice_idr(
+    width: int,
+    height: int,
+    seed: int,
+    n_slices: int,
+    qp: int = 12,
+    deblock_idc: int = 1,
+) -> tuple[list, np.ndarray, set]:
+    """The textured I_NxN picture split into ``n_slices`` contiguous
+    raster slices (round 16) — one IDR NAL per slice with its
+    first_mb_in_slice, intra-prediction and CAVLC nC availability cut
+    at slice boundaries (6.4.8), per-slice deblocking parameters
+    (``deblock_idc`` 0 filters everything, 1 disables, 2 skips
+    slice-boundary edges). Returns (nal list, expected cropped luma
+    plane, coeff_token context labels exercised)."""
     w_mbs = (width + 15) // 16
     h_mbs = (height + 15) // 16
-    bw = _BitWriter()
-    bw.ue(0)
-    bw.ue(7)
-    bw.ue(0)
-    bw.u(4, 0)
-    bw.ue(0)
-    bw.u(1, 0)
-    bw.u(1, 0)
-    bw.se(0)
-    if deblock:
-        bw.ue(0)   # disable_deblocking_filter_idc = 0: filter on
-        bw.se(0)   # slice_alpha_c0_offset_div2
-        bw.se(0)   # slice_beta_offset_div2
-    else:
-        bw.ue(1)
+    total = w_mbs * h_mbs
+    n_slices = max(1, min(n_slices, total))
+    bounds = [total * i // n_slices for i in range(n_slices + 1)]
     recon = np.zeros((h_mbs * 16, w_mbs * 16), dtype=np.int64)
     luma_tc = np.zeros((h_mbs * 4, w_mbs * 4), dtype=np.int64)
     ctxs: set = set()
-    for mb in range(w_mbs * h_mbs):
-        mbx, mby = mb % w_mbs, mb // w_mbs
-        x0, y0 = mbx * 16, mby * 16
-        left_ok, top_ok = mbx > 0, mby > 0
-        bw.ue(0)  # mb_type I_NxN
-        for idx in range(16):
-            bw.u(1, 1)  # prev_intra4x4_pred_mode_flag: all DC == MPM
-        bw.ue(0)  # intra_chroma_pred_mode DC
-        bw.ue(_CBP_INTRA_TO_CODE[15])  # all four luma 8x8 groups coded
-        bw.se(0)  # mb_qp_delta
-        for idx in range(16):
-            bx, by = _z_luma(idx)
-            x, y = x0 + 4 * bx, y0 + 4 * by
-            pat = _TEXTURE_PATTERNS[
-                (seed * 31 + mb * 7 + idx * 3) % len(_TEXTURE_PATTERNS)
-            ]
-            scan = list(pat) + [0] * (16 - len(pat))
-            nc = _nc_from_neighbors(
-                luma_tc, mbx * 4 + bx, mby * 4 + by, left_ok, top_ok
-            )
-            ctxs.add(
-                "flc" if nc >= 8 else
-                "ctx2" if nc >= 4 else
-                "ctx1" if nc >= 2 else "ctx0"
-            )
-            _encode_residual_block(bw, scan, nc, 16)
-            luma_tc[mby * 4 + by, mbx * 4 + bx] = sum(1 for c in scan if c)
-            # reconstruction through the decoder's exact arithmetic
-            pred = _pred_4x4(2, recon, x, y, x > 0, y > 0, False, False)
-            d = _dequant_ac(_scan_to_block(scan), qp)
-            r = (_inverse_core_4x4(d) + 32) >> 6
-            recon[y : y + 4, x : x + 4] = np.clip(pred + r, 0, 255)
-    bw.rbsp_trailing()
-    nal = b"\x65" + rbsp_to_nal(bw.tobytes())
+    nals = []
+    for si in range(n_slices):
+        start, end = bounds[si], bounds[si + 1]
+        bw = _BitWriter()
+        bw.ue(start)  # first_mb_in_slice
+        bw.ue(7)
+        bw.ue(0)
+        bw.u(4, 0)
+        bw.ue(0)
+        bw.u(1, 0)
+        bw.u(1, 0)
+        bw.se(0)
+        bw.ue(deblock_idc)
+        if deblock_idc != 1:
+            bw.se(0)
+            bw.se(0)
+        for mb in range(start, end):
+            mbx, mby = mb % w_mbs, mb // w_mbs
+            x0, y0 = mbx * 16, mby * 16
+            # neighbors must be in the SAME slice (6.4.8)
+            left_ok = mbx > 0 and (mb - 1) >= start
+            top_ok = mby > 0 and (mb - w_mbs) >= start
+            bw.ue(0)  # mb_type I_NxN
+            for idx in range(16):
+                bw.u(1, 1)  # prev_intra4x4_pred_mode_flag: DC == MPM
+            bw.ue(0)  # intra_chroma_pred_mode DC
+            bw.ue(_CBP_INTRA_TO_CODE[15])  # all luma groups coded
+            bw.se(0)  # mb_qp_delta
+            for idx in range(16):
+                bx, by = _z_luma(idx)
+                x, y = x0 + 4 * bx, y0 + 4 * by
+                pat = _TEXTURE_PATTERNS[
+                    (seed * 31 + mb * 7 + idx * 3) % len(_TEXTURE_PATTERNS)
+                ]
+                scan = list(pat) + [0] * (16 - len(pat))
+                nc = _nc_from_neighbors(
+                    luma_tc, mbx * 4 + bx, mby * 4 + by, left_ok, top_ok
+                )
+                ctxs.add(
+                    "flc" if nc >= 8 else
+                    "ctx2" if nc >= 4 else
+                    "ctx1" if nc >= 2 else "ctx0"
+                )
+                _encode_residual_block(bw, scan, nc, 16)
+                luma_tc[mby * 4 + by, mbx * 4 + bx] = sum(
+                    1 for c in scan if c
+                )
+                # reconstruction through the decoder's exact
+                # arithmetic with slice-aware DC availability
+                s_left = bx > 0 or left_ok
+                s_top = by > 0 or top_ok
+                pred = _pred_4x4(2, recon, x, y, s_left, s_top, False,
+                                 False)
+                d = _dequant_ac(_scan_to_block(scan), qp)
+                r = (_inverse_core_4x4(d) + 32) >> 6
+                recon[y : y + 4, x : x + 4] = np.clip(pred + r, 0, 255)
+        bw.rbsp_trailing()
+        nals.append(b"\x65" + rbsp_to_nal(bw.tobytes()))
     plane = recon.astype(np.uint8)
-    if deblock:
+    if deblock_idc != 1:
         flat = np.full((h_mbs * 8, w_mbs * 8), 128, dtype=np.uint8)
-        plane, _, _ = _deblock_frame(
-            plane, flat, flat.copy(),
-            np.full((h_mbs, w_mbs), qp, dtype=np.int64), 0, 0, 0,
-        )
-    return nal, plane[:height, :width], ctxs
+        slice_map = np.zeros((h_mbs, w_mbs), dtype=np.int64)
+        for si in range(n_slices):
+            for mb in range(bounds[si], bounds[si + 1]):
+                slice_map[mb // w_mbs, mb % w_mbs] = si
+        params = [(deblock_idc, 0, 0)] * n_slices
+        qpm = np.full((h_mbs, w_mbs), qp, dtype=np.int64)
+        if n_slices == 1:
+            plane, _, _ = _deblock_frame(
+                plane, flat, flat.copy(), qpm, 0, 0, 0
+            )
+        else:
+            plane, _, _ = _deblock_frame(
+                plane, flat, flat.copy(), qpm, 0, 0, 0,
+                slice_map=slice_map, slice_params=params,
+            )
+    return nals, plane[:height, :width], ctxs
 
 
 def encode_p_frame(

@@ -3560,9 +3560,25 @@ def encode_mp4_avc(
         sps_nal, pps_nal, idrs, _ = h264.encode_ipp_stream(
             width, height, int(grays[0]), len(grays), qp=30, deblock=True
         )
+    elif coding == "multislice":
+        # round 16: each sample is ONE picture coded as SEVERAL
+        # slices; grays = (seed, n_slices, idc). Exercises first_mb >
+        # 0, the 6.4.8 slice-boundary availability cut, per-slice
+        # deblock params and the idc-2 boundary skip.
+        seed_v, n_slices, idc = (int(g) for g in grays)
+        sps_nal = h264._encode_sps(width, height)
+        pps_nal = h264._encode_pps(30)
+        slice_nals, _, _ = h264.encode_textured_multislice_idr(
+            width, height, seed_v, n_slices, qp=30, deblock_idc=idc
+        )
+        samples = [b"".join(
+            struct.pack(">I", len(n)) + n for n in slice_nals
+        )]
+        idrs = None
     else:
         raise ValueError(f"unknown coding {coding!r}")
-    samples = [struct.pack(">I", len(n)) + n for n in idrs]
+    if idrs is not None:
+        samples = [struct.pack(">I", len(n)) + n for n in idrs]
     entry = _box(
         b"avc1",
         b"\x00" * 6
@@ -3633,6 +3649,13 @@ def _avc_fixture_params(i: int, coding: str) -> tuple[int, int, list[int]]:
             2 * (i % 8 + 2),
             [i * 19 + k for k in range(i % 3 + 2)],
         )
+    if coding == "multislice":
+        # (seed, n_slices 2..5, idc 0 or 2); multi-MB geometries
+        return (
+            2 * (i % 10 + 8),
+            2 * (i % 9 + 8),
+            [i * 23, i % 4 + 2, 2 * (i % 2)],
+        )
     return (
         2 * (i % 10 + 1),
         2 * (i % 7 + 1),
@@ -3668,14 +3691,21 @@ def check_mp4_avc_textured(
                 i = int(i)
                 w, h, seeds = _avc_fixture_params(i, coding)
                 qp, debl = (30, True) if coding == "deblocked" else (12, False)
-                ipp_planes = None
+                ipp_planes = ms_plane = None
                 if coding == "ipp":
                     ipp_planes = h264.encode_ipp_stream(
                         w, h, int(seeds[0]), len(seeds), qp=30, deblock=True
                     )[3]
+                elif coding == "multislice":
+                    _, ms_plane, _ = h264.encode_textured_multislice_idr(
+                        w, h, int(seeds[0]), int(seeds[1]), qp=30,
+                        deblock_idc=int(seeds[2]),
+                    )
                 for k, fr in enumerate(decode_mp4_samples(bytes(content))):
                     if ipp_planes is not None:
                         expected = ipp_planes[k]
+                    elif ms_plane is not None:
+                        expected = ms_plane
                     else:
                         _, expected, _ = h264.encode_textured_i4x4_idr(
                             w, h, seeds[k], qp, deblock=debl

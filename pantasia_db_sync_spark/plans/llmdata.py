@@ -4175,6 +4175,49 @@ def multimodal_mp4_avc_ipp_frames_q(
 
 
 @register(
+    "multimodal_mp4_avc_multislice_frames",
+    oracle="""
+    SELECT d.doc_id,
+           CAST(0 AS INTEGER) AS frame_idx,
+           CAST(2 * (d.doc_id % 10 + 8) AS INTEGER) AS width,
+           CAST(2 * (d.doc_id % 9 + 8) AS INTEGER) AS height,
+           CAST(0 AS INTEGER) AS mismatch_px
+    FROM documents d WHERE d.doc_id < 300
+    """,
+)
+def multimodal_mp4_avc_multislice_frames_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MULTI-SLICE PICTURE DECODE (round 16) — pictures coded as 2-5
+    contiguous raster slices, the error-resilience/parallel-encode
+    layout real encoders emit: first_mb_in_slice > 0 parses, intra
+    prediction and CAVLC nC treat other-slice neighbors as
+    UNAVAILABLE (the 6.4.8 availability cut — pinned to actually
+    change pixels vs the single-slice coding of the same content),
+    per-slice deblocking parameters apply per macroblock, and
+    disable_deblocking_filter_idc=2 skips slice-boundary edges
+    (differentially pinned against idc=0). Fixtures alternate idc 0
+    and 2 and slice counts by doc id; one multi-slice textured
+    picture per sample through the avc1 container chain
+    (operators/h264.py encode_textured_multislice_idr /
+    decode_picture_slices). mismatch_px == 0 per picture is the gate.
+    Arrow-batched mapInPandas, map-only, zero shuffle. Reference
+    analogue: none (extension)."""
+    from ..operators.multimodal import (
+        check_mp4_avc_textured,
+        synthetic_avc_mp4_frame,
+    )
+
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    return check_mp4_avc_textured(
+        synthetic_avc_mp4_frame(d, coding="multislice"),
+        "doc_id",
+        "content",
+        coding="multislice",
+    )
+
+
+@register(
     "text_winnowing_matches",
     oracle=f"""
     WITH toks AS ({_SQL_TOKS}),

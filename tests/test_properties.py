@@ -4538,6 +4538,76 @@ def test_h264_p_slices_ipp_bit_exact():
             assert np.array_equal(fr["y"], expected[k]), (i, k)
 
 
+def test_h264_multislice_pictures_bit_exact():
+    """Multi-slice pictures (round 16): 2-5 contiguous raster slices
+    tile one picture; first_mb_in_slice > 0 parses; intra prediction
+    and CAVLC nC treat other-slice neighbors as unavailable (6.4.8);
+    deblocking honors per-slice idc with idc=2 skipping
+    slice-boundary edges. Pinned bit-exact against the encoder's
+    slice-aware expected plane AND differentially: the availability
+    cut and the idc-2 skip each demonstrably change pixels."""
+    import numpy as np
+
+    from pantasia_db_sync_spark.operators import h264
+    from pantasia_db_sync_spark.operators.multimodal import (
+        decode_mp4_samples,
+        encode_mp4_avc,
+    )
+
+    for seed in range(3):
+        for (w, h) in ((48, 32), (64, 48), (34, 22)):
+            for n_slices in (2, 3, 5):
+                for idc in (1, 0, 2):
+                    qp = 12 if idc == 1 else 30
+                    nals, plane, _ = h264.encode_textured_multislice_idr(
+                        w, h, seed, n_slices, qp=qp, deblock_idc=idc
+                    )
+                    sps = h264._encode_sps(w, h)
+                    pps = h264._encode_pps(qp)
+                    data = b"\x00\x00\x00\x01".join(
+                        [b""] + [sps, pps] + nals
+                    )
+                    frames = h264.decode_annexb(data)
+                    assert len(frames) == 1
+                    total = ((w + 15) // 16) * ((h + 15) // 16)
+                    assert frames[0]["n_slices"] == min(n_slices, total)
+                    assert np.array_equal(frames[0]["y"], plane), (
+                        seed, w, h, n_slices, idc
+                    )
+    # differential pins: the slice cut and the idc-2 skip both matter
+    a0 = h264.encode_textured_multislice_idr(64, 48, 1, 3, 30, 0)[1]
+    a2 = h264.encode_textured_multislice_idr(64, 48, 1, 3, 30, 2)[1]
+    s0 = h264.encode_textured_multislice_idr(64, 48, 1, 1, 30, 0)[1]
+    assert not np.array_equal(a0, a2)  # boundary edges skipped
+    assert not np.array_equal(a0, s0)  # availability cut changes pred
+    # slices must tile in raster order — a gap is a loud error
+    nals, _, _ = h264.encode_textured_multislice_idr(48, 32, 0, 3)
+    sps_d = h264.parse_sps(h264.nal_to_rbsp(h264._encode_sps(48, 32)[1:]))
+    pps_d = h264.parse_pps(h264.nal_to_rbsp(h264._encode_pps(12)[1:]))
+    with _np_raises(ValueError, "slice first_mb"):
+        h264.decode_picture_slices(
+            [h264.nal_to_rbsp(nals[0][1:]), h264.nal_to_rbsp(nals[2][1:])],
+            sps_d, pps_d, 5, 3,
+        )
+    # MP4: one multi-slice picture per sample (the registry fixture)
+    for i in (7, 42, 115):
+        w, h = 2 * (i % 10 + 8), 2 * (i % 9 + 8)
+        params = [i * 23, i % 4 + 2, 2 * (i % 2)]
+        blob = encode_mp4_avc(w, h, params, coding="multislice")
+        frames = decode_mp4_samples(blob)
+        assert len(frames) == 1
+        _, expected, _ = h264.encode_textured_multislice_idr(
+            w, h, params[0], params[1], qp=30, deblock_idc=params[2]
+        )
+        assert np.array_equal(frames[0]["y"], expected), i
+
+
+def _np_raises(exc, match):
+    import pytest as _pt
+
+    return _pt.raises(exc, match=match)
+
+
 def test_h264_mp4_co64_offsets_and_multislice_contract():
     """Round-15 ADVICE items: (a) co64 64-bit chunk offsets (the
     >4 GiB container form) resolve samples identically to stco;
