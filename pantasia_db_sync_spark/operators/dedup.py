@@ -562,7 +562,11 @@ def levenshtein_pairs_prefix_core(
     ``distinct`` to true-pair survivors (~3x fewer rows on the
     fixture) and eliminating the two string re-attach joins the
     full-string path needs. Measured at sf0.1 (4.08M true pairs,
-    local[32]): 8.5-10.2s full-string FastSS -> ~6.5s. The candidate
+    local[32]): 8.5-10.2s full-string FastSS -> 4.4-6.0s; at a 10x
+    replica probe (150k names, 55.0M true pairs — the answer grows
+    13.5x) the walls are 74s vs 149s for identical outputs, i.e. the
+    2x advantage holds and BOTH scale linearly in the answer size,
+    the floor for any complete method. The candidate
     PAIR set is identical either way (collisions live in the
     differing digits) — the win is index cost + shuffle bytes + the
     smaller distinct, not recall games. If no usable template exists

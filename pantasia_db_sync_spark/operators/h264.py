@@ -24,12 +24,14 @@ Scope (the honest gate, narrowed from "no H.264 at all" in round 14):
   Tables 8-16/8-17, strong/weak luma + chroma shapes, per-MB QP
   averaging, slice alpha/beta offsets), so conformant streams that do
   NOT signal disable_deblocking_filter_idc=1 decode bit-exact; and
-  SINGLE-REFERENCE P SLICES (clause 8.4) — P_Skip runs, P_L0_16x16,
-  16x8/8x16 partitions, P_8x8 sub-partitions (all four Table 7-17
-  shapes down to 4x4), intra islands, the 6-tap half-pel +
-  quarter-pel averaging luma interpolation, 1/8-pel bilinear chroma,
-  the 8.4.1.3 median mv prediction, and the Table 9-4 inter CBP
-  column — the IPPP GOP shape real baseline streams use; and
+  P SLICES (clause 8.4) — P_Skip runs, P_L0_16x16, 16x8/8x16
+  partitions, P_8x8 sub-partitions (all four Table 7-17 shapes down
+  to 4x4), intra islands, the 6-tap half-pel + quarter-pel averaging
+  luma interpolation, 1/8-pel bilinear chroma, the 8.4.1.3 median mv
+  prediction, the Table 9-4 inter CBP column, and MULTIPLE REFERENCE
+  FRAMES (sliding-window list, te() ref_idx per partition / per
+  8x8, per-partition reference pick in MC and mvp matching) — the
+  IPPP GOP shape real baseline streams use; and
   MULTI-SLICE PICTURES — contiguous raster slices with the 6.4.8
   other-slice availability cut for intra prediction / nC / motion
   prediction, per-slice deblocking parameters, and the idc-2
@@ -39,8 +41,8 @@ Scope (the honest gate, narrowed from "no H.264 at all" in round 14):
   pairs have no faithfully-reproducible public-memory source in this
   environment; a self-consistent-but-wrong table set would pass
   round-trip tests and silently corrupt real streams, so the gate
-  stays honest), B slices, multiple reference
-  frames / list modification / weighted prediction, Intra_8x8 / the
+  stays honest), B slices, reference-picture list modification /
+  adaptive marking (MMCO) / weighted prediction, Intra_8x8 / the
   8x8 transform (High profile), FMO/ASO (non-contiguous slice
   groups), interlace (frame_mbs_only_flag=0).
 * RAISES ValueError: malformed bitstreams (the module-wide contract
@@ -1240,7 +1242,7 @@ def parse_sps(rbsp: bytes) -> dict:
         log2_max_poc_lsb = br.ue() + 4
     elif poc_type == 1:
         raise NotImplementedError("pic_order_cnt_type 1")
-    br.ue()  # max_num_ref_frames
+    max_num_ref_frames = br.ue()
     br.u(1)  # gaps_in_frame_num_value_allowed
     w_mbs = br.ue() + 1
     h_map = br.ue() + 1
@@ -1261,6 +1263,7 @@ def parse_sps(rbsp: bytes) -> dict:
         "width_mbs": w_mbs,
         "height_mbs": h_map,
         "crop": crop,  # in chroma units: luma pixels = 2x (4:2:0)
+        "max_num_ref_frames": max_num_ref_frames,
     }
 
 
@@ -1273,7 +1276,7 @@ def parse_pps(rbsp: bytes) -> dict:
     bottom_poc = br.u(1)
     if br.ue() != 0:
         raise NotImplementedError("FMO (num_slice_groups > 1)")
-    br.ue()  # num_ref_idx_l0_default_active_minus1
+    num_ref_l0_default = br.ue() + 1
     br.ue()  # num_ref_idx_l1_default_active_minus1
     weighted_pred = br.u(1)
     br.u(2)  # weighted_bipred_idc
@@ -1303,6 +1306,7 @@ def parse_pps(rbsp: bytes) -> dict:
         "deblock_ctrl": deblock_ctrl,
         "redundant": redundant,
         "weighted_pred": weighted_pred,
+        "num_ref_l0_default": num_ref_l0_default,
     }
 
 
@@ -1733,13 +1737,27 @@ def decode_slice_into(
             br.se()
     if pps["redundant"]:
         br.ue()
+    # normalize the reference input: a single plane triple (the
+    # round-16 single-ref API) or a most-recent-first LIST of triples
+    # (multiple reference frames); P default list order for frames is
+    # descending frame order, which the caller's insert-at-front
+    # maintains.
+    refs: list = []
+    if ref_planes is not None:
+        if isinstance(ref_planes, tuple):
+            refs = [ref_planes]
+        else:
+            refs = list(ref_planes)
+    num_ref = 1
     if is_p:
+        num_ref = pps["num_ref_l0_default"]
         if br.u(1):  # num_ref_idx_active_override_flag
-            if br.ue() != 0:
-                raise NotImplementedError(
-                    "multiple reference frames "
-                    "(num_ref_idx_l0_active_minus1 > 0)"
-                )
+            num_ref = br.ue() + 1
+        if num_ref > len(refs):
+            raise ValueError(
+                f"P slice wants {num_ref} reference frames; only "
+                f"{len(refs)} decoded"
+            )
         if br.u(1):  # ref_pic_list_modification_flag_l0
             raise NotImplementedError("reference picture list modification")
         if pps["weighted_pred"]:
@@ -1776,9 +1794,18 @@ def decode_slice_into(
     cur_slice = len(st["slice_params"])
     st["slice_params"].append((deblock_idc, off_a, off_b))
     st["any_p"] = st["any_p"] or is_p
-    ref_y = ref_cb = ref_cr = None
-    if ref_planes is not None:
-        ref_y, ref_cb, ref_cr = (p.astype(np.int64) for p in ref_planes)
+    refs_i64 = [
+        tuple(p.astype(np.int64) for p in planes) for planes in refs
+    ]
+
+    def te_ref() -> int:
+        """te(v) with cMax = num_ref - 1 (9.1.1): absent when one
+        reference, an INVERTED single bit for two, ue(v) beyond."""
+        if num_ref == 1:
+            return 0
+        if num_ref == 2:
+            return 1 - br.u(1)
+        return br.ue()
 
     def mb_avail(mbx, mby):
         """6.4.8: a neighbor macroblock is available only inside the
@@ -1838,41 +1865,42 @@ def decode_slice_into(
 
     def mc_luma_parts(mbx, mby, parts):
         """Motion-compensate the luma 16x16 prediction from partition
-        list [(gx_off4, gy_off4, pw4, ph4, mvx, mvy)] (4x4 units)."""
+        list [(gx_off4, gy_off4, pw4, ph4, mvx, mvy, ridx)] (4x4
+        units; ridx picks the reference picture)."""
         pred = np.zeros((16, 16), dtype=np.int64)
-        for gx_o, gy_o, pw4, ph4, mvx, mvy in parts:
+        for gx_o, gy_o, pw4, ph4, mvx, mvy, ridx in parts:
             pred[
                 gy_o * 4 : (gy_o + ph4) * 4, gx_o * 4 : (gx_o + pw4) * 4
             ] = _interp_luma_block(
-                ref_y, mbx * 16 + gx_o * 4, mby * 16 + gy_o * 4,
-                pw4 * 4, ph4 * 4, mvx, mvy,
+                refs_i64[ridx][0], mbx * 16 + gx_o * 4,
+                mby * 16 + gy_o * 4, pw4 * 4, ph4 * 4, mvx, mvy,
             )
         return pred
 
     def mc_chroma_parts(mbx, mby, parts):
         preds = []
-        for refc in (ref_cb, ref_cr):
+        for ci in (1, 2):
             pc = np.zeros((8, 8), dtype=np.int64)
-            for gx_o, gy_o, pw4, ph4, mvx, mvy in parts:
+            for gx_o, gy_o, pw4, ph4, mvx, mvy, ridx in parts:
                 pc[
                     gy_o * 2 : (gy_o + ph4) * 2, gx_o * 2 : (gx_o + pw4) * 2
                 ] = _interp_chroma_block(
-                    refc, mbx * 8 + gx_o * 2, mby * 8 + gy_o * 2,
-                    pw4 * 2, ph4 * 2, mvx, mvy,
+                    refs_i64[ridx][ci], mbx * 8 + gx_o * 2,
+                    mby * 8 + gy_o * 2, pw4 * 2, ph4 * 2, mvx, mvy,
                 )
             preds.append(pc)
         return preds
 
-    def set_motion(mbx, mby, gx_o, gy_o, pw4, ph4, mvx, mvy):
+    def set_motion(mbx, mby, gx_o, gy_o, pw4, ph4, mvx, mvy, ridx=0):
         gy, gx = mby * 4 + gy_o, mbx * 4 + gx_o
-        ref4[gy : gy + ph4, gx : gx + pw4] = 0
+        ref4[gy : gy + ph4, gx : gx + pw4] = ridx
         mv4[0, gy : gy + ph4, gx : gx + pw4] = mvx
         mv4[1, gy : gy + ph4, gx : gx + pw4] = mvy
 
     def decode_skip_mb(mb):
         mbx, mby = mb % w_mbs, mb // w_mbs
         mvx, mvy = _mv_skip(mv4, ref4, mbx * 4, mby * 4, min_mb=first_mb)
-        part = [(0, 0, 4, 4, mvx, mvy)]
+        part = [(0, 0, 4, 4, mvx, mvy, 0)]
         y_plane[mby * 16 : mby * 16 + 16, mbx * 16 : mbx * 16 + 16] = (
             np.clip(mc_luma_parts(mbx, mby, part), 0, 255)
         )
@@ -1902,6 +1930,10 @@ def decode_slice_into(
             subs = [br.ue() for _ in range(4)]
             if any(s > 3 for s in subs):
                 raise ValueError(f"bad P sub_mb_type in {subs}")
+            # ref_idx_l0 per 8x8 (7.3.5.2); P_8x8ref0 forces 0
+            refs_8x8 = [
+                0 if p_type == 4 else te_ref() for _ in range(4)
+            ]
             geo = []
             for i8, s in enumerate(subs):
                 ox, oy = (i8 % 2) * 2, (i8 // 2) * 2
@@ -1913,28 +1945,34 @@ def decode_slice_into(
                         (0, 1, 1, 1), (1, 1, 1, 1)],  # four 4x4
                 }[s]
                 geo.extend(
-                    (ox + sx, oy + sy, pw, ph, None)
+                    (ox + sx, oy + sy, pw, ph, None, refs_8x8[i8])
                     for sx, sy, pw, ph in shapes
                 )
         else:
-            # partition geometry in 4x4 units + the 8.4.1.3 mvp hints
-            geo = {
+            # partition geometry in 4x4 units + the 8.4.1.3 mvp
+            # hints; ref_idx_l0 parses for ALL partitions first
+            # (7.3.5.1 loop order), then all mvds
+            raw_geo = {
                 0: [(0, 0, 4, 4, None)],
                 1: [(0, 0, 4, 2, "top"), (0, 2, 4, 2, "bottom")],
                 2: [(0, 0, 2, 4, "left"), (2, 0, 2, 4, "right")],
             }[p_type]
-        # single reference: ref_idx_l0 fields are absent (te() with
-        # max 0); all mvds parse first (7.3.5.1/7.3.5.2 loop order)
+            part_refs = [te_ref() for _ in raw_geo]
+            geo = [g + (r,) for g, r in zip(raw_geo, part_refs)]
         mvds = [(br.se(), br.se()) for _ in geo]
         parts = []
-        for (gx_o, gy_o, pw4, ph4, hint), (mdx, mdy) in zip(geo, mvds):
+        for (gx_o, gy_o, pw4, ph4, hint, ridx), (mdx, mdy) in zip(
+            geo, mvds
+        ):
+            if ridx >= len(refs_i64):
+                raise ValueError(f"ref_idx {ridx} beyond reference list")
             mvpx, mvpy = _mvp_median(
                 mv4, ref4, mbx * 4 + gx_o, mby * 4 + gy_o, pw4, ph4,
-                part_hint=hint, min_mb=first_mb,
+                ref_idx=ridx, part_hint=hint, min_mb=first_mb,
             )
             mvx, mvy = mvpx + mdx, mvpy + mdy
-            set_motion(mbx, mby, gx_o, gy_o, pw4, ph4, mvx, mvy)
-            parts.append((gx_o, gy_o, pw4, ph4, mvx, mvy))
+            set_motion(mbx, mby, gx_o, gy_o, pw4, ph4, mvx, mvy, ridx)
+            parts.append((gx_o, gy_o, pw4, ph4, mvx, mvy, ridx))
         pred = mc_luma_parts(mbx, mby, parts)
         code = br.ue()
         if code >= 48:
@@ -2308,10 +2346,15 @@ def _decode_picture_group(slices: list, cfg: dict) -> dict:
         raise ValueError("mixed NAL types within one picture")
     yu, cbu, cru = decode_picture_slices(
         [s[0] for s in slices], cfg["sps"], cfg["pps"], typ, ref_idc,
-        cfg.get("ref"),
+        cfg.get("refs") or [],
     )
-    if ref_idc:  # reference pictures feed the NEXT P slice
-        cfg["ref"] = (yu, cbu, cru)
+    if typ == 5:  # IDR resets the reference list (8.2.5.1)
+        cfg["refs"] = []
+    if ref_idc:  # reference pictures feed later P slices,
+        # most-recent-first (the P default list order); sliding
+        # window bounded by the SPS max_num_ref_frames
+        cap = max(1, int(cfg["sps"].get("max_num_ref_frames", 1)))
+        cfg["refs"] = ([(yu, cbu, cru)] + (cfg.get("refs") or []))[:cap]
     y, cb, cr = _crop_planes(yu, cbu, cru, cfg["sps"])
     d = _frame_dict(y)
     d["cb_mean"] = float(np.mean(cb.astype(np.float64)))
@@ -2392,7 +2435,9 @@ def decode_annexb(data: bytes) -> list[dict]:
 # ---------------------------------------------------------------------------
 
 
-def _encode_sps(width: int, height: int, qp_unused: int = 0) -> bytes:
+def _encode_sps(
+    width: int, height: int, qp_unused: int = 0, num_ref_frames: int = 1
+) -> bytes:
     if width % 2 or height % 2:
         raise ValueError("4:2:0 needs even dimensions")
     w_mbs = (width + 15) // 16
@@ -2406,7 +2451,7 @@ def _encode_sps(width: int, height: int, qp_unused: int = 0) -> bytes:
     bw.ue(0)  # sps_id
     bw.ue(0)  # log2_max_frame_num_minus4
     bw.ue(2)  # pic_order_cnt_type 2
-    bw.ue(1)  # max_num_ref_frames
+    bw.ue(num_ref_frames)  # max_num_ref_frames
     bw.u(1, 0)  # gaps_in_frame_num
     bw.ue(w_mbs - 1)
     bw.ue(h_mbs - 1)
@@ -2810,16 +2855,33 @@ def encode_p_frame(
     vector differences are written against the decoder's own 8.4.1.3
     median prediction; reconstruction is tracked through the decoder's
     exact interpolation/residual/deblocking arithmetic. Returns
-    (nal, next_ref_planes)."""
-    ref_y, ref_cb, ref_cr = (p.astype(np.int64) for p in ref_planes)
-    h16, w16 = ref_y.shape
+    (nal, next_ref_planes).
+
+    ``ref_planes`` may be one plane triple (single reference) or a
+    most-recent-first LIST of up to two (round 16: multi-reference —
+    the slice then signals num_ref_idx_l0_active 2, every partition
+    writes its te() ref_idx bit, and a dedicated mode predicts whole
+    macroblocks from the two-frames-back picture)."""
+    if isinstance(ref_planes, tuple):
+        refs = [ref_planes]
+    else:
+        refs = list(ref_planes)
+    nrefs = min(2, len(refs))
+    refs_i64 = [
+        tuple(p.astype(np.int64) for p in planes) for planes in refs
+    ]
+    h16, w16 = refs_i64[0][0].shape
     w_mbs, h_mbs = w16 // 16, h16 // 16
     bw = _BitWriter()
     bw.ue(0)                      # first_mb_in_slice
     bw.ue(0)                      # slice_type: P
     bw.ue(0)                      # pps_id
     bw.u(4, frame_num % 16)       # frame_num
-    bw.u(1, 0)                    # num_ref_idx_active_override_flag
+    if nrefs > 1:
+        bw.u(1, 1)                # num_ref_idx_active_override_flag
+        bw.ue(nrefs - 1)          # num_ref_idx_l0_active_minus1
+    else:
+        bw.u(1, 0)
     bw.u(1, 0)                    # ref_pic_list_modification_flag_l0
     bw.u(1, 0)                    # adaptive_ref_pic_marking_mode_flag
     bw.se(0)                      # slice_qp_delta
@@ -2829,27 +2891,37 @@ def encode_p_frame(
         bw.se(0)
     else:
         bw.ue(1)
-    y = np.zeros_like(ref_y)
-    cb = np.full_like(ref_cb, 0)
-    cr = np.full_like(ref_cr, 0)
+
+    def w_te(r):
+        # te(v) ref_idx: absent for one ref, inverted bit for two
+        if nrefs == 2:
+            bw.u(1, 1 - r)
+
+    y = np.zeros((h16, w16), dtype=np.int64)
+    cb = np.zeros((h16 // 2, w16 // 2), dtype=np.int64)
+    cr = np.zeros((h16 // 2, w16 // 2), dtype=np.int64)
     luma_tc = np.zeros((h_mbs * 4, w_mbs * 4), dtype=np.int64)
     ref4 = np.full((h_mbs * 4, w_mbs * 4), _REF_UNAVAIL, dtype=np.int64)
     mv4 = np.zeros((2, h_mbs * 4, w_mbs * 4), dtype=np.int64)
     qp_map = np.full((h_mbs, w_mbs), qp, dtype=np.int64)
-    modes = ["skip", "mv16", "mv16r", "p16x8", "p8x16", "p8x8", "intra"]
+    modes = [
+        "skip", "mv16", "mv16r", "p16x8", "p8x16", "p8x8", "intra",
+        "mv16ref1",
+    ]
     skip_run = 0
 
     def mc_into(mbx, mby, parts):
         x0, y0 = mbx * 16, mby * 16
         pred = np.zeros((16, 16), dtype=np.int64)
-        for gx_o, gy_o, pw4, ph4, mvx, mvy in parts:
+        for gx_o, gy_o, pw4, ph4, mvx, mvy, ridx in parts:
+            ry, rcb, rcr = refs_i64[ridx]
             pred[gy_o * 4 : (gy_o + ph4) * 4, gx_o * 4 : (gx_o + pw4) * 4] = (
                 _interp_luma_block(
-                    ref_y, x0 + gx_o * 4, y0 + gy_o * 4,
+                    ry, x0 + gx_o * 4, y0 + gy_o * 4,
                     pw4 * 4, ph4 * 4, mvx, mvy,
                 )
             )
-            for refc, plane in ((ref_cb, cb), (ref_cr, cr)):
+            for refc, plane in ((rcb, cb), (rcr, cr)):
                 plane[
                     mby * 8 + gy_o * 2 : mby * 8 + (gy_o + ph4) * 2,
                     mbx * 8 + gx_o * 2 : mbx * 8 + (gx_o + pw4) * 2,
@@ -2861,7 +2933,7 @@ def encode_p_frame(
                     0, 255,
                 )
             gy, gx = mby * 4 + gy_o, mbx * 4 + gx_o
-            ref4[gy : gy + ph4, gx : gx + pw4] = 0
+            ref4[gy : gy + ph4, gx : gx + pw4] = ridx
             mv4[0, gy : gy + ph4, gx : gx + pw4] = mvx
             mv4[1, gy : gy + ph4, gx : gx + pw4] = mvy
         return pred
@@ -2872,7 +2944,7 @@ def encode_p_frame(
         mode = modes[(seed * 13 + frame_num * 5 + mb * 7) % len(modes)]
         if mode == "skip":
             mvx, mvy = _mv_skip(mv4, ref4, mbx * 4, mby * 4)
-            pred = mc_into(mbx, mby, [(0, 0, 4, 4, mvx, mvy)])
+            pred = mc_into(mbx, mby, [(0, 0, 4, 4, mvx, mvy, 0)])
             y[y0 : y0 + 16, x0 : x0 + 16] = np.clip(pred, 0, 255)
             luma_tc[mby * 4 : mby * 4 + 4, mbx * 4 : mbx * 4 + 4] = 0
             skip_run += 1
@@ -2916,21 +2988,25 @@ def encode_p_frame(
             luma_tc[mby * 4 : mby * 4 + 4, mbx * 4 : mbx * 4 + 4] = 0
             luma_tc[mby * 4, mbx * 4] = 0  # DC plane carries the level
             continue
-        # inter shapes: geometry + deterministic quarter-pel mvds
+        # inter shapes: geometry + deterministic quarter-pel mvds;
+        # each partition carries its reference index (te() coded when
+        # the slice runs two reference frames)
         base = seed * 7 + frame_num * 11 + mb * 3
-        if mode in ("mv16", "mv16r"):
-            geo = [(0, 0, 4, 4, None)]
+        subs = None
+        if mode in ("mv16", "mv16r", "mv16ref1"):
+            r0 = 1 if (mode == "mv16ref1" and nrefs == 2) else 0
+            geo = [(0, 0, 4, 4, None, r0)]
             mvds = [((base % 13) - 6, ((base * 5) % 11) - 5)]
             p_type = 0
         elif mode == "p16x8":
-            geo = [(0, 0, 4, 2, "top"), (0, 2, 4, 2, "bottom")]
+            geo = [(0, 0, 4, 2, "top", 0), (0, 2, 4, 2, "bottom", 0)]
             mvds = [
                 ((base % 9) - 4, ((base * 3) % 9) - 4),
                 (((base * 7) % 9) - 4, ((base * 11) % 9) - 4),
             ]
             p_type = 1
         elif mode == "p8x16":
-            geo = [(0, 0, 2, 4, "left"), (2, 0, 2, 4, "right")]
+            geo = [(0, 0, 2, 4, "left", 0), (2, 0, 2, 4, "right", 0)]
             mvds = [
                 ((base % 7) - 3, ((base * 3) % 7) - 3),
                 (((base * 5) % 7) - 3, ((base * 9) % 7) - 3),
@@ -2938,6 +3014,10 @@ def encode_p_frame(
             p_type = 2
         else:  # p8x8: four sub_mb_types cycling all Table 7-17 shapes
             subs = [(base + i) % 4 for i in range(4)]
+            refs_8x8 = [
+                ((base + i) % nrefs if nrefs == 2 else 0)
+                for i in range(4)
+            ]
             geo = []
             for i8, s in enumerate(subs):
                 ox, oy = (i8 % 2) * 2, (i8 // 2) * 2
@@ -2949,7 +3029,7 @@ def encode_p_frame(
                         (0, 1, 1, 1), (1, 1, 1, 1)],
                 }[s]
                 geo.extend(
-                    (ox + sx, oy + sy, pw, ph, None)
+                    (ox + sx, oy + sy, pw, ph, None, refs_8x8[i8])
                     for sx, sy, pw, ph in shapes
                 )
             mvds = [
@@ -2961,23 +3041,30 @@ def encode_p_frame(
         if p_type == 3:
             for s in subs:
                 bw.ue(s)
+            for r8 in refs_8x8:  # ref_idx per 8x8 (7.3.5.2 order)
+                w_te(r8)
+        else:
+            for g in geo:  # ref_idx per partition (7.3.5.1 order)
+                w_te(g[5])
         for mdx, mdy in mvds:
             bw.se(mdx)
             bw.se(mdy)
         parts = []
-        for (gx_o, gy_o, pw4, ph4, hint), (mdx, mdy) in zip(geo, mvds):
+        for (gx_o, gy_o, pw4, ph4, hint, ridx), (mdx, mdy) in zip(
+            geo, mvds
+        ):
             mvpx, mvpy = _mvp_median(
                 mv4, ref4, mbx * 4 + gx_o, mby * 4 + gy_o, pw4, ph4,
-                part_hint=hint,
+                ref_idx=ridx, part_hint=hint,
             )
             mvx, mvy = mvpx + mdx, mvpy + mdy
             # register this partition's motion BEFORE predicting the
             # next one — the decoder's second partition sees it
             gy, gx = mby * 4 + gy_o, mbx * 4 + gx_o
-            ref4[gy : gy + ph4, gx : gx + pw4] = 0
+            ref4[gy : gy + ph4, gx : gx + pw4] = ridx
             mv4[0, gy : gy + ph4, gx : gx + pw4] = mvx
             mv4[1, gy : gy + ph4, gx : gx + pw4] = mvy
-            parts.append((gx_o, gy_o, pw4, ph4, mvx, mvy))
+            parts.append((gx_o, gy_o, pw4, ph4, mvx, mvy, ridx))
         pred = mc_into(mbx, mby, parts)
         if mode == "mv16r":
             cbp_luma = 15
@@ -3027,12 +3114,17 @@ def encode_ipp_stream(
     n_frames: int,
     qp: int = 12,
     deblock: bool = False,
+    num_refs: int = 1,
 ) -> tuple[bytes, bytes, list[bytes], list[np.ndarray]]:
     """An IPPP... group: textured I frame then ``n_frames - 1`` P
     frames (encode_p_frame).  Returns (sps, pps, nal list, expected
     CROPPED luma plane per frame) — expectations tracked through the
-    decoder's exact arithmetic, reference chain included."""
-    sps = _encode_sps(width, height)
+    decoder's exact arithmetic, reference chain included.
+    ``num_refs=2`` keeps a two-picture sliding window: P frames from
+    the third on signal two active references, every partition writes
+    its te() ref_idx, and some macroblocks predict from the
+    two-frames-back picture."""
+    sps = _encode_sps(width, height, num_ref_frames=num_refs)
     pps = _encode_pps(qp)
     w_mbs, h_mbs = (width + 15) // 16, (height + 15) // 16
     i_nal, i_plane, _ = encode_textured_i4x4_idr(
@@ -3041,12 +3133,16 @@ def encode_ipp_stream(
     # rebuild the UNCROPPED reference the decoder keeps
     sps_d = parse_sps(nal_to_rbsp(sps[1:]))
     pps_d = parse_pps(nal_to_rbsp(pps[1:]))
-    ref = decode_idr_planes(nal_to_rbsp(i_nal[1:]), sps_d, pps_d, 5, 3)
+    ref0 = decode_idr_planes(nal_to_rbsp(i_nal[1:]), sps_d, pps_d, 5, 3)
+    refs = [ref0]
     nals, planes = [i_nal], [i_plane]
     for k in range(1, n_frames):
-        nal, ref = encode_p_frame(ref, k, seed, qp, deblock=deblock)
+        nal, new_ref = encode_p_frame(
+            refs, k, seed, qp, deblock=deblock
+        )
         nals.append(nal)
-        planes.append(ref[0][:height, :width].copy())
+        planes.append(new_ref[0][:height, :width].copy())
+        refs = ([new_ref] + refs)[: max(1, num_refs)]
     return sps, pps, nals, planes
 
 

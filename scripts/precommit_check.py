@@ -26,7 +26,7 @@ import os
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-FLOOR = 351
+FLOOR = 357
 
 
 def main() -> int:

@@ -4511,19 +4511,29 @@ def test_h264_p_slices_ipp_bit_exact():
         encode_mp4_avc,
     )
 
-    for seed in range(3):
-        for (w, h) in ((32, 32), (48, 32), (34, 22)):
-            for deblock, qp in ((False, 12), (True, 30)):
-                sps, pps, nals, planes = h264.encode_ipp_stream(
-                    w, h, seed, 4, qp=qp, deblock=deblock
-                )
-                data = b"\x00\x00\x00\x01".join([b""] + [sps, pps] + nals)
-                frames = h264.decode_annexb(data)
-                assert len(frames) == 4
-                for k, fr in enumerate(frames):
-                    assert np.array_equal(fr["y"], planes[k]), (
-                        seed, w, h, deblock, k
+    for num_refs in (1, 2):
+        for seed in range(3):
+            for (w, h) in ((32, 32), (48, 32), (34, 22)):
+                for deblock, qp in ((False, 12), (True, 30)):
+                    sps, pps, nals, planes = h264.encode_ipp_stream(
+                        w, h, seed, 4, qp=qp, deblock=deblock,
+                        num_refs=num_refs,
                     )
+                    data = b"\x00\x00\x00\x01".join(
+                        [b""] + [sps, pps] + nals
+                    )
+                    frames = h264.decode_annexb(data)
+                    assert len(frames) == 4
+                    for k, fr in enumerate(frames):
+                        assert np.array_equal(fr["y"], planes[k]), (
+                            num_refs, seed, w, h, deblock, k
+                        )
+    # two-reference streams genuinely use the second picture: the
+    # bitstreams diverge from the third frame on (te() ref_idx bits +
+    # mv16ref1 macroblocks predicting two frames back)
+    s1 = h264.encode_ipp_stream(48, 32, 1, 5, num_refs=1)[2]
+    s2 = h264.encode_ipp_stream(48, 32, 1, 5, num_refs=2)[2]
+    assert s1[2] != s2[2]
     # container chain at the registry-fixture geometry
     for i in (4, 61, 137):
         w, h = 2 * (i % 13 + 3), 2 * (i % 8 + 2)
@@ -4532,7 +4542,7 @@ def test_h264_p_slices_ipp_bit_exact():
         frames = decode_mp4_samples(blob)
         assert len(frames) == len(seeds)
         expected = h264.encode_ipp_stream(
-            w, h, seeds[0], len(seeds), qp=30, deblock=True
+            w, h, seeds[0], len(seeds), qp=30, deblock=True, num_refs=2
         )[3]
         for k, fr in enumerate(frames):
             assert np.array_equal(fr["y"], expected[k]), (i, k)
