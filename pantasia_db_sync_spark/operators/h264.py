@@ -30,8 +30,10 @@ Scope (the honest gate, narrowed from "no H.264 at all" in round 14):
   luma interpolation, 1/8-pel bilinear chroma, the 8.4.1.3 median mv
   prediction, the Table 9-4 inter CBP column, and MULTIPLE REFERENCE
   FRAMES (sliding-window list, te() ref_idx per partition / per
-  8x8, per-partition reference pick in MC and mvp matching) — the
-  IPPP GOP shape real baseline streams use; and
+  8x8, per-partition reference pick in MC and mvp matching) and
+  EXPLICIT WEIGHTED PREDICTION (pred_weight_table, the 8.4.2.3.2
+  weighted-sample formula — fades) — the IPPP GOP shape real
+  baseline streams use; and
   MULTI-SLICE PICTURES — contiguous raster slices with the 6.4.8
   other-slice availability cut for intra prediction / nC / motion
   prediction, per-slice deblocking parameters, and the idc-2
@@ -42,7 +44,7 @@ Scope (the honest gate, narrowed from "no H.264 at all" in round 14):
   environment; a self-consistent-but-wrong table set would pass
   round-trip tests and silently corrupt real streams, so the gate
   stays honest), B slices, reference-picture list modification /
-  adaptive marking (MMCO) / weighted prediction, Intra_8x8 / the
+  adaptive marking (MMCO), Intra_8x8 / the
   8x8 transform (High profile), FMO/ASO (non-contiguous slice
   groups), interlace (frame_mbs_only_flag=0).
 * RAISES ValueError: malformed bitstreams (the module-wide contract
@@ -884,6 +886,20 @@ def _mv_skip(
     if br_ == 0 and bx == 0 and by == 0:
         return 0, 0
     return _mvp_median(mv4, ref4, gx, gy, 4, 4, min_mb=min_mb)
+
+
+def _apply_weight(pred: np.ndarray, wp, denom: int) -> np.ndarray:
+    """8.4.2.3.2 explicit weighted sample prediction, unidirectional:
+    Clip1(((pred * w + 2^(denom-1)) >> denom) + offset); identity
+    when ``wp`` is None."""
+    if wp is None:
+        return pred
+    w, o = wp
+    if denom > 0:
+        out = ((pred * w + (1 << (denom - 1))) >> denom) + o
+    else:
+        out = pred * w + o
+    return np.clip(out, 0, 255)
 
 
 # Table 9-4, coded_block_pattern me(v) mapping — INTER column
@@ -1760,8 +1776,22 @@ def decode_slice_into(
             )
         if br.u(1):  # ref_pic_list_modification_flag_l0
             raise NotImplementedError("reference picture list modification")
-        if pps["weighted_pred"]:
-            raise NotImplementedError("weighted prediction (P slices)")
+    # explicit weighted prediction (7.3.3.2 + 8.4.2.3, round 16):
+    # per-reference (weight, offset) with a shared log2 denominator;
+    # weights[i] is None for default (identity) prediction
+    wp_luma: list = [None] * max(1, num_ref)
+    wp_cb: list = [None] * max(1, num_ref)
+    wp_cr: list = [None] * max(1, num_ref)
+    luma_denom = chroma_denom = 0
+    if is_p and pps["weighted_pred"]:
+        luma_denom = br.ue()
+        chroma_denom = br.ue()
+        for i in range(num_ref):
+            if br.u(1):  # luma_weight_l0_flag
+                wp_luma[i] = (br.se(), br.se())
+            if br.u(1):  # chroma_weight_l0_flag
+                wp_cb[i] = (br.se(), br.se())
+                wp_cr[i] = (br.se(), br.se())
     if nal_ref_idc:
         if nal_type == 5:
             br.u(1)  # no_output_of_prior_pics
@@ -1871,22 +1901,28 @@ def decode_slice_into(
         for gx_o, gy_o, pw4, ph4, mvx, mvy, ridx in parts:
             pred[
                 gy_o * 4 : (gy_o + ph4) * 4, gx_o * 4 : (gx_o + pw4) * 4
-            ] = _interp_luma_block(
-                refs_i64[ridx][0], mbx * 16 + gx_o * 4,
-                mby * 16 + gy_o * 4, pw4 * 4, ph4 * 4, mvx, mvy,
+            ] = _apply_weight(
+                _interp_luma_block(
+                    refs_i64[ridx][0], mbx * 16 + gx_o * 4,
+                    mby * 16 + gy_o * 4, pw4 * 4, ph4 * 4, mvx, mvy,
+                ),
+                wp_luma[ridx], luma_denom,
             )
         return pred
 
     def mc_chroma_parts(mbx, mby, parts):
         preds = []
-        for ci in (1, 2):
+        for ci, wp_c in ((1, wp_cb), (2, wp_cr)):
             pc = np.zeros((8, 8), dtype=np.int64)
             for gx_o, gy_o, pw4, ph4, mvx, mvy, ridx in parts:
                 pc[
                     gy_o * 2 : (gy_o + ph4) * 2, gx_o * 2 : (gx_o + pw4) * 2
-                ] = _interp_chroma_block(
-                    refs_i64[ridx][ci], mbx * 8 + gx_o * 2,
-                    mby * 8 + gy_o * 2, pw4 * 2, ph4 * 2, mvx, mvy,
+                ] = _apply_weight(
+                    _interp_chroma_block(
+                        refs_i64[ridx][ci], mbx * 8 + gx_o * 2,
+                        mby * 8 + gy_o * 2, pw4 * 2, ph4 * 2, mvx, mvy,
+                    ),
+                    wp_c[ridx], chroma_denom,
                 )
             preds.append(pc)
         return preds
@@ -2470,7 +2506,7 @@ def _encode_sps(
     return b"\x67" + rbsp_to_nal(bw.tobytes())
 
 
-def _encode_pps(qp: int) -> bytes:
+def _encode_pps(qp: int, weighted: bool = False) -> bytes:
     bw = _BitWriter()
     bw.ue(0)  # pps_id
     bw.ue(0)  # sps_id
@@ -2479,7 +2515,7 @@ def _encode_pps(qp: int) -> bytes:
     bw.ue(0)  # num_slice_groups_minus1
     bw.ue(0)
     bw.ue(0)  # ref idx defaults
-    bw.u(1, 0)  # weighted_pred
+    bw.u(1, 1 if weighted else 0)  # weighted_pred
     bw.u(2, 0)  # weighted_bipred
     bw.se(qp - 26)  # pic_init_qp
     bw.se(0)  # pic_init_qs
@@ -2846,6 +2882,7 @@ def encode_p_frame(
     seed: int,
     qp: int = 12,
     deblock: bool = False,
+    weights: dict | None = None,
 ) -> tuple[bytes, tuple]:
     """One single-reference P slice NAL exercising every implemented
     inter shape: P_Skip runs, P_L0_16x16 (with and without CAVLC
@@ -2861,7 +2898,11 @@ def encode_p_frame(
     most-recent-first LIST of up to two (round 16: multi-reference —
     the slice then signals num_ref_idx_l0_active 2, every partition
     writes its te() ref_idx bit, and a dedicated mode predicts whole
-    macroblocks from the two-frames-back picture)."""
+    macroblocks from the two-frames-back picture).
+
+    ``weights`` enables explicit weighted prediction (the PPS must
+    set weighted_pred): {'luma_denom': d, 'chroma_denom': d2,
+    'luma': [(w, o) | None per ref], 'cb': [...], 'cr': [...]}."""
     if isinstance(ref_planes, tuple):
         refs = [ref_planes]
     else:
@@ -2883,6 +2924,35 @@ def encode_p_frame(
     else:
         bw.u(1, 0)
     bw.u(1, 0)                    # ref_pic_list_modification_flag_l0
+    wp_luma = [None] * max(1, nrefs)
+    wp_cb = [None] * max(1, nrefs)
+    wp_cr = [None] * max(1, nrefs)
+    luma_denom = chroma_denom = 0
+    if weights is not None:       # pred_weight_table (7.3.3.2)
+        luma_denom = int(weights.get("luma_denom", 0))
+        chroma_denom = int(weights.get("chroma_denom", 0))
+        wl = weights.get("luma", [None] * nrefs)
+        wb = weights.get("cb", [None] * nrefs)
+        wr = weights.get("cr", [None] * nrefs)
+        bw.ue(luma_denom)
+        bw.ue(chroma_denom)
+        for i in range(nrefs):
+            if wl[i] is not None:
+                bw.u(1, 1)
+                bw.se(wl[i][0])
+                bw.se(wl[i][1])
+                wp_luma[i] = wl[i]
+            else:
+                bw.u(1, 0)
+            if wb[i] is not None:  # chroma flag covers Cb AND Cr
+                bw.u(1, 1)
+                bw.se(wb[i][0])
+                bw.se(wb[i][1])
+                bw.se(wr[i][0])
+                bw.se(wr[i][1])
+                wp_cb[i], wp_cr[i] = wb[i], wr[i]
+            else:
+                bw.u(1, 0)
     bw.u(1, 0)                    # adaptive_ref_pic_marking_mode_flag
     bw.se(0)                      # slice_qp_delta
     if deblock:
@@ -2916,19 +2986,27 @@ def encode_p_frame(
         for gx_o, gy_o, pw4, ph4, mvx, mvy, ridx in parts:
             ry, rcb, rcr = refs_i64[ridx]
             pred[gy_o * 4 : (gy_o + ph4) * 4, gx_o * 4 : (gx_o + pw4) * 4] = (
-                _interp_luma_block(
-                    ry, x0 + gx_o * 4, y0 + gy_o * 4,
-                    pw4 * 4, ph4 * 4, mvx, mvy,
+                _apply_weight(
+                    _interp_luma_block(
+                        ry, x0 + gx_o * 4, y0 + gy_o * 4,
+                        pw4 * 4, ph4 * 4, mvx, mvy,
+                    ),
+                    wp_luma[ridx], luma_denom,
                 )
             )
-            for refc, plane in ((rcb, cb), (rcr, cr)):
+            for refc, plane, wp_c in (
+                (rcb, cb, wp_cb), (rcr, cr, wp_cr)
+            ):
                 plane[
                     mby * 8 + gy_o * 2 : mby * 8 + (gy_o + ph4) * 2,
                     mbx * 8 + gx_o * 2 : mbx * 8 + (gx_o + pw4) * 2,
                 ] = np.clip(
-                    _interp_chroma_block(
-                        refc, mbx * 8 + gx_o * 2, mby * 8 + gy_o * 2,
-                        pw4 * 2, ph4 * 2, mvx, mvy,
+                    _apply_weight(
+                        _interp_chroma_block(
+                            refc, mbx * 8 + gx_o * 2, mby * 8 + gy_o * 2,
+                            pw4 * 2, ph4 * 2, mvx, mvy,
+                        ),
+                        wp_c[ridx], chroma_denom,
                     ),
                     0, 255,
                 )
@@ -3115,6 +3193,7 @@ def encode_ipp_stream(
     qp: int = 12,
     deblock: bool = False,
     num_refs: int = 1,
+    weighted: bool = False,
 ) -> tuple[bytes, bytes, list[bytes], list[np.ndarray]]:
     """An IPPP... group: textured I frame then ``n_frames - 1`` P
     frames (encode_p_frame).  Returns (sps, pps, nal list, expected
@@ -3123,9 +3202,12 @@ def encode_ipp_stream(
     ``num_refs=2`` keeps a two-picture sliding window: P frames from
     the third on signal two active references, every partition writes
     its te() ref_idx, and some macroblocks predict from the
-    two-frames-back picture."""
+    two-frames-back picture.  ``weighted=True`` turns on explicit
+    weighted prediction: each P frame carries a pred_weight_table
+    with per-reference luma and chroma (weight, offset) pairs cycling
+    identity and non-identity entries — the fade-handling path."""
     sps = _encode_sps(width, height, num_ref_frames=num_refs)
-    pps = _encode_pps(qp)
+    pps = _encode_pps(qp, weighted=weighted)
     w_mbs, h_mbs = (width + 15) // 16, (height + 15) // 16
     i_nal, i_plane, _ = encode_textured_i4x4_idr(
         width, height, seed, qp, deblock=deblock
@@ -3137,8 +3219,31 @@ def encode_ipp_stream(
     refs = [ref0]
     nals, planes = [i_nal], [i_plane]
     for k in range(1, n_frames):
+        wts = None
+        if weighted:
+            nr = min(2, len(refs))
+            luma = [
+                (70 + 10 * ((k + i) % 3), ((k * 3 + i) % 9) - 4)
+                if (k + i) % 2 == 0 else None
+                for i in range(nr)
+            ]
+            # chroma flag covers Cb AND Cr together
+            cb_w = [
+                (40 - (k + i) % 5, ((k + i) % 7) - 3)
+                if (k + i) % 3 == 0 else None
+                for i in range(nr)
+            ]
+            cr_w = [
+                (28 + (k + i) % 5, 3 - ((k + i) % 7))
+                if cb_w[i] is not None else None
+                for i in range(nr)
+            ]
+            wts = {
+                "luma_denom": 6, "chroma_denom": 5,
+                "luma": luma, "cb": cb_w, "cr": cr_w,
+            }
         nal, new_ref = encode_p_frame(
-            refs, k, seed, qp, deblock=deblock
+            refs, k, seed, qp, deblock=deblock, weights=wts
         )
         nals.append(nal)
         planes.append(new_ref[0][:height, :width].copy())

@@ -3559,7 +3559,7 @@ def encode_mp4_avc(
         # deblocking ON at qp 30 (inter boundary strengths 2/1/0)
         sps_nal, pps_nal, idrs, _ = h264.encode_ipp_stream(
             width, height, int(grays[0]), len(grays), qp=30, deblock=True,
-            num_refs=2,
+            num_refs=2, weighted=True,
         )
     elif coding == "multislice":
         # round 16: each sample is ONE picture coded as SEVERAL
@@ -3696,7 +3696,7 @@ def check_mp4_avc_textured(
                 if coding == "ipp":
                     ipp_planes = h264.encode_ipp_stream(
                         w, h, int(seeds[0]), len(seeds), qp=30,
-                        deblock=True, num_refs=2,
+                        deblock=True, num_refs=2, weighted=True,
                     )[3]
                 elif coding == "multislice":
                     _, ms_plane, _ = h264.encode_textured_multislice_idr(

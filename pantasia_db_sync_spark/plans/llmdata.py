@@ -4156,14 +4156,16 @@ def multimodal_mp4_avc_ipp_frames_q(
     strengths (2 on coded blocks, 1 on >= 1-sample motion jumps, 0
     skipped) at qp 30. mismatch_px counts decoded-vs-expected luma
     differences through the full container chain; 0 is the gate
-    Fixtures run a TWO-reference sliding window (round 16): from the
-    third frame on every partition writes its te() ref_idx and some
-    macroblocks predict from the two-frames-back picture
-    (operators/h264.py encode_ipp_stream num_refs=2 /
-    decode_slice_into P path). Remaining honest gates: HEVC, CABAC,
-    B slices, list modification, weighted prediction. Arrow-batched
-    mapInPandas, map-only, zero shuffle. Reference analogue: none
-    (extension)."""
+    Fixtures run a TWO-reference sliding window WITH explicit
+    weighted prediction (round 16): from the third frame on every
+    partition writes its te() ref_idx, some macroblocks predict from
+    the two-frames-back picture, and each P frame carries a
+    pred_weight_table cycling identity and non-identity luma/chroma
+    (weight, offset) pairs — the fade path (operators/h264.py
+    encode_ipp_stream num_refs=2 weighted=True / decode_slice_into P
+    path). Remaining honest gates: HEVC, CABAC, B slices, list
+    modification, MMCO. Arrow-batched mapInPandas, map-only, zero
+    shuffle. Reference analogue: none (extension)."""
     from ..operators.multimodal import (
         check_mp4_avc_textured,
         synthetic_avc_mp4_frame,

@@ -4534,6 +4534,24 @@ def test_h264_p_slices_ipp_bit_exact():
     s1 = h264.encode_ipp_stream(48, 32, 1, 5, num_refs=1)[2]
     s2 = h264.encode_ipp_stream(48, 32, 1, 5, num_refs=2)[2]
     assert s1[2] != s2[2]
+    # explicit weighted prediction: bit-exact and pixel-different
+    for num_refs in (1, 2):
+        sps, pps, nals, planes = h264.encode_ipp_stream(
+            34, 22, 2, 4, qp=30, deblock=True, num_refs=num_refs,
+            weighted=True,
+        )
+        data = b"\x00\x00\x00\x01".join([b""] + [sps, pps] + nals)
+        frames = h264.decode_annexb(data)
+        for k, fr in enumerate(frames):
+            assert np.array_equal(fr["y"], planes[k]), (num_refs, k)
+        up = h264.encode_ipp_stream(
+            34, 22, 2, 4, qp=30, deblock=True, num_refs=num_refs
+        )[3]
+        assert not np.array_equal(planes[2], up[2])
+    # hand pin: pred 100, w 70, denom 6, offset -4 ->
+    # ((100*70 + 32) >> 6) - 4 = 105
+    out = h264._apply_weight(np.array([[100]], dtype=np.int64), (70, -4), 6)
+    assert int(out[0, 0]) == 105
     # container chain at the registry-fixture geometry
     for i in (4, 61, 137):
         w, h = 2 * (i % 13 + 3), 2 * (i % 8 + 2)
@@ -4542,7 +4560,8 @@ def test_h264_p_slices_ipp_bit_exact():
         frames = decode_mp4_samples(blob)
         assert len(frames) == len(seeds)
         expected = h264.encode_ipp_stream(
-            w, h, seeds[0], len(seeds), qp=30, deblock=True, num_refs=2
+            w, h, seeds[0], len(seeds), qp=30, deblock=True, num_refs=2,
+            weighted=True,
         )[3]
         for k, fr in enumerate(frames):
             assert np.array_equal(fr["y"], expected[k]), (i, k)
