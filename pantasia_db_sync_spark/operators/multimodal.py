@@ -3605,8 +3605,19 @@ def synthetic_avc_mp4_frame(
     2*(id%7+1) and gray (id*13 + 37*k) % 256; for i4x4 coding dims
     2*(id%9+1) x 2*(id%6+1) and gray (id*17 + 53*k) % 256 — even
     (4:2:0) and mostly non-multiple-of-16 either way, so SPS frame
-    cropping is exercised on nearly every row."""
-    src = df.select(F.col(id_col).alias("doc_id"))
+    cropping is exercised on nearly every row.
+
+    The fixture filter (doc_id < 300) reads as ONE parquet split, so
+    without an explicit spread the whole encode+decode chain would run
+    in a single task — a 1/N-core plan that masquerades as map-only
+    scale. The deterministic hash repartition below costs a 300-row
+    shuffle and parallelizes the per-doc Python work across the
+    cluster; at real corpus scale the input splits already provide
+    this and Catalyst elides nothing (the chain stays map-only per
+    partition)."""
+    src = df.select(F.col(id_col).alias("doc_id")).repartition(
+        32, "doc_id"
+    )
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
