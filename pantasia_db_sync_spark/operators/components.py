@@ -485,19 +485,25 @@ def multi_bfs_distances(
     return dist.select("seed", "node", F.col("d").alias("dist"))
 
 
-def _oriented_triangles(e: DataFrame) -> DataFrame:
+def _oriented_triangles(e: DataFrame, deg: DataFrame | None = None) -> DataFrame:
     """(x, y, z): each triangle of the canonical (u < v, distinct)
     undirected edge list exactly once, enumerated under the
     (degree, id) total order — the compact-forward orientation shared
     with the triangle/clustering plans (plans/extras.py): the
     max-degree hub has out-degree 0 and pivots zero wedges, so wedge
-    volume is arboricity-bounded instead of Sigma d(hub)^2."""
-    deg = (
-        e.select(F.col("u").alias("node"))
-        .unionAll(e.select(F.col("v").alias("node")))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("d"))
-    )
+    volume is arboricity-bounded instead of Sigma d(hub)^2.
+
+    ``deg``: optional precomputed (node, d) degree frame over ``e`` —
+    callers that already aggregate degrees for their own output (the
+    clustering-coefficient plan) pass it in so the union+groupBy over
+    the edge list is planned once, not twice."""
+    if deg is None:
+        deg = (
+            e.select(F.col("u").alias("node"))
+            .unionAll(e.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
     du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
     dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
     j = e.join(du, "u").join(dv, "v")
@@ -551,13 +557,19 @@ def ktruss(
     sup = None
     for _ in range(rounds):
         tri = _oriented_triangles(e)
-        corners = (
-            tri.select(F.col("a").alias("u"), F.col("b").alias("v"))
-            .unionAll(tri.select(F.col("b").alias("u"), F.col("c").alias("v")))
-            .unionAll(tri.select(F.col("a").alias("u"), F.col("c").alias("v")))
-            .select(
-                F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
-            )
+        # explode, not a 3-leg union: the union form re-plans the whole
+        # wedge-join subtree once per corner edge (3x the shuffles for
+        # the same rows — seen in the r16 before-plan); one Generate
+        # emits the identical edge multiset from a single enumeration
+        corners = tri.select(
+            F.explode(
+                F.array(
+                    F.array("a", "b"), F.array("b", "c"), F.array("a", "c")
+                )
+            ).alias("uv")
+        ).select(
+            F.least(F.col("uv")[0], F.col("uv")[1]).alias("u"),
+            F.greatest(F.col("uv")[0], F.col("uv")[1]).alias("v"),
         )
         tri_sup = corners.groupBy("u", "v").agg(
             F.count(F.lit(1)).cast("bigint").alias("support")

@@ -874,6 +874,10 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_suppkey") + _PR_OFFSET).alias("dst"),
         )
         .distinct()
+        # freeze: four consumers (both und legs, the m scalar, the e_in
+        # endpoint joins) would otherwise each re-run the orders ⋈
+        # lineitem join + distinct — same discipline as `lab` below
+        .localCheckpoint(eager=False)
     )
     und = e.union(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -1858,7 +1862,7 @@ def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
 _TRI_MOD = 10  # sample 1-in-10 orders: bounds co-purchase clique fan-out
 
 
-def _per_node_triangles(e: DataFrame) -> DataFrame:
+def _per_node_triangles(e: DataFrame, deg: DataFrame | None = None) -> DataFrame:
     """(node, t): per-node triangle counts over the undirected edge
     list ``e`` (u < v, distinct), via the degree-oriented compact-
     forward wedge join — each triangle generated once, exploded to its
@@ -1875,12 +1879,13 @@ def _per_node_triangles(e: DataFrame) -> DataFrame:
     ``scripts/scale_experiment.py --gskew``."""
     from ..operators.components import _oriented_triangles
 
-    tri = _oriented_triangles(e)
-    corners = (
-        tri.select(F.col("a").alias("node"))
-        .unionAll(tri.select(F.col("b").alias("node")))
-        .unionAll(tri.select(F.col("c").alias("node")))
-    )
+    tri = _oriented_triangles(e, deg=deg)
+    # explode, not a 3-leg union: a union of three projections of `tri`
+    # replicates the whole wedge-join subtree into each leg (the r16
+    # before-plan shows the 2-join chain planned THREE times — 3x the
+    # shuffles for identical rows); one Generate emits the same
+    # corner multiset from a single enumeration
+    corners = tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
     return corners.groupBy("node").agg(
         F.count(F.lit(1)).cast("bigint").alias("t")
     )
@@ -7175,8 +7180,12 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(e.select(F.col("v").alias("node")))
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+        # freeze: three consumers (the du/dv orientation joins inside
+        # _oriented_triangles and the final degree join) — without this
+        # the union+groupBy over the edge list is planned three times
+        .localCheckpoint(eager=False)
     )
-    pt = _per_node_triangles(e)
+    pt = _per_node_triangles(e, deg=deg)
     j = deg.join(pt, "node", "left").select(
         F.col("node").alias("suppkey"),
         F.col("d").alias("degree"),

@@ -69,6 +69,16 @@ def get_spark(
         .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
+    # Deployment-specific conf overrides without a code edit (the same
+    # escape hatch spark-submit --conf provides on a cluster): a
+    # semicolon-separated k=v list, e.g.
+    #   SPARK_GRAFT_EXTRA_CONF="spark.io.compression.codec=zstd"
+    # Applied before the caller's extra_conf so explicit call-site
+    # overrides still win. Empty/unset = byte-identical defaults.
+    env_conf = os.environ.get("SPARK_GRAFT_EXTRA_CONF", "")
+    for item in filter(None, (s.strip() for s in env_conf.split(";"))):
+        k, _, v = item.partition("=")
+        builder = builder.config(k.strip(), v.strip())
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
