@@ -768,8 +768,22 @@ def minhash_lsh_pairs(
         raise ValueError("pass both num_hashes and bands, or neither")
     if num_hashes is None:
         num_hashes, bands = recommended_minhash_params(threshold)
-    sh = shingle_frame(docs, id_col, text_col, n)
-    arr = shingle_arrays(docs, id_col, text_col, n)
+    # ONE evaluation of the shingle chain: the signature path (exploded
+    # index) and the verify path (row-local arrays) previously each ran
+    # the tokenize+transform+array_distinct chain over the corpus —
+    # those two subtrees differ in shape, so AQE exchange reuse cannot
+    # collapse them (unlike the identical self-join sides below, which
+    # it does). Freeze the arrays frame and derive the exploded index
+    # from the materialized column instead. Exploding the materialized
+    # __sh is safe from the InferFiltersFromGenerate double-evaluation
+    # hazard (see shingle_frame) because the checkpoint barrier hides
+    # the chain from the optimizer. Values are identical: explode of
+    # array_remove(array_distinct(...), '') is exactly shingle_frame's
+    # distinct non-empty shingle multiset.
+    arr = shingle_arrays(docs, id_col, text_col, n).localCheckpoint(
+        eager=False
+    )
+    sh = arr.select(F.col(id_col), F.explode("__sh").alias("shingle"))
     sig = minhash_signatures(sh, id_col, num_hashes)
 
     band_structs = minhash_band_structs(num_hashes, bands)
@@ -843,8 +857,17 @@ def incremental_minhash_dedup(
     split so the DuckDB oracle can replay the arithmetic bit-for-bit.
     The verify step joins candidate pairs back to row-local shingle
     arrays (never a collect_set shuffle — see shingle_arrays)."""
-    sh_new = shingle_frame(new_docs, id_col, text_col, n)
-    sh_old = shingle_frame(corpus_docs, id_col, text_col, n)
+    # one shingle-chain evaluation per side (see minhash_lsh_pairs):
+    # the exploded signature index derives from the frozen arrays frame
+    # the verify step reads, instead of re-running the chain
+    arr_new = shingle_arrays(new_docs, id_col, text_col, n).localCheckpoint(
+        eager=False
+    )
+    arr_old = shingle_arrays(
+        corpus_docs, id_col, text_col, n
+    ).localCheckpoint(eager=False)
+    sh_new = arr_new.select(F.col(id_col), F.explode("__sh").alias("shingle"))
+    sh_old = arr_old.select(F.col(id_col), F.explode("__sh").alias("shingle"))
     band_structs = minhash_band_structs(num_hashes, bands)
 
     def banded(sh: DataFrame, alias: str) -> DataFrame:
@@ -863,10 +886,10 @@ def incremental_minhash_dedup(
         .select("new_id", "old_id")
         .distinct()
     )
-    sa = shingle_arrays(new_docs, id_col, text_col, n).select(
+    sa = arr_new.select(
         F.col(id_col).alias("new_id"), F.col("__sh").alias("__sa")
     )
-    sb = shingle_arrays(corpus_docs, id_col, text_col, n).select(
+    sb = arr_old.select(
         F.col(id_col).alias("old_id"), F.col("__sh").alias("__sb")
     )
     i_ = F.size(F.array_intersect("__sa", "__sb"))
