@@ -1147,8 +1147,20 @@ def stream_near_dedup_filter(
     ``ts_col`` names the incoming frame's event-time column; if None, an
     arrival timestamp is stamped (processing-time watermark — the right
     default for ingest, where "late" has no meaning)."""
+    # static-corpus shingle chain evaluated ONCE (see minhash_lsh_pairs):
+    # the signature path (exploded) and the verify-sets path (arrays)
+    # are different-shaped subtrees runtime exchange reuse cannot
+    # collapse; freeze the arrays frame (legal — the corpus side of a
+    # stream-static join is a batch frame) and derive the explode from
+    # the materialized column. Explode of array_remove(array_distinct)
+    # is exactly shingle_frame's non-empty distinct shingle multiset.
+    arr_c = shingle_arrays(corpus, id_col, text_col, n).localCheckpoint(
+        eager=False
+    )
     sig_c = minhash_signatures(
-        shingle_frame(corpus, id_col, text_col, n), id_col, num_hashes
+        arr_c.select(F.col(id_col), F.explode("__sh").alias("shingle")),
+        id_col,
+        num_hashes,
     )
     bandx = minhash_band_structs(num_hashes, bands)
     corpus_bands = sig_c.select(
@@ -1158,7 +1170,7 @@ def stream_near_dedup_filter(
         F.col("b.band_idx").alias("band_idx"),
         F.col("b.band_val").alias("band_val"),
     )
-    corpus_sets = shingle_arrays(corpus, id_col, text_col, n).select(
+    corpus_sets = arr_c.select(
         F.col(id_col).alias("corpus_id"), F.col("__sh").alias("__cs")
     )
 
