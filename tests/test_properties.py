@@ -1325,6 +1325,33 @@ def test_rowlocal_minhash_equals_batch_signatures(spark):
     assert rowlocal.exceptAll(batch).count() == 0
 
 
+def test_exploded_arrays_equals_shingle_frame(spark):
+    """The single-evaluation MinHash shape (round 16) derives the
+    exploded inverted index from the materialized ``shingle_arrays``
+    column instead of running ``shingle_frame`` a second time; the two
+    must emit the same (id, shingle) MULTISET — equal distinct rows is
+    not enough, since signature min-hashing and band hashing consume
+    every row."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from pantasia_db_sync_spark.operators.dedup import (
+        shingle_arrays,
+        shingle_frame,
+    )
+    from pantasia_db_sync_spark.sources.catalog import load_table
+
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    d = load_table(spark, sf, "documents")
+    frame = shingle_frame(d, "doc_id", "text", 3)
+    derived = shingle_arrays(d, "doc_id", "text", 3).select(
+        F.col("doc_id"), F.explode("__sh").alias("shingle")
+    )
+    assert frame.exceptAll(derived).count() == 0
+    assert derived.exceptAll(frame).count() == 0
+
+
 def test_dense_ids_footer_counts_fusion(spark, monkeypatch):
     """rowgroup_stats fusion: when parquet footers prove per-bucket
     counts, the counts job disappears (no HashAggregate in the plan);
