@@ -899,8 +899,17 @@ def store_occ_commits(spark: SparkSession, sf_dir: str) -> DataFrame:
         def writer(wid: int) -> None:
             try:
                 for seq in range(3):
+                    # one-row commit = ONE task / ONE file: parallelize
+                    # with numSlices=1 instead of the default
+                    # defaultParallelism slices (32 tasks, 31 empty,
+                    # per write job). NOT .coalesce(1): a Coalesce over
+                    # the 32-slice local relation measured a ~6s/job
+                    # scheduler pathology vs 0.6s for a born-single-
+                    # partition frame (round-16 A/B).
                     df = spark.createDataFrame(
-                        [(wid, seq, wid * 100 + seq)],
+                        spark.sparkContext.parallelize(
+                            [(wid, seq, wid * 100 + seq)], 1
+                        ),
                         "writer int, seq int, val bigint",
                     )
                     store.append_occ("t", df)
@@ -969,10 +978,14 @@ def store_occ_multi_commits(spark: SparkSession, sf_dir: str) -> DataFrame:
                 for seq in range(3):
                     def stage(table):
                         def _s(cid, table=table):
+                            # one-row commit = one task / one file
+                            # (numSlices=1; see store_occ_commits)
                             store.append(
                                 table,
                                 spark.createDataFrame(
-                                    [(wid, seq, wid * 100 + seq)],
+                                    spark.sparkContext.parallelize(
+                                        [(wid, seq, wid * 100 + seq)], 1
+                                    ),
                                     "writer int, seq int, val bigint",
                                 ),
                                 commit_id=cid,
