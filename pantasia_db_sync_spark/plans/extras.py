@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 from ..functions.text import tokens_col
 from ..operators.asof import asof_join
 from ..sources.catalog import load_table
-from .registry import fround, register
+from .registry import fround, local_result, register
 
 
 @register(
@@ -2208,7 +2208,7 @@ def source_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("ts").alias("first_ts"),
         )
         rows = out.collect()  # materialize before the tempdir vanishes
-        return spark.createDataFrame(rows, out.schema)
+        return local_result(spark, rows, out.schema)
     finally:
         shutil.rmtree(d, ignore_errors=True)
 
@@ -4490,7 +4490,7 @@ def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("lineitem_orderkey_fk", orphans(li, "l_orderkey", o, "o_orderkey")),
         ("lineitem_partkey_fk", orphans(li, "l_partkey", p, "p_partkey")),
     ]
-    return spark.createDataFrame(rows, "check_name string, n_orphans bigint")
+    return local_result(spark, rows, "check_name string, n_orphans bigint")
 
 
 @register(

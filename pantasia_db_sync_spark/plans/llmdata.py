@@ -34,7 +34,7 @@ from ..operators.dedup import (
 from ..operators.multimodal import decode_stub_features, frame_sample_stub, resize_stub
 from ..operators.similarity import brute_force_topk, cosine_near_dup_pairs, ivf_topk
 from ..sources.catalog import load_table
-from .registry import fround, register, sql_round
+from .registry import fround, local_result, register, sql_round
 
 # ---------------------------------------------------------------------------
 # shared SQL fragments (DuckDB oracles)
@@ -1841,7 +1841,7 @@ def ann_ivf_index_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         # materialize before the index dir disappears (the driver may
         # collect lazily after this function returns)
         rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return local_result(spark, rows, out.schema)
     finally:
         shutil.rmtree(d, ignore_errors=True)
 
@@ -2268,7 +2268,7 @@ def ann_ivf_index_append_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark, e.where(F.col("vec_id") < 10), d, nprobe=2, k=5
         )
         rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return local_result(spark, rows, out.schema)
     finally:
         shutil.rmtree(d, ignore_errors=True)
 

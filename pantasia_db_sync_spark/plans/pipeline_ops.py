@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 
 from ..operators import latest_state, new_dimension_rows, with_dense_ids
 from ..sources.catalog import load_table
-from .registry import fround, register
+from .registry import fround, local_result, register
 
 
 @register(
@@ -212,7 +212,7 @@ def store_branch_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         # materialize before the store dir disappears (the driver may
         # collect lazily after this function returns)
         rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return local_result(spark, rows, out.schema)
     finally:
         shutil.rmtree(d, ignore_errors=True)
 
@@ -260,7 +260,7 @@ def store_merge_on_read_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("o_orderkey").cast("bigint").alias("key_sum"),
         )
         rows = out.collect()  # materialize before the tempdir vanishes
-        return spark.createDataFrame(rows, out.schema)
+        return local_result(spark, rows, out.schema)
     finally:
         shutil.rmtree(d, ignore_errors=True)
 
@@ -320,7 +320,7 @@ def store_delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("o_orderkey").cast("bigint").alias("key_sum"),
         )
         rows = out.collect()  # materialize before the tempdir vanishes
-        return spark.createDataFrame(rows, out.schema)
+        return local_result(spark, rows, out.schema)
     finally:
         shutil.rmtree(d, ignore_errors=True)
 
@@ -382,7 +382,7 @@ def store_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         rows = out.collect()  # materialize before the tempdir vanishes
-        return spark.createDataFrame(rows, out.schema)
+        return local_result(spark, rows, out.schema)
     finally:
         shutil.rmtree(d, ignore_errors=True)
 
@@ -460,7 +460,7 @@ def store_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         rows = out.collect()  # materialize before the tempdir vanishes
-        return spark.createDataFrame(rows, out.schema)
+        return local_result(spark, rows, out.schema)
     finally:
         shutil.rmtree(d, ignore_errors=True)
 
@@ -570,7 +570,7 @@ def store_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             .where(F.col("n") > 0)
         )
         rows = out.collect()  # materialize before the tempdir vanishes
-        return spark.createDataFrame(rows, out.schema)
+        return local_result(spark, rows, out.schema)
     finally:
         shutil.rmtree(d, ignore_errors=True)
 
@@ -717,7 +717,7 @@ def store_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return local_result(spark, rows, out.schema)
     finally:
         shutil.rmtree(d, ignore_errors=True)
 
@@ -776,7 +776,7 @@ def store_describe_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         store.commit_append("facts", 4)
         out = store.describe_history(spark, "facts")
         rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return local_result(spark, rows, out.schema)
     finally:
         shutil.rmtree(d, ignore_errors=True)
 
@@ -855,7 +855,7 @@ def store_tpch_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("l_returnflag", "l_linestatus")
         )
         rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return local_result(spark, rows, out.schema)
     finally:
         shutil.rmtree(d, ignore_errors=True)
 
@@ -928,7 +928,7 @@ def store_occ_commits(spark: SparkSession, sf_dir: str) -> DataFrame:
             "writer", "seq", "val", F.lit(n).cast("bigint").alias("n_commits")
         )
         rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return local_result(spark, rows, out.schema)
     finally:
         shutil.rmtree(d, ignore_errors=True)
 
@@ -1018,6 +1018,6 @@ def store_occ_multi_commits(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             out = leg if out is None else out.unionByName(leg)
         rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return local_result(spark, rows, out.schema)
     finally:
         shutil.rmtree(d, ignore_errors=True)

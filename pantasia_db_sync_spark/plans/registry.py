@@ -67,3 +67,20 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
         return fn
 
     return deco
+
+
+def local_result(spark: SparkSession, rows: list, schema) -> DataFrame:
+    """Re-wrap already-collected result rows as a DataFrame with a
+    partition count sized to the DATA, not to defaultParallelism.
+
+    The tempdir-backed queries (store_*, ann_ivf_index_topk, ...) must
+    materialize before their fixture dir vanishes and hand back a
+    local-relation frame. ``spark.createDataFrame(rows)`` parallelizes
+    to defaultParallelism slices — on local[32] every downstream
+    materialization of a 12-row result runs a 32-task job (31 empty);
+    measured ~0.4 s of pure task-launch overhead per noop sink vs a
+    born-single-partition frame. Slices scale with the row count
+    (results are driver-resident by construction, so 64k rows/slice
+    keeps tasks meaningful at any plausible result size)."""
+    slices = max(1, min(spark.sparkContext.defaultParallelism, len(rows) // 65536 + 1))
+    return spark.createDataFrame(spark.sparkContext.parallelize(rows, slices), schema)

@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 
 from ..operators import asof_join, band_join, latest_state, new_dimension_rows, with_dense_ids
 from ..sources.catalog import load_table
-from .registry import fround, register
+from .registry import fround, local_result, register
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -951,7 +951,7 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         # materialize before the external tables' files disappear
         rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return local_result(spark, rows, out.schema)
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {lt}")
         spark.sql(f"DROP TABLE IF EXISTS {rt}")
