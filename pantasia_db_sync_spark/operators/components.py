@@ -236,9 +236,15 @@ def bfs_distances(
     CTE) and at 100 TB a bounded number of BFS rounds is what you can
     actually schedule; uncapped BFS is the same loop run to fixpoint.
     """
-    sym = edges.select(
-        F.col(u_col).alias("a"), F.col(v_col).alias("b")
-    ).unionAll(edges.select(F.col(v_col).alias("a"), F.col(u_col).alias("b")))
+    sym = (
+        edges.select(F.col(u_col).alias("a"), F.col(v_col).alias("b"))
+        .unionAll(edges.select(F.col(v_col).alias("a"), F.col(u_col).alias("b")))
+        # frozen once: sym is joined EVERY round — without the checkpoint
+        # each round's job re-executes the caller's whole edge-list
+        # derivation (scan + self-join + distinct for the co-purchase
+        # queries), the defect the sssp/pagerank twins never had
+        .localCheckpoint(eager=True)
+    )
     nodes = sym.select(F.col("a").alias("node")).distinct()
     dist = nodes.select(
         "node",
@@ -415,7 +421,13 @@ def pagerank(
         .unionAll(edges.select(F.col(v_col).alias("a"), F.col(u_col).alias("b")))
         .localCheckpoint(eager=True)
     )
-    deg = sym.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+    # frozen once: deg is joined every round — unfrozen, each round's
+    # job re-runs the degree groupBy over sym (one extra shuffle/round)
+    deg = (
+        sym.groupBy("a")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .localCheckpoint(eager=True)
+    )
     r = deg.select("a", F.lit(micro).cast("bigint").alias("r"))
     for _ in range(rounds):
         contrib = (
@@ -456,9 +468,14 @@ def multi_bfs_distances(
     loop's lineage hygiene).  Only reached (seed, node) pairs appear in
     the output.
     """
-    sym = edges.select(
-        F.col(u_col).alias("a"), F.col(v_col).alias("b")
-    ).unionAll(edges.select(F.col(v_col).alias("a"), F.col(u_col).alias("b")))
+    sym = (
+        edges.select(F.col(u_col).alias("a"), F.col(v_col).alias("b"))
+        .unionAll(edges.select(F.col(v_col).alias("a"), F.col(u_col).alias("b")))
+        # frozen once: joined every round (see bfs_distances — without
+        # this each of the ``hops`` round jobs re-executes the caller's
+        # edge-list derivation from the raw scans)
+        .localCheckpoint(eager=True)
+    )
     # Seed the frontier directly from the seeds list (one (s, s, 0) row
     # per distinct seed) rather than by filtering the graph's node set:
     # a seed absent from the edge list still gets its (seed, seed, 0)
@@ -621,11 +638,33 @@ def personalized_pagerank(
         .unionAll(edges.select(F.col(v_col).alias("a"), F.col(u_col).alias("b")))
         .localCheckpoint(eager=True)
     )
-    deg = sym.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+    # frozen once: deg is joined every round (see pagerank)
+    deg = (
+        sym.groupBy("a")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .localCheckpoint(eager=True)
+    )
     spark = edges.sparkSession
-    r = spark.createDataFrame(
-        [(int(seed), int(micro))], "a bigint, r bigint"
-    ).localCheckpoint(eager=True)
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    def _one_row(rows, names):
+        # a 1-row local frame must be ONE partition — the default
+        # createDataFrame parallelizes to defaultParallelism slices, so
+        # every round's union dragged 31 empty tasks into its job
+        # nullable=True matches the string-schema createDataFrame the
+        # original form used — keeps union/output schemas byte-identical
+        schema = StructType([StructField(n, LongType(), True) for n in names])
+        return spark.createDataFrame(
+            spark.sparkContext.parallelize(rows, 1), schema
+        )
+
+    r = _one_row([(int(seed), int(micro))], ["a", "r"]).localCheckpoint(
+        eager=True
+    )
+    # loop-invariant: the same (seed, 0) row every round — built once
+    seed_row = _one_row([(int(seed), 0)], ["node", "c"]).localCheckpoint(
+        eager=True
+    )
     restart = (micro * (damp_den - damp_num)) // damp_den
     for _ in range(rounds):
         contrib = (
@@ -640,11 +679,7 @@ def personalized_pagerank(
                 .alias("c"),
             )
         )
-        seeded = contrib.unionByName(
-            spark.createDataFrame(
-                [(int(seed), 0)], "node bigint, c bigint"
-            )
-        )
+        seeded = contrib.unionByName(seed_row)
         r = (
             seeded.groupBy("node")
             .agg(
