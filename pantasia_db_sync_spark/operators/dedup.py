@@ -395,6 +395,23 @@ def prefix_filter_jaccard_pairs(
     )
 
 
+def _spread(df: DataFrame, *key_cols: str) -> DataFrame:
+    """Hash-spread a CPU-heavy derivation's input across the cluster
+    when the scan beneath it yields fewer partitions than there are
+    slots. The deletion-neighborhood projections below are interpreted
+    higher-order-function chains whose cost is per ROW — a small input
+    file read as ONE split (128 MB maxPartitionBytes vs a ~300 KB
+    fixture) serializes the whole index build on one core while 31 sit
+    idle. Deterministic hash partitioning on the unique id, so task
+    retries reproduce the assignment; at scale the scan is already
+    wide and this is a no-op (the partition-count probe is driver-side
+    planning only, no job)."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target, *[F.col(c) for c in key_cols])
+    return df
+
+
 def _deletion_variants(max_dist: int):
     """FastSS ≤``max_dist``-deletion neighborhood of column ``__s`` as
     an array Column: the string itself, every 1-deletion, and (k=2)
@@ -508,7 +525,10 @@ def levenshtein_pairs_fastss(
     # narrower key types). A hash collision can only ADD a candidate
     # pair, and every candidate passes the exact levenshtein verify —
     # the result set is provably unchanged.
-    idx = base.select(
+    # spread the neighborhood build across slots first: the k=2 variant
+    # transform is the single most expensive projection in the plan and
+    # the fixture-scale scan under it is ONE split (see _spread)
+    idx = _spread(base, "__id").select(
         "__id", F.explode(F.transform(variants, lambda v: F.xxhash64(v))).alias("__v")
     )
     if max_dist > 1:
@@ -617,7 +637,7 @@ def levenshtein_pairs_prefix_core(
     # digit tail), so an xxhash64 key saves almost no shuffle width
     # while paying a per-variant hash inside the neighborhood transform
     # (measured: 6.1s -> 8.3s when hashed; strings win on short cores)
-    idx = cored.select(
+    idx = _spread(cored, "__id").select(
         "__id", "__s", F.explode(_deletion_variants(max_dist)).alias("__v")
     )
     if max_dist > 1:
