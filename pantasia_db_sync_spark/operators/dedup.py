@@ -160,7 +160,7 @@ def _pair_overlap(
     cap on a shared-vocabulary corpus it can be a large fraction of the
     vocabulary, where a forced broadcast would OOM the driver.
     """
-    toks, sh_raw = _shingle_parts(docs, id_col, text_col, n)
+    toks, sh_raw = _shingle_parts(_spread(docs, id_col), id_col, text_col, n)
     packed = F.array_remove(F.array_distinct(sh_raw), "")
     # Two-layer shape, deliberately: the array materializes in its own
     # projection, and the generator emits (shingle, __n) structs over
@@ -334,7 +334,7 @@ def prefix_filter_jaccard_pairs(
     candidate set that shrinks with τ.
 
     CONTRACT: ``id_col`` unique per row (see ``shingle_arrays``)."""
-    arred = shingle_arrays(docs, id_col, text_col, n)
+    arred = shingle_arrays(_spread(docs, id_col), id_col, text_col, n)
     arred = arred.localCheckpoint(eager=False)  # 3 consumers: explode + 2 verifies
     exploded = arred.select(
         F.col(id_col),
@@ -800,7 +800,7 @@ def minhash_lsh_pairs(
     # the chain from the optimizer. Values are identical: explode of
     # array_remove(array_distinct(...), '') is exactly shingle_frame's
     # distinct non-empty shingle multiset.
-    arr = shingle_arrays(docs, id_col, text_col, n).localCheckpoint(
+    arr = shingle_arrays(_spread(docs, id_col), id_col, text_col, n).localCheckpoint(
         eager=False
     )
     sh = arr.select(F.col(id_col), F.explode("__sh").alias("shingle"))
@@ -880,11 +880,11 @@ def incremental_minhash_dedup(
     # one shingle-chain evaluation per side (see minhash_lsh_pairs):
     # the exploded signature index derives from the frozen arrays frame
     # the verify step reads, instead of re-running the chain
-    arr_new = shingle_arrays(new_docs, id_col, text_col, n).localCheckpoint(
+    arr_new = shingle_arrays(_spread(new_docs, id_col), id_col, text_col, n).localCheckpoint(
         eager=False
     )
     arr_old = shingle_arrays(
-        corpus_docs, id_col, text_col, n
+        _spread(corpus_docs, id_col), id_col, text_col, n
     ).localCheckpoint(eager=False)
     sh_new = arr_new.select(F.col(id_col), F.explode("__sh").alias("shingle"))
     sh_old = arr_old.select(F.col(id_col), F.explode("__sh").alias("shingle"))
@@ -946,7 +946,7 @@ def simhash_signatures(
     # every token of a document lives in that document's single row; see
     # the shingle_frame note. Matches the oracle's
     # ``SELECT DISTINCT doc_id, tok``.
-    toks = docs.select(
+    toks = _spread(docs, id_col).select(
         F.col(id_col), F.explode(F.array_distinct(tokens_col(text_col))).alias("tok")
     ).where(F.col("tok") != "")
     # One aggregation of LANE-PACKED bit counters — NOT an explode to
@@ -1174,7 +1174,7 @@ def stream_near_dedup_filter(
     # stream-static join is a batch frame) and derive the explode from
     # the materialized column. Explode of array_remove(array_distinct)
     # is exactly shingle_frame's non-empty distinct shingle multiset.
-    arr_c = shingle_arrays(corpus, id_col, text_col, n).localCheckpoint(
+    arr_c = shingle_arrays(_spread(corpus, id_col), id_col, text_col, n).localCheckpoint(
         eager=False
     )
     sig_c = minhash_signatures(
