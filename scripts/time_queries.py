@@ -35,9 +35,20 @@ def main() -> None:
         QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         return time.perf_counter() - t0
 
+    def cleanup() -> None:
+        # same inter-query hygiene as bench.py jvm_gc(): drop leaked
+        # localCheckpoint blocks from the previous query, then full GC
+        import gc as _pygc
+
+        _pygc.collect()
+        it = spark.sparkContext._jsc.getPersistentRDDs().entrySet().iterator()
+        while it.hasNext():
+            it.next().getValue().unpersist(False)
+        spark.sparkContext._jvm.System.gc()
+
     for name in names:
         materialize(name)  # warm
-        spark.sparkContext._jvm.System.gc()
+        cleanup()
         runs = sorted(materialize(name) for _ in range(reps))
         print(
             f"{name}: median {statistics.median(runs):.3f}s "
