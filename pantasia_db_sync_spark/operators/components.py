@@ -26,6 +26,13 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _local_frame(spark, rows, schema: str):
+    """Tiny driver-resident frame as ONE partition: the default
+    createDataFrame parallelizes to defaultParallelism slices, so every
+    job touching a 1-5-row seed frame dragged 31 empty tasks along."""
+    return spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+
+
 def connected_components(
     edges: DataFrame,
     nodes: DataFrame,
@@ -482,13 +489,11 @@ def multi_bfs_distances(
     # row — it is a real vertex at distance 0 from itself — instead of
     # being silently dropped from every downstream centrality.
     spark = edges.sparkSession
-    dist = (
-        spark.createDataFrame(
-            [(int(s), int(s), 0) for s in dict.fromkeys(seeds)],
-            "seed bigint, node bigint, d int",
-        )
-        .localCheckpoint(eager=True)
-    )
+    dist = _local_frame(
+        spark,
+        [(int(s), int(s), 0) for s in dict.fromkeys(seeds)],
+        "seed bigint, node bigint, d int",
+    ).localCheckpoint(eager=True)
     for _ in range(hops):
         cand = dist.join(sym, dist["node"] == sym["a"]).select(
             "seed", F.col("b").alias("node"), (F.col("d") + 1).cast("int").alias("d")
@@ -733,8 +738,8 @@ def brandes_dependency(
     )
     # forward: per-level frontiers carrying exact path counts sigma
     levels = [
-        spark.createDataFrame(
-            [(int(seed), 1)], "node bigint, sigma bigint"
+        _local_frame(
+            spark, [(int(seed), 1)], "node bigint, sigma bigint"
         ).localCheckpoint(eager=True)
     ]
     seen = levels[0].select("node").localCheckpoint(eager=True)
@@ -750,7 +755,10 @@ def brandes_dependency(
         if nxt.isEmpty():
             break
         levels.append(nxt)
-        seen = seen.unionByName(nxt.select("node")).localCheckpoint(eager=True)
+        # seen is a union of already-CHECKPOINTED frames — its lineage
+        # is one union node over RDD scans, so freezing it again only
+        # cost an extra eager materialization job per level
+        seen = seen.unionByName(nxt.select("node"))
     # backward: floored integer dependency accumulation
     deltas: list[DataFrame] = [None] * len(levels)
     deltas[-1] = levels[-1].select(
@@ -841,7 +849,8 @@ def brandes_dependency_multi(
         .localCheckpoint(eager=True)
     )
     levels = [
-        spark.createDataFrame(
+        _local_frame(
+            spark,
             [(int(s), int(s), 1) for s in dict.fromkeys(seeds)],
             "seed bigint, node bigint, sigma bigint",
         ).localCheckpoint(eager=True)
@@ -859,9 +868,9 @@ def brandes_dependency_multi(
         if nxt.isEmpty():
             break
         levels.append(nxt)
-        seen = seen.unionByName(nxt.select("seed", "node")).localCheckpoint(
-            eager=True
-        )
+        # union of checkpointed frames — no re-freeze (see
+        # brandes_dependency)
+        seen = seen.unionByName(nxt.select("seed", "node"))
     deltas: list[DataFrame] = [None] * len(levels)
     deltas[-1] = levels[-1].select(
         "seed", "node", F.lit(0).cast("bigint").alias("delta_micro")
