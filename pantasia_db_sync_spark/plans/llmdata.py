@@ -4289,9 +4289,11 @@ def text_winnowing_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     cut it to 1.9s (4.9x), and the 10x corpus runs 3.5s (sub-linear)."""
     max_df = 50
     d = load_table(spark, sf_dir, "documents")
-    from ..operators.dedup import _shingle_parts
+    from ..operators.dedup import _shingle_parts, _spread
 
-    toks, sh = _shingle_parts(d, "doc_id", "text", 3)
+    # spread the shingle+md5 chain off the single fixture-scan split
+    # (no-op at scale — see operators/dedup._spread)
+    toks, sh = _shingle_parts(_spread(d, "doc_id"), "doc_id", "text", 3)
     # NO size(sh) column here: carrying n_kg through the explode makes
     # Catalyst re-inline the WHOLE shingle transform into the
     # per-exploded-row projection — O(tokens x shingles) per document

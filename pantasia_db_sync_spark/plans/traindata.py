@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 
 from ..functions.text import STOPWORDS, portable_hash60, tokens_col
 from ..operators.components import connected_components
-from ..operators.dedup import minhash_lsh_pairs
+from ..operators.dedup import _spread, minhash_lsh_pairs
 from ..operators.similarity import as_double_vec
 from ..sources.catalog import load_table
 from .llmdata import _cos_sql, _in_words, _minhash_sql, _PORTABLE_HASH, _stop_pred
@@ -760,6 +760,9 @@ def corpus_decontaminate_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # query uses 3-shingles); production raises k to ~13 (GPT-3 rule)
     k = 4
     d = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    # spread the token/window chain off the single fixture-scan split
+    # (interpreted HOF cost is per row; no-op at scale — see operators/dedup._spread)
+    d = _spread(d, "doc_id")
     t = tokens_col("text")
     is_bench = F.col("doc_id") % 50 == 0
     wins = F.transform(
@@ -1191,6 +1194,9 @@ def dedup_span_extend_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair); kept plain here so the oracle shares the exact key."""
     k = 8
     d = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    # spread the token/window chain off the single fixture-scan split
+    # (interpreted HOF cost is per row; no-op at scale — see operators/dedup._spread)
+    d = _spread(d, "doc_id")
     t = tokens_col("text")
     wins = F.transform(
         F.sequence(F.lit(0), F.size(t) - k),
@@ -1373,6 +1379,9 @@ def dedup_span_scrub_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     JVM-side — no UDF, no per-token shuffle."""
     k = 8
     d = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    # spread the token/window chain off the single fixture-scan split
+    # (interpreted HOF cost is per row; no-op at scale — see operators/dedup._spread)
+    d = _spread(d, "doc_id")
     t = tokens_col("text")
     wins = F.transform(
         F.sequence(F.lit(0), F.size(t) - k),
