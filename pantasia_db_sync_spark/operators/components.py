@@ -25,6 +25,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .ckpt import LoopCheckpointer
+
 
 def _local_frame(spark, rows, schema: str):
     """Tiny driver-resident frame as ONE partition: the default
@@ -72,10 +74,15 @@ def connected_components(
     singletons = all_nodes.join(edge_nodes, "node", "left_anti").select(
         "node", F.col("node").alias("label")
     )
-    labels = (
-        all_nodes.join(edge_nodes, "node", "left_semi")
-        .withColumn("label", F.col("node"))
-        .localCheckpoint(eager=True)
+    # Superseded rounds' checkpoint blocks are freed as the loop
+    # advances (operators/ckpt.py) — round t's labels are dead by
+    # construction once round t+1 is materialized, and leaving them
+    # pinned degrades every later job in a long-lived session.
+    ck = LoopCheckpointer(edges.sparkSession)
+    labels = ck.step(
+        all_nodes.join(edge_nodes, "node", "left_semi").withColumn(
+            "label", F.col("node")
+        )
     )
     from pyspark.sql import Observation
 
@@ -93,7 +100,7 @@ def connected_components(
         # its join against the previous labels (2 jobs/round -> 1).
         new_col = F.least("label", F.coalesce("nbr_label", "label"))
         obs = Observation()
-        new_labels = (
+        new_labels = ck.step(
             labels.join(nbr_min, "node", "left")
             .select(
                 "node",
@@ -102,7 +109,6 @@ def connected_components(
             )
             .observe(obs, F.sum("__chg").alias("n"))
             .select("node", F.col("__new").alias("label"))
-            .localCheckpoint(eager=True)
         )
         labels = new_labels
         if int(obs.get["n"] or 0) == 0:
@@ -184,16 +190,20 @@ def connected_components_logn(
     chains); `connected_components` is simpler and equally fast on the
     shallow graphs near-dup detection usually produces.
     """
-    cur = _canonical_edges(
-        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
-    ).localCheckpoint(eager=True)
+    # keep=2: the convergence delta below consumes ``cur`` AFTER
+    # ``stepped`` is materialized, so the previous generation must stay
+    # live one round longer (operators/ckpt.py)
+    ck = LoopCheckpointer(edges.sparkSession)
+    cur = ck.step(
+        _canonical_edges(
+            edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        )
+    )
     converged = cur.isEmpty()
     for _ in range(max_iter):
         if converged:
             break
-        stepped = _canonical_edges(_small_star(_large_star(cur))).localCheckpoint(
-            eager=True
-        )
+        stepped = ck.step(_canonical_edges(_small_star(_large_star(cur))))
         # converged when the canonical edge set is stable
         delta = (
             stepped.exceptAll(cur).count() + cur.exceptAll(stepped).count()
@@ -253,24 +263,26 @@ def bfs_distances(
         .localCheckpoint(eager=True)
     )
     nodes = sym.select(F.col("a").alias("node")).distinct()
-    dist = nodes.select(
-        "node",
-        F.when(F.col("node") == F.lit(src), F.lit(0))
-        .otherwise(F.lit(None))
-        .cast("int")
-        .alias("d"),
-    ).localCheckpoint(eager=True)
+    ck = LoopCheckpointer(edges.sparkSession)
+    dist = ck.step(
+        nodes.select(
+            "node",
+            F.when(F.col("node") == F.lit(src), F.lit(0))
+            .otherwise(F.lit(None))
+            .cast("int")
+            .alias("d"),
+        )
+    )
     for _ in range(hops):
         cand = (
             dist.where(F.col("d").isNotNull())
             .join(sym, dist["node"] == sym["a"])
             .select(F.col("b").alias("node"), (F.col("d") + 1).alias("d"))
         )
-        dist = (
+        dist = ck.step(
             dist.unionByName(cand)
             .groupBy("node")
             .agg(F.min("d").cast("int").alias("d"))
-            .localCheckpoint(eager=True)
         )
     return dist.select("node", F.col("d").alias("dist"))
 
@@ -302,19 +314,23 @@ def kcore(
     Cohesion primitive for dedup/spam graph audits: the k-core is
     where dense near-dup communities live, rank-robust unlike raw
     degree."""
-    sym = (
-        edges.select(F.col(u_col).alias("a"), F.col(v_col).alias("b"))
-        .unionAll(edges.select(F.col(v_col).alias("a"), F.col(u_col).alias("b")))
-        .localCheckpoint(eager=True)
+    # the symmetric edge list IS the evolving state here (peeled each
+    # round): track it so superseded rounds' blocks are freed; keep=2
+    # because the fixpoint probe counts the PREVIOUS round's frame
+    ck = LoopCheckpointer(edges.sparkSession)
+    sym = ck.step(
+        edges.select(F.col(u_col).alias("a"), F.col(v_col).alias("b")).unionAll(
+            edges.select(F.col(v_col).alias("a"), F.col(u_col).alias("b"))
+        )
     )
 
     def peel(s: DataFrame) -> DataFrame:
         deg = s.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
         keep = deg.where(F.col("deg") >= k).select("a")
-        return (
-            s.join(keep, "a", "left_semi")
-            .join(keep.withColumnRenamed("a", "b"), "b", "left_semi")
-            .localCheckpoint(eager=True)
+        return ck.step(
+            s.join(keep, "a", "left_semi").join(
+                keep.withColumnRenamed("a", "b"), "b", "left_semi"
+            )
         )
 
     if rounds is None:
@@ -371,24 +387,26 @@ def shortest_paths(
         )
     ).localCheckpoint(eager=True)  # joined every round
     nodes = sym.select(F.col("a").alias("node")).distinct()
-    dist = nodes.select(
-        "node",
-        F.when(F.col("node") == F.lit(src), F.lit(0))
-        .otherwise(F.lit(None))
-        .cast("bigint")
-        .alias("d"),
-    ).localCheckpoint(eager=True)
+    ck = LoopCheckpointer(edges.sparkSession)
+    dist = ck.step(
+        nodes.select(
+            "node",
+            F.when(F.col("node") == F.lit(src), F.lit(0))
+            .otherwise(F.lit(None))
+            .cast("bigint")
+            .alias("d"),
+        )
+    )
     for _ in range(rounds):
         cand = (
             dist.where(F.col("d").isNotNull())
             .join(sym, dist["node"] == sym["a"])
             .select(F.col("b").alias("node"), (F.col("d") + F.col("w")).alias("d"))
         )
-        dist = (
+        dist = ck.step(
             dist.unionByName(cand)
             .groupBy("node")
             .agg(F.min("d").cast("bigint").alias("d"))
-            .localCheckpoint(eager=True)
         )
     return dist.select("node", F.col("d").alias("dist"))
 
@@ -436,6 +454,7 @@ def pagerank(
         .localCheckpoint(eager=True)
     )
     r = deg.select("a", F.lit(micro).cast("bigint").alias("r"))
+    ck = LoopCheckpointer(edges.sparkSession)
     for _ in range(rounds):
         contrib = (
             sym.join(r.join(deg, "a"), "a")
@@ -446,10 +465,10 @@ def pagerank(
                 ).alias("c"),
             )
         )
-        r = (
-            contrib.groupBy("a")
-            .agg((F.lit(base) + F.sum("c")).cast("bigint").alias("r"))
-            .localCheckpoint(eager=True)
+        r = ck.step(
+            contrib.groupBy("a").agg(
+                (F.lit(base) + F.sum("c")).cast("bigint").alias("r")
+            )
         )
     return r.select(F.col("a").alias("node"), F.col("r").alias("rank_micro"))
 
@@ -489,25 +508,31 @@ def multi_bfs_distances(
     # row — it is a real vertex at distance 0 from itself — instead of
     # being silently dropped from every downstream centrality.
     spark = edges.sparkSession
-    dist = _local_frame(
-        spark,
-        [(int(s), int(s), 0) for s in dict.fromkeys(seeds)],
-        "seed bigint, node bigint, d int",
-    ).localCheckpoint(eager=True)
+    ck = LoopCheckpointer(spark)
+    dist = ck.step(
+        _local_frame(
+            spark,
+            [(int(s), int(s), 0) for s in dict.fromkeys(seeds)],
+            "seed bigint, node bigint, d int",
+        )
+    )
     for _ in range(hops):
         cand = dist.join(sym, dist["node"] == sym["a"]).select(
             "seed", F.col("b").alias("node"), (F.col("d") + 1).cast("int").alias("d")
         )
-        dist = (
+        dist = ck.step(
             dist.unionByName(cand)
             .groupBy("seed", "node")
             .agg(F.min("d").cast("int").alias("d"))
-            .localCheckpoint(eager=True)
         )
     return dist.select("seed", "node", F.col("d").alias("dist"))
 
 
-def _oriented_triangles(e: DataFrame, deg: DataFrame | None = None) -> DataFrame:
+def _oriented_triangles(
+    e: DataFrame,
+    deg: DataFrame | None = None,
+    ck: "LoopCheckpointer | None" = None,
+) -> DataFrame:
     """(x, y, z): each triangle of the canonical (u < v, distinct)
     undirected edge list exactly once, enumerated under the
     (degree, id) total order — the compact-forward orientation shared
@@ -532,10 +557,13 @@ def _oriented_triangles(e: DataFrame, deg: DataFrame | None = None) -> DataFrame
     u_first = (F.col("du") < F.col("dv")) | (
         (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
     )
-    o = j.select(
+    o_plan = j.select(
         F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("a"),
         F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("b"),
-    ).localCheckpoint(eager=False)
+    )
+    # ck: loop callers (truss peeling) route this per-round lazy freeze
+    # through their tracker so its blocks are freed once superseded
+    o = ck.step(o_plan, eager=False) if ck else o_plan.localCheckpoint(eager=False)
     e1 = o.select("a", "b")
     e2 = o.select(F.col("a").alias("b"), F.col("b").alias("c"))
     closing = o.select("a", F.col("b").alias("c"))
@@ -567,18 +595,22 @@ def ktruss(
     exactly those rounds as chained CTE stages, the kcore pairing); a
     round that deletes nothing has converged and equals the fixpoint.
     """
-    e = (
+    # keep=3: generations alternate edge-list / triangle-freeze
+    # (e_0, o_1, e_1, o_2, ...) and the returned support frame
+    # references the previous round's edge list AND this round's
+    # triangle freeze — the newest three generations cover both
+    ck = LoopCheckpointer(edges.sparkSession, keep=3)
+    e = ck.step(
         edges.select(
             F.least(u_col, v_col).alias("u"),
             F.greatest(u_col, v_col).alias("v"),
         )
         .where(F.col("u") < F.col("v"))
         .distinct()
-        .localCheckpoint(eager=True)
     )
     sup = None
     for _ in range(rounds):
-        tri = _oriented_triangles(e)
+        tri = _oriented_triangles(e, ck=ck)
         # explode, not a 3-leg union: the union form re-plans the whole
         # wedge-join subtree once per corner edge (3x the shuffles for
         # the same rows — seen in the r16 before-plan); one Generate
@@ -605,11 +637,7 @@ def ktruss(
             "v",
             F.coalesce("support", F.lit(0)).cast("bigint").alias("support"),
         )
-        e = (
-            sup.where(F.col("support") >= k - 2)
-            .select("u", "v")
-            .localCheckpoint(eager=True)
-        )
+        e = ck.step(sup.where(F.col("support") >= k - 2).select("u", "v"))
     if sup is None:
         raise ValueError("ktruss: rounds must be >= 1")
     return sup.where(F.col("support") >= k - 2).select("u", "v", "support")
@@ -663,13 +691,12 @@ def personalized_pagerank(
             spark.sparkContext.parallelize(rows, 1), schema
         )
 
-    r = _one_row([(int(seed), int(micro))], ["a", "r"]).localCheckpoint(
-        eager=True
-    )
     # loop-invariant: the same (seed, 0) row every round — built once
     seed_row = _one_row([(int(seed), 0)], ["node", "c"]).localCheckpoint(
         eager=True
     )
+    ck = LoopCheckpointer(spark)
+    r = ck.step(_one_row([(int(seed), int(micro))], ["a", "r"]))
     restart = (micro * (damp_den - damp_num)) // damp_den
     for _ in range(rounds):
         contrib = (
@@ -685,7 +712,7 @@ def personalized_pagerank(
             )
         )
         seeded = contrib.unionByName(seed_row)
-        r = (
+        r = ck.step(
             seeded.groupBy("node")
             .agg(
                 (
@@ -697,7 +724,6 @@ def personalized_pagerank(
             )
             .where(F.col("r") > 0)
             .select(F.col("node").alias("a"), "r")
-            .localCheckpoint(eager=True)
         )
     return r.select(F.col("a").alias("node"), F.col("r").alias("rank_micro"))
 
@@ -742,7 +768,11 @@ def brandes_dependency(
             spark, [(int(seed), 1)], "node bigint, sigma bigint"
         ).localCheckpoint(eager=True)
     ]
-    seen = levels[0].select("node").localCheckpoint(eager=True)
+    # keep=1: only the seen freezes themselves are tracked (the level
+    # frontiers stay live for the backward pass); a superseded freeze
+    # is dead once the next is materialized
+    seen_ck = LoopCheckpointer(spark, keep=1)
+    seen = seen_ck.step(levels[0].select("node"))
     for _ in range(hops):
         nxt = (
             levels[-1]
@@ -756,9 +786,14 @@ def brandes_dependency(
             break
         levels.append(nxt)
         # seen is a union of already-CHECKPOINTED frames — its lineage
-        # is one union node over RDD scans, so freezing it again only
-        # cost an extra eager materialization job per level
+        # is one union node over RDD scans, so a PER-LEVEL re-freeze
+        # buys nothing but an extra materialization job; but the union
+        # chain still deepens by one node per level, so re-freeze every
+        # 8 levels to bound plan depth on deep graphs (no-op at the
+        # registered hop caps)
         seen = seen.unionByName(nxt.select("node"))
+        if len(levels) % 8 == 0:
+            seen = seen_ck.step(seen)
     # backward: floored integer dependency accumulation
     deltas: list[DataFrame] = [None] * len(levels)
     deltas[-1] = levels[-1].select(
@@ -855,7 +890,8 @@ def brandes_dependency_multi(
             "seed bigint, node bigint, sigma bigint",
         ).localCheckpoint(eager=True)
     ]
-    seen = levels[0].select("seed", "node").localCheckpoint(eager=True)
+    seen_ck = LoopCheckpointer(spark, keep=1)
+    seen = seen_ck.step(levels[0].select("seed", "node"))
     for _ in range(hops):
         nxt = (
             levels[-1]
@@ -868,9 +904,11 @@ def brandes_dependency_multi(
         if nxt.isEmpty():
             break
         levels.append(nxt)
-        # union of checkpointed frames — no re-freeze (see
-        # brandes_dependency)
+        # union of checkpointed frames — re-freeze only every 8 levels
+        # to bound plan depth on deep graphs (see brandes_dependency)
         seen = seen.unionByName(nxt.select("seed", "node"))
+        if len(levels) % 8 == 0:
+            seen = seen_ck.step(seen)
     deltas: list[DataFrame] = [None] * len(levels)
     deltas[-1] = levels[-1].select(
         "seed", "node", F.lit(0).cast("bigint").alias("delta_micro")

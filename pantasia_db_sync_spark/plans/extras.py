@@ -8274,18 +8274,22 @@ def graph_hyperanf_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     nodes = sym.select(F.col("a").alias("node")).distinct()
-    dist = nodes.select(
-        F.col("node").alias("seed"), "node", F.lit(0).cast("int").alias("d")
-    ).localCheckpoint(eager=True)
+    from ..operators.ckpt import LoopCheckpointer
+
+    ck = LoopCheckpointer(spark)
+    dist = ck.step(
+        nodes.select(
+            F.col("node").alias("seed"), "node", F.lit(0).cast("int").alias("d")
+        )
+    )
     for _ in range(rounds):
         cand = dist.join(sym, dist["node"] == sym["a"]).select(
             "seed", F.col("b").alias("node"), (F.col("d") + 1).cast("int").alias("d")
         )
-        dist = (
+        dist = ck.step(
             dist.unionByName(cand)
             .groupBy("seed", "node")
             .agg(F.min("d").cast("int").alias("d"))
-            .localCheckpoint(eager=True)
         )
     exact = (
         dist.select(
@@ -8377,18 +8381,22 @@ def graph_hyperball_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     nodes = sym.select(F.col("a").alias("node")).distinct()
-    dist = nodes.select(
-        F.col("node").alias("seed"), "node", F.lit(0).cast("int").alias("d")
-    ).localCheckpoint(eager=True)
+    from ..operators.ckpt import LoopCheckpointer
+
+    ck = LoopCheckpointer(spark)
+    dist = ck.step(
+        nodes.select(
+            F.col("node").alias("seed"), "node", F.lit(0).cast("int").alias("d")
+        )
+    )
     for _ in range(rounds):
         cand = dist.join(sym, dist["node"] == sym["a"]).select(
             "seed", F.col("b").alias("node"), (F.col("d") + 1).cast("int").alias("d")
         )
-        dist = (
+        dist = ck.step(
             dist.unionByName(cand)
             .groupBy("seed", "node")
             .agg(F.min("d").cast("int").alias("d"))
-            .localCheckpoint(eager=True)
         )
 
     def c(k: int):
