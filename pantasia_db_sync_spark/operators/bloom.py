@@ -93,6 +93,85 @@ def bloom_might_contain(
     return cond
 
 
+def bloom_any_probe_arrow(spark, words: list[int], m_bits: int = BLOOM_M_BITS, k: int = BLOOM_K):
+    """Arrow-batched twin of ``F.exists(col, lambda s:
+    bloom_might_contain(s, words, m_bits))`` over an ``array<string>``
+    column: returns a pandas-UDF callable yielding True iff ANY element
+    of the row's array might be in the filter.
+
+    Why it exists: Catalyst evaluates a higher-order ``exists`` lambda
+    INTERPRETED per array element, and the probe's md5 is the expensive
+    part — measured ~13 s isolated for the decontaminate corpus at
+    sf0.1. This form ships each partition's arrays across the Arrow
+    boundary once, probes a BROADCAST bitmask (``m_bits/8`` bytes, the
+    memory shape that scales to ~1e8-key benchmark sets where a hash
+    relation would be multi-GB) in batched Python with a per-task memo
+    over repeated shingles, and short-circuits per row exactly like
+    ``exists``.
+
+    Bit-position parity with :func:`bloom_bit_positions` is LOAD-
+    BEARING: the mask is built by the JVM expression, so the Python
+    probe recomputes the identical 60-bit md5 prefix and Kirsch-
+    Mitzenmacher double hash — any drift would introduce false
+    NEGATIVES (a bloom must never have those). Pinned by
+    tests: the two probes agree on every shingle of a fixture corpus.
+    False positives remain harmless (callers re-verify exactly)."""
+    mask = bytearray(m_bits // 8)
+    for i, w in enumerate(words):
+        for b in range(_WORD_BITS):
+            if (w >> b) & 1:
+                p = i * _WORD_BITS + b
+                mask[p >> 3] |= 1 << (p & 7)
+    bc = spark.sparkContext.broadcast(bytes(mask))
+
+    from typing import Iterator
+
+    import pandas as pd
+
+    def _probe(batches):
+        from hashlib import md5
+
+        m = bc.value
+        memo: dict[str, bool] = {}
+
+        def might(s: str) -> bool:
+            v = memo.get(s)
+            if v is None:
+                h = int(md5(s.encode("utf-8")).hexdigest()[:15], 16)
+                h1 = h % m_bits
+                h2 = ((h >> 17) % m_bits) | 1
+                v = True
+                for i in range(k):
+                    p = (h1 + i * h2) % m_bits
+                    if not (m[p >> 3] >> (p & 7)) & 1:
+                        v = False
+                        break
+                if len(memo) < (1 << 20):  # bound per-task memory
+                    memo[s] = v
+            return v
+
+        for batch in batches:
+            yield batch.map(
+                lambda arr: bool(
+                    arr is not None and any(might(s) for s in arr)
+                )
+            )
+
+    # iterator-form hints attached as OBJECTS: the module-wide
+    # ``from __future__ import annotations`` would stringify inline
+    # hints and pandas_udf cannot resolve them from its own scope
+    _probe.__annotations__ = {
+        "batches": Iterator[pd.Series],
+        "return": Iterator[pd.Series],
+    }
+    # asNondeterministic: a filter on the probe's output column would
+    # otherwise be pushed below the projection and the optimizer
+    # DUPLICATES the UDF (guide §4.4 shape — measured 0.38s -> 1.29s on
+    # the decontaminate corpus). The probe is pure, so the marking only
+    # pins single evaluation; results are unchanged.
+    return F.pandas_udf(_probe, "boolean").asNondeterministic()
+
+
 def bloom_semi_join(
     big: DataFrame,
     dim: DataFrame,

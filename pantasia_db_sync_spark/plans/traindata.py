@@ -1590,23 +1590,23 @@ def corpus_decontaminate_bloom_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     which also removes false positives — output identical to
     `corpus_decontaminate`, same oracle SQL.
 
-    HONEST MEASUREMENT (scripts/scale_experiment.py, README): at
-    fixture scale this is ~9× SLOWER than the exact path (6.0s vs 0.6s
-    at 50k docs) and the ratio does not improve with corpus growth.
-    Why: the exact path is ALREADY shuffle-free — a broadcast semi-join
-    probes a hash table map-side inside whole-stage codegen — while the
-    bloom probe evaluates md5 inside a higher-order `exists` lambda,
-    which Spark executes INTERPRETED per array element. There is no
-    exchange for the bloom to save. The bloom variant earns its keep on
-    one axis only: broadcast MEMORY. A hash table over ~1e8 benchmark
-    13-grams is multi-GB (unbroadcastable); the equivalent-FP bitmask
-    is ~100 MB, and the probe should then move to an Arrow-batched
-    pandas UDF over a broadcast bytearray (vectorized, not per-element
-    interpreted). Kept registered as the membership-probe pattern with
-    its cost documented, not as the default. Reference analogue: the
-    pre-write id-index membership probe
-    (/root/reference/app/db/id_index.py, get())."""
-    from ..operators.bloom import bloom_might_contain, build_bloom_words
+    HONEST MEASUREMENT: the round-16 form evaluated md5 inside a
+    higher-order `exists` lambda, which Spark executes INTERPRETED per
+    array element — ~9× slower than the exact path at fixture scale
+    (6.0s vs 0.6s at 50k docs; ~13s isolated at sf0.1 by round 16, the
+    slowest registered query). Round 17 moved the probe to the
+    Arrow-batched pandas UDF over a broadcast bytearray this paragraph
+    always prescribed (operators/bloom.py::bloom_any_probe_arrow) —
+    same suspects set, same rows. The exact path is still shuffle-free
+    (broadcast semi-join probed map-side in codegen), so at fixture
+    scale the exact variant remains the default; the bloom variant
+    earns its keep on broadcast MEMORY — a hash table over ~1e8
+    benchmark 13-grams is multi-GB (unbroadcastable), the
+    equivalent-FP bitmask is ~100 MB. Kept registered as the
+    membership-probe pattern. Reference analogue: the pre-write
+    id-index membership probe (/root/reference/app/db/id_index.py,
+    get())."""
+    from ..operators.bloom import bloom_any_probe_arrow, build_bloom_words
     from ..operators.dedup import shingle_arrays, shingle_frame
 
     d = load_table(spark, sf_dir, "documents")
@@ -1620,13 +1620,27 @@ def corpus_decontaminate_bloom_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     m_bits = 1 << 17
     words = build_bloom_words(bench_sh, "shingle", m_bits=m_bits)
 
+    # round 17 (guide §4.2): the probe moved from a per-element
+    # INTERPRETED md5 `exists` lambda to the Arrow-batched broadcast-
+    # bitmask form the docstring always named — identical suspects set
+    # (bit-position parity is pinned by a test), same rows out, ~an
+    # order of magnitude less probe CPU
+    probe = bloom_any_probe_arrow(spark, words, m_bits=m_bits)
+    # suspect ids only cross back from Python — round-tripping the
+    # shingle ARRAYS through the Arrow boundary and exploding them
+    # JVM-side above the Python node measured 2x the whole query; the
+    # exact verify instead recomputes the (cheap, codegen'd) shingle
+    # explode over just the bloom-suspect documents
     sh = shingle_arrays(corpus, "doc_id", "text", 3)
-    suspect = F.exists(
-        "__sh", lambda s: bloom_might_contain(s, words, m_bits)
+    sus_ids = (
+        sh.select("doc_id", probe(F.col("__sh")).alias("__suspect"))
+        .where(F.col("__suspect"))
+        .select("doc_id")
     )
-    suspects = sh.where(suspect)
     contaminated = (
-        suspects.select("doc_id", F.explode("__sh").alias("shingle"))
+        shingle_frame(
+            corpus.join(sus_ids, "doc_id", "left_semi"), "doc_id", "text", 3
+        )
         .join(F.broadcast(bench_sh), "shingle", "left_semi")
         .select("doc_id")
         .distinct()
