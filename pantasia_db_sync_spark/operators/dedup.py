@@ -397,19 +397,50 @@ def prefix_filter_jaccard_pairs(
 
 def _spread(df: DataFrame, *key_cols: str) -> DataFrame:
     """Hash-spread a CPU-heavy derivation's input across the cluster
-    when the scan beneath it yields fewer partitions than there are
-    slots. The deletion-neighborhood projections below are interpreted
+    when the scan beneath it is too small to fill the slots. The
+    deletion-neighborhood projections below are interpreted
     higher-order-function chains whose cost is per ROW — a small input
     file read as ONE split (128 MB maxPartitionBytes vs a ~300 KB
     fixture) serializes the whole index build on one core while 31 sit
     idle. Deterministic hash partitioning on the unique id, so task
-    retries reproduce the assignment; at scale the scan is already
-    wide and this is a no-op (the partition-count probe is driver-side
-    planning only, no job)."""
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    retries reproduce the assignment; at scale the input is already
+    wide and this is a no-op.
+
+    The probe (round 17): the optimizer-estimated input size from the
+    ANALYZED plan, compared against what ``defaultParallelism`` scan
+    splits would hold. This is pure driver-side metadata — the round-16
+    probe (``df.rdd.getNumPartitions()``) ran full physical planning
+    and, on a plan containing exchanges under AQE, finalizing the plan
+    EXECUTES the upstream shuffle stages, silently double-running any
+    non-scan caller frame (and costing a measurable re-plan even on
+    scan-level frames — why six round-16 sites reverted the spread).
+    For a scan+project frame the estimate is the parquet file bytes, so
+    the split arithmetic matches what the scan planner would do; the
+    decision only gates a performance rewrite, never results."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    max_split = _conf_bytes(
+        df.sparkSession.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+    )
+    raw = df._jdf.queryExecution().analyzed().stats().sizeInBytes()
+    # py4j hands scala.math.BigInt back as a Python int when its
+    # converters are active, as the raw object otherwise
+    est_bytes = int(raw.longValue() if hasattr(raw, "longValue") else raw)
+    if est_bytes < target * max_split:
         return df.repartition(target, *[F.col(c) for c in key_cols])
     return df
+
+
+def _conf_bytes(s: str) -> int:
+    """Parse a Spark byte-size conf value ('134217728', '128m',
+    '128MB', '1g')."""
+    s = str(s).strip().lower()
+    if s.endswith("b"):
+        s = s[:-1]
+    units = {"k": 1024, "m": 1024**2, "g": 1024**3, "t": 1024**4}
+    if s and s[-1] in units:
+        return int(float(s[:-1]) * units[s[-1]])
+    return int(s)
 
 
 def _deletion_variants(max_dist: int):
