@@ -1,8 +1,8 @@
-"""Capture .explain("formatted") for headline queries → plans/r16/.
+"""Capture .explain("formatted") for headline queries → plans/$SPARK_GRAFT_PLANS_ROUND/ (default r17).
 
 Usage: python3 scripts/capture_plans.py <suffix> [name ...]
 
-Writes plans/r16/<query>_<suffix>.txt for each named query (default: the
+Writes plans/<round>/<query>_<suffix>.txt for each named query (default: the
 whole bench HEADLINE list). Plans are captured lazily (no execution), so
 this is cheap and safe to run alongside other work; with AQE enabled the
 initial plan is shown (isFinalPlan=false), which still pins Exchange
@@ -19,7 +19,7 @@ from contextlib import redirect_stdout
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-OUT_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r16")
+OUT_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r17"))
 
 
 def main() -> None:

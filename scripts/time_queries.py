@@ -35,21 +35,32 @@ def main() -> None:
         QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         return time.perf_counter() - t0
 
+    baseline_ids: set = set()
+    it0 = spark.sparkContext._jsc.getPersistentRDDs().keySet().iterator()
+    while it0.hasNext():
+        baseline_ids.add(it0.next())
+
     def cleanup() -> None:
-        # same inter-query hygiene as bench.py jvm_gc(): drop leaked
-        # localCheckpoint blocks from the previous query, then full GC
+        # same hygiene as bench.py jvm_gc(): drop the previous query's
+        # remaining localCheckpoint blocks (scoped to ids created after
+        # session start, round 17), then full GC
         import gc as _pygc
 
         _pygc.collect()
         it = spark.sparkContext._jsc.getPersistentRDDs().entrySet().iterator()
         while it.hasNext():
-            it.next().getValue().unpersist(False)
+            e = it.next()
+            if e.getKey() not in baseline_ids:
+                e.getValue().unpersist(False)
         spark.sparkContext._jvm.System.gc()
 
     for name in names:
         materialize(name)  # warm
-        cleanup()
-        runs = sorted(materialize(name) for _ in range(reps))
+        runs = []
+        for _ in range(reps):
+            cleanup()
+            runs.append(materialize(name))
+        runs.sort()
         print(
             f"{name}: median {statistics.median(runs):.3f}s "
             f"(min {runs[0]:.3f} / max {runs[-1]:.3f}, n={reps})"
