@@ -566,11 +566,21 @@ def levenshtein_pairs_fastss(
         idx = idx.localCheckpoint(eager=True)
     a = idx.select(F.col("__id").alias("id_a"), "__v")
     b = idx.select(F.col("__id").alias("id_b"), "__v")
+    # pair-distinct and the first verify join SHARE one exchange: the
+    # raw candidate stream is hash-repartitioned on id_a only, which
+    # already clusters every duplicate of (id_a, id_b) — the
+    # dropDuplicates then plans WITHOUT its own (id_a, id_b) exchange,
+    # and the id_a-keyed verify join below reuses the same partitioning
+    # for its probe side. One full shuffle of the distinct pair stream
+    # removed vs the plain .distinct() form (candidate dupes live in
+    # different variant buckets, so the old partial aggregate reduced
+    # almost nothing before paying a second full exchange).
     pairs = (
         a.join(b.hint("shuffle_hash"), "__v")
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
-        .distinct()
+        .repartition(F.col("id_a"))
+        .dropDuplicates(["id_a", "id_b"])
     )
     sa = base.select(F.col("__id").alias("id_a"), F.col("__s").alias("__sa"))
     sb = base.select(F.col("__id").alias("id_b"), F.col("__s").alias("__sb"))
