@@ -601,8 +601,15 @@ def text_ngram_novelty_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sequence(F.lit(0), F.size(t) - 3),
         lambda i: F.array_join(F.slice(t, i + 1, 3), " "),
     )
+    from ..operators.dedup import _spread
+
+    # spread: the gram transform + distinct feed two consumers off a
+    # one-split scan; round-16 A/B'd this site flat with the expensive
+    # RDD-probe _spread and reverted — with the stats-probe form it
+    # wins 3.1s -> 1.7s (round 17; the other three re-tested reverted
+    # sites stayed losses and remain unspread)
     sh = (
-        d.where(F.size(t) >= 3)
+        _spread(d.where(F.size(t) >= 3), "doc_id")
         .select("doc_id", F.explode(grams).alias("g"))
         .distinct()
         .localCheckpoint(eager=False)  # 2 consumers: firsts + join back
