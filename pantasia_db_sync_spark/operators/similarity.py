@@ -34,6 +34,50 @@ def as_double_vec(col: Column | str) -> Column:
     return F.transform(c, lambda x: x.cast("double"))
 
 
+def _dlit(x: float) -> str:
+    """SQL source text for a DOUBLE literal, bit-exact round trip.
+
+    ``repr(float)`` is the shortest string that parses back to the
+    identical IEEE double (both Python and Java honor that contract);
+    the exponent suffix forces Spark's parser to type it DOUBLE rather
+    than DECIMAL."""
+    x = float(x)
+    if x != x:
+        return "double('NaN')"
+    if x in (float("inf"), float("-inf")):
+        return f"double('{'-' if x < 0 else ''}Infinity')"
+    s = repr(x)
+    return s if ("e" in s or "E" in s) else s + "E0"
+
+
+def lit_double_vec(xs: list[float]) -> Column:
+    """array<double> literal built in ONE py4j round trip.
+
+    ``F.lit(list)`` decomposes into one ``lit`` py4j call per element
+    (~0.9 ms each), so a k×dim centroid table cost ~0.45 s of pure
+    driver time per expression build — dominant in the Lloyd fit loop,
+    which rebuilds the assignment expression every iteration. Shipping
+    the whole array as one SQL string parses JVM-side in ~3 ms and
+    yields bit-identical doubles (pinned by a parity test)."""
+    if not xs:
+        return F.lit([]).cast("array<double>")
+    return F.expr("array(" + ",".join(_dlit(x) for x in xs) + ")")
+
+
+def lit_double_matrix(rows: list[list[float]]) -> Column:
+    """array<array<double>> literal in one py4j round trip (see
+    :func:`lit_double_vec`)."""
+    if not rows:
+        return F.lit([]).cast("array<array<double>>")
+    return F.expr(
+        "array("
+        + ",".join(
+            "array(" + ",".join(_dlit(x) for x in r) + ")" for r in rows
+        )
+        + ")"
+    )
+
+
 def dot_col(a: Column, b: Column) -> Column:
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
 
@@ -146,13 +190,13 @@ def ivf_probe_cells(
     cells by rounded centroid cosine (ties to the lowest cell id).
     Queries are few; the centroid table rides as a literal struct
     array, so this is a map-only explode + per-query rank."""
-    # three batched literals (one py4j call each, not one per
-    # coordinate — the driver-overhead profile from _l2_cell_expr),
-    # zipped into structs plan-side
+    # three batched literals (one py4j round trip each — the doubles
+    # travel as SQL source, see lit_double_matrix), zipped into
+    # structs plan-side
     ordered = sorted(centroids)
     cells_lit = F.lit([int(cid) for cid, _ in ordered])
-    coords_lit = F.lit([[float(x) for x in c] for _, c in ordered])
-    norms_lit = F.lit([_py_norm(c) for _, c in ordered])
+    coords_lit = lit_double_matrix([[float(x) for x in c] for _, c in ordered])
+    norms_lit = lit_double_vec([_py_norm(c) for _, c in ordered])
     cents = F.transform(
         coords_lit,
         lambda c, i: F.struct(
@@ -659,8 +703,8 @@ def kmeans_cell_expr(
     the same driver-side overhead profiled in _l2_cell_expr)."""
     ordered = sorted(centroids)
     cells = F.lit([int(cid) for cid, _ in ordered])
-    coords = F.lit([[float(x) for x in c] for _, c in ordered])
-    norms = F.lit([_py_norm(c) for _, c in ordered])
+    coords = lit_double_matrix([[float(x) for x in c] for _, c in ordered])
+    norms = lit_double_vec([_py_norm(c) for _, c in ordered])
     scored = F.transform(
         coords,
         lambda c, i: F.struct(
@@ -845,11 +889,11 @@ def _l2_cell_expr(
     m=4, k=8; this form cut the full PQ query to ~1/4).
 
     The codebook rides as TWO literals (one int array, one nested
-    double array) built in a single F.lit call each: the per-literal
-    form cost one py4j round trip per double — ~2s of pure DRIVER time
-    per expression build at k·s = 128 literals."""
+    double array); the doubles travel as one SQL string
+    (lit_double_matrix) — F.lit pays one py4j round trip per element,
+    ~0.45 s of pure DRIVER time per expression build at fit scale."""
     cells = F.lit([int(cid) for cid, _ in cents])
-    coords = F.lit([[float(x) for x in c] for _, c in cents])
+    coords = lit_double_matrix([[float(x) for x in c] for _, c in cents])
     scored = F.transform(
         coords,
         lambda c, i: F.struct(
@@ -1115,11 +1159,12 @@ def _centroid_lookup_expr(
     cell_col: Column, cents: list[tuple[int, list[float]]]
 ) -> Column:
     """cell id → literal centroid array via a MAP literal lookup — a
-    per-row projection, no join, O(1) plan size (two F.lit calls; the
-    earlier CASE chain paid one py4j round trip per coordinate)."""
+    per-row projection, no join, O(1) plan size (the coordinate matrix
+    ships as one SQL string, see lit_double_matrix; the earlier CASE
+    chain paid one py4j round trip per coordinate)."""
     m = F.map_from_arrays(
         F.lit([int(cid) for cid, _ in cents]),
-        F.lit([[float(x) for x in coords] for _, coords in cents]),
+        lit_double_matrix([[float(x) for x in coords] for _, coords in cents]),
     )
     return F.element_at(m, cell_col)
 
