@@ -3100,7 +3100,11 @@ def quality_model_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = d.select(
         "doc_id", F.explode(tokens_col("text")).alias("tok")
     ).where(F.col("tok") != "")
-    weights = F.array(*[F.lit((b * 37 + 11) % 21 - 10) for b in range(256)])
+    # one SQL-parsed literal: F.array(*[F.lit(...)]*256) paid one py4j
+    # round trip per element (~0.2 s of driver time per build)
+    weights = F.expr(
+        "array(" + ",".join(str((b * 37 + 11) % 21 - 10) for b in range(256)) + ")"
+    )
     b = (
         toks.withColumn("bucket", portable_hash_mod("tok", 256).cast("int"))
         .groupBy("doc_id", "bucket")

@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 from ..functions.text import STOPWORDS, portable_hash60, tokens_col
 from ..operators.components import connected_components
 from ..operators.dedup import _spread, minhash_lsh_pairs
-from ..operators.similarity import as_double_vec
+from ..operators.similarity import as_double_vec, lit_double_vec
 from ..sources.catalog import load_table
 from .llmdata import _cos_sql, _in_words, _minhash_sql, _PORTABLE_HASH, _stop_pred
 from .registry import fround, register, sql_round
@@ -2001,9 +2001,12 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             + [F.max(F.element_at("v", i + 1)).alias(f"mx{i}") for i in range(d)]
         )
     ).collect()[0]
-    mins = F.array(*[F.lit(float(row[f"mn{i}"])) for i in range(d)])
-    spans = F.array(
-        *[F.lit(float(row[f"mx{i}"]) - float(row[f"mn{i}"])) for i in range(d)]
+    # one SQL-parsed literal each (bitwise-identical doubles, see
+    # operators/similarity.lit_double_vec) instead of one py4j round
+    # trip per element
+    mins = lit_double_vec([float(row[f"mn{i}"]) for i in range(d)])
+    spans = lit_double_vec(
+        [float(row[f"mx{i}"]) - float(row[f"mn{i}"]) for i in range(d)]
     )
     centered = F.zip_with("v", mins, lambda x, mn: x - mn)
     errs = F.zip_with(
