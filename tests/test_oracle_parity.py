@@ -54,8 +54,9 @@ def _norm_rows(cols, rows):
     return sorted(cols), sorted(out, key=repr)
 
 
-@pytest.mark.parametrize("name", sorted(ORACLES))
-def test_oracle_parity(spark, name):
+def _parity_failure(spark, name: str) -> str | None:
+    """Full spark-vs-oracle comparison for one query; None on parity,
+    the assertion message otherwise."""
     fn = QUERIES[name]
     sdf = fn(spark, SF_DIR)
     spark_rows = [tuple(r) for r in sdf.collect()]
@@ -69,14 +70,44 @@ def test_oracle_parity(spark, name):
     s_cols, s_rows = _norm_rows(spark_cols, spark_rows)
     d_cols, d_rows = _norm_rows(duck_cols, duck_rows)
 
-    assert s_cols == d_cols, f"{name}: column mismatch {s_cols} vs {d_cols}"
-    assert len(s_rows) == len(d_rows), (
-        f"{name}: row count {len(s_rows)} vs {len(d_rows)}"
-    )
+    if s_cols != d_cols:
+        return f"{name}: column mismatch {s_cols} vs {d_cols}"
+    if len(s_rows) != len(d_rows):
+        return f"{name}: row count {len(s_rows)} vs {len(d_rows)}"
     mismatches = [
         (i, a, b) for i, (a, b) in enumerate(zip(s_rows, d_rows)) if a != b
     ]
-    assert not mismatches, f"{name}: first mismatches {mismatches[:3]}"
+    if mismatches:
+        return f"{name}: first mismatches {mismatches[:3]}"
+    return None
+
+
+@pytest.fixture(scope="module")
+def parity_results(spark):
+    """All 350+ parity checks computed ONCE on a driver thread pool.
+
+    The per-query test nodes below keep their identity (one pass/fail
+    per query, same assertion text), but the work — build + collect the
+    Spark frame, run the DuckDB oracle, normalize, compare — runs 8
+    queries at a time: Spark's driver schedules concurrent jobs and
+    each worker owns a private DuckDB connection, so the sweep is
+    embarrassingly parallel. Serial it was the second-largest module
+    wall (~4.5 min); pooled it fits the external test window."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    def check(name: str):
+        try:
+            return name, _parity_failure(spark, name)
+        except Exception as e:  # surface build/run crashes as failures
+            return name, f"{name}: {type(e).__name__}: {e}"
+
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        return dict(pool.map(check, sorted(ORACLES)))
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_oracle_parity(parity_results, name):
+    assert parity_results[name] is None, parity_results[name]
 
 
 def test_all_queries_have_entries():

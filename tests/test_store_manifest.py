@@ -31,12 +31,29 @@ def source_dir(tmp_path_factory):
     return str(d)
 
 
-@pytest.fixture()
-def synced(spark, source_dir, tmp_path):
-    store = TableStore(str(tmp_path / "store"))
+@pytest.fixture(scope="module")
+def _golden_store(spark, source_dir, tmp_path_factory):
+    """One full multi-period sync per module (~35 s); every `synced`
+    test gets a filesystem COPY of it. The store is pure disk state
+    (manifests + parquet) and the engine probes (`pantasia_tip`,
+    `_seed`) recompute from disk, so a copy + fresh engine is
+    indistinguishable from a fresh sync — and the copy is ~100x
+    cheaper, which is what keeps this module inside the external test
+    window."""
+    d = str(tmp_path_factory.mktemp("golden_store") / "store")
+    store = TableStore(d)
     engine = SyncEngine(spark, source_dir, store, time_interval_minutes=30)
     stats = engine.run_sync()
     assert len(stats) >= 3, "fixture should produce several periods"
+    return d
+
+
+@pytest.fixture()
+def synced(spark, source_dir, tmp_path, _golden_store):
+    dst = str(tmp_path / "store")
+    shutil.copytree(_golden_store, dst)
+    store = TableStore(dst)
+    engine = SyncEngine(spark, source_dir, store, time_interval_minutes=30)
     return store, engine
 
 
@@ -168,7 +185,7 @@ def test_compaction_crash_recovery(spark, synced):
     assert _facts_fingerprint(spark, recovered2, "asset_mint_tx") == before
 
 
-def test_sync_resumes_after_compaction(spark, source_dir, tmp_path):
+def test_sync_resumes_after_compaction(spark, source_dir, tmp_path, _golden_store):
     store = TableStore(str(tmp_path / "resume_store"))
     engine = SyncEngine(spark, source_dir, store, time_interval_minutes=30)
     first = engine.run_sync(max_periods=3)
@@ -179,10 +196,10 @@ def test_sync_resumes_after_compaction(spark, source_dir, tmp_path):
     rest = engine2.run_sync()
     assert rest, "sync should continue past the compacted history"
 
-    # full-history rebuild equals compacted-incremental (golden invariant)
-    batch_store = TableStore(str(tmp_path / "batch_store"))
-    batch = SyncEngine(spark, source_dir, batch_store, time_interval_minutes=30)
-    batch.run_sync()
+    # full-history rebuild equals compacted-incremental (golden
+    # invariant); the golden fixture IS that rebuild (same source,
+    # interval and default config), read here without mutation
+    batch_store = TableStore(_golden_store)
     for t in FACT_TABLES:
         assert _facts_fingerprint(spark, store, t) == _facts_fingerprint(
             spark, batch_store, t
@@ -234,7 +251,7 @@ def test_read_facts_pruned_matches_filter_and_skips_dirs(spark, synced, monkeypa
     assert empty.count() == 0
 
 
-def test_sync_auto_compaction(spark, source_dir, tmp_path):
+def test_sync_auto_compaction(spark, source_dir, tmp_path, _golden_store):
     store = TableStore(str(tmp_path / "autocompact"))
     engine = SyncEngine(
         spark, source_dir, store, time_interval_minutes=30, compact_every=2
@@ -246,9 +263,9 @@ def test_sync_auto_compaction(spark, source_dir, tmp_path):
     # every 2 periods the committed history merges to one dir per
     # boundary; at most the post-compaction tail remains unmerged
     assert n_dirs <= 2
-    # and a fresh batch rebuild agrees with the compacted store
-    batch_store = TableStore(str(tmp_path / "autocompact_batch"))
-    SyncEngine(spark, source_dir, batch_store, time_interval_minutes=30).run_sync()
+    # and a fresh batch rebuild (= the golden fixture: same source,
+    # interval, default config; read-only here) agrees
+    batch_store = TableStore(_golden_store)
     a = sorted(map(tuple, store.read_facts(spark, "asset_tx").collect()))
     b = sorted(map(tuple, batch_store.read_facts(spark, "asset_tx").collect()))
     assert a == b
@@ -337,13 +354,14 @@ def test_compaction_cluster_by_reclusters_history(spark, synced):
     assert after == before
 
 
-def test_sync_with_clustered_facts_matches_plain(spark, source_dir, tmp_path):
+def test_sync_with_clustered_facts_matches_plain(spark, source_dir, tmp_path, _golden_store):
     """SyncEngine(cluster_facts_by='tx_time') produces byte-identical
     fact row sets to the unclustered sync — layout is a storage
     property, never a semantic one — and each commit's files are
     range-disjoint on tx_time."""
-    plain = TableStore(str(tmp_path / "plain"))
-    SyncEngine(spark, source_dir, plain, time_interval_minutes=30).run_sync()
+    # the plain sync IS the golden fixture (same source, interval,
+    # default config); read-only comparison baseline
+    plain = TableStore(_golden_store)
     clustered = TableStore(str(tmp_path / "clustered"))
     SyncEngine(
         spark,
