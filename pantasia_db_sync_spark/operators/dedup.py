@@ -1005,29 +1005,33 @@ def simhash_signatures(
     # + 1 branch-free shift/or buffers — measured ~4x less agg cost
     # over the same map-side-combinable one-shuffle plan.
     # Vote rule equivalence: sum(±1) > 0  ⇔  2·count(bit=1) > n.
+    # Both wide expressions below ship as ONE SQL string each (parsed
+    # JVM-side) instead of per-term Column arithmetic: the Column form
+    # paid one py4j round trip per operator node — ~1 s of pure driver
+    # time per signature build at 48 bits (same tax as the centroid
+    # literals, operators/similarity.lit_double_matrix). The parsed
+    # trees are identical: "+" chains left-associate, CASE WHEN is
+    # CaseWhen, the int literals type the same.
     h = toks.withColumn("__x32", portable_hash_mod("tok", 1 << bits))
     lanes, lw = 3, 16
     n_longs = (bits + lanes - 1) // lanes
     packs = []
     for j in range(n_longs):
-        terms = None
-        for lane in range(lanes):
-            b = j * lanes + lane
-            if b >= bits:
-                break
-            t = F.expr(f"(shiftright(__x32, {b}) & 1) << {lw * lane}")
-            terms = t if terms is None else terms + t
-        packs.append(F.sum(terms).alias(f"__p{j}"))
+        terms = " + ".join(
+            f"((shiftright(__x32, {b}) & 1) << {lw * lane})"
+            for lane in range(lanes)
+            if (b := j * lanes + lane) < bits
+        )
+        packs.append(F.expr(f"sum({terms})").alias(f"__p{j}"))
     votes = h.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n"), *packs)
-    sig_expr = None
-    for b in range(bits):
-        j, lane = divmod(b, lanes)
-        cnt = F.expr(f"shiftright(__p{j}, {lw * lane}) & {(1 << lw) - 1}")
-        term = F.when(
-            2 * cnt > F.col("__n"), F.lit(1 << b).cast("bigint")
-        ).otherwise(F.lit(0).cast("bigint"))
-        sig_expr = term if sig_expr is None else sig_expr + term
-    return votes.select(F.col(id_col), sig_expr.alias("simhash"))
+    sig_sql = " + ".join(
+        "(CASE WHEN 2 * (shiftright(__p{j}, {o}) & {m}) > __n "
+        "THEN CAST({v} AS BIGINT) ELSE CAST(0 AS BIGINT) END)".format(
+            j=b // lanes, o=lw * (b % lanes), m=(1 << lw) - 1, v=1 << b
+        )
+        for b in range(bits)
+    )
+    return votes.select(F.col(id_col), F.expr(sig_sql).alias("simhash"))
 
 
 def simhash_pairs(
