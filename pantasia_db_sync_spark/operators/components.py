@@ -22,7 +22,7 @@ simpler shape since near-dup graphs are shallow by construction.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 from .ckpt import LoopCheckpointer
@@ -324,20 +324,25 @@ def kcore(
         )
     )
 
-    def peel(s: DataFrame) -> DataFrame:
+    def peel(s: DataFrame, obs: Observation | None = None) -> DataFrame:
         deg = s.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
         keep = deg.where(F.col("deg") >= k).select("a")
-        return ck.step(
-            s.join(keep, "a", "left_semi").join(
-                keep.withColumnRenamed("a", "b"), "b", "left_semi"
-            )
+        out = s.join(keep, "a", "left_semi").join(
+            keep.withColumnRenamed("a", "b"), "b", "left_semi"
         )
+        if obs is not None:
+            # surviving-edge count rides the checkpoint job (the
+            # connected_components Observation move) — the fixed-point
+            # probe cost one extra count job per round
+            out = out.observe(obs, F.count(F.lit(1)).alias("n"))
+        return ck.step(out)
 
     if rounds is None:
         prev = sym.count()
         while True:
-            sym = peel(sym)
-            cur = sym.count()
+            obs = Observation()
+            sym = peel(sym, obs)
+            cur = int(obs.get["n"] or 0)
             if cur == prev:
                 break
             prev = cur
@@ -774,15 +779,21 @@ def brandes_dependency(
     seen_ck = LoopCheckpointer(spark, keep=1)
     seen = seen_ck.step(levels[0].select("node"))
     for _ in range(hops):
+        # frontier-exhausted detection rides the SAME job as the
+        # checkpoint materialization (the connected_components
+        # Observation move): isEmpty() after the eager checkpoint cost
+        # one extra Spark job per level
+        obs = Observation()
         nxt = (
             levels[-1]
             .join(sym, levels[-1]["node"] == sym["a"])
             .groupBy(F.col("b").alias("node"))
             .agg(F.sum("sigma").cast("bigint").alias("sigma"))
             .join(seen, "node", "left_anti")
+            .observe(obs, F.count(F.lit(1)).alias("n"))
             .localCheckpoint(eager=True)
         )
-        if nxt.isEmpty():
+        if int(obs.get["n"] or 0) == 0:
             break
         levels.append(nxt)
         # seen is a union of already-CHECKPOINTED frames — its lineage
@@ -893,15 +904,19 @@ def brandes_dependency_multi(
     seen_ck = LoopCheckpointer(spark, keep=1)
     seen = seen_ck.step(levels[0].select("seed", "node"))
     for _ in range(hops):
+        # exhaustion probe rides the checkpoint job (see
+        # brandes_dependency) — one job per level, not two
+        obs = Observation()
         nxt = (
             levels[-1]
             .join(sym, levels[-1]["node"] == sym["a"])
             .groupBy("seed", F.col("b").alias("node"))
             .agg(F.sum("sigma").cast("bigint").alias("sigma"))
             .join(seen, ["seed", "node"], "left_anti")
+            .observe(obs, F.count(F.lit(1)).alias("n"))
             .localCheckpoint(eager=True)
         )
-        if nxt.isEmpty():
+        if int(obs.get["n"] or 0) == 0:
             break
         levels.append(nxt)
         # union of checkpointed frames — re-freeze only every 8 levels
